@@ -1,0 +1,103 @@
+"""Database: named DataFrames + a relationship catalog.
+
+One parquet file per entity/junction table (SURVEY.md §4.3). ``load_dir``
+reads a directory of ``<name>.parquet`` files lazily — Spark only scans the
+tables a query actually touches, and parquet column pruning / predicate
+pushdown apply per-scan.
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from tantalus_spark.catalog.relations import RelationshipCatalog
+
+
+def read_parquet(spark: SparkSession, path: str) -> DataFrame:
+    """``spark.read.parquet`` that tolerates TIMESTAMP(NANOS) columns.
+
+    Spark has no nanosecond timestamp type; with
+    ``spark.sql.legacy.parquet.nanosAsLong`` those columns surface as Long
+    (nanos since epoch). Detect them from the parquet footer and convert to
+    microsecond timestamps JVM-side (same truncation DuckDB applies), so the
+    rest of the engine sees a proper ``TimestampType`` column.
+    """
+    df = spark.read.parquet(path)
+    try:
+        import pyarrow.parquet as pq
+
+        fragment = path
+        if os.path.isdir(path):
+            parts = [f for f in os.listdir(path) if f.endswith(".parquet")]
+            if not parts:
+                return df
+            fragment = os.path.join(path, parts[0])
+        schema = pq.read_schema(fragment)
+        nanos = [f.name for f in schema if str(f.type) == "timestamp[ns]"]
+    except Exception:
+        nanos = []
+    for c in nanos:
+        df = df.withColumn(c, F.timestamp_micros((F.col(c) / 1000).cast("long")))
+    return df
+
+
+class Database:
+    """A set of named tables plus the relationship graph over them."""
+
+    def __init__(
+        self,
+        spark: SparkSession,
+        catalog: RelationshipCatalog,
+        tables: dict[str, DataFrame] | None = None,
+    ) -> None:
+        self.spark = spark
+        self.catalog = catalog
+        self._tables: dict[str, DataFrame] = dict(tables or {})
+
+    def add(self, name: str, df: DataFrame, primary_key: str = "id") -> None:
+        self._tables[name] = df
+        if name not in self.catalog.tables:
+            self.catalog.add_table(name, primary_key)
+
+    def table(self, name: str) -> DataFrame:
+        if name not in self._tables:
+            raise KeyError(f"unknown table {name!r}; have {sorted(self._tables)}")
+        return self._tables[name]
+
+    def __contains__(self, name: str) -> bool:
+        return name in self._tables
+
+    def names(self) -> list[str]:
+        return sorted(self._tables)
+
+    def query(self, root: str):
+        from tantalus_spark.compiler.compiler import QuerySet
+
+        return QuerySet(self, root)
+
+    def register_views(self, prefix: str = "") -> None:
+        for name, df in self._tables.items():
+            df.createOrReplaceTempView(f"{prefix}{name}")
+
+
+def load_dir(
+    spark: SparkSession,
+    path: str,
+    catalog: RelationshipCatalog,
+    names: list[str] | None = None,
+) -> Database:
+    """Load every ``<name>.parquet`` under *path* into a Database."""
+    if names is None:
+        names = sorted(
+            f[: -len(".parquet")]
+            for f in os.listdir(path)
+            if f.endswith(".parquet")
+        )
+    db = Database(spark, catalog)
+    for name in names:
+        df = read_parquet(spark, os.path.join(path, f"{name}.parquet"))
+        db.add(name, df, primary_key=catalog.pk(name))
+    return db

@@ -1,0 +1,385 @@
+"""The Django-lookup compiler: ``path__lookup=value`` → Spark logical plans.
+
+This is the load-bearing component (SURVEY.md §2 intro): one compiler that
+walks the relationship catalog and regenerates the reference's entire filter
+surface (all 13 filtersets in ``tantalus/api/filters.py``, the 15-branch
+advanced search ``tantalus/forms.py:537-652``, the Datatables token search
+``tantalus/views.py:1197-1213``).
+
+Semantics (mirroring Django QuerySet semantics, SURVEY.md §7 hard part 1):
+
+- Each ``.filter()`` CALL is one join context: conditions inside a call on a
+  multi-valued path must be satisfied by the SAME related row; separate calls
+  may be satisfied by DIFFERENT related rows (chained ``filter(tags__name=a)
+  .filter(tags__name=b)`` = AND across different tags).
+- Multi-valued paths (reverse FK / M2M) never fan out the result: each call
+  compiles to a *match-set* (distinct root keys satisfying the predicate)
+  applied with ``left_semi`` — or ``left_anti`` for ``exclude`` (NOT-EXISTS,
+  not ``~isin`` post-join).
+- Single-valued paths compile to LEFT joins + a direct filter — no shuffle
+  beyond the (broadcast-able) dimension join; Catalyst's EliminateOuterJoin
+  turns the left join into an inner join when the predicate rejects nulls.
+
+Physical notes (100 TB design): the per-call match-set is one shuffle
+(distinct on root pk) at most; dimension joins broadcast under AQE; the
+root table is never re-scanned per call because the running frame chains
+lazily into a single Catalyst plan.
+"""
+
+from __future__ import annotations
+
+import itertools
+from dataclasses import dataclass
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+from tantalus_spark.catalog.relations import Step
+from tantalus_spark.compiler.lookups import LOOKUPS
+from tantalus_spark.compiler.q import Aggregate, F_ref, Q
+
+_alias_counter = itertools.count()
+
+
+def _fresh(prefix: str) -> str:
+    return f"__{prefix}{next(_alias_counter)}"
+
+
+@dataclass
+class _Resolved:
+    """A fully resolved path: join steps, final column, lookup, multiplicity."""
+
+    steps: list[Step]
+    column: str  # column on the final table (or fk col on src for short-circuit)
+    lookup: str
+    many: bool
+    fk_shortcircuit: bool = False  # final segment was a forward FK compared by key
+
+
+class _JoinFrame:
+    """Builds one join context: a frame with the root aliased plus LEFT joins
+    for every distinct path prefix, shared within the context (same-call
+    conditions on a shared prefix hit the same joined row)."""
+
+    def __init__(self, qs: "QuerySet", base: DataFrame) -> None:
+        self.qs = qs
+        self.root_alias = _fresh("r")
+        self.df = base.alias(self.root_alias)
+        self.aliases: dict[tuple[str, ...], tuple[str, str]] = {}  # prefix -> (alias, table)
+
+    def resolve(self, path: str) -> tuple[Column, str, bool]:
+        """Return (column expression, lookup name, is_multivalued)."""
+        res = self.qs._resolve_path(path)
+        if res.fk_shortcircuit or not res.steps:
+            col = F.col(f"{self.root_alias}.{res.column}")
+            return col, res.lookup, res.many
+        prefix: tuple[str, ...] = ()
+        cur_alias = self.root_alias
+        for step in res.steps:
+            prefix = prefix + (step.accessor,)
+            if prefix not in self.aliases:
+                self.aliases[prefix] = (self._attach(cur_alias, step), step.dst)
+            cur_alias = self.aliases[prefix][0]
+        return F.col(f"{cur_alias}.{res.column}"), res.lookup, res.many
+
+    def _attach(self, src_alias: str, step: Step) -> str:
+        """LEFT-join the step's target (via its junction for M2M) and return
+        the target's alias."""
+        db = self.qs.db
+        if step.via:
+            j_alias = _fresh("m")
+            junction = db.table(step.via).alias(j_alias)
+            self.df = self.df.join(
+                junction,
+                F.col(f"{src_alias}.{step.src_col}")
+                == F.col(f"{j_alias}.{step.via_src_col}"),
+                "left",
+            )
+            src_alias, src_col = j_alias, step.via_dst_col
+        else:
+            src_col = step.src_col
+        t_alias = _fresh("j")
+        target = db.table(step.dst).alias(t_alias)
+        self.df = self.df.join(
+            target,
+            F.col(f"{src_alias}.{src_col}") == F.col(f"{t_alias}.{step.dst_col}"),
+            "left",
+        )
+        return t_alias
+
+
+class QuerySet:
+    """Lazy, chainable query over a Database root table — the engine's
+    equivalent of a Django QuerySet (the reference's IR, SURVEY.md §3.1)."""
+
+    def __init__(self, db, root: str) -> None:
+        self.db = db
+        self.root = root
+        self._filters: list[tuple[bool, Q]] = []  # (negated, q-tree)
+        self._annotations: dict[str, Aggregate] = {}
+        self._order: list[str] = []
+        self._values: list[tuple[str, str]] | None = None  # (path, out-name)
+        self._distinct = False
+        self._offset: int | None = None
+        self._limit: int | None = None
+
+    # ---- chaining API ----------------------------------------------------
+
+    def _clone(self) -> "QuerySet":
+        qs = QuerySet(self.db, self.root)
+        qs._filters = list(self._filters)
+        qs._annotations = dict(self._annotations)
+        qs._order = list(self._order)
+        qs._values = list(self._values) if self._values is not None else None
+        qs._distinct = self._distinct
+        qs._offset, qs._limit = self._offset, self._limit
+        return qs
+
+    def filter(self, *qs: Q, **lookups) -> "QuerySet":
+        return self._add_filter(False, *qs, **lookups)
+
+    def exclude(self, *qs: Q, **lookups) -> "QuerySet":
+        return self._add_filter(True, *qs, **lookups)
+
+    def _add_filter(self, negated: bool, *qs: Q, **lookups) -> "QuerySet":
+        node = Q(**lookups)
+        for q in qs:
+            node = node & q if not node.is_empty() else q
+        clone = self._clone()
+        clone._filters.append((negated, node))
+        return clone
+
+    def annotate(self, **aggs: Aggregate) -> "QuerySet":
+        clone = self._clone()
+        clone._annotations.update(aggs)
+        return clone
+
+    def order_by(self, *cols: str) -> "QuerySet":
+        clone = self._clone()
+        clone._order = list(cols)
+        return clone
+
+    def values(self, *paths: str, **aliased: str) -> "QuerySet":
+        clone = self._clone()
+        clone._values = [(p, p.replace("__", "_")) for p in paths] + [
+            (p, name) for name, p in aliased.items()
+        ]
+        return clone
+
+    def distinct(self) -> "QuerySet":
+        clone = self._clone()
+        clone._distinct = True
+        return clone
+
+    def offset(self, n: int) -> "QuerySet":
+        clone = self._clone()
+        clone._offset = n
+        return clone
+
+    def limit(self, n: int) -> "QuerySet":
+        clone = self._clone()
+        clone._limit = n
+        return clone
+
+    # ---- path resolution -------------------------------------------------
+
+    def _resolve_path(self, path: str) -> _Resolved:
+        segs = path.split("__")
+        cat = self.db.catalog
+        table = self.root
+        steps: list[Step] = []
+        many = False
+        i = 0
+        while i < len(segs):
+            seg = segs[i]
+            step = cat.step(table, seg)
+            if step is not None:
+                rest = segs[i + 1:]
+                # forward-FK short-circuit: relation compared by key without a join
+                if (
+                    not steps
+                    and step.via is None
+                    and not step.many
+                    and step.dst_col == cat.pk(step.dst)
+                    and (not rest or (len(rest) == 1 and rest[0] in
+                                      ("exact", "in", "isnull")))
+                ):
+                    lookup = rest[0] if rest else "exact"
+                    return _Resolved([], step.src_col, lookup, False,
+                                     fk_shortcircuit=True)
+                steps.append(step)
+                many = many or step.many
+                table = step.dst
+                i += 1
+                continue
+            break
+        rest = segs[i:]
+        columns = set(self.db.table(table).columns)
+        if not rest:
+            # path ends at a relation: compare by target pk
+            return _Resolved(steps, cat.pk(table), "exact", many)
+        head = rest[0]
+        if head == "pk":
+            head = cat.pk(table)
+        if head in columns:
+            lookup = "exact"
+            if len(rest) > 1:
+                if len(rest) != 2 or rest[1] not in LOOKUPS:
+                    raise ValueError(f"bad lookup tail {rest[1:]} in {path!r}")
+                lookup = rest[1]
+            return _Resolved(steps, head, lookup, many)
+        if head in LOOKUPS and len(rest) == 1:
+            # e.g. tags__isnull=True — existence test on the relation itself
+            return _Resolved(steps, cat.pk(table), head, many)
+        raise ValueError(
+            f"cannot resolve {path!r}: {head!r} is neither a relation of "
+            f"{table!r}, a column ({sorted(columns)[:8]}...), nor a lookup"
+        )
+
+    # ---- compilation -----------------------------------------------------
+
+    def _compile_q(self, frame: _JoinFrame, node: Q,
+                   annot_cols: dict[str, Column]) -> Column:
+        parts: list[Column] = []
+        for child in node.children:
+            if isinstance(child, Q):
+                parts.append(self._compile_q(frame, child, annot_cols))
+            else:
+                path, value = child
+                first = path.split("__")[0]
+                if first in annot_cols:
+                    tail = path.split("__")[1:]
+                    lookup = tail[0] if tail else "exact"
+                    col = annot_cols[first]
+                else:
+                    col, lookup, _ = frame.resolve(path)
+                if isinstance(value, F_ref):
+                    value = (annot_cols[value.name] if value.name in annot_cols
+                             else F.col(value.name))
+                    # F_ref comparisons are raw column-to-column
+                    expr = {
+                        "exact": lambda c, v: c == v,
+                        "gt": lambda c, v: c > v,
+                        "gte": lambda c, v: c >= v,
+                        "lt": lambda c, v: c < v,
+                        "lte": lambda c, v: c <= v,
+                    }[lookup](col, value)
+                else:
+                    expr = LOOKUPS[lookup](col, value)
+                parts.append(expr)
+        if not parts:
+            return F.lit(True)
+        combined = parts[0]
+        for p in parts[1:]:
+            combined = (combined & p) if node.connector == Q.AND else (combined | p)
+        if node.negated:
+            # NOT-true semantics: NULL predicate rows are kept (NOT EXISTS style)
+            combined = ~F.coalesce(combined, F.lit(False))
+        return combined
+
+    def _call_is_multivalued(self, node: Q) -> bool:
+        return any(self._resolve_path(p).many for p in node.paths()
+                   if p.split("__")[0] not in self._annotations)
+
+    def _references_annotation(self, node: Q) -> bool:
+        return any(p.split("__")[0] in self._annotations for p in node.paths())
+
+    def to_df(self) -> DataFrame:
+        pk = self.db.catalog.pk(self.root)
+        running = self.db.table(self.root)
+        root_cols = running.columns
+
+        pre = [(neg, q) for neg, q in self._filters
+               if not self._references_annotation(q)]
+        post = [(neg, q) for neg, q in self._filters
+                if self._references_annotation(q)]
+
+        for neg, q in pre:
+            running = self._apply_filter(running, pk, neg, q, {})
+
+        annot_cols: dict[str, Column] = {}
+        if self._annotations:
+            running = self._apply_annotations(running, pk)
+            annot_cols = {name: F.col(name) for name in self._annotations}
+
+        for neg, q in post:
+            running = self._apply_filter(running, pk, neg, q, annot_cols)
+
+        if self._values is not None:
+            frame = _JoinFrame(self, running)
+            cols = []
+            for path, out in self._values:
+                first = path.split("__")[0]
+                if first in self._annotations and "__" not in path:
+                    cols.append(F.col(f"{frame.root_alias}.{path}").alias(out))
+                else:
+                    col, _, _ = frame.resolve(path)
+                    cols.append(col.alias(out))
+            running = frame.df.select(*cols)
+
+        if self._distinct:
+            running = running.dropDuplicates()
+
+        if self._order:
+            running = running.orderBy(*[
+                F.col(c[1:]).desc() if c.startswith("-") else F.col(c).asc()
+                for c in self._order
+            ])
+        if self._offset:
+            running = running.offset(self._offset)
+        if self._limit is not None:
+            running = running.limit(self._limit)
+        return running
+
+    def _apply_filter(self, running: DataFrame, pk: str, negated: bool, q: Q,
+                      annot_cols: dict[str, Column]) -> DataFrame:
+        multi = self._call_is_multivalued(q)
+        frame = _JoinFrame(self, running)
+        pred = self._compile_q(frame, q, annot_cols)
+        if not multi:
+            if negated:
+                pred = ~F.coalesce(pred, F.lit(False))
+            return frame.df.filter(pred).select(f"{frame.root_alias}.*")
+        matches = (
+            frame.df.filter(pred)
+            .select(F.col(f"{frame.root_alias}.{pk}").alias(pk))
+            .dropDuplicates([pk])
+        )
+        how = "left_anti" if negated else "left_semi"
+        return running.join(matches, on=pk, how=how)
+
+    def _apply_annotations(self, running: DataFrame, pk: str) -> DataFrame:
+        for name, agg in self._annotations.items():
+            frame = _JoinFrame(self, running)
+            col, _, _ = frame.resolve(agg.path)
+            key = F.col(f"{frame.root_alias}.{pk}")
+            if agg.kind == "count":
+                expr = (F.countDistinct(col) if agg.distinct
+                        else F.count(col))
+            else:
+                expr = getattr(F, agg.kind)(col)
+            grouped = (
+                frame.df.groupBy(key.alias("__k")).agg(expr.alias(name))
+            )
+            running = running.join(
+                grouped, running[pk] == grouped["__k"], "left"
+            ).drop("__k")
+            if agg.kind == "count":
+                running = running.withColumn(
+                    name, F.coalesce(F.col(name), F.lit(0))
+                )
+        return running
+
+    # ---- actions ---------------------------------------------------------
+
+    def count(self) -> int:
+        return self.to_df().count()
+
+    def exists(self) -> bool:
+        return bool(self.to_df().limit(1).take(1))
+
+    def pk_df(self) -> DataFrame:
+        """Distinct root keys — the 'session materialization' currency
+        (reference stores pk lists in web sessions, ``views.py:1524``)."""
+        pk = self.db.catalog.pk(self.root)
+        return self.to_df().select(pk).dropDuplicates([pk])

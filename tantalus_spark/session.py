@@ -1,0 +1,48 @@
+"""SparkSession factory tuned for this engine.
+
+Local test profile runs ``local[N]``; the settings below are chosen so the
+same code scales to a multi-executor cluster: AQE for runtime re-planning
+(skew joins, partition coalescing), UTC session timezone (matches the DuckDB
+oracle, which is UTC-naive), Arrow for any pandas exchange.
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import SparkSession
+
+
+def get_spark(
+    app_name: str = "tantalus_spark",
+    master: str | None = None,
+    shuffle_partitions: int | None = None,
+    extra_conf: dict[str, str] | None = None,
+) -> SparkSession:
+    cpus = os.environ.get("SPARK_GRAFT_CPUS", str(os.cpu_count() or 8))
+    master = master or f"local[{cpus}]"
+    # In local mode shuffles are in-process; ~#cores partitions avoids both
+    # tiny-task overhead and single-task stragglers. On a real cluster this
+    # is overridden per-deployment; AQE coalescing fixes overshoot at runtime.
+    shuffle = str(shuffle_partitions or cpus)
+    builder = (
+        SparkSession.builder.master(master)
+        .appName(app_name)
+        .config("spark.sql.shuffle.partitions", shuffle)
+        .config("spark.sql.adaptive.enabled", "true")
+        .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
+        .config("spark.sql.adaptive.skewJoin.enabled", "true")
+        .config("spark.sql.session.timeZone", "UTC")
+        .config("spark.sql.execution.arrow.pyspark.enabled", "true")
+        .config("spark.driver.memory", os.environ.get("SPARK_DRIVER_MEMORY", "8g"))
+        .config("spark.ui.enabled", "false")
+        .config("spark.sql.autoBroadcastJoinThreshold", str(64 * 1024 * 1024))
+        # some producers write TIMESTAMP(NANOS) parquet (e.g. pandas); Spark
+        # has no nanos timestamp — read as long, loader converts to micros
+        .config("spark.sql.legacy.parquet.nanosAsLong", "true")
+    )
+    for k, v in (extra_conf or {}).items():
+        builder = builder.config(k, v)
+    spark = builder.getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    return spark
