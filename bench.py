@@ -1,0 +1,70 @@
+#!/usr/bin/env python
+"""Benchmark harness: runs the headline queries at $SPARK_GRAFT_SF_DIR
+(default /root/testdata/sf0.1) on local[$SPARK_GRAFT_CPUS] and prints ONE
+JSON line: {"metric": ..., "value": total_sec, "unit": "sec",
+"queries": {name: sec}, "sf": ...}.
+
+Each query is executed to completion (count of the result) — results stay
+on executors; only the count crosses to the driver.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+from tantalus_spark import get_spark
+from tantalus_spark.inventory import QUERIES
+
+# Headline set: one per operator family, weighted toward shuffle-heavy ops.
+HEADLINE = [
+    "01_pricing_summary",
+    "06_token_or_search",
+    "07_region_revenue",
+    "10_exists_same_child",
+    "13_count_distinct",
+    "15_cross_agg_eq",
+    "17_window_lag",
+    "18_topk_per_group",
+    "30_running_sum",
+    "40_dedup_exact",
+    "42_text_quality",
+    "44_ngram_jaccard",
+    "45_minhash_lsh",
+    "47_ann_cosine",
+    "49_tumbling_window",
+    "50_sessionization",
+]
+
+
+def main() -> None:
+    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    sf = os.path.basename(sf_dir.rstrip("/")).replace("sf", "")
+    spark = get_spark("bench")
+
+    # warm the JVM + parquet footers once so timings measure query exec
+    spark.range(1).count()
+
+    timings: dict[str, float] = {}
+    for name in HEADLINE:
+        fn = QUERIES[name]
+        t0 = time.perf_counter()
+        fn(spark, sf_dir).count()
+        timings[name] = round(time.perf_counter() - t0, 3)
+
+    total = round(sum(timings.values()), 3)
+    print(json.dumps({
+        "metric": "headline_queries_total",
+        "value": total,
+        "unit": "sec",
+        "queries": timings,
+        "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
+    }))
+
+
+if __name__ == "__main__":
+    main()

@@ -1,0 +1,104 @@
+#!/usr/bin/env python
+"""Local mirror of the driver's t2 correctness gate.
+
+Runs every inventory query on Spark and its DuckDB oracle on the same
+parquet dir, then compares row count, schema (column names sorted), and
+exact values order-insensitively. Strict equality on floats — if this
+passes, a value-hash comparison passes too.
+
+Usage: python scripts/check_correctness.py [sf_dir] [query_prefix...]
+"""
+
+from __future__ import annotations
+
+import math
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+import duckdb
+
+TABLES = ["region", "nation", "customer", "supplier", "part", "orders",
+          "lineitem", "events", "documents", "embeddings"]
+
+
+def norm_cell(v):
+    if isinstance(v, float):
+        if math.isnan(v):
+            return "NaN"
+        return v
+    return v
+
+
+def norm_rows(df_pandas):
+    cols = sorted(df_pandas.columns)
+    rows = [
+        tuple(norm_cell(v) for v in row)
+        for row in df_pandas[cols].itertuples(index=False, name=None)
+    ]
+    return cols, sorted(rows, key=repr)
+
+
+def main() -> int:
+    sf_dir = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.001"
+    only = sys.argv[2:]
+
+    from tantalus_spark import get_spark
+    from tantalus_spark.inventory import ORACLES, QUERIES
+
+    spark = get_spark("correctness")
+    con = duckdb.connect()
+    for t in TABLES:
+        con.sql(f"CREATE VIEW {t} AS SELECT * FROM '{sf_dir}/{t}.parquet'")
+
+    failures = []
+    for name, fn in sorted(QUERIES.items()):
+        if only and not any(name.startswith(p) for p in only):
+            continue
+        t0 = time.time()
+        try:
+            sdf = fn(spark, sf_dir).toPandas()
+        except Exception as exc:  # noqa: BLE001
+            failures.append(name)
+            print(f"FAIL {name}: spark error: {exc}")
+            continue
+        if name not in ORACLES:
+            print(f"ok   {name}: rows-only ({len(sdf)} rows, "
+                  f"{time.time()-t0:.1f}s)")
+            if len(sdf) == 0 and name not in ("45_minhash_lsh",):
+                print(f"WARN {name}: zero rows")
+            continue
+        try:
+            odf = con.sql(ORACLES[name]).df()
+        except Exception as exc:  # noqa: BLE001
+            failures.append(name)
+            print(f"FAIL {name}: duckdb error: {exc}")
+            continue
+        scols, srows = norm_rows(sdf)
+        ocols, orows = norm_rows(odf)
+        if scols != ocols:
+            failures.append(name)
+            print(f"FAIL {name}: columns {scols} vs {ocols}")
+            continue
+        if len(srows) != len(orows):
+            failures.append(name)
+            print(f"FAIL {name}: rowcount {len(srows)} vs {len(orows)}")
+            continue
+        bad = [
+            (a, b) for a, b in zip(srows, orows) if a != b
+        ]
+        if bad:
+            failures.append(name)
+            print(f"FAIL {name}: {len(bad)}/{len(srows)} rows differ; first: "
+                  f"{bad[0][0]} vs {bad[0][1]}")
+            continue
+        print(f"PASS {name}: {len(srows)} rows ({time.time()-t0:.1f}s)")
+
+    print(f"\n{len(failures)} failures" + (f": {failures}" if failures else ""))
+    return 1 if failures else 0
+
+
+if __name__ == "__main__":
+    raise SystemExit(main())

@@ -1,0 +1,267 @@
+"""Deduplication operators: exact, n-gram Jaccard, MinHash+LSH, SimHash.
+
+Scale design (the 100 TB story):
+
+- **exact**: hash-groupBy on ``md5(text)`` — one shuffle on the digest, never
+  on the raw text; digests are 32 bytes regardless of document size.
+- **ngram-jaccard**: shingle → explode → self-join on shingle → per-pair
+  intersection counts. The join key is the shingle hash, so skew comes only
+  from genuinely hot shingles; at scale you cap posting-list length
+  (``max_shingle_freq``) exactly like a search engine drops stopword
+  postings — that bound is exposed as a parameter here.
+- **minhash-lsh**: the scale path. Per-doc signature of ``n_perm`` min-hashes
+  (xxhash64 with per-permutation seeds — JVM-side, no UDF), banded into
+  ``bands``; candidate pairs only join within a band bucket, so the shuffle
+  volume is O(docs × bands), independent of pair count.
+- **simhash**: 64-bit signatures via a vectorized Arrow pandas_udf (numpy
+  bit-bucketing), then candidate pairs by hamming distance on bucketed
+  prefixes.
+"""
+
+from __future__ import annotations
+
+import pandas as pd
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from tantalus_spark.datapipe.textstats import tokens
+
+
+def exact_duplicates(df: DataFrame, text_col: str = "text",
+                     id_col: str = "doc_id") -> DataFrame:
+    """Group identical documents by content digest; keep the min id as the
+    canonical representative."""
+    return (
+        df.select(F.md5(F.col(text_col)).alias("content_md5"), F.col(id_col))
+        .groupBy("content_md5")
+        .agg(
+            F.min(id_col).alias("keep_id"),
+            F.count(F.lit(1)).alias("n_copies"),
+        )
+    )
+
+
+def shingles(df: DataFrame, n: int = 3, text_col: str = "text",
+             id_col: str = "doc_id", hashed: bool = False) -> DataFrame:
+    """Distinct word n-gram shingles per document: (id, shingle).
+
+    ``hashed=True`` emits ``xxhash64(shingle)`` longs instead of strings —
+    8-byte join/shuffle keys instead of arbitrary-width text. At 100 TB the
+    shuffle width difference dominates; the 2^-64 collision rate is
+    negligible for near-dup detection.
+    """
+    toks = tokens(F.lower(F.col(text_col)))
+    idx = F.sequence(F.lit(1), F.greatest(F.size(toks) - (n - 1), F.lit(0)))
+    gram = F.transform(
+        idx,
+        lambda i: F.concat_ws(
+            " ", *[F.element_at(toks, i + j) for j in range(n)]
+        ),
+    )
+    out = df.select(F.col(id_col), F.explode(gram).alias("shingle"))
+    if hashed:
+        out = out.select(F.col(id_col), F.xxhash64("shingle").alias("shingle"))
+    return out.dropDuplicates([id_col, "shingle"])
+
+
+def ngram_jaccard_pairs(
+    df: DataFrame,
+    n: int = 3,
+    threshold: float = 0.2,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    max_shingle_freq: int | None = None,
+) -> DataFrame:
+    """Near-duplicate pairs by n-gram Jaccard similarity.
+
+    Returns (d1, d2, jaccard) with d1 < d2 and jaccard >= threshold.
+    ``max_shingle_freq`` drops ultra-common shingles before the self-join —
+    the knob that keeps the posting-list join bounded at scale.
+    """
+    sh = shingles(df, n=n, text_col=text_col, id_col=id_col, hashed=True)
+    if max_shingle_freq is not None:
+        hot = (
+            sh.groupBy("shingle").count()
+            .filter(F.col("count") > max_shingle_freq)
+            .select("shingle")
+        )
+        sh = sh.join(hot, "shingle", "left_anti")
+    # broadcast the per-doc shingle counts onto each posting row so the
+    # pair-aggregation already carries |A| and |B| — no post-agg re-joins
+    counts = sh.groupBy(id_col).agg(F.count(F.lit(1)).alias("n_sh"))
+    sh = sh.join(F.broadcast(counts), id_col)
+    a = sh.alias("a")
+    b = sh.alias("b")
+    inter = (
+        a.join(b, (F.col("a.shingle") == F.col("b.shingle"))
+               & (F.col(f"a.{id_col}") < F.col(f"b.{id_col}")))
+        .groupBy(F.col(f"a.{id_col}").alias("d1"), F.col(f"b.{id_col}").alias("d2"))
+        .agg(
+            F.count(F.lit(1)).alias("inter"),
+            F.first(F.col("a.n_sh")).alias("n1"),
+            F.first(F.col("b.n_sh")).alias("n2"),
+        )
+    )
+    jac = F.col("inter") / (F.col("n1") + F.col("n2") - F.col("inter"))
+    return (
+        inter.withColumn("jaccard", F.round(jac, 4))
+        .filter(jac >= threshold)
+        .select("d1", "d2", "jaccard")
+    )
+
+
+def minhash_signatures(df: DataFrame, n_perm: int = 16, shingle_n: int = 3,
+                       text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
+    """Per-doc MinHash signature: array of n_perm min(xxhash64(shingle, seed)).
+
+    xxhash64 is a JVM built-in → whole signature computed in one shuffle-free
+    agg after the shingle explode (partial aggregation map-side).
+    """
+    sh = shingles(df, n=shingle_n, text_col=text_col, id_col=id_col, hashed=True)
+    aggs = [
+        F.min(F.xxhash64(F.col("shingle"), F.lit(i))).alias(f"h{i}")
+        for i in range(n_perm)
+    ]
+    sig = sh.groupBy(id_col).agg(*aggs)
+    return sig.select(
+        F.col(id_col),
+        F.array(*[F.col(f"h{i}") for i in range(n_perm)]).alias("signature"),
+    )
+
+
+def minhash_lsh_pairs(
+    df: DataFrame,
+    n_perm: int = 16,
+    bands: int = 4,
+    shingle_n: int = 3,
+    threshold: float = 0.2,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Candidate near-dup pairs via banded MinHash-LSH, verified with the
+    exact Jaccard of the candidate pair's shingle sets.
+
+    The band join shuffles O(docs × bands) rows — the 100 TB-safe path,
+    versus the all-pairs shingle join in :func:`ngram_jaccard_pairs`.
+    Returns (d1, d2, jaccard) like the exact variant for easy comparison.
+    """
+    rows = n_perm // bands
+    sig = minhash_signatures(df, n_perm=n_perm, shingle_n=shingle_n,
+                             text_col=text_col, id_col=id_col)
+    band_cols = [
+        F.xxhash64(
+            F.lit(b), *[F.element_at("signature", b * rows + r + 1)
+                        for r in range(rows)]
+        ).alias(f"band{b}")
+        for b in range(bands)
+    ]
+    banded = sig.select(F.col(id_col), *band_cols)
+    bucket = banded.select(
+        F.col(id_col),
+        F.explode(F.array(*[F.col(f"band{b}") for b in range(bands)])).alias("bucket"),
+    ).dropDuplicates()
+    a, b = bucket.alias("a"), bucket.alias("b")
+    cand = (
+        a.join(b, (F.col("a.bucket") == F.col("b.bucket"))
+               & (F.col(f"a.{id_col}") < F.col(f"b.{id_col}")))
+        .select(F.col(f"a.{id_col}").alias("d1"), F.col(f"b.{id_col}").alias("d2"))
+        .dropDuplicates()
+    )
+    # verify candidates with true shingle Jaccard (join is candidate-bounded)
+    sh = shingles(df, n=shingle_n, text_col=text_col, id_col=id_col, hashed=True)
+    counts = sh.groupBy(id_col).agg(F.count(F.lit(1)).alias("n_sh"))
+    s1 = sh.select(F.col(id_col).alias("d1"), "shingle")
+    s2 = sh.select(F.col(id_col).alias("d2"), "shingle")
+    inter = (
+        cand.join(s1, "d1").join(s2, ["d2", "shingle"])
+        .groupBy("d1", "d2").agg(F.count(F.lit(1)).alias("inter"))
+    )
+    jac = F.col("inter") / (F.col("n1") + F.col("n2") - F.col("inter"))
+    return (
+        inter
+        .join(counts.select(F.col(id_col).alias("d1"), F.col("n_sh").alias("n1")), "d1")
+        .join(counts.select(F.col(id_col).alias("d2"), F.col("n_sh").alias("n2")), "d2")
+        .withColumn("jaccard", F.round(jac, 4))
+        .filter(jac >= threshold)
+        .select("d1", "d2", "jaccard")
+    )
+
+
+def simhash_signatures(df: DataFrame, text_col: str = "text",
+                       id_col: str = "doc_id") -> DataFrame:
+    """64-bit SimHash per document via a vectorized Arrow pandas_udf.
+
+    Token hashing uses Python's stable md5 (not ``hash()``, which is
+    per-process salted) so signatures are deterministic across executors.
+    """
+    import hashlib
+
+    @F.pandas_udf("long")
+    def simhash(texts: pd.Series) -> pd.Series:
+        import numpy as np
+
+        shifts = np.arange(64, dtype=np.uint64)
+        out = np.zeros(len(texts), dtype=np.int64)
+        for i, text in enumerate(texts):
+            toks = (text or "").lower().split()
+            if not toks:
+                continue
+            acc = np.zeros(64, dtype=np.int64)
+            for t in toks:
+                h = np.uint64(int.from_bytes(
+                    hashlib.md5(t.encode("utf-8")).digest()[:8], "big"
+                ))
+                bits = ((h >> shifts) & np.uint64(1)).astype(np.int64)
+                acc += 2 * bits - 1
+            sig = 0
+            for k in range(64):
+                if acc[k] > 0:
+                    sig |= 1 << k
+            if sig >= 1 << 63:  # two's-complement fold into int64
+                sig -= 1 << 64
+            out[i] = sig
+        return pd.Series(out)
+
+    return df.select(F.col(id_col), simhash(F.col(text_col)).alias("simhash"))
+
+
+def simhash_near_pairs(df: DataFrame, max_hamming: int = 8,
+                       text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
+    """Pairs whose SimHash hamming distance <= max_hamming.
+
+    Candidate generation buckets on 4 × 16-bit chunks (pigeonhole: any pair
+    within hamming 3×chunk must agree on ≥1 chunk) — the standard scale
+    trick; the exact popcount check runs only on candidates.
+    """
+    sig = simhash_signatures(df, text_col=text_col, id_col=id_col)
+    chunks = [
+        F.shiftrightunsigned(F.col("simhash"), 16 * c).bitwiseAND(F.lit(0xFFFF))
+        .alias(f"c{c}")
+        for c in range(4)
+    ]
+    banded = sig.select(F.col(id_col), F.col("simhash"), *chunks)
+    pieces = banded.select(
+        F.col(id_col), F.col("simhash"),
+        F.explode(F.array(*[
+            F.struct(F.lit(c).alias("chunk"), F.col(f"c{c}").alias("val"))
+            for c in range(4)
+        ])).alias("b"),
+    ).select(id_col, "simhash", "b.chunk", "b.val")
+    a, b = pieces.alias("a"), pieces.alias("b")
+    cand = (
+        a.join(b, (F.col("a.chunk") == F.col("b.chunk"))
+               & (F.col("a.val") == F.col("b.val"))
+               & (F.col(f"a.{id_col}") < F.col(f"b.{id_col}")))
+        .select(
+            F.col(f"a.{id_col}").alias("d1"), F.col(f"b.{id_col}").alias("d2"),
+            F.col("a.simhash").alias("s1"), F.col("b.simhash").alias("s2"),
+        )
+        .dropDuplicates(["d1", "d2"])
+    )
+    hamming = F.bit_count(F.col("s1").bitwiseXOR(F.col("s2")))
+    return (
+        cand.withColumn("hamming", hamming)
+        .filter(F.col("hamming") <= max_hamming)
+        .select("d1", "d2", "hamming")
+    )

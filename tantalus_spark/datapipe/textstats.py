@@ -1,0 +1,105 @@
+"""Text-analysis operators for large-scale training-data pipelines.
+
+All pure Column expressions (JVM-side, whole-stage codegen) — no Python in
+the hot path, so these scale linearly with input splits at 100 TB: each is a
+single map-stage over the documents table unless noted.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+# Small stopword marker sets per language for the n-gram/stopword language
+# heuristic. Deliberately tiny: the point is the *operator shape* (per-doc
+# score vector + argmax), which scales embarrassingly parallel.
+LANG_MARKERS: dict[str, list[str]] = {
+    "en": ["the", "and", "of", "a"],
+    "es": ["el", "la", "los", "de"],
+    "fr": ["le", "la", "les", "des"],
+    "de": ["der", "die", "das", "und"],
+}
+
+
+def tokens(col: Column) -> Column:
+    return F.split(F.trim(col), r"\s+")
+
+
+def token_count(df: DataFrame, text_col: str = "text",
+                id_col: str = "doc_id") -> DataFrame:
+    """Whitespace token count + a BPE-ish subword estimate (len/4 heuristic
+    commonly used for byte-pair tokenizers)."""
+    return df.select(
+        F.col(id_col),
+        F.size(tokens(F.col(text_col))).alias("n_tokens"),
+        F.floor(F.length(text_col) / F.lit(4)).cast("int").alias("n_subwords_est"),
+    )
+
+
+def quality_score(df: DataFrame, text_col: str = "text",
+                  id_col: str = "doc_id") -> DataFrame:
+    """Length / punctuation / alpha / stopword ratio quality features.
+
+    ``regexp_replace``-difference counting keeps everything codegen'd.
+    """
+    text = F.col(text_col)
+    n = F.length(text)
+    alpha = F.length(F.regexp_replace(text, "[^a-zA-Z]", ""))
+    space = F.length(F.regexp_replace(text, r"[^\s]", ""))
+    punct = F.length(F.regexp_replace(text, r"[^.!?,;:]", ""))
+    ntok = F.size(tokens(text))
+    return df.select(
+        F.col(id_col),
+        n.cast("int").alias("n_chars"),
+        ntok.alias("n_tokens"),
+        F.round(alpha / n, 4).alias("alpha_ratio"),
+        F.round(space / n, 4).alias("space_ratio"),
+        F.round(punct / n, 4).alias("punct_ratio"),
+        F.round(n / ntok, 4).alias("avg_token_len"),
+    )
+
+
+def _occurrences(text: Column, word: str) -> Column:
+    # non-overlapping occurrences of ' word ' (split semantics match SQL
+    # string_split, so a DuckDB oracle can mirror this exactly)
+    return F.size(F.split(text, f" {word} ")) - F.lit(1)
+
+
+def lang_scores(df: DataFrame, text_col: str = "text",
+                id_col: str = "doc_id") -> DataFrame:
+    """Per-language stopword-marker scores + argmax prediction.
+
+    One pass, no shuffle; at 100 TB this is a pure map stage.
+    """
+    text = F.concat(F.lit(" "), F.lower(F.col(text_col)), F.lit(" "))
+    cols = [F.col(id_col)]
+    score_cols = []
+    for lang, markers in LANG_MARKERS.items():
+        expr = None
+        for m in markers:
+            occ = _occurrences(text, m)
+            expr = occ if expr is None else expr + occ
+        name = f"score_{lang}"
+        cols.append(expr.alias(name))
+        score_cols.append(name)
+    out = df.select(*cols)
+    best = F.greatest(*[F.col(c) for c in score_cols])
+    pred = F.lit("unknown")
+    # reversed so earlier languages win ties (deterministic argmax)
+    for c in reversed(score_cols):
+        pred = F.when(F.col(c) == best, F.lit(c.removeprefix("score_"))).otherwise(pred)
+    pred = F.when(best > 0, pred).otherwise(F.lit("unknown"))
+    return out.withColumn("lang_pred", pred)
+
+
+def fingerprint(df: DataFrame, text_col: str = "text",
+                id_col: str = "doc_id") -> DataFrame:
+    """Deterministic document fingerprints: full-content md5 + sha256, plus
+    a normalized 8-hex-char prefix fingerprint for cheap bucketing."""
+    text = F.col(text_col)
+    return df.select(
+        F.col(id_col),
+        F.md5(text).alias("md5"),
+        F.sha2(text, 256).alias("sha256"),
+        F.substring(F.md5(F.lower(F.trim(text))), 1, 8).alias("norm_prefix"),
+    )

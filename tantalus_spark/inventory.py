@@ -1,0 +1,817 @@
+"""The correctness-gated query inventory.
+
+One entry per operator class from SURVEY.md §2 (parity with the reference's
+Django-ORM query surface, re-expressed on the driver's TPC-H-ish testdata)
+plus the beyond-parity LLM-data-pipeline operators (dedup / similarity /
+text analysis / event-stream analytics).
+
+Every query has a DuckDB oracle in ORACLES unless genuinely not
+SQL-expressible (MinHash-LSH, SimHash — rows-only checks).
+
+Float determinism policy: monetary aggregates cast to DECIMAL before SUM
+(exact arithmetic in both engines, then one deterministic cast to DOUBLE);
+ratios are integer-over-integer double divisions (bit-exact in both);
+everything else is rounded only for display, after ranking on full precision.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Callable
+
+from pyspark.sql import DataFrame, SparkSession, Window as W
+from pyspark.sql import functions as F
+
+from tantalus_spark.catalog.loader import Database
+from tantalus_spark.catalog.tpch_model import load_tpch
+from tantalus_spark.compiler import Count, F_ref, Q
+from tantalus_spark.datapipe import dedup, similarity, textstats
+
+_DB_CACHE: dict[tuple[int, str], Database] = {}
+
+
+def db_for(spark: SparkSession, sf_dir: str) -> Database:
+    key = (id(spark), sf_dir)
+    if key not in _DB_CACHE:
+        _DB_CACHE[key] = load_tpch(spark, sf_dir)
+    return _DB_CACHE[key]
+
+
+def _dec_sum(col, scale: int, alias: str):
+    """Exact decimal-accumulated sum emitted as double (bit-deterministic
+    across engines and partition orders)."""
+    return F.sum(col.cast(f"decimal(18,{scale})")).cast("double").alias(alias)
+
+
+# --------------------------------------------------------------------------
+# §2.4 / §2.8 — aggregation + scalar function parity
+# --------------------------------------------------------------------------
+
+def q01_pricing_summary(spark, sf_dir):
+    """TPC-H Q1 shape: the reference's dashboard/stats aggregates (SURVEY
+    §2.4 A1/A3; reference views.py:1718-1772) as one shuffle."""
+    li = db_for(spark, sf_dir).table("lineitem")
+    price = F.col("l_extendedprice")
+    disc = F.col("l_discount")
+    return (
+        li.filter(F.col("l_shipdate") <= F.lit("1998-09-02").cast("timestamp"))
+        .groupBy("l_returnflag", "l_linestatus")
+        .agg(
+            F.sum("l_quantity").alias("sum_qty"),
+            _dec_sum(price, 2, "sum_base_price"),
+            _dec_sum(price * (1 - disc), 4, "sum_disc_price"),
+            _dec_sum(price * (1 - disc) * (1 + F.col("l_tax")), 6, "sum_charge"),
+            _dec_sum(disc, 2, "sum_disc"),
+            F.count(F.lit(1)).alias("count_order"),
+        )
+    )
+
+
+def q02_point_lookup(spark, sf_dir):
+    """PK point lookup (SURVEY §2.1 S2; reference views.py:202)."""
+    o = db_for(spark, sf_dir).table("orders")
+    return o.filter(F.col("o_orderkey") == 7).select(
+        "o_orderkey", "o_orderstatus", "o_totalprice", "o_orderpriority"
+    )
+
+
+def q03_distinct_projection(spark, sf_dir):
+    """values_list(...).distinct() (SURVEY §2.2 P1/P12; models.py:380-385)."""
+    li = db_for(spark, sf_dir).table("lineitem")
+    return li.select("l_returnflag", "l_linestatus").distinct()
+
+
+def q04_range_in_filter(spark, sf_dir):
+    """gte/lte range + in-list lookups (SURVEY §2.2 P4/P9; filters.py:68,96)."""
+    li = db_for(spark, sf_dir).table("lineitem")
+    return (
+        li.filter(
+            F.col("l_shipdate").between(
+                F.lit("1996-01-01").cast("timestamp"),
+                F.lit("1996-12-31").cast("timestamp"),
+            )
+            & F.col("l_returnflag").isin("N", "R")
+        )
+        .groupBy("l_returnflag")
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+
+
+def q05_string_predicates(spark, sf_dir):
+    """startswith/contains/endswith (SURVEY §2.2 P6-P8; filters.py:77,125)."""
+    p = db_for(spark, sf_dir).table("part")
+    return (
+        p.filter(
+            F.col("p_name").startswith("a")
+            | F.col("p_name").contains("ol")
+            | F.col("p_type").endswith("D")
+        )
+        .groupBy("p_brand")
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+
+
+def q06_token_or_search(spark, sf_dir):
+    """Datatables token search: AND across tokens of OR across fields
+    (SURVEY §2.2 P10; reference views.py:1197-1213). Compiled via Q trees."""
+    db = db_for(spark, sf_dir)
+    qs = db.query("orders")
+    for token in ("u", "f"):
+        qs = qs.filter(
+            Q(o_orderpriority__icontains=token) | Q(o_orderstatus__icontains=token)
+        )
+    return (
+        qs.to_df()
+        .groupBy("o_orderpriority", "o_orderstatus")
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+
+
+# --------------------------------------------------------------------------
+# §2.3 — join shapes
+# --------------------------------------------------------------------------
+
+def q07_region_revenue(spark, sf_dir):
+    """Multi-hop FK chain join + aggregate (SURVEY §2.3 J2; the
+    file_resources__fileinstance__storage__name 4-hop analog)."""
+    db = db_for(spark, sf_dir)
+    li, o = db.table("lineitem"), db.table("orders")
+    c, n, r = db.table("customer"), db.table("nation"), db.table("region")
+    rev = F.col("l_extendedprice") * (1 - F.col("l_discount"))
+    return (
+        li.join(o, F.col("l_orderkey") == F.col("o_orderkey"))
+        .join(c, F.col("o_custkey") == F.col("c_custkey"))
+        .join(F.broadcast(n), F.col("c_nationkey") == F.col("n_nationkey"))
+        .join(F.broadcast(r), F.col("n_regionkey") == F.col("r_regionkey"))
+        .groupBy("r_name")
+        .agg(
+            _dec_sum(rev, 4, "revenue"),
+            F.countDistinct("o_orderkey").alias("n_orders"),
+        )
+    )
+
+
+def q08_semi_join(spark, sf_dir):
+    """Semi-join: customers having >=1 urgent open order (SURVEY §2.3 J5)."""
+    db = db_for(spark, sf_dir)
+    c, o = db.table("customer"), db.table("orders")
+    urgent = o.filter(
+        (F.col("o_orderpriority") == "1-URGENT") & (F.col("o_orderstatus") == "O")
+    ).select(F.col("o_custkey").alias("c_custkey"))
+    return c.join(urgent, "c_custkey", "left_semi").select("c_custkey", "c_name")
+
+
+def q09_anti_join(spark, sf_dir):
+    """Anti-join: customers with no 1998+ orders (SURVEY §2.3 J6)."""
+    db = db_for(spark, sf_dir)
+    c, o = db.table("customer"), db.table("orders")
+    recent = o.filter(
+        F.col("o_orderdate") >= F.lit("1998-01-01").cast("timestamp")
+    ).select(F.col("o_custkey").alias("c_custkey"))
+    return c.join(recent, "c_custkey", "left_anti").select("c_custkey")
+
+
+def q10_exists_same_child(spark, sf_dir):
+    """M2M single-call semantics: SAME lineitem must satisfy both predicates
+    (SURVEY §7 hard part 1; Django single .filter() call)."""
+    db = db_for(spark, sf_dir)
+    return (
+        db.query("orders")
+        .filter(lineitems__part__p_brand="Brand#11", lineitems__l_quantity__lte=5)
+        .values("o_orderkey")
+    ).to_df()
+
+
+def q11_exists_diff_child(spark, sf_dir):
+    """M2M chained-call semantics: DIFFERENT lineitems may satisfy each call
+    (SURVEY §7 hard part 1; chained .filter() calls)."""
+    db = db_for(spark, sf_dir)
+    return (
+        db.query("orders")
+        .filter(lineitems__part__p_brand="Brand#11")
+        .filter(lineitems__l_quantity__lte=5)
+        .values("o_orderkey")
+    ).to_df()
+
+
+def q12_exclude_not_exists(spark, sf_dir):
+    """exclude() = NOT EXISTS, not ~isin post-join (SURVEY §2.2 P11;
+    reference forms.py:585-587)."""
+    db = db_for(spark, sf_dir)
+    return (
+        db.query("customer")
+        .exclude(orders__o_orderstatus="F")
+        .values("c_custkey")
+    ).to_df()
+
+
+def q13_count_distinct(spark, sf_dir):
+    """COUNT(DISTINCT) per group (SURVEY §2.4 A2; views.py:1345)."""
+    li = db_for(spark, sf_dir).table("lineitem")
+    return li.groupBy("l_orderkey").agg(
+        F.countDistinct("l_suppkey").alias("n_supp"),
+        F.countDistinct("l_partkey").alias("n_part"),
+    )
+
+
+def q14_having(spark, sf_dir):
+    """HAVING-style post-aggregation filter (SURVEY §2.4 A6; forms.py:616)."""
+    li = db_for(spark, sf_dir).table("lineitem")
+    return (
+        li.groupBy("l_orderkey")
+        .agg(F.count(F.lit(1)).alias("n_items"))
+        .filter(F.col("n_items") >= 6)
+    )
+
+
+def q15_cross_agg_eq(spark, sf_dir):
+    """Cross-aggregate equality, Count(a) == F(Count(b)) (SURVEY §2.3 J7 /
+    §2.4 A7; reference forms.py:639-643, models.py:561-565 is_complete)."""
+    db = db_for(spark, sf_dir)
+    return (
+        db.query("orders")
+        .annotate(
+            n_supp=Count("lineitems__l_suppkey", distinct=True),
+            n_part=Count("lineitems__l_partkey", distinct=True),
+        )
+        .filter(Q(n_supp__exact=F_ref("n_part")))
+        .values("o_orderkey", "n_supp", "n_part")
+    ).to_df()
+
+
+# --------------------------------------------------------------------------
+# §2.5 / §2.6 — ordering, pagination, windows
+# --------------------------------------------------------------------------
+
+def q16_pagination(spark, sf_dir):
+    """Deterministically ordered offset/limit page (SURVEY §2.5 O4;
+    reference api/views.py:33-50 + order_by('id') api/views.py:62)."""
+    o = db_for(spark, sf_dir).table("orders")
+    return (
+        o.orderBy(F.col("o_totalprice").desc(), F.col("o_orderkey").asc())
+        .offset(100)
+        .limit(20)
+        .select("o_orderkey", "o_orderstatus", "o_totalprice")
+    )
+
+
+def q17_window_lag(spark, sf_dir):
+    """lag() over partition — the curation history diff shape (SURVEY §2.6
+    W1; reference services.py:4-78)."""
+    o = db_for(spark, sf_dir).table("orders")
+    w = W.partitionBy("o_custkey").orderBy("o_orderdate", "o_orderkey")
+    return o.select(
+        "o_custkey",
+        "o_orderkey",
+        F.round(F.col("o_totalprice") - F.lag("o_totalprice").over(w), 2).alias(
+            "delta_price"
+        ),
+    )
+
+
+def q18_topk_per_group(spark, sf_dir):
+    """row_number top-k per group (SURVEY §2.6 W2 next-ID shape)."""
+    o = db_for(spark, sf_dir).table("orders")
+    w = W.partitionBy("o_custkey").orderBy(
+        F.col("o_totalprice").desc(), F.col("o_orderkey").asc()
+    )
+    return (
+        o.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= 3)
+        .select("o_custkey", "o_orderkey", "rn")
+    )
+
+
+def q30_running_sum(spark, sf_dir):
+    """Running total window frame (history-accumulation shape)."""
+    li = db_for(spark, sf_dir).table("lineitem")
+    w = (
+        W.partitionBy("l_suppkey")
+        .orderBy("l_shipdate", "l_orderkey", "l_linenumber")
+        .rowsBetween(W.unboundedPreceding, W.currentRow)
+    )
+    return li.select(
+        "l_suppkey",
+        "l_orderkey",
+        "l_linenumber",
+        F.sum("l_quantity").over(w).alias("running_qty"),
+    )
+
+
+# --------------------------------------------------------------------------
+# §2.7 — set operations
+# --------------------------------------------------------------------------
+
+def q19_union_dedup(spark, sf_dir):
+    """Cross-entity union + dedup — free-text search result assembly
+    (SURVEY §2.7 U1/U2; search_helper.py:27-66)."""
+    db = db_for(spark, sf_dir)
+    c = db.table("customer").select(
+        F.lit("customer").alias("entity"), F.col("c_name").alias("name")
+    )
+    s = db.table("supplier").select(
+        F.lit("supplier").alias("entity"), F.col("s_name").alias("name")
+    )
+    return c.unionByName(s).distinct()
+
+
+def q20_difference(spark, sf_dir):
+    """Set difference (SURVEY §2.7 U3; views.py:1090-1091)."""
+    o = db_for(spark, sf_dir).table("orders")
+    y97 = o.filter(F.year("o_orderdate") == 1997).select("o_custkey")
+    y98 = o.filter(F.year("o_orderdate") == 1998).select("o_custkey")
+    return y97.subtract(y98)
+
+
+def q21_intersection(spark, sf_dir):
+    """Set intersection (SURVEY §2.7 U4; views.py:1092)."""
+    o = db_for(spark, sf_dir).table("orders")
+    y97 = o.filter(F.year("o_orderdate") == 1997).select("o_custkey")
+    y98 = o.filter(F.year("o_orderdate") == 1998).select("o_custkey")
+    return y97.intersect(y98)
+
+
+# --------------------------------------------------------------------------
+# §2.8 — scalar functions
+# --------------------------------------------------------------------------
+
+def q22_scalar_functions(spark, sf_dir):
+    """Case folding, substring, concat, arithmetic rounding (SURVEY §2.8
+    F2-F4/F9; reference models.py:370-378, views.py:471-473)."""
+    p = db_for(spark, sf_dir).table("part")
+    return p.select(
+        "p_partkey",
+        F.lower("p_name").alias("name_lower"),
+        F.substring("p_name", 1, 8).alias("name_prefix"),
+        F.concat_ws("::", "p_brand", "p_type").alias("brand_type"),
+        F.round(F.col("p_retailprice") * 100, 0).cast("long").alias("price_cents"),
+    )
+
+
+def q23_date_format(spark, sf_dir):
+    """strftime-style date formatting (SURVEY §2.8 F8; models.py:67,370)."""
+    o = db_for(spark, sf_dir).table("orders")
+    return o.select(
+        "o_orderkey",
+        F.date_format("o_orderdate", "yyyy-MM-dd").alias("od"),
+        F.year("o_orderdate").alias("oy"),
+        F.month("o_orderdate").alias("om"),
+    )
+
+
+def q24_json_access(spark, sf_dir):
+    """JSON field access (SURVEY §2.8 F11; Analysis.args models.py:688)."""
+    e = db_for(spark, sf_dir).table("events")
+    return e.select(
+        "event_id",
+        F.get_json_object("props", "$.k").alias("k_str"),
+        F.get_json_object("props", "$.k").cast("int").alias("k_int"),
+    )
+
+
+def q25_case_when_path(spark, sf_dir):
+    """Polymorphic dispatch as when/otherwise — get_filepath (SURVEY §2.1
+    S11 / §2.10 D4; reference models.py:794-883)."""
+    e = db_for(spark, sf_dir).table("events")
+    return e.select(
+        "event_id",
+        F.when(F.col("event_type") == "click",
+               F.concat_ws("/", F.lit("/ui"), F.col("event_type")))
+        .when(F.col("event_type") == "error",
+              F.concat_ws("/", F.lit("/log"), F.col("event_type")))
+        .otherwise(F.concat_ws("/", F.lit("/data"), F.col("event_type")))
+        .alias("path"),
+    )
+
+
+def q26_search_union(spark, sf_dir):
+    """Cross-entity free-text search (SURVEY §3.3; search_helper.py:8-49):
+    per-entity search views, lower(concat).contains, union, dedup."""
+    db = db_for(spark, sf_dir)
+    token = "ol"
+    frames = []
+    for entity, table, idc, disp in (
+        ("customer", "customer", "c_custkey", "c_name"),
+        ("supplier", "supplier", "s_suppkey", "s_name"),
+        ("part", "part", "p_partkey", "p_name"),
+    ):
+        t = db.table(table)
+        frames.append(
+            t.filter(F.lower(F.col(disp)).contains(token)).select(
+                F.lit(entity).alias("entity"),
+                F.col(idc).cast("long").alias("id"),
+                F.col(disp).alias("display"),
+            )
+        )
+    out = frames[0]
+    for fr in frames[1:]:
+        out = out.unionByName(fr)
+    return out.dropDuplicates(["entity", "id"])
+
+
+def q27_null_handling(spark, sf_dir):
+    """coalesce / nullif three-valued logic (SURVEY §2.8 F12)."""
+    e = db_for(spark, sf_dir).table("events")
+    return e.select(
+        "event_id",
+        F.coalesce(F.nullif(F.col("event_type"), F.lit("error")),
+                   F.lit("UNKNOWN")).alias("et"),
+        F.when(F.col("value") > 50, F.col("value")).alias("big_val"),
+    )
+
+
+def q28_pivot(spark, sf_dir):
+    """Pivot (beyond-reference Catalyst freebie, SURVEY §2.4 note)."""
+    li = db_for(spark, sf_dir).table("lineitem")
+    return (
+        li.groupBy("l_returnflag")
+        .pivot("l_linestatus", ["O", "F"])
+        .agg(F.count(F.lit(1)))
+        .na.fill(0, ["O", "F"])
+    )
+
+
+def q29_rollup(spark, sf_dir):
+    """Rollup subtotals (beyond-reference Catalyst freebie)."""
+    li = db_for(spark, sf_dir).table("lineitem")
+    return li.rollup("l_returnflag", "l_linestatus").agg(
+        F.sum("l_quantity").alias("sum_qty"),
+        F.count(F.lit(1)).alias("n"),
+    )
+
+
+# --------------------------------------------------------------------------
+# datapipe — dedup / text / similarity / events
+# --------------------------------------------------------------------------
+
+def q40_dedup_exact(spark, sf_dir):
+    docs = db_for(spark, sf_dir).table("documents")
+    return dedup.exact_duplicates(docs)
+
+
+def q41_token_count(spark, sf_dir):
+    docs = db_for(spark, sf_dir).table("documents")
+    return textstats.token_count(docs)
+
+
+def q42_text_quality(spark, sf_dir):
+    docs = db_for(spark, sf_dir).table("documents")
+    return textstats.quality_score(docs)
+
+
+def q43_lang_id(spark, sf_dir):
+    docs = db_for(spark, sf_dir).table("documents")
+    return textstats.lang_scores(docs)
+
+
+def q44_ngram_jaccard(spark, sf_dir):
+    docs = db_for(spark, sf_dir).table("documents")
+    return dedup.ngram_jaccard_pairs(docs, n=3, threshold=0.2)
+
+
+def q45_minhash_lsh(spark, sf_dir):
+    docs = db_for(spark, sf_dir).table("documents")
+    return dedup.minhash_lsh_pairs(docs, n_perm=16, bands=4, threshold=0.2)
+
+
+def q46_simhash(spark, sf_dir):
+    docs = db_for(spark, sf_dir).table("documents")
+    return dedup.simhash_near_pairs(docs, max_hamming=16)
+
+
+def q47_ann_cosine(spark, sf_dir):
+    emb = db_for(spark, sf_dir).table("embeddings")
+    qvec = [
+        float(v)
+        for v in emb.filter(F.col("vec_id") == 0).select("embedding").first()[0]
+    ]
+    return similarity.cosine_topk(emb, qvec, k=10, exclude_ids=[0])
+
+
+def q48_fingerprint(spark, sf_dir):
+    docs = db_for(spark, sf_dir).table("documents")
+    return textstats.fingerprint(docs)
+
+
+def q49_tumbling_window(spark, sf_dir):
+    """Tumbling event-time window aggregate — the batch equivalent of the
+    Structured Streaming ingest (SURVEY §2.9 extension)."""
+    e = db_for(spark, sf_dir).table("events")
+    return (
+        e.groupBy(F.window("ts", "1 hour").alias("w"), "event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            _dec_sum(F.col("value"), 2, "sum_value"),
+        )
+        .select(F.col("w.start").alias("ws"), "event_type", "n", "sum_value")
+    )
+
+
+def q50_sessionization(spark, sf_dir):
+    """Sessionization via lag + cumulative sum (gap > 30 min)."""
+    e = db_for(spark, sf_dir).table("events")
+    w = W.partitionBy("user_id").orderBy("ts", "event_id")
+    sec = F.col("ts").cast("long")
+    prev = F.lag(sec).over(w)
+    new_sess = F.when(prev.isNull() | ((sec - prev) > 1800), 1).otherwise(0)
+    return (
+        e.withColumn("new_sess", new_sess)
+        .groupBy("user_id")
+        .agg(
+            F.sum("new_sess").alias("n_sessions"),
+            F.count(F.lit(1)).alias("n_events"),
+        )
+    )
+
+
+QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
+    name[1:]: fn
+    for name, fn in list(globals().items())
+    if name.startswith("q") and name[1:3].isdigit() and callable(fn)
+}
+
+
+ORACLES: dict[str, str] = {
+    "01_pricing_summary": """
+        SELECT l_returnflag, l_linestatus,
+               SUM(l_quantity) AS sum_qty,
+               CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) AS sum_base_price,
+               CAST(SUM(CAST(l_extendedprice*(1-l_discount) AS DECIMAL(18,4))) AS DOUBLE) AS sum_disc_price,
+               CAST(SUM(CAST(l_extendedprice*(1-l_discount)*(1+l_tax) AS DECIMAL(18,6))) AS DOUBLE) AS sum_charge,
+               CAST(SUM(CAST(l_discount AS DECIMAL(18,2))) AS DOUBLE) AS sum_disc,
+               count(*) AS count_order
+        FROM lineitem WHERE l_shipdate <= TIMESTAMP '1998-09-02'
+        GROUP BY l_returnflag, l_linestatus
+    """,
+    "02_point_lookup": """
+        SELECT o_orderkey, o_orderstatus, o_totalprice, o_orderpriority
+        FROM orders WHERE o_orderkey = 7
+    """,
+    "03_distinct_projection": """
+        SELECT DISTINCT l_returnflag, l_linestatus FROM lineitem
+    """,
+    "04_range_in_filter": """
+        SELECT l_returnflag, count(*) AS n FROM lineitem
+        WHERE l_shipdate BETWEEN TIMESTAMP '1996-01-01' AND TIMESTAMP '1996-12-31'
+          AND l_returnflag IN ('N','R')
+        GROUP BY l_returnflag
+    """,
+    "05_string_predicates": """
+        SELECT p_brand, count(*) AS n FROM part
+        WHERE p_name LIKE 'a%' OR p_name LIKE '%ol%' OR p_type LIKE '%D'
+        GROUP BY p_brand
+    """,
+    "06_token_or_search": """
+        SELECT o_orderpriority, o_orderstatus, count(*) AS n FROM orders
+        WHERE (lower(o_orderpriority) LIKE '%u%' OR lower(o_orderstatus) LIKE '%u%')
+          AND (lower(o_orderpriority) LIKE '%f%' OR lower(o_orderstatus) LIKE '%f%')
+        GROUP BY o_orderpriority, o_orderstatus
+    """,
+    "07_region_revenue": """
+        SELECT r_name,
+               CAST(SUM(CAST(l_extendedprice*(1-l_discount) AS DECIMAL(18,4))) AS DOUBLE) AS revenue,
+               count(DISTINCT o_orderkey) AS n_orders
+        FROM lineitem
+        JOIN orders ON l_orderkey = o_orderkey
+        JOIN customer ON o_custkey = c_custkey
+        JOIN nation ON c_nationkey = n_nationkey
+        JOIN region ON n_regionkey = r_regionkey
+        GROUP BY r_name
+    """,
+    "08_semi_join": """
+        SELECT c_custkey, c_name FROM customer c
+        WHERE EXISTS (SELECT 1 FROM orders
+                      WHERE o_custkey = c.c_custkey
+                        AND o_orderpriority = '1-URGENT' AND o_orderstatus = 'O')
+    """,
+    "09_anti_join": """
+        SELECT c_custkey FROM customer c
+        WHERE NOT EXISTS (SELECT 1 FROM orders
+                          WHERE o_custkey = c.c_custkey
+                            AND o_orderdate >= TIMESTAMP '1998-01-01')
+    """,
+    "10_exists_same_child": """
+        SELECT o_orderkey FROM orders o
+        WHERE EXISTS (SELECT 1 FROM lineitem l JOIN part p ON l_partkey = p_partkey
+                      WHERE l.l_orderkey = o.o_orderkey
+                        AND p.p_brand = 'Brand#11' AND l.l_quantity <= 5)
+    """,
+    "11_exists_diff_child": """
+        SELECT o_orderkey FROM orders o
+        WHERE EXISTS (SELECT 1 FROM lineitem l JOIN part p ON l_partkey = p_partkey
+                      WHERE l.l_orderkey = o.o_orderkey AND p.p_brand = 'Brand#11')
+          AND EXISTS (SELECT 1 FROM lineitem l
+                      WHERE l.l_orderkey = o.o_orderkey AND l.l_quantity <= 5)
+    """,
+    "12_exclude_not_exists": """
+        SELECT c_custkey FROM customer c
+        WHERE NOT EXISTS (SELECT 1 FROM orders
+                          WHERE o_custkey = c.c_custkey AND o_orderstatus = 'F')
+    """,
+    "13_count_distinct": """
+        SELECT l_orderkey,
+               count(DISTINCT l_suppkey) AS n_supp,
+               count(DISTINCT l_partkey) AS n_part
+        FROM lineitem GROUP BY l_orderkey
+    """,
+    "14_having": """
+        SELECT l_orderkey, count(*) AS n_items FROM lineitem
+        GROUP BY l_orderkey HAVING count(*) >= 6
+    """,
+    "15_cross_agg_eq": """
+        SELECT o_orderkey,
+               count(DISTINCT l_suppkey) AS n_supp,
+               count(DISTINCT l_partkey) AS n_part
+        FROM orders LEFT JOIN lineitem ON l_orderkey = o_orderkey
+        GROUP BY o_orderkey
+        HAVING count(DISTINCT l_suppkey) = count(DISTINCT l_partkey)
+    """,
+    "16_pagination": """
+        SELECT o_orderkey, o_orderstatus, o_totalprice FROM orders
+        ORDER BY o_totalprice DESC, o_orderkey ASC OFFSET 100 LIMIT 20
+    """,
+    "17_window_lag": """
+        SELECT o_custkey, o_orderkey,
+               round(o_totalprice - lag(o_totalprice) OVER
+                 (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey), 2)
+               AS delta_price
+        FROM orders
+    """,
+    "18_topk_per_group": """
+        SELECT o_custkey, o_orderkey, rn FROM (
+          SELECT o_custkey, o_orderkey,
+                 CAST(row_number() OVER (PARTITION BY o_custkey
+                      ORDER BY o_totalprice DESC, o_orderkey ASC) AS INTEGER) AS rn
+          FROM orders) WHERE rn <= 3
+    """,
+    "19_union_dedup": """
+        SELECT 'customer' AS entity, c_name AS name FROM customer
+        UNION
+        SELECT 'supplier' AS entity, s_name AS name FROM supplier
+    """,
+    "20_difference": """
+        SELECT o_custkey FROM orders WHERE year(o_orderdate) = 1997
+        EXCEPT
+        SELECT o_custkey FROM orders WHERE year(o_orderdate) = 1998
+    """,
+    "21_intersection": """
+        SELECT o_custkey FROM orders WHERE year(o_orderdate) = 1997
+        INTERSECT
+        SELECT o_custkey FROM orders WHERE year(o_orderdate) = 1998
+    """,
+    "22_scalar_functions": """
+        SELECT p_partkey,
+               lower(p_name) AS name_lower,
+               substr(p_name, 1, 8) AS name_prefix,
+               p_brand || '::' || p_type AS brand_type,
+               CAST(round(p_retailprice * 100, 0) AS BIGINT) AS price_cents
+        FROM part
+    """,
+    "23_date_format": """
+        SELECT o_orderkey,
+               strftime(o_orderdate, '%Y-%m-%d') AS od,
+               CAST(year(o_orderdate) AS INTEGER) AS oy,
+               CAST(month(o_orderdate) AS INTEGER) AS om
+        FROM orders
+    """,
+    "24_json_access": """
+        SELECT event_id,
+               json_extract_string(props, '$.k') AS k_str,
+               CAST(json_extract_string(props, '$.k') AS INTEGER) AS k_int
+        FROM events
+    """,
+    "25_case_when_path": """
+        SELECT event_id,
+               CASE WHEN event_type = 'click' THEN '/ui/' || event_type
+                    WHEN event_type = 'error' THEN '/log/' || event_type
+                    ELSE '/data/' || event_type END AS path
+        FROM events
+    """,
+    "26_search_union": """
+        SELECT 'customer' AS entity, c_custkey AS id, c_name AS display
+        FROM customer WHERE lower(c_name) LIKE '%ol%'
+        UNION ALL
+        SELECT 'supplier', s_suppkey, s_name FROM supplier
+        WHERE lower(s_name) LIKE '%ol%'
+        UNION ALL
+        SELECT 'part', p_partkey, p_name FROM part
+        WHERE lower(p_name) LIKE '%ol%'
+    """,
+    "27_null_handling": """
+        SELECT event_id,
+               coalesce(nullif(event_type, 'error'), 'UNKNOWN') AS et,
+               CASE WHEN value > 50 THEN value END AS big_val
+        FROM events
+    """,
+    "28_pivot": """
+        SELECT l_returnflag,
+               count(*) FILTER (WHERE l_linestatus = 'O') AS "O",
+               count(*) FILTER (WHERE l_linestatus = 'F') AS "F"
+        FROM lineitem GROUP BY l_returnflag
+    """,
+    "29_rollup": """
+        SELECT l_returnflag, l_linestatus,
+               SUM(l_quantity) AS sum_qty, count(*) AS n
+        FROM lineitem GROUP BY ROLLUP (l_returnflag, l_linestatus)
+    """,
+    "30_running_sum": """
+        SELECT l_suppkey, l_orderkey, l_linenumber,
+               SUM(l_quantity) OVER (PARTITION BY l_suppkey
+                 ORDER BY l_shipdate, l_orderkey, l_linenumber
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS running_qty
+        FROM lineitem
+    """,
+    "40_dedup_exact": """
+        SELECT md5(text) AS content_md5, min(doc_id) AS keep_id,
+               count(*) AS n_copies
+        FROM documents GROUP BY md5(text)
+    """,
+    "41_token_count": """
+        SELECT doc_id,
+               CAST(len(string_split_regex(trim(text), '\\s+')) AS INTEGER) AS n_tokens,
+               CAST(floor(length(text) / 4) AS INTEGER) AS n_subwords_est
+        FROM documents
+    """,
+    "42_text_quality": """
+        SELECT doc_id,
+               CAST(length(text) AS INTEGER) AS n_chars,
+               CAST(len(string_split_regex(trim(text), '\\s+')) AS INTEGER) AS n_tokens,
+               round(length(regexp_replace(text, '[^a-zA-Z]', '', 'g'))*1.0 / length(text), 4) AS alpha_ratio,
+               round(length(regexp_replace(text, '[^\\s]', '', 'g'))*1.0 / length(text), 4) AS space_ratio,
+               round(length(regexp_replace(text, '[^.!?,;:]', '', 'g'))*1.0 / length(text), 4) AS punct_ratio,
+               round(length(text)*1.0 / len(string_split_regex(trim(text), '\\s+')), 4) AS avg_token_len
+        FROM documents
+    """,
+    "43_lang_id": """
+        WITH t AS (SELECT doc_id, ' ' || lower(text) || ' ' AS txt FROM documents),
+        s AS (SELECT doc_id,
+               CAST(len(string_split(txt, ' the '))-1 + len(string_split(txt, ' and '))-1
+                  + len(string_split(txt, ' of '))-1 + len(string_split(txt, ' a '))-1 AS INTEGER) AS score_en,
+               CAST(len(string_split(txt, ' el '))-1 + len(string_split(txt, ' la '))-1
+                  + len(string_split(txt, ' los '))-1 + len(string_split(txt, ' de '))-1 AS INTEGER) AS score_es,
+               CAST(len(string_split(txt, ' le '))-1 + len(string_split(txt, ' la '))-1
+                  + len(string_split(txt, ' les '))-1 + len(string_split(txt, ' des '))-1 AS INTEGER) AS score_fr,
+               CAST(len(string_split(txt, ' der '))-1 + len(string_split(txt, ' die '))-1
+                  + len(string_split(txt, ' das '))-1 + len(string_split(txt, ' und '))-1 AS INTEGER) AS score_de
+              FROM t)
+        SELECT doc_id, score_en, score_es, score_fr, score_de,
+               CASE WHEN greatest(score_en, score_es, score_fr, score_de) = 0 THEN 'unknown'
+                    WHEN score_en = greatest(score_en, score_es, score_fr, score_de) THEN 'en'
+                    WHEN score_es = greatest(score_en, score_es, score_fr, score_de) THEN 'es'
+                    WHEN score_fr = greatest(score_en, score_es, score_fr, score_de) THEN 'fr'
+                    ELSE 'de' END AS lang_pred
+        FROM s
+    """,
+    "44_ngram_jaccard": """
+        WITH tok AS (
+          SELECT doc_id, string_split_regex(trim(lower(text)), '\\s+') AS t
+          FROM documents),
+        sh AS (
+          SELECT DISTINCT doc_id, t[i] || ' ' || t[i+1] || ' ' || t[i+2] AS shingle
+          FROM tok, UNNEST(range(1, greatest(len(t)-1, 1))) AS u(i)),
+        counts AS (SELECT doc_id, count(*) AS n_sh FROM sh GROUP BY doc_id),
+        inter AS (
+          SELECT a.doc_id AS d1, b.doc_id AS d2, count(*) AS i
+          FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+          GROUP BY a.doc_id, b.doc_id)
+        SELECT d1, d2, round(i*1.0/(na.n_sh + nb.n_sh - i), 4) AS jaccard
+        FROM inter
+        JOIN counts na ON na.doc_id = d1
+        JOIN counts nb ON nb.doc_id = d2
+        WHERE i*1.0/(na.n_sh + nb.n_sh - i) >= 0.2
+    """,
+    "47_ann_cosine": """
+        WITH q AS (SELECT embedding AS qe FROM embeddings WHERE vec_id = 0)
+        SELECT vec_id,
+               round(list_cosine_similarity(embedding::DOUBLE[], qe::DOUBLE[]), 4) AS cosine
+        FROM embeddings, q WHERE vec_id <> 0
+        ORDER BY list_cosine_similarity(embedding::DOUBLE[], qe::DOUBLE[]) DESC, vec_id ASC
+        LIMIT 10
+    """,
+    "48_fingerprint": """
+        SELECT doc_id, md5(text) AS md5,
+               sha256(text) AS sha256,
+               substr(md5(lower(trim(text))), 1, 8) AS norm_prefix
+        FROM documents
+    """,
+    "49_tumbling_window": """
+        SELECT time_bucket(INTERVAL 1 HOUR, ts) AS ws, event_type,
+               count(*) AS n,
+               CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS sum_value
+        FROM events GROUP BY 1, 2
+    """,
+    "50_sessionization": """
+        WITH g AS (
+          SELECT user_id, event_id,
+                 CAST(floor(epoch(ts)) AS BIGINT) AS sec,
+                 lag(CAST(floor(epoch(ts)) AS BIGINT)) OVER
+                   (PARTITION BY user_id ORDER BY ts, event_id) AS prev
+          FROM events)
+        SELECT user_id,
+               CAST(SUM(CASE WHEN prev IS NULL OR sec - prev > 1800
+                        THEN 1 ELSE 0 END) AS BIGINT) AS n_sessions,
+               count(*) AS n_events
+        FROM g GROUP BY user_id
+    """,
+    # 45_minhash_lsh / 46_simhash: not SQL-expressible (hash functions differ)
+    # → rows-only checks by design.
+}
