@@ -177,6 +177,11 @@ def tantalus_catalog() -> RelationshipCatalog:
 
     fk(ForeignKey("sample", "patient_id_fk", "patient",
                   accessor="patient", reverse_accessor="samples"))
+    # owner FKs → user (search fields use owner__username)
+    for owned in ("dna_library", "sequencing_lane", "file_resource",
+                  "sequence_dataset", "analysis", "results_dataset", "tag"):
+        fk(ForeignKey(owned, "owner_id", "user",
+                      accessor="owner", reverse_accessor=f"owned_{owned}s"))
     fk(ForeignKey("dna_library", "library_type_id", "library_type",
                   accessor="library_type", reverse_accessor="libraries"))
     fk(ForeignKey("sequencing_lane", "dna_library_id", "dna_library",

@@ -1,0 +1,252 @@
+"""Parity-operator tests on the tantalus fixture database."""
+
+from __future__ import annotations
+
+import datetime as dt
+
+from pyspark.sql import functions as F
+
+from tantalus_spark.functions.paths import file_locations
+from tantalus_spark.operators import ids as idops
+from tantalus_spark.operators import mutations as mut
+from tantalus_spark.operators.history import curation_changes
+from tantalus_spark.operators.pagination import paginate
+from tantalus_spark.operators.search import free_text_search, search_totals
+from tantalus_spark.operators.serializers import dataset_enriched, storage_flat
+from tantalus_spark.operators.stats import (
+    dashboard_counts,
+    library_stats,
+    storage_stats,
+    tag_dataset_counts,
+)
+from tantalus_spark.sources import ingest
+
+
+def test_pagination_stable_and_complete(tdb):
+    df = tdb.table("sequence_dataset")
+    p1 = paginate(df, ["id"], page=1, page_size=2)
+    p2 = paginate(df, ["id"], page=2, page_size=2)
+    p3 = paginate(df, ["id"], page=3, page_size=2)
+    assert p1.total == 5 and p1.num_pages == 3
+    got = [r["id"] for p in (p1, p2, p3) for r in p.rows.collect()]
+    assert got == [1, 2, 3, 4, 5]  # disjoint, complete, ordered
+
+
+def test_pagination_no_pagination_escape(tdb):
+    p = paginate(tdb.table("tag"), ["id"], no_pagination=True)
+    assert p.rows.count() == p.total == 3
+
+
+def test_filepath_polymorphic_dispatch(tdb):
+    # models.py:822-825 / 853-858 / 878-883 via one when/otherwise expr
+    locs = {(r["file_resource_id"], r["storage_name"]): r["filepath"]
+            for r in file_locations(tdb).collect()}
+    assert locs[(1, "shahlab")] == "/shahlab/archive/data/f1.bam"
+    assert locs[(1, "azblob")] == "acct/cont/data/f1.bam"
+    assert locs[(3, "aws")] == "bkt/data/f3.fastq.gz"
+
+
+def test_free_text_search_union(tdb):
+    res = free_text_search(tdb, "SA928")
+    rows = {(r["entity"], r["id"]) for r in res.collect()}
+    # sample SA928 itself + its datasets (sample__sample_id in dataset
+    # fields) + patient SA101 (samples__sample_id path)
+    assert ("sample", 4) in rows
+    assert ("sequence_dataset", 3) in rows and ("sequence_dataset", 4) in rows
+    assert ("patient", 2) in rows
+    totals = {(r["entity"]): r["n"] for r in search_totals(res).collect()}
+    assert totals["sequence_dataset"] == 2
+
+
+def test_search_enum_label_decode(tdb):
+    # 'FastQ' substring-matches the FQ display label -> datasets of type FQ
+    res = free_text_search(tdb, "FastQ")
+    rows = {(r["entity"], r["id"]) for r in res.collect()}
+    assert ("sequence_dataset", 2) in rows
+
+
+def test_curation_diff_messages(tdb):
+    changes = {(r["curation_id"], r["version"]): (r["action"], r["message"])
+               for r in curation_changes(tdb).collect()}
+    act, msg = changes[(1, "v1.0.0")]
+    assert act == "Created" and "created with 1, 2" in msg
+    act, msg = changes[(1, "v2.0.0")]
+    assert act == "Edited"
+    assert "SequenceDataset(s) 3 added 2 deleted" in msg
+    assert "Field 'description' changed from 'init' to 'first draft'" in msg
+    act, msg = changes[(1, "v3.0.0")]
+    assert "changed from 'first draft' to 'first'" in msg
+    assert "SequenceDataset(s)" not in msg
+    act, msg = changes[(2, "v1.0.0")]
+    assert act == "Created" and "created with 2" in msg
+
+
+def test_dashboard_counts(tdb):
+    counts = {r["entity"]: r["n"] for r in dashboard_counts(tdb).collect()}
+    assert counts["patient"] == 5 and counts["sequence_dataset"] == 5
+    assert counts["storage"] == 4
+
+
+def test_storage_stats_excludes_soft_deleted(tdb):
+    stats = {r["storage_name"]: (r["n_files"], r["total_bytes"])
+             for r in storage_stats(tdb).collect()}
+    assert stats["shahlab"] == (2, 3000)   # f1 + f2
+    assert stats["azblob"] == (1, 1000)    # f1 replica
+    assert "aws" not in stats              # only instance is soft-deleted
+
+
+def test_library_stats_no_double_count(tdb):
+    rows = {(r["library_type"], r["storage_name"]):
+            (r["n_datasets"], r["total_bytes"])
+            for r in library_stats(tdb).collect()}
+    # DS1 (WGS) has f1 (shahlab+azblob) and f2 (shahlab): shahlab bytes
+    # count f1 once + f2 once = 3000
+    assert rows[("WGS", "shahlab")] == (1, 3000)
+    assert rows[("WGS", "azblob")] == (1, 1000)
+
+
+def test_tag_dataset_counts(tdb):
+    rows = {r["name"]: (r["n_sequencedatasets"], r["n_resultsdatasets"])
+            for r in tag_dataset_counts(tdb).collect()}
+    assert rows["prod"] == (2, 1) and rows["qc"] == (2, 0)
+    assert rows["unused"] == (0, 0)
+
+
+def test_dataset_enriched_view(tdb):
+    rows = {r["id"]: r for r in dataset_enriched(tdb).collect()}
+    assert rows[1]["is_complete"] and rows[1]["num_read_groups"] == 2
+    assert not rows[2]["is_complete"]
+    assert rows[1]["disk_size"] == 3000
+    assert rows[1]["storage_names"] == ["azblob", "shahlab"]
+    assert rows[3]["library_type"] == "SC_WGS"
+
+
+def test_storage_flat_prefixes(tdb):
+    rows = {r["name"]: r["prefix"] for r in storage_flat(tdb).collect()}
+    assert rows["shahlab"] == "/shahlab/archive"
+    assert rows["azblob"] == "acct/cont"
+    assert rows["aws"] == "bkt"
+
+
+def test_mutations_roundtrip(tdb, spark):
+    tag = tdb.table("tag")
+    new = spark.createDataFrame([(4, "new", None)], schema=tag.schema)
+    t2 = mut.get_or_create(tag, new, ["name"])
+    assert t2.count() == 4
+    t3 = mut.get_or_create(t2, new, ["name"])       # idempotent
+    assert t3.count() == 4
+    t4 = mut.delete_by_key(t3, new.select("id"), ["id"])
+    assert sorted(r["name"] for r in t4.collect()) == ["prod", "qc", "unused"]
+
+
+def test_m2m_add_remove_idempotent(tdb, spark):
+    junc = tdb.table("sequencedataset_tags")
+    pairs = spark.createDataFrame([(5, 1), (1, 1)], schema=junc.schema)
+    j2 = mut.m2m_add(junc, pairs)       # (1,1) already present
+    assert j2.count() == junc.count() + 1
+    j3 = mut.m2m_remove(j2, pairs)
+    assert j3.count() == junc.count() - 1
+
+
+def test_soft_delete_cascade(tdb):
+    ds2, junc2, fi2 = mut.soft_delete_dataset(
+        tdb.table("sequence_dataset"),
+        tdb.table("sequencedataset_file_resources"),
+        tdb.table("file_instance"),
+        [2],
+    )
+    assert ds2.count() == 4
+    assert junc2.filter(F.col("sequencedataset_id") == 2).count() == 0
+    # DS2 references f3; f3's instance (id 4) must now be deleted — it
+    # already was; but shared files in other datasets also get flagged,
+    # mirroring the reference's cascade (views.py:1494-1503)
+    flags = {r["id"]: r["is_deleted"] for r in fi2.collect()}
+    assert flags[4] is True
+    assert flags[1] is False and flags[3] is False
+
+
+def test_sa_id_assignment(tdb, spark):
+    assert idops.max_sa_number(tdb.table("patient")) == 999
+    new = spark.createDataFrame(
+        [(1, None), (2, "SA123"), (3, None)], "row_idx int, patient_id string")
+    out = {r["row_idx"]: r["patient_id"]
+           for r in idops.assign_sa_ids(tdb.table("patient"), new,
+                                        "row_idx").collect()}
+    assert out == {1: "SA1000", 2: "SA123", 3: "SA1001"}
+
+
+def test_version_bump_and_validation(tdb, spark):
+    df = spark.createDataFrame([("v3.0.0",), ("v1.2.9",), ("bogus",)],
+                               "version string")
+    out = df.select(
+        idops.bump_major_version(F.col("version")).alias("b"),
+        idops.valid_version(F.col("version")).alias("ok"),
+    ).collect()
+    assert [r["b"] for r in out][:2] == ["v4.0.0", "v2.0.0"]
+    assert [r["ok"] for r in out] == [True, True, False]
+
+
+def test_patient_ingest_validation(tdb, spark):
+    rows = spark.createDataFrame(
+        [
+            (1, "E1", "R1", "SA500", "C1"),     # valid
+            (2, "E2", None, "SA501", "C2"),     # missing reference id
+            (3, "E3", "R3", "XX01", "C3"),      # bad SA prefix
+            (4, "E4", "R4", None, None),        # missing case id + null SA
+        ],
+        "row_idx int, external_patient_id string, reference_id string, "
+        "sa_id string, case_id string",
+    )
+    valid, errors = ingest.validate_patients(rows)
+    errs = sorted((r["row_idx"], r["error"]) for r in errors.collect())
+    assert (2, "Reference ID is required") in errs
+    assert (3, "SA ID must start with 'SA'") in errs
+    assert (4, "Case ID is required") in errs
+    assert [r["row_idx"] for r in valid.collect()] == [1]
+
+
+def test_sample_match_classification(tdb, spark):
+    rows = spark.createDataFrame(
+        [(1, "R1", "A"), (2, "R2", "B"), (3, "R404", "C")],
+        "row_idx int, reference_id string, suffix string",
+    )
+    out = {r["row_idx"]: (r["match_class"], r["matched_patient_id"])
+           for r in ingest.classify_sample_rows(rows,
+                                                tdb.table("patient")).collect()}
+    assert out[1] == ("one", 1)
+    assert out[2][0] == "multiple" and out[2][1] is None
+    assert out[3] == ("none", None)
+
+
+def test_sample_project_validation(tdb, spark):
+    rows = spark.createDataFrame(
+        [(1, "ProjA,ProjB"), (2, "ProjA, Nope")],
+        "row_idx int, projects string",
+    )
+    errs = sorted((r["row_idx"], r["error"])
+                  for r in ingest.validate_sample_projects(
+                      rows, tdb.table("project")).collect())
+    assert errs == [(2, "Unknown project 'Nope'")]
+
+
+def test_parse_summary_file(tdb, spark, tmp_path):
+    lines = []
+    for i in range(1, 30):
+        fields = [f"x{i}_{j}" for j in range(1, 15)]
+        lines.append("\t".join(fields))
+    p = tmp_path / "gsc_summary.tsv"
+    p.write_text("\n".join(lines))
+    row = ingest.parse_summary_file(spark, str(p)).first()
+    assert row["library_id"] == "x27_2" and row["sample_id"] == "x27_13"
+
+
+def test_history_append(tdb, spark):
+    from tantalus_spark.operators.history import append_history
+
+    hist = tdb.table("tag_history")
+    snap = tdb.table("tag").filter(F.col("id") == 3)
+    out = append_history(hist, snap, "~", user_id=1, next_history_id=10,
+                         ts=dt.datetime(2020, 1, 1))
+    assert out.count() == hist.count() + 1
+    row = out.filter(F.col("history_id") == 10).first()
+    assert row["history_type"] == "~" and row["name"] == "unused"
