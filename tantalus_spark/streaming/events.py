@@ -1,0 +1,89 @@
+"""Structured Streaming ingest of file-event logs (SURVEY.md §2.9 extension).
+
+The reference has NO streaming operators — its closest analogs are the
+``auto_now`` change-capture timestamps (models.py:335-338,466-469) and the
+append-only history tables. This module is the beyond-parity streaming path:
+the same event-log analytics the batch inventory runs (tumbling windows,
+sessionization) expressed as Structured Streaming jobs with watermarks, so
+a 100 TB/day event feed maintains the dashboards incrementally instead of
+recomputing.
+
+Batch/stream parity: ``windowed_counts`` here and the batch
+``q49_tumbling_window`` produce the same rows for the same closed windows —
+tested with a parquet-backed stream driven to completion via the memory
+sink."""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+EVENT_SCHEMA = T.StructType([
+    T.StructField("event_id", T.LongType(), False),
+    T.StructField("ts", T.TimestampType(), False),
+    T.StructField("user_id", T.LongType(), True),
+    T.StructField("event_type", T.StringType(), True),
+    T.StructField("value", T.DoubleType(), True),
+    T.StructField("props", T.StringType(), True),
+])
+
+
+def read_event_stream(spark: SparkSession, path: str,
+                      max_files_per_trigger: int = 4) -> DataFrame:
+    """File-source stream over a directory of event parquet/json drops —
+    the standard cloud landing-zone pattern (S3/ABFS path at scale)."""
+    return (
+        spark.readStream.format("parquet")
+        .schema(EVENT_SCHEMA)
+        .option("maxFilesPerTrigger", max_files_per_trigger)
+        .load(path)
+    )
+
+
+def windowed_counts(events: DataFrame, window: str = "1 hour",
+                    watermark: str = "2 hours") -> DataFrame:
+    """Tumbling-window counts + value sums with late-data handling.
+
+    The watermark bounds state: events later than *watermark* behind the max
+    seen event time are dropped and their windows finalized — state size is
+    O(active windows × event types), independent of stream length."""
+    return (
+        events.withWatermark("ts", watermark)
+        .groupBy(F.window("ts", window).alias("w"), "event_type")
+        .agg(F.count(F.lit(1)).alias("n"), F.sum("value").alias("sum_value"))
+        .select(F.col("w.start").alias("ws"), "event_type", "n", "sum_value")
+    )
+
+
+def session_windows(events: DataFrame, gap: str = "30 minutes",
+                    watermark: str = "2 hours") -> DataFrame:
+    """Per-user session windows via the native session_window operator —
+    the streaming counterpart of the batch lag+cumsum sessionization
+    (inventory q50)."""
+    return (
+        events.withWatermark("ts", watermark)
+        .groupBy(F.session_window("ts", gap).alias("w"), "user_id")
+        .agg(F.count(F.lit(1)).alias("n_events"),
+             F.sum("value").alias("session_value"))
+        .select(F.col("w.start").alias("session_start"),
+                F.col("w.end").alias("session_end"),
+                "user_id", "n_events", "session_value")
+    )
+
+
+def run_to_completion(stream_df: DataFrame, query_name: str,
+                      output_mode: str = "append") -> DataFrame:
+    """Drive a bounded file-backed stream to completion synchronously and
+    return the materialized result (memory sink) — the local smoke-test
+    harness; production uses a real sink + trigger."""
+    q = (
+        stream_df.writeStream.outputMode(output_mode)
+        .format("memory").queryName(query_name)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.processAllAvailable()
+    q.stop()
+    spark = stream_df.sparkSession
+    return spark.table(query_name)

@@ -1,0 +1,125 @@
+"""Tests for the multimodal binary-column plumbing (mapInPandas) and the
+Structured Streaming event analytics (batch/stream parity)."""
+
+from __future__ import annotations
+
+import datetime as dt
+
+import pytest
+
+from pyspark.sql import functions as F
+
+from tantalus_spark.datapipe import multimodal as mm
+from tantalus_spark.streaming import events as se
+
+
+@pytest.fixture(scope="module")
+def media(spark):
+    rows = [
+        (1, "image", "image/png", b"\x89PNG" + b"a" * 100, None),
+        (2, "image", "image/png", b"\x89PNG" + b"a" * 100, None),  # dup payload
+        (3, "audio", "audio/wav", b"RIFF" + b"b" * 50, '{"sr": 44100}'),
+        (4, "video", "video/mp4", b"\x00\x00ftyp" + b"c" * 200, None),
+        (5, "image", None, None, None),                            # null payload
+    ]
+    return spark.createDataFrame(rows, schema=mm.MEDIA_SCHEMA)
+
+
+def test_media_features_schema_and_values(media):
+    feats = {r["media_id"]: r for r in mm.media_features(media).collect()}
+    assert set(feats) == {1, 2, 3, 4, 5}
+    assert feats[1]["n_bytes"] == 104
+    assert feats[1]["payload_xxh"] == feats[2]["payload_xxh"]
+    assert feats[1]["width"] is not None and feats[1]["duration_ms"] is None
+    assert feats[3]["duration_ms"] is not None and feats[3]["width"] is None
+    assert feats[5]["n_bytes"] == 0 and feats[5]["payload_xxh"] is None
+
+
+def test_media_features_plan_prunes_and_avoids_shuffle(media):
+    plan = mm.media_features(media)._jdf.queryExecution().executedPlan().toString()
+    assert "Exchange" not in plan  # map-only: binary payloads never shuffle
+
+
+def test_custom_decoder_hook(media):
+    mm.set_decoder(lambda payload, kind: {
+        "width": 1, "height": 2, "duration_ms": 3})
+    try:
+        row = mm.media_features(media).filter("media_id = 1").collect()[0]
+        assert (row["width"], row["height"], row["duration_ms"]) == (1, 2, 3)
+    finally:
+        mm.set_decoder(None)
+
+
+def test_frame_sample_plan(media):
+    frames = mm.frame_sample_plan(media, every_ms=60000).collect()
+    assert frames and all(r["media_id"] == 4 for r in frames)
+    idxs = sorted(r["frame_idx"] for r in frames)
+    assert idxs == list(range(len(idxs)))
+    assert all(r["frame_ts_ms"] == r["frame_idx"] * 60000 for r in frames)
+
+
+def test_exact_media_dedup(media):
+    groups = {r["payload_md5"]: r for r in mm.exact_media_dedup(media).collect()}
+    dup = [g for g in groups.values() if g["n_copies"] == 2]
+    assert len(dup) == 1 and dup[0]["keep_id"] == 1
+
+
+# ---------------------------------------------------------------------------
+# Structured Streaming
+# ---------------------------------------------------------------------------
+
+@pytest.fixture(scope="module")
+def event_dir(spark, tmp_path_factory):
+    path = str(tmp_path_factory.mktemp("events"))
+
+    def ts(h, m=0):
+        return dt.datetime(2024, 1, 1, h, m)
+
+    rows = [
+        (1, ts(0, 5), 10, "click", 1.0, None),
+        (2, ts(0, 20), 10, "click", 2.0, None),
+        (3, ts(0, 40), 11, "view", 3.0, None),
+        (4, ts(1, 10), 10, "click", 4.0, None),   # >30min gap => new session
+        (5, ts(2, 30), 11, "error", 5.0, None),
+        (6, ts(2, 45), 11, "error", 6.0, None),
+    ]
+    df = spark.createDataFrame(rows, schema=se.EVENT_SCHEMA)
+    df.coalesce(2).write.mode("overwrite").parquet(path)
+    return path
+
+
+def test_windowed_counts_stream_matches_batch(spark, event_dir):
+    stream = se.read_event_stream(spark, event_dir)
+    assert stream.isStreaming
+    # complete mode: append would hold back windows the watermark has not
+    # passed yet (the tail of a bounded stream never finalizes)
+    got = se.run_to_completion(
+        se.windowed_counts(stream), "t_windowed",
+        output_mode="complete").collect()
+    batch = (
+        spark.read.parquet(event_dir)
+        .groupBy(F.window("ts", "1 hour").alias("w"), "event_type")
+        .agg(F.count(F.lit(1)).alias("n"), F.sum("value").alias("sum_value"))
+        .select(F.col("w.start").alias("ws"), "event_type", "n", "sum_value")
+        .collect()
+    )
+    key = lambda r: (r["ws"], r["event_type"])
+    assert sorted(map(key, got)) == sorted(map(key, batch))
+    assert {key(r): (r["n"], r["sum_value"]) for r in got} == \
+           {key(r): (r["n"], r["sum_value"]) for r in batch}
+
+
+def test_session_windows(spark, event_dir):
+    stream = se.read_event_stream(spark, event_dir)
+    rows = se.run_to_completion(
+        se.session_windows(stream, gap="30 minutes"), "t_sessions",
+        output_mode="complete").collect()
+    by_user = {}
+    for r in rows:
+        by_user.setdefault(r["user_id"], []).append(r)
+    # user 10: events at 0:05,0:20 then 1:10 -> 2 sessions
+    assert len(by_user[10]) == 2
+    assert sorted(r["n_events"] for r in by_user[10]) == [1, 2]
+    # user 11: 0:40 alone, then 2:30+2:45 together -> 2 sessions
+    assert len(by_user[11]) == 2
+    assert sorted(r["session_value"] for r in by_user[11]) == [3.0, 11.0]

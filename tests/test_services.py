@@ -1,0 +1,79 @@
+"""API-parity service layer tests (SURVEY.md §3.1): param validation,
+filter compilation, distinct policy, pagination, JSON boundary."""
+
+from __future__ import annotations
+
+import pytest
+
+from tantalus_spark.operators.services import (
+    FILTERSETS,
+    NO_DISTINCT,
+    UnknownFilterError,
+    allowed_params,
+    api_list,
+    filtered_queryset,
+    to_json_rows,
+)
+
+
+def test_unknown_endpoint_rejected(tdb):
+    with pytest.raises(UnknownFilterError):
+        filtered_queryset(tdb, "nope", {})
+
+
+def test_unknown_param_rejected_names_legal(tdb):
+    with pytest.raises(UnknownFilterError) as ei:
+        filtered_queryset(tdb, "sample", {"bogus_field": 1})
+    assert "bogus_field" in str(ei.value)
+    assert "sample_id" in str(ei.value)  # legal keys listed, api/views.py:75-80
+
+
+def test_lookup_suffix_params_allowed(tdb):
+    # 'last_updated__gte' is legal on sequence_dataset; bare exact too
+    legal = allowed_params("sequence_dataset")
+    assert "last_updated__gte" in legal and "last_updated" in legal
+    assert "sample__sample_id__contains" in legal
+
+
+def test_multi_hop_filter_compiles(tdb):
+    qs = filtered_queryset(
+        tdb, "sequence_dataset",
+        {"sample__sample_id": "SA928", "tags__name": "qc"})
+    ids = [r["id"] for r in qs.to_df().select("id").collect()]
+    assert ids == [3]  # DS3: sample SA928 (id 4) and tag qc
+
+
+def test_four_hop_storage_filter(tdb):
+    qs = filtered_queryset(
+        tdb, "sequence_dataset",
+        {"file_resources__fileinstance__storage__name": "shahlab"})
+    ids = sorted(r["id"] for r in qs.to_df().select("id").collect())
+    assert ids == [1]  # f1,f2 in shahlab; both belong to DS1
+
+
+def test_isnull_reverse_fk(tdb):
+    # samples with no sequence dataset
+    qs = filtered_queryset(tdb, "sample", {"sequencedataset__id__isnull": True})
+    ids = sorted(r["id"] for r in qs.to_df().select("id").collect())
+    assert ids == [5]
+
+
+def test_api_list_paginates_ordered_by_id(tdb):
+    page = api_list(tdb, "sequence_dataset", {}, page=1, page_size=2)
+    assert page.total == 5 and page.num_pages == 3
+    ids = [r["id"] for r in page.rows.select("id").collect()]
+    assert ids == [1, 2]
+    page2 = api_list(tdb, "sequence_dataset", {}, page=2, page_size=2)
+    assert [r["id"] for r in page2.rows.select("id").collect()] == [3, 4]
+
+
+def test_to_json_rows(tdb):
+    page = api_list(tdb, "tag", {"name": "prod"})
+    rows = to_json_rows(page)
+    assert len(rows) == 1 and '"name":"prod"' in rows[0]
+
+
+def test_filterset_coverage_matches_reference():
+    # 13 filtersets, mirroring tantalus/api/filters.py
+    assert len(FILTERSETS) == 13
+    assert NO_DISTINCT == {"file_resource", "file_instance"}
