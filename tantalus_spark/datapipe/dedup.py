@@ -51,7 +51,14 @@ def shingles(df: DataFrame, n: int = 3, text_col: str = "text",
     shuffle width difference dominates; the 2^-64 collision rate is
     negligible for near-dup detection.
     """
-    toks = tokens(F.lower(F.col(text_col)))
+    # Materialize the token array as a column BEFORE the higher-order
+    # transform: a lambda that embeds the tokens() expression would
+    # re-tokenize the full text once per shingle index (higher-order
+    # functions are interpreted per-element, no subexpression elimination)
+    # — O(tokens^2) regex work per document.
+    toked = df.select(
+        F.col(id_col), tokens(F.lower(F.col(text_col))).alias("_toks"))
+    toks = F.col("_toks")
     idx = F.sequence(F.lit(1), F.greatest(F.size(toks) - (n - 1), F.lit(0)))
     gram = F.transform(
         idx,
@@ -59,7 +66,7 @@ def shingles(df: DataFrame, n: int = 3, text_col: str = "text",
             " ", *[F.element_at(toks, i + j) for j in range(n)]
         ),
     )
-    out = df.select(F.col(id_col), F.explode(gram).alias("shingle"))
+    out = toked.select(F.col(id_col), F.explode(gram).alias("shingle"))
     if hashed:
         out = out.select(F.col(id_col), F.xxhash64("shingle").alias("shingle"))
     return out.dropDuplicates([id_col, "shingle"])
@@ -91,6 +98,10 @@ def ngram_jaccard_pairs(
     # pair-aggregation already carries |A| and |B| — no post-agg re-joins
     counts = sh.groupBy(id_col).agg(F.count(F.lit(1)).alias("n_sh"))
     sh = sh.join(F.broadcast(counts), id_col)
+    # materialize the posting list once: both sides of the self-join (and
+    # nothing else) read it — without this the shingle parse+explode runs
+    # twice. Same move as writing the posting list to disk at cluster scale.
+    sh = sh.persist()
     a = sh.alias("a")
     b = sh.alias("b")
     inter = (
@@ -147,8 +158,19 @@ def minhash_lsh_pairs(
     Returns (d1, d2, jaccard) like the exact variant for easy comparison.
     """
     rows = n_perm // bands
-    sig = minhash_signatures(df, n_perm=n_perm, shingle_n=shingle_n,
-                             text_col=text_col, id_col=id_col)
+    # one posting list feeds signature building AND candidate verification —
+    # persist so the shingle parse+explode+dedup shuffle happens once, not
+    # four times (sig, s1, s2, counts all reuse it)
+    sh = shingles(df, n=shingle_n, text_col=text_col, id_col=id_col,
+                  hashed=True).persist()
+    aggs = [
+        F.min(F.xxhash64(F.col("shingle"), F.lit(i))).alias(f"h{i}")
+        for i in range(n_perm)
+    ]
+    sig = sh.groupBy(id_col).agg(*aggs).select(
+        F.col(id_col),
+        F.array(*[F.col(f"h{i}") for i in range(n_perm)]).alias("signature"),
+    )
     band_cols = [
         F.xxhash64(
             F.lit(b), *[F.element_at("signature", b * rows + r + 1)
@@ -169,7 +191,6 @@ def minhash_lsh_pairs(
         .dropDuplicates()
     )
     # verify candidates with true shingle Jaccard (join is candidate-bounded)
-    sh = shingles(df, n=shingle_n, text_col=text_col, id_col=id_col, hashed=True)
     counts = sh.groupBy(id_col).agg(F.count(F.lit(1)).alias("n_sh"))
     s1 = sh.select(F.col(id_col).alias("d1"), "shingle")
     s2 = sh.select(F.col(id_col).alias("d2"), "shingle")
@@ -180,8 +201,10 @@ def minhash_lsh_pairs(
     jac = F.col("inter") / (F.col("n1") + F.col("n2") - F.col("inter"))
     return (
         inter
-        .join(counts.select(F.col(id_col).alias("d1"), F.col("n_sh").alias("n1")), "d1")
-        .join(counts.select(F.col(id_col).alias("d2"), F.col("n_sh").alias("n2")), "d2")
+        .join(F.broadcast(counts.select(F.col(id_col).alias("d1"),
+                                        F.col("n_sh").alias("n1"))), "d1")
+        .join(F.broadcast(counts.select(F.col(id_col).alias("d2"),
+                                        F.col("n_sh").alias("n2"))), "d2")
         .withColumn("jaccard", F.round(jac, 4))
         .filter(jac >= threshold)
         .select("d1", "d2", "jaccard")
