@@ -31,12 +31,14 @@ HEADLINE = [
     "17_window_lag",
     "18_topk_per_group",
     "30_running_sum",
+    "31_asof_join",
     "40_dedup_exact",
     "42_text_quality",
     "44_ngram_jaccard",
     "45_minhash_lsh",
     "47_ann_cosine",
     "49_tumbling_window",
+    "51_embedding_near_dup",
     "50_sessionization",
 ]
 

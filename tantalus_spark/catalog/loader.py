@@ -40,7 +40,10 @@ def read_parquet(spark: SparkSession, path: str) -> DataFrame:
     except Exception:
         nanos = []
     for c in nanos:
-        df = df.withColumn(c, F.timestamp_micros((F.col(c) / 1000).cast("long")))
+        # integer `div`, NOT float division: epoch-nanos (~1.7e18) exceed a
+        # double's 53-bit mantissa, so `/ 1000` rounds the value before the
+        # cast and can land 1µs off DuckDB's truncation of the same cell
+        df = df.withColumn(c, F.timestamp_micros(F.expr(f"`{c}` div 1000")))
     return df
 
 

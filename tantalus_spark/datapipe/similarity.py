@@ -13,6 +13,8 @@ All vector math uses built-in higher-order functions (``zip_with`` +
 
 from __future__ import annotations
 
+import pandas as pd
+
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
@@ -92,6 +94,155 @@ def brute_force_knn_join(
         pairs.withColumn("rank", F.row_number().over(w))
         .filter(F.col("rank") <= k)
         .select("probe_id", "cand_id", F.round("_sim", 4).alias("cosine"), "rank")
+    )
+
+
+def embedding_near_dup_pairs(
+    df: DataFrame,
+    threshold: float = 0.45,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    n_hyperplanes: int = 0,
+    n_blocks: int = 16,
+) -> DataFrame:
+    """Embedding-cosine near-duplicate pairs: (id_a, id_b, cosine) with
+    id_a < id_b and cosine >= threshold.
+
+    ``n_hyperplanes=0`` is the exact all-pairs path (self-join) — quadratic,
+    for modest corpora or as the verifier. With ``n_hyperplanes>0`` the
+    self-join is restricted to random-hyperplane LSH buckets (sign of the
+    dot product with seeded deterministic hyperplanes): candidates must
+    agree on all signs, shrinking the join ~2^n_hyperplanes-fold at some
+    recall cost — the 100 TB path.
+
+    The exact path is a **block matmul**: rows are hashed into ``n_blocks``
+    buckets, each row is replicated to every block-pair it participates in
+    (O(n × n_blocks) rows — NOT O(n²) pairs), and each block-pair group
+    computes one BLAS gemm inside ``cogroup.applyInPandas``. Arrow transfer
+    and shuffle scale linearly with the corpus; only the *flops* are
+    quadratic, and they run at matrix-multiply speed. At 100 TB the same
+    plan holds with n_blocks sized so a block fits executor memory — or the
+    LSH path prunes first.
+    """
+    import numpy as np
+
+    @F.pandas_udf("double")
+    def _cos_batch(a: pd.Series, b: pd.Series) -> pd.Series:
+        A = np.stack(a.to_numpy()).astype(np.float64)
+        B = np.stack(b.to_numpy()).astype(np.float64)
+        num = np.einsum("ij,ij->i", A, B)
+        den = np.linalg.norm(A, axis=1) * np.linalg.norm(B, axis=1)
+        return pd.Series(np.where(den > 0, num / den, 0.0))
+
+    base = df.select(F.col(id_col).alias("id"), F.col(vec_col).alias("v"))
+    if n_hyperplanes > 0:
+        # deterministic pseudo-random hyperplanes: sign of sum_i v[i]*h(seed,i)
+        dim_idx = F.sequence(F.lit(1), F.size("v"))
+        sig = F.array(*[
+            (
+                F.aggregate(
+                    F.zip_with(
+                        F.col("v"), dim_idx,
+                        lambda x, i: x.cast("double")
+                        * (F.pmod(F.xxhash64(i, F.lit(s)), F.lit(2001)) - 1000)
+                        / 1000.0,
+                    ),
+                    F.lit(0.0), lambda acc, x: acc + x,
+                )
+                > 0
+            ).cast("int")
+            for s in range(n_hyperplanes)
+        ])
+        base = base.withColumn("bucket", F.xxhash64(sig.cast("string")))
+        join_cond = (F.col("a.bucket") == F.col("b.bucket")) & (
+            F.col("a.id") < F.col("b.id"))
+        base = base.persist()
+        a, b = base.alias("a"), base.alias("b")
+        return (
+            a.join(b, join_cond)
+            .select(
+                F.col("a.id").alias("id_a"),
+                F.col("b.id").alias("id_b"),
+                _cos_batch(F.col("a.v"), F.col("b.v")).alias("_cos"),
+            )
+            .filter(F.col("_cos") >= threshold)
+            .select("id_a", "id_b", F.round("_cos", 4).alias("cosine"))
+        )
+    return _block_matmul_pairs(base, threshold, n_blocks)
+
+
+def _block_matmul_pairs(base: DataFrame, threshold: float,
+                        n_blocks: int) -> DataFrame:
+    """Exact all-pairs cosine >= threshold via block-pair gemm.
+
+    Row with block i is sent to groups (i, j) for j >= i as side A and to
+    groups (i', i) for i' <= i as side B; each (i, j) group multiplies its
+    A-block against its B-block. Replication is n_blocks× per side — linear,
+    tunable — while the quadratic work happens inside BLAS.
+    """
+    import numpy as np
+
+    nb = n_blocks
+    blk = F.pmod(F.xxhash64("id"), F.lit(nb)).cast("int")
+    e = base.withColumn("_blk", blk)
+    # one tagged union instead of a cogroup: rows of block i fan out as
+    # side 0 to groups (i, j>=i) and as side 1 to groups (i'<=i, i)
+    side_a = e.select(
+        "id", "v",
+        F.col("_blk").alias("gi"),
+        F.explode(F.sequence(F.col("_blk"), F.lit(nb - 1))).alias("gj"),
+        F.lit(0).alias("side"),
+    )
+    side_b = e.select(
+        "id", "v",
+        F.explode(F.sequence(F.lit(0), F.col("_blk"))).alias("gi"),
+        F.col("_blk").alias("gj"),
+        F.lit(1).alias("side"),
+    )
+
+    thr = float(threshold)
+
+    def gemm(key, pdf: pd.DataFrame) -> pd.DataFrame:
+        empty = pd.DataFrame(
+            {"id_a": pd.Series(dtype="int64"),
+             "id_b": pd.Series(dtype="int64"),
+             "cosine": pd.Series(dtype="float64")})
+        left_pdf = pdf[pdf["side"] == 0]
+        right_pdf = pdf[pdf["side"] == 1]
+        if left_pdf.empty or right_pdf.empty:
+            return empty
+        A = np.stack(left_pdf["v"].to_numpy()).astype(np.float64)
+        B = np.stack(right_pdf["v"].to_numpy()).astype(np.float64)
+        An = np.linalg.norm(A, axis=1)
+        Bn = np.linalg.norm(B, axis=1)
+        An[An == 0] = 1.0
+        Bn[Bn == 0] = 1.0
+        # dot first, ONE division after — mirrors dot(a,b)/(|a||b|) so the
+        # rounding path matches scalar cosine implementations
+        S = (A @ B.T) / np.outer(An, Bn)
+        ia = left_pdf["id"].to_numpy()
+        ib = right_pdf["id"].to_numpy()
+        gi, gj = key
+        if gi == gj:
+            # diagonal block: both sides hold the same rows, each unordered
+            # pair appears twice — keep the ordered half
+            ra, rb = np.where((S >= thr) & (ia[:, None] < ib[None, :]))
+            id_a, id_b = ia[ra], ib[rb]
+        else:
+            # off-diagonal: blocks are disjoint, every pair appears exactly
+            # once — keep all, canonicalize to (min, max)
+            ra, rb = np.where(S >= thr)
+            id_a = np.minimum(ia[ra], ib[rb])
+            id_b = np.maximum(ia[ra], ib[rb])
+        return pd.DataFrame({
+            "id_a": id_a, "id_b": id_b,
+            "cosine": np.round(S[ra, rb], 4),
+        })
+
+    return (
+        side_a.unionByName(side_b)
+        .groupBy("gi", "gj")
+        .applyInPandas(gemm, schema="id_a long, id_b long, cosine double")
     )
 
 

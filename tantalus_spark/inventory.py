@@ -297,6 +297,137 @@ def q30_running_sum(spark, sf_dir):
     )
 
 
+def q31_asof_join(spark, sf_dir):
+    """As-of join (union + window carry-forward — one shuffle, no pair
+    explosion): each error event picks up the most recent prior-or-same
+    click by the same user. Custom operator Spark lacks natively."""
+    from tantalus_spark.operators.joins import asof_join
+
+    e = db_for(spark, sf_dir).table("events")
+    errs = e.filter(F.col("event_type") == "error").select(
+        "event_id", "user_id", "ts")
+    # dedupe right side per (key, time) so ties are deterministic
+    clicks = (
+        e.filter(F.col("event_type") == "click")
+        .groupBy("user_id", F.col("ts").alias("click_ts"))
+        .agg(F.max("value").alias("click_value"))
+    )
+    return asof_join(errs, clicks, on="user_id",
+                     left_time="ts", right_time="click_ts")
+
+
+def q32_range_join(spark, sf_dir):
+    """Point-in-band range join against a broadcast band dimension."""
+    from tantalus_spark.operators.joins import range_join
+
+    o = db_for(spark, sf_dir).table("orders")
+    spark_bands = o.sparkSession.createDataFrame(
+        [("low", 0.0, 50_000.0), ("mid", 50_000.0, 150_000.0),
+         ("high", 150_000.0, 300_000.0), ("whale", 300_000.0, 1e12)],
+        "band string, lo double, hi double",
+    )
+    joined = range_join(o, spark_bands, "o_totalprice")
+    return (
+        joined.groupBy("band")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            _dec_sum(F.col("o_totalprice"), 2, "band_total"),
+        )
+    )
+
+
+def q33_collect_set(spark, sf_dir):
+    """Sorted distinct value list per group (SURVEY §2.10 D2
+    get_storage_names; reference models.py:380-385,567-572)."""
+    o = db_for(spark, sf_dir).table("orders")
+    return o.groupBy("o_custkey").agg(
+        F.concat_ws(",", F.sort_array(F.collect_set("o_orderpriority")))
+        .alias("priorities"),
+        F.count(F.lit(1)).alias("n_orders"),
+    )
+
+
+def q34_percentiles(spark, sf_dir):
+    """Exact interpolated percentiles per group (Catalyst extension beyond
+    the reference's aggregate set, SURVEY §2.4 note)."""
+    li = db_for(spark, sf_dir).table("lineitem")
+    return li.groupBy("l_returnflag").agg(
+        F.round(F.percentile("l_extendedprice", F.lit(0.5)), 4).alias("p50"),
+        F.round(F.percentile("l_extendedprice", F.lit(0.9)), 4).alias("p90"),
+        F.round(F.percentile("l_extendedprice", F.lit(0.99)), 4).alias("p99"),
+    )
+
+
+def q35_moving_avg(spark, sf_dir):
+    """Moving average over an explicit rows frame (SURVEY §2.6 frame-spec
+    extension)."""
+    li = db_for(spark, sf_dir).table("lineitem")
+    w = (
+        W.partitionBy("l_suppkey")
+        .orderBy("l_shipdate", "l_orderkey", "l_linenumber")
+        .rowsBetween(-3, 0)
+    )
+    return li.select(
+        "l_suppkey", "l_orderkey", "l_linenumber",
+        F.round(F.avg("l_quantity").over(w), 4).alias("ma4_qty"),
+    )
+
+
+def q36_first_last(spark, sf_dir):
+    """first_value / last_value / nth_value over full-partition frames."""
+    li = db_for(spark, sf_dir).table("lineitem")
+    # (l_orderkey, l_linenumber) is NOT unique in this data — the full
+    # 4-column key is, and a deterministic total order is what makes
+    # first/last/nth reproducible across engines
+    full = (
+        W.partitionBy("l_orderkey")
+        .orderBy("l_linenumber", "l_shipdate", "l_partkey", "l_suppkey")
+        .rowsBetween(W.unboundedPreceding, W.unboundedFollowing)
+    )
+    return li.select(
+        "l_orderkey", "l_linenumber",
+        F.first("l_shipdate").over(full).alias("first_ship"),
+        F.last("l_shipdate").over(full).alias("last_ship"),
+        F.nth_value("l_shipdate", 2).over(full).alias("second_ship"),
+    )
+
+
+def q37_explode_tokens(spark, sf_dir):
+    """split + explode (SURVEY §2.8 F5: CSV tag lists, whitespace lists)."""
+    p = db_for(spark, sf_dir).table("part")
+    return (
+        p.select(F.explode(F.split("p_name", " ")).alias("token"))
+        .groupBy("token")
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+
+
+def q38_cube(spark, sf_dir):
+    """CUBE with grouping_id (Catalyst freebie beyond the reference)."""
+    li = db_for(spark, sf_dir).table("lineitem")
+    return li.cube("l_returnflag", "l_linestatus").agg(
+        F.sum("l_quantity").alias("sum_qty"),
+        F.count(F.lit(1)).alias("n"),
+        F.grouping_id().cast("int").alias("gid"),
+    )
+
+
+def q39_dashboard_counts(spark, sf_dir):
+    """HomeView dashboard: all entity counts in ONE job via union (SURVEY
+    §2.4 A1; reference views.py:1827-1837 runs 9 sequential queries)."""
+    db = db_for(spark, sf_dir)
+    frames = [
+        db.table(t).agg(F.count(F.lit(1)).alias("n"))
+        .select(F.lit(t).alias("entity"), "n")
+        for t in ("region", "nation", "customer", "supplier", "part",
+                  "orders", "lineitem", "events")
+    ]
+    out = frames[0]
+    for fr in frames[1:]:
+        out = out.unionByName(fr)
+    return out
+
+
 # --------------------------------------------------------------------------
 # §2.7 — set operations
 # --------------------------------------------------------------------------
@@ -523,6 +654,28 @@ def q50_sessionization(spark, sf_dir):
     )
 
 
+def q51_embedding_near_dup(spark, sf_dir):
+    """Embedding-cosine near-duplicate pairs (exact all-pairs verifier;
+    the LSH-bucketed variant is the scale path, covered by unit tests)."""
+    emb = db_for(spark, sf_dir).table("embeddings")
+    return similarity.embedding_near_dup_pairs(emb, threshold=0.45)
+
+
+def q52_ivf_ann(spark, sf_dir):
+    """IVF-style approximate nearest neighbors: assign vectors to the
+    nearest of 8 deterministic centroids (vec_id 0..7), probe the 2 lists
+    closest to the query (vec_id 0's embedding), exact top-10 within them."""
+    emb = db_for(spark, sf_dir).table("embeddings")
+    cent_rows = (
+        emb.filter(F.col("vec_id") < 8).orderBy("vec_id")
+        .select("embedding").collect()
+    )
+    centroids = [[float(x) for x in r[0]] for r in cent_rows]
+    qvec = centroids[0]
+    assigned = similarity.ivf_assign(emb, centroids)
+    return similarity.ivf_topk(assigned, centroids, qvec, k=10, nprobe=2)
+
+
 QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     name[1:]: fn
     for name, fn in list(globals().items())
@@ -720,6 +873,80 @@ ORACLES: dict[str, str] = {
                  ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS running_qty
         FROM lineitem
     """,
+    "31_asof_join": """
+        WITH clicks AS (
+          SELECT user_id, ts AS click_ts, max(value) AS click_value
+          FROM events WHERE event_type = 'click' GROUP BY 1, 2),
+        errs AS (SELECT event_id, user_id, ts FROM events
+                 WHERE event_type = 'error')
+        SELECT e.event_id, e.user_id, e.ts, c.click_ts, c.click_value
+        FROM errs e ASOF LEFT JOIN clicks c
+          ON e.user_id = c.user_id AND e.ts >= c.click_ts
+    """,
+    "32_range_join": """
+        WITH bands(band, lo, hi) AS (VALUES
+          ('low', 0.0, 50000.0), ('mid', 50000.0, 150000.0),
+          ('high', 150000.0, 300000.0), ('whale', 300000.0, 1e12))
+        SELECT band, count(*) AS n,
+               CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE)
+                 AS band_total
+        FROM orders LEFT JOIN bands
+          ON o_totalprice >= lo AND o_totalprice < hi
+        GROUP BY band
+    """,
+    "33_collect_set": """
+        SELECT o_custkey,
+               array_to_string(list_sort(list(DISTINCT o_orderpriority)), ',')
+                 AS priorities,
+               count(*) AS n_orders
+        FROM orders GROUP BY o_custkey
+    """,
+    "34_percentiles": """
+        SELECT l_returnflag,
+               round(quantile_cont(l_extendedprice, 0.5), 4) AS p50,
+               round(quantile_cont(l_extendedprice, 0.9), 4) AS p90,
+               round(quantile_cont(l_extendedprice, 0.99), 4) AS p99
+        FROM lineitem GROUP BY l_returnflag
+    """,
+    "35_moving_avg": """
+        SELECT l_suppkey, l_orderkey, l_linenumber,
+               round(avg(l_quantity) OVER (PARTITION BY l_suppkey
+                 ORDER BY l_shipdate, l_orderkey, l_linenumber
+                 ROWS BETWEEN 3 PRECEDING AND CURRENT ROW), 4) AS ma4_qty
+        FROM lineitem
+    """,
+    "36_first_last": """
+        SELECT l_orderkey, l_linenumber,
+               first_value(l_shipdate) OVER w AS first_ship,
+               last_value(l_shipdate) OVER w AS last_ship,
+               nth_value(l_shipdate, 2) OVER w AS second_ship
+        FROM lineitem
+        WINDOW w AS (PARTITION BY l_orderkey
+          ORDER BY l_linenumber, l_shipdate, l_partkey, l_suppkey
+          ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING)
+    """,
+    "37_explode_tokens": """
+        SELECT token, count(*) AS n
+        FROM (SELECT unnest(string_split(p_name, ' ')) AS token FROM part)
+        GROUP BY token
+    """,
+    "38_cube": """
+        SELECT l_returnflag, l_linestatus,
+               SUM(l_quantity) AS sum_qty, count(*) AS n,
+               CAST(GROUPING(l_returnflag) * 2 + GROUPING(l_linestatus)
+                    AS INTEGER) AS gid
+        FROM lineitem GROUP BY CUBE (l_returnflag, l_linestatus)
+    """,
+    "39_dashboard_counts": """
+        SELECT 'region' AS entity, count(*) AS n FROM region
+        UNION ALL SELECT 'nation', count(*) FROM nation
+        UNION ALL SELECT 'customer', count(*) FROM customer
+        UNION ALL SELECT 'supplier', count(*) FROM supplier
+        UNION ALL SELECT 'part', count(*) FROM part
+        UNION ALL SELECT 'orders', count(*) FROM orders
+        UNION ALL SELECT 'lineitem', count(*) FROM lineitem
+        UNION ALL SELECT 'events', count(*) FROM events
+    """,
     "40_dedup_exact": """
         SELECT md5(text) AS content_md5, min(doc_id) AS keep_id,
                count(*) AS n_copies
@@ -792,6 +1019,31 @@ ORACLES: dict[str, str] = {
                sha256(text) AS sha256,
                substr(md5(lower(trim(text))), 1, 8) AS norm_prefix
         FROM documents
+    """,
+    "51_embedding_near_dup": """
+        WITH e AS (SELECT vec_id, embedding::DOUBLE[] v FROM embeddings)
+        SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+               round(list_cosine_similarity(a.v, b.v), 4) AS cosine
+        FROM e a JOIN e b ON a.vec_id < b.vec_id
+        WHERE list_cosine_similarity(a.v, b.v) >= 0.45
+    """,
+    "52_ivf_ann": """
+        WITH e AS (SELECT vec_id, embedding::DOUBLE[] v FROM embeddings),
+        cent AS (SELECT vec_id AS cid, v AS cv FROM e WHERE vec_id < 8),
+        q AS (SELECT v AS qv FROM e WHERE vec_id = 0),
+        assign AS (
+          SELECT e.vec_id, e.v,
+                 (SELECT cid FROM cent
+                  ORDER BY list_cosine_similarity(e.v, cent.cv) DESC, cid ASC
+                  LIMIT 1) AS lst
+          FROM e),
+        probe AS (SELECT cid FROM cent, q
+                  ORDER BY list_cosine_similarity(cv, qv) DESC, cid ASC
+                  LIMIT 2)
+        SELECT a.vec_id, round(list_cosine_similarity(a.v, qv), 4) AS cosine
+        FROM assign a, q WHERE a.lst IN (SELECT cid FROM probe)
+        ORDER BY list_cosine_similarity(a.v, qv) DESC, a.vec_id ASC
+        LIMIT 10
     """,
     "49_tumbling_window": """
         SELECT time_bucket(INTERVAL 1 HOUR, ts) AS ws, event_type,
