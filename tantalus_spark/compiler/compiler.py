@@ -349,25 +349,37 @@ class QuerySet:
         return running.join(matches, on=pk, how=how)
 
     def _apply_annotations(self, running: DataFrame, pk: str) -> DataFrame:
+        """Aggregates sharing the same join path fuse into ONE subplan
+        (single join + groupBy with N agg exprs) — Django runs these as one
+        SQL query too, and unfused they each cost a scan + shuffle + join.
+        Different paths stay separate: sharing one frame across paths would
+        fan out (the classic multi-aggregate-annotate bug)."""
+        groups: dict[tuple[str, ...], list[tuple[str, Aggregate]]] = {}
         for name, agg in self._annotations.items():
+            res = self._resolve_path(agg.path)
+            path_key = tuple(s.accessor for s in res.steps)
+            groups.setdefault(path_key, []).append((name, agg))
+        for items in groups.values():
             frame = _JoinFrame(self, running)
-            col, _, _ = frame.resolve(agg.path)
+            exprs = []
+            for name, agg in items:
+                col, _, _ = frame.resolve(agg.path)
+                if agg.kind == "count":
+                    expr = (F.countDistinct(col) if agg.distinct
+                            else F.count(col))
+                else:
+                    expr = getattr(F, agg.kind)(col)
+                exprs.append(expr.alias(name))
             key = F.col(f"{frame.root_alias}.{pk}")
-            if agg.kind == "count":
-                expr = (F.countDistinct(col) if agg.distinct
-                        else F.count(col))
-            else:
-                expr = getattr(F, agg.kind)(col)
-            grouped = (
-                frame.df.groupBy(key.alias("__k")).agg(expr.alias(name))
-            )
+            grouped = frame.df.groupBy(key.alias("__k")).agg(*exprs)
             running = running.join(
                 grouped, running[pk] == grouped["__k"], "left"
             ).drop("__k")
-            if agg.kind == "count":
-                running = running.withColumn(
-                    name, F.coalesce(F.col(name), F.lit(0))
-                )
+            for name, agg in items:
+                if agg.kind == "count":
+                    running = running.withColumn(
+                        name, F.coalesce(F.col(name), F.lit(0))
+                    )
         return running
 
     # ---- actions ---------------------------------------------------------
