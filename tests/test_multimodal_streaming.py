@@ -109,6 +109,27 @@ def test_windowed_counts_stream_matches_batch(spark, event_dir):
            {key(r): (r["n"], r["sum_value"]) for r in batch}
 
 
+def test_stateful_running_totals(spark, event_dir):
+    # one file per trigger -> state must survive across micro-batches
+    stream = se.read_event_stream(spark, event_dir, max_files_per_trigger=1)
+    rows = se.run_to_completion(
+        se.user_running_totals(stream), "t_state",
+        output_mode="update").collect()
+    finals = {}
+    for r in rows:                      # last emitted row per user wins
+        finals[r["user_id"]] = (r["n_events"], r["total_value"])
+    batch = {
+        r["user_id"]: (r["n"], r["tv"])
+        for r in spark.read.parquet(event_dir)
+        .groupBy("user_id")
+        .agg(F.count(F.lit(1)).alias("n"), F.sum("value").alias("tv"))
+        .collect()
+    }
+    assert finals == batch
+    # state actually accumulated across batches: more emissions than users
+    assert len(rows) > len(finals)
+
+
 def test_session_windows(spark, event_dir):
     stream = se.read_event_stream(spark, event_dir)
     rows = se.run_to_completion(
