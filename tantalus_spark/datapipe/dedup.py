@@ -59,7 +59,12 @@ def shingles(df: DataFrame, n: int = 3, text_col: str = "text",
     toked = df.select(
         F.col(id_col), tokens(F.lower(F.col(text_col))).alias("_toks"))
     toks = F.col("_toks")
-    idx = F.sequence(F.lit(1), F.greatest(F.size(toks) - (n - 1), F.lit(0)))
+    # guard: Spark's sequence(1, 0) counts DOWN ([1, 0]) instead of being
+    # empty — docs shorter than n tokens must yield no shingles
+    idx = F.when(
+        F.size(toks) >= n,
+        F.sequence(F.lit(1), F.size(toks) - (n - 1)),
+    ).otherwise(F.array().cast("array<int>"))
     gram = F.transform(
         idx,
         lambda i: F.concat_ws(

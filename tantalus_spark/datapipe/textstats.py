@@ -7,7 +7,7 @@ single map-stage over the documents table unless noted.
 
 from __future__ import annotations
 
-from pyspark.sql import Column, DataFrame
+from pyspark.sql import Column, DataFrame, Window as W
 from pyspark.sql import functions as F
 
 # Small stopword marker sets per language for the n-gram/stopword language
@@ -102,4 +102,71 @@ def fingerprint(df: DataFrame, text_col: str = "text",
         F.md5(text).alias("md5"),
         F.sha2(text, 256).alias("sha256"),
         F.substring(F.md5(F.lower(F.trim(text))), 1, 8).alias("norm_prefix"),
+    )
+
+
+_WIN_M = 1_000_000_007  # prime modulus keeps products inside BIGINT range
+_WIN_B = 1_000_003      # polynomial base
+
+
+def _token_hash_mod(tok) -> "F.Column":
+    """Cross-engine token hash: first 15 hex chars of md5 as int, mod M —
+    bit-identical in Spark (conv) and DuckDB (hex-literal cast)."""
+    return F.pmod(
+        F.conv(F.substring(F.md5(tok), 1, 15), 16, 10).cast("long"),
+        F.lit(_WIN_M),
+    )
+
+
+def winnowing_fingerprints(df: DataFrame, k: int = 5, window: int = 4,
+                           text_col: str = "text",
+                           id_col: str = "doc_id") -> DataFrame:
+    """Winnowing (Schleimer/Wilkerson/Aiken, SIGMOD'03) document
+    fingerprints: polynomial rolling hash over token k-grams, then the min
+    hash of every sliding window of ``window`` consecutive k-grams; the
+    distinct window-minima are the fingerprint set.
+
+    Guarantees at least one shared fingerprint for any token run of length
+    >= k + window - 1 shared between documents — positional near-dup
+    detection that survives insertions, unlike whole-document digests.
+
+    All hashing is modular integer arithmetic (md5-derived token hashes,
+    mod 1e9+7) so a SQL oracle can reproduce it bit-for-bit. The k-gram
+    hashes are built inside the token array (one row per k-gram only after
+    the cheap posexplode of longs — the token array is never duplicated
+    per position). Returns (id, fp) distinct.
+    """
+    toked = df.select(
+        F.col(id_col), tokens(F.lower(F.col(text_col))).alias("_toks"))
+    toks = F.col("_toks")
+    # guard: Spark's sequence(1, 0) counts DOWN ([1, 0]) instead of being
+    # empty — docs shorter than k tokens must yield no grams
+    idx = F.when(
+        F.size(toks) >= k,
+        F.sequence(F.lit(1), F.size(toks) - (k - 1)),
+    ).otherwise(F.array().cast("array<int>"))
+    b_pows = [pow(_WIN_B, j, _WIN_M) for j in range(k)]
+
+    def gram_hash(i):
+        acc = F.lit(0)
+        for j in range(k):
+            term = F.pmod(
+                _token_hash_mod(F.element_at(toks, i + j)) * F.lit(b_pows[j]),
+                F.lit(_WIN_M),
+            )
+            acc = acc + term
+        return F.pmod(acc, F.lit(_WIN_M))
+
+    grams = toked.select(
+        F.col(id_col),
+        F.posexplode(F.transform(idx, gram_hash)).alias("pos", "gh"),
+    )
+    w = (
+        W.partitionBy(id_col).orderBy("pos")
+        .rowsBetween(0, window - 1)
+    )
+    return (
+        grams.withColumn("fp", F.min("gh").over(w))
+        .select(F.col(id_col), "fp")
+        .dropDuplicates([id_col, "fp"])
     )

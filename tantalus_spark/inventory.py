@@ -676,6 +676,19 @@ def q52_ivf_ann(spark, sf_dir):
     return similarity.ivf_topk(assigned, centroids, qvec, k=10, nprobe=2)
 
 
+def q53_winnowing(spark, sf_dir):
+    """Winnowing rolling-hash fingerprints (positional near-dup detection),
+    aggregated per doc for a stable signature."""
+    docs = db_for(spark, sf_dir).table("documents")
+    fps = textstats.winnowing_fingerprints(docs, k=5, window=4)
+    return fps.groupBy("doc_id").agg(
+        F.count(F.lit(1)).alias("n_fp"),
+        F.min("fp").alias("min_fp"),
+        F.max("fp").alias("max_fp"),
+        F.sum("fp").alias("sum_fp"),
+    )
+
+
 QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     name[1:]: fn
     for name, fn in list(globals().items())
@@ -1044,6 +1057,30 @@ ORACLES: dict[str, str] = {
         FROM assign a, q WHERE a.lst IN (SELECT cid FROM probe)
         ORDER BY list_cosine_similarity(a.v, qv) DESC, a.vec_id ASC
         LIMIT 10
+    """,
+    "53_winnowing": """
+        WITH toked AS (
+          SELECT doc_id,
+                 string_split_regex(trim(lower(text)), '\\s+') AS t
+          FROM documents),
+        grams AS (
+          SELECT doc_id, i AS pos,
+                 (  (('0x'||substr(md5(t[i]),  1,15))::BIGINT % 1000000007) * 1         % 1000000007
+                  + (('0x'||substr(md5(t[i+1]),1,15))::BIGINT % 1000000007) * 1000003   % 1000000007
+                  + (('0x'||substr(md5(t[i+2]),1,15))::BIGINT % 1000000007) * 5993009   % 1000000007
+                  + (('0x'||substr(md5(t[i+3]),1,15))::BIGINT % 1000000007) * 26937076  % 1000000007
+                  + (('0x'||substr(md5(t[i+4]),1,15))::BIGINT % 1000000007) * 156622669 % 1000000007
+                 ) % 1000000007 AS gh
+          FROM toked, UNNEST(range(1, greatest(len(t)-3, 1))) AS u(i)),
+        wins AS (
+          SELECT doc_id,
+                 min(gh) OVER (PARTITION BY doc_id ORDER BY pos
+                   ROWS BETWEEN CURRENT ROW AND 3 FOLLOWING) AS fp
+          FROM grams),
+        fps AS (SELECT DISTINCT doc_id, fp FROM wins)
+        SELECT doc_id, count(*) AS n_fp, min(fp) AS min_fp,
+               max(fp) AS max_fp, CAST(SUM(fp) AS BIGINT) AS sum_fp
+        FROM fps GROUP BY doc_id
     """,
     "49_tumbling_window": """
         SELECT time_bucket(INTERVAL 1 HOUR, ts) AS ws, event_type,

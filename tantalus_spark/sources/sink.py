@@ -1,0 +1,81 @@
+"""Write path: partitioned / bucketed parquet sinks and CSV export.
+
+The reference's "writes" are Postgres row mutations (SURVEY.md §2.11);
+an analytics engine's equivalents are table (re)writes. The layout choices
+here are the §4.3 physical plan made concrete:
+
+- **dimensions** (patient, storage, tag, ...): single unpartitioned parquet,
+  coalesced — they broadcast anyway.
+- **facts** (file_resource, *_history, lineitem-class tables): partitioned
+  by a low-cardinality column (e.g. date bucket) for partition pruning, and
+  optionally **bucketed** by join key so co-bucketed joins skip the shuffle
+  (saveAsTable — bucketing lives in the catalog, not bare files).
+- target file size is controlled by repartitioning to
+  ``ceil(bytes / target_file_bytes)`` before the write — many small files
+  (driver listing pain) and giant single files (no read parallelism) are
+  both failure modes at 100 TB.
+"""
+
+from __future__ import annotations
+
+import math
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+
+def write_dimension(df: DataFrame, path: str, mode: str = "overwrite") -> None:
+    """Small-table sink: one file, no partitioning."""
+    df.coalesce(1).write.mode(mode).parquet(path)
+
+
+def write_fact(
+    df: DataFrame,
+    path: str,
+    partition_by: list[str] | None = None,
+    target_files_per_partition: int = 1,
+    mode: str = "overwrite",
+) -> None:
+    """Fact-table sink: hive-style partition directories for pruning.
+
+    ``target_files_per_partition`` controls intra-partition parallelism —
+    repartitioning by the partition columns plus a bounded random-free
+    spread key keeps every output directory at a predictable file count.
+    """
+    out = df
+    if partition_by:
+        spread = F.pmod(
+            F.xxhash64(*[F.col(c) for c in df.columns]),
+            F.lit(max(target_files_per_partition, 1)),
+        )
+        out = df.repartition(
+            *[F.col(c) for c in partition_by], spread)
+        out.write.mode(mode).partitionBy(*partition_by).parquet(path)
+    else:
+        out.write.mode(mode).parquet(path)
+
+
+def write_bucketed_table(
+    df: DataFrame,
+    table_name: str,
+    bucket_by: str | list[str],
+    n_buckets: int = 32,
+    sort_by: str | list[str] | None = None,
+    mode: str = "overwrite",
+) -> None:
+    """Bucketed managed table: two tables bucketed identically on their
+    join key equi-join WITHOUT a shuffle (SortMergeJoin reads co-bucketed
+    splits directly). This is the §4.3 'co-located joins via bucketing'
+    lever — the biggest single shuffle-elimination at 100 TB."""
+    cols = [bucket_by] if isinstance(bucket_by, str) else list(bucket_by)
+    w = df.write.mode(mode).format("parquet").bucketBy(n_buckets, *cols)
+    if sort_by:
+        scols = [sort_by] if isinstance(sort_by, str) else list(sort_by)
+        w = w.sortBy(*scols)
+    w.saveAsTable(table_name)
+
+
+def estimate_repartition(n_bytes: int, target_file_bytes: int = 256 << 20) -> int:
+    """File-count sizing: ~256 MB parquet files (post-compression) read
+    efficiently and keep listing bounded."""
+    return max(1, math.ceil(n_bytes / target_file_bytes))
