@@ -35,7 +35,7 @@ from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
 from tantalus_spark.catalog.relations import Step
-from tantalus_spark.compiler.lookups import LOOKUPS
+from tantalus_spark.compiler.lookups import LOOKUPS, TRANSFORMS
 from tantalus_spark.compiler.q import Aggregate, F_ref, Q
 
 _alias_counter = itertools.count()
@@ -54,6 +54,7 @@ class _Resolved:
     lookup: str
     many: bool
     fk_shortcircuit: bool = False  # final segment was a forward FK compared by key
+    transform: str | None = None   # datetime transform (year/month/.../date)
 
 
 class _JoinFrame:
@@ -72,15 +73,19 @@ class _JoinFrame:
         res = self.qs._resolve_path(path)
         if res.fk_shortcircuit or not res.steps:
             col = F.col(f"{self.root_alias}.{res.column}")
-            return col, res.lookup, res.many
-        prefix: tuple[str, ...] = ()
-        cur_alias = self.root_alias
-        for step in res.steps:
-            prefix = prefix + (step.accessor,)
-            if prefix not in self.aliases:
-                self.aliases[prefix] = (self._attach(cur_alias, step), step.dst)
-            cur_alias = self.aliases[prefix][0]
-        return F.col(f"{cur_alias}.{res.column}"), res.lookup, res.many
+        else:
+            prefix: tuple[str, ...] = ()
+            cur_alias = self.root_alias
+            for step in res.steps:
+                prefix = prefix + (step.accessor,)
+                if prefix not in self.aliases:
+                    self.aliases[prefix] = (
+                        self._attach(cur_alias, step), step.dst)
+                cur_alias = self.aliases[prefix][0]
+            col = F.col(f"{cur_alias}.{res.column}")
+        if res.transform:
+            col = TRANSFORMS[res.transform](col)
+        return col, res.lookup, res.many
 
     def _attach(self, src_alias: str, step: Step) -> str:
         """LEFT-join the step's target (via its junction for M2M) and return
@@ -222,12 +227,15 @@ class QuerySet:
         if head == "pk":
             head = cat.pk(table)
         if head in columns:
-            lookup = "exact"
-            if len(rest) > 1:
-                if len(rest) != 2 or rest[1] not in LOOKUPS:
+            lookup, transform = "exact", None
+            tail = rest[1:]
+            if tail and tail[0] in TRANSFORMS:
+                transform, tail = tail[0], tail[1:]
+            if tail:
+                if len(tail) != 1 or tail[0] not in LOOKUPS:
                     raise ValueError(f"bad lookup tail {rest[1:]} in {path!r}")
-                lookup = rest[1]
-            return _Resolved(steps, head, lookup, many)
+                lookup = tail[0]
+            return _Resolved(steps, head, lookup, many, transform=transform)
         if head in LOOKUPS and len(rest) == 1:
             # e.g. tags__isnull=True — existence test on the relation itself
             return _Resolved(steps, cat.pk(table), head, many)

@@ -35,6 +35,21 @@ def _range(col: Column, value) -> Column:
     return col.between(F.lit(lo), F.lit(hi))
 
 
+# Django datetime transforms: applied to the column BEFORE the final lookup
+# (``created__year=2019``, ``created__month__gte=6``). dayofweek matches
+# Django's week_day numbering (1=Sunday..7=Saturday) exactly.
+TRANSFORMS: dict[str, Callable[[Column], Column]] = {
+    "year": F.year,
+    "month": F.month,
+    "day": F.dayofmonth,
+    "hour": F.hour,
+    "minute": F.minute,
+    "second": F.second,
+    "quarter": F.quarter,
+    "week_day": F.dayofweek,
+    "date": F.to_date,
+}
+
 LOOKUPS: dict[str, Callable[[Column, object], Column]] = {
     "exact": _exact,
     "iexact": _iexact,

@@ -689,6 +689,29 @@ def q53_winnowing(spark, sf_dir):
     )
 
 
+def q54_date_lookups(spark, sf_dir):
+    """Django datetime-transform lookups compiled to native date functions
+    (``__year`` / ``__quarter__in``; Django doc parity beyond the
+    reference's own usage)."""
+    db = db_for(spark, sf_dir)
+    qs = db.query("orders").filter(
+        o_orderdate__year=1997, o_orderdate__quarter__in=[1, 2])
+    return (
+        qs.to_df()
+        .groupBy(F.month("o_orderdate").cast("int").alias("om"))
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+
+
+def q55_regex_lookup(spark, sf_dir):
+    """regex / iregex lookups -> rlike (SURVEY §2.8 F10)."""
+    db = db_for(spark, sf_dir)
+    qs = db.query("part").filter(p_name__regex="^[ab]", p_type__iregex="^econ")
+    return (
+        qs.to_df().groupBy("p_brand").agg(F.count(F.lit(1)).alias("n"))
+    )
+
+
 QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     name[1:]: fn
     for name, fn in list(globals().items())
@@ -1081,6 +1104,18 @@ ORACLES: dict[str, str] = {
         SELECT doc_id, count(*) AS n_fp, min(fp) AS min_fp,
                max(fp) AS max_fp, CAST(SUM(fp) AS BIGINT) AS sum_fp
         FROM fps GROUP BY doc_id
+    """,
+    "54_date_lookups": """
+        SELECT CAST(month(o_orderdate) AS INTEGER) AS om, count(*) AS n
+        FROM orders
+        WHERE year(o_orderdate) = 1997 AND quarter(o_orderdate) IN (1, 2)
+        GROUP BY 1
+    """,
+    "55_regex_lookup": """
+        SELECT p_brand, count(*) AS n FROM part
+        WHERE regexp_matches(p_name, '^[ab]')
+          AND regexp_matches(p_type, '(?i)^econ')
+        GROUP BY p_brand
     """,
     "49_tumbling_window": """
         SELECT time_bucket(INTERVAL 1 HOUR, ts) AS ws, event_type,

@@ -156,3 +156,26 @@ def test_count_and_exists_actions(tdb):
     assert tdb.query("tag").count() == 3
     assert tdb.query("tag").filter(name="prod").exists()
     assert not tdb.query("tag").filter(name="nope").exists()
+
+
+def test_datetime_transform_lookups(tdb):
+    # created__year / created__month__gte (lookups.TRANSFORMS chaining)
+    qs = tdb.query("file_resource").filter(created__year=2018)
+    assert qs.count() == 3
+    qs = tdb.query("file_resource").filter(
+        created__year=2018, created__month__gte=2)
+    ids = sorted(r["id"] for r in qs.to_df().select("id").collect())
+    assert ids == [2, 3]
+
+
+def test_transform_on_joined_path(tdb):
+    # transform applied after a join hop
+    qs = tdb.query("sequence_dataset").filter(
+        analysis__last_updated__year=2019)
+    ids = sorted(r["id"] for r in qs.to_df().select("id").collect())
+    assert ids == [1, 3]
+
+
+def test_regex_lookup(tdb):
+    qs = tdb.query("analysis").filter(version__regex=r"^v\d+\.\d+\.\d+$")
+    assert qs.count() == 2  # 'bogus' rejected
