@@ -712,6 +712,22 @@ def q55_regex_lookup(spark, sf_dir):
     )
 
 
+def q56_funnel(spark, sf_dir):
+    """Ordered conversion funnel view -> click -> purchase."""
+    from tantalus_spark.datapipe.funnel import funnel
+
+    e = db_for(spark, sf_dir).table("events")
+    return funnel(e, ["view", "click", "purchase"])
+
+
+def q57_retention(spark, sf_dir):
+    """Weekly cohort retention over the events stream."""
+    from tantalus_spark.datapipe.funnel import retention
+
+    e = db_for(spark, sf_dir).table("events")
+    return retention(e, period="week")
+
+
 QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     name[1:]: fn
     for name, fn in list(globals().items())
@@ -1116,6 +1132,33 @@ ORACLES: dict[str, str] = {
         WHERE regexp_matches(p_name, '^[ab]')
           AND regexp_matches(p_type, '(?i)^econ')
         GROUP BY p_brand
+    """,
+    "56_funnel": """
+        WITH s0 AS (
+          SELECT user_id, min(ts) AS t FROM events
+          WHERE event_type = 'view' GROUP BY 1),
+        s1 AS (
+          SELECT e.user_id, min(e.ts) AS t
+          FROM events e JOIN s0 ON e.user_id = s0.user_id AND e.ts > s0.t
+          WHERE e.event_type = 'click' GROUP BY 1),
+        s2 AS (
+          SELECT e.user_id, min(e.ts) AS t
+          FROM events e JOIN s1 ON e.user_id = s1.user_id AND e.ts > s1.t
+          WHERE e.event_type = 'purchase' GROUP BY 1)
+        SELECT 'view' AS step, 0 AS step_idx, count(*) AS n_users FROM s0
+        UNION ALL SELECT 'click', 1, count(*) FROM s1
+        UNION ALL SELECT 'purchase', 2, count(*) FROM s2
+    """,
+    "57_retention": """
+        WITH act AS (
+          SELECT DISTINCT user_id AS u, date_trunc('week', ts) AS p
+          FROM events),
+        cohort AS (SELECT u, min(p) AS cohort FROM act GROUP BY u)
+        SELECT cohort,
+               CAST(date_diff('day', cohort, p) / 7 AS INTEGER) AS k,
+               count(DISTINCT u) AS n_users
+        FROM act JOIN cohort USING (u)
+        GROUP BY 1, 2
     """,
     "49_tumbling_window": """
         SELECT time_bucket(INTERVAL 1 HOUR, ts) AS ws, event_type,
