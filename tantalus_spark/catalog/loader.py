@@ -85,6 +85,13 @@ class Database:
         for name, df in self._tables.items():
             df.createOrReplaceTempView(f"{prefix}{name}")
 
+    def sql(self, query: str) -> DataFrame:
+        """ANSI-SQL front door: every table is a temp view; the statement
+        goes straight to Catalyst (same engine, same plans as the
+        DataFrame API)."""
+        self.register_views()
+        return self.spark.sql(query)
+
 
 def load_dir(
     spark: SparkSession,

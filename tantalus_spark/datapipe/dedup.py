@@ -195,12 +195,16 @@ def minhash_lsh_pairs(
         .select(F.col(f"a.{id_col}").alias("d1"), F.col(f"b.{id_col}").alias("d2"))
         .dropDuplicates()
     )
-    # verify candidates with true shingle Jaccard (join is candidate-bounded)
+    # verify candidates with true shingle Jaccard. The candidate set is
+    # orders of magnitude smaller than the posting list — broadcast it into
+    # both probes so the big side never shuffles on doc id.
+    cand = cand.persist()
     counts = sh.groupBy(id_col).agg(F.count(F.lit(1)).alias("n_sh"))
     s1 = sh.select(F.col(id_col).alias("d1"), "shingle")
     s2 = sh.select(F.col(id_col).alias("d2"), "shingle")
     inter = (
-        cand.join(s1, "d1").join(s2, ["d2", "shingle"])
+        s1.join(F.broadcast(cand), "d1")
+        .join(s2, ["d2", "shingle"])
         .groupBy("d1", "d2").agg(F.count(F.lit(1)).alias("inter"))
     )
     jac = F.col("inter") / (F.col("n1") + F.col("n2") - F.col("inter"))

@@ -728,6 +728,16 @@ def q57_retention(spark, sf_dir):
     return retention(e, period="week")
 
 
+def q58_clean_corpus(spark, sf_dir):
+    """End-to-end corpus cleaning pipeline (quality -> language -> exact
+    dedup) as one Catalyst plan."""
+    from tantalus_spark.datapipe.pipeline import clean_corpus
+
+    docs = db_for(spark, sf_dir).table("documents")
+    return clean_corpus(docs, min_tokens=10, max_tokens=100_000,
+                        min_alpha_ratio=0.5, langs=("en",))
+
+
 QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     name[1:]: fn
     for name, fn in list(globals().items())
@@ -1159,6 +1169,42 @@ ORACLES: dict[str, str] = {
                count(DISTINCT u) AS n_users
         FROM act JOIN cohort USING (u)
         GROUP BY 1, 2
+    """,
+    "58_clean_corpus": """
+        WITH q AS (
+          SELECT doc_id,
+                 CAST(len(string_split_regex(trim(text), '\\s+')) AS INTEGER)
+                   AS n_tokens,
+                 round(length(regexp_replace(text, '[^a-zA-Z]', '', 'g'))*1.0
+                       / length(text), 4) AS alpha_ratio,
+                 md5(text) AS m
+          FROM documents),
+        t AS (SELECT doc_id, ' ' || lower(text) || ' ' AS txt FROM documents),
+        s AS (SELECT doc_id,
+               len(string_split(txt, ' the '))-1 + len(string_split(txt, ' and '))-1
+                  + len(string_split(txt, ' of '))-1 + len(string_split(txt, ' a '))-1 AS score_en,
+               len(string_split(txt, ' el '))-1 + len(string_split(txt, ' la '))-1
+                  + len(string_split(txt, ' los '))-1 + len(string_split(txt, ' de '))-1 AS score_es,
+               len(string_split(txt, ' le '))-1 + len(string_split(txt, ' la '))-1
+                  + len(string_split(txt, ' les '))-1 + len(string_split(txt, ' des '))-1 AS score_fr,
+               len(string_split(txt, ' der '))-1 + len(string_split(txt, ' die '))-1
+                  + len(string_split(txt, ' das '))-1 + len(string_split(txt, ' und '))-1 AS score_de
+              FROM t),
+        l AS (SELECT doc_id,
+               CASE WHEN greatest(score_en, score_es, score_fr, score_de) = 0 THEN 'unknown'
+                    WHEN score_en = greatest(score_en, score_es, score_fr, score_de) THEN 'en'
+                    WHEN score_es = greatest(score_en, score_es, score_fr, score_de) THEN 'es'
+                    WHEN score_fr = greatest(score_en, score_es, score_fr, score_de) THEN 'fr'
+                    ELSE 'de' END AS lang_pred
+              FROM s),
+        gated AS (
+          SELECT q.doc_id, q.n_tokens, l.lang_pred, q.m
+          FROM q JOIN l USING (doc_id)
+          WHERE q.n_tokens BETWEEN 10 AND 100000
+            AND q.alpha_ratio >= 0.5 AND l.lang_pred IN ('en')),
+        keep AS (SELECT m, min(doc_id) AS doc_id FROM gated GROUP BY m)
+        SELECT g.doc_id, g.n_tokens, g.lang_pred
+        FROM gated g JOIN keep k ON g.doc_id = k.doc_id AND g.m = k.m
     """,
     "49_tumbling_window": """
         SELECT time_bucket(INTERVAL 1 HOUR, ts) AS ws, event_type,

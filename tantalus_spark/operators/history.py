@@ -42,6 +42,27 @@ def append_history(history_df: DataFrame, snapshot: DataFrame,
     return history_df.unionByName(stamped)
 
 
+def table_as_of(history_df: DataFrame, ts, key_col: str = "id") -> DataFrame:
+    """Reconstruct the table's state at time *ts* from its append-only
+    history: the latest snapshot per key at-or-before ts, excluding keys
+    whose latest operation was a delete ('-').
+
+    This is point-in-time time travel over simple-history-style tables —
+    one window pass, no self-joins; same shape Delta Lake time travel
+    resolves to internally.
+    """
+    w = (
+        W.partitionBy(key_col)
+        .orderBy(F.col("history_date").desc(), F.col("history_id").desc())
+    )
+    return (
+        history_df.filter(F.col("history_date") <= F.lit(ts).cast("timestamp"))
+        .withColumn("__rn", F.row_number().over(w))
+        .filter((F.col("__rn") == 1) & (F.col("history_type") != "-"))
+        .drop("__rn", *HISTORY_COLS)
+    )
+
+
 def curation_changes(db: Database) -> DataFrame:
     """The change log for all curations at once (services.py:4-78 parity).
 

@@ -250,3 +250,34 @@ def test_history_append(tdb, spark):
     assert out.count() == hist.count() + 1
     row = out.filter(F.col("history_id") == 10).first()
     assert row["history_type"] == "~" and row["name"] == "unused"
+
+
+def test_table_as_of(tdb):
+    from tantalus_spark.operators.history import table_as_of
+
+    hist = tdb.table("curation_history")
+    at_feb = {r["id"]: r["version"] for r in
+              table_as_of(hist, dt.datetime(2019, 2, 15)).collect()}
+    assert at_feb == {1: "v2.0.0", 2: "v1.0.0"}
+    at_jan = {r["id"]: r["version"] for r in
+              table_as_of(hist, dt.datetime(2019, 1, 15)).collect()}
+    assert at_jan == {1: "v1.0.0"}
+
+
+def test_table_as_of_excludes_deleted(tdb):
+    from tantalus_spark.operators.history import table_as_of
+
+    cdh = tdb.table("curation_dataset_history")
+    alive = {r["id"] for r in
+             table_as_of(cdh, dt.datetime(2019, 2, 15)).collect()}
+    # cd row 4 was deleted ('-') on 2019-02-01; 1,2,3 live
+    assert 4 not in alive and {1, 2, 3} <= alive
+
+
+def test_database_sql_front_door(tdb):
+    out = tdb.sql("""
+        SELECT s.sample_id, count(*) AS n
+        FROM sequence_dataset d JOIN sample s ON d.sample_id_fk = s.id
+        GROUP BY s.sample_id ORDER BY n DESC, s.sample_id LIMIT 1
+    """).collect()
+    assert out[0]["sample_id"] == "SA928" and out[0]["n"] == 2
