@@ -2,9 +2,11 @@
 
 ``entry(spark)`` runs the flagship multi-hop join + aggregate;
 ``queries()`` exposes the full operator inventory (SURVEY.md §2 parity
-classes + the LLM-data-pipeline operators); ``oracle_sql()`` gives the
-DuckDB-equivalent SQL for every SQL-expressible query (all but MinHash-LSH
-and SimHash, whose hash functions have no SQL counterpart — rows-only).
+classes + the LLM-data-pipeline operators: dedup, similarity, text
+analysis, event analytics, corpus cleaning); ``oracle_sql()`` gives the
+DuckDB-equivalent SQL for every SQL-expressible query — all but MinHash-LSH
+and SimHash, whose banded xxhash64 candidate generation has no SQL
+counterpart (rows-only checks by design).
 """
 
 from __future__ import annotations

@@ -171,6 +171,14 @@ class QuerySet:
         ]
         return clone
 
+    def values_list(self, *paths: str, flat: bool = False) -> "QuerySet":
+        """Django ``values_list`` parity (reference models.py:380-385,
+        forms.py:650-652): projection to the named paths; ``flat=True``
+        requires exactly one path (single-column frame)."""
+        if flat and len(paths) != 1:
+            raise ValueError("flat=True requires exactly one path")
+        return self.values(*paths)
+
     def distinct(self) -> "QuerySet":
         clone = self._clone()
         clone._distinct = True

@@ -1,0 +1,89 @@
+"""Property-based invariants (SURVEY.md §5): pagination completeness /
+disjointness, filter-chain commutativity, semi-join vs join+distinct
+equivalence. Hypothesis drives the parameters; Spark jobs per example are
+seconds, so example counts stay small."""
+
+from __future__ import annotations
+
+from hypothesis import given, settings, strategies as st
+
+from pyspark.sql import functions as F
+
+from tantalus_spark.operators.pagination import paginate
+
+
+@settings(max_examples=8, deadline=None)
+@given(page_size=st.integers(min_value=1, max_value=7))
+def test_pagination_partitions_exactly(tdb, page_size):
+    df = tdb.table("sequence_dataset")
+    total = df.count()
+    seen: list[int] = []
+    page_no = 1
+    while True:
+        page = paginate(df, ["id"], page=page_no, page_size=page_size)
+        ids = [r["id"] for r in page.rows.select("id").collect()]
+        if not ids:
+            break
+        seen.extend(ids)
+        page_no += 1
+        if page_no > page.num_pages:
+            break
+    assert len(seen) == total == len(set(seen))
+    assert seen == sorted(seen)
+
+
+_FILTERS = [
+    {"dataset_type": "BAM"},
+    {"is_production": True},
+    {"tags__name": "prod"},
+    {"sample__sample_id__istartswith": "sa1"},
+    {"library__library_type__name__in": ["WGS", "DLP"]},
+]
+
+
+@settings(max_examples=10, deadline=None)
+@given(
+    idx=st.lists(st.integers(min_value=0, max_value=len(_FILTERS) - 1),
+                 min_size=2, max_size=3, unique=True),
+    order=st.randoms(),
+)
+def test_filter_chain_commutative(tdb, idx, order):
+    picked = [_FILTERS[i] for i in idx]
+    qs_fwd = tdb.query("sequence_dataset")
+    for f in picked:
+        qs_fwd = qs_fwd.filter(**f)
+    shuffled = list(picked)
+    order.shuffle(shuffled)
+    qs_rev = tdb.query("sequence_dataset")
+    for f in shuffled:
+        qs_rev = qs_rev.filter(**f)
+    a = sorted(r["id"] for r in qs_fwd.to_df().select("id").collect())
+    b = sorted(r["id"] for r in qs_rev.to_df().select("id").collect())
+    assert a == b
+
+
+@settings(max_examples=6, deadline=None)
+@given(tag=st.sampled_from(["prod", "qc", "unused"]))
+def test_semi_join_equals_join_distinct(tdb, tag):
+    # single filter on a multi-valued path: the compiler's semi-join result
+    # must equal the naive join + distinct-on-pk
+    compiled = sorted(
+        r["id"] for r in tdb.query("sequence_dataset")
+        .filter(tags__name=tag).to_df().select("id").collect())
+    ds = tdb.table("sequence_dataset")
+    jt = tdb.table("sequencedataset_tags")
+    tags = tdb.table("tag")
+    naive = (
+        ds.join(jt, ds["id"] == jt["sequencedataset_id"])
+        .join(tags, jt["tag_id"] == tags["id"])
+        .filter(tags["name"] == tag)
+        .select(ds["id"]).dropDuplicates(["id"])
+    )
+    assert compiled == sorted(r["id"] for r in naive.collect())
+
+
+def test_values_list_flat(tdb):
+    qs = tdb.query("sample").filter(patient__patient_id="SA100") \
+        .values_list("sample_id", flat=True)
+    vals = sorted(r[0] for r in qs.to_df().collect())
+    assert vals == ["SA100A", "SA100B"]
