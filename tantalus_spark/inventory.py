@@ -738,6 +738,18 @@ def q58_clean_corpus(spark, sf_dir):
                         min_alpha_ratio=0.5, langs=("en",))
 
 
+def q59_sliding_window(spark, sf_dir):
+    """Hopping (sliding) windows batch analog: 2-hour windows every hour —
+    each event lands in two overlapping windows (streaming §2.9 parity in
+    batch form, like q49 for tumbling)."""
+    e = db_for(spark, sf_dir).table("events")
+    return (
+        e.groupBy(F.window("ts", "2 hours", "1 hour").alias("w"), "event_type")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .select(F.col("w.start").alias("ws"), "event_type", "n")
+    )
+
+
 QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     name[1:]: fn
     for name, fn in list(globals().items())
@@ -1205,6 +1217,16 @@ ORACLES: dict[str, str] = {
         keep AS (SELECT m, min(doc_id) AS doc_id FROM gated GROUP BY m)
         SELECT g.doc_id, g.n_tokens, g.lang_pred
         FROM gated g JOIN keep k ON g.doc_id = k.doc_id AND g.m = k.m
+    """,
+    "59_sliding_window": """
+        SELECT ws, event_type, count(*) AS n FROM (
+          SELECT time_bucket(INTERVAL 1 HOUR, ts) AS ws, event_type
+          FROM events
+          UNION ALL
+          SELECT time_bucket(INTERVAL 1 HOUR, ts) - INTERVAL 1 HOUR,
+                 event_type
+          FROM events)
+        GROUP BY 1, 2
     """,
     "49_tumbling_window": """
         SELECT time_bucket(INTERVAL 1 HOUR, ts) AS ws, event_type,

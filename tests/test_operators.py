@@ -281,3 +281,20 @@ def test_database_sql_front_door(tdb):
         GROUP BY s.sample_id ORDER BY n DESC, s.sample_id LIMIT 1
     """).collect()
     assert out[0]["sample_id"] == "SA928" and out[0]["n"] == 2
+
+
+def test_approx_aggregates_bounded_error(spark):
+    # Catalyst freebies beyond the reference's aggregate set (SURVEY §2.4):
+    # approximate distinct/percentile must land within their error bounds
+    from tantalus_spark.catalog.loader import read_parquet
+
+    li = read_parquet(spark, "/root/testdata/sf0.001/lineitem.parquet")
+    exact = li.select(F.countDistinct("l_partkey")).collect()[0][0]
+    approx = li.select(
+        F.approx_count_distinct("l_partkey", rsd=0.02)).collect()[0][0]
+    assert abs(approx - exact) / exact < 0.1
+    p50_exact = li.select(
+        F.expr("percentile(l_extendedprice, 0.5)")).collect()[0][0]
+    p50_approx = li.select(
+        F.percentile_approx("l_extendedprice", 0.5, 10000)).collect()[0][0]
+    assert abs(p50_approx - p50_exact) / p50_exact < 0.05
