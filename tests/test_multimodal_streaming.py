@@ -144,3 +144,28 @@ def test_session_windows(spark, event_dir):
     # user 11: 0:40 alone, then 2:30+2:45 together -> 2 sessions
     assert len(by_user[11]) == 2
     assert sorted(r["session_value"] for r in by_user[11]) == [3.0, 11.0]
+
+
+def test_stream_history_capture(spark, event_dir, tmp_path_factory):
+    from tantalus_spark.streaming.ingest import stream_history_capture
+
+    out = str(tmp_path_factory.mktemp("hist_out"))
+    ckpt = str(tmp_path_factory.mktemp("hist_ckpt"))
+    stream = se.read_event_stream(spark, event_dir, max_files_per_trigger=1)
+    q = stream_history_capture(stream, out, ckpt)
+    q.awaitTermination()
+    back = spark.read.parquet(out)
+    src = spark.read.parquet(event_dir)
+    assert back.count() == src.count()
+    # date-partitioned layout + history typing applied
+    assert "__event_date" in back.columns
+    types = {r["history_type"] for r in back.select("history_type").collect()}
+    assert types <= {"+", "-", "~"}
+    n_err = src.filter("event_type = 'error'").count()
+    assert back.filter("history_type = '-'").count() == n_err
+    # restart with same checkpoint: no new data -> no duplicates
+    q2 = stream_history_capture(
+        se.read_event_stream(spark, event_dir, max_files_per_trigger=1),
+        out, ckpt)
+    q2.awaitTermination()
+    assert spark.read.parquet(out).count() == src.count()
