@@ -38,8 +38,11 @@ HEADLINE = [
     "45_minhash_lsh",
     "47_ann_cosine",
     "49_tumbling_window",
-    "51_embedding_near_dup",
     "50_sessionization",
+    "51_embedding_near_dup",
+    "53_winnowing",
+    "56_funnel",
+    "58_clean_corpus",
 ]
 
 

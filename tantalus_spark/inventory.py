@@ -750,6 +750,29 @@ def q59_sliding_window(spark, sf_dir):
     )
 
 
+_MH_M = 1_000_000_007
+_MH_A = [3, 5, 7, 11, 13, 17, 19, 23]
+_MH_B = [1, 2, 4, 8, 16, 32, 64, 128]
+
+
+def q60_minhash_signatures(spark, sf_dir):
+    """MinHash signature math, oracle-verified: per-doc min of 8 universal
+    hash permutations h_p(s) = (a_p*H(s)+b_p) mod M over the distinct
+    3-gram shingle set, with H = md5-derived (cross-engine identical).
+    The production pipeline (q45) uses xxhash64 for speed — this query
+    proves the signature construction itself against SQL."""
+    docs = db_for(spark, sf_dir).table("documents")
+    sh = dedup.shingles(docs, n=3, hashed=False)
+    h = F.pmod(
+        F.conv(F.substring(F.md5("shingle"), 1, 15), 16, 10).cast("long"),
+        F.lit(_MH_M),
+    )
+    return sh.groupBy("doc_id").agg(*[
+        F.min(F.pmod(h * F.lit(a) + F.lit(b), F.lit(_MH_M))).alias(f"h{i}")
+        for i, (a, b) in enumerate(zip(_MH_A, _MH_B))
+    ])
+
+
 QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     name[1:]: fn
     for name, fn in list(globals().items())
@@ -1227,6 +1250,27 @@ ORACLES: dict[str, str] = {
                  event_type
           FROM events)
         GROUP BY 1, 2
+    """,
+    "60_minhash_signatures": """
+        WITH tok AS (
+          SELECT doc_id, string_split_regex(trim(lower(text)), '\\s+') AS t
+          FROM documents),
+        sh AS (
+          SELECT DISTINCT doc_id, t[i] || ' ' || t[i+1] || ' ' || t[i+2] AS shingle
+          FROM tok, UNNEST(range(1, greatest(len(t)-1, 1))) AS u(i)),
+        h AS (SELECT doc_id,
+                     ('0x'||substr(md5(shingle),1,15))::BIGINT % 1000000007 AS hv
+              FROM sh)
+        SELECT doc_id,
+               min((hv*3  + 1)   % 1000000007) AS h0,
+               min((hv*5  + 2)   % 1000000007) AS h1,
+               min((hv*7  + 4)   % 1000000007) AS h2,
+               min((hv*11 + 8)   % 1000000007) AS h3,
+               min((hv*13 + 16)  % 1000000007) AS h4,
+               min((hv*17 + 32)  % 1000000007) AS h5,
+               min((hv*19 + 64)  % 1000000007) AS h6,
+               min((hv*23 + 128) % 1000000007) AS h7
+        FROM h GROUP BY doc_id
     """,
     "49_tumbling_window": """
         SELECT time_bucket(INTERVAL 1 HOUR, ts) AS ws, event_type,
