@@ -119,3 +119,39 @@ def to_json_rows(page: Page) -> list[str]:
     """Serialization boundary (df.toJSON) — driver-side only for page-sized
     results."""
     return page.rows.toJSON().collect()
+
+
+def datatables_list(
+    db: Database,
+    endpoint: str,
+    search_fields: list[str],
+    search_value: str = "",
+    order_by: list[str] | None = None,
+    start: int = 0,
+    length: int = 50,
+) -> dict:
+    """Datatables server-side protocol (reference views.py:1290-1398,
+    ``DatasetListJSON``): token search = AND across whitespace tokens of OR
+    across the searchable fields (views.py:1197-1213), multi-column order,
+    offset/length slice, and both totals. ``length`` caps at 50
+    (max_display_length, views.py:1328)."""
+    from tantalus_spark.compiler import Q
+
+    length = min(length, 50)
+    qs = db.query(endpoint)
+    total = qs.count()
+    for token in (search_value or "").split():
+        node = None
+        for f in search_fields:
+            leaf = Q(**{f"{f}__icontains": token})
+            node = leaf if node is None else (node | leaf)
+        qs = qs.filter(node)
+    qs = qs.distinct()
+    filtered_df = qs.to_df()
+    page = paginate(filtered_df, order_by or ["id"],
+                    page=start // max(length, 1) + 1, page_size=length)
+    return {
+        "recordsTotal": total,
+        "recordsFiltered": page.total,
+        "data": [r.asDict() for r in page.rows.collect()],
+    }

@@ -77,3 +77,31 @@ def test_filterset_coverage_matches_reference():
     # 13 filtersets, mirroring tantalus/api/filters.py
     assert len(FILTERSETS) == 13
     assert NO_DISTINCT == {"file_resource", "file_instance"}
+
+
+def test_datatables_token_search(tdb):
+    from tantalus_spark.operators.services import datatables_list
+
+    out = datatables_list(
+        tdb, "sequence_dataset",
+        search_fields=["name", "dataset_type", "sample__sample_id"],
+        search_value="BAM sa9",   # AND across tokens, OR across fields
+        order_by=["-id"])
+    assert out["recordsTotal"] == 5
+    # BAM datasets of sample SA928/sa928: DS3 (BAM, SA928), DS5 (BAM, SA101A?
+    # no — only datasets matching BOTH tokens somewhere)
+    ids = [row["id"] for row in out["data"]]
+    assert ids == sorted(ids, reverse=True)
+    assert out["recordsFiltered"] == len(ids)
+    for row in out["data"]:
+        assert row["dataset_type"] == "BAM"
+
+
+def test_datatables_page_cap_and_slice(tdb):
+    from tantalus_spark.operators.services import datatables_list
+
+    out = datatables_list(tdb, "sequence_dataset", ["name"],
+                          length=2, start=2)
+    assert [r["id"] for r in out["data"]] == [3, 4]
+    big = datatables_list(tdb, "sequence_dataset", ["name"], length=999)
+    assert len(big["data"]) == 5  # cap applies but data fits anyway
