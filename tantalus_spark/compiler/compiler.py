@@ -386,11 +386,20 @@ class QuerySet:
                 else:
                     expr = getattr(F, agg.kind)(col)
                 exprs.append(expr.alias(name))
-            key = F.col(f"{frame.root_alias}.{pk}")
-            grouped = frame.df.groupBy(key.alias("__k")).agg(*exprs)
-            running = running.join(
-                grouped, running[pk] == grouped["__k"], "left"
-            ).drop("__k")
+            # carry the root columns THROUGH the aggregation with first()
+            # (constant per group: root pk is unique, fan-out rows repeat
+            # them) instead of joining the aggregate back to the root —
+            # saves a re-scan of the root table and a sort-merge join
+            root = frame.root_alias
+            carry = [
+                F.first(F.col(f"{root}.{c}")).alias(c)
+                for c in running.columns if c != pk
+            ]
+            running = (
+                frame.df
+                .groupBy(F.col(f"{root}.{pk}").alias(pk))
+                .agg(*carry, *exprs)
+            )
             for name, agg in items:
                 if agg.kind == "count":
                     running = running.withColumn(
