@@ -90,16 +90,27 @@ def partial_key_match(lookup: str, labels: dict[str, str]) -> str | None:
 
 
 def entity_matches(db: Database, table: str, fields: list[str],
-                   query: str) -> DataFrame:
+                   query: str, tokenized: bool = False) -> DataFrame:
     """Distinct root rows whose concatenated search text contains *query*
-    (case-insensitive). One join context = one SearchVector annotate."""
+    (case-insensitive). One join context = one SearchVector annotate.
+
+    ``tokenized=True`` is the SearchVector-faithful mode (reference
+    ``Q(search=q)`` with a ``SearchVector``): the query splits on
+    whitespace and EVERY token must appear somewhere in the concatenated
+    text (AND of containments), instead of one whole-phrase substring."""
     qs = db.query(table)
     frame = _JoinFrame(qs, db.table(table))
     cols = [frame.resolve(path)[0] for path in fields]
     search = F.lower(F.concat_ws(" ", *[c.cast("string") for c in cols]))
+    if tokenized:
+        pred = F.lit(True)
+        for token in query.lower().split():
+            pred = pred & search.contains(token)
+    else:
+        pred = search.contains(query.lower())
     pk = db.catalog.pk(table)
     matched = (
-        frame.df.filter(search.contains(query.lower()))
+        frame.df.filter(pred)
         .select(F.col(f"{frame.root_alias}.{pk}").alias("id"))
         .dropDuplicates(["id"])
     )
@@ -115,11 +126,12 @@ def entity_matches(db: Database, table: str, fields: list[str],
     )
 
 
-def free_text_search(db: Database, query: str) -> DataFrame:
+def free_text_search(db: Database, query: str,
+                     tokenized: bool = False) -> DataFrame:
     """The full §3.3 pipeline as ONE logical plan: 7 entity scans + the two
     enum-label bonus scans, unioned and deduplicated."""
     frames = [
-        entity_matches(db, table, fields, query)
+        entity_matches(db, table, fields, query, tokenized=tokenized)
         for table, fields in SEARCH_FIELDS.items()
     ]
     centre = partial_key_match(query, SEQUENCING_CENTRE_LABELS)

@@ -105,3 +105,49 @@ def test_datatables_page_cap_and_slice(tdb):
     assert [r["id"] for r in out["data"]] == [3, 4]
     big = datatables_list(tdb, "sequence_dataset", ["name"], length=999)
     assert len(big["data"]) == 5  # cap applies but data fits anyway
+
+
+def test_tokenized_search_mode(tdb):
+    from tantalus_spark.operators.search import free_text_search
+
+    # phrase mode: 'SA928 DS3' as one substring matches nothing
+    phrase = free_text_search(tdb, "SA928 DS3").collect()
+    assert not any(r["entity"] == "sequence_dataset" for r in phrase)
+    # tokenized mode: both tokens appear across DS3's search fields
+    tok = {(r["entity"], r["id"])
+           for r in free_text_search(tdb, "SA928 DS3", tokenized=True).collect()}
+    assert ("sequence_dataset", 3) in tok
+
+
+def test_values_m2m_fanout_matches_django(tdb):
+    # Django values() through an M2M path fans out one row per related row;
+    # distinct() collapses it. Mirror both.
+    qs = tdb.query("sequence_dataset").filter(id=1).values("id", "tags__name")
+    rows = sorted(map(tuple, qs.to_df().collect()))
+    assert rows == [(1, "prod"), (1, "qc")]
+    assert qs.distinct().to_df().count() == 2
+
+
+def test_migrations_pipeline(tdb, spark):
+    from tantalus_spark.catalog.migrations import (
+        Migration, add_column, check_schema, drop_column, migrate,
+        rename_column, retype_column)
+
+    v1 = spark.createDataFrame([(1, "a", "10")], "id long, nm string, sz string")
+    migs = [
+        Migration(2, "rename nm->name", rename_column("nm", "name")),
+        Migration(3, "size to long", retype_column("sz", "long")),
+        Migration(4, "add is_deleted", add_column("is_deleted", "boolean", False)),
+        Migration(5, "drop legacy sz", drop_column("legacy")),
+    ]
+    out = migrate(v1, migs)
+    assert out.columns == ["id", "name", "sz", "is_deleted"]
+    row = out.collect()[0]
+    assert row["sz"] == 10 and row["is_deleted"] is False
+    assert check_schema(out, ["id", "name", "sz", "is_deleted"]) == []
+    assert check_schema(out, ["id", "name"]) == [
+        "unexpected column 'is_deleted'", "unexpected column 'sz'"]
+    # partial upgrade: data already at v3 only gets v4+v5
+    v3 = spark.createDataFrame([(1, "a", 10)], "id long, name string, sz long")
+    out3 = migrate(v3, migs, from_version=3)
+    assert out3.columns == ["id", "name", "sz", "is_deleted"]
