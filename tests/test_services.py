@@ -151,3 +151,33 @@ def test_migrations_pipeline(tdb, spark):
     v3 = spark.createDataFrame([(1, "a", 10)], "id long, name string, sz long")
     out3 = migrate(v3, migs, from_version=3)
     assert out3.columns == ["id", "name", "sz", "is_deleted"]
+
+
+def test_search_session_store(tdb):
+    from tantalus_spark.operators.sessions import SearchSessionStore
+
+    store = SearchSessionStore(ttl_seconds=100)
+    qs = tdb.query("sequence_dataset").filter(tags__name="prod")
+    h = store.save(qs, now=1000.0)
+    ids = sorted(r[0] for r in store.ids(h, now=1001.0).collect())
+    assert ids == [1, 2]
+    # rehydrate later requests via semi-join (pk__in analog)
+    hydrated = store.rehydrate(h, tdb.table("sequence_dataset"), now=1050.0)
+    assert sorted(r["id"] for r in hydrated.select("id").collect()) == [1, 2]
+    # TTL expiry
+    import pytest as _pytest
+    with _pytest.raises(KeyError):
+        store.ids(h, now=2000.0)
+    assert len(store) == 0
+
+
+def test_search_session_release(tdb):
+    from tantalus_spark.operators.sessions import SearchSessionStore
+
+    store = SearchSessionStore()
+    h = store.save(tdb.query("tag"))
+    assert store.ids(h).count() == 3
+    store.release(h)
+    import pytest as _pytest
+    with _pytest.raises(KeyError):
+        store.ids(h)
