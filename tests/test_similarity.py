@@ -1,0 +1,74 @@
+"""Similarity-search quality + physical-layout tests: IVF recall against
+the exact baseline, and partition pruning when the corpus is written
+partitioned by IVF list (the 100 TB probe path)."""
+
+from __future__ import annotations
+
+import pytest
+
+from pyspark.sql import functions as F
+
+from tantalus_spark.catalog.loader import read_parquet
+from tantalus_spark.datapipe import similarity as sim
+
+SF = "/root/testdata/sf0.001"
+
+
+@pytest.fixture(scope="module")
+def emb(spark):
+    return read_parquet(spark, f"{SF}/embeddings.parquet")
+
+
+@pytest.fixture(scope="module")
+def centroids(emb):
+    rows = emb.filter(F.col("vec_id") < 8).orderBy("vec_id") \
+        .select("embedding").collect()
+    return [[float(x) for x in r[0]] for r in rows]
+
+
+def test_ivf_assignment_total(emb, centroids):
+    assigned = sim.ivf_assign(emb, centroids)
+    assert assigned.count() == emb.count()
+    n_lists = assigned.select("ivf_list").distinct().count()
+    assert 2 <= n_lists <= 8
+
+
+def test_ivf_recall_vs_exact(emb, centroids):
+    qvec = centroids[3]
+    exact = [r["vec_id"] for r in
+             sim.cosine_topk(emb, qvec, k=10).collect()]
+    assigned = sim.ivf_assign(emb, centroids)
+    approx = [r["vec_id"] for r in
+              sim.ivf_topk(assigned, centroids, qvec, k=10, nprobe=4).collect()]
+    recall = len(set(exact) & set(approx)) / 10
+    assert recall >= 0.5  # probing half the lists must recover most of top-10
+
+
+def test_ivf_partitioned_layout_prunes(spark, emb, centroids, tmp_path_factory):
+    path = str(tmp_path_factory.mktemp("ivf_layout"))
+    sim.ivf_assign(emb, centroids).write.mode("overwrite") \
+        .partitionBy("ivf_list").parquet(path)
+    back = spark.read.parquet(path)
+    probed = back.filter(F.col("ivf_list").isin([0, 3]))
+    plan = probed._jdf.queryExecution().executedPlan().toString()
+    assert "PartitionFilters: [" in plan
+    assert "ivf_list" in plan.split("PartitionFilters:")[1][:200]
+    # pruning is semantic too: only the probed lists' rows are read
+    lists = {r["ivf_list"] for r in probed.select("ivf_list").distinct().collect()}
+    assert lists <= {0, 3}
+
+
+def test_brute_force_knn_join(emb):
+    probes = emb.filter(F.col("vec_id") < 3)
+    out = sim.brute_force_knn_join(probes, emb, k=4)
+    rows = out.collect()
+    by_probe = {}
+    for r in rows:
+        by_probe.setdefault(r["probe_id"], []).append(r)
+    assert set(by_probe) == {0, 1, 2}
+    for pid, rs in by_probe.items():
+        ranks = sorted(r["rank"] for r in rs)
+        assert ranks == [1, 2, 3, 4]
+        # self-match ranks first with cosine ~1
+        top = min(rs, key=lambda r: r["rank"])
+        assert top["cand_id"] == pid and top["cosine"] >= 0.999
