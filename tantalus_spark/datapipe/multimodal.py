@@ -114,6 +114,40 @@ def frame_sample_plan(media: DataFrame, every_ms: int = 1000) -> DataFrame:
     )
 
 
+RESIZED_SCHEMA = (
+    "media_id long, width int, height int, payload binary, resized boolean"
+)
+
+
+def resize_images(media: DataFrame, target_w: int = 224,
+                  target_h: int = 224) -> DataFrame:
+    """Image resize plumbing via mapInPandas: prune to (id, payload),
+    map-only, no shuffle. The actual pixel transform is behind the same
+    ``set_decoder``-style stub boundary as decoding (Pillow is a
+    one-function swap); the deterministic fake emits the target dims and
+    passes the payload through so batch shapes and schemas are real."""
+
+    def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in it:
+            rows = []
+            for r in pdf.itertuples(index=False):
+                has = r.payload is not None
+                rows.append({
+                    "media_id": r.media_id,
+                    "width": target_w if has else None,
+                    "height": target_h if has else None,
+                    # stub: a real impl decodes + resizes + re-encodes here
+                    "payload": r.payload,
+                    "resized": has,
+                })
+            yield pd.DataFrame(rows, columns=[
+                "media_id", "width", "height", "payload", "resized"])
+
+    pruned = media.filter(F.col("kind") == "image") \
+        .select("media_id", "payload")
+    return pruned.mapInPandas(batches, schema=RESIZED_SCHEMA)
+
+
 def exact_media_dedup(media: DataFrame) -> DataFrame:
     """Exact duplicate media by payload digest — groupBy on the 16-byte md5,
     never on the payload itself."""

@@ -773,6 +773,20 @@ def q60_minhash_signatures(spark, sf_dir):
     ])
 
 
+def q61_hash_split(spark, sf_dir):
+    """Deterministic hash-based train/val/test split over documents —
+    reproducible, shuffle-free, engine-auditable (md5-bucket assignment)."""
+    from tantalus_spark.datapipe.sampling import hash_split
+
+    docs = db_for(spark, sf_dir).table("documents")
+    out = hash_split(docs, {"train": 0.8, "val": 0.1, "test": 0.1})
+    return out.groupBy("split").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.min("doc_id").alias("min_id"),
+        F.max("doc_id").alias("max_id"),
+    )
+
+
 QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     name[1:]: fn
     for name, fn in list(globals().items())
@@ -1271,6 +1285,21 @@ ORACLES: dict[str, str] = {
                min((hv*19 + 64)  % 1000000007) AS h6,
                min((hv*23 + 128) % 1000000007) AS h7
         FROM h GROUP BY doc_id
+    """,
+    "61_hash_split": """
+        WITH b AS (
+          SELECT doc_id,
+                 ('0x'||substr(md5(CAST(doc_id AS VARCHAR)),1,15))::BIGINT
+                   % 100 AS bkt
+          FROM documents),
+        s AS (SELECT doc_id,
+                     CASE WHEN bkt < 80 THEN 'train'
+                          WHEN bkt < 90 THEN 'val'
+                          ELSE 'test' END AS split
+              FROM b)
+        SELECT split, count(*) AS n, min(doc_id) AS min_id,
+               max(doc_id) AS max_id
+        FROM s GROUP BY split
     """,
     "49_tumbling_window": """
         SELECT time_bucket(INTERVAL 1 HOUR, ts) AS ws, event_type,

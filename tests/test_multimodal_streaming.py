@@ -169,3 +169,13 @@ def test_stream_history_capture(spark, event_dir, tmp_path_factory):
         out, ckpt)
     q2.awaitTermination()
     assert spark.read.parquet(out).count() == src.count()
+
+
+def test_resize_images_stub_plumbing(media):
+    out = {r["media_id"]: r for r in
+           mm.resize_images(media, 224, 224).collect()}
+    # only images pass the gate; payloads pass through the stub
+    assert set(out) == {1, 2, 5}
+    assert out[1]["width"] == 224 and out[1]["resized"]
+    assert out[1]["payload"] is not None
+    assert out[5]["width"] is None and not out[5]["resized"]

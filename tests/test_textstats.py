@@ -40,3 +40,25 @@ def test_fingerprints_deterministic(docs):
     b = {(r["doc_id"], r["fp"]) for r in
          winnowing_fingerprints(docs, k=5, window=4).collect()}
     assert a == b and len(a) > 0
+
+
+def test_hash_split_stable_and_partition_invariant(spark):
+    from tantalus_spark.catalog.loader import read_parquet
+    from tantalus_spark.datapipe.sampling import hash_split, stratified_sample
+
+    docs = read_parquet(spark, "/root/testdata/sf0.001/documents.parquet")
+    a = {(r["doc_id"], r["split"]) for r in
+         hash_split(docs, {"train": .8, "val": .1, "test": .1})
+         .select("doc_id", "split").collect()}
+    b = {(r["doc_id"], r["split"]) for r in
+         hash_split(docs.repartition(7), {"train": .8, "val": .1, "test": .1})
+         .select("doc_id", "split").collect()}
+    assert a == b                      # invariant under repartitioning
+    frac = {}
+    for _, s in a:
+        frac[s] = frac.get(s, 0) + 1
+    assert 0.7 < frac["train"] / len(a) < 0.9
+    # stratified sampling: deterministic under seed
+    s1 = stratified_sample(docs, "lang", {"en": 0.5}, seed=7).count()
+    s2 = stratified_sample(docs, "lang", {"en": 0.5}, seed=7).count()
+    assert s1 == s2
