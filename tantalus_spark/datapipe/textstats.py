@@ -136,9 +136,16 @@ def winnowing_fingerprints(df: DataFrame, k: int = 5, window: int = 4,
     the cheap posexplode of longs — the token array is never duplicated
     per position). Returns (id, fp) distinct.
     """
+    # hash every token ONCE into a materialized array — each token appears
+    # in up to k grams, so hashing inside the gram lambda would do k× the
+    # md5 work
     toked = df.select(
-        F.col(id_col), tokens(F.lower(F.col(text_col))).alias("_toks"))
-    toks = F.col("_toks")
+        F.col(id_col),
+        F.transform(
+            tokens(F.lower(F.col(text_col))), _token_hash_mod
+        ).alias("_th"),
+    )
+    toks = F.col("_th")
     # guard: Spark's sequence(1, 0) counts DOWN ([1, 0]) instead of being
     # empty — docs shorter than k tokens must yield no grams
     idx = F.when(
@@ -151,7 +158,7 @@ def winnowing_fingerprints(df: DataFrame, k: int = 5, window: int = 4,
         acc = F.lit(0)
         for j in range(k):
             term = F.pmod(
-                _token_hash_mod(F.element_at(toks, i + j)) * F.lit(b_pows[j]),
+                F.element_at(toks, i + j) * F.lit(b_pows[j]),
                 F.lit(_WIN_M),
             )
             acc = acc + term
