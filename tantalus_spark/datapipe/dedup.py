@@ -220,6 +220,77 @@ def minhash_lsh_pairs(
     )
 
 
+def connected_components(
+    edges: DataFrame,
+    src: str = "d1",
+    dst: str = "d2",
+    max_iter: int = 25,
+) -> DataFrame:
+    """Connected components by iterative min-label propagation:
+    (v, component) where component = min node id in v's component.
+
+    This is the clustering step after near-dup pair generation — pairs say
+    "A~B", components say "A,B,C,D are one duplicate group; keep min id".
+
+    Driver loop over DataFrames with a convergence check — the standard
+    Spark shape for fixpoint algorithms: each iteration is one shuffle-join
+    + groupBy min; iterations needed = graph diameter (near-dup clusters
+    are shallow). Each iteration's labels are localCheckpoint()ed: without
+    lineage truncation the plan doubles every round and the driver OOMs on
+    planning alone long before data size matters.
+    """
+    sym = (
+        edges.select(F.col(src).alias("s"), F.col(dst).alias("t"))
+        .union(edges.select(F.col(dst).alias("s"), F.col(src).alias("t")))
+        .distinct()
+        .persist()
+    )
+    labels = (
+        sym.select(F.col("s").alias("v"))
+        .distinct()
+        .withColumn("label", F.col("v"))
+        .localCheckpoint()
+    )
+    for _ in range(max_iter):
+        msgs = (
+            sym.join(labels.withColumnRenamed("v", "t"), "t")
+            .groupBy(F.col("s").alias("v"))
+            .agg(F.min("label").alias("nbr_min"))
+        )
+        new_labels = (
+            labels.join(msgs, "v", "left")
+            .select(
+                "v",
+                F.least(F.col("label"), F.coalesce("nbr_min", F.col("label")))
+                .alias("label"),
+            )
+            .localCheckpoint()
+        )
+        changed = (
+            new_labels.alias("n")
+            .join(labels.alias("o"), "v")
+            .filter(F.col("n.label") != F.col("o.label"))
+            .limit(1).count()
+        )
+        labels = new_labels
+        if changed == 0:
+            break
+    sym.unpersist()
+    return labels.select(F.col("v"), F.col("label").alias("component"))
+
+
+def dup_clusters(df: DataFrame, threshold: float = 0.2, n: int = 3,
+                 text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
+    """Near-duplicate clusters: Jaccard pairs -> connected components ->
+    (doc_id, cluster_id) for every doc in some duplicate group, with
+    cluster_id = the group's canonical (min) doc id."""
+    pairs = ngram_jaccard_pairs(df, n=n, threshold=threshold,
+                                text_col=text_col, id_col=id_col)
+    cc = connected_components(pairs)
+    return cc.select(F.col("v").alias(id_col),
+                     F.col("component").alias("cluster_id"))
+
+
 def simhash_signatures(df: DataFrame, text_col: str = "text",
                        id_col: str = "doc_id") -> DataFrame:
     """64-bit SimHash per document via a vectorized Arrow pandas_udf.

@@ -787,6 +787,13 @@ def q61_hash_split(spark, sf_dir):
     )
 
 
+def q62_dup_clusters(spark, sf_dir):
+    """Near-dup clusters: Jaccard pair graph -> connected components
+    (iterative min-label propagation vs the oracle's recursive CTE)."""
+    docs = db_for(spark, sf_dir).table("documents")
+    return dedup.dup_clusters(docs, threshold=0.2)
+
+
 QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     name[1:]: fn
     for name, fn in list(globals().items())
@@ -1300,6 +1307,31 @@ ORACLES: dict[str, str] = {
         SELECT split, count(*) AS n, min(doc_id) AS min_id,
                max(doc_id) AS max_id
         FROM s GROUP BY split
+    """,
+    "62_dup_clusters": """
+        WITH RECURSIVE tok AS (
+          SELECT doc_id, string_split_regex(trim(lower(text)), '\\s+') AS t
+          FROM documents),
+        sh AS (
+          SELECT DISTINCT doc_id, t[i] || ' ' || t[i+1] || ' ' || t[i+2] AS shingle
+          FROM tok, UNNEST(range(1, greatest(len(t)-1, 1))) AS u(i)),
+        counts AS (SELECT doc_id, count(*) AS n_sh FROM sh GROUP BY doc_id),
+        inter AS (
+          SELECT a.doc_id AS d1, b.doc_id AS d2, count(*) AS i
+          FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+          GROUP BY a.doc_id, b.doc_id),
+        pairs AS (
+          SELECT d1, d2 FROM inter
+          JOIN counts na ON na.doc_id = d1
+          JOIN counts nb ON nb.doc_id = d2
+          WHERE i*1.0/(na.n_sh + nb.n_sh - i) >= 0.2),
+        edges2 AS (SELECT d1 AS s, d2 AS t FROM pairs
+                   UNION SELECT d2, d1 FROM pairs),
+        reach AS (
+          SELECT s AS v, s AS l FROM edges2
+          UNION
+          SELECT e.s, r.l FROM edges2 e JOIN reach r ON e.t = r.v)
+        SELECT v AS doc_id, min(l) AS cluster_id FROM reach GROUP BY v
     """,
     "49_tumbling_window": """
         SELECT time_bucket(INTERVAL 1 HOUR, ts) AS ws, event_type,

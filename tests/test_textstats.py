@@ -62,3 +62,23 @@ def test_hash_split_stable_and_partition_invariant(spark):
     s1 = stratified_sample(docs, "lang", {"en": 0.5}, seed=7).count()
     s2 = stratified_sample(docs, "lang", {"en": 0.5}, seed=7).count()
     assert s1 == s2
+
+
+def test_connected_components_known_graph(spark):
+    from tantalus_spark.datapipe.dedup import connected_components
+
+    edges = spark.createDataFrame(
+        [(1, 2), (2, 3), (5, 6), (9, 3)], "d1 long, d2 long")
+    out = {r["v"]: r["component"]
+           for r in connected_components(edges).collect()}
+    assert out == {1: 1, 2: 1, 3: 1, 9: 1, 5: 5, 6: 5}
+
+
+def test_connected_components_long_chain(spark):
+    from tantalus_spark.datapipe.dedup import connected_components
+
+    edges = spark.createDataFrame(
+        [(i, i + 1) for i in range(12)], "d1 long, d2 long")
+    out = {r["v"]: r["component"]
+           for r in connected_components(edges).collect()}
+    assert set(out.values()) == {0} and len(out) == 13
