@@ -105,6 +105,42 @@ def fingerprint(df: DataFrame, text_col: str = "text",
     )
 
 
+def tfidf_top_terms(df: DataFrame, k: int = 5, text_col: str = "text",
+                    id_col: str = "doc_id") -> DataFrame:
+    """Top-k characteristic terms per document by TF-IDF.
+
+    One explode + two aggregations (term frequency per doc, document
+    frequency per term) + a rank window — all shuffles keyed on the 8-byte
+    term/doc ids' natural columns, corpus size N folded in as a broadcast
+    scalar. Deterministic tie-break (score desc, term asc)."""
+    toks = df.select(
+        F.col(id_col),
+        F.explode(tokens(F.lower(F.col(text_col)))).alias("term"),
+    )
+    tf = toks.groupBy(id_col, "term").agg(F.count(F.lit(1)).alias("tf"))
+    dfreq = (
+        tf.groupBy("term").agg(F.count(F.lit(1)).alias("df"))
+    )
+    # corpus size N: one count action, folded into the plan as a literal
+    n = df.count()
+    scored = (
+        tf.join(F.broadcast(dfreq), "term")
+        .withColumn(
+            "tfidf",
+            F.round(F.col("tf") * F.log(F.lit(float(n)) / F.col("df")), 4),
+        )
+    )
+    w = W.partitionBy(id_col).orderBy(
+        F.col("tfidf").desc(), F.col("term").asc())
+    return (
+        scored.withColumn("rk", F.row_number().over(w))
+        .filter(F.col("rk") <= k)
+        .select(id_col, "term", "tf",
+                F.col("df").alias("doc_freq"), "tfidf",
+                F.col("rk").cast("int").alias("rk"))
+    )
+
+
 _WIN_M = 1_000_000_007  # prime modulus keeps products inside BIGINT range
 _WIN_B = 1_000_003      # polynomial base
 

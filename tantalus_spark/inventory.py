@@ -794,6 +794,13 @@ def q62_dup_clusters(spark, sf_dir):
     return dedup.dup_clusters(docs, threshold=0.2)
 
 
+def q63_tfidf(spark, sf_dir):
+    """Top-5 characteristic terms per doc by TF-IDF (deterministic
+    tie-break: score desc, term asc)."""
+    docs = db_for(spark, sf_dir).table("documents")
+    return textstats.tfidf_top_terms(docs, k=5)
+
+
 QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     name[1:]: fn
     for name, fn in list(globals().items())
@@ -1332,6 +1339,26 @@ ORACLES: dict[str, str] = {
           UNION
           SELECT e.s, r.l FROM edges2 e JOIN reach r ON e.t = r.v)
         SELECT v AS doc_id, min(l) AS cluster_id FROM reach GROUP BY v
+    """,
+    "63_tfidf": """
+        WITH toks AS (
+          SELECT doc_id, unnest(string_split_regex(trim(lower(text)), '\\s+'))
+                   AS term
+          FROM documents),
+        tf AS (SELECT doc_id, term, count(*) AS tf
+               FROM toks GROUP BY doc_id, term),
+        dfreq AS (SELECT term, count(*) AS df FROM tf GROUP BY term),
+        n AS (SELECT count(*) AS n FROM documents),
+        scored AS (
+          SELECT tf.doc_id, tf.term, tf.tf, dfreq.df AS doc_freq,
+                 round(tf.tf * ln(n.n * 1.0 / dfreq.df), 4) AS tfidf
+          FROM tf JOIN dfreq USING (term) CROSS JOIN n),
+        ranked AS (
+          SELECT *, CAST(row_number() OVER (PARTITION BY doc_id
+                 ORDER BY tfidf DESC, term ASC) AS INTEGER) AS rk
+          FROM scored)
+        SELECT doc_id, term, tf, doc_freq, tfidf, rk
+        FROM ranked WHERE rk <= 5
     """,
     "49_tumbling_window": """
         SELECT time_bucket(INTERVAL 1 HOUR, ts) AS ws, event_type,
