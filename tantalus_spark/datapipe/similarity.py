@@ -246,6 +246,27 @@ def _block_matmul_pairs(base: DataFrame, threshold: float,
     )
 
 
+def train_ivf_centroids(
+    df: DataFrame,
+    n_lists: int = 8,
+    vec_col: str = "embedding",
+    seed: int = 42,
+    max_iter: int = 10,
+) -> list[list[float]]:
+    """Train IVF centroids with MLlib KMeans (seeded, k-means|| init) —
+    the one-off batch job that builds the index; assignment and probing
+    stay in `ivf_assign`/`ivf_topk`. At 100 TB train on a sample
+    (`df.sample(...)`) — centroid quality converges long before full-data
+    passes pay off."""
+    from pyspark.ml.clustering import KMeans
+    from pyspark.ml.functions import array_to_vector
+
+    feats = df.select(array_to_vector(
+        F.col(vec_col).cast("array<double>")).alias("features"))
+    model = KMeans(k=n_lists, seed=seed, maxIter=max_iter).fit(feats)
+    return [[float(x) for x in c] for c in model.clusterCenters()]
+
+
 def ivf_assign(df: DataFrame, centroids: list[list[float]],
                id_col: str = "vec_id", vec_col: str = "embedding") -> DataFrame:
     """Assign each vector to its nearest centroid (IVF list). Centroids are a

@@ -72,3 +72,23 @@ def test_brute_force_knn_join(emb):
         # self-match ranks first with cosine ~1
         top = min(rs, key=lambda r: r["rank"])
         assert top["cand_id"] == pid and top["cosine"] >= 0.999
+
+
+def test_trained_centroids_improve_recall(spark, emb, centroids):
+    trained = sim.train_ivf_centroids(emb, n_lists=8)
+    assert len(trained) == 8 and len(trained[0]) == 64
+    qvec = centroids[3]
+    exact = [r["vec_id"] for r in sim.cosine_topk(emb, qvec, k=10).collect()]
+
+    def recall(cents, nprobe):
+        assigned = sim.ivf_assign(emb, cents)
+        got = [r["vec_id"] for r in
+               sim.ivf_topk(assigned, cents, qvec, k=10,
+                            nprobe=nprobe).collect()]
+        return len(set(exact) & set(got)) / 10
+
+    # recall grows monotonically with probe budget; full probe = exact
+    r2, r4, r8 = (recall(trained, p) for p in (2, 4, 8))
+    assert r2 <= r4 <= r8
+    assert r8 == 1.0                   # probing every list = exact
+    assert r2 > 0                      # nearest list holds some of top-10
