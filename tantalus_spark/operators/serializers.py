@@ -78,6 +78,37 @@ def dataset_enriched(db: Database) -> DataFrame:
     )
 
 
+def dataset_set_to_csv(db: Database, pks: list[int]) -> str:
+    """S7 (reference views.py:1594-1686 ``dataset_set_to_CSV``): selected
+    datasets with every derived column — sample, library, library type,
+    tags, storages, #read groups, completeness, bytes — as one CSV string.
+    List-valued columns flatten with ';' separators; rows order by id."""
+    enriched = dataset_enriched(db)
+    tag = db.table("tag").select(F.col("id").alias("_tid"),
+                                 F.col("name").alias("_tname"))
+    tags_agg = (
+        db.table("sequencedataset_tags")
+        .join(F.broadcast(tag), F.col("tag_id") == F.col("_tid"))
+        .groupBy(F.col("sequencedataset_id").alias("_dst"))
+        .agg(F.sort_array(F.collect_set("_tname")).alias("_tags"))
+    )
+    out = (
+        enriched.filter(F.col("id").isin(list(pks)))
+        .join(tags_agg, enriched.id == F.col("_dst"), "left")
+        .select(
+            "id", "name", "dataset_type", "version_number",
+            "sample_id", "library_id", "library_type",
+            F.concat_ws(";", F.coalesce("_tags", F.array())).alias("tags"),
+            F.concat_ws(";", "storage_names").alias("storages"),
+            "num_read_groups", "is_complete", "disk_size",
+        )
+        .orderBy("id")
+    )
+    from tantalus_spark.sources.ingest import export_csv_pandas
+
+    return export_csv_pandas(out)
+
+
 def storage_flat(db: Database) -> DataFrame:
     """Polymorphic storage serializer output (api/serializers.py:24-87):
     one row per storage with storage_type + computed prefix."""

@@ -298,3 +298,17 @@ def test_approx_aggregates_bounded_error(spark):
     p50_approx = li.select(
         F.percentile_approx("l_extendedprice", 0.5, 10000)).collect()[0][0]
     assert abs(p50_approx - p50_exact) / p50_exact < 0.05
+
+
+def test_dataset_set_to_csv(tdb):
+    from tantalus_spark.operators.serializers import dataset_set_to_csv
+
+    csv = dataset_set_to_csv(tdb, [1, 3])
+    lines = csv.strip().splitlines()
+    assert lines[0].startswith("id,name,dataset_type")
+    assert len(lines) == 3
+    row1 = lines[1].split(",")
+    assert row1[0] == "1" and row1[1] == "DS1"
+    assert "prod;qc" in lines[1]           # tags flattened, sorted
+    assert "azblob;shahlab" in lines[1]    # storages flattened
+    assert lines[2].split(",")[0] == "3"
