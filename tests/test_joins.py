@@ -151,3 +151,34 @@ def test_embedding_lsh_near_dup_subset_of_exact(spark):
     # with 2 hyperplanes recall should be well above random (1/4 of pairs
     # survive bucketing at random; similar pairs survive far more often)
     assert len(lsh) >= len(exact) // 4
+
+
+def test_asof_join_matches_pandas_merge_asof(spark):
+    # independent oracle: pandas merge_asof over a deterministic dataset
+    import datetime as _dt
+
+    import pandas as pd
+
+    base = _dt.datetime(2024, 1, 1)
+    lrows = [(f"K{i % 5}", base + _dt.timedelta(minutes=(i * 7) % 97), i)
+             for i in range(60)]
+    rrows = [(f"K{i % 5}", base + _dt.timedelta(minutes=(i * 11) % 89),
+              float(i)) for i in range(40)]
+    # dedupe right per (key, time) like the operator requires
+    seen = {}
+    for k, t, v in rrows:
+        seen[(k, t)] = max(seen.get((k, t), -1.0), v)
+    rrows = [(k, t, v) for (k, t), v in seen.items()]
+
+    left = spark.createDataFrame(lrows, "k string, t timestamp, lid int")
+    right = spark.createDataFrame(rrows, "k string, rt timestamp, v double")
+    got = {r["lid"]: r["v"] for r in asof_join(
+        left, right, on="k", left_time="t", right_time="rt").collect()}
+
+    lp = pd.DataFrame(lrows, columns=["k", "t", "lid"]).sort_values("t")
+    rp = pd.DataFrame(rrows, columns=["k", "rt", "v"]).sort_values("rt")
+    merged = pd.merge_asof(lp, rp, left_on="t", right_on="rt", by="k",
+                           direction="backward")
+    want = {int(r.lid): (None if pd.isna(r.v) else r.v)
+            for r in merged.itertuples()}
+    assert got == want

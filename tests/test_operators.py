@@ -312,3 +312,30 @@ def test_dataset_set_to_csv(tdb):
     assert "prod;qc" in lines[1]           # tags flattened, sorted
     assert "azblob;shahlab" in lines[1]    # storages flattened
     assert lines[2].split(",")[0] == "3"
+
+
+def test_history_capture_asof_roundtrip(tdb, spark):
+    # property: replaying mutations with history capture, table_as_of at
+    # each mutation time reproduces the table state of that moment
+    from tantalus_spark.operators.history import append_history, table_as_of
+
+    tag = tdb.table("tag")
+    hist_schema = spark.createDataFrame(
+        [], tag.schema.add("history_id", "long").add("history_date", "timestamp")
+        .add("history_type", "string").add("history_user_id", "long"))
+    t1, t2, t3 = dt.datetime(2020, 1, 1), dt.datetime(2020, 2, 1), \
+        dt.datetime(2020, 3, 1)
+    # t1: initial snapshot (+) of all 3 tags
+    h = append_history(hist_schema, tag, "+", 1, 1, ts=t1)
+    # t2: rename tag 2 (~)
+    renamed = tag.filter(F.col("id") == 2).withColumn("name", F.lit("qc2"))
+    h = append_history(h, renamed, "~", 1, 10, ts=t2)
+    # t3: delete tag 3 (-)
+    h = append_history(h, tag.filter(F.col("id") == 3), "-", 1, 20, ts=t3)
+
+    at1 = {r["id"]: r["name"] for r in table_as_of(h, t1).collect()}
+    assert at1 == {1: "prod", 2: "qc", 3: "unused"}
+    at2 = {r["id"]: r["name"] for r in table_as_of(h, t2).collect()}
+    assert at2 == {1: "prod", 2: "qc2", 3: "unused"}
+    at3 = {r["id"]: r["name"] for r in table_as_of(h, t3).collect()}
+    assert at3 == {1: "prod", 2: "qc2"}
