@@ -801,6 +801,32 @@ def q63_tfidf(spark, sf_dir):
     return textstats.tfidf_top_terms(docs, k=5)
 
 
+def q64_full_outer(spark, sf_dir):
+    """FULL OUTER join with match classification: 1998 buyers vs the
+    customer dimension — matched / order-only / customer-only row counts."""
+    db = db_for(spark, sf_dir)
+    buyers = (
+        db.table("orders")
+        .filter(F.year("o_orderdate") == 1998)
+        .groupBy(F.col("o_custkey").alias("custkey"))
+        .agg(F.count(F.lit(1)).alias("n_orders"))
+    )
+    cust = db.table("customer").select(
+        F.col("c_custkey").alias("custkey"), "c_mktsegment")
+    joined = buyers.join(cust, "custkey", "full_outer")
+    status = (
+        F.when(F.col("n_orders").isNotNull() & F.col("c_mktsegment").isNotNull(),
+               "matched")
+        .when(F.col("n_orders").isNotNull(), "order_only")
+        .otherwise("customer_only")
+    )
+    return (
+        joined.groupBy(status.alias("status"))
+        .agg(F.count(F.lit(1)).alias("n"),
+             F.sum(F.coalesce("n_orders", F.lit(0))).alias("total_orders"))
+    )
+
+
 QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     name[1:]: fn
     for name, fn in list(globals().items())
@@ -1359,6 +1385,20 @@ ORACLES: dict[str, str] = {
           FROM scored)
         SELECT doc_id, term, tf, doc_freq, tfidf, rk
         FROM ranked WHERE rk <= 5
+    """,
+    "64_full_outer": """
+        WITH buyers AS (
+          SELECT o_custkey AS custkey, count(*) AS n_orders
+          FROM orders WHERE year(o_orderdate) = 1998 GROUP BY 1),
+        cust AS (SELECT c_custkey AS custkey, c_mktsegment FROM customer)
+        SELECT CASE WHEN n_orders IS NOT NULL AND c_mktsegment IS NOT NULL
+                      THEN 'matched'
+                    WHEN n_orders IS NOT NULL THEN 'order_only'
+                    ELSE 'customer_only' END AS status,
+               count(*) AS n,
+               CAST(SUM(coalesce(n_orders, 0)) AS BIGINT) AS total_orders
+        FROM buyers FULL OUTER JOIN cust USING (custkey)
+        GROUP BY 1
     """,
     "49_tumbling_window": """
         SELECT time_bucket(INTERVAL 1 HOUR, ts) AS ws, event_type,
