@@ -37,6 +37,11 @@ def get_spark(
         .config("spark.driver.memory", os.environ.get("SPARK_DRIVER_MEMORY", "8g"))
         .config("spark.ui.enabled", "false")
         .config("spark.sql.autoBroadcastJoinThreshold", str(64 * 1024 * 1024))
+        # runtime bloom filters prune the probe side of big SMJs before the
+        # shuffle — free at local scale, large win on selective fact joins
+        .config("spark.sql.optimizer.runtime.bloomFilter.enabled", "true")
+        # MIN/MAX/COUNT over plain parquet resolve from footer statistics
+        .config("spark.sql.parquet.aggregatePushdown", "true")
         # some producers write TIMESTAMP(NANOS) parquet (e.g. pandas); Spark
         # has no nanos timestamp — read as long, loader converts to micros
         .config("spark.sql.legacy.parquet.nanosAsLong", "true")
