@@ -24,3 +24,6 @@ Everything is declarative DataFrame/SQL so Catalyst owns physical planning
 __version__ = "0.1.0"
 
 from tantalus_spark.session import get_spark  # noqa: F401
+from tantalus_spark.catalog.loader import Database, read_parquet  # noqa: F401
+from tantalus_spark.catalog.tpch_model import load_tpch  # noqa: F401
+from tantalus_spark.compiler import Avg, Count, F_ref, Max, Min, Q, Sum  # noqa: F401
