@@ -337,10 +337,31 @@ class QuerySet:
             running = running.dropDuplicates()
 
         if self._order:
-            running = running.orderBy(*[
-                F.col(c[1:]).desc() if c.startswith("-") else F.col(c).asc()
-                for c in self._order
-            ])
+            join_paths = [c.lstrip("-") for c in self._order
+                          if "__" in c.lstrip("-")]
+            if join_paths and self._values is None:
+                # order_by over a related path: join, sort, project back to
+                # root columns. Faithful to Django, including the gotcha
+                # that ordering through a multi-valued relation duplicates
+                # rows (one per related row).
+                frame = _JoinFrame(self, running)
+                sort_cols = []
+                for c in self._order:
+                    desc = c.startswith("-")
+                    path = c.lstrip("-")
+                    if "__" in path:
+                        col, _, _ = frame.resolve(path)
+                    else:
+                        col = F.col(f"{frame.root_alias}.{path}")
+                    sort_cols.append(col.desc() if desc else col.asc())
+                running = frame.df.orderBy(*sort_cols).select(
+                    f"{frame.root_alias}.*")
+            else:
+                running = running.orderBy(*[
+                    F.col(c[1:]).desc() if c.startswith("-")
+                    else F.col(c).asc()
+                    for c in self._order
+                ])
         if self._offset:
             running = running.offset(self._offset)
         if self._limit is not None:

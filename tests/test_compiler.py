@@ -179,3 +179,18 @@ def test_transform_on_joined_path(tdb):
 def test_regex_lookup(tdb):
     qs = tdb.query("analysis").filter(version__regex=r"^v\d+\.\d+\.\d+$")
     assert qs.count() == 2  # 'bogus' rejected
+
+
+def test_order_by_joined_path(tdb):
+    # Django order_by('related__col'): join, sort, project root columns
+    qs = tdb.query("sequence_dataset").order_by("-sample__sample_id", "id")
+    rows = [r["id"] for r in qs.to_df().select("id").collect()]
+    # sample ids per ds: 1->SA100A, 2->SA100B, 3->SA928, 4->SA928, 5->SA101A
+    assert rows == [3, 4, 5, 2, 1]
+
+
+def test_order_by_joined_path_with_limit(tdb):
+    qs = tdb.query("sequence_dataset") \
+        .order_by("sample__sample_id", "id").limit(2)
+    rows = [r["id"] for r in qs.to_df().select("id").collect()]
+    assert rows == [1, 2]
