@@ -41,6 +41,14 @@ from tantalus_spark.compiler.q import Aggregate, F_ref, Q
 _alias_counter = itertools.count()
 
 
+class DoesNotExist(LookupError):
+    """objects.get with zero matches (Django Model.DoesNotExist analog)."""
+
+
+class MultipleObjectsReturned(LookupError):
+    """objects.get with >1 match (Django MultipleObjectsReturned analog)."""
+
+
 def _fresh(prefix: str) -> str:
     return f"__{prefix}{next(_alias_counter)}"
 
@@ -435,6 +443,24 @@ class QuerySet:
 
     def exists(self) -> bool:
         return bool(self.to_df().limit(1).take(1))
+
+    def first(self):
+        """First row under the queryset's ordering, or None."""
+        rows = self.to_df().limit(1).take(1)
+        return rows[0] if rows else None
+
+    def get(self, **lookups):
+        """Exactly-one-row fetch (reference ``objects.get`` /
+        ``get_object_or_404``, SURVEY §2.1 S2): raises DoesNotExist on zero
+        matches, MultipleObjectsReturned on more than one."""
+        qs = self.filter(**lookups) if lookups else self
+        rows = qs.to_df().limit(2).take(2)
+        if not rows:
+            raise DoesNotExist(f"{self.root}: no row matches {lookups!r}")
+        if len(rows) > 1:
+            raise MultipleObjectsReturned(
+                f"{self.root}: more than one row matches {lookups!r}")
+        return rows[0]
 
     def pk_df(self) -> DataFrame:
         """Distinct root keys — the 'session materialization' currency

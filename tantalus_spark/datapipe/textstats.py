@@ -105,6 +105,12 @@ def fingerprint(df: DataFrame, text_col: str = "text",
     )
 
 
+def ascii_ignore(col: Column) -> Column:
+    """`.encode('ascii','ignore')` analog (reference views.py:98,
+    forms.py:262; SURVEY §2.8 F13): strip non-ASCII code points."""
+    return F.regexp_replace(col, r"[^\x00-\x7F]", "")
+
+
 def tfidf_top_terms(df: DataFrame, k: int = 5, text_col: str = "text",
                     id_col: str = "doc_id") -> DataFrame:
     """Top-k characteristic terms per document by TF-IDF.

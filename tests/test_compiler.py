@@ -194,3 +194,28 @@ def test_order_by_joined_path_with_limit(tdb):
         .order_by("sample__sample_id", "id").limit(2)
     rows = [r["id"] for r in qs.to_df().select("id").collect()]
     assert rows == [1, 2]
+
+
+def test_get_exactly_one(tdb):
+    from tantalus_spark.compiler.compiler import (
+        DoesNotExist, MultipleObjectsReturned)
+    import pytest as _pytest
+
+    row = tdb.query("sample").get(sample_id="SA928")
+    assert row["id"] == 4
+    with _pytest.raises(DoesNotExist):
+        tdb.query("sample").get(sample_id="NOPE")
+    with _pytest.raises(MultipleObjectsReturned):
+        tdb.query("sample").get(patient__patient_id="SA100")
+    assert tdb.query("sample").order_by("id").first()["id"] == 1
+    assert tdb.query("sample").filter(sample_id="NOPE").first() is None
+
+
+def test_ascii_ignore(spark):
+    from pyspark.sql import functions as F
+
+    from tantalus_spark.datapipe.textstats import ascii_ignore
+
+    df = spark.createDataFrame([("héllo wörld ✓ ok",)], "s string")
+    out = df.select(ascii_ignore(F.col("s")).alias("a")).collect()[0]["a"]
+    assert out == "hllo wrld  ok"
