@@ -827,6 +827,27 @@ def q64_full_outer(spark, sf_dir):
     )
 
 
+def q65_media_features(spark, sf_dir):
+    """Multimodal binary-column plumbing under the oracle gate: documents'
+    UTF-8 bytes stand in for media payloads, and the mapInPandas feature
+    pass (byte count + content digest) must match SQL on the same bytes.
+    The decoder stays a stub; this proves the Arrow batch plumbing."""
+    from tantalus_spark.datapipe import multimodal as mm
+
+    docs = db_for(spark, sf_dir).table("documents")
+    media = docs.select(
+        F.col("doc_id").alias("media_id"),
+        F.when(F.pmod("doc_id", F.lit(3)) == 0, "image")
+        .when(F.pmod("doc_id", F.lit(3)) == 1, "audio")
+        .otherwise("video").alias("kind"),
+        F.lit(None).cast("string").alias("mime"),
+        F.encode("text", "UTF-8").alias("payload"),
+        F.lit(None).cast("string").alias("meta"),
+    )
+    return mm.media_features(media).select(
+        "media_id", "kind", "n_bytes", "payload_xxh")
+
+
 QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     name[1:]: fn
     for name, fn in list(globals().items())
@@ -1399,6 +1420,15 @@ ORACLES: dict[str, str] = {
                CAST(SUM(coalesce(n_orders, 0)) AS BIGINT) AS total_orders
         FROM buyers FULL OUTER JOIN cust USING (custkey)
         GROUP BY 1
+    """,
+    "65_media_features": """
+        SELECT doc_id AS media_id,
+               CASE WHEN doc_id % 3 = 0 THEN 'image'
+                    WHEN doc_id % 3 = 1 THEN 'audio'
+                    ELSE 'video' END AS kind,
+               CAST(octet_length(CAST(text AS BLOB)) AS INTEGER) AS n_bytes,
+               substr(md5(text), 1, 16) AS payload_xxh
+        FROM documents
     """,
     "49_tumbling_window": """
         SELECT time_bucket(INTERVAL 1 HOUR, ts) AS ws, event_type,
