@@ -410,8 +410,16 @@ class QuerySet:
             for name, agg in items:
                 col, _, _ = frame.resolve(agg.path)
                 if agg.kind == "count":
-                    expr = (F.countDistinct(col) if agg.distinct
-                            else F.count(col))
+                    if agg.distinct:
+                        # size(collect_set) instead of countDistinct: N
+                        # distinct aggs over one frame would Expand (N×
+                        # the shuffle rows); sets stay tiny because they
+                        # are per-root-key. Null semantics match
+                        # (collect_set drops nulls, countDistinct ignores
+                        # them).
+                        expr = F.size(F.collect_set(col)).cast("long")
+                    else:
+                        expr = F.count(col)
                 else:
                     expr = getattr(F, agg.kind)(col)
                 exprs.append(expr.alias(name))
