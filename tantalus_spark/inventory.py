@@ -848,6 +848,28 @@ def q65_media_features(spark, sf_dir):
         "media_id", "kind", "n_bytes", "payload_xxh")
 
 
+def q66_ntile(spark, sf_dir):
+    """Quantile bucketing + distribution ranks (ntile / cume_dist) —
+    window ranking family beyond row_number/lag."""
+    o = db_for(spark, sf_dir).table("orders")
+    w = W.partitionBy("o_orderpriority").orderBy("o_totalprice", "o_orderkey")
+    bucketed = o.select(
+        "o_orderpriority",
+        F.ntile(4).over(w).alias("quartile"),
+        F.round(F.cume_dist().over(w), 6).alias("cd"),
+        "o_totalprice",
+    )
+    return (
+        bucketed.groupBy("o_orderpriority", "quartile")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.round(F.min("o_totalprice"), 2).alias("lo"),
+            F.round(F.max("o_totalprice"), 2).alias("hi"),
+            F.round(F.max("cd"), 6).alias("max_cd"),
+        )
+    )
+
+
 QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     name[1:]: fn
     for name, fn in list(globals().items())
@@ -1429,6 +1451,21 @@ ORACLES: dict[str, str] = {
                CAST(octet_length(CAST(text AS BLOB)) AS INTEGER) AS n_bytes,
                substr(md5(text), 1, 16) AS payload_xxh
         FROM documents
+    """,
+    "66_ntile": """
+        WITH b AS (
+          SELECT o_orderpriority,
+                 CAST(ntile(4) OVER w AS INTEGER) AS quartile,
+                 round(cume_dist() OVER w, 6) AS cd,
+                 o_totalprice
+          FROM orders
+          WINDOW w AS (PARTITION BY o_orderpriority
+                       ORDER BY o_totalprice, o_orderkey))
+        SELECT o_orderpriority, quartile, count(*) AS n,
+               round(min(o_totalprice), 2) AS lo,
+               round(max(o_totalprice), 2) AS hi,
+               round(max(cd), 6) AS max_cd
+        FROM b GROUP BY 1, 2
     """,
     "49_tumbling_window": """
         SELECT time_bucket(INTERVAL 1 HOUR, ts) AS ws, event_type,
