@@ -2,10 +2,9 @@
 actually runs — quality gates → language filter → exact dedup — expressed
 as ONE Catalyst plan over the documents table.
 
-Each stage is a column-level derivation on the same scan (quality features,
-language scores) or a digest group-by (dedup); nothing materializes between
-stages, so the whole pipeline is a single pass + one shuffle on the content
-digest regardless of how many gates run.
+Every gate is a column-level derivation on the SAME projection — one scan,
+zero joins; the only shuffle is the content-digest group-by for dedup,
+regardless of how many gates run.
 """
 
 from __future__ import annotations
@@ -13,7 +12,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
-from tantalus_spark.datapipe.textstats import lang_scores, quality_score
+from tantalus_spark.datapipe.textstats import lang_pred_expr, tokens
 
 
 def clean_corpus(
@@ -28,19 +27,21 @@ def clean_corpus(
     """Surviving documents after quality + language + exact-dup gates:
     (doc_id, n_tokens, lang_pred), keeping the lowest doc_id per identical
     content."""
-    q = quality_score(docs, text_col=text_col, id_col=id_col)
-    lang = lang_scores(docs, text_col=text_col, id_col=id_col).select(
-        F.col(id_col), "lang_pred")
-    digests = docs.select(F.col(id_col), F.md5(F.col(text_col)).alias("__md5"))
-
-    gated = (
-        q.join(lang, id_col)
-        .join(digests, id_col)
-        .filter(
-            F.col("n_tokens").between(min_tokens, max_tokens)
-            & (F.col("alpha_ratio") >= min_alpha_ratio)
-            & F.col("lang_pred").isin(list(langs))
-        )
+    text = F.col(text_col)
+    features = docs.select(
+        F.col(id_col),
+        F.size(tokens(text)).alias("n_tokens"),
+        F.round(
+            F.length(F.regexp_replace(text, "[^a-zA-Z]", ""))
+            / F.length(text), 4,
+        ).alias("alpha_ratio"),
+        lang_pred_expr(text).alias("lang_pred"),
+        F.md5(text).alias("__md5"),
+    )
+    gated = features.filter(
+        F.col("n_tokens").between(min_tokens, max_tokens)
+        & (F.col("alpha_ratio") >= min_alpha_ratio)
+        & F.col("lang_pred").isin(list(langs))
     )
     keep = gated.groupBy("__md5").agg(F.min(id_col).alias(id_col))
     return (

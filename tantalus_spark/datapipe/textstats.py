@@ -65,6 +65,25 @@ def _occurrences(text: Column, word: str) -> Column:
     return F.size(F.split(text, f" {word} ")) - F.lit(1)
 
 
+def lang_pred_expr(text: Column) -> Column:
+    """Language prediction as a single inline Column expression (argmax of
+    the per-language marker scores; ties break to earlier languages;
+    all-zero scores -> 'unknown'). Composable into one-pass pipelines."""
+    padded = F.concat(F.lit(" "), F.lower(text), F.lit(" "))
+    scores = {}
+    for lang, markers in LANG_MARKERS.items():
+        expr = None
+        for m in markers:
+            occ = _occurrences(padded, m)
+            expr = occ if expr is None else expr + occ
+        scores[lang] = expr
+    best = F.greatest(*scores.values())
+    pred = F.lit("unknown")
+    for lang in reversed(list(scores)):
+        pred = F.when(scores[lang] == best, F.lit(lang)).otherwise(pred)
+    return F.when(best > 0, pred).otherwise(F.lit("unknown"))
+
+
 def lang_scores(df: DataFrame, text_col: str = "text",
                 id_col: str = "doc_id") -> DataFrame:
     """Per-language stopword-marker scores + argmax prediction.
