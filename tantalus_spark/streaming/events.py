@@ -30,11 +30,14 @@ EVENT_SCHEMA = T.StructType([
 
 
 def read_event_stream(spark: SparkSession, path: str,
-                      max_files_per_trigger: int = 4) -> DataFrame:
-    """File-source stream over a directory of event parquet/json drops —
-    the standard cloud landing-zone pattern (S3/ABFS path at scale)."""
+                      max_files_per_trigger: int = 4,
+                      fmt: str = "parquet") -> DataFrame:
+    """File-source stream over a directory of event drops — the standard
+    cloud landing-zone pattern (S3/ABFS path at scale). ``fmt`` is
+    ``parquet`` or ``json`` (JSONL drops); both bind the explicit
+    EVENT_SCHEMA so late schema drift fails loudly instead of inferring."""
     return (
-        spark.readStream.format("parquet")
+        spark.readStream.format(fmt)
         .schema(EVENT_SCHEMA)
         .option("maxFilesPerTrigger", max_files_per_trigger)
         .load(path)

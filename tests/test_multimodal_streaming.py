@@ -179,3 +179,14 @@ def test_resize_images_stub_plumbing(media):
     assert out[1]["width"] == 224 and out[1]["resized"]
     assert out[1]["payload"] is not None
     assert out[5]["width"] is None and not out[5]["resized"]
+
+
+def test_jsonl_event_stream(spark, event_dir, tmp_path_factory):
+    jdir = str(tmp_path_factory.mktemp("events_jsonl"))
+    src = spark.read.parquet(event_dir)
+    src.coalesce(1).write.mode("overwrite").json(jdir)
+    stream = se.read_event_stream(spark, jdir, fmt="json")
+    got = se.run_to_completion(
+        se.windowed_counts(stream), "t_jsonl",
+        output_mode="complete").collect()
+    assert sum(r["n"] for r in got) == src.count()
