@@ -870,6 +870,19 @@ def q66_ntile(spark, sf_dir):
     )
 
 
+def q67_latest_per_key(spark, sf_dir):
+    """Latest-record-per-key dedup (CDC compaction shape): one window,
+    deterministic tiebreak on event_id."""
+    e = db_for(spark, sf_dir).table("events")
+    w = W.partitionBy("user_id", "event_type").orderBy(
+        F.col("ts").desc(), F.col("event_id").desc())
+    return (
+        e.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .select("user_id", "event_type", "event_id", "value")
+    )
+
+
 QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     name[1:]: fn
     for name, fn in list(globals().items())
@@ -1466,6 +1479,13 @@ ORACLES: dict[str, str] = {
                round(max(o_totalprice), 2) AS hi,
                round(max(cd), 6) AS max_cd
         FROM b GROUP BY 1, 2
+    """,
+    "67_latest_per_key": """
+        SELECT user_id, event_type, event_id, value FROM (
+          SELECT user_id, event_type, event_id, value,
+                 row_number() OVER (PARTITION BY user_id, event_type
+                   ORDER BY ts DESC, event_id DESC) AS rn
+          FROM events) WHERE rn = 1
     """,
     "49_tumbling_window": """
         SELECT time_bucket(INTERVAL 1 HOUR, ts) AS ws, event_type,
