@@ -3,13 +3,13 @@ actually runs — quality gates → language filter → exact dedup — expresse
 as ONE Catalyst plan over the documents table.
 
 Every gate is a column-level derivation on the SAME projection — one scan,
-zero joins; the only shuffle is the content-digest group-by for dedup,
+zero joins; the only shuffle is the content-digest window for dedup,
 regardless of how many gates run.
 """
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame
+from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
 from tantalus_spark.datapipe.textstats import lang_pred_expr, tokens
@@ -43,8 +43,13 @@ def clean_corpus(
         & (F.col("alpha_ratio") >= min_alpha_ratio)
         & F.col("lang_pred").isin(list(langs))
     )
-    keep = gated.groupBy("__md5").agg(F.min(id_col).alias(id_col))
+    # keep the lowest doc_id per identical content via a window min — one
+    # shuffle on the digest and a SINGLE evaluation of the heavy text
+    # expressions, versus groupBy + semi-join which re-scans and re-derives
+    # the gated projection on both sides of the join
+    w = Window.partitionBy("__md5")
     return (
-        gated.join(keep, [id_col, "__md5"], "left_semi")
+        gated.withColumn("__keep_id", F.min(id_col).over(w))
+        .filter(F.col(id_col) == F.col("__keep_id"))
         .select(id_col, "n_tokens", "lang_pred")
     )
