@@ -883,6 +883,29 @@ def q67_latest_per_key(spark, sf_dir):
     )
 
 
+def q68_range_join(spark, sf_dir):
+    """Equi+range (interval) join: for each purchase event, how many clicks
+    the same user made in the preceding hour. The user_id equi-key bounds
+    the join — Catalyst plans a sort-merge on user_id with the time range
+    as a join condition, so per-key event lists stay small at 100 TB and
+    there is no pair explosion. A keyless range join would instead bucket
+    ts into hour bins and equi-join on the bin (see SCALING.md)."""
+    ev = db_for(spark, sf_dir).table("events")
+    p = ev.filter(F.col("event_type") == "purchase").select(
+        "event_id", "user_id", "ts")
+    c = ev.filter(F.col("event_type") == "click").select(
+        F.col("user_id").alias("c_user"), F.col("ts").alias("c_ts"))
+    joined = p.join(
+        c,
+        (F.col("user_id") == F.col("c_user"))
+        & (F.col("c_ts") >= F.col("ts") - F.expr("INTERVAL 1 HOUR"))
+        & (F.col("c_ts") < F.col("ts")),
+        "left",
+    )
+    return joined.groupBy("event_id", "user_id").agg(
+        F.count("c_ts").alias("n_clicks_prev_hour"))
+
+
 QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     name[1:]: fn
     for name, fn in list(globals().items())
@@ -1505,6 +1528,15 @@ ORACLES: dict[str, str] = {
                         THEN 1 ELSE 0 END) AS BIGINT) AS n_sessions,
                count(*) AS n_events
         FROM g GROUP BY user_id
+    """,
+    "68_range_join": """
+        SELECT p.event_id, p.user_id, count(c.ts) AS n_clicks_prev_hour
+        FROM events p
+        LEFT JOIN events c
+          ON c.user_id = p.user_id AND c.event_type = 'click'
+         AND c.ts >= p.ts - INTERVAL 1 HOUR AND c.ts < p.ts
+        WHERE p.event_type = 'purchase'
+        GROUP BY p.event_id, p.user_id
     """,
     # 45_minhash_lsh / 46_simhash: not SQL-expressible (hash functions differ)
     # → rows-only checks by design.
