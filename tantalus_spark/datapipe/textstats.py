@@ -36,6 +36,26 @@ def token_count(df: DataFrame, text_col: str = "text",
     )
 
 
+BPE_SPLIT_RE = r"[A-Za-z]+|[0-9]+|[^A-Za-z0-9\s]"
+
+
+def bpe_token_count(df: DataFrame, text_col: str = "text",
+                    id_col: str = "doc_id") -> DataFrame:
+    """Regex tokenization the way byte-pair tokenizers pre-split text
+    (GPT-2-style: letter runs | digit runs | single punctuation), counted
+    entirely JVM-side with ``regexp_extract_all`` — no UDF. Alongside the
+    whitespace count this gives the chars-per-token ratio used to budget
+    training tokens from raw bytes."""
+    text = F.col(text_col)
+    n_bpe = F.size(F.regexp_extract_all(text, F.lit(BPE_SPLIT_RE), F.lit(0)))
+    return df.select(
+        F.col(id_col),
+        F.size(tokens(text)).alias("n_ws_tokens"),
+        n_bpe.alias("n_bpe_tokens"),
+        F.round(F.length(text) / n_bpe, 4).alias("chars_per_token"),
+    )
+
+
 def quality_score(df: DataFrame, text_col: str = "text",
                   id_col: str = "doc_id") -> DataFrame:
     """Length / punctuation / alpha / stopword ratio quality features.

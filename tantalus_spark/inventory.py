@@ -906,6 +906,13 @@ def q68_range_join(spark, sf_dir):
         F.count("c_ts").alias("n_clicks_prev_hour"))
 
 
+def q69_bpe_tokens(spark, sf_dir):
+    """BPE-style regex token counting + chars-per-token budget ratio
+    (datapipe/textstats.py bpe_token_count) — single scan, all codegen'd."""
+    docs = db_for(spark, sf_dir).table("documents")
+    return textstats.bpe_token_count(docs)
+
+
 QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     name[1:]: fn
     for name, fn in list(globals().items())
@@ -1528,6 +1535,19 @@ ORACLES: dict[str, str] = {
                         THEN 1 ELSE 0 END) AS BIGINT) AS n_sessions,
                count(*) AS n_events
         FROM g GROUP BY user_id
+    """,
+    "69_bpe_tokens": """
+        SELECT doc_id,
+               CAST(len(string_split_regex(trim(text), '\\s+')) AS INTEGER)
+                 AS n_ws_tokens,
+               CAST(len(regexp_extract_all(text,
+                 '[A-Za-z]+|[0-9]+|[^A-Za-z0-9\\s]')) AS INTEGER)
+                 AS n_bpe_tokens,
+               round(length(text)*1.0
+                 / len(regexp_extract_all(text,
+                     '[A-Za-z]+|[0-9]+|[^A-Za-z0-9\\s]')), 4)
+                 AS chars_per_token
+        FROM documents
     """,
     "68_range_join": """
         SELECT p.event_id, p.user_id, count(c.ts) AS n_clicks_prev_hour

@@ -82,3 +82,16 @@ def test_connected_components_long_chain(spark):
     out = {r["v"]: r["component"]
            for r in connected_components(edges).collect()}
     assert set(out.values()) == {0} and len(out) == 13
+
+
+def test_bpe_token_count_known_values(spark):
+    from tantalus_spark.datapipe.textstats import bpe_token_count
+
+    df = spark.createDataFrame(
+        [(1, "Hello, world! 42 times"), (2, "abc")],
+        "doc_id long, text string")
+    out = {r["doc_id"]: r for r in bpe_token_count(df).collect()}
+    # "Hello" "," "world" "!" "42" "times" -> 6 BPE pieces, 4 ws tokens
+    assert out[1]["n_ws_tokens"] == 4 and out[1]["n_bpe_tokens"] == 6
+    assert out[2]["n_ws_tokens"] == 1 and out[2]["n_bpe_tokens"] == 1
+    assert out[2]["chars_per_token"] == 3.0
