@@ -32,6 +32,7 @@ HEADLINE = [
     "18_topk_per_group",
     "30_running_sum",
     "31_asof_join",
+    "68_range_join",
     "40_dedup_exact",
     "42_text_quality",
     "44_ngram_jaccard",
