@@ -25,6 +25,11 @@ def read_parquet(spark: SparkSession, path: str) -> DataFrame:
     microsecond timestamps JVM-side (same truncation DuckDB applies), so the
     rest of the engine sees a proper ``TimestampType`` column.
     """
+    # Runtime-settable; MUST be set here (not only in our session factory):
+    # callers like the correctness driver build a vanilla SparkSession, and
+    # without this conf reading a TIMESTAMP(NANOS) parquet column raises
+    # PARQUET_TYPE_ILLEGAL before any query runs.
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     df = spark.read.parquet(path)
     try:
         import pyarrow.parquet as pq
@@ -59,22 +64,35 @@ class Database:
         self.spark = spark
         self.catalog = catalog
         self._tables: dict[str, DataFrame] = dict(tables or {})
+        # name -> parquet path, resolved on first table() access. Lazy so
+        # one unreadable file cannot fail queries over unrelated tables.
+        self._pending: dict[str, str] = {}
 
     def add(self, name: str, df: DataFrame, primary_key: str = "id") -> None:
         self._tables[name] = df
+        self._pending.pop(name, None)
+        if name not in self.catalog.tables:
+            self.catalog.add_table(name, primary_key)
+
+    def add_lazy(self, name: str, path: str, primary_key: str = "id") -> None:
+        self._pending[name] = path
         if name not in self.catalog.tables:
             self.catalog.add_table(name, primary_key)
 
     def table(self, name: str) -> DataFrame:
         if name not in self._tables:
-            raise KeyError(f"unknown table {name!r}; have {sorted(self._tables)}")
+            if name in self._pending:
+                df = read_parquet(self.spark, self._pending.pop(name))
+                self._tables[name] = df
+                return df
+            raise KeyError(f"unknown table {name!r}; have {self.names()}")
         return self._tables[name]
 
     def __contains__(self, name: str) -> bool:
-        return name in self._tables
+        return name in self._tables or name in self._pending
 
     def names(self) -> list[str]:
-        return sorted(self._tables)
+        return sorted(set(self._tables) | set(self._pending))
 
     def query(self, root: str):
         from tantalus_spark.compiler.compiler import QuerySet
@@ -82,8 +100,10 @@ class Database:
         return QuerySet(self, root)
 
     def register_views(self, prefix: str = "") -> None:
-        for name, df in self._tables.items():
-            df.createOrReplaceTempView(f"{prefix}{name}")
+        # The SQL front door needs every table as a view, so this is the one
+        # place lazy tables are all resolved (a query() stays per-table lazy).
+        for name in self.names():
+            self.table(name).createOrReplaceTempView(f"{prefix}{name}")
 
     def sql(self, query: str) -> DataFrame:
         """ANSI-SQL front door: every table is a temp view; the statement
@@ -99,7 +119,11 @@ def load_dir(
     catalog: RelationshipCatalog,
     names: list[str] | None = None,
 ) -> Database:
-    """Load every ``<name>.parquet`` under *path* into a Database."""
+    """Register every ``<name>.parquet`` under *path* into a Database.
+
+    Registration is lazy: each file is read on first ``table()`` access, so
+    an unreadable file only fails the queries that actually touch it.
+    """
     if names is None:
         names = sorted(
             f[: -len(".parquet")]
@@ -108,6 +132,5 @@ def load_dir(
         )
     db = Database(spark, catalog)
     for name in names:
-        df = read_parquet(spark, os.path.join(path, f"{name}.parquet"))
-        db.add(name, df, primary_key=catalog.pk(name))
+        db.add_lazy(name, os.path.join(path, f"{name}.parquet"), primary_key=catalog.pk(name))
     return db
