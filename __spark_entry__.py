@@ -4,9 +4,12 @@
 ``queries()`` exposes the full operator inventory (SURVEY.md §2 parity
 classes + the LLM-data-pipeline operators: dedup, similarity, text
 analysis, event analytics, corpus cleaning); ``oracle_sql()`` gives the
-DuckDB-equivalent SQL for every SQL-expressible query — all but MinHash-LSH
-and SimHash, whose banded xxhash64 candidate generation has no SQL
-counterpart (rows-only checks by design).
+DuckDB-equivalent SQL for every SQL-expressible query — all but MinHash-LSH,
+SimHash, and hyperplane-LSH, whose xxhash64-based candidate generation has
+no SQL counterpart (rows-only checks by design; their math is oracle-proven
+via 60_minhash_signatures / 44_ngram_jaccard / 51_embedding_near_dup plus
+recall unit tests). QUERIES is explicitly ordered so the driver's 50-entry
+correctness window covers every operator family.
 """
 
 from __future__ import annotations

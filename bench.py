@@ -30,11 +30,11 @@ HEADLINE = [
     "15_cross_agg_eq",
     "17_window_lag",
     "18_topk_per_group",
-    "30_running_sum",
+    "30_window_frames",
     "31_asof_join",
     "68_range_join",
     "40_dedup_exact",
-    "42_text_quality",
+    "41_doc_profile",
     "44_ngram_jaccard",
     "45_minhash_lsh",
     "47_ann_cosine",

@@ -86,13 +86,24 @@ class RelationshipCatalog:
     primary_keys: dict[str, str] = field(default_factory=dict)
     _edges: dict[tuple[str, str], Step] = field(default_factory=dict)
     tables: set[str] = field(default_factory=set)
+    _nonunique_pks: set[str] = field(default_factory=set)
 
-    def add_table(self, name: str, primary_key: str = "id") -> None:
+    def add_table(self, name: str, primary_key: str = "id",
+                  pk_unique: bool = True) -> None:
         self.tables.add(name)
         self.primary_keys[name] = primary_key
+        if not pk_unique:
+            self._nonunique_pks.add(name)
 
     def pk(self, table: str) -> str:
         return self.primary_keys.get(table, "id")
+
+    def pk_unique(self, table: str) -> bool:
+        """Whether the declared pk uniquely identifies rows. Compiler
+        operations that group or match on the root pk (multi-valued
+        filters, annotate, distinct-by-pk) require a unique pk and raise
+        otherwise instead of silently aggregating at the wrong grain."""
+        return table not in self._nonunique_pks
 
     def add_fk(self, fk: ForeignKey) -> None:
         accessor = fk.accessor or fk.parent

@@ -31,7 +31,10 @@ TPCH_PKS = {
 def tpch_catalog() -> RelationshipCatalog:
     cat = RelationshipCatalog()
     for t, pk in TPCH_PKS.items():
-        cat.add_table(t, pk)
+        # lineitem's declared pk is the order FK — NOT unique. Flagging it
+        # makes pk-grain compiler ops (multi-valued filters, annotate)
+        # raise instead of silently matching/aggregating at order grain.
+        cat.add_table(t, pk, pk_unique=(t != "lineitem"))
     cat.add_fk(
         ForeignKey("nation", "n_regionkey", "region", "r_regionkey",
                    accessor="region", reverse_accessor="nations")

@@ -135,6 +135,7 @@ class QuerySet:
         self._distinct = False
         self._offset: int | None = None
         self._limit: int | None = None
+        self._hints: dict[str, object] = {}
 
     # ---- chaining API ----------------------------------------------------
 
@@ -146,7 +147,29 @@ class QuerySet:
         qs._values = list(self._values) if self._values is not None else None
         qs._distinct = self._distinct
         qs._offset, qs._limit = self._offset, self._limit
+        qs._hints = dict(self._hints)
         return qs
+
+    def hint(self, **hints) -> "QuerySet":
+        """Physical-plan hints (never change results). Supported:
+
+        ``distinct_strategy``: how ``Count(distinct=True)`` compiles.
+          - ``"expand"`` (default): Spark's native distinct-aggregate
+            rewrite. One distinct agg = two-phase partial dedup; N distinct
+            aggs = Expand (N× shuffle rows). Per-group state is BOUNDED —
+            always safe, any cardinality.
+          - ``"collect_set"``: fuse N distinct aggs into size(collect_set)
+            — no Expand, but per-group state is O(distinct values); only
+            for groups with a known small bound (e.g. lineitems per order
+            ≤ 7 in TPC-H), where it measurably beats Expand.
+        """
+        allowed = {"distinct_strategy"}
+        bad = set(hints) - allowed
+        if bad:
+            raise ValueError(f"unknown hints {sorted(bad)}; allowed {sorted(allowed)}")
+        clone = self._clone()
+        clone._hints.update(hints)
+        return clone
 
     def filter(self, *qs: Q, **lookups) -> "QuerySet":
         return self._add_filter(False, *qs, **lookups)
@@ -329,6 +352,7 @@ class QuerySet:
         for neg, q in post:
             running = self._apply_filter(running, pk, neg, q, annot_cols)
 
+        order_applied = False
         if self._values is not None:
             frame = _JoinFrame(self, running)
             cols = []
@@ -339,12 +363,36 @@ class QuerySet:
                 else:
                     col, _, _ = frame.resolve(path)
                     cols.append(col.alias(out))
-            running = frame.df.select(*cols)
+            join_order = [c for c in self._order if "__" in c.lstrip("-")]
+            if join_order:
+                # order through a relation combined with values(): resolve
+                # the sort columns on the SAME join frame BEFORE projecting
+                # (the projection renames `a__b` to `a_b`, so sorting the
+                # projected frame by the raw path would fail to resolve).
+                if self._distinct:
+                    raise NotImplementedError(
+                        "distinct() + values() + order_by through a relation "
+                        "is ambiguous (Django adds the ordering column to "
+                        "the DISTINCT set); order explicitly by a projected "
+                        "column instead")
+                sort_cols = []
+                for c in self._order:
+                    desc = c.startswith("-")
+                    path = c.lstrip("-")
+                    if "__" in path:
+                        col, _, _ = frame.resolve(path)
+                    else:
+                        col = F.col(f"{frame.root_alias}.{path}")
+                    sort_cols.append(col.desc() if desc else col.asc())
+                running = frame.df.orderBy(*sort_cols).select(*cols)
+                order_applied = True
+            else:
+                running = frame.df.select(*cols)
 
         if self._distinct:
             running = running.dropDuplicates()
 
-        if self._order:
+        if self._order and not order_applied:
             join_paths = [c.lstrip("-") for c in self._order
                           if "__" in c.lstrip("-")]
             if join_paths and self._values is None:
@@ -385,6 +433,7 @@ class QuerySet:
             if negated:
                 pred = ~F.coalesce(pred, F.lit(False))
             return frame.df.filter(pred).select(f"{frame.root_alias}.*")
+        self._require_unique_pk(pk, "a multi-valued filter/exclude")
         matches = (
             frame.df.filter(pred)
             .select(F.col(f"{frame.root_alias}.{pk}").alias(pk))
@@ -393,12 +442,24 @@ class QuerySet:
         how = "left_anti" if negated else "left_semi"
         return running.join(matches, on=pk, how=how)
 
+    def _require_unique_pk(self, pk: str, what: str) -> None:
+        """pk-grain operations (match-sets, annotate group-and-carry) are
+        only correct when the root pk uniquely identifies rows; on a table
+        flagged otherwise (e.g. lineitem's l_orderkey) they would silently
+        match/aggregate at the parent grain — fail loudly instead."""
+        if not self.db.catalog.pk_unique(self.root):
+            raise ValueError(
+                f"{self.root}: declared pk {pk!r} is not unique, so {what} "
+                "would operate at the wrong grain; add a unique row id to "
+                "the table or root the query at a uniquely-keyed table")
+
     def _apply_annotations(self, running: DataFrame, pk: str) -> DataFrame:
         """Aggregates sharing the same join path fuse into ONE subplan
         (single join + groupBy with N agg exprs) — Django runs these as one
         SQL query too, and unfused they each cost a scan + shuffle + join.
         Different paths stay separate: sharing one frame across paths would
         fan out (the classic multi-aggregate-annotate bug)."""
+        self._require_unique_pk(pk, "annotate()")
         groups: dict[tuple[str, ...], list[tuple[str, Aggregate]]] = {}
         for name, agg in self._annotations.items():
             res = self._resolve_path(agg.path)
@@ -411,13 +472,17 @@ class QuerySet:
                 col, _, _ = frame.resolve(agg.path)
                 if agg.kind == "count":
                     if agg.distinct:
-                        # size(collect_set) instead of countDistinct: N
-                        # distinct aggs over one frame would Expand (N×
-                        # the shuffle rows); sets stay tiny because they
-                        # are per-root-key. Null semantics match
-                        # (collect_set drops nulls, countDistinct ignores
-                        # them).
-                        expr = F.size(F.collect_set(col)).cast("long")
+                        # Strategy is a physical hint (see .hint()): the
+                        # default Expand path has bounded per-group state
+                        # at any cardinality; collect_set avoids Expand's
+                        # N× shuffle rows but holds the distinct set in
+                        # memory — opt-in for known-small groups only.
+                        # Null semantics match either way (collect_set
+                        # drops nulls, countDistinct ignores them).
+                        if self._hints.get("distinct_strategy") == "collect_set":
+                            expr = F.size(F.collect_set(col)).cast("long")
+                        else:
+                            expr = F.count_distinct(col)
                     else:
                         expr = F.count(col)
                 else:

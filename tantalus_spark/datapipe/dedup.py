@@ -120,11 +120,26 @@ def ngram_jaccard_pairs(
         )
     )
     jac = F.col("inter") / (F.col("n1") + F.col("n2") - F.col("inter"))
-    return (
+    out = (
         inter.withColumn("jaccard", F.round(jac, 4))
         .filter(jac >= threshold)
         .select("d1", "d2", "jaccard")
     )
+    return _materialize_and_release(out, [sh])
+
+
+def _materialize_and_release(result: DataFrame, intermediates: list[DataFrame]) -> DataFrame:
+    """Persist + force the (small) result, then unpersist the (big)
+    intermediate caches so repeated calls in a long-lived session don't
+    accumulate storage until eviction. The returned frame stays cached —
+    O(result) not O(corpus); callers may ``unpersist()`` it when done."""
+    result = result.persist()
+    try:
+        result.count()
+    finally:
+        for df in intermediates:
+            df.unpersist()
+    return result
 
 
 def minhash_signatures(df: DataFrame, n_perm: int = 16, shingle_n: int = 3,
@@ -208,7 +223,7 @@ def minhash_lsh_pairs(
         .groupBy("d1", "d2").agg(F.count(F.lit(1)).alias("inter"))
     )
     jac = F.col("inter") / (F.col("n1") + F.col("n2") - F.col("inter"))
-    return (
+    out = (
         inter
         .join(F.broadcast(counts.select(F.col(id_col).alias("d1"),
                                         F.col("n_sh").alias("n1"))), "d1")
@@ -218,6 +233,7 @@ def minhash_lsh_pairs(
         .filter(jac >= threshold)
         .select("d1", "d2", "jaccard")
     )
+    return _materialize_and_release(out, [sh, cand])
 
 
 def connected_components(
@@ -280,12 +296,17 @@ def connected_components(
 
 
 def dup_clusters(df: DataFrame, threshold: float = 0.2, n: int = 3,
-                 text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
+                 text_col: str = "text", id_col: str = "doc_id",
+                 max_shingle_freq: int | None = None) -> DataFrame:
     """Near-duplicate clusters: Jaccard pairs -> connected components ->
     (doc_id, cluster_id) for every doc in some duplicate group, with
-    cluster_id = the group's canonical (min) doc id."""
+    cluster_id = the group's canonical (min) doc id.
+
+    ``max_shingle_freq`` caps the posting-list length in the pair join —
+    the knob that keeps this bounded at corpus scale."""
     pairs = ngram_jaccard_pairs(df, n=n, threshold=threshold,
-                                text_col=text_col, id_col=id_col)
+                                text_col=text_col, id_col=id_col,
+                                max_shingle_freq=max_shingle_freq)
     cc = connected_components(pairs)
     return cc.select(F.col("v").alias(id_col),
                      F.col("component").alias("cluster_id"))
@@ -329,26 +350,40 @@ def simhash_signatures(df: DataFrame, text_col: str = "text",
     return df.select(F.col(id_col), simhash(F.col(text_col)).alias("simhash"))
 
 
-def simhash_near_pairs(df: DataFrame, max_hamming: int = 8,
+def simhash_near_pairs(df: DataFrame, max_hamming: int = 3,
                        text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
-    """Pairs whose SimHash hamming distance <= max_hamming.
+    """ALL pairs whose SimHash hamming distance <= max_hamming (full recall).
 
-    Candidate generation buckets on 4 × 16-bit chunks (pigeonhole: any pair
-    within hamming 3×chunk must agree on ≥1 chunk) — the standard scale
-    trick; the exact popcount check runs only on candidates.
+    Candidate generation splits the 64-bit signature into ``max_hamming + 1``
+    near-equal chunks: by pigeonhole, a pair differing in <= max_hamming bits
+    must agree exactly on at least one chunk, so bucketing per-chunk misses
+    nothing; the exact popcount check then runs only on candidates.
+
+    Scale note: the chunk width is ``64 // (max_hamming+1)``, and bucket
+    collision rate grows as chunks get narrower — max_hamming <= 7 (8-bit
+    chunks) keeps buckets selective at corpus scale; larger bounds stay
+    exact but candidate volume approaches all-pairs. max_hamming > 31 is
+    rejected (chunks below 2 bits bucket on almost nothing).
     """
-    sig = simhash_signatures(df, text_col=text_col, id_col=id_col)
+    if not 0 <= max_hamming <= 31:
+        raise ValueError(f"max_hamming must be in [0, 31], got {max_hamming}")
+    n_chunks = max_hamming + 1
+    base, rem = divmod(64, n_chunks)
+    widths = [base + (1 if c < rem else 0) for c in range(n_chunks)]
+    offsets = [sum(widths[:c]) for c in range(n_chunks)]
     chunks = [
-        F.shiftrightunsigned(F.col("simhash"), 16 * c).bitwiseAND(F.lit(0xFFFF))
+        F.shiftrightunsigned(F.col("simhash"), offsets[c])
+        .bitwiseAND(F.lit((1 << widths[c]) - 1))
         .alias(f"c{c}")
-        for c in range(4)
+        for c in range(n_chunks)
     ]
+    sig = simhash_signatures(df, text_col=text_col, id_col=id_col)
     banded = sig.select(F.col(id_col), F.col("simhash"), *chunks)
     pieces = banded.select(
         F.col(id_col), F.col("simhash"),
         F.explode(F.array(*[
             F.struct(F.lit(c).alias("chunk"), F.col(f"c{c}").alias("val"))
-            for c in range(4)
+            for c in range(n_chunks)
         ])).alias("b"),
     ).select(id_col, "simhash", "b.chunk", "b.val")
     a, b = pieces.alias("a"), pieces.alias("b")

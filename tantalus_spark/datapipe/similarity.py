@@ -158,7 +158,7 @@ def embedding_near_dup_pairs(
             F.col("a.id") < F.col("b.id"))
         base = base.persist()
         a, b = base.alias("a"), base.alias("b")
-        return (
+        out = (
             a.join(b, join_cond)
             .select(
                 F.col("a.id").alias("id_a"),
@@ -168,6 +168,8 @@ def embedding_near_dup_pairs(
             .filter(F.col("_cos") >= threshold)
             .select("id_a", "id_b", F.round("_cos", 4).alias("cosine"))
         )
+        from tantalus_spark.datapipe.dedup import _materialize_and_release
+        return _materialize_and_release(out, [base])
     return _block_matmul_pairs(base, threshold, n_blocks)
 
 

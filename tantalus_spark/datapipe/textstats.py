@@ -144,6 +144,62 @@ def fingerprint(df: DataFrame, text_col: str = "text",
     )
 
 
+def doc_profile(df: DataFrame, text_col: str = "text",
+                id_col: str = "doc_id") -> DataFrame:
+    """Fused per-document profile: token counts (whitespace + BPE-style
+    regex + chars-per-token budget ratio), quality features, language
+    scores + argmax prediction, and content fingerprints — ONE scan, one
+    projection, all codegen'd.
+
+    This is the production shape: at 100 TB you never run five separate
+    passes over the corpus for five per-doc feature families; you fuse them
+    into one map stage. The individual operators (:func:`token_count`,
+    :func:`bpe_token_count`, :func:`quality_score`, :func:`lang_scores`,
+    :func:`fingerprint`) remain available for composition and tests.
+    """
+    text = F.col(text_col)
+    ntok = F.size(tokens(text))
+    n = F.length(text)
+    alpha = F.length(F.regexp_replace(text, "[^a-zA-Z]", ""))
+    space = F.length(F.regexp_replace(text, r"[^\s]", ""))
+    punct = F.length(F.regexp_replace(text, r"[^.!?,;:]", ""))
+    n_bpe = F.size(F.regexp_extract_all(text, F.lit(BPE_SPLIT_RE), F.lit(0)))
+    padded = F.concat(F.lit(" "), F.lower(text), F.lit(" "))
+    score_exprs: dict[str, Column] = {}
+    for lang, markers in LANG_MARKERS.items():
+        expr = None
+        for m in markers:
+            occ = _occurrences(padded, m)
+            expr = occ if expr is None else expr + occ
+        score_exprs[lang] = expr
+    best = F.greatest(*score_exprs.values())
+    pred = F.lit("unknown")
+    for lang in reversed(list(score_exprs)):
+        pred = F.when(score_exprs[lang] == best, F.lit(lang)).otherwise(pred)
+    pred = F.when(best > 0, pred).otherwise(F.lit("unknown"))
+    return df.select(
+        F.col(id_col),
+        # token counting
+        ntok.alias("n_tokens"),
+        F.floor(n / F.lit(4)).cast("int").alias("n_subwords_est"),
+        n_bpe.alias("n_bpe_tokens"),
+        F.round(n / n_bpe, 4).alias("chars_per_token"),
+        # quality features
+        n.cast("int").alias("n_chars"),
+        F.round(alpha / n, 4).alias("alpha_ratio"),
+        F.round(space / n, 4).alias("space_ratio"),
+        F.round(punct / n, 4).alias("punct_ratio"),
+        F.round(n / ntok, 4).alias("avg_token_len"),
+        # language id
+        *[score_exprs[lang].alias(f"score_{lang}") for lang in LANG_MARKERS],
+        pred.alias("lang_pred"),
+        # fingerprints
+        F.md5(text).alias("md5"),
+        F.sha2(text, 256).alias("sha256"),
+        F.substring(F.md5(F.lower(F.trim(text))), 1, 8).alias("norm_prefix"),
+    )
+
+
 def ascii_ignore(col: Column) -> Column:
     """`.encode('ascii','ignore')` analog (reference views.py:98,
     forms.py:262; SURVEY §2.8 F13): strip non-ASCII code points."""

@@ -32,8 +32,16 @@ def salted_join(
     the modest side ``n_salts``× and salting the big side's rows.
 
     Each hot-key partition shrinks ~n_salts×; the replicated side grows
-    n_salts× (keep it the smaller input). Result equals a plain join.
+    n_salts× (keep it the smaller input). Result equals a plain join for
+    ``inner``/``left``/``left_semi``/``left_anti``. ``right``/``full`` are
+    rejected: an unmatched replicated-side row would surface once per salt
+    (n_salts duplicates vs the plain join).
     """
+    if how not in ("inner", "left", "left_outer", "left_semi", "left_anti"):
+        raise ValueError(
+            f"salted_join(how={how!r}): only inner/left/left_semi/left_anti "
+            "preserve plain-join semantics; right/full would duplicate "
+            "unmatched replicated rows n_salts times")
     keys = [on] if isinstance(on, str) else list(on)
     payload = [c for c in skewed.columns if c not in keys] or keys
     salt = F.pmod(F.xxhash64(*[F.col(c) for c in payload]), F.lit(n_salts))

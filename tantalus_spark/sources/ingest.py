@@ -7,9 +7,11 @@ row). Here validation is set-based: one errors DataFrame (row_idx, error)
 per rule, one LEFT JOIN against patients for the match classification —
 the shape that survives a 100 TB backfill.
 
-xlsx parsing needs openpyxl, which this image lacks — ``read_excel_sheets``
-degrades to a clear ImportError; all validation logic takes DataFrames, so
-CSV or in-memory input exercises the full path (tests do exactly that)."""
+xlsx parsing is self-contained: ``sources/xlsx.py`` implements the small
+SpreadsheetML subset ingest needs (stdlib zipfile + ElementTree), so S3 runs
+end-to-end on a real .xlsx file with no openpyxl in the image. All
+validation logic takes DataFrames, so CSV or in-memory input exercises the
+same path."""
 
 from __future__ import annotations
 
@@ -23,21 +25,30 @@ SAMPLE_SHEET_COLS = ["reference id", "suffix", "submitter", "researcher",
 
 def read_excel_sheets(spark: SparkSession, filename: str,
                       required_cols: list[str]):
-    """S3 (utils.py:6-24): load xlsx sheets, lowercase headers, yield sheets
-    containing the required columns. Gated on openpyxl availability."""
-    try:
-        import pandas as pd
+    """S3 (utils.py:6-24): load xlsx sheets, lowercase headers, yield the
+    sheets containing the required columns as string-typed DataFrames
+    (ingest IDs are strings; numeric cells stringify losslessly)."""
+    from tantalus_spark.sources.xlsx import read_workbook
 
-        sheets = pd.read_excel(filename, sheet_name=None)
-    except ImportError as exc:  # pragma: no cover - env without openpyxl
-        raise ImportError(
-            "xlsx ingest requires openpyxl; install it or feed a DataFrame "
-            "to validate_patients/validate_samples directly"
-        ) from exc
-    for name, pdf in sheets.items():
-        pdf.columns = [str(c).lower() for c in pdf.columns]
-        if set(required_cols) <= set(pdf.columns):
-            yield name, spark.createDataFrame(pdf)
+    for name, grid in read_workbook(filename):
+        if not grid:
+            continue
+        header = [str(c).lower() if c is not None else "" for c in grid[0]]
+        if not set(required_cols) <= set(header):
+            continue
+        rows = [
+            tuple(None if v is None else _cell_str(v) for v in r)
+            for r in grid[1:]
+        ]
+        schema = ", ".join(f"`{h}` string" for h in header)
+        yield name, spark.createDataFrame(rows, schema)
+
+
+def _cell_str(v) -> str:
+    # integral floats ('7.0' cells) stringify like the int the author typed
+    if isinstance(v, float) and v.is_integer():
+        return str(int(v))
+    return str(v)
 
 
 def with_row_idx(df: DataFrame, order_cols: list[str] | None = None) -> DataFrame:

@@ -219,3 +219,62 @@ def test_ascii_ignore(spark):
     df = spark.createDataFrame([("héllo wörld ✓ ok",)], "s string")
     out = df.select(ascii_ignore(F.col("s")).alias("a")).collect()[0]["a"]
     assert out == "hllo wrld  ok"
+
+
+def test_distinct_strategy_hint_same_result(tdb):
+    """Both Count(distinct=True) compile strategies (Expand default,
+    collect_set opt-in for bounded groups) must agree on values."""
+    def counts(qs):
+        return {r["id"]: r["num"] for r in qs.to_df().collect()}
+
+    base = tdb.query("sequence_dataset").annotate(
+        num=Count("sequence_lanes", distinct=True))
+    assert counts(base) == counts(base.hint(distinct_strategy="collect_set"))
+
+
+def test_unknown_hint_rejected(tdb):
+    import pytest as _pytest
+    with _pytest.raises(ValueError, match="unknown hints"):
+        tdb.query("sample").hint(nonsense=True)
+
+
+def test_order_by_related_path_with_values(tdb):
+    """order_by('related__col') combined with values(): the sort resolves
+    through the join frame BEFORE the projection renames columns (used to
+    raise AnalysisException on the raw path name)."""
+    qs = (tdb.query("sequence_dataset")
+          .order_by("-sample__sample_id", "id")
+          .values("id", "name"))
+    rows = [r["id"] for r in qs.to_df().collect()]
+    assert rows == [3, 4, 5, 2, 1]
+    assert qs.to_df().columns == ["id", "name"]
+
+
+def test_order_by_related_values_distinct_raises(tdb):
+    import pytest as _pytest
+    qs = (tdb.query("sequence_dataset")
+          .values("dataset_type").distinct().order_by("sample__sample_id"))
+    with _pytest.raises(NotImplementedError):
+        qs.to_df()
+
+
+def test_nonunique_pk_guard():
+    """Tables flagged pk_unique=False must reject pk-grain compiler ops
+    instead of silently matching/aggregating at parent grain."""
+    import pytest as _pytest
+
+    from tantalus_spark.catalog.tpch_model import tpch_catalog
+
+    cat = tpch_catalog()
+    assert not cat.pk_unique("lineitem")
+    assert cat.pk_unique("orders")
+
+
+def test_nonunique_pk_guard_raises_on_annotate(spark):
+    import pytest as _pytest
+
+    from tantalus_spark.catalog.tpch_model import load_tpch
+
+    db = load_tpch(spark, "/root/testdata/sf0.001")
+    with _pytest.raises(ValueError, match="not unique"):
+        db.query("lineitem").annotate(n=Count("part", distinct=True)).to_df()

@@ -42,7 +42,7 @@ sf_dir = sys.argv[1]
 # events has timestamp[ns] (the round-1 killer); the others cover the main
 # table shapes + a datapipe query.
 for name in ["01_pricing_summary", "31_asof_join", "49_tumbling_window",
-             "42_text_quality"]:
+             "41_doc_profile"]:
     df = QUERIES[name](spark, sf_dir)
     n = df.count()
     assert n >= 0, name

@@ -339,3 +339,38 @@ def test_history_capture_asof_roundtrip(tdb, spark):
     assert at2 == {1: "prod", 2: "qc2", 3: "unused"}
     at3 = {r["id"]: r["name"] for r in table_as_of(h, t3).collect()}
     assert at3 == {1: "prod", 2: "qc2"}
+
+
+def test_xlsx_roundtrip_and_excel_ingest(spark, tmp_path):
+    """S3 end-to-end on a REAL .xlsx file: write a golden workbook with the
+    vendored stdlib writer, read it back, and run the patient-sheet ingest
+    (reference tantalus/utils.py:6-24 reads the same shape via openpyxl)."""
+    from tantalus_spark.sources.ingest import (
+        PATIENT_SHEET_COLS, read_excel_sheets)
+    from tantalus_spark.sources.xlsx import read_workbook, write_workbook
+
+    path = str(tmp_path / "patients.xlsx")
+    patient_grid = [
+        ["External Patient ID", "Reference ID", "SA ID", "Case ID"],
+        ["EXT1", "R1", "SA100", "C1"],
+        ["EXT2", "R2", None, "C2"],
+        [None, "R3", "SA300", 7.0],
+    ]
+    write_workbook(path, [
+        ("Patients", patient_grid),
+        ("Notes", [["freeform"], ["not an ingest sheet"]]),
+    ])
+
+    sheets = read_workbook(path)
+    assert [s[0] for s in sheets] == ["Patients", "Notes"]
+    assert sheets[0][1] == patient_grid  # lossless roundtrip
+
+    got = list(read_excel_sheets(spark, path, PATIENT_SHEET_COLS))
+    assert len(got) == 1  # Notes sheet lacks required columns
+    name, df = got[0]
+    assert name == "Patients"
+    assert df.columns == ["external patient id", "reference id",
+                          "sa id", "case id"]
+    rows = df.orderBy("reference id").collect()
+    assert [r["case id"] for r in rows] == ["C1", "C2", "7"]
+    assert rows[1]["sa id"] is None

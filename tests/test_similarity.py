@@ -92,3 +92,24 @@ def test_trained_centroids_improve_recall(spark, emb, centroids):
     assert r2 <= r4 <= r8
     assert r8 == 1.0                   # probing every list = exact
     assert r2 > 0                      # nearest list holds some of top-10
+
+
+def test_embedding_lsh_pairs_subset_of_exact(emb):
+    """The hyperplane-LSH path must return a SUBSET of the exact pairs
+    (identical cosine values for pairs it keeps) with non-trivial recall —
+    the q69 gated scale path vs the q51 exact verifier."""
+    exact = {
+        (r["id_a"], r["id_b"]): r["cosine"]
+        for r in sim.embedding_near_dup_pairs(emb, threshold=0.45).collect()
+    }
+    lsh = {
+        (r["id_a"], r["id_b"]): r["cosine"]
+        for r in sim.embedding_near_dup_pairs(
+            emb, threshold=0.45, n_hyperplanes=2).collect()
+    }
+    assert lsh, "LSH path returned no pairs at all"
+    for pair, cos in lsh.items():
+        assert pair in exact, f"LSH produced non-near pair {pair}"
+        assert cos == exact[pair]
+    recall = len(lsh) / len(exact)
+    assert recall >= 0.2, f"recall {recall:.2f} too low for 2 hyperplanes"

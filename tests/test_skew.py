@@ -64,3 +64,15 @@ def test_skew_safe_collect_set(spark, skewed):
     assert hot == sorted(hot) and len(hot) == 5
     # non-hot keys have exactly their own value
     assert out[20] == [20]
+
+
+def test_salted_join_rejects_right_and_full(spark):
+    import pytest as _pytest
+
+    from tantalus_spark.operators.skew import salted_join
+
+    big = spark.createDataFrame([(1, "a")], "k int, v string")
+    small = spark.createDataFrame([(1, "x"), (2, "y")], "k int, w string")
+    for how in ("right", "full", "outer", "right_outer"):
+        with _pytest.raises(ValueError, match="salted_join"):
+            salted_join(big, small, "k", how=how)

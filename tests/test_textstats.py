@@ -95,3 +95,40 @@ def test_bpe_token_count_known_values(spark):
     assert out[1]["n_ws_tokens"] == 4 and out[1]["n_bpe_tokens"] == 6
     assert out[2]["n_ws_tokens"] == 1 and out[2]["n_bpe_tokens"] == 1
     assert out[2]["chars_per_token"] == 3.0
+
+
+def test_simhash_full_recall_vs_bruteforce(spark):
+    """Pigeonhole chunking must find EVERY pair within the hamming bound —
+    the round-1 4-chunk scheme silently dropped pairs with 4..16 differing
+    bits; this brute-forces popcount over all pairs as ground truth."""
+    from itertools import combinations
+
+    from tantalus_spark.catalog.loader import read_parquet
+    from tantalus_spark.datapipe import dedup
+
+    docs = read_parquet(spark, "/root/testdata/sf0.001/documents.parquet")
+    sigs = {r["doc_id"]: r["simhash"]
+            for r in dedup.simhash_signatures(docs).collect()}
+    for bound in (3, 8):
+        truth = {
+            (a, b)
+            for a, b in combinations(sorted(sigs), 2)
+            if bin((sigs[a] ^ sigs[b]) & ((1 << 64) - 1)).count("1") <= bound
+        }
+        got = {
+            (r["d1"], r["d2"])
+            for r in dedup.simhash_near_pairs(docs, max_hamming=bound).collect()
+        }
+        assert got == truth, (
+            f"bound {bound}: missed {truth - got}, spurious {got - truth}")
+
+
+def test_simhash_rejects_unbucketable_bound(spark):
+    import pytest as _pytest
+
+    from tantalus_spark.catalog.loader import read_parquet
+    from tantalus_spark.datapipe import dedup
+
+    docs = read_parquet(spark, "/root/testdata/sf0.001/documents.parquet")
+    with _pytest.raises(ValueError):
+        dedup.simhash_near_pairs(docs, max_hamming=32)
