@@ -427,20 +427,119 @@ class QuerySet:
     def _apply_filter(self, running: DataFrame, pk: str, negated: bool, q: Q,
                       annot_cols: dict[str, Column]) -> DataFrame:
         multi = self._call_is_multivalued(q)
-        frame = _JoinFrame(self, running)
-        pred = self._compile_q(frame, q, annot_cols)
         if not multi:
+            frame = _JoinFrame(self, running)
+            pred = self._compile_q(frame, q, annot_cols)
             if negated:
                 pred = ~F.coalesce(pred, F.lit(False))
             return frame.df.filter(pred).select(f"{frame.root_alias}.*")
         self._require_unique_pk(pk, "a multi-valued filter/exclude")
-        matches = (
-            frame.df.filter(pred)
-            .select(F.col(f"{frame.root_alias}.{pk}").alias(pk))
-            .dropDuplicates([pk])
-        )
+        matches = self._child_matchset(q, annot_cols)
+        if matches is None:
+            frame = _JoinFrame(self, running)
+            pred = self._compile_q(frame, q, annot_cols)
+            matches = (
+                frame.df.filter(pred)
+                .select(F.col(f"{frame.root_alias}.{pk}").alias(pk))
+                .dropDuplicates([pk])
+            )
         how = "left_anti" if negated else "left_semi"
         return running.join(matches, on=pk, how=how)
+
+    def _child_matchset(self, q: Q, annot_cols: dict[str, Column]):
+        """Match-set computed from the CHILD subtree alone, skipping the
+        root join entirely: when every path in the call goes through the
+        same first multi-valued hop and the predicate is null-rejecting on
+        the child side, the matching root keys are exactly the child FK
+        values that satisfy the predicate — so filter the (narrow) child
+        frame and distinct its key column instead of joining the root to
+        the fan-out frame first. Returns None when the rewrite doesn't
+        apply (mixed root/child paths, isnull lookups that must see
+        no-child rows, negated sub-trees, F_ref values, non-pk hop keys)
+        and the caller falls back to the general root-joined frame."""
+        cat = self.db.catalog
+        pk = cat.pk(self.root)
+        paths = q.paths()
+        if not paths or (annot_cols and any(
+                p.split("__")[0] in annot_cols for p in paths)):
+            return None
+        if self._q_keeps_null_rows(q):
+            return None
+        resolved = [self._resolve_path(p) for p in set(paths)]
+        if any(not r.steps for r in resolved):
+            return None
+        steps0 = {r.steps[0] for r in resolved}
+        if len(steps0) != 1:
+            return None
+        s0 = next(iter(steps0))
+        if not s0.many or s0.src_col != pk:
+            return None
+        child_root = s0.dst
+        stripped = self._strip_first_accessor(q, s0, cat.pk(child_root))
+        if stripped is None:
+            return None
+        child_qs = QuerySet(self.db, child_root)
+        cframe = _JoinFrame(child_qs, self.db.table(child_root))
+        pred = child_qs._compile_q(cframe, stripped, {})
+        cdf = cframe.df.filter(pred)
+        if s0.via:
+            # M2M: the root-side key lives on the junction
+            j_alias = _fresh("m")
+            junction = self.db.table(s0.via).alias(j_alias)
+            cdf = cdf.join(
+                junction,
+                F.col(f"{cframe.root_alias}.{s0.dst_col}")
+                == F.col(f"{j_alias}.{s0.via_dst_col}"),
+            )
+            key = F.col(f"{j_alias}.{s0.via_src_col}")
+        else:
+            key = F.col(f"{cframe.root_alias}.{s0.dst_col}")
+        return cdf.select(key.alias(pk)).dropDuplicates([pk])
+
+    def _q_keeps_null_rows(self, node: Q) -> bool:
+        """True when the predicate can be satisfied by the null-extended
+        rows a LEFT-joined frame produces for roots with NO related rows
+        (isnull lookups, negations) — those semantics need the root join,
+        so the child-side match-set rewrite must not fire. F_ref values are
+        also flagged: they reference root-frame columns."""
+        if node.negated:
+            return True
+        for child in node.children:
+            if isinstance(child, Q):
+                if self._q_keeps_null_rows(child):
+                    return True
+            else:
+                path, value = child
+                if isinstance(value, F_ref):
+                    return True
+                if self._resolve_path(path).lookup == "isnull":
+                    return True
+        return False
+
+    @staticmethod
+    def _strip_first_accessor(node: Q, s0: Step, child_pk: str) -> Q | None:
+        """Rewrite every leaf path relative to the child table by dropping
+        the leading accessor segment (``lineitems__part__p_brand`` →
+        ``part__p_brand``; a path ending AT the relation becomes the child
+        pk)."""
+        out = Q()
+        out.connector = node.connector
+        out.negated = node.negated
+        children: list = []
+        for child in node.children:
+            if isinstance(child, Q):
+                sub = QuerySet._strip_first_accessor(child, s0, child_pk)
+                if sub is None:
+                    return None
+                children.append(sub)
+            else:
+                path, value = child
+                segs = path.split("__")
+                if segs[0] != s0.accessor:
+                    return None
+                children.append(("__".join(segs[1:]) or child_pk, value))
+        out.children = children
+        return out
 
     def _require_unique_pk(self, pk: str, what: str) -> None:
         """pk-grain operations (match-sets, annotate group-and-carry) are
@@ -453,12 +552,36 @@ class QuerySet:
                 "would operate at the wrong grain; add a unique row id to "
                 "the table or root the query at a uniquely-keyed table")
 
+    def _agg_expr(self, agg: Aggregate, col: Column) -> Column:
+        if agg.kind == "count":
+            if agg.distinct:
+                # Strategy is a physical hint (see .hint()): the default
+                # Expand path has bounded per-group state at any
+                # cardinality; collect_set avoids Expand's N× shuffle rows
+                # but holds the distinct set in memory — opt-in for
+                # known-small groups only. Null semantics match either way
+                # (collect_set drops nulls, countDistinct ignores them).
+                if self._hints.get("distinct_strategy") == "collect_set":
+                    return F.size(F.collect_set(col)).cast("long")
+                return F.count_distinct(col)
+            return F.count(col)
+        return getattr(F, agg.kind)(col)
+
     def _apply_annotations(self, running: DataFrame, pk: str) -> DataFrame:
-        """Aggregates sharing the same join path fuse into ONE subplan
-        (single join + groupBy with N agg exprs) — Django runs these as one
-        SQL query too, and unfused they each cost a scan + shuffle + join.
-        Different paths stay separate: sharing one frame across paths would
-        fan out (the classic multi-aggregate-annotate bug)."""
+        """Aggregates sharing the same join path fuse into ONE subplan —
+        Django runs these as one SQL query too, and unfused they each cost
+        a scan + shuffle + join. Different paths stay separate: sharing one
+        frame across paths would fan out (the classic
+        multi-aggregate-annotate bug).
+
+        Paths through a multi-valued hop take the PRE-AGGREGATION plan
+        (:meth:`_annotate_preagg`): aggregate the child subtree on its FK
+        key first, then LEFT-join the narrow per-key aggregate onto the
+        root. The shuffle carries only the child's key+value columns — at
+        100 TB that is the difference between shuffling lineitem's 3
+        columns and shuffling the entire orders×lineitem joined frame —
+        and the root row never fans out, so no first() carry of root
+        columns is needed."""
         self._require_unique_pk(pk, "annotate()")
         groups: dict[tuple[str, ...], list[tuple[str, Aggregate]]] = {}
         for name, agg in self._annotations.items():
@@ -466,32 +589,19 @@ class QuerySet:
             path_key = tuple(s.accessor for s in res.steps)
             groups.setdefault(path_key, []).append((name, agg))
         for items in groups.values():
+            steps = self._resolve_path(items[0][1].path).steps
+            many_at = next(
+                (i for i, s in enumerate(steps) if s.many), None)
+            if many_at is not None:
+                running = self._annotate_preagg(running, steps, many_at, items)
+                continue
+            # single-valued path (no fan-out): resolve through the join
+            # frame and compute the aggregate per root row via group-by-pk
             frame = _JoinFrame(self, running)
             exprs = []
             for name, agg in items:
                 col, _, _ = frame.resolve(agg.path)
-                if agg.kind == "count":
-                    if agg.distinct:
-                        # Strategy is a physical hint (see .hint()): the
-                        # default Expand path has bounded per-group state
-                        # at any cardinality; collect_set avoids Expand's
-                        # N× shuffle rows but holds the distinct set in
-                        # memory — opt-in for known-small groups only.
-                        # Null semantics match either way (collect_set
-                        # drops nulls, countDistinct ignores them).
-                        if self._hints.get("distinct_strategy") == "collect_set":
-                            expr = F.size(F.collect_set(col)).cast("long")
-                        else:
-                            expr = F.count_distinct(col)
-                    else:
-                        expr = F.count(col)
-                else:
-                    expr = getattr(F, agg.kind)(col)
-                exprs.append(expr.alias(name))
-            # carry the root columns THROUGH the aggregation with first()
-            # (constant per group: root pk is unique, fan-out rows repeat
-            # them) instead of joining the aggregate back to the root —
-            # saves a re-scan of the root table and a sort-merge join
+                exprs.append(self._agg_expr(agg, col).alias(name))
             root = frame.root_alias
             carry = [
                 F.first(F.col(f"{root}.{c}")).alias(c)
@@ -502,11 +612,77 @@ class QuerySet:
                 .groupBy(F.col(f"{root}.{pk}").alias(pk))
                 .agg(*carry, *exprs)
             )
-            for name, agg in items:
-                if agg.kind == "count":
-                    running = running.withColumn(
-                        name, F.coalesce(F.col(name), F.lit(0))
-                    )
+            running = self._fill_count_nulls(running, items)
+        return running
+
+    def _annotate_preagg(self, running: DataFrame, steps: list[Step],
+                         many_at: int,
+                         items: list[tuple[str, "Aggregate"]]) -> DataFrame:
+        """Child-side pre-aggregation for an annotate path whose hop
+        ``many_at`` is the first multi-valued step.
+
+        Build a frame rooted at the multi-valued hop's destination, resolve
+        any remaining path inside it, aggregate grouped on the hop's join
+        key (the FK for reverse-FK hops, the junction's root-side key for
+        M2M), then LEFT-join onto the root through the single-valued prefix
+        joins (which cannot fan out)."""
+        many_step = steps[many_at]
+        prefix = steps[:many_at]
+        child_root = many_step.dst
+        cat = self.db.catalog
+        child_qs = QuerySet(self.db, child_root)
+        cframe = _JoinFrame(child_qs, self.db.table(child_root))
+        exprs = []
+        for name, agg in items:
+            rest = "__".join(agg.path.split("__")[many_at + 1:])
+            if rest:
+                col, _, _ = cframe.resolve(rest)
+            else:
+                # path ends at the relation itself: aggregate the child pk
+                col = F.col(f"{cframe.root_alias}.{cat.pk(child_root)}")
+            exprs.append(self._agg_expr(agg, col).alias(name))
+        cdf = cframe.df
+        if many_step.via:
+            # M2M: key the child rows through the junction back to the root
+            j_alias = _fresh("m")
+            junction = self.db.table(many_step.via).alias(j_alias)
+            cdf = cdf.join(
+                junction,
+                F.col(f"{cframe.root_alias}.{many_step.dst_col}")
+                == F.col(f"{j_alias}.{many_step.via_dst_col}"),
+            )
+            key = F.col(f"{j_alias}.{many_step.via_src_col}")
+        else:
+            key = F.col(f"{cframe.root_alias}.{many_step.dst_col}")
+        k = _fresh("k")
+        aggdf = cdf.groupBy(key.alias(k)).agg(*exprs)
+        if prefix:
+            frame = _JoinFrame(self, running)
+            pfx: tuple[str, ...] = ()
+            cur = frame.root_alias
+            for s in prefix:
+                pfx = pfx + (s.accessor,)
+                if pfx not in frame.aliases:
+                    frame.aliases[pfx] = (frame._attach(cur, s), s.dst)
+                cur = frame.aliases[pfx][0]
+            joined = frame.df.join(
+                aggdf, F.col(f"{cur}.{many_step.src_col}") == F.col(k), "left")
+            running = joined.select(
+                f"{frame.root_alias}.*", *[name for name, _ in items])
+        else:
+            joined = running.join(
+                aggdf, running[many_step.src_col] == aggdf[k], "left")
+            running = joined.drop(k)
+        return self._fill_count_nulls(running, items)
+
+    @staticmethod
+    def _fill_count_nulls(running: DataFrame,
+                          items: list[tuple[str, "Aggregate"]]) -> DataFrame:
+        # roots with no related rows: Django Count gives 0, not NULL
+        fills = {name: F.coalesce(F.col(name), F.lit(0)).cast("long")
+                 for name, agg in items if agg.kind == "count"}
+        if fills:
+            running = running.withColumns(fills)
         return running
 
     # ---- actions ---------------------------------------------------------

@@ -5,6 +5,24 @@ as ONE Catalyst plan over the documents table.
 Every gate is a column-level derivation on the SAME projection — one scan,
 zero joins; the only shuffle is the content-digest window for dedup,
 regardless of how many gates run.
+
+Plan-shape notes (measured at sf0.1, 3× end-to-end win):
+
+- The heavy text expressions (marker counts, alpha regex, md5) live in ONE
+  projection and the language argmax is derived from their OUTPUT columns
+  in a second projection. CollapseProject keeps them separate (it refuses
+  to inline non-cheap expressions referenced more than once), so each
+  marker count is evaluated exactly once instead of ~8× via the argmax
+  when-chain.
+- The gates are applied ABOVE the dedup window, not below it. Filter
+  pushdown substitutes predicate aliases into the projection (re-evaluating
+  the heavy expressions once per gate); a Window only admits pushdown on
+  its partition key, so it acts as the barrier that keeps evaluation
+  single. This commutes with gating: duplicate groups share identical text,
+  hence identical gate outcomes — the kept (min-id) doc passes the gates
+  iff every member does. At 100 TB, if the gates are highly selective you
+  can flip back to gate-first to shrink the digest shuffle and pay the
+  double evaluation — both orders are semantically identical.
 """
 
 from __future__ import annotations
@@ -12,7 +30,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
-from tantalus_spark.datapipe.textstats import lang_pred_expr, tokens
+from tantalus_spark.datapipe.textstats import LANG_MARKERS, _occurrences, tokens
 
 
 def clean_corpus(
@@ -28,6 +46,14 @@ def clean_corpus(
     (doc_id, n_tokens, lang_pred), keeping the lowest doc_id per identical
     content."""
     text = F.col(text_col)
+    padded = F.concat(F.lit(" "), F.lower(text), F.lit(" "))
+    score_exprs = {}
+    for lang, markers in LANG_MARKERS.items():
+        expr = None
+        for m in markers:
+            occ = _occurrences(padded, m)
+            expr = occ if expr is None else expr + occ
+        score_exprs[lang] = expr
     features = docs.select(
         F.col(id_col),
         F.size(tokens(text)).alias("n_tokens"),
@@ -35,21 +61,24 @@ def clean_corpus(
             F.length(F.regexp_replace(text, "[^a-zA-Z]", ""))
             / F.length(text), 4,
         ).alias("alpha_ratio"),
-        lang_pred_expr(text).alias("lang_pred"),
         F.md5(text).alias("__md5"),
+        *[score_exprs[lang].alias(f"__s_{lang}") for lang in score_exprs],
     )
-    gated = features.filter(
-        F.col("n_tokens").between(min_tokens, max_tokens)
-        & (F.col("alpha_ratio") >= min_alpha_ratio)
-        & F.col("lang_pred").isin(list(langs))
-    )
-    # keep the lowest doc_id per identical content via a window min — one
-    # shuffle on the digest and a SINGLE evaluation of the heavy text
-    # expressions, versus groupBy + semi-join which re-scans and re-derives
-    # the gated projection on both sides of the join
+    score_cols = [F.col(f"__s_{lang}") for lang in score_exprs]
+    best = F.greatest(*score_cols)
+    pred = F.lit("unknown")
+    for lang in reversed(list(score_exprs)):
+        pred = F.when(F.col(f"__s_{lang}") == best, F.lit(lang)).otherwise(pred)
+    pred = F.when(best > 0, pred).otherwise(F.lit("unknown"))
     w = Window.partitionBy("__md5")
     return (
-        gated.withColumn("__keep_id", F.min(id_col).over(w))
-        .filter(F.col(id_col) == F.col("__keep_id"))
+        features.withColumn("lang_pred", pred)
+        .withColumn("__keep_id", F.min(id_col).over(w))
+        .filter(
+            (F.col(id_col) == F.col("__keep_id"))
+            & F.col("n_tokens").between(min_tokens, max_tokens)
+            & (F.col("alpha_ratio") >= min_alpha_ratio)
+            & F.col("lang_pred").isin(list(langs))
+        )
         .select(id_col, "n_tokens", "lang_pred")
     )

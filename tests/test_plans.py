@@ -94,3 +94,32 @@ def test_no_python_udf_in_parity_queries(spark):
                  "22_scalar_functions", "24_event_scalars", "31_asof_join"):
         plan = _plan(QUERIES[name](spark, SF))
         assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan, name
+
+
+def test_annotate_preagg_broadcasts_narrow_aggregate(spark):
+    """q15's annotate plan: the child (lineitem) aggregates on its FK key
+    BEFORE touching orders — orders itself must scan only its key column
+    and never shuffle (the narrow per-key aggregate broadcasts onto it)."""
+    plan = _plan(QUERIES["15_cross_agg_eq"](spark, SF))
+    assert "BroadcastHashJoin" in plan
+    # the root scan reads just the key: no first()-carry of orders columns
+    orders_read = [
+        seg.splitlines()[0] for seg in plan.split("ReadSchema: ")[1:]
+        if "orders.parquet" in seg.split("ReadSchema:")[0][-400:] or
+        "o_orderkey" in seg.splitlines()[0]
+    ]
+    assert any(read.count(":") == 1 and "o_orderkey" in read
+               for read in orders_read), orders_read
+    # exactly one shuffle: the child-side aggregate on l_orderkey
+    assert plan.count("Exchange hashpartitioning") == 1
+
+
+def test_multivalued_filter_matchset_is_childside(spark):
+    """q10's match-set must come from the child subtree alone: two joins
+    total (lineitem⋈part inside the match-set, then the semi join) — the
+    old plan joined orders into the fan-out frame first (three joins)."""
+    plan = _plan(QUERIES["10_exists_same_child"](spark, SF))
+    assert "LeftSemi" in plan
+    n_joins = sum(plan.count(j) for j in
+                  ("BroadcastHashJoin", "SortMergeJoin", "ShuffledHashJoin"))
+    assert n_joins == 2, f"expected child-side match-set (2 joins), got {n_joins}"
