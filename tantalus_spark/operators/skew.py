@@ -95,3 +95,25 @@ def skew_safe_collect_set(
     if max_values is not None:
         out = out.withColumn(alias, F.slice(F.col(alias), 1, max_values))
     return out
+
+
+def approx_count_distinct(
+    df: DataFrame,
+    keys: str | list[str],
+    value_col: str,
+    alias: str = "n_distinct_approx",
+    rsd: float = 0.05,
+) -> DataFrame:
+    """COUNT(DISTINCT) per key as a HyperLogLog++ sketch — the constant-
+    memory alternative when even the dedup-spread of
+    :func:`skew_safe_count_distinct` shuffles too much (e.g. distinct user
+    ids per day over 100 TB of events).
+
+    Per-group state is a fixed-size HLL register array (grows with 1/rsd²,
+    not with cardinality), partial-aggregates map-side, and merges
+    associatively — the sketch property that makes it safe at any scale.
+    ``rsd`` is the target relative standard deviation (default 5%).
+    """
+    keys = [keys] if isinstance(keys, str) else list(keys)
+    return df.groupBy(*keys).agg(
+        F.approx_count_distinct(value_col, rsd=rsd).alias(alias))

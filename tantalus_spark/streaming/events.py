@@ -75,6 +75,24 @@ def session_windows(events: DataFrame, gap: str = "30 minutes",
     )
 
 
+def dedup_stream(events: DataFrame, keys: list[str] | None = None,
+                 watermark: str = "2 hours") -> DataFrame:
+    """Streaming exact deduplication: drop events already seen within the
+    watermark horizon — the streaming counterpart of the batch
+    ``datapipe.dedup.exact_duplicates`` (at-least-once sources deliver
+    duplicates; this makes the downstream aggregates effectively-once).
+
+    ``dropDuplicatesWithinWatermark`` bounds state to the watermark window:
+    O(events per horizon) keys, evicted as the watermark advances —
+    unbounded-history dedup in a stream would grow state forever.
+    """
+    keys = keys or ["event_id"]
+    return (
+        events.withWatermark("ts", watermark)
+        .dropDuplicatesWithinWatermark(keys)
+    )
+
+
 def user_running_totals(events: DataFrame) -> DataFrame:
     """Custom stateful operator via ``applyInPandasWithState``: per-user
     running (n_events, total_value) maintained across micro-batches.

@@ -278,3 +278,39 @@ def test_nonunique_pk_guard_raises_on_annotate(spark):
     db = load_tpch(spark, "/root/testdata/sf0.001")
     with _pytest.raises(ValueError, match="not unique"):
         db.query("lineitem").annotate(n=Count("part", distinct=True)).to_df()
+
+
+def test_child_matchset_equals_fallback_frame(tdb, monkeypatch):
+    """The child-side match-set rewrite must be result-identical to the
+    general root-joined frame path for every predicate shape — including
+    the shapes where the rewrite declines (isnull, negation, mixed paths)
+    and both go through the fallback."""
+    from tantalus_spark.compiler import compiler as comp
+
+    cases = [
+        ("sequence_dataset", lambda qs: qs.filter(tags__name="qc")),
+        ("sequence_dataset", lambda qs: qs.filter(
+            Q(tags__name="qc") | Q(tags__name="prod"))),
+        ("sequence_dataset", lambda qs: qs.exclude(tags__name="prod")),
+        ("sample", lambda qs: qs.filter(projects__name="ProjA")),
+        ("patient", lambda qs: qs.filter(samples__tissue__isnull=True)),
+        ("sequence_dataset", lambda qs: qs.filter(
+            file_resources__filename__endswith=".bam",
+            file_resources__size__gte=1000)),
+        ("sequence_dataset",
+         lambda qs: qs.filter(~Q(tags__name="qc"))),
+    ]
+
+    def run(root, build):
+        return sorted(
+            r[0] for r in build(tdb.query(root)).to_df()
+            .select(tdb.catalog.pk(root)).collect())
+
+    for root, build in cases:
+        with_rewrite = run(root, build)
+        monkeypatch.setattr(
+            comp.QuerySet, "_child_matchset",
+            lambda self, q, annot_cols: None)
+        without = run(root, build)
+        monkeypatch.undo()
+        assert with_rewrite == without, (root, with_rewrite, without)

@@ -190,3 +190,30 @@ def test_jsonl_event_stream(spark, event_dir, tmp_path_factory):
         se.windowed_counts(stream), "t_jsonl",
         output_mode="complete").collect()
     assert sum(r["n"] for r in got) == src.count()
+
+
+def test_dedup_stream_drops_redelivered_events(spark, tmp_path_factory):
+    """At-least-once redelivery: the same event_id arriving twice within
+    the watermark horizon must survive exactly once, and downstream counts
+    must match the batch dedup of the same data."""
+    path = str(tmp_path_factory.mktemp("events_dup"))
+    t0 = dt.datetime(2024, 1, 1, 0)
+
+    def ts(m):
+        return t0 + dt.timedelta(minutes=m)
+
+    rows = [
+        (1, ts(5), 10, "click", 1.0, None),
+        (2, ts(6), 10, "click", 2.0, None),
+        (1, ts(5), 10, "click", 1.0, None),    # exact redelivery
+        (3, ts(40), 11, "view", 3.0, None),
+        (2, ts(6), 10, "click", 2.0, None),    # redelivery in later file
+    ]
+    df = spark.createDataFrame(rows, schema=se.EVENT_SCHEMA)
+    df.coalesce(3).write.mode("overwrite").parquet(path)
+
+    stream = se.read_event_stream(spark, path, max_files_per_trigger=1)
+    got = se.run_to_completion(
+        se.dedup_stream(stream, watermark="2 hours"), "dedup_stream_t")
+    ids = sorted(r["event_id"] for r in got.collect())
+    assert ids == [1, 2, 3]

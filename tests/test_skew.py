@@ -76,3 +76,23 @@ def test_salted_join_rejects_right_and_full(spark):
     for how in ("right", "full", "outer", "right_outer"):
         with _pytest.raises(ValueError, match="salted_join"):
             salted_join(big, small, "k", how=how)
+
+
+def test_approx_count_distinct_within_error_bound(spark):
+    """HLL estimate per group must land within ~5 relative standard
+    deviations of the exact distinct count (rsd=0.05 -> generous 25%
+    tolerance; typical error is far smaller)."""
+    from tantalus_spark.catalog.loader import read_parquet
+    from tantalus_spark.operators.skew import (
+        approx_count_distinct, skew_safe_count_distinct)
+
+    li = read_parquet(spark, "/root/testdata/sf0.001/lineitem.parquet")
+    exact = {r["l_returnflag"]: r["n_distinct"] for r in
+             skew_safe_count_distinct(
+                 li, "l_returnflag", "l_partkey").collect()}
+    approx = {r["l_returnflag"]: r["n_distinct_approx"] for r in
+              approx_count_distinct(
+                  li, "l_returnflag", "l_partkey", rsd=0.05).collect()}
+    assert set(exact) == set(approx)
+    for k, n in exact.items():
+        assert abs(approx[k] - n) <= max(5, 0.25 * n), (k, approx[k], n)
