@@ -71,10 +71,14 @@ def shingles(df: DataFrame, n: int = 3, text_col: str = "text",
             " ", *[F.element_at(toks, i + j) for j in range(n)]
         ),
     )
-    out = toked.select(F.col(id_col), F.explode(gram).alias("shingle"))
+    # per-doc dedup happens ARRAY-side (array_distinct) before the explode:
+    # the old explode → dropDuplicates shape paid a full shuffle of the
+    # posting list just to dedup within documents — a per-row operation.
+    # Zero exchanges in shingle construction now.
+    arr = F.array_distinct(gram)
     if hashed:
-        out = out.select(F.col(id_col), F.xxhash64("shingle").alias("shingle"))
-    return out.dropDuplicates([id_col, "shingle"])
+        arr = F.transform(arr, lambda g: F.xxhash64(g))
+    return toked.select(F.col(id_col), F.explode(arr).alias("shingle"))
 
 
 def ngram_jaccard_pairs(

@@ -1,0 +1,76 @@
+"""HTTP facade tests: real sockets against the stdlib server, exercising
+the validated-filter path, pagination envelope, bearer auth, and error
+shapes the reference's DRF front door defines."""
+
+from __future__ import annotations
+
+import json
+import urllib.error
+import urllib.request
+
+import pytest
+
+from tantalus_spark.api import ApiServer
+
+
+@pytest.fixture(scope="module")
+def server(tdb):
+    srv = ApiServer(tdb)
+    host, port = srv.serve_background()
+    yield f"http://{host}:{port}"
+    srv.shutdown()
+
+
+def get(base, path, headers=None):
+    req = urllib.request.Request(base + path, headers=headers or {})
+    with urllib.request.urlopen(req, timeout=60) as resp:
+        return resp.status, json.loads(resp.read())
+
+
+def test_endpoint_directory(server):
+    status, body = get(server, "/api/")
+    assert status == 200
+    assert "sequence_dataset" in body["endpoints"]
+
+
+def test_filtered_list_with_pagination(server):
+    status, body = get(
+        server, "/api/sequence_dataset/?tags__name=prod&page_size=1&page=2")
+    assert status == 200
+    assert body["count"] == 2          # DS1 and DS2 carry tag 'prod'
+    assert len(body["results"]) == 1   # page-sized
+    assert body["page"] == 2
+
+
+def test_related_path_filter(server):
+    status, body = get(server, "/api/sample/?patient__patient_id=SA100")
+    assert status == 200
+    assert {r["id"] for r in body["results"]} == {1, 2}
+
+
+def test_unknown_param_is_400_naming_legal_set(server):
+    with pytest.raises(urllib.error.HTTPError) as e:
+        get(server, "/api/sample/?bogus=1")
+    assert e.value.code == 400
+    assert "no filter" in json.loads(e.value.read())["detail"]
+
+
+def test_unknown_endpoint_is_404(server):
+    with pytest.raises(urllib.error.HTTPError) as e:
+        get(server, "/api/nope/")
+    assert e.value.code == 404
+
+
+def test_bearer_token_auth(tdb):
+    srv = ApiServer(tdb, token="s3cret")
+    host, port = srv.serve_background()
+    base = f"http://{host}:{port}"
+    try:
+        with pytest.raises(urllib.error.HTTPError) as e:
+            get(base, "/api/")
+        assert e.value.code == 401
+        status, body = get(base, "/api/tag/?name=qc",
+                           headers={"Authorization": "Bearer s3cret"})
+        assert status == 200 and body["count"] == 1
+    finally:
+        srv.shutdown()
