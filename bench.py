@@ -61,13 +61,14 @@ def main() -> None:
               "events", "documents", "embeddings"):
         db.table(t).count()
 
-    # best-of-2 per query: first run may pay one-off plan/codegen costs;
-    # the min is the steady-state number a scheduler would see
+    # best-of-3 per query: first run may pay one-off plan/codegen costs
+    # and local[32] timings have GC jitter; the min is the steady-state
+    # number a scheduler would see
     timings: dict[str, float] = {}
     for name in HEADLINE:
         fn = QUERIES[name]
         best = float("inf")
-        for _ in range(2):
+        for _ in range(3):
             t0 = time.perf_counter()
             fn(spark, sf_dir).count()
             best = min(best, time.perf_counter() - t0)

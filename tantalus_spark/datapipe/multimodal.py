@@ -2,10 +2,12 @@
 with typed metadata, processed via Arrow-batched ``mapInPandas``.
 
 The Spark-side machinery here is real and tested — schemas, partition-size
-control, batch iteration, UDF signatures. The *decoders* are stubs behind
-``set_decoder``/deterministic fakes because the image/audio libraries are
-not in this container; swapping in Pillow/torchaudio is a one-function
-change and does not alter any plan shape.
+control, batch iteration, UDF signatures. Metadata decode is REAL for the
+formats whose headers parse with stdlib byte math (PNG/GIF/BMP/JPEG
+dimensions, WAV duration — :func:`stdlib_media_probe`); full pixel/PCM
+decode stays a stub behind ``set_decoder`` because the image/audio
+libraries are not in this container — swapping in Pillow/torchaudio is a
+one-function change and does not alter any plan shape.
 
 Scale design: binary payloads never shuffle — all transforms are map-only
 (``mapInPandas``); metadata extraction prunes to the binary column plus ids;
@@ -45,11 +47,60 @@ def set_decoder(fn: Callable[[bytes, str], dict] | None) -> None:
     _DECODER = fn
 
 
+def stdlib_media_probe(payload: bytes, kind: str) -> dict | None:
+    """REAL metadata decode for the formats whose headers parse with pure
+    byte math / stdlib: PNG, GIF, BMP, JPEG dimensions and WAV duration.
+    Returns None for unrecognized payloads (caller falls back). This is
+    the part of "decode" a features pass actually needs; full pixel/pcm
+    decode stays behind ``set_decoder`` (Pillow/torchaudio swap point)."""
+    if not payload:
+        return None
+    try:
+        if payload[:8] == b"\x89PNG\r\n\x1a\n" and len(payload) >= 24:
+            return {"width": int.from_bytes(payload[16:20], "big"),
+                    "height": int.from_bytes(payload[20:24], "big"),
+                    "duration_ms": None}
+        if payload[:6] in (b"GIF87a", b"GIF89a") and len(payload) >= 10:
+            return {"width": int.from_bytes(payload[6:8], "little"),
+                    "height": int.from_bytes(payload[8:10], "little"),
+                    "duration_ms": None}
+        if payload[:2] == b"BM" and len(payload) >= 26:
+            return {"width": int.from_bytes(payload[18:22], "little"),
+                    "height": int.from_bytes(payload[22:26], "little",
+                                             signed=True),
+                    "duration_ms": None}
+        if payload[:2] == b"\xff\xd8":  # JPEG: scan for a SOF marker
+            i = 2
+            while i + 9 < len(payload):
+                if payload[i] != 0xFF:
+                    break
+                marker = payload[i + 1]
+                seg_len = int.from_bytes(payload[i + 2:i + 4], "big")
+                if 0xC0 <= marker <= 0xCF and marker not in (0xC4, 0xC8, 0xCC):
+                    return {
+                        "height": int.from_bytes(payload[i + 5:i + 7], "big"),
+                        "width": int.from_bytes(payload[i + 7:i + 9], "big"),
+                        "duration_ms": None}
+                i += 2 + seg_len
+        if payload[:4] == b"RIFF" and payload[8:12] == b"WAVE":
+            import io
+            import wave
+
+            with wave.open(io.BytesIO(payload)) as w:
+                rate = w.getframerate()
+                return {"width": None, "height": None,
+                        "duration_ms": int(w.getnframes() * 1000 / rate)
+                        if rate else None}
+    except Exception:
+        return None
+    return None
+
+
 def _fake_decode(payload: bytes, kind: str) -> dict:
-    """Deterministic fake decoder: derives plausible dimensions from the
-    payload bytes so tests exercise the full plumbing. A real deployment
-    calls set_decoder(pillow_decoder) — or raises NotImplementedError to
-    fail loudly."""
+    """Deterministic fallback for payloads no real probe recognizes:
+    derives plausible dimensions from the payload bytes so synthetic-data
+    tests exercise the full plumbing. A real deployment narrows this to
+    set_decoder(...) or a loud failure."""
     if payload is None:
         return {"width": None, "height": None, "duration_ms": None}
     h = int.from_bytes(payload[:8].ljust(8, b"\0"), "big")
@@ -69,12 +120,16 @@ def media_features(media: DataFrame) -> DataFrame:
     def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         import hashlib
 
-        decoder = _DECODER or _fake_decode
+        installed = _DECODER
         for pdf in it:
             rows = []
             for r in pdf.itertuples(index=False):
                 payload = r.payload
-                decoded = decoder(payload, r.kind)
+                if installed is not None:
+                    decoded = installed(payload, r.kind)
+                else:
+                    decoded = (stdlib_media_probe(payload, r.kind)
+                               or _fake_decode(payload, r.kind))
                 rows.append({
                     "media_id": r.media_id,
                     "kind": r.kind,

@@ -288,7 +288,10 @@ def q30_window_frames(spark, sf_dir):
     fused into one scan (history-accumulation shape + SURVEY §2.6
     frame-spec extension) — one sort serves both frames."""
     li = db_for(spark, sf_dir).table("lineitem")
-    order = ["l_shipdate", "l_orderkey", "l_linenumber"]
+    # (l_orderkey, l_linenumber) is NOT unique in this data; the 4-column
+    # key is — l_partkey completes a TOTAL order so the frames are
+    # deterministic across engines (2 tied rows at sf0.1 differ otherwise)
+    order = ["l_shipdate", "l_orderkey", "l_linenumber", "l_partkey"]
     w_run = (
         W.partitionBy("l_suppkey").orderBy(*order)
         .rowsBetween(W.unboundedPreceding, W.currentRow)
@@ -1113,10 +1116,10 @@ ORACLES: dict[str, str] = {
     "30_window_frames": """
         SELECT l_suppkey, l_orderkey, l_linenumber,
                SUM(l_quantity) OVER (PARTITION BY l_suppkey
-                 ORDER BY l_shipdate, l_orderkey, l_linenumber
+                 ORDER BY l_shipdate, l_orderkey, l_linenumber, l_partkey
                  ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS running_qty,
                round(avg(l_quantity) OVER (PARTITION BY l_suppkey
-                 ORDER BY l_shipdate, l_orderkey, l_linenumber
+                 ORDER BY l_shipdate, l_orderkey, l_linenumber, l_partkey
                  ROWS BETWEEN 3 PRECEDING AND CURRENT ROW), 4) AS ma4_qty
         FROM lineitem
     """,

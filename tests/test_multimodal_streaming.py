@@ -217,3 +217,45 @@ def test_dedup_stream_drops_redelivered_events(spark, tmp_path_factory):
         se.dedup_stream(stream, watermark="2 hours"), "dedup_stream_t")
     ids = sorted(r["event_id"] for r in got.collect())
     assert ids == [1, 2, 3]
+
+
+def test_stdlib_media_probe_real_formats(spark):
+    """media_features must extract REAL dimensions/durations from actual
+    file headers (stdlib probe) — not the deterministic fake — for PNG,
+    GIF, BMP, JPEG, and WAV payloads."""
+    import io
+    import struct
+    import wave
+
+    from tantalus_spark.datapipe import multimodal as mm
+
+    png = (b"\x89PNG\r\n\x1a\n" + struct.pack(">I", 13) + b"IHDR"
+           + struct.pack(">II", 640, 480) + b"\x08\x02\x00\x00\x00" + b"\0" * 8)
+    gif = b"GIF89a" + struct.pack("<HH", 320, 200) + b"\0" * 6
+    bmp = (b"BM" + b"\0" * 16 + struct.pack("<Ii", 800, 600) + b"\0" * 8)
+    jpeg = (b"\xff\xd8"
+            + b"\xff\xe0" + struct.pack(">H", 16) + b"JFIF\0" + b"\0" * 9
+            + b"\xff\xc0" + struct.pack(">H", 11) + b"\x08"
+            + struct.pack(">HH", 1080, 1920) + b"\x03" + b"\0" * 2)
+    buf = io.BytesIO()
+    with wave.open(buf, "wb") as w:
+        w.setnchannels(1)
+        w.setsampwidth(2)
+        w.setframerate(8000)
+        w.writeframes(b"\0\0" * 4000)   # 4000 frames @ 8kHz = 500ms
+    wav = buf.getvalue()
+
+    rows = [
+        (1, "image", None, png, None),
+        (2, "image", None, gif, None),
+        (3, "image", None, bmp, None),
+        (4, "image", None, jpeg, None),
+        (5, "audio", None, wav, None),
+    ]
+    media = spark.createDataFrame(rows, schema=mm.MEDIA_SCHEMA)
+    got = {r["media_id"]: r for r in mm.media_features(media).collect()}
+    assert (got[1]["width"], got[1]["height"]) == (640, 480)
+    assert (got[2]["width"], got[2]["height"]) == (320, 200)
+    assert (got[3]["width"], got[3]["height"]) == (800, 600)
+    assert (got[4]["width"], got[4]["height"]) == (1920, 1080)
+    assert got[5]["duration_ms"] == 500
