@@ -40,9 +40,10 @@ from tantalus_spark.inventory import QUERIES
 
 sf_dir = sys.argv[1]
 # events has timestamp[ns] (the round-1 killer); the others cover the main
-# table shapes + a datapipe query.
+# table shapes, a fused datapipe scan, the persist/release pair path
+# (45), and an Arrow pandas-UDF path (46 simhash).
 for name in ["01_pricing_summary", "31_asof_join", "49_tumbling_window",
-             "41_doc_profile"]:
+             "41_doc_profile", "45_minhash_lsh", "46_simhash"]:
     df = QUERIES[name](spark, sf_dir)
     n = df.count()
     assert n >= 0, name
