@@ -86,3 +86,32 @@ def test_corrupt_table_only_fails_queries_touching_it(spark, tmp_path):
     # the corrupt table fails, but only when actually touched
     with pytest.raises(Exception):
         db.table("events").count()
+
+
+def test_checked_window_covers_every_operator_family():
+    """The correctness driver checks only the FIRST 50 QUERIES entries
+    (CORRECTNESS_r01 recorded exactly that prefix). Guard the ordering:
+    every operator family's flagship gate must sit inside the window."""
+    from tantalus_spark.inventory import QUERIES
+
+    window = list(QUERIES)[:50]
+    must_be_checked = [
+        "01_pricing_summary",    # scan + agg
+        "07_region_revenue",     # join chain
+        "08_semi_join", "09_anti_join",
+        "13_count_distinct",     # agg + having
+        "15_cross_agg_eq",       # annotate preagg
+        "17_window_lag", "30_window_frames",
+        "20_set_ops", "26_search_union",
+        "31_asof_join", "32_range_join", "68_range_join",
+        "40_dedup_exact", "41_doc_profile",
+        "44_ngram_jaccard", "45_minhash_lsh", "46_simhash",
+        "47_ann_cosine", "52_ivf_ann",
+        "51_embedding_near_dup", "69_embedding_lsh",
+        "49_tumbling_window", "50_sessionization",
+        "53_winnowing", "56_funnel", "57_retention", "58_clean_corpus",
+        "60_minhash_signatures", "61_hash_split", "62_dup_clusters",
+        "63_tfidf", "65_media_features", "67_latest_per_key",
+    ]
+    missing = [n for n in must_be_checked if n not in window]
+    assert not missing, f"outside the 50-entry checked window: {missing}"
