@@ -66,3 +66,47 @@ def test_estimate_repartition():
     assert sink.estimate_repartition(256 << 20) == 1
     assert sink.estimate_repartition((256 << 20) + 1) == 2
     assert sink.estimate_repartition(100 << 30, 256 << 20) == 400
+
+
+def test_merge_into_snapshot_rewrites_only_touched_partitions(
+        spark, tmp_path_factory):
+    """CDC merge on bare parquet: upserts + deletes land, untouched
+    partition directories keep their original files byte-for-byte."""
+    import os
+
+    from pyspark.sql import functions as F
+
+    from tantalus_spark.sources.sink import merge_into_snapshot
+
+    path = str(tmp_path_factory.mktemp("snap") / "table")
+    base = spark.createDataFrame(
+        [(1, "2024-01-01", "a"), (2, "2024-01-01", "b"),
+         (3, "2024-01-02", "c"), (4, "2024-01-03", "d")],
+        "id long, day string, v string")
+    base.repartition(1).write.partitionBy("day").parquet(path)
+
+    def files_of(day):
+        d = os.path.join(path, f"day={day}")
+        return sorted(
+            (f, os.path.getmtime(os.path.join(d, f)))
+            for f in os.listdir(d) if f.endswith(".parquet"))
+
+    untouched_before = files_of("2024-01-03")
+
+    upserts = spark.createDataFrame(
+        [(2, "2024-01-01", "b2"),       # update in day 1
+         (5, "2024-01-02", "e")],       # insert into day 2
+        "id long, day string, v string")
+    deletes = spark.createDataFrame([(3, "2024-01-02")], "id long, day string")
+    touched = merge_into_snapshot(
+        spark, path, upserts, key_cols=["id"], partition_col="day",
+        deletes=deletes)
+    assert sorted(touched) == ["2024-01-01", "2024-01-02"]
+
+    # partition-column type inference reads day= back as DATE; stringify
+    got = {(r["id"], str(r["day"]), r["v"])
+           for r in spark.read.parquet(path).collect()}
+    assert got == {(1, "2024-01-01", "a"), (2, "2024-01-01", "b2"),
+                   (5, "2024-01-02", "e"), (4, "2024-01-03", "d")}
+    # the day-3 partition was never rewritten
+    assert files_of("2024-01-03") == untouched_before
