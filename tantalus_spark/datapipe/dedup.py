@@ -407,3 +407,39 @@ def simhash_near_pairs(df: DataFrame, max_hamming: int = 3,
         .filter(F.col("hamming") <= max_hamming)
         .select("d1", "d2", "hamming")
     )
+
+
+def decontaminate(
+    docs: DataFrame,
+    benchmark: DataFrame,
+    n: int = 13,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    bench_text_col: str = "text",
+) -> tuple[DataFrame, DataFrame]:
+    """Benchmark decontamination: flag training documents sharing any
+    token n-gram with an evaluation/benchmark corpus (the standard
+    13-gram-overlap rule used to keep test sets out of training data).
+
+    Returns (clean_docs, contaminated) where ``contaminated`` is
+    (doc_id, n_hits) for every flagged doc. The benchmark's shingle set is
+    tiny relative to the corpus — it broadcasts into a semi-join against
+    the corpus posting list, so the corpus never shuffles: one scan +
+    broadcast probe at any corpus size (the benchmark side is bounded by
+    eval-suite size, megabytes not terabytes).
+    """
+    corpus_sh = shingles(docs, n=n, text_col=text_col, id_col=id_col,
+                         hashed=True)
+    bench_sh = (
+        shingles(benchmark.select(F.lit(0).alias("_bid"),
+                                  F.col(bench_text_col).alias("_btext")),
+                 n=n, text_col="_btext", id_col="_bid", hashed=True)
+        .select("shingle").distinct()
+    )
+    hits = (
+        corpus_sh.join(F.broadcast(bench_sh), "shingle")
+        .groupBy(id_col)
+        .agg(F.count(F.lit(1)).alias("n_hits"))
+    )
+    clean = docs.join(F.broadcast(hits.select(id_col)), id_col, "left_anti")
+    return clean, hits

@@ -57,3 +57,29 @@ def stratified_sample(
     one map pass, approximate per-group sizes, deterministic under the
     seed AND the input partitioning."""
     return df.sampleBy(strata_col, fractions, seed=seed)
+
+
+def weighted_mix(
+    sources: dict[str, "DataFrame"],
+    weights: dict[str, float],
+    id_col: str = "doc_id",
+    source_col: str = "source",
+) -> DataFrame:
+    """Deterministic weighted dataset mixing — the op that builds a
+    training mix ("60% web, 30% code, 10% books") from cleaned sources.
+
+    Each source keeps a hash-derived fraction of its rows equal to
+    ``weights[name]`` (0..1, independent per source) and is tagged with its
+    name. Selection is :func:`split_bucket` on the id — no RNG, stable
+    under re-runs, appends, and repartitioning, and SQL-auditable (the
+    same md5-bucket rule as hash_split). Union is by name; schemas must
+    match across sources. One map pass per source, zero shuffles.
+    """
+    out = None
+    for name, df in sources.items():
+        frac = weights[name]
+        picked = df.filter(
+            split_bucket(F.col(id_col)) < int(round(frac * 100))
+        ).withColumn(source_col, F.lit(name))
+        out = picked if out is None else out.unionByName(picked)
+    return out

@@ -132,3 +132,44 @@ def test_simhash_rejects_unbucketable_bound(spark):
     docs = read_parquet(spark, "/root/testdata/sf0.001/documents.parquet")
     with _pytest.raises(ValueError):
         dedup.simhash_near_pairs(docs, max_hamming=32)
+
+
+def test_decontaminate_flags_ngram_overlap(spark):
+    from tantalus_spark.datapipe.dedup import decontaminate
+
+    docs = spark.createDataFrame([
+        (1, "the quick brown fox jumps over the lazy dog every day"),
+        (2, "completely unrelated content about spark physical plans"),
+        (3, "we observe the quick brown fox jumps over the lazy dog too"),
+    ], "doc_id long, text string")
+    bench = spark.createDataFrame([
+        ("what does the quick brown fox jumps over the lazy dog mean",),
+    ], "text string")
+    clean, hits = decontaminate(docs, bench, n=9)
+    assert {r["doc_id"] for r in hits.collect()} == {1, 3}
+    assert {r["doc_id"] for r in clean.collect()} == {2}
+    # no overlap at a longer n than any shared run
+    clean13, hits13 = decontaminate(docs, bench, n=11)
+    assert hits13.count() == 0 and clean13.count() == 3
+
+
+def test_weighted_mix_deterministic_and_proportional(spark):
+    from tantalus_spark.catalog.loader import read_parquet
+    from tantalus_spark.datapipe.sampling import weighted_mix
+
+    docs = read_parquet(spark, "/root/testdata/sf0.01/documents.parquet") \
+        .select("doc_id", "text")
+    a = docs.filter("doc_id % 2 = 0")
+    b = docs.filter("doc_id % 2 = 1")
+    mix = weighted_mix({"web": a, "code": b}, {"web": 0.6, "code": 0.2})
+    counts = {r["source"]: r["n"] for r in
+              mix.groupBy("source").count().withColumnRenamed("count", "n")
+              .collect()}
+    na, nb = a.count(), b.count()
+    assert abs(counts["web"] / na - 0.6) < 0.08
+    assert abs(counts["code"] / nb - 0.2) < 0.08
+    # deterministic: same rows on a re-run, stable under repartition
+    again = weighted_mix({"web": a.repartition(7), "code": b},
+                         {"web": 0.6, "code": 0.2})
+    assert sorted(r["doc_id"] for r in mix.collect()) == \
+        sorted(r["doc_id"] for r in again.collect())
