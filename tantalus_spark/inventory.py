@@ -896,6 +896,36 @@ def q69_embedding_lsh(spark, sf_dir):
         emb, threshold=0.45, n_hyperplanes=2)
 
 
+def q70_decontaminate(spark, sf_dir):
+    """Benchmark decontamination: docs sharing any 5-gram with the
+    'benchmark' slice (doc_id < 5 stands in for an eval suite) are
+    flagged; returns (doc_id, n_hits) for flagged docs. The benchmark's
+    shingle set broadcasts — the corpus side never shuffles."""
+    docs = db_for(spark, sf_dir).table("documents")
+    bench = docs.filter(F.col("doc_id") < 5).select("text")
+    corpus = docs.filter(F.col("doc_id") >= 5)
+    _, hits = dedup.decontaminate(corpus, bench, n=5)
+    return hits
+
+
+def q71_weighted_mix(spark, sf_dir):
+    """Deterministic weighted dataset mixing: two halves of documents
+    sampled at 60%/20% by md5-bucket of the id, tagged by source —
+    reported as per-source counts + id checksum (order-free)."""
+    from tantalus_spark.datapipe.sampling import weighted_mix
+
+    docs = db_for(spark, sf_dir).table("documents").select("doc_id", "text")
+    mix = weighted_mix(
+        {"web": docs.filter(F.pmod("doc_id", F.lit(2)) == 0),
+         "code": docs.filter(F.pmod("doc_id", F.lit(2)) == 1)},
+        {"web": 0.6, "code": 0.2},
+    )
+    return mix.groupBy("source").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum("doc_id").alias("id_sum"),
+    )
+
+
 _ALL_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     name[1:]: fn
     for name, fn in list(globals().items())
@@ -930,7 +960,7 @@ _QUERY_ORDER = [
     "02_point_lookup", "03_distinct_projection", "16_pagination",
     "19_union_dedup", "28_pivot", "29_rollup", "33_collect_set",
     "34_percentiles", "36_first_last", "37_explode_tokens",
-    "55_regex_lookup",
+    "55_regex_lookup", "70_decontaminate", "71_weighted_mix",
 ]
 
 QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
@@ -1553,6 +1583,36 @@ ORACLES: dict[str, str] = {
          AND c.ts >= p.ts - INTERVAL 1 HOUR AND c.ts < p.ts
         WHERE p.event_type = 'purchase'
         GROUP BY p.event_id, p.user_id
+    """,
+    "70_decontaminate": """
+        WITH tok AS (
+          SELECT doc_id, string_split_regex(trim(lower(text)), '\\s+') AS t
+          FROM documents),
+        sh AS (
+          SELECT DISTINCT doc_id,
+                 t[i]||' '||t[i+1]||' '||t[i+2]||' '||t[i+3]||' '||t[i+4]
+                   AS shingle
+          FROM tok, UNNEST(range(1, greatest(len(t)-3, 1))) AS u(i)),
+        bench AS (SELECT DISTINCT shingle FROM sh WHERE doc_id < 5)
+        SELECT s.doc_id, count(*) AS n_hits
+        FROM sh s JOIN bench b ON s.shingle = b.shingle
+        WHERE s.doc_id >= 5
+        GROUP BY s.doc_id
+    """,
+    "71_weighted_mix": """
+        WITH b AS (
+          SELECT doc_id,
+                 ('0x'||substr(md5(CAST(doc_id AS VARCHAR)),1,15))::BIGINT
+                   % 100 AS bkt
+          FROM documents),
+        m AS (
+          SELECT doc_id, 'web' AS source FROM b
+          WHERE doc_id % 2 = 0 AND bkt < 60
+          UNION ALL
+          SELECT doc_id, 'code' AS source FROM b
+          WHERE doc_id % 2 = 1 AND bkt < 20)
+        SELECT source, count(*) AS n, sum(doc_id) AS id_sum
+        FROM m GROUP BY source
     """,
     # 45_minhash_lsh / 46_simhash / 69_embedding_lsh: not SQL-expressible
     # (xxhash64-derived bucketing) → rows-only checks by design; their
