@@ -339,3 +339,56 @@ def winnowing_fingerprints(df: DataFrame, k: int = 5, window: int = 4,
     fps = F.array_distinct(
         F.transform(pos, lambda i: F.array_min(F.slice(g, i, window))))
     return grams.select(F.col(id_col), F.explode(fps).alias("fp"))
+
+
+def chunk_documents(df: DataFrame, max_tokens: int = 512, overlap: int = 64,
+                    text_col: str = "text",
+                    id_col: str = "doc_id") -> DataFrame:
+    """Split documents into token-budget chunks with overlap — the
+    preprocessing step that turns cleaned documents into training samples.
+
+    Chunks start every ``max_tokens - overlap`` tokens and carry up to
+    ``max_tokens`` tokens. All array-side (sequence/slice/array_join) in
+    one scan, zero shuffles: at 100 TB this is a pure map stage whose
+    output is ~(1 + overlap/max_tokens)× the input. Returns
+    (id, chunk_idx, n_chunk_tokens, chunk_text).
+    """
+    if overlap >= max_tokens:
+        raise ValueError("overlap must be < max_tokens")
+    stride = max_tokens - overlap
+    toked = df.select(
+        F.col(id_col), tokens(F.col(text_col)).alias("_t"))
+    t = F.col("_t")
+    starts = F.when(
+        F.size(t) >= 1,
+        F.sequence(F.lit(1), F.greatest(F.size(t), F.lit(1)), F.lit(stride)),
+    ).otherwise(F.array().cast("array<int>"))
+    chunks = toked.select(
+        F.col(id_col),
+        F.posexplode(
+            F.transform(starts, lambda s: F.slice(t, s, max_tokens))
+        ).alias("chunk_idx", "_chunk"),
+    )
+    return chunks.select(
+        F.col(id_col),
+        F.col("chunk_idx").cast("int").alias("chunk_idx"),
+        F.size("_chunk").alias("n_chunk_tokens"),
+        F.array_join("_chunk", " ").alias("chunk_text"),
+    )
+
+
+def repetition_ratios(df: DataFrame, text_col: str = "text",
+                      id_col: str = "doc_id") -> DataFrame:
+    """Repetition-based quality signals (Gopher-style filters): fraction
+    of duplicated lines and duplicated tokens per document. High values
+    flag boilerplate/spam for the cleaning gates. Array-side, one scan."""
+    text = F.col(text_col)
+    lines = F.split(text, "\n")
+    toks = tokens(F.lower(text))
+    return df.select(
+        F.col(id_col),
+        F.round(F.lit(1) - F.size(F.array_distinct(lines)) / F.size(lines), 4)
+        .alias("dup_line_ratio"),
+        F.round(F.lit(1) - F.size(F.array_distinct(toks)) / F.size(toks), 4)
+        .alias("dup_token_ratio"),
+    )

@@ -926,6 +926,20 @@ def q71_weighted_mix(spark, sf_dir):
     )
 
 
+def q72_chunk_documents(spark, sf_dir):
+    """Token-budget chunking with overlap (training-sample construction):
+    64-token chunks every 48 tokens, all array-side — zero shuffles."""
+    docs = db_for(spark, sf_dir).table("documents")
+    return textstats.chunk_documents(docs, max_tokens=64, overlap=16)
+
+
+def q73_repetition(spark, sf_dir):
+    """Gopher-style repetition quality signals: duplicated-line and
+    duplicated-token fractions per document, one scan."""
+    docs = db_for(spark, sf_dir).table("documents")
+    return textstats.repetition_ratios(docs)
+
+
 _ALL_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     name[1:]: fn
     for name, fn in list(globals().items())
@@ -961,6 +975,7 @@ _QUERY_ORDER = [
     "19_union_dedup", "28_pivot", "29_rollup", "33_collect_set",
     "34_percentiles", "36_first_last", "37_explode_tokens",
     "55_regex_lookup", "70_decontaminate", "71_weighted_mix",
+    "72_chunk_documents", "73_repetition",
 ]
 
 QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
@@ -1613,6 +1628,33 @@ ORACLES: dict[str, str] = {
           WHERE doc_id % 2 = 1 AND bkt < 20)
         SELECT source, count(*) AS n, sum(doc_id) AS id_sum
         FROM m GROUP BY source
+    """,
+    "72_chunk_documents": """
+        WITH tok AS (
+          SELECT doc_id, string_split_regex(trim(text), '\\s+') AS t
+          FROM documents),
+        c AS (
+          SELECT doc_id,
+                 CAST((i - 1) / 48 AS INTEGER) AS chunk_idx,
+                 list_slice(t, i, i + 63) AS chunk
+          FROM tok, UNNEST(range(1, len(t) + 1, 48)) AS u(i))
+        SELECT doc_id, chunk_idx,
+               CAST(len(chunk) AS INTEGER) AS n_chunk_tokens,
+               array_to_string(chunk, ' ') AS chunk_text
+        FROM c
+    """,
+    "73_repetition": """
+        WITH f AS (
+          SELECT doc_id,
+                 string_split(text, chr(10)) AS lines,
+                 string_split_regex(trim(lower(text)), '\\s+') AS toks
+          FROM documents)
+        SELECT doc_id,
+               round(1 - len(list_distinct(lines))*1.0 / len(lines), 4)
+                 AS dup_line_ratio,
+               round(1 - len(list_distinct(toks))*1.0 / len(toks), 4)
+                 AS dup_token_ratio
+        FROM f
     """,
     # 45_minhash_lsh / 46_simhash / 69_embedding_lsh: not SQL-expressible
     # (xxhash64-derived bucketing) → rows-only checks by design; their

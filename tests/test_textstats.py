@@ -173,3 +173,34 @@ def test_weighted_mix_deterministic_and_proportional(spark):
                          {"web": 0.6, "code": 0.2})
     assert sorted(r["doc_id"] for r in mix.collect()) == \
         sorted(r["doc_id"] for r in again.collect())
+
+
+def test_chunk_documents_overlap_and_coverage(spark):
+    from tantalus_spark.datapipe.textstats import chunk_documents
+
+    toks = " ".join(f"w{i}" for i in range(10))
+    docs = spark.createDataFrame([(1, toks), (2, "solo")],
+                                 "doc_id long, text string")
+    out = {(r["doc_id"], r["chunk_idx"]): (r["n_chunk_tokens"], r["chunk_text"])
+           for r in chunk_documents(docs, max_tokens=4, overlap=1).collect()}
+    # stride 3: starts at tokens 1,4,7,10 -> sizes 4,4,4,1
+    assert out[(1, 0)] == (4, "w0 w1 w2 w3")
+    assert out[(1, 1)][1].startswith("w3")     # 1-token overlap
+    assert out[(1, 3)] == (1, "w9")
+    assert out[(2, 0)] == (1, "solo")
+    import pytest as _pytest
+    with _pytest.raises(ValueError):
+        chunk_documents(docs, max_tokens=4, overlap=4)
+
+
+def test_repetition_ratios_known_values(spark):
+    from tantalus_spark.datapipe.textstats import repetition_ratios
+
+    docs = spark.createDataFrame([
+        (1, "a b\na b\nc d"),          # 3 lines, 2 distinct; 6 toks, 4 distinct
+        (2, "x y z"),                   # no repetition
+    ], "doc_id long, text string")
+    got = {r["doc_id"]: (r["dup_line_ratio"], r["dup_token_ratio"])
+           for r in repetition_ratios(docs).collect()}
+    assert got[1] == (round(1 - 2 / 3, 4), round(1 - 4 / 6, 4))
+    assert got[2] == (0.0, 0.0)
