@@ -110,6 +110,11 @@ def merge_into_snapshot(
     parquet has no transaction log. Production hardening is a staging dir
     + rename commit, or a table format (Iceberg/Delta) whose MERGE INTO
     this function mirrors.
+
+    Assumes ``partition_col`` is stable per key (the norm for
+    date-partitioned facts): an upsert that MOVES a key to a different
+    partition would leave the old row in the untouched partition — route
+    such moves as an explicit delete (old partition) + upsert (new).
     """
     changes = []
     if upserts is not None:

@@ -314,3 +314,16 @@ def test_child_matchset_equals_fallback_frame(tdb, monkeypatch):
         without = run(root, build)
         monkeypatch.undo()
         assert with_rewrite == without, (root, with_rewrite, without)
+
+
+def test_avg_min_annotations_preagg(tdb):
+    from tantalus_spark.compiler import Avg, Min
+
+    rows = {r["id"]: (r["avg_size"], r["min_created"]) for r in
+            tdb.query("sequence_dataset")
+            .annotate(avg_size=Avg("file_resources__size"),
+                      min_created=Min("file_resources__created"))
+            .to_df().collect()}
+    assert rows[1][0] == 1500.0          # (1000 + 2000) / 2
+    assert rows[4][0] is None            # no file resources -> NULL
+    assert rows[1][1] is not None
