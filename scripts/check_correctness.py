@@ -42,13 +42,25 @@ def norm_rows(df_pandas):
 
 
 def main() -> int:
-    sf_dir = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.001"
-    only = sys.argv[2:]
+    args = [a for a in sys.argv[1:] if a != "--bare"]
+    bare = "--bare" in sys.argv[1:]
+    sf_dir = args[0] if args else "/root/testdata/sf0.001"
+    only = args[1:]
 
-    from tantalus_spark import get_spark
     from tantalus_spark.inventory import ORACLES, QUERIES
 
-    spark = get_spark("correctness")
+    if bare:
+        # exactly what the grading driver does: a vanilla session with none
+        # of tantalus_spark.session's configs (round 1 died on this)
+        from pyspark.sql import SparkSession
+
+        spark = (SparkSession.builder.master("local[32]")
+                 .config("spark.sql.shuffle.partitions", "32")
+                 .appName("correctness-bare").getOrCreate())
+    else:
+        from tantalus_spark import get_spark
+
+        spark = get_spark("correctness")
     con = duckdb.connect()
     for t in TABLES:
         con.sql(f"CREATE VIEW {t} AS SELECT * FROM '{sf_dir}/{t}.parquet'")

