@@ -10,9 +10,11 @@ with a stdlib-only server — no web framework in the image, none needed:
 
 Every query param is validated against the endpoint's FILTERSET (unknown
 params are a 400 naming the legal set, mirroring api/views.py:75-80);
-``page`` / ``page_size`` paginate DRF-style. Auth is a bearer-token hook:
-pass ``token=...`` to require ``Authorization: Bearer <token>`` — the seam
-where a production deployment verifies a real JWT.
+``page`` / ``page_size`` paginate DRF-style. Auth supports two modes:
+``token=...`` requires ``Authorization: Bearer <token>`` (static), and
+``jwt_secret=...`` verifies HS256 JWTs — signature + ``exp`` — with a
+stdlib implementation (hmac/base64), matching the reference's
+djangorestframework-jwt boundary (tantalus/settings.py:182-189).
 
 Driver-side by design: responses are page-sized (10/50/100, like the
 reference's page sizes), so the facade only ever collects a page while the
@@ -22,8 +24,12 @@ plane — bulk egress goes through the parquet/CSV sinks.
 
 from __future__ import annotations
 
+import base64
+import hashlib
+import hmac
 import json
 import threading
+import time
 from http.server import BaseHTTPRequestHandler, ThreadingHTTPServer
 from urllib.parse import parse_qsl, urlparse
 
@@ -32,6 +38,48 @@ from tantalus_spark.operators.services import (
     FILTERSETS, UnknownFilterError, api_list)
 
 _RESERVED = {"page", "page_size"}
+
+
+def _b64url_decode(seg: str) -> bytes:
+    return base64.urlsafe_b64decode(seg + "=" * (-len(seg) % 4))
+
+
+def _b64url_encode(raw: bytes) -> str:
+    return base64.urlsafe_b64encode(raw).rstrip(b"=").decode()
+
+
+def encode_jwt(payload: dict, secret: str) -> str:
+    """Mint an HS256 JWT (test/CLI convenience; auth servers usually mint)."""
+    header = _b64url_encode(json.dumps(
+        {"alg": "HS256", "typ": "JWT"}, separators=(",", ":")).encode())
+    body = _b64url_encode(json.dumps(
+        payload, separators=(",", ":")).encode())
+    signing = f"{header}.{body}".encode()
+    sig = hmac.new(secret.encode(), signing, hashlib.sha256).digest()
+    return f"{header}.{body}.{_b64url_encode(sig)}"
+
+
+def verify_jwt(token: str, secret: str) -> dict | None:
+    """Verify an HS256 JWT: constant-time signature check + ``exp``.
+    Returns the payload dict, or None if invalid/expired. Only HS256 is
+    accepted — an attacker-chosen ``alg`` (the classic 'none' downgrade)
+    is rejected outright."""
+    try:
+        header_b64, body_b64, sig_b64 = token.split(".")
+        header = json.loads(_b64url_decode(header_b64))
+        if header.get("alg") != "HS256":
+            return None
+        signing = f"{header_b64}.{body_b64}".encode()
+        want = hmac.new(secret.encode(), signing, hashlib.sha256).digest()
+        if not hmac.compare_digest(want, _b64url_decode(sig_b64)):
+            return None
+        payload = json.loads(_b64url_decode(body_b64))
+        exp = payload.get("exp")
+        if exp is not None and time.time() >= float(exp):
+            return None
+        return payload
+    except Exception:
+        return None
 
 
 def _coerce(key: str, value: str) -> object:
@@ -60,13 +108,21 @@ class _Handler(BaseHTTPRequestHandler):
         self.end_headers()
         self.wfile.write(body)
 
+    def _authorized(self, srv: "ApiServer") -> bool:
+        auth = self.headers.get("Authorization", "")
+        if srv.jwt_secret is not None:
+            if not auth.startswith("Bearer "):
+                return False
+            return verify_jwt(auth[len("Bearer "):], srv.jwt_secret) is not None
+        if srv.token is not None:
+            return auth == f"Bearer {srv.token}"
+        return True
+
     def do_GET(self) -> None:  # noqa: N802 - http.server API
         srv: ApiServer = self.server  # type: ignore[assignment]
-        if srv.token is not None:
-            auth = self.headers.get("Authorization", "")
-            if auth != f"Bearer {srv.token}":
-                self._send(401, {"detail": "invalid or missing bearer token"})
-                return
+        if not self._authorized(srv):
+            self._send(401, {"detail": "invalid or missing bearer token"})
+            return
         url = urlparse(self.path)
         parts = [p for p in url.path.split("/") if p]
         if parts == ["api"]:
@@ -106,10 +162,12 @@ class ApiServer(ThreadingHTTPServer):
     ``shutdown()`` to stop. Binds port 0 by default (ephemeral)."""
 
     def __init__(self, db: Database, host: str = "127.0.0.1", port: int = 0,
-                 token: str | None = None) -> None:
+                 token: str | None = None,
+                 jwt_secret: str | None = None) -> None:
         super().__init__((host, port), _Handler)
         self.db = db
         self.token = token
+        self.jwt_secret = jwt_secret
         self._thread: threading.Thread | None = None
 
     def serve_background(self) -> tuple[str, int]:

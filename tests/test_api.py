@@ -74,3 +74,45 @@ def test_bearer_token_auth(tdb):
         assert status == 200 and body["count"] == 1
     finally:
         srv.shutdown()
+
+
+def test_jwt_auth(tdb):
+    import time as _time
+
+    from tantalus_spark.api import encode_jwt, verify_jwt
+
+    srv = ApiServer(tdb, jwt_secret="jwt-s3cret")
+    host, port = srv.serve_background()
+    base = f"http://{host}:{port}"
+    try:
+        # no token -> 401
+        with pytest.raises(urllib.error.HTTPError) as e:
+            get(base, "/api/")
+        assert e.value.code == 401
+        # valid token
+        tok = encode_jwt({"sub": "alice", "exp": _time.time() + 60},
+                         "jwt-s3cret")
+        status, body = get(base, "/api/tag/?name=qc",
+                           headers={"Authorization": f"Bearer {tok}"})
+        assert status == 200 and body["count"] == 1
+        # expired token -> 401
+        old = encode_jwt({"sub": "alice", "exp": _time.time() - 1},
+                         "jwt-s3cret")
+        with pytest.raises(urllib.error.HTTPError) as e:
+            get(base, "/api/", headers={"Authorization": f"Bearer {old}"})
+        assert e.value.code == 401
+        # wrong secret -> 401
+        forged = encode_jwt({"sub": "eve"}, "other-secret")
+        with pytest.raises(urllib.error.HTTPError) as e:
+            get(base, "/api/", headers={"Authorization": f"Bearer {forged}"})
+        assert e.value.code == 401
+    finally:
+        srv.shutdown()
+
+    # unit-level: alg downgrade rejected
+    import base64 as _b64
+    import json as _json
+    header = _b64.urlsafe_b64encode(
+        _json.dumps({"alg": "none"}).encode()).rstrip(b"=").decode()
+    body = _b64.urlsafe_b64encode(b"{}").rstrip(b"=").decode()
+    assert verify_jwt(f"{header}.{body}.", "jwt-s3cret") is None
