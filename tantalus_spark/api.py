@@ -118,6 +118,42 @@ class _Handler(BaseHTTPRequestHandler):
             return auth == f"Bearer {srv.token}"
         return True
 
+    def _endpoint(self) -> tuple[str | None, dict]:
+        url = urlparse(self.path)
+        parts = [p for p in url.path.split("/") if p]
+        if len(parts) == 2 and parts[0] == "api" and parts[1] in FILTERSETS:
+            return parts[1], dict(parse_qsl(url.query, keep_blank_values=True))
+        return None, {}
+
+    def do_POST(self) -> None:  # noqa: N802 - create (reference DRF create)
+        self._mutate(create_only=True)
+
+    def do_PUT(self) -> None:  # noqa: N802 - upsert by pk
+        self._mutate(create_only=False)
+
+    def _mutate(self, create_only: bool) -> None:
+        srv: ApiServer = self.server  # type: ignore[assignment]
+        if not self._authorized(srv):
+            self._send(401, {"detail": "invalid or missing bearer token"})
+            return
+        endpoint, _ = self._endpoint()
+        if endpoint is None:
+            self._send(404, {"detail": f"no writable route {self.path!r}"})
+            return
+        try:
+            n = int(self.headers.get("Content-Length", "0"))
+            payload = json.loads(self.rfile.read(n) or b"{}")
+        except (ValueError, json.JSONDecodeError):
+            self._send(400, {"detail": "body must be JSON"})
+            return
+        rows = payload if isinstance(payload, list) else [payload]
+        try:
+            result = srv.apply_mutation(endpoint, rows, create_only)
+        except ValueError as exc:
+            self._send(400, {"detail": str(exc)})
+            return
+        self._send(201 if create_only else 200, result)
+
     def do_GET(self) -> None:  # noqa: N802 - http.server API
         srv: ApiServer = self.server  # type: ignore[assignment]
         if not self._authorized(srv):
@@ -169,8 +205,59 @@ class ApiServer(ThreadingHTTPServer):
         self.token = token
         self.jwt_secret = jwt_secret
         self._thread: threading.Thread | None = None
+        self._write_lock = threading.Lock()
 
     def serve_background(self) -> tuple[str, int]:
         self._thread = threading.Thread(target=self.serve_forever, daemon=True)
         self._thread.start()
         return self.server_address[0], self.server_address[1]
+
+    def apply_mutation(self, endpoint: str, rows: list[dict],
+                       create_only: bool) -> dict:
+        """POST (create; missing ids auto-assigned max+1, duplicate ids are
+        a 400) / PUT (upsert by pk) against the in-memory Database —
+        reference DRF ModelViewSet create/update (M1/M4). Serialized: one
+        writer mutates a table at a time."""
+        from pyspark.sql import functions as F
+
+        from tantalus_spark.operators import mutations
+
+        with self._write_lock:
+            table = self.db.table(endpoint)
+            pk = self.db.catalog.pk(endpoint)
+            known = set(table.columns)
+            for r in rows:
+                bad = set(r) - known
+                if bad:
+                    raise ValueError(
+                        f"unknown columns {sorted(bad)} for {endpoint!r}; "
+                        f"legal: {sorted(known)}")
+            if create_only:
+                have_ids = [r[pk] for r in rows if pk in r]
+                if have_ids:
+                    dup = (table.filter(F.col(pk).isin(have_ids))
+                           .select(pk).limit(1).take(1))
+                    if dup:
+                        raise ValueError(
+                            f"{endpoint!r} {pk}={dup[0][0]} already exists")
+                next_id = (table.agg(F.max(pk)).first()[0] or 0) + 1
+                for r in rows:
+                    if pk not in r:
+                        r[pk] = next_id
+                        next_id += 1
+            elif any(pk not in r for r in rows):
+                raise ValueError(f"PUT rows must carry the pk {pk!r}")
+            try:
+                new_rows = self.db.spark.createDataFrame(
+                    [tuple(r.get(c) for c in table.columns) for r in rows],
+                    table.schema)
+            except Exception as exc:
+                raise ValueError(f"rows do not fit {endpoint!r} schema: "
+                                 f"{exc}") from exc
+            if create_only:
+                new_table = mutations.append_rows(table, new_rows)
+            else:
+                new_table = mutations.upsert(table, new_rows, [pk])
+            self.db.add(endpoint, new_table)
+            return {"written": len(rows), "endpoint": endpoint,
+                    "ids": [r[pk] for r in rows]}

@@ -116,3 +116,43 @@ def test_jwt_auth(tdb):
         _json.dumps({"alg": "none"}).encode()).rstrip(b"=").decode()
     body = _b64.urlsafe_b64encode(b"{}").rstrip(b"=").decode()
     assert verify_jwt(f"{header}.{body}.", "jwt-s3cret") is None
+
+
+def post(base, path, payload, method="POST", headers=None):
+    req = urllib.request.Request(
+        base + path, data=json.dumps(payload).encode(), method=method,
+        headers={"Content-Type": "application/json", **(headers or {})})
+    with urllib.request.urlopen(req, timeout=60) as resp:
+        return resp.status, json.loads(resp.read())
+
+
+def test_post_create_and_put_upsert(tdb):
+    srv = ApiServer(tdb)
+    host, port = srv.serve_background()
+    base = f"http://{host}:{port}"
+    try:
+        # create with auto-assigned id
+        status, body = post(base, "/api/tag/", {"name": "новый"})
+        assert status == 201 and body["ids"] == [4]
+        status, got = get(base, "/api/tag/?id=4")
+        assert got["results"][0]["name"] == "новый"
+        # duplicate id on POST -> 400
+        with pytest.raises(urllib.error.HTTPError) as e:
+            post(base, "/api/tag/", {"id": 4, "name": "again"})
+        assert e.value.code == 400
+        # PUT upserts by pk
+        status, body = post(base, "/api/tag/", {"id": 4, "name": "renamed"},
+                            method="PUT")
+        assert status == 200
+        _, got = get(base, "/api/tag/?id=4")
+        assert got["results"][0]["name"] == "renamed"
+        # unknown column -> 400 naming legal set
+        with pytest.raises(urllib.error.HTTPError) as e:
+            post(base, "/api/tag/", {"nonsense": 1})
+        assert e.value.code == 400
+        assert "unknown columns" in json.loads(e.value.read())["detail"]
+    finally:
+        # restore the fixture table for other tests (module-scoped tdb)
+        from pyspark.sql import functions as F
+        srv.db.add("tag", srv.db.table("tag").filter(F.col("id") <= 3))
+        srv.shutdown()
