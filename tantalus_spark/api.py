@@ -154,6 +154,26 @@ class _Handler(BaseHTTPRequestHandler):
             return
         self._send(201 if create_only else 200, result)
 
+    def do_DELETE(self) -> None:  # noqa: N802 - hard delete by pk (M7)
+        srv: ApiServer = self.server  # type: ignore[assignment]
+        if not self._authorized(srv):
+            self._send(401, {"detail": "invalid or missing bearer token"})
+            return
+        endpoint, raw = self._endpoint()
+        pk = self.db_pk(srv, endpoint)
+        if endpoint is None or pk is None:
+            self._send(404, {"detail": f"no writable route {self.path!r}"})
+            return
+        if set(raw) != {pk}:
+            self._send(400, {"detail": f"DELETE takes exactly ?{pk}=..."})
+            return
+        n = srv.apply_delete(endpoint, raw[pk])
+        self._send(200, {"deleted": n, "endpoint": endpoint})
+
+    @staticmethod
+    def db_pk(srv: "ApiServer", endpoint: str | None) -> str | None:
+        return srv.db.catalog.pk(endpoint) if endpoint else None
+
     def do_GET(self) -> None:  # noqa: N802 - http.server API
         srv: ApiServer = self.server  # type: ignore[assignment]
         if not self._authorized(srv):
@@ -261,3 +281,19 @@ class ApiServer(ThreadingHTTPServer):
             self.db.add(endpoint, new_table)
             return {"written": len(rows), "endpoint": endpoint,
                     "ids": [r[pk] for r in rows]}
+
+    def apply_delete(self, endpoint: str, pk_value: str) -> int:
+        from pyspark.sql import functions as F
+
+        from tantalus_spark.operators import mutations
+
+        with self._write_lock:
+            table = self.db.table(endpoint)
+            pk = self.db.catalog.pk(endpoint)
+            keys = table.filter(F.col(pk).cast("string") == pk_value) \
+                .select(pk)
+            n = keys.count()
+            if n:
+                self.db.add(endpoint,
+                            mutations.delete_by_key(table, keys, [pk]))
+            return n

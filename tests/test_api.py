@@ -156,3 +156,26 @@ def test_post_create_and_put_upsert(tdb):
         from pyspark.sql import functions as F
         srv.db.add("tag", srv.db.table("tag").filter(F.col("id") <= 3))
         srv.shutdown()
+
+
+def test_delete_by_pk(tdb):
+    srv = ApiServer(tdb)
+    host, port = srv.serve_background()
+    base = f"http://{host}:{port}"
+    try:
+        status, body = post(base, "/api/tag/", {"name": "ephemeral"})
+        new_id = body["ids"][0]
+        req = urllib.request.Request(
+            f"{base}/api/tag/?id={new_id}", method="DELETE")
+        with urllib.request.urlopen(req, timeout=60) as resp:
+            out = json.loads(resp.read())
+        assert out["deleted"] == 1
+        _, got = get(base, f"/api/tag/?id={new_id}")
+        assert got["count"] == 0
+        # deleting a missing id reports 0
+        req = urllib.request.Request(
+            f"{base}/api/tag/?id=99999", method="DELETE")
+        with urllib.request.urlopen(req, timeout=60) as resp:
+            assert json.loads(resp.read())["deleted"] == 0
+    finally:
+        srv.shutdown()
