@@ -125,11 +125,21 @@ class _Handler(BaseHTTPRequestHandler):
             return parts[1], dict(parse_qsl(url.query, keep_blank_values=True))
         return None, {}
 
+    def _safely(self, fn) -> None:
+        """Catch-all: malformed requests get structured 4xx, anything
+        unexpected a 500 JSON body — never a dropped connection."""
+        try:
+            fn()
+        except (ValueError, KeyError) as exc:
+            self._send(400, {"detail": str(exc)})
+        except Exception as exc:  # noqa: BLE001
+            self._send(500, {"detail": f"internal error: {exc}"})
+
     def do_POST(self) -> None:  # noqa: N802 - create (reference DRF create)
-        self._mutate(create_only=True)
+        self._safely(lambda: self._mutate(create_only=True))
 
     def do_PUT(self) -> None:  # noqa: N802 - upsert by pk
-        self._mutate(create_only=False)
+        self._safely(lambda: self._mutate(create_only=False))
 
     def _mutate(self, create_only: bool) -> None:
         srv: ApiServer = self.server  # type: ignore[assignment]
@@ -155,6 +165,9 @@ class _Handler(BaseHTTPRequestHandler):
         self._send(201 if create_only else 200, result)
 
     def do_DELETE(self) -> None:  # noqa: N802 - hard delete by pk (M7)
+        self._safely(self._delete)
+
+    def _delete(self) -> None:
         srv: ApiServer = self.server  # type: ignore[assignment]
         if not self._authorized(srv):
             self._send(401, {"detail": "invalid or missing bearer token"})
@@ -175,6 +188,9 @@ class _Handler(BaseHTTPRequestHandler):
         return srv.db.catalog.pk(endpoint) if endpoint else None
 
     def do_GET(self) -> None:  # noqa: N802 - http.server API
+        self._safely(self._get)
+
+    def _get(self) -> None:
         srv: ApiServer = self.server  # type: ignore[assignment]
         if not self._authorized(srv):
             self._send(401, {"detail": "invalid or missing bearer token"})
@@ -193,8 +209,11 @@ class _Handler(BaseHTTPRequestHandler):
             return
         raw = dict(parse_qsl(url.query, keep_blank_values=True))
         try:
-            page = int(raw.pop("page", "1"))
-            page_size = int(raw.pop("page_size", "10"))
+            reserved = {k: raw.pop(k, None) for k in _RESERVED}
+            page = max(int(reserved["page"] or 1), 1)
+            # reference page sizes are 10/50/100; cap keeps every response
+            # page-sized so the driver never collects an unbounded result
+            page_size = min(max(int(reserved["page_size"] or 10), 1), 100)
         except ValueError:
             self._send(400, {"detail": "page/page_size must be integers"})
             return
@@ -254,6 +273,8 @@ class ApiServer(ThreadingHTTPServer):
                         f"legal: {sorted(known)}")
             if create_only:
                 have_ids = [r[pk] for r in rows if pk in r]
+                if len(have_ids) != len(set(have_ids)):
+                    raise ValueError(f"duplicate {pk} values within the batch")
                 if have_ids:
                     dup = (table.filter(F.col(pk).isin(have_ids))
                            .select(pk).limit(1).take(1))
@@ -261,9 +282,13 @@ class ApiServer(ThreadingHTTPServer):
                         raise ValueError(
                             f"{endpoint!r} {pk}={dup[0][0]} already exists")
                 next_id = (table.agg(F.max(pk)).first()[0] or 0) + 1
+                taken = set(have_ids)
                 for r in rows:
                     if pk not in r:
+                        while next_id in taken:
+                            next_id += 1
                         r[pk] = next_id
+                        taken.add(next_id)
                         next_id += 1
             elif any(pk not in r for r in rows):
                 raise ValueError(f"PUT rows must carry the pk {pk!r}")

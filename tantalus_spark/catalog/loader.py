@@ -61,12 +61,17 @@ class Database:
         catalog: RelationshipCatalog,
         tables: dict[str, DataFrame] | None = None,
     ) -> None:
+        import threading
+
         self.spark = spark
         self.catalog = catalog
         self._tables: dict[str, DataFrame] = dict(tables or {})
         # name -> parquet path, resolved on first table() access. Lazy so
         # one unreadable file cannot fail queries over unrelated tables.
         self._pending: dict[str, str] = {}
+        # concurrent first accesses (e.g. the threaded HTTP facade) must
+        # not race the pending->resolved transition
+        self._resolve_lock = threading.Lock()
 
     def add(self, name: str, df: DataFrame, primary_key: str = "id") -> None:
         self._tables[name] = df
@@ -81,11 +86,16 @@ class Database:
 
     def table(self, name: str) -> DataFrame:
         if name not in self._tables:
-            if name in self._pending:
-                df = read_parquet(self.spark, self._pending.pop(name))
+            with self._resolve_lock:
+                if name in self._tables:          # resolved while waiting
+                    return self._tables[name]
+                if name not in self._pending:
+                    raise KeyError(
+                        f"unknown table {name!r}; have {self.names()}")
+                df = read_parquet(self.spark, self._pending[name])
                 self._tables[name] = df
+                del self._pending[name]
                 return df
-            raise KeyError(f"unknown table {name!r}; have {self.names()}")
         return self._tables[name]
 
     def __contains__(self, name: str) -> bool:

@@ -375,12 +375,16 @@ def simhash_near_pairs(df: DataFrame, max_hamming: int = 3,
     base, rem = divmod(64, n_chunks)
     widths = [base + (1 if c < rem else 0) for c in range(n_chunks)]
     offsets = [sum(widths[:c]) for c in range(n_chunks)]
-    chunks = [
-        F.shiftrightunsigned(F.col("simhash"), offsets[c])
-        .bitwiseAND(F.lit((1 << widths[c]) - 1))
-        .alias(f"c{c}")
-        for c in range(n_chunks)
-    ]
+
+    def chunk_expr(c: int):
+        # a full-width chunk (max_hamming=0) is the signature itself; the
+        # (1<<64)-1 mask would overflow LongType
+        if widths[c] == 64:
+            return F.col("simhash")
+        return (F.shiftrightunsigned(F.col("simhash"), offsets[c])
+                .bitwiseAND(F.lit((1 << widths[c]) - 1)))
+
+    chunks = [chunk_expr(c).alias(f"c{c}") for c in range(n_chunks)]
     sig = simhash_signatures(df, text_col=text_col, id_col=id_col)
     banded = sig.select(F.col(id_col), F.col("simhash"), *chunks)
     pieces = banded.select(
@@ -423,10 +427,12 @@ def decontaminate(
 
     Returns (clean_docs, contaminated) where ``contaminated`` is
     (doc_id, n_hits) for every flagged doc. The benchmark's shingle set is
-    tiny relative to the corpus — it broadcasts into a semi-join against
-    the corpus posting list, so the corpus never shuffles: one scan +
-    broadcast probe at any corpus size (the benchmark side is bounded by
-    eval-suite size, megabytes not terabytes).
+    bounded by eval-suite size (megabytes), so the HIT detection is a
+    broadcast probe of the corpus posting list — one scan, no shuffle. The
+    final clean-docs anti-join keys on the contaminated-id set, which is
+    bounded by contamination, not benchmark size; it is left unhinted so
+    AQE broadcasts it when small and shuffles when a dirty corpus makes it
+    large.
     """
     corpus_sh = shingles(docs, n=n, text_col=text_col, id_col=id_col,
                          hashed=True)
@@ -441,5 +447,7 @@ def decontaminate(
         .groupBy(id_col)
         .agg(F.count(F.lit(1)).alias("n_hits"))
     )
-    clean = docs.join(F.broadcast(hits.select(id_col)), id_col, "left_anti")
+    # the anti-join side is bounded by CONTAMINATION (could be large on a
+    # dirty corpus), so no broadcast hint here — AQE picks the strategy
+    clean = docs.join(hits.select(id_col), id_col, "left_anti")
     return clean, hits

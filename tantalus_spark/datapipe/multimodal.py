@@ -74,7 +74,14 @@ def stdlib_media_probe(payload: bytes, kind: str) -> dict | None:
             while i + 9 < len(payload):
                 if payload[i] != 0xFF:
                     break
+                # 0xFF fill bytes before a marker are legal — skip them
+                while i + 9 < len(payload) and payload[i + 1] == 0xFF:
+                    i += 1
                 marker = payload[i + 1]
+                if marker in (0x01,) or 0xD0 <= marker <= 0xD9:
+                    # standalone markers (TEM, RSTn, SOI, EOI): no length
+                    i += 2
+                    continue
                 seg_len = int.from_bytes(payload[i + 2:i + 4], "big")
                 if 0xC0 <= marker <= 0xCF and marker not in (0xC4, 0xC8, 0xCC):
                     return {

@@ -352,6 +352,11 @@ def chunk_documents(df: DataFrame, max_tokens: int = 512, overlap: int = 64,
     one scan, zero shuffles: at 100 TB this is a pure map stage whose
     output is ~(1 + overlap/max_tokens)× the input. Returns
     (id, chunk_idx, n_chunk_tokens, chunk_text).
+
+    A start whose chunk would be a strict suffix of the previous chunk is
+    not emitted (last start caps at ``n - max_tokens + stride``): the
+    previous chunk already covered those tokens, and suffix-duplicate
+    training samples are exactly what the dedup stages remove.
     """
     if overlap >= max_tokens:
         raise ValueError("overlap must be < max_tokens")
@@ -359,9 +364,10 @@ def chunk_documents(df: DataFrame, max_tokens: int = 512, overlap: int = 64,
     toked = df.select(
         F.col(id_col), tokens(F.col(text_col)).alias("_t"))
     t = F.col("_t")
+    last_start = F.greatest(F.size(t) - F.lit(max_tokens - stride), F.lit(1))
     starts = F.when(
         F.size(t) >= 1,
-        F.sequence(F.lit(1), F.greatest(F.size(t), F.lit(1)), F.lit(stride)),
+        F.sequence(F.lit(1), last_start, F.lit(stride)),
     ).otherwise(F.array().cast("array<int>"))
     chunks = toked.select(
         F.col(id_col),

@@ -1642,7 +1642,7 @@ ORACLES: dict[str, str] = {
           SELECT doc_id,
                  CAST((i - 1) / 48 AS INTEGER) AS chunk_idx,
                  list_slice(t, i, i + 63) AS chunk
-          FROM tok, UNNEST(range(1, len(t) + 1, 48)) AS u(i))
+          FROM tok, UNNEST(range(1, greatest(len(t) - 16, 1) + 1, 48)) AS u(i))
         SELECT doc_id, chunk_idx,
                CAST(len(chunk) AS INTEGER) AS n_chunk_tokens,
                array_to_string(chunk, ' ') AS chunk_text

@@ -69,8 +69,13 @@ def read_workbook(path: str) -> list[tuple[str, list[list[Cell]]]]:
             raw_rows: list[dict[int, Cell]] = []
             for row in root.iter(f"{_NS}row"):
                 cells: dict[int, Cell] = {}
+                next_ci = 0
                 for c in row.findall(f"{_NS}c"):
-                    ci = _col_index(c.get("r"))
+                    # the r= cell reference is OPTIONAL in SpreadsheetML;
+                    # producers that omit it write cells in column order
+                    ref = c.get("r")
+                    ci = _col_index(ref) if ref else next_ci
+                    next_ci = ci + 1
                     kind = c.get("t")
                     if kind == "s":
                         v: Cell = shared[int(c.find(f"{_NS}v").text)]

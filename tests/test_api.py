@@ -179,3 +179,31 @@ def test_delete_by_pk(tdb):
             assert json.loads(resp.read())["deleted"] == 0
     finally:
         srv.shutdown()
+
+
+def test_post_batch_id_assignment_no_collision(tdb):
+    srv = ApiServer(tdb)
+    host, port = srv.serve_background()
+    base = f"http://{host}:{port}"
+    try:
+        # explicit id beyond max + an auto row in one batch: auto id must
+        # skip the explicit one, and intra-batch duplicates are rejected
+        status, body = post(base, "/api/tag/", [
+            {"id": 4, "name": "explicit"}, {"name": "auto"}])
+        assert status == 201
+        assert sorted(body["ids"]) == [4, 5]
+        with pytest.raises(urllib.error.HTTPError) as e:
+            post(base, "/api/tag/", [{"id": 9, "name": "a"},
+                                     {"id": 9, "name": "b"}])
+        assert e.value.code == 400
+        # errors produce structured responses, not dropped connections
+        with pytest.raises(urllib.error.HTTPError) as e:
+            get(base, "/api/tag/?page=0&page_size=abc")
+        assert e.value.code == 400
+        # page_size clamps to 100 (reference max page size)
+        _, got = get(base, "/api/tag/?page_size=999999999")
+        assert got["page_size"] == 100
+    finally:
+        from pyspark.sql import functions as F
+        srv.db.add("tag", srv.db.table("tag").filter(F.col("id") <= 3))
+        srv.shutdown()

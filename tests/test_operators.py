@@ -374,3 +374,26 @@ def test_xlsx_roundtrip_and_excel_ingest(spark, tmp_path):
     rows = df.orderBy("reference id").collect()
     assert [r["case id"] for r in rows] == ["C1", "C2", "7"]
     assert rows[1]["sa id"] is None
+
+
+def test_xlsx_cells_without_reference_attr(spark, tmp_path):
+    """SpreadsheetML's r= cell reference is optional; in-order cells must
+    parse by implicit position."""
+    import zipfile
+
+    from tantalus_spark.sources.xlsx import read_workbook, write_workbook
+
+    path = str(tmp_path / "noref.xlsx")
+    write_workbook(path, [("S", [["a", "b"], ["x", 1.0]])])
+    # strip the r= attributes to simulate a minimal producer
+    import re
+    with zipfile.ZipFile(path) as z:
+        names = {n: z.read(n) for n in z.namelist()}
+    sheet = names["xl/worksheets/sheet1.xml"].decode()
+    names["xl/worksheets/sheet1.xml"] = re.sub(
+        r' r="[A-Z]+\d+"', "", sheet).encode()
+    with zipfile.ZipFile(path, "w") as z:
+        for n, data in names.items():
+            z.writestr(n, data)
+    sheets = read_workbook(path)
+    assert sheets == [("S", [["a", "b"], ["x", 1.0]])]

@@ -183,10 +183,12 @@ def test_chunk_documents_overlap_and_coverage(spark):
                                  "doc_id long, text string")
     out = {(r["doc_id"], r["chunk_idx"]): (r["n_chunk_tokens"], r["chunk_text"])
            for r in chunk_documents(docs, max_tokens=4, overlap=1).collect()}
-    # stride 3: starts at tokens 1,4,7,10 -> sizes 4,4,4,1
+    # stride 3: starts 1,4,7 — a start at 10 would yield chunk ["w9"],
+    # a strict suffix of chunk [w6..w9], so it is not emitted
     assert out[(1, 0)] == (4, "w0 w1 w2 w3")
     assert out[(1, 1)][1].startswith("w3")     # 1-token overlap
-    assert out[(1, 3)] == (1, "w9")
+    assert out[(1, 2)] == (4, "w6 w7 w8 w9")
+    assert (1, 3) not in out
     assert out[(2, 0)] == (1, "solo")
     import pytest as _pytest
     with _pytest.raises(ValueError):
@@ -204,3 +206,16 @@ def test_repetition_ratios_known_values(spark):
            for r in repetition_ratios(docs).collect()}
     assert got[1] == (round(1 - 2 / 3, 4), round(1 - 4 / 6, 4))
     assert got[2] == (0.0, 0.0)
+
+
+def test_simhash_zero_hamming_bound(spark):
+    """max_hamming=0 (exact signature match) must work — the full-width
+    chunk previously overflowed LongType with a (1<<64)-1 mask."""
+    from tantalus_spark.datapipe import dedup
+
+    docs = spark.createDataFrame(
+        [(1, "same text here"), (2, "same text here"), (3, "different")],
+        "doc_id long, text string")
+    got = {(r["d1"], r["d2"]) for r in
+           dedup.simhash_near_pairs(docs, max_hamming=0).collect()}
+    assert got == {(1, 2)}
