@@ -27,6 +27,35 @@ from pyspark.sql import functions as F
 
 from tantalus_spark.datapipe.textstats import tokens
 
+# Portable ("md5") hash family: H(s) = int(md5(s)[:15 hex], 16) — 60 bits,
+# bit-reproducible in any engine with md5 (DuckDB: ('0x'||substr(md5(s),1,15))
+# ::BIGINT). MinHash permutations are universal hashes (a*H+b) mod M over it.
+# The production default stays xxhash64 (JVM-native, faster); the md5 family
+# exists so the *gated* inventory entries have full SQL oracles. Bucket/band
+# hashing is deliberately NOT parameterized: it is pure equality partitioning
+# (the bucket value never escapes the plan), so any injective-enough hash
+# gives the identical candidate set and xxhash64 is always safe there.
+_MD5_MOD = 1_000_000_007
+_MD5_A = [3, 5, 7, 11, 13, 17, 19, 23, 29, 31, 37, 41, 43, 47, 53, 59]
+_MD5_B = [1 << i for i in range(16)]
+
+
+def _md5_long(col):
+    """60-bit long from the first 15 hex chars of md5 — the portable
+    cross-engine hash primitive (same construction as q60/q53/q61)."""
+    return F.conv(F.substring(F.md5(col), 1, 15), 16, 10).cast("long")
+
+
+def _minhash_perm(shingle_col, i: int, hash_family: str):
+    """Permutation-i hash of an (already long-hashed) shingle."""
+    if hash_family == "md5":
+        a, b = _MD5_A[i], _MD5_B[i]
+        return F.pmod(
+            F.pmod(shingle_col, F.lit(_MD5_MOD)) * F.lit(a) + F.lit(b),
+            F.lit(_MD5_MOD),
+        )
+    return F.xxhash64(shingle_col, F.lit(i))
+
 
 def exact_duplicates(df: DataFrame, text_col: str = "text",
                      id_col: str = "doc_id") -> DataFrame:
@@ -43,13 +72,16 @@ def exact_duplicates(df: DataFrame, text_col: str = "text",
 
 
 def shingles(df: DataFrame, n: int = 3, text_col: str = "text",
-             id_col: str = "doc_id", hashed: bool = False) -> DataFrame:
+             id_col: str = "doc_id", hashed: bool = False,
+             hash_family: str = "xxhash64") -> DataFrame:
     """Distinct word n-gram shingles per document: (id, shingle).
 
-    ``hashed=True`` emits ``xxhash64(shingle)`` longs instead of strings —
-    8-byte join/shuffle keys instead of arbitrary-width text. At 100 TB the
+    ``hashed=True`` emits hashed longs instead of strings — 8-byte
+    join/shuffle keys instead of arbitrary-width text. At 100 TB the
     shuffle width difference dominates; the 2^-64 collision rate is
-    negligible for near-dup detection.
+    negligible for near-dup detection. ``hash_family`` picks xxhash64
+    (default, JVM-native) or "md5" (60-bit md5-derived, bit-reproducible
+    in external SQL engines — the oracle-friendly variant).
     """
     # Materialize the token array as a column BEFORE the higher-order
     # transform: a lambda that embeds the tokens() expression would
@@ -77,7 +109,8 @@ def shingles(df: DataFrame, n: int = 3, text_col: str = "text",
     # Zero exchanges in shingle construction now.
     arr = F.array_distinct(gram)
     if hashed:
-        arr = F.transform(arr, lambda g: F.xxhash64(g))
+        hash_fn = _md5_long if hash_family == "md5" else F.xxhash64
+        arr = F.transform(arr, lambda g: hash_fn(g))
     return toked.select(F.col(id_col), F.explode(arr).alias("shingle"))
 
 
@@ -147,15 +180,21 @@ def _materialize_and_release(result: DataFrame, intermediates: list[DataFrame]) 
 
 
 def minhash_signatures(df: DataFrame, n_perm: int = 16, shingle_n: int = 3,
-                       text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
-    """Per-doc MinHash signature: array of n_perm min(xxhash64(shingle, seed)).
+                       text_col: str = "text", id_col: str = "doc_id",
+                       hash_family: str = "xxhash64") -> DataFrame:
+    """Per-doc MinHash signature: array of n_perm min(perm_hash(shingle)).
 
-    xxhash64 is a JVM built-in → whole signature computed in one shuffle-free
-    agg after the shingle explode (partial aggregation map-side).
+    The default permutation family is xxhash64(shingle, seed) — a JVM
+    built-in, so the whole signature is computed in one shuffle-free agg
+    after the shingle explode (partial aggregation map-side).
+    ``hash_family="md5"`` swaps in universal hashes (a_i*H+b_i) mod M over
+    the 60-bit md5-derived shingle hash — same math, bit-reproducible in
+    external SQL engines (the oracle-gated variant).
     """
-    sh = shingles(df, n=shingle_n, text_col=text_col, id_col=id_col, hashed=True)
+    sh = shingles(df, n=shingle_n, text_col=text_col, id_col=id_col,
+                  hashed=True, hash_family=hash_family)
     aggs = [
-        F.min(F.xxhash64(F.col("shingle"), F.lit(i))).alias(f"h{i}")
+        F.min(_minhash_perm(F.col("shingle"), i, hash_family)).alias(f"h{i}")
         for i in range(n_perm)
     ]
     sig = sh.groupBy(id_col).agg(*aggs)
@@ -173,6 +212,7 @@ def minhash_lsh_pairs(
     threshold: float = 0.2,
     text_col: str = "text",
     id_col: str = "doc_id",
+    hash_family: str = "xxhash64",
 ) -> DataFrame:
     """Candidate near-dup pairs via banded MinHash-LSH, verified with the
     exact Jaccard of the candidate pair's shingle sets.
@@ -180,15 +220,20 @@ def minhash_lsh_pairs(
     The band join shuffles O(docs × bands) rows — the 100 TB-safe path,
     versus the all-pairs shingle join in :func:`ngram_jaccard_pairs`.
     Returns (d1, d2, jaccard) like the exact variant for easy comparison.
+
+    ``hash_family="md5"`` makes the signature hashes SQL-portable (see
+    :func:`minhash_signatures`); band *bucketing* stays xxhash64 in both
+    families — bucket values are equality-partitioning internals that never
+    reach the output, so the candidate set is identical either way.
     """
     rows = n_perm // bands
     # one posting list feeds signature building AND candidate verification —
     # persist so the shingle parse+explode+dedup shuffle happens once, not
     # four times (sig, s1, s2, counts all reuse it)
     sh = shingles(df, n=shingle_n, text_col=text_col, id_col=id_col,
-                  hashed=True).persist()
+                  hashed=True, hash_family=hash_family).persist()
     aggs = [
-        F.min(F.xxhash64(F.col("shingle"), F.lit(i))).alias(f"h{i}")
+        F.min(_minhash_perm(F.col("shingle"), i, hash_family)).alias(f"h{i}")
         for i in range(n_perm)
     ]
     sig = sh.groupBy(id_col).agg(*aggs).select(
@@ -317,13 +362,24 @@ def dup_clusters(df: DataFrame, threshold: float = 0.2, n: int = 3,
 
 
 def simhash_signatures(df: DataFrame, text_col: str = "text",
-                       id_col: str = "doc_id") -> DataFrame:
+                       id_col: str = "doc_id",
+                       hash_hex_chars: int = 16) -> DataFrame:
     """64-bit SimHash per document via a vectorized Arrow pandas_udf.
 
     Token hashing uses Python's stable md5 (not ``hash()``, which is
     per-process salted) so signatures are deterministic across executors.
+    ``hash_hex_chars`` is how many leading md5 hex chars feed the token
+    hash: 16 (default) is the full first-8-bytes 64-bit hash;
+    15 gives a 60-bit hash that fits a signed BIGINT, making the whole
+    signature bit-reproducible in external SQL engines (signature bits
+    60–63 are then always 0 — a 60-bit simhash, still exact-recall under
+    the pigeonhole chunking in :func:`simhash_near_pairs`).
     """
     import hashlib
+
+    if not 1 <= hash_hex_chars <= 16:
+        raise ValueError(f"hash_hex_chars must be in [1, 16], got {hash_hex_chars}")
+    nhex = hash_hex_chars
 
     @F.pandas_udf("long")
     def simhash(texts: pd.Series) -> pd.Series:
@@ -337,8 +393,8 @@ def simhash_signatures(df: DataFrame, text_col: str = "text",
                 continue
             acc = np.zeros(64, dtype=np.int64)
             for t in toks:
-                h = np.uint64(int.from_bytes(
-                    hashlib.md5(t.encode("utf-8")).digest()[:8], "big"
+                h = np.uint64(int(
+                    hashlib.md5(t.encode("utf-8")).hexdigest()[:nhex], 16
                 ))
                 bits = ((h >> shifts) & np.uint64(1)).astype(np.int64)
                 acc += 2 * bits - 1
@@ -355,7 +411,8 @@ def simhash_signatures(df: DataFrame, text_col: str = "text",
 
 
 def simhash_near_pairs(df: DataFrame, max_hamming: int = 3,
-                       text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
+                       text_col: str = "text", id_col: str = "doc_id",
+                       hash_hex_chars: int = 16) -> DataFrame:
     """ALL pairs whose SimHash hamming distance <= max_hamming (full recall).
 
     Candidate generation splits the 64-bit signature into ``max_hamming + 1``
@@ -385,7 +442,8 @@ def simhash_near_pairs(df: DataFrame, max_hamming: int = 3,
                 .bitwiseAND(F.lit((1 << widths[c]) - 1)))
 
     chunks = [chunk_expr(c).alias(f"c{c}") for c in range(n_chunks)]
-    sig = simhash_signatures(df, text_col=text_col, id_col=id_col)
+    sig = simhash_signatures(df, text_col=text_col, id_col=id_col,
+                             hash_hex_chars=hash_hex_chars)
     banded = sig.select(F.col(id_col), F.col("simhash"), *chunks)
     pieces = banded.select(
         F.col(id_col), F.col("simhash"),

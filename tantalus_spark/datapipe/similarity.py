@@ -104,6 +104,7 @@ def embedding_near_dup_pairs(
     vec_col: str = "embedding",
     n_hyperplanes: int = 0,
     n_blocks: int = 16,
+    hash_family: str = "xxhash64",
 ) -> DataFrame:
     """Embedding-cosine near-duplicate pairs: (id_a, id_b, cosine) with
     id_a < id_b and cosine >= threshold.
@@ -136,22 +137,40 @@ def embedding_near_dup_pairs(
 
     base = df.select(F.col(id_col).alias("id"), F.col(vec_col).alias("v"))
     if n_hyperplanes > 0:
-        # deterministic pseudo-random hyperplanes: sign of sum_i v[i]*h(seed,i)
+        # deterministic pseudo-random hyperplanes: sign of sum_i v[i]*h(seed,i).
+        # hash_family="md5" derives the per-dimension coefficient from
+        # md5("seed_dim") — bit-reproducible in external SQL engines, so the
+        # LSH bucket membership itself has a full oracle (the xxhash64
+        # default is the faster JVM path). The *bucket id* below stays
+        # xxhash64 in both families: it is pure equality partitioning on the
+        # sign vector and never reaches the output.
         dim_idx = F.sequence(F.lit(1), F.size("v"))
+
+        def coeff(i, s):
+            if hash_family == "md5":
+                h = F.conv(
+                    F.substring(
+                        F.md5(F.concat_ws("_", F.lit(str(s)), i.cast("string"))),
+                        1, 15),
+                    16, 10,
+                ).cast("long")
+            else:
+                h = F.xxhash64(i, F.lit(s))
+            return (F.pmod(h, F.lit(2001)) - 1000) / 1000.0
+
+        def dot_with_plane(s):
+            # closure (not a lambda default arg) so the zip_with lambda keeps
+            # arity 2 — PySpark derives HOF arity from the signature
+            return F.aggregate(
+                F.zip_with(
+                    F.col("v"), dim_idx,
+                    lambda x, i: x.cast("double") * coeff(i, s),
+                ),
+                F.lit(0.0), lambda acc, x: acc + x,
+            )
+
         sig = F.array(*[
-            (
-                F.aggregate(
-                    F.zip_with(
-                        F.col("v"), dim_idx,
-                        lambda x, i: x.cast("double")
-                        * (F.pmod(F.xxhash64(i, F.lit(s)), F.lit(2001)) - 1000)
-                        / 1000.0,
-                    ),
-                    F.lit(0.0), lambda acc, x: acc + x,
-                )
-                > 0
-            ).cast("int")
-            for s in range(n_hyperplanes)
+            (dot_with_plane(s) > 0).cast("int") for s in range(n_hyperplanes)
         ])
         base = base.withColumn("bucket", F.xxhash64(sig.cast("string")))
         join_cond = (F.col("a.bucket") == F.col("b.bucket")) & (

@@ -584,17 +584,30 @@ def q44_ngram_jaccard(spark, sf_dir):
 
 
 def q45_minhash_lsh(spark, sf_dir):
+    """Banded MinHash-LSH near-dup pairs with exact-Jaccard verification,
+    under a FULL value oracle: the gated entry uses the md5-derived
+    universal-hash permutation family ((a_i*H+b_i) mod M over the 60-bit
+    md5 shingle hash — same construction q60 proves bit-reproducible in
+    SQL), so banding, candidate generation, and verification are all
+    replayed by the oracle. Production default stays xxhash64 (covered by
+    tests/test_textstats.py recall tests); band bucketing is equality
+    partitioning and engine-internal in both families."""
     docs = db_for(spark, sf_dir).table("documents")
-    return dedup.minhash_lsh_pairs(docs, n_perm=16, bands=4, threshold=0.2)
+    return dedup.minhash_lsh_pairs(docs, n_perm=16, bands=4, threshold=0.2,
+                                   hash_family="md5")
 
 
 def q46_simhash(spark, sf_dir):
     """SimHash near-pairs with full recall at the configured bound:
     candidate buckets are max_hamming+1 signature chunks (pigeonhole), so
     no qualifying pair is missed; tests/test_textstats.py proves recall
-    against a brute-force popcount."""
+    against a brute-force popcount. Gated with hash_hex_chars=15 (60-bit
+    md5 token hash, fits signed BIGINT) so the oracle rebuilds the exact
+    signature with SQL bit arithmetic — and, because recall is exact, the
+    oracle needs no chunking at all: it checks ALL pairs with
+    hamming <= max_hamming."""
     docs = db_for(spark, sf_dir).table("documents")
-    return dedup.simhash_near_pairs(docs, max_hamming=8)
+    return dedup.simhash_near_pairs(docs, max_hamming=8, hash_hex_chars=15)
 
 
 def q47_ann_cosine(spark, sf_dir):
@@ -892,13 +905,15 @@ def q68_range_join(spark, sf_dir):
 def q69_embedding_lsh(spark, sf_dir):
     """Hyperplane-LSH-bucketed embedding near-dup — the 100 TB scale path:
     candidates must agree on all hyperplane signs, shrinking the self-join
-    ~2^n_hyperplanes-fold (q51 keeps the exact block-gemm verifier with a
-    full value oracle). Rows-only gate: bucket membership depends on
-    xxhash64, not SQL-expressible; tests/test_similarity.py proves LSH
-    pairs are a subset of the exact pairs and reports recall."""
+    ~2^n_hyperplanes-fold (q51 keeps the exact block-gemm verifier). The
+    gated entry uses hash_family="md5": hyperplane coefficients derive
+    from md5("seed_dim"), so the oracle recomputes the sign vectors and
+    bucket membership exactly in SQL — a FULL value oracle for the LSH
+    path itself. tests/test_similarity.py additionally proves LSH pairs
+    are a subset of the exact pairs and reports recall."""
     emb = db_for(spark, sf_dir).table("embeddings")
     return similarity.embedding_near_dup_pairs(
-        emb, threshold=0.45, n_hyperplanes=2)
+        emb, threshold=0.45, n_hyperplanes=2, hash_family="md5")
 
 
 def q70_decontaminate(spark, sf_dir):
@@ -1661,8 +1676,113 @@ ORACLES: dict[str, str] = {
                  AS dup_token_ratio
         FROM f
     """,
-    # 45_minhash_lsh / 46_simhash / 69_embedding_lsh: not SQL-expressible
-    # (xxhash64-derived bucketing) → rows-only checks by design; their
-    # underlying math is oracle-proven via 60_minhash_signatures /
-    # 44_ngram_jaccard / 51_embedding_near_dup and recall unit tests.
+    # 45/46/69 gated entries use the md5-derived hash family (production
+    # default is xxhash64) so the full LSH pipelines — signatures, banding,
+    # candidate generation, verification — replay in SQL. Band/bucket ids
+    # are equality-partitioning internals, so the oracle joins on the
+    # underlying tuples directly; the candidate sets are identical.
+    "45_minhash_lsh": """
+        WITH tok AS (
+          SELECT doc_id, string_split_regex(trim(lower(text)), '\\s+') AS t
+          FROM documents),
+        sh0 AS (
+          SELECT DISTINCT doc_id, t[i] || ' ' || t[i+1] || ' ' || t[i+2] AS g
+          FROM tok, UNNEST(range(1, greatest(len(t)-1, 1))) AS u(i)),
+        -- 60-bit md5 shingle hash: per-doc DISTINCT is on the raw gram
+        -- (mirrors array_distinct before hashing on the Spark side)
+        sh AS (
+          SELECT doc_id, ('0x'||substr(md5(g),1,15))::BIGINT AS hv FROM sh0),
+        sig AS (
+          SELECT doc_id,
+                 min(((hv % 1000000007) * 3  + 1)     % 1000000007) AS h0,
+                 min(((hv % 1000000007) * 5  + 2)     % 1000000007) AS h1,
+                 min(((hv % 1000000007) * 7  + 4)     % 1000000007) AS h2,
+                 min(((hv % 1000000007) * 11 + 8)     % 1000000007) AS h3,
+                 min(((hv % 1000000007) * 13 + 16)    % 1000000007) AS h4,
+                 min(((hv % 1000000007) * 17 + 32)    % 1000000007) AS h5,
+                 min(((hv % 1000000007) * 19 + 64)    % 1000000007) AS h6,
+                 min(((hv % 1000000007) * 23 + 128)   % 1000000007) AS h7,
+                 min(((hv % 1000000007) * 29 + 256)   % 1000000007) AS h8,
+                 min(((hv % 1000000007) * 31 + 512)   % 1000000007) AS h9,
+                 min(((hv % 1000000007) * 37 + 1024)  % 1000000007) AS h10,
+                 min(((hv % 1000000007) * 41 + 2048)  % 1000000007) AS h11,
+                 min(((hv % 1000000007) * 43 + 4096)  % 1000000007) AS h12,
+                 min(((hv % 1000000007) * 47 + 8192)  % 1000000007) AS h13,
+                 min(((hv % 1000000007) * 53 + 16384) % 1000000007) AS h14,
+                 min(((hv % 1000000007) * 59 + 32768) % 1000000007) AS h15
+          FROM sh GROUP BY doc_id),
+        bands AS (
+          SELECT doc_id, 0 AS band, h0 AS x0, h1 AS x1, h2 AS x2, h3 AS x3 FROM sig
+          UNION ALL
+          SELECT doc_id, 1, h4, h5, h6, h7 FROM sig
+          UNION ALL
+          SELECT doc_id, 2, h8, h9, h10, h11 FROM sig
+          UNION ALL
+          SELECT doc_id, 3, h12, h13, h14, h15 FROM sig),
+        cand AS (
+          SELECT DISTINCT a.doc_id AS d1, b.doc_id AS d2
+          FROM bands a JOIN bands b
+            ON a.band = b.band AND a.x0 = b.x0 AND a.x1 = b.x1
+           AND a.x2 = b.x2 AND a.x3 = b.x3 AND a.doc_id < b.doc_id),
+        counts AS (SELECT doc_id, count(*) AS n_sh FROM sh GROUP BY doc_id),
+        inter AS (
+          SELECT c.d1, c.d2, count(*) AS i
+          FROM cand c
+          JOIN sh s1 ON s1.doc_id = c.d1
+          JOIN sh s2 ON s2.doc_id = c.d2 AND s2.hv = s1.hv
+          GROUP BY c.d1, c.d2)
+        SELECT d1, d2, round(i*1.0/(na.n_sh + nb.n_sh - i), 4) AS jaccard
+        FROM inter
+        JOIN counts na ON na.doc_id = d1
+        JOIN counts nb ON nb.doc_id = d2
+        WHERE i*1.0/(na.n_sh + nb.n_sh - i) >= 0.2
+    """,
+    "46_simhash": """
+        WITH tok AS (
+          SELECT doc_id,
+                 unnest(string_split_regex(trim(lower(text)), '\\s+')) AS tkn
+          FROM documents),
+        hb AS (
+          SELECT doc_id, ('0x'||substr(md5(tkn),1,15))::BIGINT AS hv
+          FROM tok),
+        -- 60-bit simhash: per bit k, sum +1/-1 over ALL tokens (dup-aware)
+        acc AS (
+          SELECT doc_id, k,
+                 sum(CASE WHEN (hv >> k) & 1 = 1 THEN 1 ELSE -1 END) AS a
+          FROM hb, UNNEST(range(0, 60)) AS u(k)
+          GROUP BY doc_id, k),
+        sig AS (
+          SELECT doc_id,
+                 CAST(sum(CASE WHEN a > 0 THEN (1::BIGINT << k)
+                          ELSE 0 END) AS BIGINT) AS sh
+          FROM acc GROUP BY doc_id)
+        -- pigeonhole chunking is exact-recall, so the oracle skips it:
+        -- result = ALL pairs with hamming <= 8
+        SELECT a.doc_id AS d1, b.doc_id AS d2,
+               CAST(bit_count(xor(a.sh, b.sh)) AS INTEGER) AS hamming
+        FROM sig a JOIN sig b ON a.doc_id < b.doc_id
+        WHERE bit_count(xor(a.sh, b.sh)) <= 8
+    """,
+    "69_embedding_lsh": """
+        WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+        comp AS (
+          SELECT e.vec_id, sp.s,
+                 sum(e.v[i] * ((('0x'||substr(md5(sp.s::VARCHAR||'_'||
+                                              i::VARCHAR),1,15))::BIGINT
+                                % 2001 - 1000) / 1000.0)) AS dot
+          FROM e, UNNEST(range(1, len(e.v)+1)) AS u(i),
+               (VALUES (0), (1)) AS sp(s)
+          GROUP BY e.vec_id, sp.s),
+        sig AS (
+          SELECT vec_id,
+                 CAST(sum(CASE WHEN dot > 0 THEN (1::BIGINT << s)
+                          ELSE 0 END) AS BIGINT) AS b
+          FROM comp GROUP BY vec_id)
+        SELECT ea.vec_id AS id_a, eb.vec_id AS id_b,
+               round(list_cosine_similarity(ea.v, eb.v), 4) AS cosine
+        FROM sig a JOIN sig b ON a.b = b.b AND a.vec_id < b.vec_id
+        JOIN e ea ON ea.vec_id = a.vec_id
+        JOIN e eb ON eb.vec_id = b.vec_id
+        WHERE list_cosine_similarity(ea.v, eb.v) >= 0.45
+    """,
 }
