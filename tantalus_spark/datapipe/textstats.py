@@ -293,12 +293,12 @@ def winnowing_fingerprints(df: DataFrame, k: int = 5, window: int = 4,
     mod 1e9+7) so a SQL oracle can reproduce it bit-for-bit. Returns
     (id, fp) distinct.
 
-    The whole computation is array-valued inside one scan — token hashes →
-    k-gram hashes → per-window minima → array_distinct → explode. No
-    explode-then-window, no dedup shuffle: winnowing is per-document math,
-    so the plan has ZERO exchanges and scales as a pure map stage (the
-    windowed-min per position costs O(window) per gram, a constant,
-    against the two shuffles it replaces).
+    Token and k-gram hashing are array-valued inside the scan (one md5
+    per token); only the window-min explodes to gram rows, paying ONE
+    exchange on (id) that every downstream per-doc consumer (dedup,
+    groupBy) reuses. A fully array-side windowed-min was tried and
+    reverted: interpreted higher-order-lambda CPU cost more than the
+    exchange it saved (r2 bench, see inline comments).
     """
     # hash every token ONCE into a materialized array — each token appears
     # in up to k grams, so hashing inside the gram lambda would do k× the
@@ -328,17 +328,36 @@ def winnowing_fingerprints(df: DataFrame, k: int = 5, window: int = 4,
             acc = acc + term
         return F.pmod(acc, F.lit(_WIN_M))
 
+    # The window-min runs as a codegen'd Window over posexplode'd gram
+    # rows, NOT as per-position array_min(slice(g, i, w)) inside a
+    # transform: higher-order lambdas are interpreted per element, and
+    # the O(n_grams × window) interpreted allocations cost more wall time
+    # than the exchange+sort they avoid (r2 bench regression, re-measured
+    # at sf0.1). The doc_id partitioning the Window introduces is also
+    # exactly what the downstream dropDuplicates and per-doc aggregations
+    # reuse, so no second exchange follows.
+    #
+    # CRITICAL plan property: the gram-hash transform expression feeds
+    # posexplode DIRECTLY (never materialized as its own column first).
+    # Generate over a bare attribute makes Catalyst infer a `size(col)>0`
+    # filter (InferFiltersFromGenerate) and push it to the scan with the
+    # full expression inlined — where each element_at() re-evaluates the
+    # token-hash transform over the whole document, turning the scan
+    # quadratic per doc (measured 73 s vs <1 s at sf0.1). Generate over
+    # an expression infers nothing.
     grams = toked.select(
-        F.col(id_col), F.transform(idx, gram_hash).alias("_gh"))
-    g = F.col("_gh")
-    pos = F.when(
-        F.size(g) > 0, F.sequence(F.lit(1), F.size(g))
-    ).otherwise(F.array().cast("array<int>"))
-    # per-position min over the next `window` grams (truncated at the
-    # tail, matching the windowed-min semantics of the SQL oracle)
-    fps = F.array_distinct(
-        F.transform(pos, lambda i: F.array_min(F.slice(g, i, window))))
-    return grams.select(F.col(id_col), F.explode(fps).alias("fp"))
+        F.col(id_col),
+        F.posexplode(F.transform(idx, gram_hash)).alias("pos", "gh"),
+    )
+    w = (
+        W.partitionBy(id_col).orderBy("pos")
+        .rowsBetween(W.currentRow, window - 1)
+    )
+    return (
+        grams.withColumn("fp", F.min("gh").over(w))
+        .select(F.col(id_col), "fp")
+        .dropDuplicates([id_col, "fp"])
+    )
 
 
 def chunk_documents(df: DataFrame, max_tokens: int = 512, overlap: int = 64,
