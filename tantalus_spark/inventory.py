@@ -25,6 +25,7 @@ from tantalus_spark.catalog.loader import Database
 from tantalus_spark.catalog.tpch_model import load_tpch
 from tantalus_spark.compiler import Count, F_ref, Q
 from tantalus_spark.datapipe import dedup, similarity, textstats
+from tantalus_spark.functions import times
 
 _DB_CACHE: dict[tuple[int, str], Database] = {}
 
@@ -637,7 +638,7 @@ def q50_sessionization(spark, sf_dir):
     """Sessionization via lag + cumulative sum (gap > 30 min)."""
     e = db_for(spark, sf_dir).table("events")
     w = W.partitionBy("user_id").orderBy("ts", "event_id")
-    sec = F.col("ts").cast("long")
+    sec = F.floor(times.epoch_expr(e, "ts")).cast("long")
     prev = F.lag(sec).over(w)
     new_sess = F.when(prev.isNull() | ((sec - prev) > 1800), 1).otherwise(0)
     return (

@@ -55,11 +55,13 @@ def asof_join(
 
     out_rcols = {c: (c + suffix if c in lcols else c) for c in rcols}
 
+    from tantalus_spark.functions.times import epoch_expr
+
     if direction == "forward":
         # mirror time so "most recent before" becomes "nearest after"
-        t_expr = lambda c: -F.col(c).cast("double")  # noqa: E731
+        t_expr = lambda df, c: -epoch_expr(df, c)  # noqa: E731
     elif direction == "backward":
-        t_expr = lambda c: F.col(c).cast("double")  # noqa: E731
+        t_expr = lambda df, c: epoch_expr(df, c)  # noqa: E731
     else:
         raise ValueError(f"direction must be backward|forward, got {direction!r}")
 
@@ -67,7 +69,7 @@ def asof_join(
         *[F.col(c) for c in lcols],
         *[F.lit(None).cast(right.schema[c].dataType).alias(f"__r_{c}")
           for c in rcols],
-        t_expr(left_time).alias("__t"),
+        t_expr(left, left_time).alias("__t"),
         F.lit(1).alias("__tag"),
     )
     r_tagged = right.select(
@@ -75,7 +77,7 @@ def asof_join(
         *[F.lit(None).cast(left.schema[c].dataType).alias(c)
           for c in lcols if c not in keys],
         *[F.col(c).alias(f"__r_{c}") for c in rcols],
-        t_expr(right_time).alias("__t"),
+        t_expr(right, right_time).alias("__t"),
         F.lit(0).alias("__tag"),
     ).select(*lcols, *[f"__r_{c}" for c in rcols], "__t", "__tag")
 
