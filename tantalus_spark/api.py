@@ -245,6 +245,10 @@ class ApiServer(ThreadingHTTPServer):
         self.jwt_secret = jwt_secret
         self._thread: threading.Thread | None = None
         self._write_lock = threading.Lock()
+        self._mutations_since_checkpoint: dict[str, int] = {}
+
+    #: writes between lineage-truncating checkpoints (see _bound_lineage)
+    CHECKPOINT_EVERY = 16
 
     def serve_background(self) -> tuple[str, int]:
         self._thread = threading.Thread(target=self.serve_forever, daemon=True)
@@ -290,8 +294,21 @@ class ApiServer(ThreadingHTTPServer):
                         r[pk] = next_id
                         taken.add(next_id)
                         next_id += 1
-            elif any(pk not in r for r in rows):
-                raise ValueError(f"PUT rows must carry the pk {pk!r}")
+            else:
+                if any(pk not in r for r in rows):
+                    raise ValueError(f"PUT rows must carry the pk {pk!r}")
+                put_ids = [r[pk] for r in rows]
+                if len(put_ids) != len(set(put_ids)):
+                    # mirror the POST check: upsert anti-joins then unions
+                    # ALL incoming rows, so an intra-batch duplicate pk
+                    # would leave two rows with that pk in the table
+                    raise ValueError(f"duplicate {pk} values within the batch")
+                # partial update semantics: a column omitted from a PUT row
+                # keeps its existing value (instead of being overwritten
+                # with NULL when the row is expanded to the table schema)
+                provided = [sorted(set(r) & known) for r in rows]
+                if any(p != sorted(known) for p in provided):
+                    rows = self._merge_partial(table, pk, rows, provided)
             try:
                 new_rows = self.db.spark.createDataFrame(
                     [tuple(r.get(c) for c in table.columns) for r in rows],
@@ -303,9 +320,42 @@ class ApiServer(ThreadingHTTPServer):
                 new_table = mutations.append_rows(table, new_rows)
             else:
                 new_table = mutations.upsert(table, new_rows, [pk])
-            self.db.add(endpoint, new_table)
+            self.db.add(endpoint, self._bound_lineage(endpoint, new_table))
             return {"written": len(rows), "endpoint": endpoint,
                     "ids": [r[pk] for r in rows]}
+
+    def _merge_partial(self, table, pk: str, rows: list[dict],
+                       provided: list[list[str]]) -> list[dict]:
+        """Fill each PUT row's omitted columns from the existing row with
+        that pk (new pks keep NULL). One filtered collect of just the
+        touched pks — batch-sized, never a table scan to the driver."""
+        from pyspark.sql import functions as F
+
+        ids = [r[pk] for r in rows]
+        existing = {
+            row[pk]: row.asDict()
+            for row in table.filter(F.col(pk).isin(ids)).collect()
+        }
+        merged = []
+        for r, cols in zip(rows, provided):
+            base = dict(existing.get(r[pk], {}))
+            base.update({c: r[c] for c in cols})
+            merged.append(base)
+        return merged
+
+    def _bound_lineage(self, endpoint: str, table):
+        """Every N mutations, cut the anti-join+union lineage chain with an
+        eager localCheckpoint: a long-lived server otherwise accumulates
+        one plan layer per write and analysis cost grows without bound.
+        (A production deployment would write-through to the parquet
+        snapshot via sources.sink instead; checkpointing keeps the facade
+        self-contained.)"""
+        n = self._mutations_since_checkpoint.get(endpoint, 0) + 1
+        if n >= self.CHECKPOINT_EVERY:
+            table = table.localCheckpoint(eager=True)
+            n = 0
+        self._mutations_since_checkpoint[endpoint] = n
+        return table
 
     def apply_delete(self, endpoint: str, pk_value: str) -> int:
         from pyspark.sql import functions as F

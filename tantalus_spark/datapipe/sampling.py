@@ -16,10 +16,15 @@ from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
 
-def split_bucket(id_col, n_buckets: int = 100):
+def split_bucket(id_col, n_buckets: int = 100, salt: str | None = None):
     """Deterministic bucket 0..n_buckets-1 from the row id: first 15 hex
-    chars of md5(id) as int, mod n — identical in any engine."""
-    h = F.conv(F.substring(F.md5(id_col.cast("string")), 1, 15), 16, 10)
+    chars of md5(id) as int, mod n — identical in any engine. ``salt``
+    prefixes the hashed string (``salt_id``) so two consumers hashing the
+    same ids draw independent buckets."""
+    key = id_col.cast("string")
+    if salt is not None:
+        key = F.concat_ws("_", F.lit(salt), key)
+    h = F.conv(F.substring(F.md5(key), 1, 15), 16, 10)
     return F.pmod(h.cast("long"), F.lit(n_buckets))
 
 
@@ -69,17 +74,20 @@ def weighted_mix(
     training mix ("60% web, 30% code, 10% books") from cleaned sources.
 
     Each source keeps a hash-derived fraction of its rows equal to
-    ``weights[name]`` (0..1, independent per source) and is tagged with its
-    name. Selection is :func:`split_bucket` on the id — no RNG, stable
-    under re-runs, appends, and repartitioning, and SQL-auditable (the
-    same md5-bucket rule as hash_split). Union is by name; schemas must
+    ``weights[name]`` and is tagged with its name. Selection is
+    :func:`split_bucket` on the id SALTED WITH THE SOURCE NAME — without
+    the salt, sources sharing ids would select fully correlated subsets
+    (a 0.2 source's picks a strict subset of a 0.6 source's). No RNG,
+    stable under re-runs, appends, and repartitioning, and SQL-auditable
+    (the same md5-bucket rule as hash_split). Weights are quantized to
+    whole percent (bucket space is 100). Union is by name; schemas must
     match across sources. One map pass per source, zero shuffles.
     """
     out = None
     for name, df in sources.items():
         frac = weights[name]
         picked = df.filter(
-            split_bucket(F.col(id_col)) < int(round(frac * 100))
+            split_bucket(F.col(id_col), salt=name) < int(round(frac * 100))
         ).withColumn(source_col, F.lit(name))
         out = picked if out is None else out.unionByName(picked)
     return out

@@ -1638,15 +1638,17 @@ ORACLES: dict[str, str] = {
     "71_weighted_mix": """
         WITH b AS (
           SELECT doc_id,
-                 ('0x'||substr(md5(CAST(doc_id AS VARCHAR)),1,15))::BIGINT
-                   % 100 AS bkt
+                 ('0x'||substr(md5('web_'||CAST(doc_id AS VARCHAR)),1,15))
+                   ::BIGINT % 100 AS bkt_web,
+                 ('0x'||substr(md5('code_'||CAST(doc_id AS VARCHAR)),1,15))
+                   ::BIGINT % 100 AS bkt_code
           FROM documents),
         m AS (
           SELECT doc_id, 'web' AS source FROM b
-          WHERE doc_id % 2 = 0 AND bkt < 60
+          WHERE doc_id % 2 = 0 AND bkt_web < 60
           UNION ALL
           SELECT doc_id, 'code' AS source FROM b
-          WHERE doc_id % 2 = 1 AND bkt < 20)
+          WHERE doc_id % 2 = 1 AND bkt_code < 20)
         SELECT source, count(*) AS n, sum(doc_id) AS id_sum
         FROM m GROUP BY source
     """,

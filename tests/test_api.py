@@ -207,3 +207,69 @@ def test_post_batch_id_assignment_no_collision(tdb):
         from pyspark.sql import functions as F
         srv.db.add("tag", srv.db.table("tag").filter(F.col("id") <= 3))
         srv.shutdown()
+
+
+def test_put_partial_body_and_intra_batch_dups(tdb):
+    srv = ApiServer(tdb)
+    host, port = srv.serve_background()
+    base = f"http://{host}:{port}"
+    try:
+        # a PUT body omitting columns keeps their existing values (the
+        # reference's DRF PUT would 400; merging is the lossless superset
+        # — omitted != "set to NULL")
+        status, _ = post(base, "/api/sample/",
+                         {"id": 2, "note": "updated"}, method="PUT")
+        assert status == 200
+        _, got = get(base, "/api/sample/?id=2")
+        row = got["results"][0]
+        assert row["note"] == "updated"
+        assert row["sample_id"] == "SA100B"      # untouched columns survive
+        assert row["tissue"] == "ovary"
+        # a pk not in the table inserts with omitted columns NULL
+        status, _ = post(base, "/api/sample/",
+                         {"id": 77, "sample_id": "SA777"}, method="PUT")
+        assert status == 200
+        _, got = get(base, "/api/sample/?id=77")
+        assert got["results"][0]["tissue"] is None
+        # intra-batch duplicate pks would leave two rows post-upsert: 400
+        with pytest.raises(urllib.error.HTTPError) as e:
+            post(base, "/api/sample/",
+                 [{"id": 3, "note": "x"}, {"id": 3, "note": "y"}],
+                 method="PUT")
+        assert e.value.code == 400
+    finally:
+        from pyspark.sql import functions as F
+        t = srv.db.table("sample")
+        srv.db.add("sample", t.filter(F.col("id") <= 5).withColumn(
+            "note", F.when(F.col("id") == 2, "note b").otherwise(
+                F.col("note"))))
+        srv.shutdown()
+
+
+def test_facade_write_lineage_bounded(tdb):
+    # ~40 upsert cycles: without the periodic localCheckpoint each write
+    # stacks an anti-join+union layer and the logical plan grows without
+    # bound in a long-lived server
+    srv = ApiServer(tdb)
+    srv.CHECKPOINT_EVERY = 8
+    host, port = srv.serve_background()
+    base = f"http://{host}:{port}"
+    try:
+        for i in range(40):
+            status, _ = post(base, "/api/tag/",
+                             {"id": 2, "name": f"cycle{i}"}, method="PUT")
+            assert status == 200
+        depth = len(srv.db.table("tag")._jdf.queryExecution()
+                    .logical().treeString().splitlines())
+        # 8 un-checkpointed layers x ~4 nodes each, plus slack; an
+        # unbounded chain after 40 writes is >300 lines
+        assert depth < 80, f"plan depth {depth} not bounded"
+        _, got = get(base, "/api/tag/?id=2")
+        assert got["results"][0]["name"] == "cycle39"
+        assert srv.db.table("tag").count() == 3
+    finally:
+        from pyspark.sql import functions as F
+        srv.db.add("tag", srv.db.table("tag").filter(F.col("id") <= 3)
+                   .withColumn("name", F.when(F.col("id") == 2, "qc")
+                               .otherwise(F.col("name"))))
+        srv.shutdown()

@@ -173,6 +173,17 @@ def test_weighted_mix_deterministic_and_proportional(spark):
                          {"web": 0.6, "code": 0.2})
     assert sorted(r["doc_id"] for r in mix.collect()) == \
         sorted(r["doc_id"] for r in again.collect())
+    # per-source selection is salted by source name: two sources sharing
+    # the SAME ids must draw ~independent subsets, not nested ones (the
+    # 0.2 picks would be a strict subset of the 0.6 picks unsalted)
+    shared = weighted_mix({"s6": a, "s2": a}, {"s6": 0.6, "s2": 0.2})
+    picks = {name: {r["doc_id"] for r in rows.collect()}
+             for name, rows in (
+                 ("s6", shared.filter("source = 's6'")),
+                 ("s2", shared.filter("source = 's2'")))}
+    overlap = len(picks["s2"] & picks["s6"]) / max(len(picks["s2"]), 1)
+    assert not picks["s2"] <= picks["s6"]
+    assert abs(overlap - 0.6) < 0.1  # ~independent: P(in s6 | in s2) ~ 0.6
 
 
 def test_chunk_documents_overlap_and_coverage(spark):
