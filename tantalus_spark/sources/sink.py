@@ -105,11 +105,16 @@ def merge_into_snapshot(
     carry ``partition_col``; delete rows only need key + partition
     columns. Returns the touched partition values.
 
-    Durability note: dynamic overwrite stages files before swapping, but a
-    mid-job failure can still leave touched partitions partial — bare
-    parquet has no transaction log. Production hardening is a staging dir
-    + rename commit, or a table format (Iceberg/Delta) whose MERGE INTO
-    this function mirrors.
+    Durability: the rebuilt partitions are written to a STAGING directory
+    first, then swapped in per partition with Hadoop-FileSystem renames
+    (current dir -> .bak, staged dir -> current), and the .bak dirs are
+    dropped only after every swap succeeded. A failure mid-write leaves
+    the snapshot untouched; a failure mid-swap leaves .bak dirs that
+    :func:`recover_failed_merge` rolls back. Renames are metadata ops on
+    HDFS/local; on object stores they are copies — use a real table
+    format (Iceberg/Delta, whose MERGE INTO this function mirrors) there.
+    Partition values must be non-null and rename-safe as path fragments
+    (dates/ints/plain strings — the norm for partition keys).
 
     Assumes ``partition_col`` is stable per key (the norm for
     date-partitioned facts): an upsert that MOVES a key to a different
@@ -147,10 +152,76 @@ def merge_into_snapshot(
     out = remaining
     if upserts is not None:
         out = remaining.unionByName(upserts.select(*remaining.columns))
-    (
-        out.write.mode("overwrite")
-        .option("partitionOverwriteMode", "dynamic")
-        .partitionBy(partition_col)
-        .parquet(snapshot_path)
-    )
+
+    # stage, then commit via per-partition renames (see docstring)
+    staging = snapshot_path.rstrip("/") + ".staging"
+    fs, jpath = _hadoop_fs(spark, snapshot_path)
+    fs.delete(jpath(staging), True)
+    out.write.mode("overwrite").partitionBy(partition_col).parquet(staging)
+
+    frag = lambda p: f"{partition_col}={p}"  # noqa: E731
+    swapped = []
+    try:
+        for p in touched:
+            cur = jpath(f"{snapshot_path.rstrip('/')}/{frag(p)}")
+            bak = jpath(f"{snapshot_path.rstrip('/')}/{frag(p)}{_BAK_SUFFIX}")
+            stg = jpath(f"{staging}/{frag(p)}")
+            if fs.exists(cur) and not fs.rename(cur, bak):
+                raise IOError(f"cannot stage-out partition {frag(p)}")
+            swapped.append(p)
+            # a delete-only change can empty a partition: no staged dir
+            if fs.exists(stg) and not fs.rename(stg, cur):
+                raise IOError(f"cannot commit partition {frag(p)}")
+    except BaseException:
+        # roll the completed swaps back; pre-merge data is never lost
+        for p in reversed(swapped):
+            cur = jpath(f"{snapshot_path.rstrip('/')}/{frag(p)}")
+            bak = jpath(f"{snapshot_path.rstrip('/')}/{frag(p)}{_BAK_SUFFIX}")
+            if fs.exists(bak):
+                fs.delete(cur, True)
+                fs.rename(bak, cur)
+        raise
+    for p in touched:
+        fs.delete(
+            jpath(f"{snapshot_path.rstrip('/')}/{frag(p)}{_BAK_SUFFIX}"), True)
+    fs.delete(jpath(staging), True)
     return touched
+
+
+_BAK_SUFFIX = ".bak-merge"
+
+
+def _hadoop_fs(spark, path: str):
+    """(FileSystem, Path-constructor) for *path* via the JVM Hadoop API —
+    the same abstraction the writers use, so staging/commit renames work
+    on any supported filesystem, not just local disk."""
+    jvm = spark._jvm
+    jpath = lambda p: jvm.org.apache.hadoop.fs.Path(p)  # noqa: E731
+    fs = jpath(path).getFileSystem(spark._jsc.hadoopConfiguration())
+    return fs, jpath
+
+
+def recover_failed_merge(spark, snapshot_path: str,
+                         partition_col: str) -> list:
+    """Roll back a merge that died mid-swap: every ``<part>.bak-merge``
+    directory left under *snapshot_path* is the pre-merge content of a
+    partition whose swap did not complete — restore it over whatever
+    half-state is in place. Returns the restored partition fragments."""
+    fs, jpath = _hadoop_fs(spark, snapshot_path)
+    root = jpath(snapshot_path)
+    if not fs.exists(root):
+        return []
+    restored = []
+    for status in fs.listStatus(root):
+        name = status.getPath().getName()
+        if not name.endswith(_BAK_SUFFIX):
+            continue
+        cur_name = name[: -len(_BAK_SUFFIX)]
+        if not cur_name.startswith(f"{partition_col}="):
+            continue
+        cur = jpath(f"{snapshot_path.rstrip('/')}/{cur_name}")
+        fs.delete(cur, True)
+        fs.rename(status.getPath(), cur)
+        restored.append(cur_name)
+    fs.delete(jpath(snapshot_path.rstrip("/") + ".staging"), True)
+    return restored

@@ -110,3 +110,41 @@ def test_merge_into_snapshot_rewrites_only_touched_partitions(
                    (5, "2024-01-02", "e"), (4, "2024-01-03", "d")}
     # the day-3 partition was never rewritten
     assert files_of("2024-01-03") == untouched_before
+
+
+def test_merge_staging_rollback_and_recovery(spark, tmp_path_factory):
+    """A merge that dies mid-swap must lose no pre-merge data: the commit
+    renames partition dirs to .bak-merge first, and recover_failed_merge
+    rolls any leftover .bak-merge back over the half-state."""
+    import os
+    import shutil
+
+    from tantalus_spark.sources.sink import (
+        _BAK_SUFFIX, merge_into_snapshot, recover_failed_merge)
+
+    path = str(tmp_path_factory.mktemp("snaprec") / "table")
+    base = spark.createDataFrame(
+        [(1, "d1", "a"), (2, "d2", "b")], "id long, day string, v string")
+    base.repartition(1).write.partitionBy("day").parquet(path)
+
+    # normal merge leaves no staging or backup residue
+    ups = spark.createDataFrame([(1, "d1", "a2")],
+                                "id long, day string, v string")
+    merge_into_snapshot(spark, path, ups, key_cols=["id"],
+                        partition_col="day")
+    assert not os.path.exists(path + ".staging")
+    assert not [f for f in os.listdir(path) if f.endswith(_BAK_SUFFIX)]
+
+    # simulate a crash between stage-out and commit of day=d2: pre-merge
+    # dir parked at .bak-merge, half-written junk in its place
+    cur = os.path.join(path, "day=d2")
+    os.rename(cur, cur + _BAK_SUFFIX)
+    os.makedirs(cur)
+    with open(os.path.join(cur, "part-junk.parquet"), "wb") as fh:
+        fh.write(b"torn write")
+
+    restored = recover_failed_merge(spark, path, partition_col="day")
+    assert restored == ["day=d2"]
+    got = {(r["id"], r["day"], r["v"])
+           for r in spark.read.parquet(path).collect()}
+    assert got == {(1, "d1", "a2"), (2, "d2", "b")}
