@@ -37,7 +37,7 @@ from tantalus_spark.catalog.loader import Database
 from tantalus_spark.operators.services import (
     FILTERSETS, UnknownFilterError, api_list)
 
-_RESERVED = {"page", "page_size"}
+_RESERVED = {"page", "page_size", "expand"}
 
 
 def _b64url_decode(seg: str) -> bytes:
@@ -224,11 +224,28 @@ class _Handler(BaseHTTPRequestHandler):
         except UnknownFilterError as exc:
             self._send(400, {"detail": str(exc)})
             return
+        rows = result.rows.collect()
+        if reserved["expand"]:
+            # nested read-serialization (reference DRF read serializers):
+            # re-derive the page as one join-based plan over just the
+            # page's pks — never a per-row N+1
+            from pyspark.sql import functions as F
+
+            from tantalus_spark.operators.serializers import expand_related
+
+            accessors = [a for a in reserved["expand"].split(",") if a]
+            pk = srv.db.catalog.pk(endpoint)
+            ids = [r[pk] for r in rows]
+            page_root = srv.db.table(endpoint).filter(F.col(pk).isin(ids))
+            expanded = expand_related(srv.db, endpoint, accessors,
+                                      root=page_root)
+            by_id = {r[pk]: r for r in expanded.collect()}
+            rows = [by_id[i] for i in ids]
         self._send(200, {
             "count": result.total,
             "page": page,
             "page_size": page_size,
-            "results": [r.asDict() for r in result.rows.collect()],
+            "results": [r.asDict(recursive=True) for r in rows],
         })
 
 

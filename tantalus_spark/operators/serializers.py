@@ -123,3 +123,89 @@ def storage_flat(db: Database) -> DataFrame:
         "server_ip", "storage_directory", "username",
         "storage_account", "storage_container", "bucket",
     )
+
+
+def expand_related(
+    db: Database,
+    endpoint: str,
+    accessors: list[str],
+    root: DataFrame | None = None,
+) -> DataFrame:
+    """Nested read-serialization as ONE join-based plan: each requested
+    relationship accessor becomes a column on the root table — a struct
+    for single-valued hops (forward FK / O2O), a sorted array of structs
+    for fan-out hops (reverse FK / M2M) — matching the reference's nested
+    read serializers (api/serializers.py:187-200 nests sample, library,
+    sequence_lanes) without its per-row N+1 queries.
+
+    ``is_complete`` on ``sequence_dataset`` is accepted as a pseudo-
+    accessor (SerializerMethodField in the reference, models.py:561-565):
+    lanes attached to the dataset == lanes sequenced for its library.
+
+    Single-valued hops broadcast the parent; fan-out hops pre-aggregate
+    the child side to one array row per root key BEFORE the join, so the
+    root never fans out and the plan stays one stage per relationship.
+    Pass ``root`` to expand an already-filtered subset (e.g. one page) —
+    the filter then prunes every child-side aggregate via the join.
+    """
+    cat = db.catalog
+    out = root if root is not None else db.table(endpoint)
+    root_pk = cat.pk(endpoint)
+
+    for acc in accessors:
+        if acc == "is_complete" and endpoint == "sequence_dataset":
+            out = _with_is_complete(db, out)
+            continue
+        step = cat.step(endpoint, acc)
+        if step is None:
+            legal = sorted(cat.accessors(endpoint))
+            raise ValueError(
+                f"no relationship {acc!r} on {endpoint!r}; legal: {legal}")
+        dst = db.table(step.dst)
+        packed = F.struct(*[F.col(c) for c in dst.columns])
+        if not step.many:
+            side = dst.select(
+                F.col(step.dst_col).alias("__k"), packed.alias(acc))
+            out = (
+                out.join(F.broadcast(side),
+                         out[step.src_col] == F.col("__k"), "left")
+                .drop("__k")
+            )
+            continue
+        if step.via is None:                      # reverse FK
+            keyed = dst.select(F.col(step.dst_col).alias("__k"),
+                               packed.alias("__v"))
+        else:                                     # M2M via junction
+            jt = db.table(step.via)
+            keyed = (
+                jt.join(dst,
+                        jt[step.via_dst_col] == dst[step.dst_col])
+                .select(jt[step.via_src_col].alias("__k"),
+                        packed.alias("__v"))
+            )
+        agg = keyed.groupBy("__k").agg(
+            F.sort_array(F.collect_list("__v")).alias(acc))
+        out = (
+            out.join(agg, out[step.src_col] == F.col("__k"), "left")
+            .drop("__k")
+            .withColumn(acc, F.coalesce(F.col(acc), F.array()))
+        )
+    return out
+
+
+def _with_is_complete(db: Database, ds: DataFrame) -> DataFrame:
+    """num lanes attached to the dataset == num lanes of its library."""
+    ds_lanes = db.table("sequencedataset_sequence_lanes").groupBy(
+        F.col("sequencedataset_id").alias("__dsid")
+    ).agg(F.countDistinct("sequencinglane_id").alias("__n_ds"))
+    lib_lanes = db.table("sequencing_lane").groupBy(
+        F.col("dna_library_id").alias("__lib")
+    ).agg(F.countDistinct("id").alias("__n_lib"))
+    return (
+        ds.join(ds_lanes, ds["id"] == F.col("__dsid"), "left")
+        .join(lib_lanes, ds["library_id_fk"] == F.col("__lib"), "left")
+        .withColumn(
+            "is_complete",
+            F.coalesce("__n_ds", F.lit(0)) == F.coalesce("__n_lib", F.lit(0)))
+        .drop("__dsid", "__n_ds", "__lib", "__n_lib")
+    )

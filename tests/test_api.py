@@ -273,3 +273,33 @@ def test_facade_write_lineage_bounded(tdb):
                    .withColumn("name", F.when(F.col("id") == 2, "qc")
                                .otherwise(F.col("name"))))
         srv.shutdown()
+
+
+def test_expand_nested_serialization(server):
+    """?expand= returns the reference read-serializer shape (nested
+    sample/library objects, sequence_lanes list, is_complete) from one
+    join-based plan — no per-row N+1."""
+    status, body = get(
+        server,
+        "/api/sequence_dataset/?id=1"
+        "&expand=sample,library,sequence_lanes,tags,is_complete")
+    assert status == 200
+    row = body["results"][0]
+    assert row["sample"]["sample_id"] == "SA100A"      # nested FK object
+    assert row["library"]["library_id"] == "A001"
+    lanes = {(l["flowcell_id"], l["lane_number"])
+             for l in row["sequence_lanes"]}
+    assert lanes == {("FC1", "1"), ("FC1", "2")}       # nested M2M list
+    assert sorted(t["name"] for t in row["tags"]) == ["prod", "qc"]
+    assert row["is_complete"] is True                  # both lib-1 lanes
+    # DS2 holds 1 of library 1's 2 lanes -> incomplete; empty tags -> []
+    _, body = get(server,
+                  "/api/sequence_dataset/?id=2&expand=is_complete,tags")
+    row = body["results"][0]
+    assert row["is_complete"] is False
+    assert row["tags"] == [{"id": 1, "name": "prod", "owner_id": None}]
+    # unknown accessor -> 400 naming the legal set
+    with pytest.raises(urllib.error.HTTPError) as e:
+        get(server, "/api/sequence_dataset/?expand=bogus")
+    assert e.value.code == 400
+    assert "no relationship" in json.loads(e.value.read())["detail"]
