@@ -71,18 +71,14 @@ def exact_duplicates(df: DataFrame, text_col: str = "text",
     )
 
 
-def shingles(df: DataFrame, n: int = 3, text_col: str = "text",
-             id_col: str = "doc_id", hashed: bool = False,
-             hash_family: str = "xxhash64") -> DataFrame:
-    """Distinct word n-gram shingles per document: (id, shingle).
-
-    ``hashed=True`` emits hashed longs instead of strings — 8-byte
-    join/shuffle keys instead of arbitrary-width text. At 100 TB the
-    shuffle width difference dominates; the 2^-64 collision rate is
-    negligible for near-dup detection. ``hash_family`` picks xxhash64
-    (default, JVM-native) or "md5" (60-bit md5-derived, bit-reproducible
-    in external SQL engines — the oracle-friendly variant).
-    """
+def _shingle_parts(df: DataFrame, n: int, text_col: str, id_col: str,
+                   hashed: bool, hash_family: str):
+    """(tokenized df, shingle-array EXPRESSION) — callers must consume the
+    expression in their own select. Kept as an expression (never an
+    intermediate column) because ``explode`` of a bare attribute makes
+    Catalyst infer a size()>0 filter and push it to the scan with the
+    whole expression inlined, where per-element element_at re-evaluates
+    the token transform — quadratic per doc (the q53 lesson)."""
     # Materialize the token array as a column BEFORE the higher-order
     # transform: a lambda that embeds the tokens() expression would
     # re-tokenize the full text once per shingle index (higher-order
@@ -103,15 +99,68 @@ def shingles(df: DataFrame, n: int = 3, text_col: str = "text",
             " ", *[F.element_at(toks, i + j) for j in range(n)]
         ),
     )
-    # per-doc dedup happens ARRAY-side (array_distinct) before the explode:
+    # per-doc dedup happens ARRAY-side (array_distinct) before any explode:
     # the old explode → dropDuplicates shape paid a full shuffle of the
     # posting list just to dedup within documents — a per-row operation.
-    # Zero exchanges in shingle construction now.
     arr = F.array_distinct(gram)
     if hashed:
         hash_fn = _md5_long if hash_family == "md5" else F.xxhash64
         arr = F.transform(arr, lambda g: hash_fn(g))
+    return toked, arr
+
+
+def shingles(df: DataFrame, n: int = 3, text_col: str = "text",
+             id_col: str = "doc_id", hashed: bool = False,
+             hash_family: str = "xxhash64") -> DataFrame:
+    """Distinct word n-gram shingles per document: (id, shingle).
+
+    ``hashed=True`` emits hashed longs instead of strings — 8-byte
+    join/shuffle keys instead of arbitrary-width text. At 100 TB the
+    shuffle width difference dominates; the 2^-64 collision rate is
+    negligible for near-dup detection. ``hash_family`` picks xxhash64
+    (default, JVM-native) or "md5" (60-bit md5-derived, bit-reproducible
+    in external SQL engines — the oracle-friendly variant).
+    """
+    toked, arr = _shingle_parts(df, n, text_col, id_col, hashed, hash_family)
     return toked.select(F.col(id_col), F.explode(arr).alias("shingle"))
+
+
+def minhash_bands(df: DataFrame, n_perm: int = 16, bands: int = 4,
+                  shingle_n: int = 3, text_col: str = "text",
+                  id_col: str = "doc_id",
+                  hash_family: str = "xxhash64") -> DataFrame:
+    """(id, bands array<long>): banded MinHash as a PURE ROW-LOCAL
+    expression — bit-identical to the band hashes
+    :func:`minhash_lsh_pairs` derives via explode + groupBy-min, but with
+    no aggregation at all, so it runs on an unbounded stream (the
+    incremental-LSH ingest path) and on batch alike. min over the
+    distinct-shingle ARRAY equals min over the exploded rows; docs with
+    zero shingles are dropped (batch produces no signature row for them).
+    """
+    rows = n_perm // bands
+    toked, arr = _shingle_parts(df, shingle_n, text_col, id_col,
+                                hashed=True, hash_family=hash_family)
+    # drop shingle-less docs HERE, on the token count: a filter on the
+    # shingle array column would be pushed below the projection with the
+    # whole per-element expression inlined (quadratic — the q53 lesson);
+    # size(_toks) inlines to one linear split per row and is equivalent
+    # (a doc has shingles iff it has >= n tokens)
+    toked = toked.filter(F.size("_toks") >= shingle_n)
+    sh = F.col("_sh")
+    with_arr = toked.select(F.col(id_col), arr.alias("_sh"))
+    def perm_min(i):
+        # closure, NOT a lambda default arg: transform() derives lambda
+        # arity from the signature, and a 2-arg lambda would be fed
+        # (element, array_index) — shadowing the permutation number
+        return F.array_min(
+            F.transform(sh, lambda s: _minhash_perm(s, i, hash_family)))
+
+    sig = [perm_min(i) for i in range(n_perm)]
+    band_cols = [
+        F.xxhash64(F.lit(b), *[sig[b * rows + r] for r in range(rows)])
+        for b in range(bands)
+    ]
+    return with_arr.select(F.col(id_col), F.array(*band_cols).alias("bands"))
 
 
 def ngram_jaccard_pairs(
