@@ -200,6 +200,24 @@ class _Handler(BaseHTTPRequestHandler):
         if parts == ["api"]:
             self._send(200, {"endpoints": sorted(FILTERSETS)})
             return
+        if parts == ["api", "schema"]:
+            # machine-readable API description (the reference exposes a
+            # Swagger schema view; this is the engine-shaped equivalent):
+            # per endpoint its columns+types, pk, legal filter params, and
+            # expandable relationship accessors
+            self._send(200, {"endpoints": {
+                ep: {
+                    "primary_key": srv.db.catalog.pk(ep),
+                    "columns": {f.name: f.dataType.simpleString()
+                                for f in srv.db.table(ep).schema.fields},
+                    "filters": sorted(
+                        p if not lk else f"{p}__{lk}"
+                        for p, lookups in FILTERSETS[ep].items()
+                        for lk in [None, *lookups]),
+                    "expand": sorted(srv.db.catalog.accessors(ep)),
+                } for ep in sorted(FILTERSETS)
+            }})
+            return
         if len(parts) != 2 or parts[0] != "api":
             self._send(404, {"detail": f"no route {url.path!r}"})
             return

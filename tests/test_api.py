@@ -303,3 +303,15 @@ def test_expand_nested_serialization(server):
         get(server, "/api/sequence_dataset/?expand=bogus")
     assert e.value.code == 400
     assert "no relationship" in json.loads(e.value.read())["detail"]
+
+
+def test_schema_endpoint(server):
+    status, body = get(server, "/api/schema/")
+    assert status == 200
+    s = body["endpoints"]["sample"]
+    assert s["primary_key"] == "id"
+    assert s["columns"]["sample_id"] == "string"
+    assert "patient__patient_id" in s["filters"]
+    assert "sequencedataset__id__isnull" in s["filters"]
+    assert "projects" in s["expand"]            # M2M accessor
+    assert "patient" in s["expand"]             # forward FK accessor

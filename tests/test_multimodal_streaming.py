@@ -305,3 +305,57 @@ def test_incremental_lsh_stream_matches_batch(spark, tmp_path_factory):
     verified = {(r["d1"], r["d2"])
                 for r in minhash_lsh_pairs(docs, threshold=0.2).collect()}
     assert verified <= stream_pairs
+
+
+def test_stdlib_probe_golden_files():
+    """Golden-file decode: REAL minimal files built byte-by-byte in-test
+    (the sources/xlsx.py fixture approach) — the probe must return exact
+    header metadata, not fake plumbing values."""
+    import io
+    import struct
+    import wave
+
+    from tantalus_spark.datapipe.multimodal import stdlib_media_probe
+
+    # PNG: signature + IHDR (width=640, height=480)
+    png = (b"\x89PNG\r\n\x1a\n"
+           + struct.pack(">I", 13) + b"IHDR"
+           + struct.pack(">II", 640, 480) + b"\x08\x02\x00\x00\x00"
+           + b"\x00\x00\x00\x00")
+    assert stdlib_media_probe(png, "image") == {
+        "width": 640, "height": 480, "duration_ms": None}
+
+    # GIF89a: logical screen 320x200 (little-endian)
+    gif = b"GIF89a" + struct.pack("<HH", 320, 200) + b"\x00\x00\x00"
+    assert stdlib_media_probe(gif, "image") == {
+        "width": 320, "height": 200, "duration_ms": None}
+
+    # BMP: BITMAPINFOHEADER, 100x50, top-down (negative height -> 50 tall)
+    bmp = (b"BM" + struct.pack("<IHHI", 122, 0, 0, 54)
+           + struct.pack("<IiiHH", 40, 100, -50, 1, 24) + b"\x00" * 24)
+    assert stdlib_media_probe(bmp, "image")["width"] == 100
+    assert stdlib_media_probe(bmp, "image")["height"] == -50
+
+    # JPEG: SOI, APP0(JFIF), a 0xFF fill byte + RST standalone marker
+    # before SOF0 (height=480, width=640) — exercises the marker scan
+    app0 = b"\xff\xe0" + struct.pack(">H", 16) + b"JFIF\x00\x01\x01" + b"\x00" * 7
+    sof0 = (b"\xff\xff\xd0"                   # fill byte + RST0 (standalone)
+            + b"\xff\xc0" + struct.pack(">H", 17) + b"\x08"
+            + struct.pack(">HH", 480, 640) + b"\x03" + b"\x00" * 9)
+    jpeg = b"\xff\xd8" + app0 + sof0
+    assert stdlib_media_probe(jpeg, "image") == {
+        "height": 480, "width": 640, "duration_ms": None}
+
+    # WAV written by the stdlib writer itself: 1000 frames @ 8 kHz = 125 ms
+    buf = io.BytesIO()
+    with wave.open(buf, "wb") as w:
+        w.setnchannels(1)
+        w.setsampwidth(2)
+        w.setframerate(8000)
+        w.writeframes(b"\x00\x00" * 1000)
+    assert stdlib_media_probe(buf.getvalue(), "audio") == {
+        "width": None, "height": None, "duration_ms": 125}
+
+    # unrecognized bytes -> None (caller falls back), never an exception
+    assert stdlib_media_probe(b"\x00\x01garbage", "image") is None
+    assert stdlib_media_probe(b"", "image") is None
