@@ -342,3 +342,115 @@ def ivf_topk(
         .limit(k)
         .select(id_col, F.round("_sim", 4).alias("cosine"))
     )
+
+
+# ---------------------------------------------------------------------------
+# Product quantization — the memory-side scale lever for ANN
+# ---------------------------------------------------------------------------
+
+def train_pq_codebooks(
+    df: DataFrame,
+    m: int = 8,
+    k: int = 16,
+    vec_col: str = "embedding",
+    seed: int = 42,
+    max_iter: int = 10,
+) -> list[list[list[float]]]:
+    """Train product-quantization codebooks (Jegou et al., TPAMI'11): the
+    vector splits into ``m`` subspaces, each clustered independently with
+    MLlib KMeans into ``k`` centroids. Returns ``codebooks[j][c]``.
+
+    PQ is the 100 TB memory lever IVF alone lacks: a d-dim float vector
+    (4d bytes) compresses to m code bytes (m=8, k<=256 -> 8 bytes per
+    vector, ~32x for d=64), so a billion-vector index fits executor
+    memory and the ADC scan reads codes, not vectors. Compose with IVF
+    (partition by list, PQ-scan inside probed lists) for both levers.
+    Train on a sample at scale — codebook quality converges long before
+    full passes pay off.
+    """
+    from pyspark.ml.clustering import KMeans
+    from pyspark.ml.functions import array_to_vector
+
+    d = len(df.select(vec_col).first()[0])
+    if d % m:
+        raise ValueError(f"dim {d} not divisible by m={m}")
+    sub = d // m
+    books = []
+    for j in range(m):
+        feats = df.select(array_to_vector(
+            F.slice(F.col(vec_col).cast("array<double>"),
+                    j * sub + 1, sub)).alias("features"))
+        model = KMeans(k=k, seed=seed + j, maxIter=max_iter).fit(feats)
+        books.append([[float(x) for x in c] for c in model.clusterCenters()])
+    return books
+
+
+def pq_encode(
+    df: DataFrame,
+    codebooks: list[list[list[float]]],
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """(id, pq_code array<int>): nearest-centroid code per subspace via an
+    Arrow-vectorized pandas_udf — one einsum per subspace per batch, no
+    per-row Python. The output is the compact index representation; the
+    original vector column is dropped on purpose (that is the point)."""
+    import numpy as np
+    import pandas as pd
+
+    m = len(codebooks)
+    books = [np.asarray(b, dtype=np.float64) for b in codebooks]
+    sub = books[0].shape[1]
+
+    @F.pandas_udf("array<int>")
+    def encode(vecs: pd.Series) -> pd.Series:
+        X = np.stack(vecs.to_numpy()).astype(np.float64)
+        codes = np.empty((X.shape[0], m), dtype=np.int32)
+        for j in range(m):
+            S = X[:, j * sub:(j + 1) * sub]          # (n, sub)
+            B = books[j]                             # (k, sub)
+            # ||s - b||^2 = ||s||^2 - 2 s.b + ||b||^2 ; ||s||^2 constant
+            # per row for the argmin
+            d2 = -2.0 * S @ B.T + (B * B).sum(axis=1)[None, :]
+            codes[:, j] = d2.argmin(axis=1)
+        return pd.Series(list(codes))
+
+    return df.select(F.col(id_col), encode(F.col(vec_col)).alias("pq_code"))
+
+
+def pq_topk(
+    encoded: DataFrame,
+    codebooks: list[list[list[float]]],
+    query_vec: list[float],
+    k: int = 10,
+    id_col: str = "vec_id",
+) -> DataFrame:
+    """Approximate top-k by asymmetric distance computation (ADC): the
+    query's dot product with each centroid of each subspace is a tiny
+    driver-side table (m x k doubles) shipped as a plan literal; each
+    code row then scores as sum_j table[j][code[j]] — two cheap
+    higher-order passes over an m-element array, no vector column read
+    at all. Ranking matches cosine when the indexed vectors were
+    L2-normalized before encoding (the standard PQ-for-cosine setup).
+    Ties break on id for cluster-deterministic output."""
+    m = len(codebooks)
+    sub = len(codebooks[0][0])
+    table = [
+        [sum(query_vec[j * sub + i] * c[i] for i in range(sub))
+         for c in codebooks[j]]
+        for j in range(m)
+    ]
+    t_lit = F.array(*[
+        F.array(*[F.lit(float(v)) for v in row]) for row in table
+    ])
+    contrib = F.zip_with(
+        F.col("pq_code"), t_lit,
+        lambda c, row: F.element_at(row, c + F.lit(1)),
+    )
+    score = F.aggregate(contrib, F.lit(0.0), lambda a, x: a + x)
+    return (
+        encoded.select(F.col(id_col), score.alias("_adc"))
+        .orderBy(F.col("_adc").desc(), F.col(id_col).asc())
+        .limit(k)
+        .select(id_col, F.round("_adc", 4).alias("adc_dot"))
+    )

@@ -961,6 +961,31 @@ def q73_repetition(spark, sf_dir):
     return textstats.repetition_ratios(docs)
 
 
+def q74_pq_ann(spark, sf_dir):
+    """Product-quantization ANN (Jegou TPAMI'11): L2-normalized vectors
+    -> per-subspace KMeans codebooks -> 8-byte codes -> asymmetric-
+    distance top-10 for a fixed query. The memory-side scale lever (32x
+    compression at d=64); composes with IVF partitioning (q52) for the
+    full 100 TB path. Rows-only by design: codebooks come from iterative
+    MLlib KMeans (not SQL-expressible); exactness + recall are unit-
+    proven in tests/test_similarity.py."""
+    emb = db_for(spark, sf_dir).table("embeddings")
+    norm = emb.select(
+        "vec_id",
+        F.transform(
+            "embedding",
+            lambda x: x / F.sqrt(F.aggregate(
+                F.zip_with("embedding", "embedding", lambda a, b: a * b),
+                F.lit(0.0), lambda a, y: a + y)),
+        ).alias("embedding"),
+    )
+    books = similarity.train_pq_codebooks(norm, m=8, k=16)
+    enc = similarity.pq_encode(norm, books)
+    qrow = norm.filter(F.col("vec_id") == 1).first()
+    return similarity.pq_topk(
+        enc, books, [float(x) for x in qrow["embedding"]], k=10)
+
+
 _ALL_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     name[1:]: fn
     for name, fn in list(globals().items())
@@ -996,7 +1021,7 @@ _QUERY_ORDER = [
     "19_union_dedup", "28_pivot", "29_rollup", "33_collect_set",
     "34_percentiles", "36_first_last", "37_explode_tokens",
     "55_regex_lookup", "70_decontaminate", "71_weighted_mix",
-    "72_chunk_documents", "73_repetition",
+    "72_chunk_documents", "73_repetition", "74_pq_ann",
 ]
 
 QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {

@@ -113,3 +113,62 @@ def test_embedding_lsh_pairs_subset_of_exact(emb):
         assert cos == exact[pair]
     recall = len(lsh) / len(exact)
     assert recall >= 0.2, f"recall {recall:.2f} too low for 2 hyperplanes"
+
+
+def test_pq_exact_on_prototype_vectors(spark):
+    """On a corpus whose subvectors come from a tiny prototype set, PQ
+    with k >= #prototypes reconstructs losslessly: ADC scores equal the
+    exact dot products and top-k matches brute force exactly."""
+    import itertools
+    import random
+
+    rng = random.Random(7)
+    protos = [[float(rng.randint(-3, 3)) for _ in range(4)]
+              for _ in range(4)]                 # 4 prototypes, dim 4
+    rows = []
+    for i, picks in enumerate(
+            itertools.islice(itertools.product(range(4), repeat=2), 16)):
+        vec = protos[picks[0]] + protos[picks[1]]   # m=2 subspaces, d=8
+        rows.append((i, vec))
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+
+    books = sim.train_pq_codebooks(df, m=2, k=4, max_iter=20)
+    enc = sim.pq_encode(df, books)
+    q = [0.5] * 8
+    got = sim.pq_topk(enc, books, q, k=5).collect()
+    exact = (
+        df.select("vec_id",
+                  F.aggregate(F.zip_with("embedding",
+                                         F.array(*[F.lit(v) for v in q]),
+                                         lambda a, b: a * b),
+                              F.lit(0.0), lambda a, x: a + x).alias("dot"))
+        .orderBy(F.col("dot").desc(), F.col("vec_id").asc()).limit(5)
+        .collect()
+    )
+    assert [r["vec_id"] for r in got] == [r["vec_id"] for r in exact]
+    for g, e in zip(got, exact):
+        assert abs(g["adc_dot"] - e["dot"]) < 1e-6
+
+
+def test_pq_recall_vs_exact(emb):
+    """32x-compressed codes (64 floats -> 8 bytes) must still retrieve a
+    useful share of the true cosine top-10 on the real embedding table."""
+    norm = emb.select(
+        "vec_id",
+        F.transform(
+            "embedding",
+            lambda x: x / F.sqrt(F.aggregate(
+                F.zip_with("embedding", "embedding", lambda a, b: a * b),
+                F.lit(0.0), lambda a, y: a + y)),
+        ).alias("embedding"),
+    )
+    books = sim.train_pq_codebooks(norm, m=8, k=16)
+    enc = sim.pq_encode(norm, books).persist()
+    qrow = norm.filter(F.col("vec_id") == 1).first()
+    q = [float(x) for x in qrow["embedding"]]
+    approx = {r["vec_id"] for r in sim.pq_topk(enc, books, q, k=10).collect()}
+    exact = {r["vec_id"]
+             for r in sim.cosine_topk(emb, q, k=10).collect()}
+    recall = len(approx & exact) / 10
+    assert recall >= 0.4, f"PQ recall@10 {recall}"
+    enc.unpersist()
