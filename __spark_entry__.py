@@ -4,12 +4,13 @@
 ``queries()`` exposes the full operator inventory (SURVEY.md §2 parity
 classes + the LLM-data-pipeline operators: dedup, similarity, text
 analysis, event analytics, corpus cleaning); ``oracle_sql()`` gives the
-DuckDB-equivalent SQL for every SQL-expressible query — all but MinHash-LSH,
-SimHash, and hyperplane-LSH, whose xxhash64-based candidate generation has
-no SQL counterpart (rows-only checks by design; their math is oracle-proven
-via 60_minhash_signatures / 44_ngram_jaccard / 51_embedding_near_dup plus
-recall unit tests). QUERIES is explicitly ordered so the driver's 50-entry
-correctness window covers every operator family.
+DuckDB-equivalent SQL for EVERY query in the driver's 50-entry window —
+since r3 the LSH trio (45/46/69) runs a portable md5-derived hash family
+whose banding and bucketing replay bit-for-bit in DuckDB, so all 50 are
+full value oracles. The only rows-only tail entry is 74_pq_ann, whose
+iterative KMeans codebook training is genuinely not SQL-expressible
+(exactness and recall are unit-proven instead). QUERIES is explicitly
+ordered so the 50-entry window covers every operator family.
 """
 
 from __future__ import annotations
