@@ -33,18 +33,17 @@ from pyspark.sql import functions as F
 from tantalus_spark.datapipe.textstats import LANG_MARKERS, _occurrences, tokens
 
 
-def clean_corpus(
+def _gated_features(
     docs: DataFrame,
-    min_tokens: int = 10,
-    max_tokens: int = 100_000,
-    min_alpha_ratio: float = 0.5,
-    langs: tuple[str, ...] = ("en",),
-    text_col: str = "text",
-    id_col: str = "doc_id",
+    text_col: str,
+    id_col: str,
+    passthrough: list[str] | None = None,
 ) -> DataFrame:
-    """Surviving documents after quality + language + exact-dup gates:
-    (doc_id, n_tokens, lang_pred), keeping the lowest doc_id per identical
-    content."""
+    """The shared one-projection feature stage: (id, n_tokens,
+    alpha_ratio, __md5, lang_pred [, passthrough...]). Heavy text
+    expressions live in ONE projection; the language argmax derives from
+    their output columns in a second (see module docstring for why
+    CollapseProject keeps them single-evaluated)."""
     text = F.col(text_col)
     padded = F.concat(F.lit(" "), F.lower(text), F.lit(" "))
     score_exprs = {}
@@ -56,6 +55,7 @@ def clean_corpus(
         score_exprs[lang] = expr
     features = docs.select(
         F.col(id_col),
+        *[F.col(c) for c in (passthrough or [])],
         F.size(tokens(text)).alias("n_tokens"),
         F.round(
             F.length(F.regexp_replace(text, "[^a-zA-Z]", ""))
@@ -70,15 +70,68 @@ def clean_corpus(
     for lang in reversed(list(score_exprs)):
         pred = F.when(F.col(f"__s_{lang}") == best, F.lit(lang)).otherwise(pred)
     pred = F.when(best > 0, pred).otherwise(F.lit("unknown"))
+    return features.withColumn("lang_pred", pred)
+
+
+def _gate_predicate(min_tokens, max_tokens, min_alpha_ratio, langs):
+    return (
+        F.col("n_tokens").between(min_tokens, max_tokens)
+        & (F.col("alpha_ratio") >= min_alpha_ratio)
+        & F.col("lang_pred").isin(list(langs))
+    )
+
+
+def clean_corpus(
+    docs: DataFrame,
+    min_tokens: int = 10,
+    max_tokens: int = 100_000,
+    min_alpha_ratio: float = 0.5,
+    langs: tuple[str, ...] = ("en",),
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Surviving documents after quality + language + exact-dup gates:
+    (doc_id, n_tokens, lang_pred), keeping the lowest doc_id per identical
+    content."""
+    features = _gated_features(docs, text_col, id_col)
     w = Window.partitionBy("__md5")
     return (
-        features.withColumn("lang_pred", pred)
+        features
         .withColumn("__keep_id", F.min(id_col).over(w))
         .filter(
             (F.col(id_col) == F.col("__keep_id"))
-            & F.col("n_tokens").between(min_tokens, max_tokens)
-            & (F.col("alpha_ratio") >= min_alpha_ratio)
-            & F.col("lang_pred").isin(list(langs))
+            & _gate_predicate(min_tokens, max_tokens, min_alpha_ratio, langs)
         )
+        .select(id_col, "n_tokens", "lang_pred")
+    )
+
+
+def clean_corpus_stream(
+    docs: DataFrame,
+    ts_col: str = "ts",
+    watermark: str = "2 hours",
+    min_tokens: int = 10,
+    max_tokens: int = 100_000,
+    min_alpha_ratio: float = 0.5,
+    langs: tuple[str, ...] = ("en",),
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """The same gate composition on a continuously-fed corpus: quality +
+    language gates are stateless projections (identical code path to
+    batch via ``_gated_features``), and the exact-dup gate becomes
+    ``dropDuplicatesWithinWatermark`` on the content digest — the stream
+    keeps the FIRST-SEEN document per content within the watermark
+    horizon (batch keeps min-id; identical when arrival follows id
+    order, and identical survivor CONTENT always, since duplicate groups
+    share gate outcomes). State is O(digests per horizon), evicted as the
+    watermark advances."""
+    features = _gated_features(
+        docs, text_col, id_col, passthrough=[ts_col])
+    return (
+        features.withWatermark(ts_col, watermark)
+        .dropDuplicatesWithinWatermark(["__md5"])
+        .filter(_gate_predicate(min_tokens, max_tokens, min_alpha_ratio,
+                                langs))
         .select(id_col, "n_tokens", "lang_pred")
     )

@@ -359,3 +359,45 @@ def test_stdlib_probe_golden_files():
     # unrecognized bytes -> None (caller falls back), never an exception
     assert stdlib_media_probe(b"\x00\x01garbage", "image") is None
     assert stdlib_media_probe(b"", "image") is None
+
+
+def test_clean_corpus_stream_matches_batch(spark, tmp_path_factory):
+    """Streaming corpus cleaning parity: same gates, same survivors as
+    the batch pipeline when documents arrive in id order (the stream
+    keeps first-seen per content digest; batch keeps min-id)."""
+    from tantalus_spark.catalog.loader import read_parquet
+    from tantalus_spark.datapipe.pipeline import clean_corpus, clean_corpus_stream
+
+    docs = (
+        read_parquet(spark, "/root/testdata/sf0.001/documents.parquet")
+        .select("doc_id", "text")
+        .withColumn("ts", F.timestamp_micros(
+                    (F.lit(1_700_000_000) + F.col("doc_id")) * 1000000))
+        # base offset: epoch-0 event time sits exactly on the initial
+        # watermark and would be dropped as late
+    )
+    def content_groups(out):
+        # the dedup gate keeps ONE representative per content digest —
+        # batch picks min-id, the stream picks first-seen (arbitrary
+        # inside a micro-batch), so parity is on surviving CONTENT
+        return {(r["__md5"], r["n_tokens"], r["lang_pred"])
+                for r in out.join(docs.select(
+                    "doc_id", F.md5("text").alias("__md5")),
+                    "doc_id").collect()}
+
+    batch_out = clean_corpus(docs)
+    batch = content_groups(batch_out)
+
+    ddir = str(tmp_path_factory.mktemp("cleanstream"))
+    docs.orderBy("doc_id").coalesce(1).write.mode("overwrite").parquet(ddir)
+    stream = (
+        spark.readStream.format("parquet")
+        .schema("doc_id long, text string, ts timestamp")
+        .load(ddir)
+    )
+    import tantalus_spark.streaming.events as se2
+    got = se2.run_to_completion(
+        clean_corpus_stream(stream), "t_clean_stream")
+    assert got.count() == batch_out.count()   # one survivor per group
+    assert content_groups(got) == batch
+    assert len(batch) > 0
