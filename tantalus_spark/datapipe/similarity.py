@@ -454,3 +454,35 @@ def pq_topk(
         .limit(k)
         .select(id_col, F.round("_adc", 4).alias("adc_dot"))
     )
+
+
+def ivf_pq_topk(
+    assigned_codes: DataFrame,
+    centroids: list[list[float]],
+    codebooks: list[list[list[float]]],
+    query_vec: list[float],
+    k: int = 10,
+    nprobe: int = 2,
+    id_col: str = "vec_id",
+) -> DataFrame:
+    """IVF + PQ composed — the standard billion-scale ANN layout (FAISS
+    IVFPQ): coarse quantizer prunes to ``nprobe`` lists (partition
+    pruning when the table is written partitioned by ``ivf_list``), then
+    the ADC scan scores 8-byte codes inside the probed lists only. Input
+    is ``ivf_assign(...)`` joined with ``pq_encode(...)``: one narrow
+    (id, ivf_list, pq_code) table, no float vectors anywhere in the
+    serving path."""
+    import math
+
+    def cos(a: list[float], b: list[float]) -> float:
+        dot = sum(x * y for x, y in zip(a, b))
+        na = math.sqrt(sum(x * x for x in a))
+        nb = math.sqrt(sum(x * x for x in b))
+        return dot / (na * nb) if na and nb else 0.0
+
+    ranked = sorted(range(len(centroids)),
+                    key=lambda i: -cos(centroids[i], query_vec))
+    probe = ranked[:nprobe]
+    return pq_topk(
+        assigned_codes.filter(F.col("ivf_list").isin(probe)),
+        codebooks, query_vec, k=k, id_col=id_col)

@@ -172,3 +172,34 @@ def test_pq_recall_vs_exact(emb):
     recall = len(approx & exact) / 10
     assert recall >= 0.4, f"PQ recall@10 {recall}"
     enc.unpersist()
+
+
+def test_ivf_pq_composed(emb, centroids):
+    """IVFPQ serving path: coarse-prune to nprobe lists, ADC-score codes
+    only — top-k from the composed index must overlap the exact top-k
+    and never score a vector outside the probed lists."""
+    norm = emb.select(
+        "vec_id",
+        F.transform(
+            "embedding",
+            lambda x: x / F.sqrt(F.aggregate(
+                F.zip_with("embedding", "embedding", lambda a, b: a * b),
+                F.lit(0.0), lambda a, y: a + y)),
+        ).alias("embedding"),
+    )
+    books = sim.train_pq_codebooks(norm, m=8, k=16)
+    table = (
+        sim.ivf_assign(norm, centroids).select("vec_id", "ivf_list")
+        .join(sim.pq_encode(norm, books), "vec_id")
+    ).persist()
+    qrow = norm.filter(F.col("vec_id") == 1).first()
+    q = [float(x) for x in qrow["embedding"]]
+    got = sim.ivf_pq_topk(table, centroids, books, q, k=10, nprobe=4)
+    ids = [r["vec_id"] for r in got.collect()]
+    assert len(ids) == 10
+    probed = {r["ivf_list"] for r in
+              table.filter(F.col("vec_id").isin(ids)).collect()}
+    assert len(probed) <= 4                         # only probed lists
+    exact = {r["vec_id"] for r in sim.cosine_topk(emb, q, k=10).collect()}
+    assert len(set(ids) & exact) / 10 >= 0.3        # useful overlap
+    table.unpersist()
