@@ -123,3 +123,52 @@ def test_multivalued_filter_matchset_is_childside(spark):
     n_joins = sum(plan.count(j) for j in
                   ("BroadcastHashJoin", "SortMergeJoin", "ShuffledHashJoin"))
     assert n_joins == 2, f"expected child-side match-set (2 joins), got {n_joins}"
+
+
+def test_expand_related_broadcasts_and_preaggregates(spark, tdb):
+    """?expand= plan shape: single-valued hops broadcast the parent;
+    fan-out hops aggregate the child side to one array row per key
+    BEFORE joining, so the root never fans out."""
+    from tantalus_spark.operators.serializers import expand_related
+
+    df = expand_related(tdb, "sequence_dataset",
+                        ["sample", "sequence_lanes"])
+    plan = _plan(df)
+    assert "BroadcastHashJoin" in plan          # sample struct join
+    # the collect_list aggregate sits BELOW the lanes join (child side
+    # pre-aggregated), and the root row count is preserved
+    assert "collect_list" in plan
+    assert df.count() == tdb.table("sequence_dataset").count()
+
+
+def test_pq_topk_reads_codes_not_vectors(spark, tmp_path_factory):
+    """The ADC serving path must never read the float vector column —
+    that is the entire point of the 32x code compression. Serve from a
+    materialized code table (the real deployment shape) and assert the
+    scan schema is codes-only."""
+    from tantalus_spark.catalog.loader import read_parquet
+    from tantalus_spark.datapipe import similarity as sim
+
+    emb = read_parquet(spark, f"{SF}/embeddings.parquet")
+    books = sim.train_pq_codebooks(emb, m=8, k=4, max_iter=2)
+    path = str(tmp_path_factory.mktemp("pq") / "codes")
+    sim.pq_encode(emb, books).write.parquet(path)
+    enc = spark.read.parquet(path)
+    q = [1.0] * 64
+    plan = _plan(sim.pq_topk(enc, books, q, k=5))
+    scan_schema = plan.split("ReadSchema:")[1].splitlines()[0]
+    assert "pq_code" in scan_schema
+    assert "embedding" not in scan_schema
+    assert "TakeOrderedAndProject" in plan
+
+
+def test_winnowing_single_exchange_reused(spark):
+    """q53 plan contract: ONE exchange (on doc_id for the window-min);
+    the distinct and the per-doc aggregate both reuse that partitioning,
+    and no inferred size() filter reaches the scan (the quadratic trap)."""
+    df = QUERIES["53_winnowing"](spark, SF)
+    plan = _plan(df)
+    assert plan.count("Exchange") <= 2          # window + AQE final agg
+    assert "Filter (size" not in plan
+    scan = plan.split("FileScan")[1][:400]
+    assert "md5" not in scan                    # no inlined expr filter
