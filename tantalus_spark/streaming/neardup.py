@@ -27,6 +27,8 @@ batch path's dropDuplicates.
 
 from __future__ import annotations
 
+import pandas as pd
+
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
@@ -92,3 +94,55 @@ def lsh_candidate_stream(
             timeoutConf=GroupStateTimeout.NoTimeout,
         )
     )
+
+
+def decontaminate_stream(
+    docs: DataFrame,
+    benchmark_shingles: list[str],
+    n: int = 13,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Streaming benchmark decontamination: annotate each arriving doc
+    with its count of token n-grams shared with a STATIC evaluation
+    corpus — ``filter(n_bench_hits == 0)`` is the clean stream.
+
+    The benchmark shingle set is bounded by eval-suite size (megabytes),
+    exactly the broadcast assumption of the batch
+    :func:`datapipe.dedup.decontaminate`; here it ships to executors as
+    an Arrow-UDF closure (one broadcast per stage, resident thereafter).
+    Stateless map — no shuffle, no watermark, unbounded-stream-safe.
+    Tokenization replicates ``textstats.tokens`` (split trimmed text on
+    whitespace, lowercased) so batch and stream flag identical docs; the
+    parity test enforces it.
+
+    ``benchmark_shingles`` comes from the batch side::
+
+        bench_sh = dedup.shingles(bench_df, n=13)  # strings, not hashed
+        shingle_list = [r["shingle"] for r in
+                        bench_sh.select("shingle").distinct().collect()]
+    """
+    import re
+
+    bench = frozenset(benchmark_shingles)
+    ws = re.compile(r"\s+")
+
+    @F.pandas_udf("int")
+    def n_bench_hits(texts: pd.Series) -> pd.Series:
+        out = []
+        for t in texts:
+            if t is None:
+                out.append(0)
+                continue
+            toks = ws.split(t.lower().strip())
+            hits = 0
+            seen = set()
+            for i in range(len(toks) - n + 1):
+                g = " ".join(toks[i:i + n])
+                if g in bench and g not in seen:
+                    seen.add(g)
+                    hits += 1
+            out.append(hits)
+        return pd.Series(out, dtype="int32")
+
+    return docs.withColumn("n_bench_hits", n_bench_hits(F.col(text_col)))

@@ -401,3 +401,37 @@ def test_clean_corpus_stream_matches_batch(spark, tmp_path_factory):
     assert got.count() == batch_out.count()   # one survivor per group
     assert content_groups(got) == batch
     assert len(batch) > 0
+
+
+def test_decontaminate_stream_matches_batch(spark, tmp_path_factory):
+    """Streaming decontamination parity: per-doc shared-13-gram counts on
+    a replayed corpus equal the batch broadcast-probe exactly."""
+    from tantalus_spark.catalog.loader import read_parquet
+    from tantalus_spark.datapipe.dedup import decontaminate, shingles
+    from tantalus_spark.streaming.neardup import decontaminate_stream
+
+    docs = read_parquet(spark, "/root/testdata/sf0.001/documents.parquet") \
+        .select("doc_id", "text")
+    bench = docs.filter(F.col("doc_id") < 5)
+    corpus = docs.filter(F.col("doc_id") >= 5)
+    _, hits = decontaminate(corpus, bench, n=13)
+    batch_hits = {r["doc_id"]: r["n_hits"] for r in hits.collect()}
+    assert batch_hits, "fixture must contain contamination"
+
+    shingle_list = [r["shingle"] for r in
+                    shingles(bench, n=13).select("shingle")
+                    .distinct().collect()]
+    ddir = str(tmp_path_factory.mktemp("decontstream"))
+    corpus.repartition(2).write.mode("overwrite").parquet(ddir)
+    stream = (spark.readStream.format("parquet")
+              .schema("doc_id long, text string")
+              .option("maxFilesPerTrigger", 1).load(ddir))
+    import tantalus_spark.streaming.events as se2
+    got = se2.run_to_completion(
+        decontaminate_stream(stream, shingle_list, n=13), "t_decont")
+    stream_hits = {r["doc_id"]: r["n_bench_hits"]
+                   for r in got.filter(F.col("n_bench_hits") > 0).collect()}
+    assert stream_hits == batch_hits
+    # and the clean sets agree
+    assert got.filter(F.col("n_bench_hits") == 0).count() \
+        == corpus.count() - len(batch_hits)
