@@ -258,7 +258,10 @@ class _Handler(BaseHTTPRequestHandler):
             expanded = expand_related(srv.db, endpoint, accessors,
                                       root=page_root)
             by_id = {r[pk]: r for r in expanded.collect()}
-            rows = [by_id[i] for i in ids]
+            # tolerate a concurrent delete between the two collects: a pk
+            # from the first page read may be gone on the expanded read —
+            # return the surviving rows rather than erroring the request
+            rows = [by_id[i] for i in ids if i in by_id]
         self._send(200, {
             "count": result.total,
             "page": page,
@@ -404,6 +407,9 @@ class ApiServer(ThreadingHTTPServer):
                 .select(pk)
             n = keys.count()
             if n:
-                self.db.add(endpoint,
-                            mutations.delete_by_key(table, keys, [pk]))
+                # same lineage bound as apply_mutation: each delete is an
+                # anti-join layer; unbounded DELETE traffic must not grow
+                # the plan forever
+                self.db.add(endpoint, self._bound_lineage(
+                    endpoint, mutations.delete_by_key(table, keys, [pk])))
             return n

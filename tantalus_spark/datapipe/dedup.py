@@ -49,6 +49,11 @@ def _md5_long(col):
 def _minhash_perm(shingle_col, i: int, hash_family: str):
     """Permutation-i hash of an (already long-hashed) shingle."""
     if hash_family == "md5":
+        if i >= len(_MD5_A):
+            raise ValueError(
+                f"hash_family='md5' supports at most {len(_MD5_A)} "
+                f"permutations (got permutation index {i}); extend "
+                f"_MD5_A/_MD5_B or use hash_family='xxhash64'")
         a, b = _MD5_A[i], _MD5_B[i]
         return F.pmod(
             F.pmod(shingle_col, F.lit(_MD5_MOD)) * F.lit(a) + F.lit(b),
@@ -430,6 +435,8 @@ def simhash_signatures(df: DataFrame, text_col: str = "text",
         raise ValueError(f"hash_hex_chars must be in [1, 16], got {hash_hex_chars}")
     nhex = hash_hex_chars
 
+    from tantalus_spark.datapipe.textstats import py_tokens
+
     @F.pandas_udf("long")
     def simhash(texts: pd.Series) -> pd.Series:
         import numpy as np
@@ -437,7 +444,10 @@ def simhash_signatures(df: DataFrame, text_col: str = "text",
         shifts = np.arange(64, dtype=np.uint64)
         out = np.zeros(len(texts), dtype=np.int64)
         for i, text in enumerate(texts):
-            toks = (text or "").lower().split()
+            # py_tokens, NOT str.split(): the oracle tokenizes with
+            # trim+regex (keeping boundary empty tokens, ASCII \s), and
+            # the signature must be bit-identical on any input
+            toks = py_tokens(text) if text is not None else []
             if not toks:
                 continue
             acc = np.zeros(64, dtype=np.int64)
@@ -456,7 +466,10 @@ def simhash_signatures(df: DataFrame, text_col: str = "text",
             out[i] = sig
         return pd.Series(out)
 
-    return df.select(F.col(id_col), simhash(F.col(text_col)).alias("simhash"))
+    # null-text docs drop here: the SQL oracle's UNNEST(tokens) emits no
+    # rows for NULL, so they have no signature on either side
+    return (df.filter(F.col(text_col).isNotNull())
+            .select(F.col(id_col), simhash(F.col(text_col)).alias("simhash")))
 
 
 def simhash_near_pairs(df: DataFrame, max_hamming: int = 3,

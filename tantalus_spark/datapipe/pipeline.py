@@ -128,10 +128,18 @@ def clean_corpus_stream(
     watermark advances."""
     features = _gated_features(
         docs, text_col, id_col, passthrough=[ts_col])
+    # gates BEFORE the dedup state, unlike batch: streaming state is the
+    # scarce resource — on a dirty corpus, deduping first would hold a
+    # digest for every arriving document instead of only gate-passing
+    # ones. The survivor CONTENT is identical either way (duplicate
+    # groups share gate outcomes); the cost is predicate pushdown re-
+    # evaluating some feature expressions at the filter — map-stage CPU,
+    # bounded, vs state growth, unbounded.
     return (
-        features.withWatermark(ts_col, watermark)
-        .dropDuplicatesWithinWatermark(["__md5"])
+        features
         .filter(_gate_predicate(min_tokens, max_tokens, min_alpha_ratio,
                                 langs))
+        .withWatermark(ts_col, watermark)
+        .dropDuplicatesWithinWatermark(["__md5"])
         .select(id_col, "n_tokens", "lang_pred")
     )

@@ -486,3 +486,25 @@ def ivf_pq_topk(
     return pq_topk(
         assigned_codes.filter(F.col("ivf_list").isin(probe)),
         codebooks, query_vec, k=k, id_col=id_col)
+
+
+def l2_normalize(df: DataFrame, id_col: str = "vec_id",
+                 vec_col: str = "embedding") -> DataFrame:
+    """(id, unit-norm vector). The norm is materialized in its OWN
+    projection before the per-element divide: embedding the aggregate
+    inside the transform lambda would re-evaluate the full O(d) dot
+    product once per element (O(d^2) per row — higher-order lambdas are
+    interpreted with no subexpression elimination; same trap as the
+    winnowing inferred filter). Zero vectors pass through unchanged."""
+    with_norm = df.select(
+        F.col(id_col), F.col(vec_col),
+        F.sqrt(F.aggregate(
+            F.zip_with(vec_col, vec_col, lambda a, b: a * b),
+            F.lit(0.0), lambda acc, x: acc + x)).alias("_norm"),
+    )
+    return with_norm.select(
+        F.col(id_col),
+        F.when(F.col("_norm") > 0, F.transform(
+            vec_col, lambda x: x / F.col("_norm")))
+        .otherwise(F.col(vec_col).cast("array<double>")).alias(vec_col),
+    )

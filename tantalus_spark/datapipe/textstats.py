@@ -7,6 +7,8 @@ single map-stage over the documents table unless noted.
 
 from __future__ import annotations
 
+import re
+
 from pyspark.sql import Column, DataFrame, Window as W
 from pyspark.sql import functions as F
 
@@ -23,6 +25,21 @@ LANG_MARKERS: dict[str, list[str]] = {
 
 def tokens(col: Column) -> Column:
     return F.split(F.trim(col), r"\s+")
+
+
+_WS_ASCII = re.compile(r"\s+", re.ASCII)
+
+
+def py_tokens(text: str) -> list[str]:
+    """Exact Python twin of ``tokens(F.lower(col))`` for Arrow-UDF code
+    paths (SimHash, streaming decontamination): Spark ``trim`` strips
+    only ASCII spaces and Java/RE2 ``\\s`` is ASCII-only, so the twin
+    uses ``strip(" ")`` + an ``re.ASCII`` pattern — NOT ``str.split()``,
+    which drops boundary empty tokens and splits on Unicode whitespace.
+    Verified equal to both the Spark expression and DuckDB
+    ``string_split_regex(trim(lower(x)), '\\s+')`` on boundary-newline,
+    tab, NBSP, repeated-space, and empty inputs."""
+    return _WS_ASCII.split(text.lower().strip(" "))
 
 
 def token_count(df: DataFrame, text_col: str = "text",

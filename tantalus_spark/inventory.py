@@ -970,15 +970,7 @@ def q74_pq_ann(spark, sf_dir):
     MLlib KMeans (not SQL-expressible); exactness + recall are unit-
     proven in tests/test_similarity.py."""
     emb = db_for(spark, sf_dir).table("embeddings")
-    norm = emb.select(
-        "vec_id",
-        F.transform(
-            "embedding",
-            lambda x: x / F.sqrt(F.aggregate(
-                F.zip_with("embedding", "embedding", lambda a, b: a * b),
-                F.lit(0.0), lambda a, y: a + y)),
-        ).alias("embedding"),
-    )
+    norm = similarity.l2_normalize(emb)
     books = similarity.train_pq_codebooks(norm, m=8, k=16)
     enc = similarity.pq_encode(norm, books)
     qrow = norm.filter(F.col("vec_id") == 1).first()

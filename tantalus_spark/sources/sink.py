@@ -156,29 +156,49 @@ def merge_into_snapshot(
     # stage, then commit via per-partition renames (see docstring)
     staging = snapshot_path.rstrip("/") + ".staging"
     fs, jpath = _hadoop_fs(spark, snapshot_path)
+
+    frag = lambda p: f"{partition_col}={p}"  # noqa: E731
+    # refuse to run over the residue of a crashed merge: a leftover
+    # .bak-merge dir is the ONLY copy of that partition's pre-merge data,
+    # and this merge's `current` read would miss it (the bak path is not
+    # a legal partition value), then the success-path cleanup would
+    # delete it — silent data loss on retry-after-crash
+    leftover = [
+        frag(p) for p in touched
+        if fs.exists(
+            jpath(f"{snapshot_path.rstrip('/')}/{frag(p)}{_BAK_SUFFIX}"))
+    ]
+    if leftover:
+        raise IOError(
+            f"crashed-merge residue under {snapshot_path}: {leftover}; "
+            f"run recover_failed_merge() first")
+
     fs.delete(jpath(staging), True)
     out.write.mode("overwrite").partitionBy(partition_col).parquet(staging)
 
-    frag = lambda p: f"{partition_col}={p}"  # noqa: E731
-    swapped = []
+    swapped = []  # (partition value, had pre-merge dir)
     try:
         for p in touched:
             cur = jpath(f"{snapshot_path.rstrip('/')}/{frag(p)}")
             bak = jpath(f"{snapshot_path.rstrip('/')}/{frag(p)}{_BAK_SUFFIX}")
             stg = jpath(f"{staging}/{frag(p)}")
-            if fs.exists(cur) and not fs.rename(cur, bak):
+            had_cur = fs.exists(cur)
+            if had_cur and not fs.rename(cur, bak):
                 raise IOError(f"cannot stage-out partition {frag(p)}")
-            swapped.append(p)
+            swapped.append((p, had_cur))
             # a delete-only change can empty a partition: no staged dir
             if fs.exists(stg) and not fs.rename(stg, cur):
                 raise IOError(f"cannot commit partition {frag(p)}")
     except BaseException:
-        # roll the completed swaps back; pre-merge data is never lost
-        for p in reversed(swapped):
+        # roll the completed swaps back; pre-merge data is never lost.
+        # Partitions that did not exist pre-merge have no bak — their
+        # committed dir must be DELETED, or an aborted merge would leave
+        # phantom post-merge partitions behind.
+        for p, had_cur in reversed(swapped):
             cur = jpath(f"{snapshot_path.rstrip('/')}/{frag(p)}")
             bak = jpath(f"{snapshot_path.rstrip('/')}/{frag(p)}{_BAK_SUFFIX}")
-            if fs.exists(bak):
-                fs.delete(cur, True)
+            fs.delete(cur, True)
+            if had_cur and fs.exists(bak):
                 fs.rename(bak, cur)
         raise
     for p in touched:

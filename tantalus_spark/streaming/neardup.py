@@ -112,9 +112,10 @@ def decontaminate_stream(
     :func:`datapipe.dedup.decontaminate`; here it ships to executors as
     an Arrow-UDF closure (one broadcast per stage, resident thereafter).
     Stateless map — no shuffle, no watermark, unbounded-stream-safe.
-    Tokenization replicates ``textstats.tokens`` (split trimmed text on
-    whitespace, lowercased) so batch and stream flag identical docs; the
-    parity test enforces it.
+    Tokenization is ``textstats.py_tokens`` — the verified Python twin of
+    the batch ``tokens()`` expression (ASCII whitespace, boundary empty
+    tokens preserved) — so batch and stream flag identical docs on ANY
+    input, not just whitespace-clean fixtures.
 
     ``benchmark_shingles`` comes from the batch side::
 
@@ -122,10 +123,9 @@ def decontaminate_stream(
         shingle_list = [r["shingle"] for r in
                         bench_sh.select("shingle").distinct().collect()]
     """
-    import re
+    from tantalus_spark.datapipe.textstats import py_tokens
 
     bench = frozenset(benchmark_shingles)
-    ws = re.compile(r"\s+")
 
     @F.pandas_udf("int")
     def n_bench_hits(texts: pd.Series) -> pd.Series:
@@ -134,7 +134,7 @@ def decontaminate_stream(
             if t is None:
                 out.append(0)
                 continue
-            toks = ws.split(t.lower().strip())
+            toks = py_tokens(t)
             hits = 0
             seen = set()
             for i in range(len(toks) - n + 1):

@@ -153,15 +153,7 @@ def test_pq_exact_on_prototype_vectors(spark):
 def test_pq_recall_vs_exact(emb):
     """32x-compressed codes (64 floats -> 8 bytes) must still retrieve a
     useful share of the true cosine top-10 on the real embedding table."""
-    norm = emb.select(
-        "vec_id",
-        F.transform(
-            "embedding",
-            lambda x: x / F.sqrt(F.aggregate(
-                F.zip_with("embedding", "embedding", lambda a, b: a * b),
-                F.lit(0.0), lambda a, y: a + y)),
-        ).alias("embedding"),
-    )
+    norm = sim.l2_normalize(emb)
     books = sim.train_pq_codebooks(norm, m=8, k=16)
     enc = sim.pq_encode(norm, books).persist()
     qrow = norm.filter(F.col("vec_id") == 1).first()
@@ -178,15 +170,7 @@ def test_ivf_pq_composed(emb, centroids):
     """IVFPQ serving path: coarse-prune to nprobe lists, ADC-score codes
     only — top-k from the composed index must overlap the exact top-k
     and never score a vector outside the probed lists."""
-    norm = emb.select(
-        "vec_id",
-        F.transform(
-            "embedding",
-            lambda x: x / F.sqrt(F.aggregate(
-                F.zip_with("embedding", "embedding", lambda a, b: a * b),
-                F.lit(0.0), lambda a, y: a + y)),
-        ).alias("embedding"),
-    )
+    norm = sim.l2_normalize(emb)
     books = sim.train_pq_codebooks(norm, m=8, k=16)
     table = (
         sim.ivf_assign(norm, centroids).select("vec_id", "ivf_list")

@@ -148,3 +148,76 @@ def test_merge_staging_rollback_and_recovery(spark, tmp_path_factory):
     got = {(r["id"], r["day"], r["v"])
            for r in spark.read.parquet(path).collect()}
     assert got == {(1, "d1", "a2"), (2, "d2", "b")}
+
+
+def test_merge_refuses_crash_residue_and_rolls_back_new_partitions(
+        spark, tmp_path_factory):
+    """(a) A retried merge over leftover .bak-merge residue must refuse
+    to run (the bak is the only pre-merge copy and the retry would
+    delete it); (b) an aborted merge must also remove partitions it
+    CREATED (they have no bak), leaving no phantom post-merge data."""
+    import os
+
+    import pytest as _pytest
+
+    from tantalus_spark.sources.sink import _BAK_SUFFIX, merge_into_snapshot
+
+    path = str(tmp_path_factory.mktemp("snapguard") / "table")
+    spark.createDataFrame([(1, "d1", "a")], "id long, day string, v string") \
+        .repartition(1).write.partitionBy("day").parquet(path)
+
+    # (a) simulate crash residue for a partition this merge touches
+    cur = os.path.join(path, "day=d1")
+    os.rename(cur, cur + _BAK_SUFFIX)
+    ups = spark.createDataFrame([(1, "d1", "a2")],
+                                "id long, day string, v string")
+    with _pytest.raises(Exception, match="recover_failed_merge"):
+        merge_into_snapshot(spark, path, ups, key_cols=["id"],
+                            partition_col="day")
+    # residue untouched by the refusal
+    assert os.path.isdir(cur + _BAK_SUFFIX)
+    os.rename(cur + _BAK_SUFFIX, cur)
+
+    # (b) inject a rename failure on the SECOND partition's commit; the
+    # first (newly-created, no bak) partition must be rolled back to
+    # nonexistence — no phantom post-merge data after an abort
+    from tantalus_spark.sources import sink as sink_mod
+
+    real_hadoop_fs = sink_mod._hadoop_fs
+
+    class FailingFs:
+        def __init__(self, fs, fail_substr):
+            self._fs, self._fail = fs, fail_substr
+            self._fired = False
+
+        def rename(self, src, dst):
+            # fail exactly once: the staged commit of day=d1 (the later
+            # rollback rename to the same destination must succeed)
+            if (not self._fired and self._fail in str(dst)
+                    and _BAK_SUFFIX not in str(dst)
+                    and ".staging" in str(src)):
+                self._fired = True
+                return False
+            return self._fs.rename(src, dst)
+
+        def __getattr__(self, name):
+            return getattr(self._fs, name)
+
+    def patched(spark_, path_):
+        fs, jpath = real_hadoop_fs(spark_, path_)
+        return FailingFs(fs, "day=d1"), jpath
+
+    ups2 = spark.createDataFrame(
+        [(2, "d0new", "n"), (1, "d1", "a3")],   # d0new swaps before d1
+        "id long, day string, v string")
+    sink_mod._hadoop_fs = patched
+    try:
+        with _pytest.raises(Exception, match="cannot commit"):
+            merge_into_snapshot(spark, path, ups2, key_cols=["id"],
+                                partition_col="day")
+    finally:
+        sink_mod._hadoop_fs = real_hadoop_fs
+    assert not os.path.exists(os.path.join(path, "day=d0new"))
+    got = {(r["id"], str(r["day"]), r["v"])
+           for r in spark.read.parquet(path).collect()}
+    assert got == {(1, "d1", "a")}
