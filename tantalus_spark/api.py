@@ -200,6 +200,31 @@ class _Handler(BaseHTTPRequestHandler):
         if parts == ["api"]:
             self._send(200, {"endpoints": sorted(FILTERSETS)})
             return
+        if parts == ["api", "sequence_dataset", "csv"]:
+            # reference views.py:1594-1686 dataset_set_to_CSV: selected
+            # datasets with every derived column as a CSV attachment; the
+            # derivations come from ONE join-based plan (serializers),
+            # not per-row queries
+            raw = dict(parse_qsl(url.query, keep_blank_values=True))
+            try:
+                pks = [int(x) for x in raw.get("id__in", "").split(",") if x]
+            except ValueError:
+                self._send(400, {"detail": "id__in must be ints"})
+                return
+            if not pks:
+                self._send(400, {"detail": "provide ?id__in=<pk,pk,...>"})
+                return
+            from tantalus_spark.operators.serializers import dataset_set_to_csv
+
+            body = dataset_set_to_csv(srv.db, pks).encode()
+            self.send_response(200)
+            self.send_header("Content-Type", "text/csv")
+            self.send_header("Content-Disposition",
+                             'attachment; filename="datasets.csv"')
+            self.send_header("Content-Length", str(len(body)))
+            self.end_headers()
+            self.wfile.write(body)
+            return
         if parts == ["api", "schema"]:
             # machine-readable API description (the reference exposes a
             # Swagger schema view; this is the engine-shaped equivalent):

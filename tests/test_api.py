@@ -315,3 +315,22 @@ def test_schema_endpoint(server):
     assert "sequencedataset__id__isnull" in s["filters"]
     assert "projects" in s["expand"]            # M2M accessor
     assert "patient" in s["expand"]             # forward FK accessor
+
+
+def test_csv_export_endpoint(server):
+    """Reference dataset_set_to_CSV over the facade: selected datasets
+    as a text/csv attachment with the derived columns."""
+    req = urllib.request.Request(
+        server + "/api/sequence_dataset/csv/?id__in=1,2")
+    with urllib.request.urlopen(req, timeout=60) as resp:
+        assert resp.status == 200
+        assert resp.headers["Content-Type"] == "text/csv"
+        assert "attachment" in resp.headers["Content-Disposition"]
+        body = resp.read().decode()
+    lines = body.strip().splitlines()
+    assert lines[0].startswith("id,")            # header row
+    assert len(lines) == 3                       # header + 2 datasets
+    assert "DS1" in lines[1] and "DS2" in lines[2]
+    with pytest.raises(urllib.error.HTTPError) as e:
+        get(server, "/api/sequence_dataset/csv/?id__in=x")
+    assert e.value.code == 400
