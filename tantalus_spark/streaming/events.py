@@ -93,39 +93,62 @@ def dedup_stream(events: DataFrame, keys: list[str] | None = None,
     )
 
 
-def user_running_totals(events: DataFrame) -> DataFrame:
-    """Custom stateful operator via ``applyInPandasWithState``: per-user
-    running (n_events, total_value) maintained across micro-batches.
-
-    This is the extension point for stateful logic the built-in windowed
-    aggregations can't express (decaying counters, per-key ML state,
-    alert debouncing). State is one small tuple per user — O(distinct
-    users) memory, shuffle only on user_id.
-    """
+def _totals_update_fn(idle_ttl_minutes: int | None):
+    """The per-group state-transition function for
+    :func:`user_running_totals`, factored out so the eviction logic is
+    unit-testable with a stub GroupState (a real processing-time timeout
+    cannot fire deterministically in a test)."""
     import pandas as pd
 
-    from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
-
-    out_schema = "user_id long, n_events long, total_value double"
-    state_schema = "n long, total double"
-
-    def update(key, pdfs, state: GroupState):
+    def update(key, pdfs, state):
+        if state.hasTimedOut:
+            # idle past the TTL: evict; the user restarts at zero later
+            state.remove()
+            return
         n, total = state.get if state.exists else (0, 0.0)
         for pdf in pdfs:
             n += len(pdf)
             total += float(pdf["value"].fillna(0.0).sum())
         state.update((n, total))
+        if idle_ttl_minutes is not None:
+            state.setTimeoutDuration(idle_ttl_minutes * 60 * 1000)
         yield pd.DataFrame(
             {"user_id": [key[0]], "n_events": [n], "total_value": [total]})
+
+    return update
+
+
+def user_running_totals(events: DataFrame,
+                        idle_ttl_minutes: int | None = None) -> DataFrame:
+    """Custom stateful operator via ``applyInPandasWithState``: per-user
+    running (n_events, total_value) maintained across micro-batches.
+
+    This is the extension point for stateful logic the built-in windowed
+    aggregations can't express (decaying counters, per-key ML state,
+    alert debouncing). State is one small tuple per user, shuffle only on
+    user_id — but "O(distinct users)" is unbounded on a 100 TB/day feed
+    with user churn, so a CONTINUOUS deployment passes
+    ``idle_ttl_minutes``: a user idle longer than the TTL has their state
+    evicted (processing-time timeout) and restarts from zero on return.
+
+    ``None`` keeps state forever — required for bounded replays: a
+    registered processing-time timeout keeps ``availableNow`` +
+    ``processAllAvailable`` harnesses from ever settling (verified), so
+    TTL is strictly for long-running triggers.
+    """
+    from pyspark.sql.streaming.state import GroupStateTimeout
 
     return (
         events.groupBy("user_id")
         .applyInPandasWithState(
-            update,
-            outputStructType=out_schema,
-            stateStructType=state_schema,
+            _totals_update_fn(idle_ttl_minutes),
+            outputStructType="user_id long, n_events long, total_value double",
+            stateStructType="n long, total double",
             outputMode="update",
-            timeoutConf=GroupStateTimeout.NoTimeout,
+            timeoutConf=(
+                GroupStateTimeout.ProcessingTimeTimeout
+                if idle_ttl_minutes is not None
+                else GroupStateTimeout.NoTimeout),
         )
     )
 

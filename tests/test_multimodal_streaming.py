@@ -109,6 +109,52 @@ def test_windowed_counts_stream_matches_batch(spark, event_dir):
            {key(r): (r["n"], r["sum_value"]) for r in batch}
 
 
+def test_stateful_totals_ttl_eviction_logic():
+    """The TTL state transition, unit-tested with a stub GroupState: a
+    timed-out group evicts and emits nothing; a live group accumulates,
+    re-arms its timeout, and emits. (A real processing-time timeout
+    cannot fire deterministically in a bounded replay — registered
+    timeouts keep availableNow/processAllAvailable from settling, which
+    is why user_running_totals documents TTL as continuous-trigger-only.)"""
+    import pandas as pd
+
+    from tantalus_spark.streaming.events import _totals_update_fn
+
+    class StubState:
+        def __init__(self, existing=None, timed_out=False):
+            self._v, self.hasTimedOut = existing, timed_out
+            self.removed, self.timeout_ms = False, None
+
+        exists = property(lambda s: s._v is not None)
+        get = property(lambda s: s._v)
+
+        def update(self, v):
+            self._v = v
+
+        def remove(self):
+            self.removed, self._v = True, None
+
+        def setTimeoutDuration(self, ms):
+            self.timeout_ms = ms
+
+    fn = _totals_update_fn(idle_ttl_minutes=60)
+    # timed-out group: state evicted, nothing emitted
+    st = StubState(existing=(5, 9.0), timed_out=True)
+    assert list(fn((10,), iter([]), st)) == []
+    assert st.removed and not st.exists
+    # live group: accumulates over prior state, re-arms the timeout
+    st = StubState(existing=(2, 3.0))
+    batch = pd.DataFrame({"value": [1.0, None]})
+    out = list(fn((10,), iter([batch]), st))
+    assert st.get == (4, 4.0)            # +2 events, +1.0 (None -> 0)
+    assert st.timeout_ms == 60 * 60 * 1000
+    assert out[0].iloc[0]["n_events"] == 4
+    # no-TTL variant must not arm a timeout (NoTimeout would throw)
+    st = StubState()
+    list(_totals_update_fn(None)((11,), iter([batch]), st))
+    assert st.timeout_ms is None
+
+
 def test_stateful_running_totals(spark, event_dir):
     # one file per trigger -> state must survive across micro-batches
     stream = se.read_event_stream(spark, event_dir, max_files_per_trigger=1)
