@@ -214,6 +214,12 @@ class _Handler(BaseHTTPRequestHandler):
             if not pks:
                 self._send(400, {"detail": "provide ?id__in=<pk,pk,...>"})
                 return
+            if len(pks) > 1000:
+                # same bounded-collect invariant as the 100-row page cap:
+                # the CSV materializes driver-side, so the selection size
+                # must be bounded by the request, not by the table
+                self._send(400, {"detail": "id__in capped at 1000 ids"})
+                return
             from tantalus_spark.operators.serializers import dataset_set_to_csv
 
             body = dataset_set_to_csv(srv.db, pks).encode()

@@ -33,12 +33,15 @@ _WS_ASCII = re.compile(r"\s+", re.ASCII)
 def py_tokens(text: str) -> list[str]:
     """Exact Python twin of ``tokens(F.lower(col))`` for Arrow-UDF code
     paths (SimHash, streaming decontamination): Spark ``trim`` strips
-    only ASCII spaces and Java/RE2 ``\\s`` is ASCII-only, so the twin
-    uses ``strip(" ")`` + an ``re.ASCII`` pattern — NOT ``str.split()``,
+    only ASCII spaces and Java ``\\s`` is ASCII-only, so the twin uses
+    ``strip(" ")`` + an ``re.ASCII`` pattern — NOT ``str.split()``,
     which drops boundary empty tokens and splits on Unicode whitespace.
-    Verified equal to both the Spark expression and DuckDB
-    ``string_split_regex(trim(lower(x)), '\\s+')`` on boundary-newline,
-    tab, NBSP, repeated-space, and empty inputs."""
+    Verified equal to the Spark expression (Java ``\\s`` =
+    ``[ \\t\\n\\x0b\\f\\r]``, same as Python's ASCII ``\\s``) on
+    boundary-newline, tab, NBSP, repeated-space, and empty inputs.
+    DuckDB's RE2 ``\\s`` excludes vertical tab, so oracle parity for
+    tokens()-derived queries additionally assumes ``\\x0b``-free text —
+    a property of the Spark-vs-DuckDB pair, not of this twin."""
     return _WS_ASCII.split(text.lower().strip(" "))
 
 

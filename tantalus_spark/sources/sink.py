@@ -201,10 +201,21 @@ def merge_into_snapshot(
             if had_cur and fs.exists(bak):
                 fs.rename(bak, cur)
         raise
+    stale = []
     for p in touched:
-        fs.delete(
-            jpath(f"{snapshot_path.rstrip('/')}/{frag(p)}{_BAK_SUFFIX}"), True)
+        bak = jpath(f"{snapshot_path.rstrip('/')}/{frag(p)}{_BAK_SUFFIX}")
+        # the commit stands at this point; a failed cleanup delete must
+        # not read as a failed merge, but silently ignoring it would trip
+        # the residue guard on the NEXT merge — so retry, then raise a
+        # distinct error naming the leftover (recover_failed_merge treats
+        # a bak whose current dir exists as stale and deletes it)
+        if fs.exists(bak) and not fs.delete(bak, True) and fs.exists(bak):
+            stale.append(frag(p))
     fs.delete(jpath(staging), True)
+    if stale:
+        raise IOError(
+            f"merge COMMITTED but stale backup cleanup failed for {stale}; "
+            f"run recover_failed_merge() to clear the residue")
     return touched
 
 
@@ -223,10 +234,18 @@ def _hadoop_fs(spark, path: str):
 
 def recover_failed_merge(spark, snapshot_path: str,
                          partition_col: str) -> list:
-    """Roll back a merge that died mid-swap: every ``<part>.bak-merge``
-    directory left under *snapshot_path* is the pre-merge content of a
-    partition whose swap did not complete — restore it over whatever
-    half-state is in place. Returns the restored partition fragments."""
+    """Clear ``.bak-merge`` residue after an interrupted merge. Two cases,
+    distinguished by whether the partition's CURRENT dir exists:
+
+    - current MISSING: the crash hit between stage-out and commit — the
+      bak is the only copy of that partition; restore it.
+    - current PRESENT: the merge committed but its cleanup delete failed
+      (or the abort path already restored) — the bak is STALE pre-merge
+      data; restoring it would silently revert a committed merge, so it
+      is deleted instead.
+
+    Returns the fragments that were RESTORED (not the stale ones dropped).
+    """
     fs, jpath = _hadoop_fs(spark, snapshot_path)
     root = jpath(snapshot_path)
     if not fs.exists(root):
@@ -240,7 +259,9 @@ def recover_failed_merge(spark, snapshot_path: str,
         if not cur_name.startswith(f"{partition_col}="):
             continue
         cur = jpath(f"{snapshot_path.rstrip('/')}/{cur_name}")
-        fs.delete(cur, True)
+        if fs.exists(cur):
+            fs.delete(status.getPath(), True)     # stale: commit stands
+            continue
         fs.rename(status.getPath(), cur)
         restored.append(cur_name)
     fs.delete(jpath(snapshot_path.rstrip("/") + ".staging"), True)

@@ -135,16 +135,26 @@ def test_merge_staging_rollback_and_recovery(spark, tmp_path_factory):
     assert not os.path.exists(path + ".staging")
     assert not [f for f in os.listdir(path) if f.endswith(_BAK_SUFFIX)]
 
-    # simulate a crash between stage-out and commit of day=d2: pre-merge
-    # dir parked at .bak-merge, half-written junk in its place
+    # crash case: between stage-out and commit of day=d2 — the commit
+    # rename is atomic, so the current dir is ABSENT and the bak is the
+    # only copy; recovery must restore it
     cur = os.path.join(path, "day=d2")
     os.rename(cur, cur + _BAK_SUFFIX)
-    os.makedirs(cur)
-    with open(os.path.join(cur, "part-junk.parquet"), "wb") as fh:
-        fh.write(b"torn write")
-
     restored = recover_failed_merge(spark, path, partition_col="day")
     assert restored == ["day=d2"]
+    got = {(r["id"], r["day"], r["v"])
+           for r in spark.read.parquet(path).collect()}
+    assert got == {(1, "d1", "a2"), (2, "d2", "b")}
+
+    # stale case: the merge COMMITTED but its bak cleanup failed — the
+    # current dir exists; recovery must drop the stale bak, never revert
+    # the committed data
+    import shutil
+    d1 = os.path.join(path, "day=d1")
+    shutil.copytree(d1, d1 + _BAK_SUFFIX)
+    restored = recover_failed_merge(spark, path, partition_col="day")
+    assert restored == []
+    assert not os.path.exists(d1 + _BAK_SUFFIX)
     got = {(r["id"], r["day"], r["v"])
            for r in spark.read.parquet(path).collect()}
     assert got == {(1, "d1", "a2"), (2, "d2", "b")}
