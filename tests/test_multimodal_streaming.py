@@ -481,3 +481,36 @@ def test_decontaminate_stream_matches_batch(spark, tmp_path_factory):
     # and the clean sets agree
     assert got.filter(F.col("n_bench_hits") == 0).count() \
         == corpus.count() - len(batch_hits)
+
+
+def test_lsh_stream_bucket_cap(spark, tmp_path_factory):
+    """max_bucket bounds streaming state: members beyond the cap pair
+    against the retained docs when they ARRIVE (cluster still
+    connectable) but are not retained as probe targets for later docs."""
+    from tantalus_spark.streaming.neardup import lsh_candidate_stream
+
+    text = "the quick brown fox jumps over the lazy dog again and again"
+    ddir = str(tmp_path_factory.mktemp("capstream"))
+    spark.createDataFrame([(i, text) for i in (1, 2, 3, 4)],
+                          "doc_id long, text string") \
+        .coalesce(1).write.mode("overwrite").parquet(ddir + "/f1")
+    spark.createDataFrame([(5, text)], "doc_id long, text string") \
+        .coalesce(1).write.mode("overwrite").parquet(ddir + "/f2")
+    import shutil
+    for i, sub in enumerate(("f1", "f2")):
+        src = [f for f in __import__("os").listdir(f"{ddir}/{sub}")
+               if f.endswith(".parquet")][0]
+        shutil.move(f"{ddir}/{sub}/{src}", f"{ddir}/part-{i}.parquet")
+        shutil.rmtree(f"{ddir}/{sub}")
+
+    stream = (spark.readStream.format("parquet")
+              .schema("doc_id long, text string")
+              .option("maxFilesPerTrigger", 1).load(ddir))
+    got = se.run_to_completion(
+        lsh_candidate_stream(stream, max_bucket=3), "t_lsh_cap")
+    pairs = {(r["d1"], r["d2"]) for r in got.collect()}
+    # batch 1 (docs 1-4): all in-batch pairs emitted regardless of cap
+    batch1 = {(a, b) for a in (1, 2, 3, 4) for b in (1, 2, 3, 4) if a < b}
+    # batch 2 (doc 5): probes only the retained [1,2,3] — never doc 4
+    assert pairs == batch1 | {(1, 5), (2, 5), (3, 5)}
+    assert (4, 5) not in pairs
