@@ -96,3 +96,33 @@ def test_approx_count_distinct_within_error_bound(spark):
     assert set(exact) == set(approx)
     for k, n in exact.items():
         assert abs(approx[k] - n) <= max(5, 0.25 * n), (k, approx[k], n)
+
+
+def test_approx_percentile_within_error_of_exact(spark):
+    """The q75 scale path: approx_percentile (mergeable sketch, map-side
+    partials, no per-group value lists) must land within its accuracy
+    bound of the exact percentile verifier on real data."""
+    from pyspark.sql import functions as F
+
+    from tantalus_spark.catalog.loader import read_parquet
+
+    li = read_parquet(spark, "/root/testdata/sf0.001/lineitem.parquet")
+    rows = (
+        li.groupBy("l_returnflag")
+        .agg(
+            F.expr("percentile(l_extendedprice, 0.5)").alias("exact_p50"),
+            F.expr("approx_percentile(l_extendedprice, 0.5, 1000)")
+            .alias("approx_p50"),
+            F.expr("percentile(l_extendedprice, 0.9)").alias("exact_p90"),
+            F.expr("approx_percentile(l_extendedprice, 0.9, 1000)")
+            .alias("approx_p90"),
+        )
+        .collect()
+    )
+    assert rows
+    for r in rows:
+        # accuracy=1000 -> rank error <= n/1000; on this value range a
+        # 5% relative tolerance is a comfortable envelope
+        for q in ("p50", "p90"):
+            exact, approx = r[f"exact_{q}"], r[f"approx_{q}"]
+            assert abs(approx - exact) <= 0.05 * exact, (r["l_returnflag"], q)
