@@ -87,3 +87,28 @@ def test_values_list_flat(tdb):
         .values_list("sample_id", flat=True)
     vals = sorted(r[0] for r in qs.to_df().collect())
     assert vals == ["SA100A", "SA100B"]
+
+
+@settings(max_examples=30, deadline=None)
+@given(st.lists(
+    st.text(
+        alphabet=st.sampled_from(
+            list("ab XY12\t\n\r\f\x0b\xa0 é.")),
+        max_size=24),
+    min_size=1, max_size=8))
+def test_py_tokens_matches_spark_tokens(spark, texts):
+    """Property: textstats.py_tokens is bit-identical to the Spark
+    tokens(F.lower(col)) expression on arbitrary text, including ASCII
+    control whitespace (\\t\\n\\r\\f\\x0b), NBSP, Unicode line
+    separator, and accented chars — the parity every Arrow-UDF code path
+    (SimHash, streaming decontamination) depends on."""
+    from pyspark.sql import functions as F
+
+    from tantalus_spark.datapipe.textstats import py_tokens, tokens
+
+    df = spark.createDataFrame(
+        [(i, t) for i, t in enumerate(texts)], "i long, t string")
+    got = {r["i"]: r["tk"] for r in df.select(
+        "i", tokens(F.lower(F.col("t"))).alias("tk")).collect()}
+    for i, t in enumerate(texts):
+        assert got[i] == py_tokens(t), repr(t)
