@@ -364,12 +364,19 @@ def q33_collect_set(spark, sf_dir):
 
 def q34_percentiles(spark, sf_dir):
     """Exact interpolated percentiles per group (Catalyst extension beyond
-    the reference's aggregate set, SURVEY §2.4 note)."""
+    the reference's aggregate set, SURVEY §2.4 note). UNROUNDED: Spark's
+    ``percentile`` and DuckDB's ``quantile_cont`` are bit-identical on
+    doubles, so the oracle is exact with no rounding mask. At 100 TB
+    exact quantiles hold full per-group value lists — swap in
+    ``approx_percentile`` (mergeable sketch, map-side partials;
+    accuracy-tested in tests/test_skew.py) and keep this as the
+    verifier."""
     li = db_for(spark, sf_dir).table("lineitem")
     return li.groupBy("l_returnflag").agg(
-        F.round(F.percentile("l_extendedprice", F.lit(0.5)), 4).alias("p50"),
-        F.round(F.percentile("l_extendedprice", F.lit(0.9)), 4).alias("p90"),
-        F.round(F.percentile("l_extendedprice", F.lit(0.99)), 4).alias("p99"),
+        F.percentile("l_extendedprice", F.lit(0.25)).alias("p25"),
+        F.percentile("l_extendedprice", F.lit(0.5)).alias("p50"),
+        F.percentile("l_extendedprice", F.lit(0.9)).alias("p90"),
+        F.percentile("l_extendedprice", F.lit(0.99)).alias("p99"),
     )
 
 
@@ -978,27 +985,6 @@ def q74_pq_ann(spark, sf_dir):
         enc, books, [float(x) for x in qrow["embedding"]], k=10)
 
 
-def q75_percentiles(spark, sf_dir):
-    """Exact grouped percentiles (continuous interpolation): Spark's
-    ``percentile`` and DuckDB's ``quantile_cont`` are bit-identical on
-    doubles (probed at sf0.01), so the quantile aggregate family gets a
-    full value oracle. One shuffle on the group key; exact quantiles
-    need the full value list per group — at 100 TB swap in
-    ``approx_percentile`` (t-digest-style sketch, mergeable map-side)
-    and keep this as the verifier."""
-    li = db_for(spark, sf_dir).table("lineitem")
-    return (
-        li.groupBy("l_returnflag")
-        .agg(F.expr(
-            "percentile(l_extendedprice, array(0.25, 0.5, 0.9))").alias("p"))
-        .select(
-            "l_returnflag",
-            F.col("p")[0].alias("p25"),
-            F.col("p")[1].alias("p50"),
-            F.col("p")[2].alias("p90"),
-        )
-    )
-
 
 _ALL_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     name[1:]: fn
@@ -1035,7 +1021,7 @@ _QUERY_ORDER = [
     "19_union_dedup", "28_pivot", "29_rollup", "33_collect_set",
     "34_percentiles", "36_first_last", "37_explode_tokens",
     "55_regex_lookup", "70_decontaminate", "71_weighted_mix",
-    "72_chunk_documents", "73_repetition", "74_pq_ann", "75_percentiles",
+    "72_chunk_documents", "73_repetition", "74_pq_ann",
 ]
 
 QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
@@ -1258,9 +1244,10 @@ ORACLES: dict[str, str] = {
     """,
     "34_percentiles": """
         SELECT l_returnflag,
-               round(quantile_cont(l_extendedprice, 0.5), 4) AS p50,
-               round(quantile_cont(l_extendedprice, 0.9), 4) AS p90,
-               round(quantile_cont(l_extendedprice, 0.99), 4) AS p99
+               quantile_cont(l_extendedprice, 0.25) AS p25,
+               quantile_cont(l_extendedprice, 0.50) AS p50,
+               quantile_cont(l_extendedprice, 0.90) AS p90,
+               quantile_cont(l_extendedprice, 0.99) AS p99
         FROM lineitem GROUP BY l_returnflag
     """,
     "36_first_last": """
@@ -1673,13 +1660,6 @@ ORACLES: dict[str, str] = {
         FROM sh s JOIN bench b ON s.shingle = b.shingle
         WHERE s.doc_id >= 5
         GROUP BY s.doc_id
-    """,
-    "75_percentiles": """
-        SELECT l_returnflag,
-               quantile_cont(l_extendedprice, 0.25) AS p25,
-               quantile_cont(l_extendedprice, 0.50) AS p50,
-               quantile_cont(l_extendedprice, 0.90) AS p90
-        FROM lineitem GROUP BY l_returnflag
     """,
     "71_weighted_mix": """
         WITH b AS (

@@ -496,9 +496,10 @@ def test_lsh_stream_bucket_cap(spark, tmp_path_factory):
         .coalesce(1).write.mode("overwrite").parquet(ddir + "/f1")
     spark.createDataFrame([(5, text)], "doc_id long, text string") \
         .coalesce(1).write.mode("overwrite").parquet(ddir + "/f2")
+    import os
     import shutil
     for i, sub in enumerate(("f1", "f2")):
-        src = [f for f in __import__("os").listdir(f"{ddir}/{sub}")
+        src = [f for f in os.listdir(f"{ddir}/{sub}")
                if f.endswith(".parquet")][0]
         shutil.move(f"{ddir}/{sub}/{src}", f"{ddir}/part-{i}.parquet")
         shutil.rmtree(f"{ddir}/{sub}")

@@ -99,11 +99,9 @@ def test_values_list_flat(tdb):
 def test_py_tokens_matches_spark_tokens(spark, texts):
     """Property: textstats.py_tokens is bit-identical to the Spark
     tokens(F.lower(col)) expression on arbitrary text, including ASCII
-    control whitespace (\\t\\n\\r\\f\\x0b), NBSP, Unicode line
+    control whitespace (\\t\\n\\r\\f\\x0b), NBSP, U+2028 line
     separator, and accented chars — the parity every Arrow-UDF code path
     (SimHash, streaming decontamination) depends on."""
-    from pyspark.sql import functions as F
-
     from tantalus_spark.datapipe.textstats import py_tokens, tokens
 
     df = spark.createDataFrame(

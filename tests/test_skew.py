@@ -86,7 +86,7 @@ def test_approx_count_distinct_within_error_bound(spark):
     from tantalus_spark.operators.skew import (
         approx_count_distinct, skew_safe_count_distinct)
 
-    li = read_parquet(spark, "/root/testdata/sf0.001/lineitem.parquet")
+    li = read_parquet(spark, f"{SF}/lineitem.parquet")
     exact = {r["l_returnflag"]: r["n_distinct"] for r in
              skew_safe_count_distinct(
                  li, "l_returnflag", "l_partkey").collect()}
@@ -99,14 +99,14 @@ def test_approx_count_distinct_within_error_bound(spark):
 
 
 def test_approx_percentile_within_error_of_exact(spark):
-    """The q75 scale path: approx_percentile (mergeable sketch, map-side
+    """The q34 scale path: approx_percentile (mergeable sketch, map-side
     partials, no per-group value lists) must land within its accuracy
     bound of the exact percentile verifier on real data."""
     from pyspark.sql import functions as F
 
     from tantalus_spark.catalog.loader import read_parquet
 
-    li = read_parquet(spark, "/root/testdata/sf0.001/lineitem.parquet")
+    li = read_parquet(spark, f"{SF}/lineitem.parquet")
     rows = (
         li.groupBy("l_returnflag")
         .agg(
