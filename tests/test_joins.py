@@ -182,3 +182,26 @@ def test_asof_join_matches_pandas_merge_asof(spark):
     want = {int(r.lid): (None if pd.isna(r.v) else r.v)
             for r in merged.itertuples()}
     assert got == want
+
+
+def test_epoch_expr_all_type_branches(spark):
+    """epoch_expr dispatches by schema type: TIMESTAMP, TIMESTAMP_NTZ,
+    DATE, and numeric columns all yield the same epoch seconds for the
+    same instant (UTC session pinned by get_spark)."""
+    from tantalus_spark.functions.times import epoch_expr
+
+    df = spark.sql("""
+        SELECT timestamp'2024-03-05 06:07:08' AS ts,
+               timestamp_ntz'2024-03-05 06:07:08' AS ntz,
+               date'2024-03-05' AS d,
+               1709618828.5 AS n
+    """)
+    row = df.select(
+        epoch_expr(df, "ts").alias("e_ts"),
+        epoch_expr(df, "ntz").alias("e_ntz"),
+        epoch_expr(df, "d").alias("e_d"),
+        epoch_expr(df, "n").alias("e_n"),
+    ).first()
+    assert row["e_ts"] == row["e_ntz"] == 1709618828.0
+    assert row["e_d"] == 1709596800.0            # midnight UTC
+    assert row["e_n"] == 1709618828.5            # numeric passthrough
