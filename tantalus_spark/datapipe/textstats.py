@@ -297,9 +297,19 @@ def _token_hash_mod(tok) -> "F.Column":
     )
 
 
+def _token_hash_fast(tok) -> "F.Column":
+    """Production token hash: JVM-native xxhash64 mod M. One codegen'd
+    long op per token vs md5's hex string round-trip (md5 + substring +
+    conv + cast) — the same two-family split as the MinHash permutations
+    (dedup._minhash_perm). pmod keeps the negative xxhash64 range in
+    [0, M) so the polynomial gram hash sees the same domain."""
+    return F.pmod(F.xxhash64(tok), F.lit(_WIN_M))
+
+
 def winnowing_fingerprints(df: DataFrame, k: int = 5, window: int = 4,
                            text_col: str = "text",
-                           id_col: str = "doc_id") -> DataFrame:
+                           id_col: str = "doc_id",
+                           hash_family: str = "xxhash64") -> DataFrame:
     """Winnowing (Schleimer/Wilkerson/Aiken, SIGMOD'03) document
     fingerprints: polynomial rolling hash over token k-grams, then the min
     hash of every sliding window of ``window`` consecutive k-grams; the
@@ -309,9 +319,14 @@ def winnowing_fingerprints(df: DataFrame, k: int = 5, window: int = 4,
     >= k + window - 1 shared between documents — positional near-dup
     detection that survives insertions, unlike whole-document digests.
 
-    All hashing is modular integer arithmetic (md5-derived token hashes,
-    mod 1e9+7) so a SQL oracle can reproduce it bit-for-bit. Returns
-    (id, fp) distinct.
+    All hashing is modular integer arithmetic mod 1e9+7. The production
+    default (``hash_family="xxhash64"``) hashes tokens with the JVM-native
+    xxhash64; ``hash_family="md5"`` swaps in the md5-derived portable hash
+    so a SQL oracle can reproduce the fingerprints bit-for-bit (the gated
+    q53 inventory entry uses it — same split as q45's MinHash families).
+    Fingerprint QUALITY is identical either way: winnowing only needs a
+    uniform token hash, and the recall guarantee is positional, not
+    hash-specific. Returns (id, fp) distinct.
 
     Token and k-gram hashing are array-valued inside the scan (one md5
     per token); only the window-min explodes to gram rows, paying ONE
@@ -323,10 +338,11 @@ def winnowing_fingerprints(df: DataFrame, k: int = 5, window: int = 4,
     # hash every token ONCE into a materialized array — each token appears
     # in up to k grams, so hashing inside the gram lambda would do k× the
     # md5 work; same one-stage-per-array-materialization for gram hashes
+    tok_hash = _token_hash_mod if hash_family == "md5" else _token_hash_fast
     toked = df.select(
         F.col(id_col),
         F.transform(
-            tokens(F.lower(F.col(text_col))), _token_hash_mod
+            tokens(F.lower(F.col(text_col))), tok_hash
         ).alias("_th"),
     )
     toks = F.col("_th")

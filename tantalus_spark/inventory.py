@@ -682,9 +682,13 @@ def q52_ivf_ann(spark, sf_dir):
 
 def q53_winnowing(spark, sf_dir):
     """Winnowing rolling-hash fingerprints (positional near-dup detection),
-    aggregated per doc for a stable signature."""
+    aggregated per doc for a stable signature. Gated with the md5-derived
+    portable token hash so the oracle replays it bit-for-bit; the
+    production default is xxhash64 (bench.py times that path — same
+    two-family split as q45)."""
     docs = db_for(spark, sf_dir).table("documents")
-    fps = textstats.winnowing_fingerprints(docs, k=5, window=4)
+    fps = textstats.winnowing_fingerprints(docs, k=5, window=4,
+                                           hash_family="md5")
     return fps.groupBy("doc_id").agg(
         F.count(F.lit(1)).alias("n_fp"),
         F.min("fp").alias("min_fp"),
@@ -994,34 +998,51 @@ _ALL_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
 
 # The correctness driver checks the FIRST 50 entries in insertion order
 # (CORRECTNESS_r01.json recorded exactly that prefix), so QUERIES is
-# explicitly ordered: the 50 highest-value operator gates — every operator
-# family, the whole datapipe/dedup/ANN stack — come first; the tail entries
-# are variants whose families are already gated above and are additionally
-# covered by tests/.
+# explicitly ordered.
+#
+# r4 ROTATION: the 16 entries that sat below the 50-line in r2/r3
+# (02/03/16/19/28/29/33/34/36/37/55/70/71/72/73/74) never earned a green
+# row on the official driver record (ten failed in r1 on the nanos-parquet
+# bug and were reordered out before a driver re-check). They are now IN
+# the window; the 16 swapped OUT (05/08/09/11/24/38/54/57/59/60/61/62/
+# 64/66/67/68) all carry green CORRECTNESS_r02+r03 rows and are
+# family-redundant with in-window gates:
+#   05 string predicates -> 04 (P3-P9) + 55 regex; 08 semi / 09 anti ->
+#   10 (compiles LEFT SEMI, P12) + 12 (NOT EXISTS -> LEFT ANTI, P11) +
+#   70 (anti-join decontamination); 11 -> 10 (J3 twin); 24 -> 22/23/37
+#   (F2-F13); 38 cube -> 29 rollup + 28 pivot (grouping sets); 54 -> 23
+#   (date funcs); 57 retention -> 56 funnel; 59 sliding -> 49 tumbling;
+#   60 minhash sigs -> 45 (same signature math, full oracle); 61 hash
+#   split -> 71 weighted mix (md5-bucket sampling); 62 dup clusters ->
+#   45/46 (candidate families; fixpoint loop unit-tested); 64 full outer
+#   -> 19/20 set ops; 66 ntile -> 30/34 (window frames/percentiles);
+#   67 latest-per-key -> 18 top-k per group; 68 -> 32 (range-join twin).
+# Every tail entry stays fully oracled and covered by tests/.
 _QUERY_ORDER = [
     # §2 core: scans, filters, joins, aggregates, windows, set ops
-    "01_pricing_summary", "04_range_in_filter", "05_string_predicates",
-    "06_token_or_search", "07_region_revenue", "08_semi_join",
-    "09_anti_join", "10_exists_same_child", "11_exists_diff_child",
-    "12_exclude_not_exists", "13_count_distinct", "15_cross_agg_eq",
-    "17_window_lag", "18_topk_per_group", "20_set_ops",
-    "22_scalar_functions", "23_date_format", "24_event_scalars",
-    "26_search_union", "30_window_frames", "31_asof_join", "32_range_join",
-    "38_cube", "39_dashboard_counts", "54_date_lookups",
+    "01_pricing_summary", "02_point_lookup", "03_distinct_projection",
+    "04_range_in_filter", "06_token_or_search", "07_region_revenue",
+    "10_exists_same_child", "12_exclude_not_exists", "13_count_distinct",
+    "15_cross_agg_eq", "16_pagination", "17_window_lag",
+    "18_topk_per_group", "19_union_dedup", "20_set_ops",
+    "22_scalar_functions", "23_date_format", "26_search_union",
+    "28_pivot", "29_rollup", "30_window_frames", "31_asof_join",
+    "32_range_join", "33_collect_set", "34_percentiles", "36_first_last",
+    "37_explode_tokens", "39_dashboard_counts", "55_regex_lookup",
     # datapipe: dedup, text, similarity, events
     "40_dedup_exact", "41_doc_profile", "44_ngram_jaccard",
     "45_minhash_lsh", "46_simhash", "47_ann_cosine", "49_tumbling_window",
     "50_sessionization", "51_embedding_near_dup", "52_ivf_ann",
-    "53_winnowing", "56_funnel", "57_retention", "58_clean_corpus",
-    "59_sliding_window", "60_minhash_signatures", "61_hash_split",
-    "62_dup_clusters", "63_tfidf", "64_full_outer", "65_media_features",
-    "66_ntile", "67_latest_per_key", "68_range_join", "69_embedding_lsh",
-    # ---- 50-entry line: families below are all gated above + unit-tested
-    "02_point_lookup", "03_distinct_projection", "16_pagination",
-    "19_union_dedup", "28_pivot", "29_rollup", "33_collect_set",
-    "34_percentiles", "36_first_last", "37_explode_tokens",
-    "55_regex_lookup", "70_decontaminate", "71_weighted_mix",
-    "72_chunk_documents", "73_repetition", "74_pq_ann",
+    "53_winnowing", "56_funnel", "58_clean_corpus", "63_tfidf",
+    "65_media_features", "69_embedding_lsh", "70_decontaminate",
+    "71_weighted_mix", "72_chunk_documents", "73_repetition", "74_pq_ann",
+    # ---- 50-entry line: families below are all gated above (see r4
+    # rotation note), carry green r2+r3 driver rows, and are unit-tested
+    "05_string_predicates", "08_semi_join", "09_anti_join",
+    "11_exists_diff_child", "24_event_scalars", "38_cube",
+    "54_date_lookups", "57_retention", "59_sliding_window",
+    "60_minhash_signatures", "61_hash_split", "62_dup_clusters",
+    "64_full_outer", "66_ntile", "67_latest_per_key", "68_range_join",
 ]
 
 QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {

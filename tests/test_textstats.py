@@ -42,6 +42,22 @@ def test_fingerprints_deterministic(docs):
     assert a == b and len(a) > 0
 
 
+def test_hash_families_equivalent_detection(docs):
+    """Fingerprint VALUES differ between the xxhash64 production family
+    and the md5 oracle family, but detection semantics must not: same
+    per-doc fingerprint counts (positional structure) and the same
+    shared-run guarantee between docs 1 and 2."""
+    fam = {}
+    for hf in ("xxhash64", "md5"):
+        by_doc = {}
+        fps = winnowing_fingerprints(docs, k=5, window=4, hash_family=hf)
+        for r in fps.collect():
+            by_doc.setdefault(r["doc_id"], set()).add(r["fp"])
+        assert by_doc[1] & by_doc[2], hf
+        fam[hf] = by_doc
+    assert set(fam["xxhash64"]) == set(fam["md5"])  # same docs fingerprinted
+
+
 def test_hash_split_stable_and_partition_invariant(spark):
     from tantalus_spark.catalog.loader import read_parquet
     from tantalus_spark.datapipe.sampling import hash_split, stratified_sample
