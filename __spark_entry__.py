@@ -5,12 +5,14 @@
 classes + the LLM-data-pipeline operators: dedup, similarity, text
 analysis, event analytics, corpus cleaning); ``oracle_sql()`` gives the
 DuckDB-equivalent SQL for EVERY query in the driver's 50-entry window —
-since r3 the LSH trio (45/46/69) runs a portable md5-derived hash family
-whose banding and bucketing replay bit-for-bit in DuckDB, so all 50 are
-full value oracles. The only rows-only tail entry is 74_pq_ann, whose
-iterative KMeans codebook training is genuinely not SQL-expressible
-(exactness and recall are unit-proven instead). QUERIES is explicitly
-ordered so the 50-entry window covers every operator family.
+the gated LSH trio (45/46/69), winnowing (53), and PQ ANN (74) use
+portable md5-/integer-exact constructions that replay bit-for-bit in
+DuckDB, so all 50 are full value oracles (production defaults stay
+xxhash64/float — bench.py times those). r4 rotated the 16 entries that
+had never had an official driver row into the window (see _QUERY_ORDER).
+The only rows-only entry is the tail's 75_ann_trained, whose iterative
+MLlib-KMeans IVF+PQ training is genuinely not SQL-expressible (recall
+and ADC exactness are unit-proven instead).
 """
 
 from __future__ import annotations

@@ -401,9 +401,17 @@ def pq_encode(
     m = len(codebooks)
     books = [np.asarray(b, dtype=np.float64) for b in codebooks]
     sub = books[0].shape[1]
+    d = m * sub
 
     @F.pandas_udf("array<int>")
     def encode(vecs: pd.Series) -> pd.Series:
+        lens = vecs.map(len)
+        if (lens != d).any():
+            bad = sorted(set(lens[lens != d].tolist()))[:5]
+            raise ValueError(
+                f"pq_encode: embedding length(s) {bad} != codebook dim "
+                f"{d} (m={m} x sub={sub}) — ragged or truncated vectors "
+                f"in this batch")
         X = np.stack(vecs.to_numpy()).astype(np.float64)
         codes = np.empty((X.shape[0], m), dtype=np.int32)
         for j in range(m):
@@ -415,7 +423,15 @@ def pq_encode(
             codes[:, j] = d2.argmin(axis=1)
         return pd.Series(list(codes))
 
-    return df.select(F.col(id_col), encode(F.col(vec_col)).alias("pq_code"))
+    # null vectors are dropped before the Arrow transfer (mirrors
+    # simhash_signatures' null text handling); WRONG-LENGTH vectors raise
+    # a clear ValueError inside the batch instead of an opaque np.stack
+    # task failure — a ragged embedding column is corruption worth a loud
+    # stop, a null is ordinary missing data
+    return (
+        df.filter(F.col(vec_col).isNotNull())
+        .select(F.col(id_col), encode(F.col(vec_col)).alias("pq_code"))
+    )
 
 
 def pq_topk(
@@ -495,7 +511,9 @@ def l2_normalize(df: DataFrame, id_col: str = "vec_id",
     inside the transform lambda would re-evaluate the full O(d) dot
     product once per element (O(d^2) per row — higher-order lambdas are
     interpreted with no subexpression elimination; same trap as the
-    winnowing inferred filter). Zero vectors pass through unchanged."""
+    winnowing inferred filter). Zero vectors pass through unchanged; null
+    vectors are dropped (same policy as pq_encode/simhash)."""
+    df = df.filter(F.col(vec_col).isNotNull())
     with_norm = df.select(
         F.col(id_col), F.col(vec_col),
         F.sqrt(F.aggregate(

@@ -328,69 +328,53 @@ def winnowing_fingerprints(df: DataFrame, k: int = 5, window: int = 4,
     uniform token hash, and the recall guarantee is positional, not
     hash-specific. Returns (id, fp) distinct.
 
-    Token and k-gram hashing are array-valued inside the scan (one md5
-    per token); only the window-min explodes to gram rows, paying ONE
-    exchange on (id) that every downstream per-doc consumer (dedup,
-    groupBy) reuses. A fully array-side windowed-min was tried and
-    reverted: interpreted higher-order-lambda CPU cost more than the
-    exchange it saved (r2 bench, see inline comments).
+    Formulation (r4): fully ROW-based. Tokens explode to rows straight off
+    the scan, the token hash is a per-row codegen'd expression, the k-gram
+    polynomial hash is built from lead() over the (id, pos) window, and
+    the window-min runs over the same window spec. Everything outside the
+    two WindowExecs stays inside whole-stage codegen, and the single
+    exchange+sort on (id, pos) is shared by both windows, the distinct,
+    and any downstream per-doc aggregation. Two array-side variants were
+    tried and reverted (r2 bench for the windowed-min, r4 for the gram
+    transform): Catalyst evaluates higher-order lambdas INTERPRETED, one
+    allocation per element, and at 2.5M grams the lambda CPU cost more
+    than the exchange it saved — measured 1.85 s vs 1.34 s at 10× sf0.1.
     """
-    # hash every token ONCE into a materialized array — each token appears
-    # in up to k grams, so hashing inside the gram lambda would do k× the
-    # md5 work; same one-stage-per-array-materialization for gram hashes
     tok_hash = _token_hash_mod if hash_family == "md5" else _token_hash_fast
+    # posexplode gets the tokens EXPRESSION, not a materialized column:
+    # Generate over a bare attribute makes Catalyst infer a `size(col)>0`
+    # filter (InferFiltersFromGenerate) with the expression inlined at the
+    # scan; over an expression it infers nothing (see q53 quadratic-trap
+    # note in .claude/skills/verify/SKILL.md).
     toked = df.select(
         F.col(id_col),
-        F.transform(
-            tokens(F.lower(F.col(text_col))), tok_hash
-        ).alias("_th"),
+        F.posexplode(tokens(F.lower(F.col(text_col)))).alias("pos", "_tok"),
     )
-    toks = F.col("_th")
-    # guard: Spark's sequence(1, 0) counts DOWN ([1, 0]) instead of being
-    # empty — docs shorter than k tokens must yield no grams
-    idx = F.when(
-        F.size(toks) >= k,
-        F.sequence(F.lit(1), F.size(toks) - (k - 1)),
-    ).otherwise(F.array().cast("array<int>"))
+    rows = toked.select(
+        F.col(id_col), F.col("pos"), tok_hash(F.col("_tok")).alias("_th"))
+    wo = W.partitionBy(id_col).orderBy("pos")
     b_pows = [pow(_WIN_B, j, _WIN_M) for j in range(k)]
-
-    def gram_hash(i):
-        acc = F.lit(0)
-        for j in range(k):
-            term = F.pmod(
-                F.element_at(toks, i + j) * F.lit(b_pows[j]),
-                F.lit(_WIN_M),
-            )
-            acc = acc + term
-        return F.pmod(acc, F.lit(_WIN_M))
-
-    # The window-min runs as a codegen'd Window over posexplode'd gram
-    # rows, NOT as per-position array_min(slice(g, i, w)) inside a
-    # transform: higher-order lambdas are interpreted per element, and
-    # the O(n_grams × window) interpreted allocations cost more wall time
-    # than the exchange+sort they avoid (r2 bench regression, re-measured
-    # at sf0.1). The doc_id partitioning the Window introduces is also
-    # exactly what the downstream dropDuplicates and per-doc aggregations
-    # reuse, so no second exchange follows.
-    #
-    # CRITICAL plan property: the gram-hash transform expression feeds
-    # posexplode DIRECTLY (never materialized as its own column first).
-    # Generate over a bare attribute makes Catalyst infer a `size(col)>0`
-    # filter (InferFiltersFromGenerate) and push it to the scan with the
-    # full expression inlined — where each element_at() re-evaluates the
-    # token-hash transform over the whole document, turning the scan
-    # quadratic per doc (measured 73 s vs <1 s at sf0.1). Generate over
-    # an expression infers nothing.
-    grams = toked.select(
-        F.col(id_col),
-        F.posexplode(F.transform(idx, gram_hash)).alias("pos", "gh"),
+    # gh(pos) = sum_j th(pos+j) * B^j mod M; lead(_th, k-1) is null for
+    # the last k-1 token positions, which makes gh null exactly where no
+    # k-gram starts — the filter below is also the short-doc guard (docs
+    # with < k tokens produce no gram rows at all)
+    acc = F.lit(0)
+    for j in range(k):
+        nxt = F.col("_th") if j == 0 else F.lead("_th", j).over(wo)
+        acc = acc + F.pmod(nxt * F.lit(b_pows[j]), F.lit(_WIN_M))
+    grams = (
+        rows.select(F.col(id_col), F.col("pos"),
+                    F.pmod(acc, F.lit(_WIN_M)).alias("gh"))
+        .filter(F.col("gh").isNotNull())
     )
-    w = (
+    # same partitioning AND ordering as wo, so the sort is reused — the
+    # filter preserves child ordering and no second exchange/sort appears
+    wm = (
         W.partitionBy(id_col).orderBy("pos")
         .rowsBetween(W.currentRow, window - 1)
     )
     return (
-        grams.withColumn("fp", F.min("gh").over(w))
+        grams.withColumn("fp", F.min("gh").over(wm))
         .select(F.col(id_col), "fp")
         .dropDuplicates([id_col, "fp"])
     )

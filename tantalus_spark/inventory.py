@@ -973,20 +973,63 @@ def q73_repetition(spark, sf_dir):
 
 
 def q74_pq_ann(spark, sf_dir):
-    """Product-quantization ANN (Jegou TPAMI'11): L2-normalized vectors
-    -> per-subspace KMeans codebooks -> 8-byte codes -> asymmetric-
-    distance top-10 for a fixed query. The memory-side scale lever (32x
-    compression at d=64); composes with IVF partitioning (q52) for the
-    full 100 TB path. Rows-only by design: codebooks come from iterative
-    MLlib KMeans (not SQL-expressible); exactness + recall are unit-
-    proven in tests/test_similarity.py."""
+    """Product-quantization ANN (Jegou TPAMI'11) under a FULL value
+    oracle: vectors are integerized (floor(x*32) — float32*2^5 is exact
+    in float64, floor is engine-unambiguous, so Spark and DuckDB see
+    bit-identical integers) and the codebook is FIXED and deterministic
+    (centroid c of subspace j = the subspace-j slice of vec_id c+1).
+    All distances, argmin code assignment (ties -> lowest centroid), the
+    driver-side ADC table, and the top-10 scores are then exact integer
+    arithmetic in float64 — reproducible in SQL down to the last bit.
+    The production path (L2-normalize + MLlib-KMeans codebooks) runs in
+    the 75_ann_trained gate and is exactness/recall-proven in
+    tests/test_similarity.py; pq_encode/pq_topk here are the SAME
+    operators a trained codebook goes through."""
+    emb = db_for(spark, sf_dir).table("embeddings")
+    iv = emb.select(
+        "vec_id",
+        F.transform(
+            "embedding",
+            lambda x: F.floor(x.cast("double") * F.lit(32.0)).cast("double"),
+        ).alias("embedding"),
+    )
+    m, kc, sub = 8, 16, 8
+    cb_rows = (
+        iv.filter((F.col("vec_id") >= 1) & (F.col("vec_id") <= kc))
+        .orderBy("vec_id").select("embedding").collect()
+    )
+    books = [
+        [[float(x) for x in r[0][j * sub:(j + 1) * sub]] for r in cb_rows]
+        for j in range(m)
+    ]
+    qvec = [float(x) for x in
+            iv.filter(F.col("vec_id") == 0).first()["embedding"]]
+    enc = similarity.pq_encode(iv, books)
+    return similarity.pq_topk(enc, books, qvec, k=10)
+
+
+def q75_ann_trained(spark, sf_dir):
+    """The TRAINED billion-scale ANN serving path, composed end-to-end:
+    MLlib-KMeans IVF coarse centroids (train_ivf_centroids) + per-subspace
+    MLlib-KMeans PQ codebooks (train_pq_codebooks) over L2-normalized
+    vectors, codes joined into one narrow (id, ivf_list, pq_code) table,
+    then ivf_pq_topk probes 2 lists and ADC-scores 8-byte codes — no
+    float vector is read anywhere in the serving scan. Rows-only by
+    design: iterative KMeans training is not SQL-expressible; recall vs
+    brute force and ADC exactness are unit-proven in
+    tests/test_similarity.py."""
     emb = db_for(spark, sf_dir).table("embeddings")
     norm = similarity.l2_normalize(emb)
+    centroids = similarity.train_ivf_centroids(norm, n_lists=8, seed=7)
     books = similarity.train_pq_codebooks(norm, m=8, k=16)
-    enc = similarity.pq_encode(norm, books)
-    qrow = norm.filter(F.col("vec_id") == 1).first()
-    return similarity.pq_topk(
-        enc, books, [float(x) for x in qrow["embedding"]], k=10)
+    assigned = similarity.ivf_assign(norm, centroids).select(
+        "vec_id", "ivf_list")
+    codes = similarity.pq_encode(norm, books)
+    narrow = assigned.join(codes, "vec_id")
+    qvec = [float(x) for x in
+            norm.filter(F.col("vec_id") == 1).first()["embedding"]]
+    return similarity.ivf_pq_topk(narrow, centroids, books, qvec,
+                                  k=10, nprobe=2)
 
 
 
@@ -1043,6 +1086,7 @@ _QUERY_ORDER = [
     "54_date_lookups", "57_retention", "59_sliding_window",
     "60_minhash_signatures", "61_hash_split", "62_dup_clusters",
     "64_full_outer", "66_ntile", "67_latest_per_key", "68_range_join",
+    "75_ann_trained",
 ]
 
 QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
@@ -1726,6 +1770,48 @@ ORACLES: dict[str, str] = {
                  AS dup_token_ratio
         FROM f
     """,
+    # 74: PQ encode + ADC top-k replayed exactly — the gated entry
+    # integerizes vectors (floor(x*32), exact in float64) and fixes the
+    # codebook to slices of vec_id 1..16, so every distance, argmin code,
+    # ADC table cell, and final score is exact integer arithmetic that
+    # DuckDB reproduces bit-for-bit. Ties: argmin -> lowest centroid
+    # (numpy first-occurrence), top-k -> (score desc, vec_id asc).
+    "74_pq_ann": """
+        WITH iv AS (
+          SELECT vec_id,
+                 list_transform(embedding,
+                                x -> floor(CAST(x AS DOUBLE) * 32)) AS v
+          FROM embeddings),
+        js AS (SELECT unnest(range(0, 8)) AS j),
+        cb AS (
+          SELECT js.j, iv.vec_id - 1 AS c,
+                 list_slice(iv.v, js.j*8 + 1, js.j*8 + 8) AS bv
+          FROM iv, js WHERE iv.vec_id BETWEEN 1 AND 16),
+        dist AS (
+          SELECT iv.vec_id, cb.j, cb.c,
+                 list_sum(list_transform(range(1, 9), i ->
+                   (iv.v[cb.j*8 + i] - cb.bv[i])
+                   * (iv.v[cb.j*8 + i] - cb.bv[i]))) AS d2
+          FROM iv, cb),
+        code AS (
+          SELECT vec_id, j, c FROM (
+            SELECT vec_id, j, c,
+                   ROW_NUMBER() OVER (PARTITION BY vec_id, j
+                                      ORDER BY d2, c) AS rn
+            FROM dist) WHERE rn = 1),
+        q AS (SELECT v FROM iv WHERE vec_id = 0),
+        adc AS (
+          SELECT cb.j, cb.c,
+                 list_sum(list_transform(range(1, 9), i ->
+                   q.v[cb.j*8 + i] * cb.bv[i])) AS dot
+          FROM cb, q),
+        score AS (
+          SELECT code.vec_id, SUM(adc.dot) AS s
+          FROM code JOIN adc ON code.j = adc.j AND code.c = adc.c
+          GROUP BY code.vec_id)
+        SELECT vec_id, ROUND(s, 4) AS adc_dot FROM score
+        ORDER BY s DESC, vec_id LIMIT 10
+    """,
     # 45/46/69 gated entries use the md5-derived hash family (production
     # default is xxhash64) so the full LSH pipelines — signatures, banding,
     # candidate generation, verification — replay in SQL. Band/bucket ids
@@ -1814,15 +1900,21 @@ ORACLES: dict[str, str] = {
         WHERE bit_count(xor(a.sh, b.sh)) <= 8
     """,
     "69_embedding_lsh": """
+        -- the dot is an ORDERED left-fold (list_reduce over the ordered
+        -- element list), matching Spark's F.aggregate fold exactly: a
+        -- group-by SUM leaves float addition order unspecified, and a
+        -- near-zero dot could flip sign between engines and change
+        -- bucket membership (r3 ADVICE)
         WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
         comp AS (
           SELECT e.vec_id, sp.s,
-                 sum(e.v[i] * ((('0x'||substr(md5(sp.s::VARCHAR||'_'||
+                 list_reduce(
+                   list_transform(range(1, len(e.v)+1), i ->
+                     e.v[i] * ((('0x'||substr(md5(sp.s::VARCHAR||'_'||
                                               i::VARCHAR),1,15))::BIGINT
-                                % 2001 - 1000) / 1000.0)) AS dot
-          FROM e, UNNEST(range(1, len(e.v)+1)) AS u(i),
-               (VALUES (0), (1)) AS sp(s)
-          GROUP BY e.vec_id, sp.s),
+                                % 2001 - 1000) / 1000.0)),
+                   (a, b) -> a + b) AS dot
+          FROM e, (VALUES (0), (1)) AS sp(s)),
         sig AS (
           SELECT vec_id,
                  CAST(sum(CASE WHEN dot > 0 THEN (1::BIGINT << s)

@@ -40,6 +40,16 @@ def get_spark(
         # runtime bloom filters prune the probe side of big SMJs before the
         # shuffle — free at local scale, large win on selective fact joins
         .config("spark.sql.optimizer.runtime.bloomFilter.enabled", "true")
+        # text parquet compresses ~10x, so the default 4 MiB open-cost
+        # floor packs a CPU-dense documents scan into 1-2 splits and idles
+        # the other cores (measured: 2 -> 12 splits, -25% on winnowing at
+        # 10x sf0.1); half-MiB floor keeps small hot tables parallel while
+        # real 100 TB files still split by maxPartitionBytes
+        .config("spark.sql.files.openCostInBytes", str(512 * 1024))
+        # same story post-shuffle: AQE's 1 MiB coalesce floor folds small
+        # CPU-heavy window/agg stages onto too few cores
+        .config("spark.sql.adaptive.coalescePartitions.minPartitionSize",
+                str(256 * 1024))
         # MIN/MAX/COUNT over plain parquet resolve from footer statistics
         .config("spark.sql.parquet.aggregatePushdown", "true")
         # some producers write TIMESTAMP(NANOS) parquet (e.g. pandas); Spark

@@ -113,8 +113,10 @@ def merge_into_snapshot(
     :func:`recover_failed_merge` rolls back. Renames are metadata ops on
     HDFS/local; on object stores they are copies — use a real table
     format (Iceberg/Delta, whose MERGE INTO this function mirrors) there.
-    Partition values must be non-null and rename-safe as path fragments
-    (dates/ints/plain strings — the norm for partition keys).
+    Partition values must be non-null; special characters are fine — dir
+    names are built with the JVM's own Hive-escaper (exact writer parity)
+    and a post-staging name check fails loudly on any residual drift
+    rather than committing a silently stale partition.
 
     Assumes ``partition_col`` is stable per key (the norm for
     date-partitioned facts): an upsert that MOVES a key to a different
@@ -157,7 +159,17 @@ def merge_into_snapshot(
     staging = snapshot_path.rstrip("/") + ".staging"
     fs, jpath = _hadoop_fs(spark, snapshot_path)
 
-    frag = lambda p: f"{partition_col}={p}"  # noqa: E731
+    # partition dir names must match what Spark's writer produces, which
+    # Hive-escapes special chars (':' -> %3A, '%' -> %25, ...). Use the
+    # JVM's OWN escaper for exact parity — a hand-rolled f-string made
+    # fs.exists(cur/stg) false for such values and the swap loop
+    # "succeeded" while leaving the partition silently stale (r3 ADVICE)
+    try:
+        _esc = spark._jvm.org.apache.spark.sql.catalyst.catalog \
+            .ExternalCatalogUtils.escapePathName
+    except Exception:                                 # pragma: no cover
+        _esc = str  # the staging-dir check below still fails loudly
+    frag = lambda p: f"{partition_col}={_esc(str(p))}"  # noqa: E731
     # refuse to run over the residue of a crashed merge: a leftover
     # .bak-merge dir is the ONLY copy of that partition's pre-merge data,
     # and this merge's `current` read would miss it (the bak path is not
@@ -175,6 +187,25 @@ def merge_into_snapshot(
 
     fs.delete(jpath(staging), True)
     out.write.mode("overwrite").partitionBy(partition_col).parquet(staging)
+
+    # loud guard against any residual naming drift (engine version, value
+    # rendering): every partition dir the writer just staged must be one
+    # this merge expects to swap, else the swap loop would skip it and
+    # commit a silently stale partition
+    expected = {frag(p) for p in touched}
+    staged_dirs = [
+        st.getPath().getName()
+        for st in fs.listStatus(jpath(staging))
+        if st.isDirectory() and st.getPath().getName().startswith(
+            f"{partition_col}=")
+    ]
+    unmatched = sorted(set(staged_dirs) - expected)
+    if unmatched:
+        fs.delete(jpath(staging), True)
+        raise IOError(
+            f"staged partition dir(s) {unmatched} do not match any "
+            f"expected name in {sorted(expected)}: partition-value "
+            f"escaping drift — snapshot left untouched")
 
     swapped = []  # (partition value, had pre-merge dir)
     try:

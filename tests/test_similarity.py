@@ -187,3 +187,32 @@ def test_ivf_pq_composed(emb, centroids):
     exact = {r["vec_id"] for r in sim.cosine_topk(emb, q, k=10).collect()}
     assert len(set(ids) & exact) / 10 >= 0.3        # useful overlap
     table.unpersist()
+
+
+def test_pq_encode_null_and_ragged_vectors(spark):
+    """Null embeddings are dropped before the Arrow transfer; a
+    wrong-length vector fails LOUDLY with a diagnosable message instead
+    of an opaque np.stack executor error (r3 ADVICE)."""
+    books = [[[0.0, 0.0], [1.0, 1.0]], [[0.0, 0.0], [2.0, 2.0]]]  # d=4
+    ok = spark.createDataFrame(
+        [(1, [1.0, 1.0, 2.0, 2.0]), (2, None), (3, [0.1] * 4)],
+        "vec_id long, embedding array<double>")
+    got = sim.pq_encode(ok, books).collect()
+    assert sorted(r["vec_id"] for r in got) == [1, 3]
+
+    ragged = spark.createDataFrame(
+        [(1, [1.0] * 4), (2, [1.0] * 3)],
+        "vec_id long, embedding array<double>")
+    with pytest.raises(Exception, match="pq_encode.*length"):
+        sim.pq_encode(ragged, books).collect()
+
+
+def test_l2_normalize_drops_null_keeps_zero(spark):
+    df = spark.createDataFrame(
+        [(1, [3.0, 4.0]), (2, None), (3, [0.0, 0.0])],
+        "vec_id long, embedding array<double>")
+    got = {r["vec_id"]: r["embedding"] for r in
+           sim.l2_normalize(df).collect()}
+    assert sorted(got) == [1, 3]
+    assert got[1] == [0.6, 0.8]
+    assert got[3] == [0.0, 0.0]

@@ -231,3 +231,31 @@ def test_merge_refuses_crash_residue_and_rolls_back_new_partitions(
     got = {(r["id"], str(r["day"]), r["v"])
            for r in spark.read.parquet(path).collect()}
     assert got == {(1, "d1", "a")}
+
+
+def test_merge_handles_hive_escaped_partition_values(
+        spark, tmp_path_factory):
+    """Partition values with Hive-escaped characters (':' -> %3A) must
+    merge correctly: the swap loop builds dir names with the JVM's own
+    escaper, so the staged dir is found and swapped in — previously the
+    raw f-string name missed it and the partition stayed silently stale
+    (r3 ADVICE)."""
+    import os
+
+    from tantalus_spark.sources.sink import merge_into_snapshot
+
+    path = str(tmp_path_factory.mktemp("snapesc") / "table")
+    base = spark.createDataFrame(
+        [(1, "shard:a", "old"), (2, "shard:b", "keep")],
+        "id long, part string, v string")
+    base.repartition(1).write.partitionBy("part").parquet(path)
+    assert os.path.isdir(os.path.join(path, "part=shard%3Aa"))
+
+    ups = spark.createDataFrame(
+        [(1, "shard:a", "new")], "id long, part string, v string")
+    touched = merge_into_snapshot(
+        spark, path, ups, key_cols=["id"], partition_col="part")
+    assert touched == ["shard:a"]
+    got = {(r["id"], r["part"], r["v"])
+           for r in spark.read.parquet(path).collect()}
+    assert got == {(1, "shard:a", "new"), (2, "shard:b", "keep")}
