@@ -99,7 +99,16 @@ def main() -> None:
                     sel.append(c)
             pieces.append(f"select {', '.join(sel)} from '{path}'")
         union = " union all ".join(pieces)
-        con.sql(f"copy ({union}) to '{out}/{t}.parquet' (format parquet)")
+        # Row-group sizing: DuckDB's default (122 880 rows) writes the whole
+        # documents/embeddings table as ONE row group, and Spark cannot split
+        # a scan finer than row-group boundaries — the scaled fixture would
+        # measure a single-threaded scan, which no real 100 TB layout has
+        # (big tables arrive as thousands of files/row groups). Target ~64
+        # groups per table so a 32-core box can fill every slot.
+        base = con.sql(f"select count(*) from '{path}'").fetchone()[0]
+        rg = max(1024, (base * k_copies) // 64)
+        con.sql(f"copy ({union}) to '{out}/{t}.parquet' "
+                f"(format parquet, row_group_size {rg})")
         n = con.sql(f"select count(*) from '{out}/{t}.parquet'").fetchone()[0]
         print(f"{t}: {n} rows")
 

@@ -26,6 +26,7 @@ from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
 from tantalus_spark.datapipe.textstats import tokens
+from tantalus_spark.operators.spread import spread_small_scan
 
 # Portable ("md5") hash family: H(s) = int(md5(s)[:15 hex], 16) — 60 bits,
 # bit-reproducible in any engine with md5 (DuckDB: ('0x'||substr(md5(s),1,15))
@@ -89,6 +90,7 @@ def _shingle_parts(df: DataFrame, n: int, text_col: str, id_col: str,
     # re-tokenize the full text once per shingle index (higher-order
     # functions are interpreted per-element, no subexpression elimination)
     # — O(tokens^2) regex work per document.
+    df = spread_small_scan(df)
     toked = df.select(
         F.col(id_col), tokens(F.lower(F.col(text_col))).alias("_toks"))
     toks = F.col("_toks")
@@ -468,6 +470,7 @@ def simhash_signatures(df: DataFrame, text_col: str = "text",
 
     # null-text docs drop here: the SQL oracle's UNNEST(tokens) emits no
     # rows for NULL, so they have no signature on either side
+    df = spread_small_scan(df)
     return (df.filter(F.col(text_col).isNotNull())
             .select(F.col(id_col), simhash(F.col(text_col)).alias("simhash")))
 
@@ -571,3 +574,109 @@ def decontaminate(
     # dirty corpus), so no broadcast hint here — AQE picks the strategy
     clean = docs.join(hits.select(id_col), id_col, "left_anti")
     return clean, hits
+
+
+def dedup_lines(
+    df: DataFrame,
+    min_docs: int = 2,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Cross-document repeated-line removal (the CCNet / RefinedWeb
+    boilerplate filter): drop every line whose normalized form appears in
+    at least ``min_docs`` DISTINCT documents — headers, nav bars,
+    cookie banners, "subscribe" footers — and reassemble the survivors
+    in original order.
+
+    Returns (id, clean_text, n_lines_kept, n_lines_dropped); documents
+    whose every line is boilerplate survive with an empty clean_text
+    (dropping them is the caller's policy decision).
+
+    100 TB shape: lines shuffle as 16-byte digests, never raw text, for
+    the frequency count (partial map-side aggregation bounds the volume
+    by distinct-line cardinality); the boilerplate set joins back by
+    digest with AQE picking broadcast vs shuffle (its size is a corpus
+    property, not a parameter); reassembly is ONE groupBy on the doc id.
+    Normalization is trim+lowercase, so blank lines count as one global
+    "line" and are removed once they recur — deterministic, and the
+    DuckDB oracle replays the whole pipeline exactly (gated entry).
+    """
+    from tantalus_spark.operators.spread import spread_small_scan
+
+    df = spread_small_scan(df)
+    lines = df.select(
+        F.col(id_col),
+        F.posexplode(F.split(F.col(text_col), "\n")).alias("pos", "line"),
+    ).withColumn("lh", F.md5(F.trim(F.lower(F.col("line")))))
+    boiler = (
+        lines.groupBy("lh")
+        .agg(F.count_distinct(F.col(id_col)).alias("n_docs"))
+        .filter(F.col("n_docs") >= min_docs)
+        .select("lh", F.lit(True).alias("is_boiler"))
+    )
+    flagged = lines.join(boiler, "lh", "left")
+    keep_struct = F.when(
+        F.col("is_boiler").isNull(), F.struct("pos", "line"))
+    return (
+        flagged.groupBy(id_col)
+        .agg(
+            F.array_join(
+                F.transform(
+                    F.array_sort(F.collect_list(keep_struct)),
+                    lambda s: s.line,
+                ),
+                "\n",
+            ).alias("clean_text"),
+            F.sum(F.when(F.col("is_boiler").isNull(), 1).otherwise(0))
+            .cast("int").alias("n_lines_kept"),
+            F.sum(F.when(F.col("is_boiler").isNotNull(), 1).otherwise(0))
+            .cast("int").alias("n_lines_dropped"),
+        )
+    )
+
+
+def contamination_scores(
+    docs: DataFrame,
+    benchmark: DataFrame,
+    n: int = 13,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    bench_text_col: str = "text",
+) -> DataFrame:
+    """Graded benchmark-overlap scoring: for every document, the FRACTION
+    of its distinct token n-grams that appear in the benchmark corpus —
+    the contamination *score* behind :func:`decontaminate`'s binary
+    flag, so pipelines can set a threshold (e.g. drop > 0.05, audit
+    > 0.01) instead of anything-overlaps-dies.
+
+    Returns (id, n_shingles, n_hits, round(overlap, 4)) for every
+    document with at least one n-gram; docs shorter than *n* tokens
+    have no shingles and are absent (vacuously uncontaminated — union
+    them back with 0.0 if a row per doc is required). Same scale shape
+    as decontaminate: the benchmark
+    shingle set broadcasts (eval-suite-sized), the corpus posting list
+    never shuffles, one groupBy on the doc id."""
+    corpus_sh = shingles(docs, n=n, text_col=text_col, id_col=id_col,
+                         hashed=True)
+    bench_sh = (
+        shingles(benchmark.select(F.lit(0).alias("_bid"),
+                                  F.col(bench_text_col).alias("_btext")),
+                 n=n, text_col="_btext", id_col="_bid", hashed=True)
+        .select("shingle").distinct()
+        .withColumn("hit", F.lit(1))
+    )
+    return (
+        corpus_sh.join(F.broadcast(bench_sh), "shingle", "left")
+        .groupBy(id_col)
+        .agg(
+            F.count(F.lit(1)).alias("n_shingles"),
+            F.sum(F.coalesce(F.col("hit"), F.lit(0))).alias("n_hits"),
+        )
+        .select(
+            F.col(id_col),
+            F.col("n_shingles").cast("int"),
+            F.col("n_hits").cast("int"),
+            F.round(F.col("n_hits") / F.col("n_shingles"), 4)
+            .alias("overlap"),
+        )
+    )

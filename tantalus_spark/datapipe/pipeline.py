@@ -31,6 +31,7 @@ from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
 from tantalus_spark.datapipe.textstats import LANG_MARKERS, _occurrences, tokens
+from tantalus_spark.operators.spread import spread_small_scan
 
 
 def _gated_features(
@@ -43,7 +44,10 @@ def _gated_features(
     alpha_ratio, __md5, lang_pred [, passthrough...]). Heavy text
     expressions live in ONE projection; the language argmax derives from
     their output columns in a second (see module docstring for why
-    CollapseProject keeps them single-evaluated)."""
+    CollapseProject keeps them single-evaluated). Batch inputs that land
+    parallelism-starved (single-row-group parquet) are spread first;
+    streaming inputs pass through untouched."""
+    docs = spread_small_scan(docs)
     text = F.col(text_col)
     padded = F.concat(F.lit(" "), F.lower(text), F.lit(" "))
     score_exprs = {}

@@ -12,6 +12,8 @@ import re
 from pyspark.sql import Column, DataFrame, Window as W
 from pyspark.sql import functions as F
 
+from tantalus_spark.operators.spread import spread_small_scan
+
 # Small stopword marker sets per language for the n-gram/stopword language
 # heuristic. Deliberately tiny: the point is the *operator shape* (per-doc
 # score vector + argmax), which scales embarrassingly parallel.
@@ -66,6 +68,7 @@ def bpe_token_count(df: DataFrame, text_col: str = "text",
     entirely JVM-side with ``regexp_extract_all`` — no UDF. Alongside the
     whitespace count this gives the chars-per-token ratio used to budget
     training tokens from raw bytes."""
+    df = spread_small_scan(df)
     text = F.col(text_col)
     n_bpe = F.size(F.regexp_extract_all(text, F.lit(BPE_SPLIT_RE), F.lit(0)))
     return df.select(
@@ -82,6 +85,7 @@ def quality_score(df: DataFrame, text_col: str = "text",
 
     ``regexp_replace``-difference counting keeps everything codegen'd.
     """
+    df = spread_small_scan(df)
     text = F.col(text_col)
     n = F.length(text)
     alpha = F.length(F.regexp_replace(text, "[^a-zA-Z]", ""))
@@ -137,6 +141,7 @@ def lang_scores(df: DataFrame, text_col: str = "text",
 
     One pass, no shuffle; at 100 TB this is a pure map stage.
     """
+    df = spread_small_scan(df)
     text = F.concat(F.lit(" "), F.lower(F.col(text_col)), F.lit(" "))
     cols = [F.col(id_col)]
     score_cols = []
@@ -162,6 +167,7 @@ def fingerprint(df: DataFrame, text_col: str = "text",
                 id_col: str = "doc_id") -> DataFrame:
     """Deterministic document fingerprints: full-content md5 + sha256, plus
     a normalized 8-hex-char prefix fingerprint for cheap bucketing."""
+    df = spread_small_scan(df)
     text = F.col(text_col)
     return df.select(
         F.col(id_col),
@@ -191,6 +197,7 @@ def doc_profile(df: DataFrame, text_col: str = "text",
     inline non-cheap expressions referenced more than once), so nothing is
     re-evaluated by the argmax when-chain or ratio reuse.
     """
+    df = spread_small_scan(df)
     text = F.col(text_col)
     padded = F.concat(F.lit(" "), F.lower(text), F.lit(" "))
     score_exprs: dict[str, Column] = {}
@@ -256,6 +263,7 @@ def tfidf_top_terms(df: DataFrame, k: int = 5, text_col: str = "text",
     frequency per term) + a rank window — all shuffles keyed on the 8-byte
     term/doc ids' natural columns, corpus size N folded in as a broadcast
     scalar. Deterministic tie-break (score desc, term asc)."""
+    df = spread_small_scan(df)
     toks = df.select(
         F.col(id_col),
         F.explode(tokens(F.lower(F.col(text_col)))).alias("term"),
@@ -346,6 +354,7 @@ def winnowing_fingerprints(df: DataFrame, k: int = 5, window: int = 4,
     # filter (InferFiltersFromGenerate) with the expression inlined at the
     # scan; over an expression it infers nothing (see q53 quadratic-trap
     # note in .claude/skills/verify/SKILL.md).
+    df = spread_small_scan(df)
     toked = df.select(
         F.col(id_col),
         F.posexplode(tokens(F.lower(F.col(text_col)))).alias("pos", "_tok"),
@@ -400,6 +409,7 @@ def chunk_documents(df: DataFrame, max_tokens: int = 512, overlap: int = 64,
     if overlap >= max_tokens:
         raise ValueError("overlap must be < max_tokens")
     stride = max_tokens - overlap
+    df = spread_small_scan(df)
     toked = df.select(
         F.col(id_col), tokens(F.col(text_col)).alias("_t"))
     t = F.col("_t")
@@ -427,6 +437,7 @@ def repetition_ratios(df: DataFrame, text_col: str = "text",
     """Repetition-based quality signals (Gopher-style filters): fraction
     of duplicated lines and duplicated tokens per document. High values
     flag boilerplate/spam for the cleaning gates. Array-side, one scan."""
+    df = spread_small_scan(df)
     text = F.col(text_col)
     lines = F.split(text, "\n")
     toks = tokens(F.lower(text))
@@ -437,3 +448,112 @@ def repetition_ratios(df: DataFrame, text_col: str = "text",
         F.round(F.lit(1) - F.size(F.array_distinct(toks)) / F.size(toks), 4)
         .alias("dup_token_ratio"),
     )
+
+
+# Fixed, published-shape weights for the linear quality gate: a tiny
+# logistic scorer over the same cheap features the quality_score operator
+# already computes (the fasttext-style "quality classifier" stage of a
+# training-data pipeline, with the learned weights supplied by the
+# caller in production; these defaults just make the operator runnable
+# and the gate deterministic).
+QUALITY_WEIGHTS: dict[str, float] = {
+    "log_tokens": 0.35,      # longer documents are likelier to be prose
+    "alpha_ratio": 3.0,      # letters over markup/digits
+    "space_ratio": 4.0,      # real sentences have ~15% spaces
+    "dup_line_ratio": -2.5,  # boilerplate repetition
+}
+QUALITY_BIAS = -2.2
+
+
+def quality_classifier(
+    df: DataFrame,
+    weights: dict[str, float] | None = None,
+    bias: float = QUALITY_BIAS,
+    threshold: float = 0.5,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Model-based quality filtering as one codegen'd map stage: a
+    logistic scorer over cheap per-document features (log token count,
+    alpha ratio, whitespace ratio, duplicate-line ratio).
+
+    Returns (id, quality_score, keep). The keep decision compares the
+    LOGIT to log(t/(1-t)) rather than the sigmoid to 0.5 — the logit is
+    plain IEEE arithmetic that replays bit-for-bit in any engine,
+    whereas exp() may differ by an ulp across libm implementations;
+    quality_score is display-rounded. At 100 TB this is scan-bound, one
+    pass, no shuffle — the shape a learned classifier (exported as
+    weights over engine-computable features) runs in."""
+    import math
+
+    w = dict(QUALITY_WEIGHTS, **(weights or {}))
+    df = spread_small_scan(df)
+    text = F.col(text_col)
+    n = F.length(text)
+    feats = {
+        "log_tokens": F.log(F.size(tokens(text)) + F.lit(1.0)),
+        "alpha_ratio":
+            F.length(F.regexp_replace(text, "[^a-zA-Z]", "")) / n,
+        "space_ratio":
+            F.length(F.regexp_replace(text, r"[^\s]", "")) / n,
+        "dup_line_ratio": F.lit(1.0)
+            - F.size(F.array_distinct(F.split(text, "\n")))
+            / F.size(F.split(text, "\n")),
+    }
+    z = F.lit(float(bias))
+    for name, weight in w.items():
+        z = z + F.lit(float(weight)) * feats[name]
+    cut = math.log(threshold / (1.0 - threshold))
+    return df.select(
+        F.col(id_col),
+        F.round(F.lit(1.0) / (F.lit(1.0) + F.exp(-z)), 4)
+        .alias("quality_score"),
+        (z >= F.lit(cut)).alias("keep"),
+    )
+
+
+# PII patterns chosen for cross-engine regex parity: no backreferences,
+# no lookaround, \b and character classes only — identical semantics in
+# Java regex (Spark) and RE2 (DuckDB oracle / Trino / BigQuery).
+PII_PATTERNS: dict[str, tuple[str, str]] = {
+    "email": (r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}", "[EMAIL]"),
+    "ipv4": (r"\b\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}\b", "[IP]"),
+    "ssn": (r"\b\d{3}-\d{2}-\d{4}\b", "[SSN]"),
+    "phone": (r"\b\d{3}[-.]\d{3}[-.]\d{4}\b", "[PHONE]"),
+}
+
+
+def scrub_pii(
+    df: DataFrame,
+    patterns: dict[str, tuple[str, str]] | None = None,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """PII redaction for training corpora: count and replace emails,
+    IPv4 addresses, SSNs and phone-shaped numbers with typed tokens.
+
+    Returns (id, scrubbed text, n_<kind> per pattern, n_pii total).
+    Counting uses the PRE-redaction text for every pattern (so the
+    reported counts are independent of replacement order), while the
+    redaction itself applies patterns in declaration order — SSN before
+    phone matters, e.g. 123-45-6789 must become [SSN], not a partial
+    phone hit. Pure regexp map stage: one scan, zero shuffles, zero
+    Python; patterns are deliberately RE2-compatible so the same table
+    is reproducible outside the JVM."""
+    pats = patterns or PII_PATTERNS
+    df = spread_small_scan(df)
+    text = F.col(text_col)
+    counts = [
+        F.size(F.regexp_extract_all(text, F.lit(pat), F.lit(0)))
+        .alias(f"n_{kind}")
+        for kind, (pat, _) in pats.items()
+    ]
+    scrubbed = text
+    for kind, (pat, token) in pats.items():
+        scrubbed = F.regexp_replace(scrubbed, pat, token)
+    out = df.select(F.col(id_col), scrubbed.alias(text_col), *counts)
+    total = None
+    for kind in pats:
+        c = F.col(f"n_{kind}")
+        total = c if total is None else total + c
+    return out.withColumn("n_pii", total.cast("int"))

@@ -1033,6 +1033,60 @@ def q75_ann_trained(spark, sf_dir):
 
 
 
+def q76_line_dedup(spark, sf_dir):
+    """Cross-document repeated-line removal (CCNet/RefinedWeb boilerplate
+    filter): lines whose normalized form appears in >= 2 distinct docs
+    are dropped; survivors reassemble in original order. Digest-only
+    frequency shuffle; reassembly is one groupBy on the doc id."""
+    docs = db_for(spark, sf_dir).table("documents")
+    return dedup.dedup_lines(docs, min_docs=2)
+
+
+def q77_contamination_frac(spark, sf_dir):
+    """Graded benchmark-overlap scoring: fraction of each corpus doc's
+    distinct 5-gram shingles present in the doc_id<5 'benchmark' slice
+    (decontamination with a score/threshold instead of q70's binary
+    flag). Benchmark shingles broadcast; corpus never shuffles."""
+    docs = db_for(spark, sf_dir).table("documents")
+    bench = docs.filter(F.col("doc_id") < 5).select("text")
+    corpus = docs.filter(F.col("doc_id") >= 5)
+    return dedup.contamination_scores(corpus, bench, n=5)
+
+
+def q78_quality_classifier(spark, sf_dir):
+    """Model-based quality gate: logistic scorer over engine-computable
+    features (log tokens, alpha/space ratios, duplicate-line ratio) with
+    fixed weights; keep decides on the logit (bit-reproducible IEEE
+    arithmetic), score is display-rounded. One codegen'd map stage."""
+    from tantalus_spark.datapipe.textstats import quality_classifier
+
+    docs = db_for(spark, sf_dir).table("documents")
+    return quality_classifier(docs)
+
+
+def q79_scrub_pii(spark, sf_dir):
+    """PII redaction over a corpus salted with synthetic emails/IPs (the
+    fixture texts are PII-free, so the entry plants one deterministic
+    email + IPv4 per doc, then counts and redacts them — exercising the
+    real regex path end to end). RE2-compatible patterns; one scan."""
+    from tantalus_spark.datapipe.textstats import scrub_pii
+
+    docs = db_for(spark, sf_dir).table("documents")
+    salted = docs.select(
+        "doc_id",
+        F.concat(
+            F.col("text"), F.lit(" contact u"),
+            F.col("doc_id").cast("string"), F.lit("@ex.com ip 10.0."),
+            F.pmod(F.col("doc_id"), F.lit(256)).cast("string"), F.lit(".7"),
+        ).alias("text"),
+    )
+    return scrub_pii(salted).select(
+        "doc_id", "n_email", "n_ipv4", "n_ssn", "n_phone", "n_pii",
+        F.md5("text").alias("scrubbed_md5"),
+    )
+
+
+
 _ALL_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     name[1:]: fn
     for name, fn in list(globals().items())
@@ -1087,6 +1141,9 @@ _QUERY_ORDER = [
     "60_minhash_signatures", "61_hash_split", "62_dup_clusters",
     "64_full_outer", "66_ntile", "67_latest_per_key", "68_range_join",
     "75_ann_trained",
+    # r4 additions (tail; rotation candidates for the r5 window)
+    "76_line_dedup", "77_contamination_frac", "78_quality_classifier",
+    "79_scrub_pii",
 ]
 
 QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
@@ -1926,5 +1983,98 @@ ORACLES: dict[str, str] = {
         JOIN e ea ON ea.vec_id = a.vec_id
         JOIN e eb ON eb.vec_id = b.vec_id
         WHERE list_cosine_similarity(ea.v, eb.v) >= 0.45
+    """,
+    "76_line_dedup": """
+        WITH t AS (
+          SELECT doc_id, string_split(text, chr(10)) AS ls FROM documents),
+        l AS (
+          SELECT doc_id, i AS pos, ls[i] AS line,
+                 md5(trim(lower(ls[i]))) AS lh
+          FROM t, UNNEST(range(1, len(ls) + 1)) AS u(i)),
+        b AS (
+          SELECT lh FROM l GROUP BY lh
+          HAVING count(DISTINCT doc_id) >= 2)
+        SELECT l.doc_id,
+               coalesce(string_agg(l.line, chr(10) ORDER BY l.pos)
+                        FILTER (WHERE b.lh IS NULL), '') AS clean_text,
+               CAST(count(*) FILTER (WHERE b.lh IS NULL) AS INTEGER)
+                 AS n_lines_kept,
+               CAST(count(*) FILTER (WHERE b.lh IS NOT NULL) AS INTEGER)
+                 AS n_lines_dropped
+        FROM l LEFT JOIN b USING (lh)
+        GROUP BY l.doc_id
+    """,
+    "77_contamination_frac": """
+        WITH tok AS (
+          SELECT doc_id, string_split_regex(trim(lower(text)), '\\s+') AS t
+          FROM documents),
+        sh AS (
+          SELECT DISTINCT doc_id,
+                 t[i]||' '||t[i+1]||' '||t[i+2]||' '||t[i+3]||' '||t[i+4]
+                   AS shingle
+          FROM tok, UNNEST(range(1, greatest(len(t)-3, 1))) AS u(i)),
+        bench AS (SELECT DISTINCT shingle FROM sh WHERE doc_id < 5)
+        SELECT s.doc_id,
+               CAST(count(*) AS INTEGER) AS n_shingles,
+               CAST(count(b.shingle) AS INTEGER) AS n_hits,
+               round(count(b.shingle) * 1.0 / count(*), 4) AS overlap
+        FROM sh s LEFT JOIN bench b ON s.shingle = b.shingle
+        WHERE s.doc_id >= 5
+        GROUP BY s.doc_id
+    """,
+    "78_quality_classifier": """
+        WITH f AS (
+          SELECT doc_id,
+                 ln(len(string_split_regex(trim(text), '\\s+')) + 1.0)
+                   AS log_tokens,
+                 length(regexp_replace(text, '[^a-zA-Z]', '', 'g')) * 1.0
+                   / length(text) AS alpha_ratio,
+                 length(regexp_replace(text, '[^\\s]', '', 'g')) * 1.0
+                   / length(text) AS space_ratio,
+                 1.0 - len(list_distinct(string_split(text, chr(10)))) * 1.0
+                   / len(string_split(text, chr(10))) AS dup_line_ratio
+          FROM documents),
+        z AS (
+          SELECT doc_id,
+                 -2.2 + 0.35 * log_tokens + 3.0 * alpha_ratio
+                      + 4.0 * space_ratio + (-2.5) * dup_line_ratio AS z
+          FROM f)
+        SELECT doc_id, round(1.0 / (1.0 + exp(-z)), 4) AS quality_score,
+               z >= 0.0 AS keep
+        FROM z
+    """,
+    "79_scrub_pii": """
+        WITH s AS (
+          SELECT doc_id,
+                 text || ' contact u' || CAST(doc_id AS VARCHAR)
+                      || '@ex.com ip 10.0.' || CAST(doc_id % 256 AS VARCHAR)
+                      || '.7' AS text
+          FROM documents),
+        c AS (
+          SELECT doc_id, text,
+            CAST(len(regexp_extract_all(text,
+              '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}'))
+              AS INTEGER) AS n_email,
+            CAST(len(regexp_extract_all(text,
+              '\\b\\d{1,3}\\.\\d{1,3}\\.\\d{1,3}\\.\\d{1,3}\\b'))
+              AS INTEGER) AS n_ipv4,
+            CAST(len(regexp_extract_all(text,
+              '\\b\\d{3}-\\d{2}-\\d{4}\\b')) AS INTEGER) AS n_ssn,
+            CAST(len(regexp_extract_all(text,
+              '\\b\\d{3}[-.]\\d{3}[-.]\\d{4}\\b')) AS INTEGER)
+              AS n_phone
+          FROM s)
+        SELECT doc_id, n_email, n_ipv4, n_ssn, n_phone,
+               CAST(n_email + n_ipv4 + n_ssn + n_phone AS INTEGER) AS n_pii,
+               md5(regexp_replace(regexp_replace(regexp_replace(
+                     regexp_replace(text,
+                       '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}',
+                       '[EMAIL]', 'g'),
+                     '\\b\\d{1,3}\\.\\d{1,3}\\.\\d{1,3}\\.\\d{1,3}\\b',
+                     '[IP]', 'g'),
+                   '\\b\\d{3}-\\d{2}-\\d{4}\\b', '[SSN]', 'g'),
+                 '\\b\\d{3}[-.]\\d{3}[-.]\\d{4}\\b', '[PHONE]', 'g'))
+                 AS scrubbed_md5
+        FROM c
     """,
 }

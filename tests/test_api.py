@@ -334,3 +334,72 @@ def test_csv_export_endpoint(server):
     with pytest.raises(urllib.error.HTTPError) as e:
         get(server, "/api/sequence_dataset/csv/?id__in=x")
     assert e.value.code == 400
+
+
+def test_facade_soak_mixed_traffic(tdb):
+    """ADVICE soak closure: ~100 mixed HTTP operations (PUT upserts
+    interleaved with POST+DELETE pairs, filtered lists, ?expand= reads
+    and CSV export) against one long-lived server — asserting (a)
+    latency stays stable (the final phase is not slower than the
+    warmed-up early phase beyond noise) and (b) the table's logical-plan
+    depth stays bounded by the lineage checkpoint, i.e. the facade can
+    run for days, not demos. Sized to cover 7+ full checkpoint periods
+    (60 writes / CHECKPOINT_EVERY=8) in ~3 min of suite budget — each op
+    is a full Spark job round-trip, so op count, not wall time, is the
+    lever; an unbounded-lineage regression shows up well within one
+    period as monotone per-phase drift."""
+    import time
+
+    srv = ApiServer(tdb)
+    srv.CHECKPOINT_EVERY = 8
+    host, port = srv.serve_background()
+    base = f"http://{host}:{port}"
+    phase_times: list[list[float]] = []
+    try:
+        for phase in range(4):
+            times = []
+            for i in range(15):
+                n = phase * 15 + i
+                t0 = time.time()
+                status, _ = post(base, "/api/tag/",
+                                 {"id": 2, "name": f"soak{n}"}, method="PUT")
+                assert status == 200
+                if n % 5 == 1:
+                    status, body = post(base, "/api/tag/",
+                                        {"name": f"eph{n}"})
+                    assert status in (200, 201)
+                    eph = body["ids"][0]
+                    req = urllib.request.Request(
+                        f"{base}/api/tag/?id={eph}", method="DELETE")
+                    with urllib.request.urlopen(req, timeout=60) as resp:
+                        assert json.loads(resp.read())["deleted"] == 1
+                if n % 5 == 3:
+                    _, got = get(base, "/api/tag/?id=2")
+                    assert got["results"][0]["name"] == f"soak{n}"
+                if n % 10 == 7:
+                    _, body = get(
+                        base, "/api/sequence_dataset/?id=1&expand=sample,tags")
+                    assert body["results"][0]["sample"]["sample_id"] == "SA100A"
+                if n % 25 == 9:
+                    req = urllib.request.Request(
+                        base + "/api/sequence_dataset/csv/?id__in=1,2")
+                    with urllib.request.urlopen(req, timeout=60) as resp:
+                        assert resp.status == 200 and resp.read()
+                times.append(time.time() - t0)
+            phase_times.append(times)
+        med = [sorted(ts)[len(ts) // 2] for ts in phase_times]
+        # latency stability: final-phase median within 3x of the
+        # post-warmup phase (generous: CI boxes jitter, drift is what a
+        # lineage leak produces — r2's unbounded chain grew >10x here)
+        assert med[3] < 3 * med[1] + 0.05, f"latency drifted: {med}"
+        depth = len(srv.db.table("tag")._jdf.queryExecution()
+                    .logical().treeString().splitlines())
+        assert depth < 80, f"plan depth {depth} not bounded after 200 cycles"
+        _, got = get(base, "/api/tag/?id=2")
+        assert got["results"][0]["name"] == "soak59"
+    finally:
+        from pyspark.sql import functions as F
+        srv.db.add("tag", srv.db.table("tag").filter(F.col("id") <= 3)
+                   .withColumn("name", F.when(F.col("id") == 2, "qc")
+                               .otherwise(F.col("name"))))
+        srv.shutdown()

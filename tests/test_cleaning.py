@@ -1,0 +1,105 @@
+"""r4 corpus-cleaning additions: cross-document line dedup (CCNet-style
+boilerplate removal), graded contamination scoring, the logistic quality
+classifier, and PII scrubbing."""
+
+from __future__ import annotations
+
+import pytest
+
+from pyspark.sql import functions as F
+
+from tantalus_spark.datapipe.dedup import contamination_scores, dedup_lines
+from tantalus_spark.datapipe.textstats import (
+    PII_PATTERNS,
+    quality_classifier,
+    scrub_pii,
+)
+
+
+@pytest.fixture(scope="module")
+def line_docs(spark):
+    rows = [
+        (1, "Cookie notice\nreal content one\nSubscribe now!"),
+        (2, "Cookie Notice\nunique middle line\nSubscribe now!"),
+        (3, "totally original document\nwith its own lines"),
+        (4, "Cookie notice"),                       # all boilerplate
+    ]
+    return spark.createDataFrame(rows, ["doc_id", "text"])
+
+
+def test_dedup_lines_drops_cross_doc_boilerplate(line_docs):
+    out = {r.doc_id: r for r in dedup_lines(line_docs, min_docs=2).collect()}
+    assert set(out) == {1, 2, 3, 4}
+    # 'Cookie notice' matches case-insensitively across docs 1/2/4;
+    # 'Subscribe now!' across 1/2 — both dropped
+    assert out[1].clean_text == "real content one"
+    assert out[1].n_lines_kept == 1 and out[1].n_lines_dropped == 2
+    assert out[2].clean_text == "unique middle line"
+    # untouched doc keeps original line order and count
+    assert out[3].clean_text == "totally original document\nwith its own lines"
+    assert out[3].n_lines_dropped == 0
+    # fully-boilerplate doc survives with empty text (caller's policy)
+    assert out[4].clean_text == "" and out[4].n_lines_kept == 0
+
+
+def test_dedup_lines_preserves_order(spark):
+    text = "z last\nshared\na first\nshared\nm middle"
+    df = spark.createDataFrame(
+        [(1, text), (2, "shared")], ["doc_id", "text"])
+    out = {r.doc_id: r for r in dedup_lines(df, min_docs=2).collect()}
+    assert out[1].clean_text == "z last\na first\nm middle"
+    assert out[1].n_lines_dropped == 2
+
+
+def test_contamination_scores_fraction(spark):
+    bench = spark.createDataFrame(
+        [("the quick brown fox jumps over the lazy dog",)], ["text"])
+    docs = spark.createDataFrame([
+        # 4 distinct 5-gram shingles, 2 in the benchmark
+        (10, "quick brown fox jumps over the lazy wombat here"),
+        (11, "nothing in common with anything benchmarked at all"),
+        (12, "too short"),                      # < n tokens: no shingles
+    ], ["doc_id", "text"])
+    out = {r.doc_id: r for r in
+           contamination_scores(docs, bench, n=5).collect()}
+    assert 12 not in out                        # absent, vacuously clean
+    assert out[11].n_hits == 0 and out[11].overlap == 0.0
+    assert out[10].n_shingles == 5
+    assert out[10].n_hits == 3                  # windows 1-3 hit
+    assert out[10].overlap == pytest.approx(0.6)
+
+
+def test_quality_classifier_orders_and_threshold(spark):
+    good = ("This is a well formed paragraph of ordinary english prose "
+            "with words and sentences that continue for a while longer.")
+    bad = "x\nx\nx\nx\nx\nx\nx\nx"              # repetitive, tiny
+    df = spark.createDataFrame([(1, good), (2, bad)], ["doc_id", "text"])
+    out = {r.doc_id: r for r in quality_classifier(df).collect()}
+    assert out[1].quality_score > out[2].quality_score
+    assert 0.0 <= out[2].quality_score <= out[1].quality_score <= 1.0
+    assert out[1].keep
+    # keep must agree with the score against the threshold
+    for r in out.values():
+        assert r.keep == (r.quality_score >= 0.5) or \
+            abs(r.quality_score - 0.5) < 1e-3
+    # weight override steers the decision
+    strict = {r.doc_id: r for r in quality_classifier(
+        df, weights={"dup_line_ratio": -50.0}).collect()}
+    assert not strict[2].keep
+
+
+def test_scrub_pii_counts_and_redacts(spark):
+    df = spark.createDataFrame([
+        (1, "mail bob.smith+x@example.co.uk and 10.20.30.40 now"),
+        (2, "ssn 123-45-6789 tel 555-123-4567"),
+        (3, "clean text without identifiers"),
+    ], ["doc_id", "text"])
+    out = {r.doc_id: r for r in scrub_pii(df).collect()}
+    assert out[1].n_email == 1 and out[1].n_ipv4 == 1 and out[1].n_pii == 2
+    assert out[1].text == "mail [EMAIL] and [IP] now"
+    # SSN pattern wins over the phone pattern for 3-2-4 digit groups,
+    # and counts are computed pre-redaction so both report correctly
+    assert out[2].n_ssn == 1 and out[2].n_phone == 1
+    assert out[2].text == "ssn [SSN] tel [PHONE]"
+    assert out[3].n_pii == 0 and out[3].text == "clean text without identifiers"
+    assert set(PII_PATTERNS) == {"email", "ipv4", "ssn", "phone"}
