@@ -172,3 +172,42 @@ def test_winnowing_single_exchange_reused(spark):
     assert "Filter (size" not in plan
     scan = plan.split("FileScan")[1][:400]
     assert "md5" not in scan                    # no inlined expr filter
+
+
+def test_line_dedup_shuffles_digests_not_text(spark):
+    """q76 plan contract: the boilerplate-frequency aggregation must
+    shuffle the 16-byte line digest, never the raw line text — at corpus
+    scale the digest column is the only thing the count exchange may
+    carry."""
+    df = QUERIES["76_line_dedup"](spark, SF)
+    opt = _optimized(df)
+    # the count-distinct-docs aggregate keys on the md5 digest
+    assert "md5" in opt
+    plan = _plan(df)
+    # frequency-count exchanges must hash-partition on the digest (lh),
+    # not on any text column
+    for frag in plan.split("Exchange hashpartitioning(")[1:]:
+        keycols = frag.split(")")[0]
+        assert "line#" not in keycols or "lh" in keycols
+
+
+def test_scrub_pii_is_single_map_stage(spark):
+    """q79 plan contract: counting + redaction is one scan-projection
+    with zero exchanges and no Python in the plan."""
+    from tantalus_spark.catalog.loader import read_parquet
+    from tantalus_spark.datapipe.textstats import scrub_pii
+
+    docs = read_parquet(spark, f"{SF}/documents.parquet")
+    plan = _plan(scrub_pii(docs))
+    assert "Exchange" not in plan
+    assert "Python" not in plan and "ArrowEval" not in plan
+
+
+def test_quality_classifier_is_single_map_stage(spark):
+    from tantalus_spark.catalog.loader import read_parquet
+    from tantalus_spark.datapipe.textstats import quality_classifier
+
+    docs = read_parquet(spark, f"{SF}/documents.parquet")
+    plan = _plan(quality_classifier(docs))
+    assert "Exchange" not in plan
+    assert plan.lstrip().startswith("*(1)")   # whole-stage codegen'd
