@@ -526,3 +526,126 @@ def l2_normalize(df: DataFrame, id_col: str = "vec_id",
             vec_col, lambda x: x / F.col("_norm")))
         .otherwise(F.col(vec_col).cast("array<double>")).alias(vec_col),
     )
+
+
+def knn_graph(
+    df: DataFrame,
+    k: int = 5,
+    n_blocks: int = 4,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Exact k-nearest-neighbor GRAPH over the whole corpus (every vector
+    queries every other): the building block for embedding-space dedup
+    clusters, diversity sampling, and graph-based ANN indexes (HNSW-style
+    construction starts from exactly this).
+
+    Same block-pair gemm layout as :func:`embedding_near_dup_pairs`
+    (rows replicate n_blocks x — linear — while the quadratic flops run
+    in BLAS inside one ``applyInPandas``), but each block-pair emits only
+    its PARTIAL top-k per query row, so the shuffle after the gemm
+    carries O(n x k x n_blocks) candidate rows, never O(n^2) scores. A
+    final window keeps the global k by (cosine desc, neighbor id asc) —
+    a total order, so results are deterministic. At 10^9 vectors the
+    knob is n_blocks (one block-pair's two slabs must fit an executor);
+    the LSH/IVF paths remain the sub-quadratic alternatives when
+    exactness isn't required.
+
+    Returns (id, nb_id, cosine rounded 4dp, rank 1..k). Zero-norm
+    vectors score 0 against everything (same guard as the near-dup
+    gemm). Rounding happens JVM-side AFTER ranking, so ranks follow the
+    unrounded scores.
+    """
+    import numpy as np
+
+    nb = n_blocks
+    base = df.select(F.col(id_col).alias("id"), F.col(vec_col).alias("v"))
+    blk = F.pmod(F.xxhash64("id"), F.lit(nb)).cast("int")
+    e = base.withColumn("_blk", blk)
+    side_a = e.select(
+        "id", "v",
+        F.col("_blk").alias("gi"),
+        F.explode(F.sequence(F.col("_blk"), F.lit(nb - 1))).alias("gj"),
+        F.lit(0).alias("side"),
+    )
+    side_b = e.select(
+        "id", "v",
+        F.explode(F.sequence(F.lit(0), F.col("_blk"))).alias("gi"),
+        F.col("_blk").alias("gj"),
+        F.lit(1).alias("side"),
+    )
+    kk = int(k)
+
+    def partial_topk(key, pdf: pd.DataFrame) -> pd.DataFrame:
+        empty = pd.DataFrame(
+            {"qid": pd.Series(dtype="int64"),
+             "nb_id": pd.Series(dtype="int64"),
+             "c": pd.Series(dtype="float64")})
+        left_pdf = pdf[pdf["side"] == 0]
+        right_pdf = pdf[pdf["side"] == 1]
+        if left_pdf.empty or right_pdf.empty:
+            return empty
+        A = np.stack(left_pdf["v"].to_numpy()).astype(np.float64)
+        B = np.stack(right_pdf["v"].to_numpy()).astype(np.float64)
+        An = np.linalg.norm(A, axis=1)
+        Bn = np.linalg.norm(B, axis=1)
+        An[An == 0] = 1.0
+        Bn[Bn == 0] = 1.0
+        S = (A @ B.T) / np.outer(An, Bn)
+        ia = left_pdf["id"].to_numpy()
+        ib = right_pdf["id"].to_numpy()
+        gi, gj = key
+        outs = []
+
+        def emit(qids, nbids, scores):
+            # per-group partial top-k must use the SAME total order as the
+            # global window (score desc, nb id asc): anything it discards
+            # is dominated by k kept rows from the same group, so the
+            # global merge over all groups' partials is exact. Columns are
+            # nb_id-ascending first, so a STABLE argsort on -score breaks
+            # ties by neighbor id — all vectorized, no per-row loop.
+            order = np.argsort(nbids, kind="stable")
+            nbs = nbids[order]
+            Ss = scores[:, order]
+            top = np.argsort(-Ss, axis=1, kind="stable")[:, :kk]
+            nq, nk = top.shape
+            rows = np.repeat(np.arange(nq), nk)
+            outs.append(pd.DataFrame(
+                {"qid": np.repeat(qids, nk),
+                 "nb_id": nbs[top.ravel()],
+                 "c": Ss[rows, top.ravel()]}))
+
+        if gi == gj:
+            # diagonal: both sides hold the same rows; mask self-pairs and
+            # emit once (A-perspective covers every row)
+            S = S.copy()
+            S[ia[:, None] == ib[None, :]] = -np.inf
+            emit(ia, ib, S)
+        else:
+            emit(ia, ib, S)            # A rows query B block
+            emit(ib, ia, S.T.copy())   # B rows query A block
+        if not outs:
+            return empty
+        return pd.concat(outs, ignore_index=True)
+
+    cands = (
+        side_a.unionByName(side_b)
+        .groupBy("gi", "gj")
+        .applyInPandas(partial_topk, schema="qid long, nb_id long, c double")
+        # masked diagonal self-scores (-inf) can only reach a partial
+        # top-k when a block has < k real neighbors; drop them here
+        .filter(F.col("c") >= F.lit(-1.0001))
+    )
+    from pyspark.sql import Window as W
+
+    w = W.partitionBy("qid").orderBy(F.col("c").desc(), F.col("nb_id").asc())
+    return (
+        cands.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= kk)
+        .select(
+            F.col("qid").alias(id_col),
+            "nb_id",
+            F.round("c", 4).alias("cosine"),
+            F.col("rank").cast("int").alias("rank"),
+        )
+    )

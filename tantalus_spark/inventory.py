@@ -1087,6 +1087,25 @@ def q79_scrub_pii(spark, sf_dir):
 
 
 
+def q80_knn_graph(spark, sf_dir):
+    """Exact kNN graph over the embedding corpus (block-pair gemm with
+    per-block partial top-k; shuffle carries O(n*k*blocks) candidates,
+    never O(n^2) scores). Vectors integerized via floor(x*32) — the q74
+    trick: integer dots are order-independent and exact in float64, and
+    sqrt/divide are correctly-rounded IEEE ops, so cosines and ranks
+    replay bit-for-bit in the SQL oracle."""
+    emb = db_for(spark, sf_dir).table("embeddings")
+    iv = emb.select(
+        "vec_id",
+        F.transform(
+            "embedding",
+            lambda x: F.floor(x.cast("double") * F.lit(32.0)).cast("double"),
+        ).alias("embedding"),
+    )
+    return similarity.knn_graph(iv, k=5, n_blocks=4)
+
+
+
 _ALL_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     name[1:]: fn
     for name, fn in list(globals().items())
@@ -1143,7 +1162,7 @@ _QUERY_ORDER = [
     "75_ann_trained",
     # r4 additions (tail; rotation candidates for the r5 window)
     "76_line_dedup", "77_contamination_frac", "78_quality_classifier",
-    "79_scrub_pii",
+    "79_scrub_pii", "80_knn_graph",
 ]
 
 QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
@@ -2076,5 +2095,27 @@ ORACLES: dict[str, str] = {
                  '\\b\\d{3}[-.]\\d{3}[-.]\\d{4}\\b', '[PHONE]', 'g'))
                  AS scrubbed_md5
         FROM c
+    """,
+    "80_knn_graph": """
+        WITH e AS (
+          SELECT vec_id,
+                 list_transform(embedding,
+                                x -> floor(CAST(x AS DOUBLE) * 32.0)) AS v
+          FROM embeddings),
+        n AS (
+          SELECT vec_id, v,
+                 CASE WHEN sqrt(list_dot_product(v, v)) = 0 THEN 1.0
+                      ELSE sqrt(list_dot_product(v, v)) END AS nrm
+          FROM e),
+        p AS (
+          SELECT a.vec_id AS vec_id, b.vec_id AS nb_id,
+                 list_dot_product(a.v, b.v) / (a.nrm * b.nrm) AS c
+          FROM n a JOIN n b ON a.vec_id <> b.vec_id)
+        SELECT vec_id, nb_id, round(c, 4) AS cosine,
+               CAST(rk AS INTEGER) AS rank
+        FROM (SELECT *, row_number() OVER (
+                PARTITION BY vec_id ORDER BY c DESC, nb_id) AS rk
+              FROM p)
+        WHERE rk <= 5
     """,
 }

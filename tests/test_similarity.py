@@ -216,3 +216,47 @@ def test_l2_normalize_drops_null_keeps_zero(spark):
     assert sorted(got) == [1, 3]
     assert got[1] == [0.6, 0.8]
     assert got[3] == [0.0, 0.0]
+
+
+def test_knn_graph_matches_numpy_brute_force(spark):
+    """knn_graph (block-gemm partial top-k + global window) must equal a
+    straight numpy all-pairs top-k under the same total order, across
+    block boundaries and with ties present."""
+    import numpy as np
+
+    rng = np.random.default_rng(11)
+    n, d, k = 57, 8, 4
+    V = rng.integers(-3, 4, size=(n, d)).astype(float)   # integer-valued:
+    V[7] = V[31]                                         # exact ties
+    V[12] = 0.0                                          # zero-norm row
+    df = spark.createDataFrame(
+        [(i, [float(x) for x in V[i]]) for i in range(n)],
+        ["vec_id", "embedding"])
+    got = {
+        (r.vec_id, r.rank): (r.nb_id, r.cosine)
+        for r in sim.knn_graph(df, k=k, n_blocks=3).collect()
+    }
+    nrm = np.linalg.norm(V, axis=1)
+    nrm[nrm == 0] = 1.0
+    S = (V @ V.T) / np.outer(nrm, nrm)
+    np.fill_diagonal(S, -np.inf)
+    for q in range(n):
+        # stable sort over nb-ascending columns = (score desc, nb asc)
+        order = np.argsort(-S[q], kind="stable")[:k]
+        for rk, nb in enumerate(order, start=1):
+            nb_got, c_got = got[(q, rk)]
+            assert nb_got == nb, (q, rk, nb_got, nb)
+            assert c_got == pytest.approx(round(float(S[q, nb]), 4))
+
+
+def test_knn_graph_small_corpus_fewer_than_k(spark):
+    df = spark.createDataFrame(
+        [(1, [1.0, 0.0]), (2, [0.0, 1.0]), (3, [1.0, 1.0])],
+        ["vec_id", "embedding"])
+    rows = sim.knn_graph(df, k=10, n_blocks=2).collect()
+    per = {}
+    for r in rows:
+        per.setdefault(r.vec_id, []).append(r)
+    # only 2 real neighbors exist per vector; no -inf self rows leak
+    assert all(len(v) == 2 for v in per.values())
+    assert all(-1.0 <= r.cosine <= 1.0 for r in rows)
