@@ -649,3 +649,38 @@ def knn_graph(
             F.col("rank").cast("int").alias("rank"),
         )
     )
+
+
+def semantic_dup_clusters(
+    df: DataFrame,
+    threshold: float = 0.9,
+    k: int = 5,
+    n_blocks: int = 4,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Semantic deduplication (SemDeDup, Abbas et al. 2023): cluster
+    documents whose EMBEDDINGS are near-identical — catches paraphrases
+    and re-crawls that n-gram dedup misses. Returns (id, cluster_id) for
+    every vector in some duplicate group, cluster_id = the group's min
+    id (keep-one policy: keep the canonical id, drop the rest).
+
+    Edges are the :func:`knn_graph` rows at ``cosine >= threshold``;
+    min-label propagation (:func:`~tantalus_spark.datapipe.dedup.
+    connected_components`) merges them into groups. The k-bound is the
+    scale lever AND a semantic choice: a duplicate group chains together
+    as long as each member is within the threshold of at least one
+    top-k neighbor — at SemDeDup-grade thresholds (~0.9) true duplicate
+    groups are small and dense, so tiny k suffices while the candidate
+    volume stays O(n x k)."""
+    from tantalus_spark.datapipe.dedup import connected_components
+
+    edges = (
+        knn_graph(df, k=k, n_blocks=n_blocks,
+                  id_col=id_col, vec_col=vec_col)
+        .filter(F.col("cosine") >= float(threshold))
+        .select(F.col(id_col).alias("d1"), F.col("nb_id").alias("d2"))
+    )
+    cc = connected_components(edges)
+    return cc.select(F.col("v").alias(id_col),
+                     F.col("component").alias("cluster_id"))

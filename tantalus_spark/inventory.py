@@ -1106,6 +1106,26 @@ def q80_knn_graph(spark, sf_dir):
 
 
 
+def q81_semantic_dedup(spark, sf_dir):
+    """SemDeDup embedding-space duplicate clusters: kNN-graph edges at
+    cosine >= 0.45 (integerized vectors, q80's exact-replay trick) merged
+    by min-label connected components; (vec_id, cluster_id) per clustered
+    vector. The fixture has no true paraphrase pairs, so the threshold
+    sits at the top of its cosine distribution to exercise the full
+    edges->components->canonical-id path."""
+    emb = db_for(spark, sf_dir).table("embeddings")
+    iv = emb.select(
+        "vec_id",
+        F.transform(
+            "embedding",
+            lambda x: F.floor(x.cast("double") * F.lit(32.0)).cast("double"),
+        ).alias("embedding"),
+    )
+    return similarity.semantic_dup_clusters(iv, threshold=0.45, k=5,
+                                            n_blocks=4)
+
+
+
 _ALL_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     name[1:]: fn
     for name, fn in list(globals().items())
@@ -1162,7 +1182,7 @@ _QUERY_ORDER = [
     "75_ann_trained",
     # r4 additions (tail; rotation candidates for the r5 window)
     "76_line_dedup", "77_contamination_frac", "78_quality_classifier",
-    "79_scrub_pii", "80_knn_graph",
+    "79_scrub_pii", "80_knn_graph", "81_semantic_dedup",
 ]
 
 QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
@@ -2117,5 +2137,36 @@ ORACLES: dict[str, str] = {
                 PARTITION BY vec_id ORDER BY c DESC, nb_id) AS rk
               FROM p)
         WHERE rk <= 5
+    """,
+    "81_semantic_dedup": """
+        WITH RECURSIVE e AS (
+          SELECT vec_id,
+                 list_transform(embedding,
+                                x -> floor(CAST(x AS DOUBLE) * 32.0)) AS v
+          FROM embeddings),
+        n AS (
+          SELECT vec_id, v,
+                 CASE WHEN sqrt(list_dot_product(v, v)) = 0 THEN 1.0
+                      ELSE sqrt(list_dot_product(v, v)) END AS nrm
+          FROM e),
+        p AS (
+          SELECT a.vec_id AS vec_id, b.vec_id AS nb_id,
+                 list_dot_product(a.v, b.v) / (a.nrm * b.nrm) AS c
+          FROM n a JOIN n b ON a.vec_id <> b.vec_id),
+        knn AS (
+          SELECT vec_id, nb_id, round(c, 4) AS cosine
+          FROM (SELECT *, row_number() OVER (
+                  PARTITION BY vec_id ORDER BY c DESC, nb_id) AS rk
+                FROM p)
+          WHERE rk <= 5),
+        edges2 AS (
+          SELECT vec_id AS s, nb_id AS t FROM knn WHERE cosine >= 0.45
+          UNION
+          SELECT nb_id, vec_id FROM knn WHERE cosine >= 0.45),
+        reach AS (
+          SELECT s AS v, s AS l FROM edges2
+          UNION
+          SELECT e2.s, r.l FROM edges2 e2 JOIN reach r ON e2.t = r.v)
+        SELECT v AS vec_id, min(l) AS cluster_id FROM reach GROUP BY v
     """,
 }

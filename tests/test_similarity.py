@@ -260,3 +260,26 @@ def test_knn_graph_small_corpus_fewer_than_k(spark):
     # only 2 real neighbors exist per vector; no -inf self rows leak
     assert all(len(v) == 2 for v in per.values())
     assert all(-1.0 <= r.cosine <= 1.0 for r in rows)
+
+
+def test_semantic_dup_clusters_known_groups(spark):
+    """Two planted duplicate groups (near-identical vectors) plus noise:
+    clusters must recover exactly the planted groups with min-id
+    canonical labels, and noise vectors must not appear."""
+    import numpy as np
+
+    rng = np.random.default_rng(5)
+    base1 = rng.normal(size=16)
+    base2 = rng.normal(size=16)
+    rows = []
+    for i, b in [(1, base1), (2, base1), (3, base1),      # group A
+                 (10, base2), (11, base2)]:               # group B
+        rows.append((i, [float(x) for x in b + rng.normal(scale=1e-3,
+                                                          size=16)]))
+    for i in range(20, 40):                               # noise
+        rows.append((i, [float(x) for x in rng.normal(size=16)]))
+    df = spark.createDataFrame(rows, ["vec_id", "embedding"])
+    got = {r.vec_id: r.cluster_id
+           for r in sim.semantic_dup_clusters(
+               df, threshold=0.99, k=3, n_blocks=3).collect()}
+    assert got == {1: 1, 2: 1, 3: 1, 10: 10, 11: 10}
