@@ -51,3 +51,62 @@ def stream_history_capture(
         .trigger(availableNow=True)
         .start()
     )
+
+
+def stream_clean_corpus_to_snapshot(
+    docs_stream: DataFrame,
+    snapshot_path: str,
+    checkpoint_path: str,
+    ts_col: str = "ts",
+    watermark: str = "2 hours",
+    id_col: str = "doc_id",
+    **gates,
+):
+    """The full streaming ingest story, end to end: a continuously-fed
+    raw corpus runs the SAME cleaning composition as the batch pipeline
+    (quality + language gates, watermarked exact dedup —
+    ``clean_corpus_stream``) and each micro-batch MERGEs into the
+    hive-partitioned parquet snapshot via ``merge_into_snapshot``,
+    partitioned by predicted language.
+
+    Exactly-once without a ledger: the merge is an idempotent upsert
+    keyed on the doc id, so a replayed micro-batch (crash between sink
+    commit and checkpoint advance) rewrites the same rows instead of
+    duplicating them — the property that makes foreachBatch + bare
+    parquet safe. Per batch the rewrite cost is O(touched language
+    partitions), never O(snapshot).
+
+    Returns the StreamingQuery (callers use ``trigger(availableNow=
+    True)`` semantics: this starts one, processes the backlog, and
+    terminates).
+    """
+    from tantalus_spark.datapipe.pipeline import clean_corpus_stream
+    from tantalus_spark.sources.sink import merge_into_snapshot
+
+    cleaned = clean_corpus_stream(
+        docs_stream, ts_col=ts_col, watermark=watermark,
+        id_col=id_col, **gates)
+
+    def write_batch(batch_df: DataFrame, batch_id: int) -> None:
+        if batch_df.isEmpty():
+            return
+        spark = batch_df.sparkSession
+        jvm_path = spark._jvm.org.apache.hadoop.fs.Path(snapshot_path)
+        fs = jvm_path.getFileSystem(
+            spark._jsc.hadoopConfiguration())
+        if not fs.exists(jvm_path):
+            # bootstrap: first batch creates the snapshot layout
+            (batch_df.write.mode("overwrite")
+             .partitionBy("lang_pred").parquet(snapshot_path))
+            return
+        merge_into_snapshot(
+            spark, snapshot_path, upserts=batch_df,
+            key_cols=[id_col], partition_col="lang_pred")
+
+    return (
+        cleaned.writeStream
+        .foreachBatch(write_batch)
+        .option("checkpointLocation", checkpoint_path)
+        .trigger(availableNow=True)
+        .start()
+    )
