@@ -557,3 +557,54 @@ def scrub_pii(
         c = F.col(f"n_{kind}")
         total = c if total is None else total + c
     return out.withColumn("n_pii", total.cast("int"))
+
+
+# Literal entity -> char map (applied AFTER tag stripping). Chained
+# literal replaces, not regex: both cheap and engine-portable.
+_HTML_ENTITIES = [
+    ("&lt;", "<"), ("&gt;", ">"), ("&quot;", '"'), ("&#39;", "'"),
+    ("&nbsp;", " "), ("&amp;", "&"),   # &amp; LAST so "&amp;lt;" -> "&lt;"
+]
+
+
+def strip_markup(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Markup removal for web-crawled corpora: drop <script>/<style>
+    elements wholesale, strip remaining tags and HTML comments, decode
+    the six ubiquitous entities, and collapse the whitespace the removals
+    leave behind. Returns (id, text, n_tags_removed).
+
+    One codegen'd map stage. The regexes are RE2-compatible (no
+    backtracking constructs), so the same table reproduces in DuckDB /
+    Trino / BigQuery — and none of them exhibit catastrophic backtracking
+    on adversarial crawl data ([^>]* classes, not .* with lookahead).
+    This is a cleaning gate, not a DOM parser: nesting-correct extraction
+    of attributes/links belongs to a real parser upstream; the gate's job
+    is to keep tag soup out of token statistics.
+    """
+    df = spread_small_scan(df)
+    text = F.col(text_col)
+    # (?is): case-insensitive + dot-matches-newline, supported by both
+    # Java regex and RE2
+    # Java supports \1 backrefs; RE2 does not — keep the oracle-portable
+    # form: strip script/style blocks per element name, no backreference
+    script = r"(?is)<script\b[^>]*>.*?</script\s*>"
+    style = r"(?is)<style\b[^>]*>.*?</style\s*>"
+    comment = r"(?s)<!--.*?-->"
+    tag = r"(?s)</?[A-Za-z!][^>]*>"
+    n_tags = F.size(F.regexp_extract_all(text, F.lit(tag), F.lit(0)))
+    cleaned = F.regexp_replace(text, script, " ")
+    cleaned = F.regexp_replace(cleaned, style, " ")
+    cleaned = F.regexp_replace(cleaned, comment, " ")
+    cleaned = F.regexp_replace(cleaned, tag, " ")
+    for ent, ch in _HTML_ENTITIES:
+        cleaned = F.replace(cleaned, F.lit(ent), F.lit(ch))
+    cleaned = F.trim(F.regexp_replace(cleaned, r"\s+", " "))
+    return df.select(
+        F.col(id_col),
+        cleaned.alias(text_col),
+        n_tags.cast("int").alias("n_tags_removed"),
+    )

@@ -1126,6 +1126,27 @@ def q81_semantic_dedup(spark, sf_dir):
 
 
 
+def q82_strip_markup(spark, sf_dir):
+    """Markup removal over a corpus salted with deterministic HTML (the
+    fixture is markup-free, so each doc is wrapped in html/comment/p/
+    script elements keyed by doc_id, then stripped — exercising element
+    drop, tag strip, entity decode, and whitespace collapse for real).
+    RE2-compatible regexes; one codegen'd map stage."""
+    from tantalus_spark.datapipe.textstats import strip_markup
+
+    docs = db_for(spark, sf_dir).table("documents")
+    salted = docs.select(
+        "doc_id",
+        F.concat(
+            F.lit("<html><!-- c"), F.col("doc_id").cast("string"),
+            F.lit(' --><p class="d">'), F.col("text"),
+            F.lit("</p><script>var x=1;</script></html>"),
+        ).alias("text"),
+    )
+    return strip_markup(salted)
+
+
+
 _ALL_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     name[1:]: fn
     for name, fn in list(globals().items())
@@ -1182,7 +1203,7 @@ _QUERY_ORDER = [
     "75_ann_trained",
     # r4 additions (tail; rotation candidates for the r5 window)
     "76_line_dedup", "77_contamination_frac", "78_quality_classifier",
-    "79_scrub_pii", "80_knn_graph", "81_semantic_dedup",
+    "79_scrub_pii", "80_knn_graph", "81_semantic_dedup", "82_strip_markup",
 ]
 
 QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
@@ -2168,5 +2189,34 @@ ORACLES: dict[str, str] = {
           UNION
           SELECT e2.s, r.l FROM edges2 e2 JOIN reach r ON e2.t = r.v)
         SELECT v AS vec_id, min(l) AS cluster_id FROM reach GROUP BY v
+    """,
+    "82_strip_markup": """
+        WITH s AS (
+          SELECT doc_id,
+                 '<html><!-- c' || CAST(doc_id AS VARCHAR)
+                   || ' --><p class="d">' || text
+                   || '</p><script>var x=1;</script></html>' AS t
+          FROM documents),
+        c AS (
+          SELECT doc_id, t,
+                 CAST(len(regexp_extract_all(t,
+                   '(?s)</?[A-Za-z!][^>]*>')) AS INTEGER) AS n_tags,
+                 regexp_replace(regexp_replace(regexp_replace(
+                   regexp_replace(t,
+                     '(?is)<script\\b[^>]*>.*?</script\\s*>', ' ', 'g'),
+                     '(?is)<style\\b[^>]*>.*?</style\\s*>', ' ', 'g'),
+                     '(?s)<!--.*?-->', ' ', 'g'),
+                     '(?s)</?[A-Za-z!][^>]*>', ' ', 'g') AS t2
+          FROM s),
+        d AS (
+          SELECT doc_id, n_tags,
+                 replace(replace(replace(replace(replace(replace(t2,
+                   '&lt;', '<'), '&gt;', '>'), '&quot;', '"'),
+                   '&#39;', ''''), '&nbsp;', ' '), '&amp;', '&') AS t3
+          FROM c)
+        SELECT doc_id,
+               trim(regexp_replace(t3, '\\s+', ' ', 'g')) AS text,
+               n_tags AS n_tags_removed
+        FROM d
     """,
 }

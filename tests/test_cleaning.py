@@ -103,3 +103,19 @@ def test_scrub_pii_counts_and_redacts(spark):
     assert out[2].text == "ssn [SSN] tel [PHONE]"
     assert out[3].n_pii == 0 and out[3].text == "clean text without identifiers"
     assert set(PII_PATTERNS) == {"email", "ipv4", "ssn", "phone"}
+
+
+def test_strip_markup(spark):
+    from tantalus_spark.datapipe.textstats import strip_markup
+
+    html = ("<html><head><STYLE>p { color: red }</STYLE>"
+            "<script type='x'>var a = '<b>not text</b>';</script></head>"
+            "<body><!-- hidden --><p class='x'>Hello &amp; welcome"
+            "</p>\n<div>to the &lt;real&gt; corpus</div></body></html>")
+    df = spark.createDataFrame(
+        [(1, html), (2, "plain text stays untouched")], ["doc_id", "text"])
+    out = {r.doc_id: r for r in strip_markup(df).collect()}
+    assert out[1].text == "Hello & welcome to the <real> corpus"
+    assert out[1].n_tags_removed > 5
+    assert out[2].text == "plain text stays untouched"
+    assert out[2].n_tags_removed == 0
