@@ -147,3 +147,48 @@ def clean_corpus_stream(
         .dropDuplicatesWithinWatermark(["__md5"])
         .select(id_col, "n_tokens", "lang_pred")
     )
+
+
+def corpus_report(
+    docs: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """The corpus health dashboard as ONE job: document count, token
+    volume, exact token-count percentiles, exact-duplicate ratio, and
+    the language mix — a single scan into a single global aggregate
+    (map-side partials make the shuffle one row per partition, so this
+    costs a corpus scan regardless of size; the md5 distinct-count is
+    the only state that grows, and it is digest-sized).
+
+    This is the job a pipeline runs before/after every cleaning stage to
+    see what the stage did. One row out:
+    (n_docs, total_tokens, p50_tokens, p90_tokens, n_distinct,
+    dup_ratio, n_en/n_es/n_fr/n_de/n_unknown).
+    """
+    from tantalus_spark.datapipe.textstats import lang_pred_expr, tokens
+    from tantalus_spark.operators.spread import spread_small_scan
+
+    docs = spread_small_scan(docs)
+    text = F.col(text_col)
+    feats = docs.select(
+        F.col(id_col),
+        F.size(tokens(text)).alias("_nt"),
+        F.md5(text).alias("_m"),
+        lang_pred_expr(text).alias("_lang"),
+    )
+    lang_counts = [
+        F.sum(F.when(F.col("_lang") == lang, 1).otherwise(0))
+        .cast("long").alias(f"n_{lang}")
+        for lang in [*LANG_MARKERS, "unknown"]
+    ]
+    return feats.agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum("_nt").alias("total_tokens"),
+        F.percentile("_nt", F.lit(0.5)).alias("p50_tokens"),
+        F.percentile("_nt", F.lit(0.9)).alias("p90_tokens"),
+        F.count_distinct("_m").alias("n_distinct"),
+        F.round(F.lit(1.0) - F.count_distinct("_m") / F.count(F.lit(1)), 4)
+        .alias("dup_ratio"),
+        *lang_counts,
+    )

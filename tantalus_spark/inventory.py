@@ -1147,6 +1147,17 @@ def q82_strip_markup(spark, sf_dir):
 
 
 
+def q83_corpus_report(spark, sf_dir):
+    """Corpus health dashboard in ONE job: doc count, token volume, exact
+    token percentiles (quantile_cont parity per q34), exact-dup ratio,
+    language mix — single scan, single global aggregate."""
+    from tantalus_spark.datapipe.pipeline import corpus_report
+
+    docs = db_for(spark, sf_dir).table("documents")
+    return corpus_report(docs)
+
+
+
 _ALL_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     name[1:]: fn
     for name, fn in list(globals().items())
@@ -1204,6 +1215,7 @@ _QUERY_ORDER = [
     # r4 additions (tail; rotation candidates for the r5 window)
     "76_line_dedup", "77_contamination_frac", "78_quality_classifier",
     "79_scrub_pii", "80_knn_graph", "81_semantic_dedup", "82_strip_markup",
+    "83_corpus_report",
 ]
 
 QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
@@ -2218,5 +2230,42 @@ ORACLES: dict[str, str] = {
                trim(regexp_replace(t3, '\\s+', ' ', 'g')) AS text,
                n_tags AS n_tags_removed
         FROM d
+    """,
+    "83_corpus_report": """
+        WITH f AS (
+          SELECT doc_id,
+                 len(string_split_regex(trim(text), '\\s+')) AS nt,
+                 md5(text) AS m,
+                 ' ' || lower(text) || ' ' AS txt
+          FROM documents),
+        s AS (SELECT doc_id, nt, m,
+               len(string_split(txt, ' the '))-1 + len(string_split(txt, ' and '))-1
+                  + len(string_split(txt, ' of '))-1 + len(string_split(txt, ' a '))-1 AS score_en,
+               len(string_split(txt, ' el '))-1 + len(string_split(txt, ' la '))-1
+                  + len(string_split(txt, ' los '))-1 + len(string_split(txt, ' de '))-1 AS score_es,
+               len(string_split(txt, ' le '))-1 + len(string_split(txt, ' la '))-1
+                  + len(string_split(txt, ' les '))-1 + len(string_split(txt, ' des '))-1 AS score_fr,
+               len(string_split(txt, ' der '))-1 + len(string_split(txt, ' die '))-1
+                  + len(string_split(txt, ' das '))-1 + len(string_split(txt, ' und '))-1 AS score_de
+              FROM f),
+        l AS (SELECT doc_id, nt, m,
+               CASE WHEN greatest(score_en, score_es, score_fr, score_de) = 0 THEN 'unknown'
+                    WHEN score_en = greatest(score_en, score_es, score_fr, score_de) THEN 'en'
+                    WHEN score_es = greatest(score_en, score_es, score_fr, score_de) THEN 'es'
+                    WHEN score_fr = greatest(score_en, score_es, score_fr, score_de) THEN 'fr'
+                    ELSE 'de' END AS lang
+              FROM s)
+        SELECT count(*) AS n_docs,
+               sum(nt) AS total_tokens,
+               quantile_cont(nt, 0.5) AS p50_tokens,
+               quantile_cont(nt, 0.9) AS p90_tokens,
+               count(DISTINCT m) AS n_distinct,
+               round(1.0 - count(DISTINCT m) * 1.0 / count(*), 4) AS dup_ratio,
+               sum(CASE WHEN lang = 'en' THEN 1 ELSE 0 END) AS n_en,
+               sum(CASE WHEN lang = 'es' THEN 1 ELSE 0 END) AS n_es,
+               sum(CASE WHEN lang = 'fr' THEN 1 ELSE 0 END) AS n_fr,
+               sum(CASE WHEN lang = 'de' THEN 1 ELSE 0 END) AS n_de,
+               sum(CASE WHEN lang = 'unknown' THEN 1 ELSE 0 END) AS n_unknown
+        FROM l
     """,
 }

@@ -119,3 +119,22 @@ def test_strip_markup(spark):
     assert out[1].n_tags_removed > 5
     assert out[2].text == "plain text stays untouched"
     assert out[2].n_tags_removed == 0
+
+
+def test_corpus_report_single_row(spark):
+    from tantalus_spark.datapipe.pipeline import corpus_report
+
+    df = spark.createDataFrame([
+        (1, "the cat and the dog of a house"),      # en, 8 tokens
+        (2, "the cat and the dog of a house"),      # exact dup of 1
+        (3, "el perro y la casa de los gatos"),     # es, 8 tokens
+        (4, "zzz qqq"),                             # unknown
+    ], ["doc_id", "text"])
+    r = corpus_report(df).collect()
+    assert len(r) == 1
+    row = r[0]
+    assert row.n_docs == 4 and row.n_distinct == 3
+    assert row.dup_ratio == pytest.approx(0.25)
+    assert row.n_en == 2 and row.n_es == 1 and row.n_unknown == 1
+    assert row.total_tokens == 8 + 8 + 8 + 2
+    assert row.p90_tokens >= row.p50_tokens
