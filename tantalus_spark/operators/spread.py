@@ -10,8 +10,8 @@ never taken and the operator stays exchange-free.
 
 ``spread_small_scan`` inserts a round-robin repartition ONLY when both:
 
-- the scan's effective parallelism (splits, capped by the total parquet
-  row-group count when footers are readable locally) is below half the
+- the scan's effective parallelism (estimated splits, capped by the
+  total parquet row-group count from local footers) is below half the
   cluster's cores, AND
 - the input is big enough (>*min_bytes* on disk) that the per-row CPU
   saved outweighs the one extra shuffle of the raw rows (measured on the
@@ -19,7 +19,14 @@ never taken and the operator stays exchange-free.
   more than it recovers; at 10x that, spreading is a ~3x wall win for
   winnowing / corpus-cleaning / doc-profile stages).
 
-Streaming DataFrames pass through untouched (no .rdd, no repartition).
+The gate runs at plan-BUILD time on the driver, so it must be cheap:
+splits are estimated from file sizes with Spark's own packing formula
+(maxSplitBytes = min(maxPartitionBytes, max(openCostInBytes,
+totalBytes/parallelism))) instead of materializing `df.rdd`, footers are
+read with pyarrow only for local files, and the verdict is memoized per
+(file-set, min_bytes) — repeated query builds over the same table cost
+one dict lookup. Streaming DataFrames and non-local/unstattable inputs
+pass through untouched (at real scale the gate is a no-op anyway).
 """
 
 from __future__ import annotations
@@ -27,6 +34,8 @@ from __future__ import annotations
 import os
 
 from pyspark.sql import DataFrame
+
+_decision_cache: dict[tuple, bool] = {}
 
 
 def _local_path(uri: str) -> str | None:
@@ -39,6 +48,45 @@ def _local_path(uri: str) -> str | None:
     return None
 
 
+def _should_spread(spark, files: tuple[str, ...], min_bytes: int) -> bool:
+    cores = spark.sparkContext.defaultParallelism
+    locals_ = [_local_path(f) for f in files]
+    if any(p is None for p in locals_):
+        return False
+    try:
+        sizes = [os.path.getsize(p) for p in locals_]
+        import pyarrow.parquet as pq
+
+        groups = sum(
+            pq.ParquetFile(p).metadata.num_row_groups
+            for p in locals_
+            if p.endswith(".parquet")
+        )
+    except Exception:
+        return False
+    total = sum(sizes)
+    if total < min_bytes:
+        return False
+    conf = spark.conf
+    def _bytes(key, default):
+        try:
+            v = str(conf.get(key))
+            for suf, mul in (("k", 1 << 10), ("m", 1 << 20), ("g", 1 << 30)):
+                if v.lower().endswith(suf + "b") or v.lower().endswith(suf):
+                    return int(float(v.lower().rstrip("b").rstrip(suf)) * mul)
+            return int(v)
+        except Exception:
+            return default
+    max_pb = _bytes("spark.sql.files.maxPartitionBytes", 128 << 20)
+    open_cost = _bytes("spark.sql.files.openCostInBytes", 4 << 20)
+    # Spark's split sizing: each file also "costs" openCost when packing
+    padded = total + len(sizes) * open_cost
+    split = min(max_pb, max(open_cost, padded // max(cores, 1)))
+    est_splits = sum(max(1, s // max(split, 1)) for s in sizes)
+    effective = min(est_splits, groups) if groups else est_splits
+    return effective < max(2, cores // 2)
+
+
 def spread_small_scan(df: DataFrame, min_bytes: int = 2 * 1024 * 1024) -> DataFrame:
     """Repartition *df* to the session's core count iff the scan is
     parallelism-starved (fewer effective splits than half the cores) and
@@ -48,32 +96,17 @@ def spread_small_scan(df: DataFrame, min_bytes: int = 2 * 1024 * 1024) -> DataFr
     if df.isStreaming:
         return df
     spark = df.sparkSession
-    cores = spark.sparkContext.defaultParallelism
     try:
-        parts = df.rdd.getNumPartitions()
-        files = df.inputFiles()
+        files = tuple(sorted(df.inputFiles()))
     except Exception:
         return df
-    effective = parts
-    total_bytes = None
-    if files:
-        locals_ = [_local_path(f) for f in files]
-        if all(p is not None for p in locals_):
-            try:
-                total_bytes = sum(os.path.getsize(p) for p in locals_)
-                import pyarrow.parquet as pq
-
-                groups = sum(
-                    pq.ParquetFile(p).metadata.num_row_groups
-                    for p in locals_
-                    if p.endswith(".parquet")
-                )
-                if groups:
-                    effective = min(parts, groups)
-            except Exception:
-                pass
-    if effective >= max(2, cores // 2):
+    if not files:
         return df
-    if total_bytes is not None and total_bytes < min_bytes:
+    key = (files, min_bytes, spark.sparkContext.defaultParallelism)
+    verdict = _decision_cache.get(key)
+    if verdict is None:
+        verdict = _should_spread(spark, files, min_bytes)
+        _decision_cache[key] = verdict
+    if not verdict:
         return df
-    return df.repartition(cores)
+    return df.repartition(spark.sparkContext.defaultParallelism)
