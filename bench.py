@@ -99,19 +99,17 @@ def main() -> None:
     # sub-0.5 s queries get best-of-5: their r2→r3 deltas (q06 +0.10 s,
     # q01 +0.04 s) were the same magnitude as local[32] GC/scheduler
     # jitter at n=3, so buy noise margin where a run is cheap
+    # best-of-5 for EVERY query since r4: transient co-tenant load on the
+    # box moved whole-run totals by +-20% at n=3, which swamped real
+    # round-over-round deltas; min-of-5 keeps the steady-state number
     timings: dict[str, float] = {}
     for name in HEADLINE:
         fn = PRODUCTION_VARIANTS.get(name, QUERIES[name])
         best = float("inf")
-        runs = 3
-        for i in range(5):
+        for _ in range(5):
             t0 = time.perf_counter()
             fn(spark, sf_dir).count()
             best = min(best, time.perf_counter() - t0)
-            if i + 1 >= runs:
-                if best >= 0.5 or runs > 3:
-                    break
-                runs = 5
         timings[name] = round(best, 3)
 
     total = round(sum(timings.values()), 3)
