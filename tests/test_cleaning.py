@@ -138,3 +138,31 @@ def test_corpus_report_single_row(spark):
     assert row.n_en == 2 and row.n_es == 1 and row.n_unknown == 1
     assert row.total_tokens == 8 + 8 + 8 + 2
     assert row.p90_tokens >= row.p50_tokens
+
+
+from hypothesis import given, settings, strategies as st
+
+_line = st.sampled_from(["alpha", "Alpha ", "beta", "", "gamma delta", "x"])
+_doc = st.lists(_line, min_size=1, max_size=5).map("\n".join)
+
+
+@settings(max_examples=12, deadline=None)
+@given(texts=st.lists(_doc, min_size=1, max_size=5),
+       min_docs=st.integers(min_value=2, max_value=3))
+def test_dedup_lines_differential(spark, texts, min_docs):
+    """Property: dedup_lines == a 10-line pure-Python reference for any
+    small corpus — same survivors, same order, same counts."""
+    df = spark.createDataFrame(list(enumerate(texts)), ["doc_id", "text"])
+    got = {r.doc_id: (r.clean_text, r.n_lines_kept, r.n_lines_dropped)
+           for r in dedup_lines(df, min_docs=min_docs).collect()}
+
+    freq: dict[str, set[int]] = {}
+    for i, t in enumerate(texts):
+        for ln in t.split("\n"):
+            freq.setdefault(ln.strip().lower(), set()).add(i)
+    boiler = {k for k, docs in freq.items() if len(docs) >= min_docs}
+    for i, t in enumerate(texts):
+        lines = t.split("\n")
+        kept = [ln for ln in lines if ln.strip().lower() not in boiler]
+        want = ("\n".join(kept), len(kept), len(lines) - len(kept))
+        assert got[i] == want, (i, got[i], want)
