@@ -684,3 +684,86 @@ def semantic_dup_clusters(
     cc = connected_components(edges)
     return cc.select(F.col("v").alias(id_col),
                      F.col("component").alias("cluster_id"))
+
+
+def knn_graph_lsh(
+    df: DataFrame,
+    k: int = 5,
+    n_hyperplanes: int = 8,
+    n_tables: int = 4,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Approximate kNN graph — the sub-quadratic scale path to
+    :func:`knn_graph`'s exact verifier (the q51/q69 division of labor,
+    applied to graph construction).
+
+    Multi-table random-hyperplane LSH: each vector lands in one bucket
+    per table (``n_tables`` independent seeded hyperplane sets);
+    candidate pairs are vectors sharing a bucket in ANY table, scored
+    exactly and ranked per query under the same total order as the
+    exact graph. Shuffle volume is O(n x tables) bucket rows plus the
+    candidate pairs; nothing quadratic is materialized. Recall rises
+    with ``n_tables`` (union of independent buckets) and selectivity
+    with ``n_hyperplanes`` (~2^-n per-table collision rate) — the same
+    two dials every production LSH index exposes. Vectors ride along
+    the bucket join once; only id pairs are deduplicated.
+
+    Returns (id, nb_id, cosine, rank<=k) among retrieved candidates —
+    a vector with no collisions in any table is absent (its emission
+    would require the quadratic scan this path exists to avoid).
+    """
+    import numpy as np
+
+    @F.pandas_udf("double")
+    def _cos_batch(a: pd.Series, b: pd.Series) -> pd.Series:
+        A = np.stack(a.to_numpy()).astype(np.float64)
+        B = np.stack(b.to_numpy()).astype(np.float64)
+        num = np.einsum("ij,ij->i", A, B)
+        den = np.linalg.norm(A, axis=1) * np.linalg.norm(B, axis=1)
+        return pd.Series(np.where(den > 0, num / den, 0.0))
+
+    base = df.select(F.col(id_col).alias("id"), F.col(vec_col).alias("v"))
+    dim_idx = F.sequence(F.lit(1), F.size("v"))
+
+    def coeff(i, s):
+        h = F.xxhash64(i, F.lit(s))
+        return (F.pmod(h, F.lit(2001)) - 1000) / 1000.0
+
+    def dot_with_plane(s):
+        return F.aggregate(
+            F.zip_with(F.col("v"), dim_idx,
+                       lambda x, i: x.cast("double") * coeff(i, s)),
+            F.lit(0.0), lambda acc, x: acc + x,
+        )
+
+    tables = []
+    for t in range(n_tables):
+        sig = F.array(*[
+            (dot_with_plane(t * n_hyperplanes + s) > 0).cast("int")
+            for s in range(n_hyperplanes)
+        ])
+        tables.append(F.xxhash64(F.lit(t), sig.cast("string")))
+    bucketed = base.select(
+        "id", "v", F.explode(F.array(*tables)).alias("bucket")).persist()
+    a, b = bucketed.alias("a"), bucketed.alias("b")
+    cand = (
+        a.join(b, (F.col("a.bucket") == F.col("b.bucket"))
+               & (F.col("a.id") != F.col("b.id")))
+        .select(F.col("a.id").alias("qid"), F.col("b.id").alias("nb_id"),
+                F.col("a.v").alias("va"), F.col("b.v").alias("vb"))
+        .dropDuplicates(["qid", "nb_id"])
+    )
+    from pyspark.sql import Window as W
+
+    w = W.partitionBy("qid").orderBy(F.col("c").desc(), F.col("nb_id").asc())
+    out = (
+        cand.withColumn("c", _cos_batch(F.col("va"), F.col("vb")))
+        .withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= int(k))
+        .select(F.col("qid").alias(id_col), "nb_id",
+                F.round("c", 4).alias("cosine"),
+                F.col("rank").cast("int").alias("rank"))
+    )
+    from tantalus_spark.datapipe.dedup import _materialize_and_release
+    return _materialize_and_release(out, [bucketed])

@@ -283,3 +283,38 @@ def test_semantic_dup_clusters_known_groups(spark):
            for r in sim.semantic_dup_clusters(
                df, threshold=0.99, k=3, n_blocks=3).collect()}
     assert got == {1: 1, 2: 1, 3: 1, 10: 10, 11: 10}
+
+
+def test_knn_graph_lsh_recall_and_exactness_of_scores(spark):
+    """The LSH graph must (a) only ever return true cosines at correct
+    local ranks (scores are exact — only RETRIEVAL is approximate), and
+    (b) recall a decent fraction of the exact top-k, improving with
+    more tables (the n_tables dial)."""
+    import numpy as np
+
+    rng = np.random.default_rng(23)
+    n, d, k = 80, 16, 3
+    # clustered data so near neighbors exist to find
+    centers = rng.normal(size=(8, d))
+    V = np.vstack([c + rng.normal(scale=0.3, size=(10, d))
+                   for c in centers])
+    df = spark.createDataFrame(
+        [(i, [float(x) for x in V[i]]) for i in range(n)],
+        ["vec_id", "embedding"])
+    exact = {(r.vec_id, r.nb_id)
+             for r in sim.knn_graph(df, k=k, n_blocks=3).collect()}
+
+    def recall(n_tables):
+        got = sim.knn_graph_lsh(df, k=k, n_hyperplanes=6,
+                                n_tables=n_tables).collect()
+        pairs = {(r.vec_id, r.nb_id) for r in got}
+        # exact-score check: every returned cosine is the true cosine
+        for r in got[:40]:
+            a, b = V[r.vec_id], V[r.nb_id]
+            true = float(a @ b / (np.linalg.norm(a) * np.linalg.norm(b)))
+            assert r.cosine == pytest.approx(round(true, 4), abs=1e-4)
+        return len(pairs & exact) / len(exact)
+
+    r1, r4 = recall(1), recall(4)
+    assert r4 >= r1 - 1e-9          # more tables never hurt (on average)
+    assert r4 >= 0.6, f"recall@{k} too low: {r4}"
