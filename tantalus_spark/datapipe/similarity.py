@@ -658,6 +658,9 @@ def semantic_dup_clusters(
     n_blocks: int = 4,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
+    method: str = "exact",
+    n_tables: int = 4,
+    n_hyperplanes: int = 8,
 ) -> DataFrame:
     """Semantic deduplication (SemDeDup, Abbas et al. 2023): cluster
     documents whose EMBEDDINGS are near-identical — catches paraphrases
@@ -672,12 +675,28 @@ def semantic_dup_clusters(
     as long as each member is within the threshold of at least one
     top-k neighbor — at SemDeDup-grade thresholds (~0.9) true duplicate
     groups are small and dense, so tiny k suffices while the candidate
-    volume stays O(n x k)."""
+    volume stays O(n x k).
+
+    ``method="exact"`` builds edges from the exact graph (the gated
+    verifier); ``method="lsh"`` swaps in :func:`knn_graph_lsh` — the
+    sub-quadratic corpus-scale path, losing only edges LSH retrieval
+    misses (recall-tested; at dup-grade thresholds collisions are near
+    certain since near-identical vectors agree on almost every
+    hyperplane sign).
+    """
     from tantalus_spark.datapipe.dedup import connected_components
 
+    if method == "lsh":
+        graph = knn_graph_lsh(df, k=k, n_tables=n_tables,
+                              n_hyperplanes=n_hyperplanes,
+                              id_col=id_col, vec_col=vec_col)
+    elif method == "exact":
+        graph = knn_graph(df, k=k, n_blocks=n_blocks,
+                          id_col=id_col, vec_col=vec_col)
+    else:
+        raise ValueError(f"unknown method {method!r}: use 'exact' or 'lsh'")
     edges = (
-        knn_graph(df, k=k, n_blocks=n_blocks,
-                  id_col=id_col, vec_col=vec_col)
+        graph
         .filter(F.col("cosine") >= float(threshold))
         .select(F.col(id_col).alias("d1"), F.col("nb_id").alias("d2"))
     )

@@ -602,7 +602,15 @@ def strip_markup(
     cleaned = F.regexp_replace(cleaned, tag, " ")
     for ent, ch in _HTML_ENTITIES:
         cleaned = F.replace(cleaned, F.lit(ent), F.lit(ch))
-    cleaned = F.trim(F.regexp_replace(cleaned, r"\s+", " "))
+    # collapse HORIZONTAL whitespace only and keep line structure: the
+    # downstream boilerplate filter (dedup_lines) and chunkers are
+    # line-oriented, so flattening newlines here would erase the very
+    # structure they key on
+    cleaned = F.regexp_replace(cleaned, r"[ \t\f\r]+", " ")
+    cleaned = F.regexp_replace(cleaned, r" ?\n ?", "\n")
+    # btrim, not trim: edge NEWLINES must go too (trim strips spaces only)
+    cleaned = F.btrim(F.regexp_replace(cleaned, r"\n+", "\n"),
+                      F.lit(" \n"))
     return df.select(
         F.col(id_col),
         cleaned.alias(text_col),

@@ -2227,7 +2227,9 @@ ORACLES: dict[str, str] = {
                    '&#39;', ''''), '&nbsp;', ' '), '&amp;', '&') AS t3
           FROM c)
         SELECT doc_id,
-               trim(regexp_replace(t3, '\\s+', ' ', 'g')) AS text,
+               trim(regexp_replace(regexp_replace(regexp_replace(t3,
+                 '[ \\t\\f\\r]+', ' ', 'g'), ' ?\\n ?', chr(10), 'g'),
+                 '\\n+', chr(10), 'g'), ' ' || chr(10)) AS text,
                n_tags AS n_tags_removed
         FROM d
     """,

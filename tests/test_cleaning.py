@@ -115,7 +115,7 @@ def test_strip_markup(spark):
     df = spark.createDataFrame(
         [(1, html), (2, "plain text stays untouched")], ["doc_id", "text"])
     out = {r.doc_id: r for r in strip_markup(df).collect()}
-    assert out[1].text == "Hello & welcome to the <real> corpus"
+    assert out[1].text == "Hello & welcome\nto the <real> corpus"
     assert out[1].n_tags_removed > 5
     assert out[2].text == "plain text stays untouched"
     assert out[2].n_tags_removed == 0

@@ -318,3 +318,29 @@ def test_knn_graph_lsh_recall_and_exactness_of_scores(spark):
     r1, r4 = recall(1), recall(4)
     assert r4 >= r1 - 1e-9          # more tables never hurt (on average)
     assert r4 >= 0.6, f"recall@{k} too low: {r4}"
+
+
+def test_semantic_dup_clusters_lsh_method(spark):
+    """method='lsh' must recover the same planted duplicate groups:
+    near-identical vectors agree on every hyperplane sign, so LSH
+    retrieval cannot miss dup-grade edges."""
+    import numpy as np
+
+    rng = np.random.default_rng(5)
+    base1 = rng.normal(size=16)
+    base2 = rng.normal(size=16)
+    rows = []
+    for i, b in [(1, base1), (2, base1), (3, base1),
+                 (10, base2), (11, base2)]:
+        rows.append((i, [float(x) for x in b + rng.normal(scale=1e-3,
+                                                          size=16)]))
+    for i in range(20, 40):
+        rows.append((i, [float(x) for x in rng.normal(size=16)]))
+    df = spark.createDataFrame(rows, ["vec_id", "embedding"])
+    got = {r.vec_id: r.cluster_id
+           for r in sim.semantic_dup_clusters(
+               df, threshold=0.99, k=3, method="lsh",
+               n_tables=4, n_hyperplanes=6).collect()}
+    assert got == {1: 1, 2: 1, 3: 1, 10: 10, 11: 10}
+    with pytest.raises(ValueError):
+        sim.semantic_dup_clusters(df, method="bogus")
