@@ -680,3 +680,57 @@ def contamination_scores(
             .alias("overlap"),
         )
     )
+
+
+def novel_documents(
+    new_df: DataFrame,
+    index_df: DataFrame,
+    n_perm: int = 16,
+    bands: int = 4,
+    shingle_n: int = 3,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    hash_family: str = "xxhash64",
+) -> DataFrame:
+    """Incremental corpus dedup: which NEW documents are novel versus an
+    already-indexed corpus, without re-deduplicating the corpus.
+
+    ``index_df`` is a persisted band table as produced by
+    :func:`minhash_bands` over the existing corpus — the batch twin of
+    the streaming near-dup state (`streaming/neardup.py`). Each new
+    document is banded with the SAME parameters and flagged non-novel
+    iff any of its band hashes collides with an index bucket (the
+    standard LSH candidate rule; run the survivors through
+    :func:`minhash_lsh_pairs` when exact Jaccard verification of the
+    collisions is needed).
+
+    Scale shape: the index explodes to (band, hash) postings and the
+    join is a shuffle hash join on that key — O(new_docs x bands) probe
+    rows against O(corpus x bands) postings, never all-pairs; both
+    sides prune to two columns. Documents too short to shingle
+    (< ``shingle_n`` tokens) have no signature and are vacuously novel.
+    Returns (id, is_novel) for every new document.
+    """
+    nb = minhash_bands(new_df, n_perm=n_perm, bands=bands,
+                       shingle_n=shingle_n, text_col=text_col,
+                       id_col=id_col, hash_family=hash_family)
+    probe = nb.select(
+        F.col(id_col),
+        F.posexplode("bands").alias("band", "h"),
+    )
+    postings = index_df.select(
+        F.posexplode("bands").alias("band", "h")
+    ).dropDuplicates()
+    hits = (
+        probe.join(postings, ["band", "h"], "left_semi")
+        .select(id_col).distinct()
+        .withColumn("_hit", F.lit(1))
+    )
+    return (
+        new_df.select(id_col)
+        .join(hits, id_col, "left")
+        .select(
+            F.col(id_col),
+            F.col("_hit").isNull().alias("is_novel"),
+        )
+    )

@@ -12,7 +12,7 @@ pipelines.
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame
+from pyspark.sql import DataFrame, Window as W
 from pyspark.sql import functions as F
 
 
@@ -62,6 +62,51 @@ def stratified_sample(
     one map pass, approximate per-group sizes, deterministic under the
     seed AND the input partitioning."""
     return df.sampleBy(strata_col, fractions, seed=seed)
+
+
+def exact_stratified_sample(
+    df: DataFrame,
+    strata_col: str,
+    fractions: dict[str, float],
+    id_col: str = "doc_id",
+    salt: str = "strat",
+) -> DataFrame:
+    """Exact-size per-stratum sampling: keep the first
+    ``ceil(frac * stratum_size)`` rows of each stratum ordered by a
+    deterministic md5 hash of the salted id.
+
+    Unlike :func:`stratified_sample` (Bernoulli — sizes only approximate)
+    this hits the requested size exactly, which matters when the mix
+    recipe is a contract ("exactly 10% books"). Deterministic: no RNG
+    state, stable under re-runs and repartitioning, and SQL-auditable
+    (the hash order replays in any engine; oracle-gated in the
+    inventory). Strata without an entry in ``fractions`` are dropped.
+
+    Cost: one shuffle on the stratum key plus an in-partition sort —
+    the price of exactness. A giant stratum sorts on one reducer chain;
+    at 100 TB prefer :func:`hash_split` / :func:`weighted_mix` (percent
+    precision, shuffle-free) unless exact counts are required, or
+    pre-filter with a slightly loose hash threshold and rank only the
+    survivors. Ties cannot occur (md5 of distinct salted ids collides
+    only with ~2^-64 probability; ``id_col`` breaks even those).
+    """
+    frac_expr = None
+    for name, frac in fractions.items():
+        cond = F.col(strata_col) == name
+        frac_expr = (F.when(cond, frac) if frac_expr is None
+                     else frac_expr.when(cond, frac))
+    frac_expr = frac_expr.otherwise(F.lit(None))
+    hashed = df.withColumn("_frac", frac_expr).filter(
+        F.col("_frac").isNotNull()
+    ).withColumn(
+        "_hk", F.md5(F.concat_ws("_", F.lit(salt), F.col(id_col).cast("string")))
+    )
+    w = W.partitionBy(strata_col).orderBy("_hk", id_col)
+    ranked = hashed.withColumn("_rn", F.row_number().over(w)).withColumn(
+        "_n", F.count(F.lit(1)).over(W.partitionBy(strata_col)))
+    kept = ranked.filter(
+        F.col("_rn") <= F.ceil(F.col("_frac") * F.col("_n")))
+    return kept.drop("_frac", "_hk", "_rn", "_n")
 
 
 def weighted_mix(

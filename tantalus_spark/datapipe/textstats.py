@@ -432,6 +432,60 @@ def chunk_documents(df: DataFrame, max_tokens: int = 512, overlap: int = 64,
     )
 
 
+def pack_sequences(df: DataFrame, seq_len: int = 2048, n_shards: int = 8,
+                   text_col: str = "text",
+                   id_col: str = "doc_id") -> DataFrame:
+    """Concat-and-split sequence packing: lay every document's tokens end
+    to end and cut fixed ``seq_len`` training sequences — the standard
+    GPT-style packing step that turns a cleaned corpus into equal-length
+    training examples with zero padding waste.
+
+    Documents are first sharded by a deterministic md5 bucket of the id
+    (:func:`~tantalus_spark.datapipe.sampling.split_bucket`) and packed
+    independently per shard: the running token offset is a window SUM
+    partitioned by shard, so there is no global sort — each shard's
+    prefix-sum sorts in parallel, and at 100 TB you raise ``n_shards`` to
+    the cluster's partition count instead of funnelling the corpus
+    through one ordered window (``n_shards=1`` gives the classic single
+    stream if a total order is required). Assignment is fully
+    deterministic — no RNG, stable under re-runs and repartitioning —
+    and SQL-auditable (oracle-gated in the inventory).
+
+    Returns one row per non-empty document:
+    ``(doc_id, shard, n_tokens, seq_first, seq_last, offset)`` where
+    ``seq_first``/``seq_last`` are the shard-local indices of the first
+    and last training sequence the document lands in and ``offset`` is
+    its token position within ``seq_first``. Downstream writers
+    group by ``(shard, sequence)`` to emit the actual token buffers.
+    """
+    from tantalus_spark.datapipe.sampling import split_bucket
+
+    if seq_len <= 0:
+        raise ValueError("seq_len must be positive")
+    counted = df.select(
+        F.col(id_col),
+        split_bucket(F.col(id_col), n_buckets=n_shards).alias("shard"),
+        F.size(tokens(F.col(text_col))).alias("n_tokens"),
+    ).filter(F.col("n_tokens") > 0)
+    w = (
+        W.partitionBy("shard")
+        .orderBy(id_col)
+        .rowsBetween(W.unboundedPreceding, W.currentRow)
+    )
+    cum = F.sum("n_tokens").over(w)
+    first = (cum - F.col("n_tokens")).alias("_first")
+    out = counted.select(
+        F.col(id_col), "shard", "n_tokens", first,
+        cum.alias("_cum"),
+    )
+    return out.select(
+        F.col(id_col), "shard", "n_tokens",
+        F.floor(F.col("_first") / seq_len).cast("long").alias("seq_first"),
+        F.floor((F.col("_cum") - 1) / seq_len).cast("long").alias("seq_last"),
+        F.pmod(F.col("_first"), F.lit(seq_len)).cast("long").alias("offset"),
+    )
+
+
 def repetition_ratios(df: DataFrame, text_col: str = "text",
                       id_col: str = "doc_id") -> DataFrame:
     """Repetition-based quality signals (Gopher-style filters): fraction

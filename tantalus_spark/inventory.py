@@ -1158,6 +1158,46 @@ def q83_corpus_report(spark, sf_dir):
 
 
 
+def q84_pack_sequences(spark, sf_dir):
+    """GPT-style concat-and-split sequence packing: shard the corpus by
+    an md5 id-bucket, lay each shard's tokens end to end (window prefix
+    sum — parallel per shard, no global sort), and map every doc to its
+    (seq_first, seq_last, offset) in fixed 64-token training sequences.
+    Deterministic, RNG-free, and fully SQL-replayable."""
+    from tantalus_spark.datapipe.textstats import pack_sequences
+
+    docs = db_for(spark, sf_dir).table("documents")
+    return pack_sequences(docs, seq_len=64, n_shards=8)
+
+
+def q85_exact_sample(spark, sf_dir):
+    """Exact-size stratified sampling: per-language hash-rank sampling
+    keeping exactly ceil(frac*n) docs per language (binary-exact
+    fractions so ceil replays identically cross-engine); languages
+    without a fraction (fr) are dropped. One shuffle on the stratum
+    key; contrast with the shuffle-free approximate hash_split (q61)."""
+    from tantalus_spark.datapipe.sampling import exact_stratified_sample
+
+    docs = db_for(spark, sf_dir).table("documents").select(
+        "doc_id", "lang", "source")
+    return exact_stratified_sample(
+        docs, "lang", {"en": 0.5, "es": 1.0, "de": 0.25, "zh": 0.25})
+
+
+def q86_novel_docs(spark, sf_dir):
+    """Incremental dedup against a persisted index: even-id docs form
+    the already-indexed corpus (minhash_bands state), odd-id docs are
+    the new batch; each new doc is flagged novel iff none of its LSH
+    band hashes collides with an index bucket. The md5 hash family makes
+    the signatures SQL-portable (q45's pattern); production default is
+    xxhash64. O(docs x bands) postings join, never all-pairs."""
+    docs = db_for(spark, sf_dir).table("documents")
+    idx = dedup.minhash_bands(
+        docs.filter(F.col("doc_id") % 2 == 0), hash_family="md5")
+    return dedup.novel_documents(
+        docs.filter(F.col("doc_id") % 2 == 1), idx, hash_family="md5")
+
+
 _ALL_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     name[1:]: fn
     for name, fn in list(globals().items())
@@ -1215,7 +1255,8 @@ _QUERY_ORDER = [
     # r4 additions (tail; rotation candidates for the r5 window)
     "76_line_dedup", "77_contamination_frac", "78_quality_classifier",
     "79_scrub_pii", "80_knn_graph", "81_semantic_dedup", "82_strip_markup",
-    "83_corpus_report",
+    "83_corpus_report", "84_pack_sequences", "85_exact_sample",
+    "86_novel_docs",
 ]
 
 QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
@@ -2269,5 +2310,87 @@ ORACLES: dict[str, str] = {
                sum(CASE WHEN lang = 'de' THEN 1 ELSE 0 END) AS n_de,
                sum(CASE WHEN lang = 'unknown' THEN 1 ELSE 0 END) AS n_unknown
         FROM l
+    """,
+    "84_pack_sequences": """
+        WITH t AS (
+          SELECT doc_id,
+                 ('0x'||substr(md5(doc_id::VARCHAR),1,15))::BIGINT % 8 AS shard,
+                 len(string_split_regex(trim(text), '\\s+')) AS n_tokens
+          FROM documents),
+        c AS (
+          SELECT doc_id, shard, n_tokens,
+                 SUM(n_tokens) OVER (PARTITION BY shard ORDER BY doc_id
+                                     ROWS UNBOUNDED PRECEDING) AS cum
+          FROM t WHERE n_tokens > 0)
+        SELECT doc_id, shard, n_tokens,
+               (cum - n_tokens) // 64 AS seq_first,
+               (cum - 1) // 64 AS seq_last,
+               (cum - n_tokens) % 64 AS "offset"
+        FROM c
+    """,
+    "85_exact_sample": """
+        WITH f AS (
+          SELECT * FROM (VALUES ('en', 0.5), ('es', 1.0),
+                                ('de', 0.25), ('zh', 0.25)) AS fr(lang, frac)),
+        d AS (
+          SELECT doc.doc_id, doc.lang, doc.source, f.frac,
+                 md5('strat_' || doc.doc_id::VARCHAR) AS hk
+          FROM documents doc JOIN f USING (lang)),
+        r AS (
+          SELECT *, row_number() OVER (PARTITION BY lang ORDER BY hk, doc_id) AS rn,
+                 count(*) OVER (PARTITION BY lang) AS n
+          FROM d)
+        SELECT doc_id, lang, source
+        FROM r WHERE rn <= CEIL(frac::DOUBLE * n)
+    """,
+    # 86: q45's md5-family signature/banding replayed over the whole
+    # corpus; index = even ids, new batch = odd ids. Band buckets are
+    # equality internals (q45 note), so the oracle joins the band
+    # tuples directly.
+    "86_novel_docs": """
+        WITH tok AS (
+          SELECT doc_id, string_split_regex(trim(lower(text)), '\\s+') AS t
+          FROM documents),
+        sh0 AS (
+          SELECT DISTINCT doc_id, t[i] || ' ' || t[i+1] || ' ' || t[i+2] AS g
+          FROM tok, UNNEST(range(1, greatest(len(t)-1, 1))) AS u(i)),
+        sh AS (
+          SELECT doc_id, ('0x'||substr(md5(g),1,15))::BIGINT AS hv FROM sh0),
+        sig AS (
+          SELECT doc_id,
+                 min(((hv % 1000000007) * 3  + 1)     % 1000000007) AS h0,
+                 min(((hv % 1000000007) * 5  + 2)     % 1000000007) AS h1,
+                 min(((hv % 1000000007) * 7  + 4)     % 1000000007) AS h2,
+                 min(((hv % 1000000007) * 11 + 8)     % 1000000007) AS h3,
+                 min(((hv % 1000000007) * 13 + 16)    % 1000000007) AS h4,
+                 min(((hv % 1000000007) * 17 + 32)    % 1000000007) AS h5,
+                 min(((hv % 1000000007) * 19 + 64)    % 1000000007) AS h6,
+                 min(((hv % 1000000007) * 23 + 128)   % 1000000007) AS h7,
+                 min(((hv % 1000000007) * 29 + 256)   % 1000000007) AS h8,
+                 min(((hv % 1000000007) * 31 + 512)   % 1000000007) AS h9,
+                 min(((hv % 1000000007) * 37 + 1024)  % 1000000007) AS h10,
+                 min(((hv % 1000000007) * 41 + 2048)  % 1000000007) AS h11,
+                 min(((hv % 1000000007) * 43 + 4096)  % 1000000007) AS h12,
+                 min(((hv % 1000000007) * 47 + 8192)  % 1000000007) AS h13,
+                 min(((hv % 1000000007) * 53 + 16384) % 1000000007) AS h14,
+                 min(((hv % 1000000007) * 59 + 32768) % 1000000007) AS h15
+          FROM sh GROUP BY doc_id),
+        bands AS (
+          SELECT doc_id, 0 AS band, h0 AS x0, h1 AS x1, h2 AS x2, h3 AS x3 FROM sig
+          UNION ALL
+          SELECT doc_id, 1, h4, h5, h6, h7 FROM sig
+          UNION ALL
+          SELECT doc_id, 2, h8, h9, h10, h11 FROM sig
+          UNION ALL
+          SELECT doc_id, 3, h12, h13, h14, h15 FROM sig),
+        hit AS (
+          SELECT DISTINCT a.doc_id
+          FROM bands a JOIN bands b
+            ON a.band = b.band AND a.x0 = b.x0 AND a.x1 = b.x1
+           AND a.x2 = b.x2 AND a.x3 = b.x3
+           AND a.doc_id % 2 = 1 AND b.doc_id % 2 = 0)
+        SELECT n.doc_id, (h.doc_id IS NULL) AS is_novel
+        FROM (SELECT doc_id FROM documents WHERE doc_id % 2 = 1) n
+        LEFT JOIN hit h USING (doc_id)
     """,
 }

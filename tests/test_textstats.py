@@ -246,3 +246,92 @@ def test_simhash_zero_hamming_bound(spark):
     got = {(r["d1"], r["d2"]) for r in
            dedup.simhash_near_pairs(docs, max_hamming=0).collect()}
     assert got == {(1, 2)}
+
+
+def _md5_bucket(i, n=8, salt=None):
+    import hashlib
+
+    key = f"{salt}_{i}" if salt is not None else str(i)
+    return int(hashlib.md5(key.encode()).hexdigest()[:15], 16) % n
+
+
+def test_pack_sequences_matches_python_prefix_sum(spark):
+    from tantalus_spark.datapipe.textstats import pack_sequences
+
+    rows = [(i, " ".join(f"t{j}" for j in range(1 + (i * 7) % 13)))
+            for i in range(40)]
+    rows.append((100, None))            # null text -> dropped
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+    got = {r["doc_id"]: r.asDict()
+           for r in pack_sequences(docs, seq_len=16, n_shards=4).collect()}
+    assert 100 not in got
+    # python reference: per-shard prefix sum in doc_id order
+    by_shard = {}
+    for i, text in rows[:-1]:
+        by_shard.setdefault(_md5_bucket(i, 4), []).append(
+            (i, len(text.split(" "))))
+    for shard, docs_in in by_shard.items():
+        cum = 0
+        for i, n in sorted(docs_in):
+            r = got[i]
+            assert r["shard"] == shard and r["n_tokens"] == n
+            assert r["seq_first"] == cum // 16
+            assert r["seq_last"] == (cum + n - 1) // 16
+            assert r["offset"] == cum % 16
+            cum += n
+
+
+def test_pack_sequences_single_shard_is_global_stream(spark):
+    from tantalus_spark.datapipe.textstats import pack_sequences
+
+    docs = spark.createDataFrame(
+        [(1, "a b c"), (2, "d e"), (3, "f g h i")],
+        "doc_id long, text string")
+    got = {r["doc_id"]: r for r in
+           pack_sequences(docs, seq_len=4, n_shards=1).collect()}
+    # tokens laid end to end: doc1 [0,3), doc2 [3,5), doc3 [5,9)
+    assert (got[1]["seq_first"], got[1]["seq_last"], got[1]["offset"]) == (0, 0, 0)
+    assert (got[2]["seq_first"], got[2]["seq_last"], got[2]["offset"]) == (0, 1, 3)
+    assert (got[3]["seq_first"], got[3]["seq_last"], got[3]["offset"]) == (1, 2, 1)
+    with pytest.raises(ValueError):
+        pack_sequences(docs, seq_len=0)
+
+
+def test_exact_stratified_sample_sizes_and_determinism(spark):
+    from tantalus_spark.datapipe.sampling import exact_stratified_sample
+
+    rows = ([(i, "a") for i in range(10)]
+            + [(100 + i, "b") for i in range(7)]
+            + [(200 + i, "c") for i in range(3)])
+    df = spark.createDataFrame(rows, "doc_id long, stratum string")
+    out = exact_stratified_sample(df, "stratum", {"a": 0.5, "b": 0.25})
+    got = sorted((r["stratum"], r["doc_id"]) for r in out.collect())
+    per = {"a": 0, "b": 0, "c": 0}
+    for s, _ in got:
+        per[s] += 1
+    assert per == {"a": 5, "b": 2, "c": 0}      # ceil(.5*10), ceil(.25*7), dropped
+    assert set(got) <= {(s, i) for i, s in rows}
+    # deterministic under re-run and repartitioning
+    again = sorted((r["stratum"], r["doc_id"]) for r in
+                   exact_stratified_sample(df.repartition(7), "stratum",
+                                           {"a": 0.5, "b": 0.25}).collect())
+    assert again == got
+
+
+def test_novel_documents_flags_index_collisions(spark):
+    from tantalus_spark.datapipe.dedup import minhash_bands, novel_documents
+
+    corpus = spark.createDataFrame([
+        (1, "the quick brown fox jumps over the lazy dog tonight again"),
+        (2, "completely unrelated text about catalyst optimizer shuffles"),
+    ], "doc_id long, text string")
+    new = spark.createDataFrame([
+        # near-exact copy of indexed doc 1 -> bucket collision -> not novel
+        (10, "the quick brown fox jumps over the lazy dog tonight again ok"),
+        (11, "fresh never indexed content with many distinct words inside"),
+        (12, "too short"),                    # < shingle_n tokens -> vacuously novel
+    ], "doc_id long, text string")
+    idx = minhash_bands(corpus)
+    got = {r["doc_id"]: r["is_novel"]
+           for r in novel_documents(new, idx).collect()}
+    assert got == {10: False, 11: True, 12: True}
