@@ -472,16 +472,14 @@ def pack_sequences(df: DataFrame, seq_len: int = 2048, n_shards: int = 8,
         .orderBy(id_col)
         .rowsBetween(W.unboundedPreceding, W.currentRow)
     )
-    cum = F.sum("n_tokens").over(w)
-    first = (cum - F.col("n_tokens")).alias("_first")
-    out = counted.select(
-        F.col(id_col), "shard", "n_tokens", first,
-        cum.alias("_cum"),
-    )
+    out = counted.withColumn("_cum", F.sum("n_tokens").over(w)).withColumn(
+        "_first", F.col("_cum") - F.col("n_tokens"))
+    # integer div, not floor(float /): exact however many tokens a shard
+    # accumulates (float64 floor would wobble past 2^53)
     return out.select(
         F.col(id_col), "shard", "n_tokens",
-        F.floor(F.col("_first") / seq_len).cast("long").alias("seq_first"),
-        F.floor((F.col("_cum") - 1) / seq_len).cast("long").alias("seq_last"),
+        F.expr(f"_first div {seq_len}").alias("seq_first"),
+        F.expr(f"(_cum - 1) div {seq_len}").alias("seq_last"),
         F.pmod(F.col("_first"), F.lit(seq_len)).cast("long").alias("offset"),
     )
 
