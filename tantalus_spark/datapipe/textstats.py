@@ -668,3 +668,84 @@ def strip_markup(
         cleaned.alias(text_col),
         n_tags.cast("int").alias("n_tags_removed"),
     )
+
+
+def rare_token_stats(df: DataFrame, rare_max: int = 1,
+                     text_col: str = "text",
+                     id_col: str = "doc_id") -> DataFrame:
+    """Corpus-relative rarity scoring: per document, how many of its
+    tokens have corpus-wide frequency <= ``rare_max`` (hapax/near-hapax
+    legomena). A high rare ratio flags OCR noise, gibberish, and
+    boilerplate-ID spam that per-doc signals (q73/q78) can't see — it
+    is the cheap, exact cousin of LM-perplexity filtering, built only
+    from integer counts so it replays bit-for-bit in any engine.
+
+    Scale shape: the doc-side token count is array-side (no explode);
+    only the RARE token set is joined back, and rare tokens by
+    construction appear <= rare_max times each — the semi-join key is
+    skew-free no matter how skewed the corpus (the "the" problem never
+    arises because frequent tokens are filtered out before the join).
+    Two token-keyed shuffles (frequency agg, semi-join) + one doc-keyed
+    agg. Returns (id, n_tokens, n_rare, rare_ratio).
+    """
+    toks = df.select(
+        F.col(id_col),
+        F.explode(tokens(F.lower(F.col(text_col)))).alias("tok"),
+    )
+    rare = (
+        toks.groupBy("tok").agg(F.count(F.lit(1)).alias("tf"))
+        .filter(F.col("tf") <= rare_max)
+        .select("tok")
+    )
+    hits = (
+        toks.join(rare, "tok", "left_semi")
+        .groupBy(id_col).agg(F.count(F.lit(1)).alias("n_rare"))
+    )
+    counts = df.select(
+        F.col(id_col),
+        F.size(tokens(F.lower(F.col(text_col)))).alias("n_tokens"),
+    )
+    return (
+        counts.join(hits, id_col, "left")
+        .select(
+            F.col(id_col), "n_tokens",
+            F.coalesce(F.col("n_rare"), F.lit(0)).cast("int").alias("n_rare"),
+            F.round(F.coalesce(F.col("n_rare"), F.lit(0))
+                    / F.col("n_tokens"), 4).alias("rare_ratio"),
+        )
+    )
+
+
+URL_RE = r"https?://[^\s/]+[^\s]*"
+DOMAIN_RE = r"https?://([^\s/:]+)"
+
+
+def url_stats(df: DataFrame, text_col: str = "text",
+              id_col: str = "doc_id") -> DataFrame:
+    """Per-document URL signals: link count and distinct-domain count
+    (web-corpus filters drop link farms by exactly these). Pure regexp
+    map stage — one scan, zero shuffles; RE2-compatible patterns."""
+    df = spread_small_scan(df)
+    text = F.col(text_col)
+    domains = F.regexp_extract_all(text, F.lit(DOMAIN_RE), F.lit(1))
+    return df.select(
+        F.col(id_col),
+        F.size(F.regexp_extract_all(text, F.lit(URL_RE), F.lit(0)))
+        .cast("int").alias("n_urls"),
+        F.size(F.array_distinct(domains)).cast("int").alias("n_domains"),
+    )
+
+
+def domain_counts(df: DataFrame, text_col: str = "text",
+                  id_col: str = "doc_id") -> DataFrame:
+    """Corpus domain histogram: for each linked domain, in how many
+    documents it appears (blocklist curation / source auditing). One
+    scan + explode of the per-doc DISTINCT domain array (bounded by
+    text length), one count shuffle keyed by domain."""
+    df = spread_small_scan(df)
+    domains = F.array_distinct(
+        F.regexp_extract_all(F.col(text_col), F.lit(DOMAIN_RE), F.lit(1)))
+    per_doc = df.select(
+        F.col(id_col), F.explode(domains).alias("domain"))
+    return per_doc.groupBy("domain").agg(
+        F.count(F.lit(1)).alias("n_docs"))

@@ -1198,6 +1198,40 @@ def q86_novel_docs(spark, sf_dir):
         docs.filter(F.col("doc_id") % 2 == 1), idx, hash_family="md5")
 
 
+def q87_rare_tokens(spark, sf_dir):
+    """Corpus-relative rarity scoring: per doc, how many of its tokens
+    are corpus-wide hapax legomena (frequency <= 1) — the exact,
+    integer-only cousin of LM-perplexity filtering. The rare-token
+    semi-join is skew-free by construction (rare keys appear once)."""
+    from tantalus_spark.datapipe.textstats import rare_token_stats
+
+    docs = db_for(spark, sf_dir).table("documents")
+    return rare_token_stats(docs, rare_max=1)
+
+
+def q88_domain_stats(spark, sf_dir):
+    """Corpus domain histogram over URL-salted docs (fixture texts are
+    link-free, so each doc gains two deterministic URLs keyed by doc_id
+    — exercising the real extraction regex end to end): for each linked
+    domain, the number of documents containing it. One scan + explode
+    of per-doc distinct domains, one count shuffle."""
+    from tantalus_spark.datapipe.textstats import domain_counts
+
+    docs = db_for(spark, sf_dir).table("documents")
+    salted = docs.select(
+        "doc_id",
+        F.concat(
+            F.col("text"), F.lit(" see https://ex"),
+            F.pmod(F.col("doc_id"), F.lit(7)).cast("string"),
+            F.lit(".org/p/"), F.col("doc_id").cast("string"),
+            F.lit(" and http://www.site"),
+            F.pmod(F.col("doc_id"), F.lit(3)).cast("string"),
+            F.lit(".com/x"),
+        ).alias("text"),
+    )
+    return domain_counts(salted)
+
+
 _ALL_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     name[1:]: fn
     for name, fn in list(globals().items())
@@ -1256,7 +1290,7 @@ _QUERY_ORDER = [
     "76_line_dedup", "77_contamination_frac", "78_quality_classifier",
     "79_scrub_pii", "80_knn_graph", "81_semantic_dedup", "82_strip_markup",
     "83_corpus_report", "84_pack_sequences", "85_exact_sample",
-    "86_novel_docs",
+    "86_novel_docs", "87_rare_tokens", "88_domain_stats",
 ]
 
 QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
@@ -2392,5 +2426,38 @@ ORACLES: dict[str, str] = {
         SELECT n.doc_id, (h.doc_id IS NULL) AS is_novel
         FROM (SELECT doc_id FROM documents WHERE doc_id % 2 = 1) n
         LEFT JOIN hit h USING (doc_id)
+    """,
+    "87_rare_tokens": """
+        WITH tok AS (
+          SELECT doc_id,
+                 unnest(string_split_regex(trim(lower(text)), '\\s+')) AS t
+          FROM documents),
+        rare AS (SELECT t FROM tok GROUP BY t HAVING count(*) <= 1),
+        hits AS (
+          SELECT doc_id, count(*) AS n_rare FROM tok
+          WHERE t IN (SELECT t FROM rare) GROUP BY doc_id),
+        c AS (
+          SELECT doc_id,
+                 len(string_split_regex(trim(lower(text)), '\\s+')) AS n_tokens
+          FROM documents)
+        SELECT c.doc_id, c.n_tokens, coalesce(h.n_rare, 0) AS n_rare,
+               round(coalesce(h.n_rare, 0) * 1.0 / c.n_tokens, 4) AS rare_ratio
+        FROM c LEFT JOIN hits h USING (doc_id)
+    """,
+    "88_domain_stats": """
+        WITH salted AS (
+          SELECT doc_id,
+                 text || ' see https://ex' || (doc_id % 7)::VARCHAR
+                      || '.org/p/' || doc_id::VARCHAR
+                      || ' and http://www.site' || (doc_id % 3)::VARCHAR
+                      || '.com/x' AS text
+          FROM documents),
+        doms AS (
+          SELECT doc_id,
+                 unnest(list_distinct(
+                   regexp_extract_all(text, 'https?://([^\\s/:]+)', 1)
+                 )) AS domain
+          FROM salted)
+        SELECT domain, count(*) AS n_docs FROM doms GROUP BY domain
     """,
 }

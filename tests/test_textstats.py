@@ -335,3 +335,39 @@ def test_novel_documents_flags_index_collisions(spark):
     got = {r["doc_id"]: r["is_novel"]
            for r in novel_documents(new, idx).collect()}
     assert got == {10: False, 11: True, 12: True}
+
+
+def test_rare_token_stats_known_values(spark):
+    from tantalus_spark.datapipe.textstats import rare_token_stats
+
+    docs = spark.createDataFrame([
+        (1, "common common unique1 unique2"),   # 4 toks, 2 hapax
+        (2, "common other other"),              # 'other' tf=2 > rare_max
+        (3, "zzz"),                             # hapax-only doc
+    ], "doc_id long, text string")
+    got = {r["doc_id"]: (r["n_tokens"], r["n_rare"], r["rare_ratio"])
+           for r in rare_token_stats(docs, rare_max=1).collect()}
+    assert got[1] == (4, 2, 0.5)
+    assert got[2] == (3, 0, 0.0)
+    assert got[3] == (1, 1, 1.0)
+    # raising rare_max pulls tf=2 tokens in
+    got2 = {r["doc_id"]: r["n_rare"]
+            for r in rare_token_stats(docs, rare_max=2).collect()}
+    assert got2[2] == 2
+
+
+def test_url_and_domain_stats(spark):
+    from tantalus_spark.datapipe.textstats import domain_counts, url_stats
+
+    docs = spark.createDataFrame([
+        (1, "intro https://a.org/x more http://b.com/y?q=1 and https://a.org/z"),
+        (2, "no links at all"),
+        (3, "edge https://a.org trailing"),
+    ], "doc_id long, text string")
+    us = {r["doc_id"]: (r["n_urls"], r["n_domains"])
+          for r in url_stats(docs).collect()}
+    assert us[1] == (3, 2)      # a.org twice (distinct once) + b.com
+    assert us[2] == (0, 0)
+    assert us[3] == (1, 1)
+    dc = {r["domain"]: r["n_docs"] for r in domain_counts(docs).collect()}
+    assert dc == {"a.org": 2, "b.com": 1}
