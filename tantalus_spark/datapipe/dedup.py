@@ -734,3 +734,51 @@ def novel_documents(
             F.col("_hit").isNull().alias("is_novel"),
         )
     )
+
+
+def duplicated_spans(
+    docs: DataFrame,
+    n: int = 13,
+    min_docs: int = 2,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Cross-document duplicated-substring coverage (the ExactSubstr
+    signal of Lee et al., "Deduplicating Training Data Makes Language
+    Models Better", re-expressed corpus-parallel): for every document,
+    the fraction of its distinct token n-gram spans that also appear in
+    at least ``min_docs - 1`` OTHER documents. High coverage marks
+    templated/boilerplate text that doc-level near-dedup (q45/q46)
+    misses because the surrounding text differs.
+
+    Where the paper builds one global suffix array, this uses the
+    shingle posting list the dedup family already produces: span
+    frequency is a groupBy on the 8-byte shingle hash (map-side
+    partials), and only spans meeting the duplication bar join back —
+    per-key fan-out equals that span's doc count, so a pathological
+    mega-span (every doc shares a header) is the only skew source and
+    is exactly what `operators/skew.py` salting handles if it appears.
+    Returns (id, n_spans, n_dup_spans, dup_frac) for every doc with at
+    least one span; docs shorter than *n* tokens are absent.
+    """
+    sh = shingles(docs, n=n, text_col=text_col, id_col=id_col, hashed=True)
+    dup = (
+        sh.groupBy("shingle").agg(F.count(F.lit(1)).alias("n_docs"))
+        .filter(F.col("n_docs") >= min_docs)
+        .select("shingle")
+    )
+    return (
+        sh.join(dup.withColumn("_dup", F.lit(1)), "shingle", "left")
+        .groupBy(id_col)
+        .agg(
+            F.count(F.lit(1)).alias("n_spans"),
+            F.sum(F.coalesce(F.col("_dup"), F.lit(0))).alias("n_dup_spans"),
+        )
+        .select(
+            F.col(id_col),
+            F.col("n_spans").cast("int"),
+            F.col("n_dup_spans").cast("int"),
+            F.round(F.col("n_dup_spans") / F.col("n_spans"), 4)
+            .alias("dup_frac"),
+        )
+    )

@@ -1232,6 +1232,15 @@ def q88_domain_stats(spark, sf_dir):
     return domain_counts(salted)
 
 
+def q89_dup_spans(spark, sf_dir):
+    """Cross-document duplicated-substring coverage (ExactSubstr signal,
+    corpus-parallel): per doc, the fraction of its distinct 5-gram spans
+    shared with >= 1 other document. Posting-list groupBy + join-back of
+    only the duplicated spans — never a suffix array, never all-pairs."""
+    docs = db_for(spark, sf_dir).table("documents")
+    return dedup.duplicated_spans(docs, n=5, min_docs=2)
+
+
 _ALL_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     name[1:]: fn
     for name, fn in list(globals().items())
@@ -1290,7 +1299,7 @@ _QUERY_ORDER = [
     "76_line_dedup", "77_contamination_frac", "78_quality_classifier",
     "79_scrub_pii", "80_knn_graph", "81_semantic_dedup", "82_strip_markup",
     "83_corpus_report", "84_pack_sequences", "85_exact_sample",
-    "86_novel_docs", "87_rare_tokens", "88_domain_stats",
+    "86_novel_docs", "87_rare_tokens", "88_domain_stats", "89_dup_spans",
 ]
 
 QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
@@ -2459,5 +2468,23 @@ ORACLES: dict[str, str] = {
                  )) AS domain
           FROM salted)
         SELECT domain, count(*) AS n_docs FROM doms GROUP BY domain
+    """,
+    "89_dup_spans": """
+        WITH tok AS (
+          SELECT doc_id, string_split_regex(trim(lower(text)), '\\s+') AS t
+          FROM documents),
+        sh AS (
+          SELECT DISTINCT doc_id,
+                 t[i]||' '||t[i+1]||' '||t[i+2]||' '||t[i+3]||' '||t[i+4]
+                   AS shingle
+          FROM tok, UNNEST(range(1, greatest(len(t)-3, 1))) AS u(i)),
+        dup AS (
+          SELECT shingle FROM sh GROUP BY shingle HAVING count(*) >= 2)
+        SELECT s.doc_id,
+               CAST(count(*) AS INTEGER) AS n_spans,
+               CAST(count(d.shingle) AS INTEGER) AS n_dup_spans,
+               round(count(d.shingle) * 1.0 / count(*), 4) AS dup_frac
+        FROM sh s LEFT JOIN dup d ON s.shingle = d.shingle
+        GROUP BY s.doc_id
     """,
 }

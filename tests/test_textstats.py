@@ -371,3 +371,23 @@ def test_url_and_domain_stats(spark):
     assert us[3] == (1, 1)
     dc = {r["domain"]: r["n_docs"] for r in domain_counts(docs).collect()}
     assert dc == {"a.org": 2, "b.com": 1}
+
+
+def test_duplicated_spans_known_values(spark):
+    from tantalus_spark.datapipe.dedup import duplicated_spans
+
+    shared = "alpha beta gamma delta"          # one shared 4-gram span
+    docs = spark.createDataFrame([
+        (1, f"{shared} ending one two"),
+        (2, f"start here {shared} closing words"),
+        (3, "entirely different content with no overlap at all here"),
+        (4, "tiny"),                            # < n tokens -> absent
+    ], "doc_id long, text string")
+    got = {r["doc_id"]: (r["n_spans"], r["n_dup_spans"], r["dup_frac"])
+           for r in duplicated_spans(docs, n=4, min_docs=2).collect()}
+    # doc1: 7 toks -> 4 spans, 1 duplicated (the shared 4-gram)
+    assert got[1] == (4, 1, 0.25)
+    # doc2: 8 toks -> 5 spans, 1 duplicated
+    assert got[2] == (5, 1, 0.2)
+    assert got[3][1] == 0 and got[3][2] == 0.0
+    assert 4 not in got
