@@ -749,3 +749,69 @@ def domain_counts(df: DataFrame, text_col: str = "text",
         F.col(id_col), F.explode(domains).alias("domain"))
     return per_doc.groupBy("domain").agg(
         F.count(F.lit(1)).alias("n_docs"))
+
+
+def assemble_packed_sequences(df: DataFrame, seq_len: int = 2048,
+                              n_shards: int = 8, text_col: str = "text",
+                              id_col: str = "doc_id") -> DataFrame:
+    """The writer half of :func:`pack_sequences`: emit the actual packed
+    training sequences — (shard, seq_id, n_tokens, seq_text) with every
+    sequence exactly ``seq_len`` tokens except each shard's final
+    partial. Documents contribute token SLICES to every sequence they
+    span; within a sequence, slices concatenate in corpus (doc-id)
+    order via an array_sort on the contributing doc's start offset —
+    deterministic, no RNG, SQL-replayable.
+
+    Scale shape: two shuffles that both carry the token arrays — the
+    per-shard assignment window and the (shard, seq) assembly groupBy.
+    That is the floor for a packing writer (the bytes must reach their
+    output sequence); sharding keeps both exchanges parallel, and a
+    sequence never exceeds seq_len tokens so no group outgrows memory.
+    """
+    from tantalus_spark.datapipe.sampling import split_bucket
+
+    if seq_len <= 0:
+        raise ValueError("seq_len must be positive")
+    toked = df.select(
+        F.col(id_col),
+        split_bucket(F.col(id_col), n_buckets=n_shards).alias("shard"),
+        tokens(F.col(text_col)).alias("_t"),
+    ).withColumn("_n", F.size("_t")).filter(F.col("_n") > 0)
+    w = (
+        W.partitionBy("shard")
+        .orderBy(id_col)
+        .rowsBetween(W.unboundedPreceding, W.currentRow)
+    )
+    c = toked.withColumn("_cum", F.sum("_n").over(w)).withColumn(
+        "_first", (F.col("_cum") - F.col("_n")).cast("long"))
+    spans = F.sequence(
+        F.expr(f"_first div {seq_len}"),
+        F.expr(f"(_cum - 1) div {seq_len}"),
+    )
+    ex = c.select(
+        "shard", "_first", "_n", "_t",
+        F.explode(spans).alias("seq_id"),
+    )
+    start = (F.greatest(F.col("seq_id") * seq_len, F.col("_first"))
+             - F.col("_first"))
+    length = (F.least((F.col("seq_id") + 1) * seq_len,
+                      F.col("_first") + F.col("_n"))
+              - F.col("_first") - start)
+    sliced = ex.select(
+        "shard", "seq_id", "_first",
+        F.slice("_t", (start + 1).cast("int"), length.cast("int"))
+        .alias("_slice"),
+    )
+    assembled = sliced.groupBy("shard", "seq_id").agg(
+        F.flatten(
+            F.transform(
+                F.array_sort(F.collect_list(F.struct("_first", "_slice"))),
+                lambda s: s["_slice"],
+            )
+        ).alias("_toks")
+    )
+    return assembled.select(
+        "shard", "seq_id",
+        F.size("_toks").alias("n_tokens"),
+        F.array_join("_toks", " ").alias("seq_text"),
+    )

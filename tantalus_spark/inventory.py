@@ -1241,6 +1241,17 @@ def q89_dup_spans(spark, sf_dir):
     return dedup.duplicated_spans(docs, n=5, min_docs=2)
 
 
+def q90_packed_text(spark, sf_dir):
+    """The packing WRITER: actual 64-token training sequences assembled
+    from per-doc token slices (docs spanning sequence boundaries are
+    split; slices concatenate in doc-id order). Every sequence is
+    exactly 64 tokens except each shard's final partial."""
+    from tantalus_spark.datapipe.textstats import assemble_packed_sequences
+
+    docs = db_for(spark, sf_dir).table("documents")
+    return assemble_packed_sequences(docs, seq_len=64, n_shards=8)
+
+
 _ALL_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     name[1:]: fn
     for name, fn in list(globals().items())
@@ -1300,6 +1311,7 @@ _QUERY_ORDER = [
     "79_scrub_pii", "80_knn_graph", "81_semantic_dedup", "82_strip_markup",
     "83_corpus_report", "84_pack_sequences", "85_exact_sample",
     "86_novel_docs", "87_rare_tokens", "88_domain_stats", "89_dup_spans",
+    "90_packed_text",
 ]
 
 QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
@@ -2486,5 +2498,35 @@ ORACLES: dict[str, str] = {
                round(count(d.shingle) * 1.0 / count(*), 4) AS dup_frac
         FROM sh s LEFT JOIN dup d ON s.shingle = d.shingle
         GROUP BY s.doc_id
+    """,
+    "90_packed_text": """
+        WITH t AS (
+          SELECT doc_id,
+                 ('0x'||substr(md5(doc_id::VARCHAR),1,15))::BIGINT % 8 AS shard,
+                 string_split_regex(trim(text), '\\s+') AS toks
+          FROM documents),
+        c AS (
+          SELECT doc_id, shard, toks, len(toks) AS n,
+                 SUM(len(toks)) OVER (PARTITION BY shard ORDER BY doc_id
+                                      ROWS UNBOUNDED PRECEDING) AS cum
+          FROM t WHERE len(toks) > 0),
+        f AS (SELECT *, cum - n AS first FROM c),
+        x AS (
+          SELECT shard, first, n, toks,
+                 unnest(range(CAST(first // 64 AS BIGINT),
+                              CAST((cum - 1) // 64 + 1 AS BIGINT))) AS seq_id
+          FROM f),
+        s AS (
+          SELECT shard, seq_id, first,
+                 list_slice(toks,
+                            greatest(seq_id * 64, first) - first + 1,
+                            least((seq_id + 1) * 64, first + n) - first)
+                   AS sl
+          FROM x)
+        SELECT shard, seq_id,
+               CAST(sum(len(sl)) AS INTEGER) AS n_tokens,
+               string_agg(array_to_string(sl, ' '), ' ' ORDER BY first)
+                 AS seq_text
+        FROM s GROUP BY shard, seq_id
     """,
 }

@@ -391,3 +391,28 @@ def test_duplicated_spans_known_values(spark):
     assert got[2] == (5, 1, 0.2)
     assert got[3][1] == 0 and got[3][2] == 0.0
     assert 4 not in got
+
+
+def test_assemble_packed_sequences_roundtrip(spark):
+    from tantalus_spark.datapipe.textstats import assemble_packed_sequences
+
+    rows = [(i, " ".join(f"d{i}w{j}" for j in range(1 + (i * 5) % 9)))
+            for i in range(20)]
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+    out = assemble_packed_sequences(docs, seq_len=8, n_shards=4).collect()
+    by_shard = {}
+    for r in out:
+        by_shard.setdefault(r["shard"], []).append(r)
+    # reference: per-shard concatenation of doc tokens in doc_id order
+    want = {}
+    for i, text in rows:
+        want.setdefault(_md5_bucket(i, 4), []).append((i, text))
+    for shard, seqs in by_shard.items():
+        seqs.sort(key=lambda r: r["seq_id"])
+        # contiguous seq ids from 0; all full except the last
+        assert [r["seq_id"] for r in seqs] == list(range(len(seqs)))
+        assert all(r["n_tokens"] == 8 for r in seqs[:-1])
+        assert 1 <= seqs[-1]["n_tokens"] <= 8
+        stream = " ".join(r["seq_text"] for r in seqs)
+        expect = " ".join(t for _, t in sorted(want[shard]))
+        assert stream == expect      # lossless round-trip, order preserved
