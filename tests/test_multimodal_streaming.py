@@ -515,3 +515,46 @@ def test_lsh_stream_bucket_cap(spark, tmp_path_factory):
     # batch 2 (doc 5): probes only the retained [1,2,3] — never doc 4
     assert pairs == batch1 | {(1, 5), (2, 5), (3, 5)}
     assert (4, 5) not in pairs
+
+
+def test_novel_documents_is_the_batch_twin_of_the_stream_index(spark):
+    """Batch novel_documents must agree with the incremental stream
+    index: a new doc is non-novel exactly when the streamed band state
+    (corpus batch 1, new docs batch 2) emits an old-x-new candidate
+    pair for it."""
+    import tempfile
+
+    from tantalus_spark.catalog.loader import read_parquet
+    from tantalus_spark.datapipe.dedup import minhash_bands, novel_documents
+    from tantalus_spark.streaming.neardup import lsh_candidate_stream
+
+    docs = read_parquet(spark, "/root/testdata/sf0.001/documents.parquet") \
+        .select("doc_id", "text")
+    corpus = docs.filter(F.col("doc_id") % 2 == 0)
+    new = docs.filter(F.col("doc_id") % 2 == 1)
+
+    flags = {r["doc_id"]: r["is_novel"]
+             for r in novel_documents(new, minhash_bands(corpus)).collect()}
+
+    with tempfile.TemporaryDirectory() as ddir:
+        corpus.coalesce(1).write.mode("overwrite").parquet(f"{ddir}/b0")
+        new.coalesce(1).write.mode("append").parquet(f"{ddir}/b0")
+        stream = (
+            spark.readStream.format("parquet")
+            .schema("doc_id long, text string")
+            .option("maxFilesPerTrigger", 1)
+            .load(f"{ddir}/b0")
+        )
+        import tantalus_spark.streaming.events as se2
+        pairs = se2.run_to_completion(
+            lsh_candidate_stream(stream), "t_novel_twin").collect()
+
+    indexed = {r["doc_id"] for r in corpus.select("doc_id").collect()}
+    hit_via_stream = set()
+    for r in pairs:
+        a, b = r["d1"], r["d2"]
+        if (a in indexed) != (b in indexed):      # old x new pairs only
+            hit_via_stream.add(b if a in indexed else a)
+    expected = {d: d not in hit_via_stream for d in flags}
+    assert flags == expected
+    assert any(not v for v in flags.values())     # fixture has real dups
