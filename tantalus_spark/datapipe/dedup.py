@@ -170,20 +170,11 @@ def minhash_bands(df: DataFrame, n_perm: int = 16, bands: int = 4,
     return with_arr.select(F.col(id_col), F.array(*band_cols).alias("bands"))
 
 
-def ngram_jaccard_pairs(
-    df: DataFrame,
-    n: int = 3,
-    threshold: float = 0.2,
-    text_col: str = "text",
-    id_col: str = "doc_id",
-    max_shingle_freq: int | None = None,
-) -> DataFrame:
-    """Near-duplicate pairs by n-gram Jaccard similarity.
-
-    Returns (d1, d2, jaccard) with d1 < d2 and jaccard >= threshold.
-    ``max_shingle_freq`` drops ultra-common shingles before the self-join —
-    the knob that keeps the posting-list join bounded at scale.
-    """
+def _shingle_pair_counts(df: DataFrame, n: int, text_col: str, id_col: str,
+                         max_shingle_freq: int | None):
+    """Shared posting-list self-join for the pairwise-overlap family:
+    returns (persisted posting list, (d1, d2, inter, n1, n2) frame).
+    Callers must release the posting list via _materialize_and_release."""
     sh = shingles(df, n=n, text_col=text_col, id_col=id_col, hashed=True)
     if max_shingle_freq is not None:
         hot = (
@@ -212,6 +203,25 @@ def ngram_jaccard_pairs(
             F.first(F.col("b.n_sh")).alias("n2"),
         )
     )
+    return sh, inter
+
+
+def ngram_jaccard_pairs(
+    df: DataFrame,
+    n: int = 3,
+    threshold: float = 0.2,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    max_shingle_freq: int | None = None,
+) -> DataFrame:
+    """Near-duplicate pairs by n-gram Jaccard similarity.
+
+    Returns (d1, d2, jaccard) with d1 < d2 and jaccard >= threshold.
+    ``max_shingle_freq`` drops ultra-common shingles before the self-join —
+    the knob that keeps the posting-list join bounded at scale.
+    """
+    sh, inter = _shingle_pair_counts(df, n, text_col, id_col,
+                                     max_shingle_freq)
     jac = F.col("inter") / (F.col("n1") + F.col("n2") - F.col("inter"))
     out = (
         inter.withColumn("jaccard", F.round(jac, 4))
@@ -782,3 +792,32 @@ def duplicated_spans(
             .alias("dup_frac"),
         )
     )
+
+
+def containment_pairs(
+    df: DataFrame,
+    n: int = 3,
+    threshold: float = 0.5,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    max_shingle_freq: int | None = None,
+) -> DataFrame:
+    """Asymmetric near-dup detection by n-gram CONTAINMENT:
+    C = |A∩B| / min(|A|, |B|) — the copy-detection measure (Broder's
+    containment) that catches a short document quoted inside a long one,
+    which symmetric Jaccard misses (a 50-token doc fully embedded in a
+    5000-token doc has Jaccard ~0.01 but containment 1.0).
+
+    Same posting-list pipeline and ``max_shingle_freq`` scale cap as
+    :func:`ngram_jaccard_pairs`; returns (d1, d2, containment) with
+    d1 < d2 and containment >= threshold.
+    """
+    sh, inter = _shingle_pair_counts(df, n, text_col, id_col,
+                                     max_shingle_freq)
+    cont = F.col("inter") / F.least(F.col("n1"), F.col("n2"))
+    out = (
+        inter.withColumn("containment", F.round(cont, 4))
+        .filter(cont >= threshold)
+        .select("d1", "d2", "containment")
+    )
+    return _materialize_and_release(out, [sh])

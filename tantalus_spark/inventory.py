@@ -1252,6 +1252,16 @@ def q90_packed_text(spark, sf_dir):
     return assemble_packed_sequences(docs, seq_len=64, n_shards=8)
 
 
+def q91_containment(spark, sf_dir):
+    """Asymmetric near-dup by n-gram containment |A∩B|/min(|A|,|B|)
+    (Broder) — catches short-doc-quoted-in-long-doc cases symmetric
+    Jaccard misses. Same posting-list pipeline + stopword-posting cap
+    as q44."""
+    docs = db_for(spark, sf_dir).table("documents")
+    return dedup.containment_pairs(docs, threshold=0.5,
+                                   max_shingle_freq=100)
+
+
 _ALL_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     name[1:]: fn
     for name, fn in list(globals().items())
@@ -1311,7 +1321,7 @@ _QUERY_ORDER = [
     "79_scrub_pii", "80_knn_graph", "81_semantic_dedup", "82_strip_markup",
     "83_corpus_report", "84_pack_sequences", "85_exact_sample",
     "86_novel_docs", "87_rare_tokens", "88_domain_stats", "89_dup_spans",
-    "90_packed_text",
+    "90_packed_text", "91_containment",
 ]
 
 QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
@@ -2528,5 +2538,27 @@ ORACLES: dict[str, str] = {
                string_agg(array_to_string(sl, ' '), ' ' ORDER BY first)
                  AS seq_text
         FROM s GROUP BY shard, seq_id
+    """,
+    "91_containment": """
+        WITH tok AS (
+          SELECT doc_id, string_split_regex(trim(lower(text)), '\\s+') AS t
+          FROM documents),
+        sh0 AS (
+          SELECT DISTINCT doc_id, t[i] || ' ' || t[i+1] || ' ' || t[i+2] AS shingle
+          FROM tok, UNNEST(range(1, greatest(len(t)-1, 1))) AS u(i)),
+        sh AS (
+          SELECT * FROM sh0 WHERE shingle NOT IN (
+            SELECT shingle FROM sh0 GROUP BY shingle HAVING count(*) > 100)),
+        counts AS (SELECT doc_id, count(*) AS n_sh FROM sh GROUP BY doc_id),
+        inter AS (
+          SELECT a.doc_id AS d1, b.doc_id AS d2, count(*) AS i
+          FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+          GROUP BY a.doc_id, b.doc_id)
+        SELECT d1, d2,
+               round(i*1.0/least(na.n_sh, nb.n_sh), 4) AS containment
+        FROM inter
+        JOIN counts na ON na.doc_id = d1
+        JOIN counts nb ON nb.doc_id = d2
+        WHERE i*1.0/least(na.n_sh, nb.n_sh) >= 0.5
     """,
 }

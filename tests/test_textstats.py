@@ -416,3 +416,25 @@ def test_assemble_packed_sequences_roundtrip(spark):
         stream = " ".join(r["seq_text"] for r in seqs)
         expect = " ".join(t for _, t in sorted(want[shard]))
         assert stream == expect      # lossless round-trip, order preserved
+
+
+def test_containment_catches_embedded_quote(spark):
+    from tantalus_spark.datapipe.dedup import (containment_pairs,
+                                               ngram_jaccard_pairs)
+
+    quote = "to be or not to be that is the question"
+    long_doc = ("a very long surrounding document " * 8) + quote + \
+        (" trailing context words continue onward here " * 8)
+    docs = spark.createDataFrame([
+        (1, quote),
+        (2, long_doc),
+        (3, "completely unrelated text about something else entirely"),
+    ], "doc_id long, text string")
+    cont = {(r["d1"], r["d2"]): r["containment"]
+            for r in containment_pairs(docs, threshold=0.5).collect()}
+    assert cont.get((1, 2)) == 1.0      # short doc fully contained
+    assert (1, 3) not in cont and (2, 3) not in cont
+    # symmetric Jaccard misses the same pair at the same threshold
+    jac = {(r["d1"], r["d2"])
+           for r in ngram_jaccard_pairs(docs, threshold=0.5).collect()}
+    assert (1, 2) not in jac
