@@ -815,3 +815,45 @@ def assemble_packed_sequences(df: DataFrame, seq_len: int = 2048,
         F.size("_toks").alias("n_tokens"),
         F.array_join("_toks", " ").alias("seq_text"),
     )
+
+
+def vocab_coverage(df: DataFrame, ks: tuple[int, ...] = (100, 1000, 10000),
+                   text_col: str = "text") -> DataFrame:
+    """Vocabulary coverage curve: for each candidate vocab size k, the
+    fraction of all corpus token OCCURRENCES covered by the k most
+    frequent token types (ties broken lexically) — the
+    how-big-a-vocab-do-you-need analysis behind tokenizer budgeting and
+    OOV-rate planning.
+
+    Scale shape: token frequencies aggregate with map-side partials;
+    the top-max(k) selection is a parallel TakeOrdered (per-partition
+    partial top-k, NO single-partition global window over the vocab),
+    and the cumulative window then runs over <= max(k) rows — bounded
+    however large the corpus vocabulary grows. Returns
+    (k, vocab_used, coverage) with vocab_used = min(k, |vocab|).
+    """
+    spark = df.sparkSession
+    toks = df.select(
+        F.explode(tokens(F.lower(F.col(text_col)))).alias("tok"))
+    freq = toks.groupBy("tok").agg(F.count(F.lit(1)).alias("tf"))
+    kmax = max(ks)
+    top = freq.orderBy(F.desc("tf"), "tok").limit(kmax)
+    w = W.orderBy(F.desc("tf"), "tok")
+    ranked = top.select(
+        F.row_number().over(w).alias("rank"),
+        F.sum("tf").over(
+            w.rowsBetween(W.unboundedPreceding, W.currentRow)).alias("cum"),
+    )
+    tot = freq.agg(F.sum("tf").alias("total"),
+                   F.count(F.lit(1)).alias("nv"))
+    ks_df = spark.createDataFrame([(int(k),) for k in ks], "k int")
+    return (
+        ks_df.crossJoin(F.broadcast(tot))
+        .join(F.broadcast(ranked),
+              F.col("rank") == F.least(F.col("k"), F.col("nv")))
+        .select(
+            "k",
+            F.least(F.col("k"), F.col("nv")).cast("int").alias("vocab_used"),
+            F.round(F.col("cum") / F.col("total"), 4).alias("coverage"),
+        )
+    )

@@ -1262,6 +1262,17 @@ def q91_containment(spark, sf_dir):
                                    max_shingle_freq=100)
 
 
+def q92_vocab_coverage(spark, sf_dir):
+    """Vocabulary coverage curve (tokenizer budgeting): fraction of all
+    token occurrences covered by the k most frequent token types, for
+    k in {100, 1000, 10000}. Parallel TakeOrdered top-k — never a
+    global window over the vocabulary."""
+    from tantalus_spark.datapipe.textstats import vocab_coverage
+
+    docs = db_for(spark, sf_dir).table("documents")
+    return vocab_coverage(docs, ks=(100, 1000, 10000))
+
+
 _ALL_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     name[1:]: fn
     for name, fn in list(globals().items())
@@ -1321,7 +1332,7 @@ _QUERY_ORDER = [
     "79_scrub_pii", "80_knn_graph", "81_semantic_dedup", "82_strip_markup",
     "83_corpus_report", "84_pack_sequences", "85_exact_sample",
     "86_novel_docs", "87_rare_tokens", "88_domain_stats", "89_dup_spans",
-    "90_packed_text", "91_containment",
+    "90_packed_text", "91_containment", "92_vocab_coverage",
 ]
 
 QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
@@ -2560,5 +2571,21 @@ ORACLES: dict[str, str] = {
         JOIN counts na ON na.doc_id = d1
         JOIN counts nb ON nb.doc_id = d2
         WHERE i*1.0/least(na.n_sh, nb.n_sh) >= 0.5
+    """,
+    "92_vocab_coverage": """
+        WITH tok AS (
+          SELECT unnest(string_split_regex(trim(lower(text)), '\\s+')) AS t
+          FROM documents),
+        freq AS (SELECT t, count(*) AS tf FROM tok GROUP BY t),
+        r AS (
+          SELECT row_number() OVER (ORDER BY tf DESC, t) AS rank,
+                 SUM(tf) OVER (ORDER BY tf DESC, t
+                               ROWS UNBOUNDED PRECEDING) AS cum
+          FROM freq),
+        tot AS (SELECT sum(tf) AS total, count(*) AS nv FROM freq)
+        SELECT k, CAST(least(k, nv) AS INTEGER) AS vocab_used,
+               round(cum * 1.0 / total, 4) AS coverage
+        FROM (VALUES (100), (1000), (10000)) ks(k), tot, r
+        WHERE r.rank = least(k, nv)
     """,
 }

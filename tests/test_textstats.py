@@ -438,3 +438,17 @@ def test_containment_catches_embedded_quote(spark):
     jac = {(r["d1"], r["d2"])
            for r in ngram_jaccard_pairs(docs, threshold=0.5).collect()}
     assert (1, 2) not in jac
+
+
+def test_vocab_coverage_known_values(spark):
+    from tantalus_spark.datapipe.textstats import vocab_coverage
+
+    # tf: a=4, b=2, c=1, d=1  (total 8; ties c/d break lexically)
+    docs = spark.createDataFrame(
+        [(1, "a a b c"), (2, "a a b d")], "doc_id long, text string")
+    got = {r["k"]: (r["vocab_used"], r["coverage"])
+           for r in vocab_coverage(docs, ks=(1, 2, 3, 100)).collect()}
+    assert got[1] == (1, 0.5)          # 'a' alone covers 4/8
+    assert got[2] == (2, 0.75)         # +b -> 6/8
+    assert got[3] == (3, 0.875)        # +c -> 7/8
+    assert got[100] == (4, 1.0)        # whole vocab (k capped at |V|)
