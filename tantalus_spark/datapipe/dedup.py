@@ -821,3 +821,43 @@ def containment_pairs(
         .select("d1", "d2", "containment")
     )
     return _materialize_and_release(out, [sh])
+
+
+def dedup_keep_best(
+    df: DataFrame,
+    threshold: float = 0.2,
+    n: int = 3,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    max_shingle_freq: int | None = None,
+) -> DataFrame:
+    """The APPLY step of near-dedup: pick one representative per
+    duplicate cluster and mark everything else for removal. The
+    representative is the cluster's longest document (token count,
+    ties to the smallest id) — an integer-only rule, so the selection
+    replays bit-for-bit in any engine (a float quality score would
+    hinge argmax on cross-libm ulps).
+
+    Builds on :func:`dup_clusters`; singleton documents are their own
+    cluster and always kept. Returns (id, cluster_id, n_tokens, kept)
+    for every document. Scale: the cluster map is tiny next to the
+    corpus (only docs in some duplicate group), the back-join rides the
+    id, and the winner window partitions by cluster — near-dup groups
+    are shallow, so no partition outgrows memory.
+    """
+    clusters = dup_clusters(df, threshold=threshold, n=n,
+                            text_col=text_col, id_col=id_col,
+                            max_shingle_freq=max_shingle_freq)
+    toks = df.select(
+        F.col(id_col),
+        F.size(tokens(F.col(text_col))).alias("n_tokens"),
+    )
+    joined = toks.join(clusters, id_col, "left").withColumn(
+        "cluster_id", F.coalesce(F.col("cluster_id"), F.col(id_col)))
+    from pyspark.sql import Window as W
+
+    w = W.partitionBy("cluster_id").orderBy(
+        F.desc("n_tokens"), F.col(id_col))
+    return joined.withColumn(
+        "kept", F.row_number().over(w) == F.lit(1)
+    ).select(id_col, "cluster_id", "n_tokens", "kept")

@@ -1273,6 +1273,16 @@ def q92_vocab_coverage(spark, sf_dir):
     return vocab_coverage(docs, ks=(100, 1000, 10000))
 
 
+def q93_keep_best(spark, sf_dir):
+    """The APPLY step of near-dedup: one representative per duplicate
+    cluster (longest doc, ties to min id — integer-only, so the argmax
+    replays exactly in SQL), everything else marked for removal.
+    Singletons always kept."""
+    docs = db_for(spark, sf_dir).table("documents")
+    return dedup.dedup_keep_best(docs, threshold=0.2,
+                                 max_shingle_freq=100)
+
+
 _ALL_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     name[1:]: fn
     for name, fn in list(globals().items())
@@ -1333,6 +1343,7 @@ _QUERY_ORDER = [
     "83_corpus_report", "84_pack_sequences", "85_exact_sample",
     "86_novel_docs", "87_rare_tokens", "88_domain_stats", "89_dup_spans",
     "90_packed_text", "91_containment", "92_vocab_coverage",
+    "93_keep_best",
 ]
 
 QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
@@ -2587,5 +2598,48 @@ ORACLES: dict[str, str] = {
                round(cum * 1.0 / total, 4) AS coverage
         FROM (VALUES (100), (1000), (10000)) ks(k), tot, r
         WHERE r.rank = least(k, nv)
+    """,
+    # 93: q62's recursive-CTE components + integer token counts; the
+    # representative rule (max n_tokens, min id) is integer-only so the
+    # winner window replays exactly.
+    "93_keep_best": """
+        WITH RECURSIVE tok AS (
+          SELECT doc_id, string_split_regex(trim(lower(text)), '\\s+') AS t
+          FROM documents),
+        sh0 AS (
+          SELECT DISTINCT doc_id, t[i] || ' ' || t[i+1] || ' ' || t[i+2] AS shingle
+          FROM tok, UNNEST(range(1, greatest(len(t)-1, 1))) AS u(i)),
+        sh AS (
+          SELECT * FROM sh0 WHERE shingle NOT IN (
+            SELECT shingle FROM sh0 GROUP BY shingle HAVING count(*) > 100)),
+        counts AS (SELECT doc_id, count(*) AS n_sh FROM sh GROUP BY doc_id),
+        inter AS (
+          SELECT a.doc_id AS d1, b.doc_id AS d2, count(*) AS i
+          FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+          GROUP BY a.doc_id, b.doc_id),
+        pairs AS (
+          SELECT d1, d2 FROM inter
+          JOIN counts na ON na.doc_id = d1
+          JOIN counts nb ON nb.doc_id = d2
+          WHERE i*1.0/(na.n_sh + nb.n_sh - i) >= 0.2),
+        edges2 AS (SELECT d1 AS s, d2 AS t FROM pairs
+                   UNION SELECT d2, d1 FROM pairs),
+        reach AS (
+          SELECT s AS v, s AS l FROM edges2
+          UNION
+          SELECT e.s, r.l FROM edges2 e JOIN reach r ON e.t = r.v),
+        cl AS (SELECT v AS doc_id, min(l) AS cluster_id FROM reach GROUP BY v),
+        nt AS (
+          SELECT doc_id,
+                 len(string_split_regex(trim(text), '\\s+')) AS n_tokens
+          FROM documents),
+        j AS (
+          SELECT nt.doc_id, coalesce(cl.cluster_id, nt.doc_id) AS cluster_id,
+                 nt.n_tokens
+          FROM nt LEFT JOIN cl USING (doc_id))
+        SELECT doc_id, cluster_id, n_tokens,
+               row_number() OVER (PARTITION BY cluster_id
+                                  ORDER BY n_tokens DESC, doc_id) = 1 AS kept
+        FROM j
     """,
 }

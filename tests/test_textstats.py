@@ -452,3 +452,19 @@ def test_vocab_coverage_known_values(spark):
     assert got[2] == (2, 0.75)         # +b -> 6/8
     assert got[3] == (3, 0.875)        # +c -> 7/8
     assert got[100] == (4, 1.0)        # whole vocab (k capped at |V|)
+
+
+def test_dedup_keep_best_picks_longest_per_cluster(spark):
+    from tantalus_spark.datapipe.dedup import dedup_keep_best
+
+    base = "the quick brown fox jumps over the lazy dog again and again"
+    docs = spark.createDataFrame([
+        (1, base),
+        (2, base + " with a couple extra trailing tokens"),  # longest dup
+        (3, "an unrelated singleton document about something different"),
+    ], "doc_id long, text string")
+    got = {r["doc_id"]: (r["cluster_id"], r["kept"])
+           for r in dedup_keep_best(docs, threshold=0.2).collect()}
+    assert got[1] == (1, False)        # same cluster, shorter -> dropped
+    assert got[2] == (1, True)         # longest wins
+    assert got[3] == (3, True)         # singleton keeps itself
