@@ -43,6 +43,10 @@ def main() -> None:
         f"local[{os.environ.get('SPARK_GRAFT_CPUS', '32')}]")
         .config("spark.sql.shuffle.partitions", "32")
         .config("spark.sql.adaptive.enabled", "true")
+        # match get_spark: the pyspark default 1g heap OOMs the pair-agg
+        # queries at sf1 on local[32] (all "executors" share one JVM)
+        .config("spark.driver.memory",
+                os.environ.get("SPARK_DRIVER_MEMORY", "8g"))
         .appName("bench-scale").getOrCreate())
     spark.sparkContext.setLogLevel("ERROR")
 
