@@ -591,6 +591,8 @@ def dedup_lines(
     min_docs: int = 2,
     text_col: str = "text",
     id_col: str = "doc_id",
+    split_re: str = "\n",
+    join_str: str = "\n",
 ) -> DataFrame:
     """Cross-document repeated-line removal (the CCNet / RefinedWeb
     boilerplate filter): drop every line whose normalized form appears in
@@ -600,7 +602,11 @@ def dedup_lines(
 
     Returns (id, clean_text, n_lines_kept, n_lines_dropped); documents
     whose every line is boilerplate survive with an empty clean_text
-    (dropping them is the caller's policy decision).
+    (dropping them is the caller's policy decision). ``split_re`` /
+    ``join_str`` select the unit: the defaults give line-level dedup;
+    ``split_re=r"\\n{2,}", join_str="\\n\\n"`` gives PARAGRAPH-level
+    boilerplate removal (RefinedWeb runs both), normalizing blank-line
+    runs to one separator.
 
     100 TB shape: lines shuffle as 16-byte digests, never raw text, for
     the frequency count (partial map-side aggregation bounds the volume
@@ -616,7 +622,7 @@ def dedup_lines(
     df = spread_small_scan(df)
     lines = df.select(
         F.col(id_col),
-        F.posexplode(F.split(F.col(text_col), "\n")).alias("pos", "line"),
+        F.posexplode(F.split(F.col(text_col), split_re)).alias("pos", "line"),
     ).withColumn("lh", F.md5(F.trim(F.lower(F.col("line")))))
     boiler = (
         lines.groupBy("lh")
@@ -635,7 +641,7 @@ def dedup_lines(
                     F.array_sort(F.collect_list(keep_struct)),
                     lambda s: s.line,
                 ),
-                "\n",
+                join_str,
             ).alias("clean_text"),
             F.sum(F.when(F.col("is_boiler").isNull(), 1).otherwise(0))
             .cast("int").alias("n_lines_kept"),

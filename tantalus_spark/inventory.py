@@ -1294,6 +1294,25 @@ def q94_source_report(spark, sf_dir):
     return source_report(docs)
 
 
+def q95_paragraph_dedup(spark, sf_dir):
+    """Paragraph-level boilerplate removal (RefinedWeb's second dedup
+    unit): every doc is salted with a shared footer paragraph plus a
+    per-doc paragraph, and the shared footer — appearing in >= 2 docs —
+    must vanish while per-doc paragraphs survive. Same digest-shuffle
+    pipeline as q76 with split_re=\\n{2,}."""
+    docs = db_for(spark, sf_dir).table("documents")
+    salted = docs.select(
+        "doc_id",
+        F.concat(
+            F.col("text"), F.lit("\n\nunique closing p"),
+            F.col("doc_id").cast("string"),
+            F.lit("\n\nsubscribe to our newsletter today"),
+        ).alias("text"),
+    )
+    return dedup.dedup_lines(salted, min_docs=2, split_re=r"\n{2,}",
+                             join_str="\n\n")
+
+
 _ALL_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     name[1:]: fn
     for name, fn in list(globals().items())
@@ -1354,7 +1373,7 @@ _QUERY_ORDER = [
     "83_corpus_report", "84_pack_sequences", "85_exact_sample",
     "86_novel_docs", "87_rare_tokens", "88_domain_stats", "89_dup_spans",
     "90_packed_text", "91_containment", "92_vocab_coverage",
-    "93_keep_best", "94_source_report",
+    "93_keep_best", "94_source_report", "95_paragraph_dedup",
 ]
 
 QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
@@ -2668,5 +2687,33 @@ ORACLES: dict[str, str] = {
                count(DISTINCT m) AS n_distinct,
                round(1.0 - count(DISTINCT m) * 1.0 / count(*), 4) AS dup_ratio
         FROM f GROUP BY source
+    """,
+    "95_paragraph_dedup": """
+        WITH s AS (
+          SELECT doc_id,
+                 text || chr(10) || chr(10) || 'unique closing p'
+                      || doc_id::VARCHAR || chr(10) || chr(10)
+                      || 'subscribe to our newsletter today' AS text
+          FROM documents),
+        t AS (
+          SELECT doc_id,
+                 string_split_regex(text, '\\n{2,}') AS ps FROM s),
+        l AS (
+          SELECT doc_id, i AS pos, ps[i] AS para,
+                 md5(trim(lower(ps[i]))) AS lh
+          FROM t, UNNEST(range(1, len(ps) + 1)) AS u(i)),
+        b AS (
+          SELECT lh FROM l GROUP BY lh
+          HAVING count(DISTINCT doc_id) >= 2)
+        SELECT l.doc_id,
+               coalesce(string_agg(l.para, chr(10) || chr(10)
+                                   ORDER BY l.pos)
+                        FILTER (WHERE b.lh IS NULL), '') AS clean_text,
+               CAST(count(*) FILTER (WHERE b.lh IS NULL) AS INTEGER)
+                 AS n_lines_kept,
+               CAST(count(*) FILTER (WHERE b.lh IS NOT NULL) AS INTEGER)
+                 AS n_lines_dropped
+        FROM l LEFT JOIN b USING (lh)
+        GROUP BY l.doc_id
     """,
 }

@@ -468,3 +468,22 @@ def test_dedup_keep_best_picks_longest_per_cluster(spark):
     assert got[1] == (1, False)        # same cluster, shorter -> dropped
     assert got[2] == (1, True)         # longest wins
     assert got[3] == (3, True)         # singleton keeps itself
+
+
+def test_paragraph_dedup_unit(spark):
+    from tantalus_spark.datapipe.dedup import dedup_lines
+
+    footer = "subscribe to our newsletter"
+    docs = spark.createDataFrame([
+        (1, f"real first paragraph\n\n{footer}"),
+        (2, f"other unique content here\n\n\n{footer}"),  # 3 blank-run
+        (3, "standalone doc with no footer at all"),
+    ], "doc_id long, text string")
+    got = {r["doc_id"]: r for r in
+           dedup_lines(docs, split_re=r"\n{2,}",
+                       join_str="\n\n").collect()}
+    assert got[1]["clean_text"] == "real first paragraph"
+    assert got[2]["clean_text"] == "other unique content here"
+    assert got[1]["n_lines_dropped"] == 1
+    assert got[3]["clean_text"] == "standalone doc with no footer at all"
+    assert got[3]["n_lines_dropped"] == 0
