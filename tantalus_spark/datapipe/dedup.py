@@ -867,3 +867,45 @@ def dedup_keep_best(
     return joined.withColumn(
         "kept", F.row_number().over(w) == F.lit(1)
     ).select(id_col, "cluster_id", "n_tokens", "kept")
+
+
+def split_leakage(
+    df: DataFrame,
+    fractions: dict[str, float],
+    n_perm: int = 16,
+    bands: int = 4,
+    shingle_n: int = 3,
+    threshold: float = 0.2,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    hash_family: str = "xxhash64",
+) -> DataFrame:
+    """Train/eval leakage audit: near-duplicate pairs that CROSS a
+    hash-split boundary. Exact-dup and near-dup twins landing on
+    opposite sides of a train/val split silently inflate eval metrics
+    (Lee et al. 2022) — decontamination (q70/q77) checks against an
+    external benchmark, this checks the split against itself.
+
+    Composes :func:`~tantalus_spark.datapipe.sampling.hash_split` with
+    :func:`minhash_lsh_pairs` and keeps only pairs whose endpoints got
+    different splits. Returns (d1, d2, jaccard, split1, split2).
+    Scale: the LSH pair generation dominates (banded, O(docs x bands));
+    the split map carries two tiny columns and broadcasts into the
+    (small) pair set.
+    """
+    from tantalus_spark.datapipe.sampling import hash_split
+
+    splits = hash_split(df.select(id_col), fractions, id_col=id_col)
+    pairs = minhash_lsh_pairs(
+        df, n_perm=n_perm, bands=bands, shingle_n=shingle_n,
+        threshold=threshold, text_col=text_col, id_col=id_col,
+        hash_family=hash_family)
+    s1 = splits.select(F.col(id_col).alias("d1"),
+                       F.col("split").alias("split1"))
+    s2 = splits.select(F.col(id_col).alias("d2"),
+                       F.col("split").alias("split2"))
+    return (
+        pairs.join(s1, "d1").join(s2, "d2")
+        .filter(F.col("split1") != F.col("split2"))
+        .select("d1", "d2", "jaccard", "split1", "split2")
+    )

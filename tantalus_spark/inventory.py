@@ -1313,6 +1313,17 @@ def q95_paragraph_dedup(spark, sf_dir):
                              join_str="\n\n")
 
 
+def q96_split_leakage(spark, sf_dir):
+    """Train/eval leakage audit: near-dup pairs whose endpoints fall in
+    DIFFERENT hash splits (80/10/10) — the twins that silently inflate
+    eval metrics. md5 hash family so the whole LSH + split composition
+    replays in SQL; production default is xxhash64."""
+    docs = db_for(spark, sf_dir).table("documents")
+    return dedup.split_leakage(
+        docs, {"train": 0.8, "val": 0.1, "test": 0.1},
+        threshold=0.2, hash_family="md5")
+
+
 _ALL_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     name[1:]: fn
     for name, fn in list(globals().items())
@@ -1374,6 +1385,7 @@ _QUERY_ORDER = [
     "86_novel_docs", "87_rare_tokens", "88_domain_stats", "89_dup_spans",
     "90_packed_text", "91_containment", "92_vocab_coverage",
     "93_keep_best", "94_source_report", "95_paragraph_dedup",
+    "96_split_leakage",
 ]
 
 QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
@@ -2715,5 +2727,76 @@ ORACLES: dict[str, str] = {
                  AS n_lines_dropped
         FROM l LEFT JOIN b USING (lh)
         GROUP BY l.doc_id
+    """,
+    # 96: q45's md5-family LSH pipeline + q61's hash-split rule; keep
+    # only pairs whose endpoints drew different splits.
+    "96_split_leakage": """
+        WITH tok AS (
+          SELECT doc_id, string_split_regex(trim(lower(text)), '\\s+') AS t
+          FROM documents),
+        sh0 AS (
+          SELECT DISTINCT doc_id, t[i] || ' ' || t[i+1] || ' ' || t[i+2] AS g
+          FROM tok, UNNEST(range(1, greatest(len(t)-1, 1))) AS u(i)),
+        sh AS (
+          SELECT doc_id, ('0x'||substr(md5(g),1,15))::BIGINT AS hv FROM sh0),
+        sig AS (
+          SELECT doc_id,
+                 min(((hv % 1000000007) * 3  + 1)     % 1000000007) AS h0,
+                 min(((hv % 1000000007) * 5  + 2)     % 1000000007) AS h1,
+                 min(((hv % 1000000007) * 7  + 4)     % 1000000007) AS h2,
+                 min(((hv % 1000000007) * 11 + 8)     % 1000000007) AS h3,
+                 min(((hv % 1000000007) * 13 + 16)    % 1000000007) AS h4,
+                 min(((hv % 1000000007) * 17 + 32)    % 1000000007) AS h5,
+                 min(((hv % 1000000007) * 19 + 64)    % 1000000007) AS h6,
+                 min(((hv % 1000000007) * 23 + 128)   % 1000000007) AS h7,
+                 min(((hv % 1000000007) * 29 + 256)   % 1000000007) AS h8,
+                 min(((hv % 1000000007) * 31 + 512)   % 1000000007) AS h9,
+                 min(((hv % 1000000007) * 37 + 1024)  % 1000000007) AS h10,
+                 min(((hv % 1000000007) * 41 + 2048)  % 1000000007) AS h11,
+                 min(((hv % 1000000007) * 43 + 4096)  % 1000000007) AS h12,
+                 min(((hv % 1000000007) * 47 + 8192)  % 1000000007) AS h13,
+                 min(((hv % 1000000007) * 53 + 16384) % 1000000007) AS h14,
+                 min(((hv % 1000000007) * 59 + 32768) % 1000000007) AS h15
+          FROM sh GROUP BY doc_id),
+        bands AS (
+          SELECT doc_id, 0 AS band, h0 AS x0, h1 AS x1, h2 AS x2, h3 AS x3 FROM sig
+          UNION ALL
+          SELECT doc_id, 1, h4, h5, h6, h7 FROM sig
+          UNION ALL
+          SELECT doc_id, 2, h8, h9, h10, h11 FROM sig
+          UNION ALL
+          SELECT doc_id, 3, h12, h13, h14, h15 FROM sig),
+        cand AS (
+          SELECT DISTINCT a.doc_id AS d1, b.doc_id AS d2
+          FROM bands a JOIN bands b
+            ON a.band = b.band AND a.x0 = b.x0 AND a.x1 = b.x1
+           AND a.x2 = b.x2 AND a.x3 = b.x3 AND a.doc_id < b.doc_id),
+        counts AS (SELECT doc_id, count(*) AS n_sh FROM sh GROUP BY doc_id),
+        inter AS (
+          SELECT c.d1, c.d2, count(*) AS i
+          FROM cand c
+          JOIN sh s1 ON s1.doc_id = c.d1
+          JOIN sh s2 ON s2.doc_id = c.d2 AND s2.hv = s1.hv
+          GROUP BY c.d1, c.d2),
+        pairs AS (
+          SELECT d1, d2, round(i*1.0/(na.n_sh + nb.n_sh - i), 4) AS jaccard
+          FROM inter
+          JOIN counts na ON na.doc_id = d1
+          JOIN counts nb ON nb.doc_id = d2
+          WHERE i*1.0/(na.n_sh + nb.n_sh - i) >= 0.2),
+        sp AS (
+          SELECT doc_id,
+                 CASE WHEN ('0x'||substr(md5(CAST(doc_id AS VARCHAR)),1,15))
+                             ::BIGINT % 100 < 80 THEN 'train'
+                      WHEN ('0x'||substr(md5(CAST(doc_id AS VARCHAR)),1,15))
+                             ::BIGINT % 100 < 90 THEN 'val'
+                      ELSE 'test' END AS split
+          FROM documents)
+        SELECT p.d1, p.d2, p.jaccard,
+               a.split AS split1, b.split AS split2
+        FROM pairs p
+        JOIN sp a ON a.doc_id = p.d1
+        JOIN sp b ON b.doc_id = p.d2
+        WHERE a.split <> b.split
     """,
 }

@@ -487,3 +487,29 @@ def test_paragraph_dedup_unit(spark):
     assert got[1]["n_lines_dropped"] == 1
     assert got[3]["clean_text"] == "standalone doc with no footer at all"
     assert got[3]["n_lines_dropped"] == 0
+
+
+def test_split_leakage_flags_cross_split_twins(spark):
+    from tantalus_spark.datapipe.dedup import split_leakage
+    from tantalus_spark.datapipe.sampling import hash_split
+
+    base = "the quick brown fox jumps over the lazy dog before midnight"
+    # find two ids that hash to different splits under the 50/50 rule
+    ids = spark.createDataFrame([(i,) for i in range(20)], "doc_id long")
+    sp = {r["doc_id"]: r["split"]
+          for r in hash_split(ids, {"a": 0.5, "b": 0.5}).collect()}
+    ia = next(i for i in sp if sp[i] == "a")
+    ib = next(i for i in sp if sp[i] == "b")
+    isame = next(i for i in sp if sp[i] == "a" and i != ia)
+    docs = spark.createDataFrame([
+        (ia, base),
+        (ib, base + " extra"),                   # near-dup across splits
+        (isame, base + " extra padding"),        # near-dup within split a
+        (99_000, "completely unrelated content about other things"),
+    ], "doc_id long, text string")
+    got = {(r["d1"], r["d2"]): (r["split1"], r["split2"])
+           for r in split_leakage(docs, {"a": 0.5, "b": 0.5}).collect()}
+    lo, hi = min(ia, ib), max(ia, ib)
+    assert (lo, hi) in got and set(got[(lo, hi)]) == {"a", "b"}
+    within = (min(ia, isame), max(ia, isame))
+    assert within not in got                     # same-split pair filtered
