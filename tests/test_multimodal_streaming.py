@@ -558,3 +558,25 @@ def test_novel_documents_is_the_batch_twin_of_the_stream_index(spark):
     expected = {d: d not in hit_via_stream for d in flags}
     assert flags == expected
     assert any(not v for v in flags.values())     # fixture has real dups
+
+
+def test_novel_documents_from_persisted_index(spark, tmp_path_factory):
+    """The docstring's claimed workflow end to end: band the corpus,
+    PERSIST the index as parquet, reload in a fresh frame, and probe a
+    new batch against it — flags must match the in-memory path."""
+    from tantalus_spark.catalog.loader import read_parquet
+    from tantalus_spark.datapipe.dedup import minhash_bands, novel_documents
+
+    docs = read_parquet(spark, "/root/testdata/sf0.001/documents.parquet") \
+        .select("doc_id", "text")
+    corpus = docs.filter(F.col("doc_id") % 2 == 0)
+    new = docs.filter(F.col("doc_id") % 2 == 1)
+    want = {r["doc_id"]: r["is_novel"]
+            for r in novel_documents(new, minhash_bands(corpus)).collect()}
+
+    idx_path = str(tmp_path_factory.mktemp("bandidx") / "index.parquet")
+    minhash_bands(corpus).write.mode("overwrite").parquet(idx_path)
+    reloaded = spark.read.parquet(idx_path)
+    got = {r["doc_id"]: r["is_novel"]
+           for r in novel_documents(new, reloaded).collect()}
+    assert got == want and any(not v for v in got.values())
