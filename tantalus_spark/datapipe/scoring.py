@@ -1,0 +1,215 @@
+"""Model-based corpus scoring for training-data curation.
+
+Three operators a 100 TB pretraining pipeline runs between cleaning and
+packing:
+
+- :func:`unigram_lm_score` — CCNet-style language-model quality scoring
+  (Wenzek et al., LREC 2020): per-document cross-entropy under a unigram
+  LM estimated from the corpus itself.  Low cost ≈ fluent/common text,
+  high cost ≈ gibberish or boilerplate-free rare text; pipelines keep the
+  head/middle buckets.
+- :func:`dsir_weights` — Data Selection with Importance Resampling
+  (Xie et al., NeurIPS 2023): hashed-unigram log-likelihood ratio between
+  a curated *target* slice and the raw corpus; documents whose feature
+  mass looks target-like get positive weights and are preferentially
+  sampled.
+- :func:`corpus_shuffle` — deterministic seeded global shuffle (shard +
+  intra-shard order) for reproducible training-example order.
+
+Engine-exactness: every cross-row reduction here is an INTEGER sum.
+Per-token log-probabilities are quantized once to integer "millibits"
+(``floor(log2(p) * 1000 + 0.5)``) and all document scores are sums /
+integer divisions of those BIGINTs — no float summation anywhere, so the
+DuckDB oracles replay bit-for-bit regardless of partition or fold order
+(the float-ulp risk is confined to the single quantization boundary,
+the same class as the repo's ``round(x, 4)`` oracles but strictly
+narrower).
+
+Reference parity note: the reference (molonc/tantalus) has no LM-scoring
+subsystem — these extend the engine for the LLM-data-pipeline mandate,
+following the cited public papers.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window as W
+from pyspark.sql import functions as F
+
+from tantalus_spark.datapipe.textstats import tokens
+from tantalus_spark.operators.spread import spread_small_scan
+
+
+def _millibits(log2_col) -> F.Column:
+    """Quantize a double log2 value to integer millibits with
+    floor(x*1000 + 0.5) — identical semantics in Spark and DuckDB
+    (unlike round(), whose half-away/half-even conventions differ)."""
+    return F.floor(log2_col * F.lit(1000.0) + F.lit(0.5)).cast("long")
+
+
+def unigram_lm_score(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    alpha: int = 1,
+) -> DataFrame:
+    """Per-document cross-entropy under an add-``alpha`` smoothed unigram
+    LM estimated from the corpus itself (CCNet's quality signal, with a
+    unigram model standing in for the wiki-trained 5-gram KenLM).
+
+    Per token type t: ``cost_t = -log2((c_t + alpha) / (N + alpha*V))``
+    millibit-quantized; per doc: ``total = Σ tf_t * cost_t`` (BIGINT),
+    ``mean_cost_millibits = total div n_tokens`` (exact integer floor
+    division).  Lower mean cost = more typical text.
+
+    Scale shape: one token explode feeding two aggregations — corpus
+    counts (shuffle keyed on term, partial-agg combined map-side) and
+    per-doc tf (shuffle keyed on doc_id+term) — then a sort-merge join
+    back on term.  The (N, V) scalars fold in as plan literals via one
+    single-row action over the vocabulary aggregate.  Nothing driver-side
+    grows with corpus size; the vocabulary table is the only reused
+    intermediate and is persisted once.
+    """
+    df = spread_small_scan(df)
+    toks = df.select(
+        F.col(id_col),
+        F.explode(tokens(F.lower(F.col(text_col)))).alias("term"),
+    )
+    tf = toks.groupBy(id_col, "term").agg(F.count(F.lit(1)).alias("tf"))
+    counts = (
+        toks.groupBy("term").agg(F.count(F.lit(1)).alias("c")).persist()
+    )
+    n_total, vocab = counts.agg(
+        F.sum("c"), F.count(F.lit(1))).first()
+    denom = float(n_total + alpha * vocab)
+    cost = counts.select(
+        "term",
+        _millibits(-F.log2((F.col("c") + F.lit(alpha)) / F.lit(denom))
+                   ).alias("cost_mb"),
+    )
+    scored = (
+        tf.join(cost, "term")
+        .groupBy(id_col)
+        .agg(
+            F.sum("tf").alias("n_tokens"),
+            F.sum(F.col("tf") * F.col("cost_mb")).alias("total_millibits"),
+        )
+        .withColumn(
+            "mean_cost_millibits",
+            F.floor(F.col("total_millibits") / F.col("n_tokens"))
+            .cast("long"),
+        )
+    )
+    return scored
+
+
+def _bucket(term, n_buckets: int, hash_family: str) -> F.Column:
+    """Hashed-feature bucket 0..n_buckets-1.  ``md5`` is the SQL-portable
+    family (first 15 hex chars as int — the repo's standard cross-engine
+    hash, textstats._token_hash_mod pattern); ``xxhash64`` is the
+    production default (one codegen'd long op per token)."""
+    if hash_family == "md5":
+        h = F.conv(F.substring(F.md5(term), 1, 15), 16, 10).cast("long")
+    elif hash_family == "xxhash64":
+        h = F.xxhash64(term)
+    else:
+        raise ValueError(f"unknown hash_family {hash_family!r}")
+    return F.pmod(h, F.lit(n_buckets))
+
+
+def dsir_weights(
+    df: DataFrame,
+    target_cond,
+    n_buckets: int = 1024,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    hash_family: str = "xxhash64",
+) -> DataFrame:
+    """DSIR importance weights (Xie et al., NeurIPS 2023): per document,
+    the hashed-unigram log-likelihood ratio between the *target* slice
+    (rows where ``target_cond`` holds — e.g. curated sources) and the raw
+    corpus.
+
+    Per bucket b (add-one smoothed):
+    ``lam_b = log2((tgt_c+1)/(tgt_N+B)) - log2((raw_c+1)/(raw_N+B))``
+    millibit-quantized; per doc: ``weight = Σ_tokens lam_bucket(token)``
+    (BIGINT sum).  Positive weight = target-like; resampling keeps the
+    top of the weight distribution.
+
+    Scale shape: one token explode; the bucket statistics table has a
+    FIXED size (``n_buckets`` rows — 1k here, 2^20 in production) so it
+    always broadcasts, and the per-doc reduction is one integer-sum
+    groupBy on doc_id.  Raw text never shuffles; only (doc_id, bucket)
+    pairs do.
+    """
+    df = spread_small_scan(df).withColumn(
+        "_is_target", target_cond.cast("int"))
+    toks = df.select(
+        F.col(id_col),
+        F.col("_is_target"),
+        F.explode(tokens(F.lower(F.col(text_col)))).alias("term"),
+    ).select(
+        id_col, "_is_target",
+        _bucket(F.col("term"), n_buckets, hash_family).alias("bucket"),
+    )
+    stats = (
+        toks.groupBy("bucket")
+        .agg(F.count(F.lit(1)).alias("raw_c"),
+             F.sum("_is_target").alias("tgt_c"))
+        .persist()
+    )
+    raw_n, tgt_n = stats.agg(F.sum("raw_c"), F.sum("tgt_c")).first()
+    lam = stats.select(
+        "bucket",
+        _millibits(
+            F.log2((F.col("tgt_c") + F.lit(1))
+                   / F.lit(float(tgt_n + n_buckets)))
+            - F.log2((F.col("raw_c") + F.lit(1))
+                     / F.lit(float(raw_n + n_buckets)))
+        ).alias("lam_mb"),
+    )
+    return (
+        toks.join(F.broadcast(lam), "bucket")
+        .groupBy(id_col)
+        .agg(
+            F.count(F.lit(1)).alias("n_tokens"),
+            F.sum("lam_mb").alias("weight_millibits"),
+            F.max("_is_target").alias("in_target"),
+        )
+    )
+
+
+def corpus_shuffle(
+    df: DataFrame,
+    seed: str = "epoch0",
+    n_shards: int = 16,
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Deterministic seeded global shuffle for reproducible training
+    order: shard = hash(seed, id) mod n_shards, position = rank of
+    hash within the shard.  Reading shards 0..n-1 in position order
+    yields the same pseudo-random permutation on every rerun, any
+    cluster size, any partitioning — no RNG state, no sampled sort
+    boundaries.
+
+    Scale shape: the md5 key is a map-side projection; the only shuffle
+    is the per-shard rank window, partitioned by shard (parallel across
+    shards — NOT a single global row_number, which would serialize 100 TB
+    through one task).  In production each shard is one output directory
+    and the writer sorts within partitions (sortWithinPartitions) instead
+    of a window; the window form here keeps the gate SQL-replayable.
+    """
+    key = F.md5(F.concat_ws("_", F.lit(seed), F.col(id_col).cast("string")))
+    shard = F.pmod(
+        F.conv(F.substring(key, 1, 15), 16, 10).cast("long"),
+        F.lit(n_shards),
+    )
+    out = df.select(
+        F.col(id_col),
+        shard.alias("shard"),
+        key.alias("_key"),
+    )
+    w = W.partitionBy("shard").orderBy(F.col("_key"), F.col(id_col))
+    return (
+        out.withColumn("position", F.row_number().over(w).cast("long"))
+        .select(id_col, "shard", "position")
+    )

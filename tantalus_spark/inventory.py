@@ -1324,6 +1324,55 @@ def q96_split_leakage(spark, sf_dir):
         threshold=0.2, hash_family="md5")
 
 
+def q97_lm_score(spark, sf_dir):
+    """CCNet-style quality scoring: per-doc cross-entropy under an
+    add-one unigram LM estimated from the corpus itself (Wenzek et al.
+    2020). Engine-exact: per-token log2-probs quantized once to integer
+    millibits, all document reductions are BIGINT sums / exact integer
+    floor-divisions — no float summation anywhere."""
+    from tantalus_spark.datapipe.scoring import unigram_lm_score
+
+    docs = db_for(spark, sf_dir).table("documents")
+    return unigram_lm_score(docs)
+
+
+def q98_dsir_weights(spark, sf_dir):
+    """DSIR importance weights (Xie et al. 2023): hashed-unigram
+    log-likelihood ratio between the curated target slice (sources
+    src1-3) and the raw corpus. md5 hash family so the bucket
+    composition replays in SQL; production default is xxhash64. The
+    1024-row bucket-stats table always broadcasts."""
+    from tantalus_spark.datapipe.scoring import dsir_weights
+
+    docs = db_for(spark, sf_dir).table("documents")
+    return dsir_weights(
+        docs, F.col("source").isin("src1", "src2", "src3"),
+        n_buckets=1024, hash_family="md5")
+
+
+def q99_corpus_shuffle(spark, sf_dir):
+    """Deterministic seeded global shuffle for reproducible training
+    order: shard = md5(seed, id) mod 16, position = rank within shard.
+    Parallel per-shard windows — never a single global row_number."""
+    from tantalus_spark.datapipe.scoring import corpus_shuffle
+
+    docs = db_for(spark, sf_dir).table("documents")
+    return corpus_shuffle(docs, seed="epoch0", n_shards=16)
+
+
+def q100_bpe_merges(spark, sf_dir):
+    """BPE tokenizer-vocabulary induction (Sennrich et al. 2016): the
+    corpus collapses to a (word, freq) table in ONE corpus-scale pass,
+    then 8 merge iterations run on that vocabulary-sized table only.
+    Iterative argmax + sequential rewrite is not SQL-expressible —
+    rows-only gate (q74 precedent); exactness is proven in
+    tests/test_tokenizer.py against a pure-Python reference trainer."""
+    from tantalus_spark.datapipe.tokenizer import bpe_train
+
+    docs = db_for(spark, sf_dir).table("documents")
+    return bpe_train(docs, n_merges=8)
+
+
 _ALL_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     name[1:]: fn
     for name, fn in list(globals().items())
@@ -1385,7 +1434,8 @@ _QUERY_ORDER = [
     "86_novel_docs", "87_rare_tokens", "88_domain_stats", "89_dup_spans",
     "90_packed_text", "91_containment", "92_vocab_coverage",
     "93_keep_best", "94_source_report", "95_paragraph_dedup",
-    "96_split_leakage",
+    "96_split_leakage", "97_lm_score", "98_dsir_weights",
+    "99_corpus_shuffle", "100_bpe_merges",
 ]
 
 QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
@@ -2798,5 +2848,61 @@ ORACLES: dict[str, str] = {
         JOIN sp a ON a.doc_id = p.d1
         JOIN sp b ON b.doc_id = p.d2
         WHERE a.split <> b.split
+    """,
+    "97_lm_score": """
+        WITH toks AS (
+          SELECT doc_id, unnest(string_split_regex(trim(lower(text)), '\\s+'))
+                   AS term
+          FROM documents),
+        counts AS (SELECT term, count(*) AS c FROM toks GROUP BY term),
+        scal AS (SELECT sum(c) AS n, count(*) AS v FROM counts),
+        cost AS (
+          SELECT term,
+                 CAST(floor(-log2((c + 1) / (n + v * 1.0)) * 1000 + 0.5)
+                      AS BIGINT) AS cost_mb
+          FROM counts CROSS JOIN scal),
+        tf AS (SELECT doc_id, term, count(*) AS tf
+               FROM toks GROUP BY doc_id, term)
+        SELECT doc_id, CAST(sum(tf) AS BIGINT) AS n_tokens,
+               CAST(sum(tf * cost_mb) AS BIGINT) AS total_millibits,
+               CAST(floor(sum(tf * cost_mb) / (sum(tf) * 1.0)) AS BIGINT)
+                 AS mean_cost_millibits
+        FROM tf JOIN cost USING (term) GROUP BY doc_id
+    """,
+    "98_dsir_weights": """
+        WITH toks AS (
+          SELECT doc_id,
+                 CASE WHEN source IN ('src1','src2','src3')
+                      THEN 1 ELSE 0 END AS it,
+                 unnest(string_split_regex(trim(lower(text)), '\\s+')) AS term
+          FROM documents),
+        b AS (SELECT doc_id, it,
+                     ('0x'||substr(md5(term),1,15))::BIGINT % 1024 AS bucket
+              FROM toks),
+        stats AS (SELECT bucket, count(*) AS raw_c, sum(it) AS tgt_c
+                  FROM b GROUP BY bucket),
+        scal AS (SELECT sum(raw_c) AS raw_n, sum(tgt_c) AS tgt_n FROM stats),
+        lam AS (
+          SELECT bucket,
+                 CAST(floor((log2((tgt_c + 1) / (tgt_n + 1024.0))
+                             - log2((raw_c + 1) / (raw_n + 1024.0)))
+                            * 1000 + 0.5) AS BIGINT) AS lam_mb
+          FROM stats CROSS JOIN scal)
+        SELECT doc_id, count(*) AS n_tokens,
+               CAST(sum(lam_mb) AS BIGINT) AS weight_millibits,
+               max(it) AS in_target
+        FROM b JOIN lam USING (bucket) GROUP BY doc_id
+    """,
+    "99_corpus_shuffle": """
+        WITH k AS (
+          SELECT doc_id,
+                 md5('epoch0_' || CAST(doc_id AS VARCHAR)) AS key,
+                 ('0x'||substr(md5('epoch0_' || CAST(doc_id AS VARCHAR)),
+                               1,15))::BIGINT % 16 AS shard
+          FROM documents)
+        SELECT doc_id, shard,
+               CAST(row_number() OVER (PARTITION BY shard
+                    ORDER BY key, doc_id) AS BIGINT) AS position
+        FROM k
     """,
 }

@@ -1,0 +1,103 @@
+"""LM scoring, DSIR weighting, and deterministic shuffle tests beyond
+the oracle gate."""
+
+from __future__ import annotations
+
+import math
+
+import pytest
+from pyspark.sql import functions as F
+
+from tantalus_spark.datapipe.scoring import (
+    corpus_shuffle,
+    dsir_weights,
+    unigram_lm_score,
+)
+
+
+@pytest.fixture(scope="module")
+def docs(spark):
+    common = "the cat sat on the mat and the dog sat on the rug"
+    rows = [
+        (1, common, "curated"),
+        (2, common + " again " + common, "curated"),
+        (3, "the cat and the dog sat on the mat", "curated"),
+        (4, "zyx qwv plk mnb vcx asd qaz wsx edc rfv", "web"),  # gibberish
+        (5, "the dog sat on the mat", "web"),
+        (6, None, "web"),
+    ]
+    return spark.createDataFrame(rows, "doc_id long, text string, source string")
+
+
+def test_lm_score_rare_tokens_cost_more(docs):
+    out = {r["doc_id"]: r for r in unigram_lm_score(docs).collect()}
+    # gibberish doc (all hapax tokens) must score far above common-word docs
+    assert out[4]["mean_cost_millibits"] > out[1]["mean_cost_millibits"]
+    assert out[4]["mean_cost_millibits"] > out[5]["mean_cost_millibits"]
+    # null text drops out (no tokens)
+    assert 6 not in out
+
+
+def test_lm_score_matches_hand_computation(spark):
+    # 2 docs, vocabulary {a, b}: counts a=3, b=1, N=4, V=2, alpha=1.
+    rows = [(1, "a a b"), (2, "a")]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    out = {r["doc_id"]: r for r in unigram_lm_score(df).collect()}
+    cost_a = math.floor(-math.log2((3 + 1) / (4 + 2)) * 1000 + 0.5)
+    cost_b = math.floor(-math.log2((1 + 1) / (4 + 2)) * 1000 + 0.5)
+    assert out[1]["total_millibits"] == 2 * cost_a + cost_b
+    assert out[1]["n_tokens"] == 3
+    assert out[1]["mean_cost_millibits"] == (2 * cost_a + cost_b) // 3
+    assert out[2]["total_millibits"] == cost_a
+
+
+def test_dsir_prefers_target_like_docs(docs):
+    out = {
+        r["doc_id"]: r
+        for r in dsir_weights(
+            docs, F.col("source") == "curated", n_buckets=64,
+            hash_family="md5").collect()
+    }
+    # doc 5 is textually target-like (all its tokens dominate the curated
+    # slice) even though it is NOT in the target; the gibberish doc 4 is not.
+    assert out[5]["weight_millibits"] > out[4]["weight_millibits"]
+    assert out[5]["in_target"] == 0 and out[1]["in_target"] == 1
+
+
+def test_dsir_hash_families_agree_on_ranking(docs):
+    cond = F.col("source") == "curated"
+    a = {r["doc_id"]: r["weight_millibits"]
+         for r in dsir_weights(docs, cond, n_buckets=64,
+                               hash_family="md5").collect()}
+    b = {r["doc_id"]: r["weight_millibits"]
+         for r in dsir_weights(docs, cond, n_buckets=64,
+                               hash_family="xxhash64").collect()}
+    # different bucketings, same qualitative top/bottom split
+    assert set(a) == set(b)
+    assert (a[5] > a[4]) and (b[5] > b[4])
+
+
+def test_corpus_shuffle_is_a_deterministic_permutation(spark):
+    df = spark.range(0, 500).withColumnRenamed("id", "doc_id")
+    out1 = corpus_shuffle(df, seed="s", n_shards=8).collect()
+    out2 = corpus_shuffle(df.repartition(13), seed="s", n_shards=8).collect()
+    # permutation: every doc exactly once; positions 1..n per shard
+    assert sorted(r["doc_id"] for r in out1) == list(range(500))
+    per_shard = {}
+    for r in out1:
+        per_shard.setdefault(r["shard"], []).append(r["position"])
+    for shard, poss in per_shard.items():
+        assert sorted(poss) == list(range(1, len(poss) + 1))
+    # deterministic under re-run AND under different input partitioning
+    key = lambda rows: sorted((r["doc_id"], r["shard"], r["position"])
+                              for r in rows)
+    assert key(out1) == key(out2)
+
+
+def test_corpus_shuffle_seed_changes_order(spark):
+    df = spark.range(0, 200).withColumnRenamed("id", "doc_id")
+    a = {(r["doc_id"]): (r["shard"], r["position"])
+         for r in corpus_shuffle(df, seed="epoch0", n_shards=4).collect()}
+    b = {(r["doc_id"]): (r["shard"], r["position"])
+         for r in corpus_shuffle(df, seed="epoch1", n_shards=4).collect()}
+    assert a != b  # different epochs draw different permutations

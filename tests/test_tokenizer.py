@@ -1,0 +1,89 @@
+"""Differential test: Spark BPE trainer vs a pure-Python reference
+implementation (same tokenization, same tie-break), plus edge cases."""
+
+from __future__ import annotations
+
+from collections import Counter
+
+import pytest
+
+from tantalus_spark.datapipe.textstats import py_tokens
+from tantalus_spark.datapipe.tokenizer import (
+    END_OF_WORD,
+    bpe_train,
+    merge_word,
+)
+
+
+def py_bpe_train(texts, n_merges):
+    """Reference BPE trainer: word-freq table, then iterative argmax
+    merge with (freq desc, left asc, right asc) tie-break — the exact
+    contract of tokenizer.bpe_train."""
+    freqs = Counter()
+    for t in texts:
+        if t is None:
+            continue
+        for w in py_tokens(t.lower()):
+            if w:
+                freqs[w] += 1
+    vocab = {w: list(w) + [END_OF_WORD] for w in freqs}
+    rules = []
+    for rank in range(1, n_merges + 1):
+        pair_counts = Counter()
+        for w, syms in vocab.items():
+            f = freqs[w]
+            for a, b in zip(syms, syms[1:]):
+                pair_counts[(a, b)] += f
+        if not pair_counts:
+            break
+        best = min(pair_counts.items(), key=lambda kv: (-kv[1], kv[0]))
+        (left, right), freq = best
+        if freq < 2:
+            break
+        rules.append((rank, left, right, left + right, freq))
+        vocab = {w: merge_word(s, left, right) for w, s in vocab.items()}
+    return rules
+
+
+@pytest.fixture(scope="module")
+def corpus():
+    return [
+        "the cat sat on the mat",
+        "the cats sat on the mats",
+        "a catalog of cats and more cats",
+        "low lower lowest newer newest",
+        "low lower lowest newer newest",
+        None,
+        "   ",
+    ]
+
+
+def test_bpe_matches_python_reference(spark, corpus):
+    df = spark.createDataFrame(
+        [(i, t) for i, t in enumerate(corpus)], "doc_id long, text string")
+    got = [(r["rank"], r["left"], r["right"], r["merged"], r["pair_freq"])
+           for r in bpe_train(df, n_merges=10).orderBy("rank").collect()]
+    want = py_bpe_train(corpus, n_merges=10)
+    assert got == want
+    assert len(got) == 10  # corpus is rich enough for all 10 merges
+
+
+def test_bpe_learns_multichar_units(spark, corpus):
+    df = spark.createDataFrame(
+        [(i, t) for i, t in enumerate(corpus)], "doc_id long, text string")
+    rules = bpe_train(df, n_merges=12).collect()
+    # after enough merges, some learned unit spans 3+ chars (subword!)
+    assert any(len(r["merged"].replace(END_OF_WORD, "")) >= 3
+               for r in rules)
+
+
+def test_bpe_stops_when_no_repeating_pairs(spark):
+    df = spark.createDataFrame([(1, "ab cd ef")], "doc_id long, text string")
+    # every pair occurs once (< 2) -> no rules learned
+    assert bpe_train(df, n_merges=5).count() == 0
+
+
+def test_merge_word_overlapping_pairs_left_to_right():
+    # "aaa": one (a,a) merge left-to-right -> ["aa", "a"], not ["a", "aa"]
+    assert merge_word(["a", "a", "a"], "a", "a") == ["aa", "a"]
+    assert merge_word(["a", "a", "a", "a"], "a", "a") == ["aa", "aa"]
