@@ -102,6 +102,48 @@ def unigram_lm_score(
     return scored
 
 
+def perplexity_buckets(
+    df: DataFrame,
+    cuts: tuple = (1.0 / 3, 2.0 / 3),
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """CCNet's head/middle/tail stratification: bucket every document by
+    exact corpus percentiles of its LM cost (head = most fluent third).
+    Pipelines keep head+middle and drop or downsample tail.
+
+    Returns one row per bucket: (bucket, n_docs, n_tokens,
+    min_cost_millibits, max_cost_millibits).
+
+    Engine-exactness: Spark ``percentile`` and DuckDB ``quantile_cont``
+    are bit-identical on doubles (the q34 precedent), the scored input is
+    integer millibits, and the two thresholds fold into the plan as
+    literals from one 2-value driver action.  At 100 TB swap the exact
+    percentile for ``approx_percentile`` (mergeable sketch) and keep this
+    as the verifier — the same exact/approx division as q34.
+    """
+    scores = unigram_lm_score(df, text_col=text_col, id_col=id_col)
+    scores = scores.persist()
+    t1, t2 = scores.agg(
+        F.percentile("mean_cost_millibits", F.lit(cuts[0])),
+        F.percentile("mean_cost_millibits", F.lit(cuts[1])),
+    ).first()
+    label = (
+        F.when(F.col("mean_cost_millibits") <= F.lit(t1), "head")
+        .when(F.col("mean_cost_millibits") <= F.lit(t2), "middle")
+        .otherwise("tail")
+    )
+    return (
+        scores.groupBy(label.alias("bucket"))
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum("n_tokens").alias("n_tokens"),
+            F.min("mean_cost_millibits").alias("min_cost_millibits"),
+            F.max("mean_cost_millibits").alias("max_cost_millibits"),
+        )
+    )
+
+
 def _bucket(term, n_buckets: int, hash_family: str) -> F.Column:
     """Hashed-feature bucket 0..n_buckets-1.  ``md5`` is the SQL-portable
     family (first 15 hex chars as int — the repo's standard cross-engine

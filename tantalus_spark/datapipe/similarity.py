@@ -144,6 +144,15 @@ def embedding_near_dup_pairs(
         # default is the faster JVM path). The *bucket id* below stays
         # xxhash64 in both families: it is pure equality partitioning on the
         # sign vector and never reaches the output.
+        #
+        # Oracle caveat (documented, accepted): the COEFFICIENTS replay
+        # bit-for-bit, but the dot product is a float sum — F.aggregate
+        # folds in array order while an external engine's SUM-over-UNNEST
+        # order is unspecified, so a dot within ~1 ulp of 0 could flip
+        # sign and change bucket membership on unlucky data. A strict
+        # oracle must fold in list order (e.g. DuckDB
+        # list_aggregate(list, 'sum') over the ordered list) or exclude
+        # near-zero dots; the gate fixture has no such dots.
         dim_idx = F.sequence(F.lit(1), F.size("v"))
 
         def coeff(i, s):

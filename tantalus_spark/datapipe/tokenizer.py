@@ -34,7 +34,7 @@ from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 from pyspark.sql.functions import pandas_udf
 
-from tantalus_spark.datapipe.textstats import tokens
+from tantalus_spark.datapipe.textstats import py_tokens, tokens
 from tantalus_spark.operators.spread import spread_small_scan
 
 END_OF_WORD = "</w>"
@@ -140,3 +140,58 @@ def bpe_train(
     return spark.createDataFrame(
         rules, "rank int, left string, right string, merged string, "
                "pair_freq long")
+
+
+def bpe_apply(
+    df: DataFrame,
+    merges,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """ENCODE with a learned rule list: tokenize, split each word to
+    chars + EOW, apply every merge in rank order; returns
+    (id, units array<string>, n_units) — the real token count a packing
+    or budgeting stage consumes (vs whitespace counts).
+
+    ``merges`` is the DataFrame from :func:`bpe_train` (collected here —
+    bounded by n_merges, a few thousand rows for a real tokenizer) or an
+    ordered ``[(left, right), ...]`` list.  The rule list broadcasts
+    inside the UDF closure; encoding is a pure map stage — zero shuffles
+    at any corpus size.  Per-batch word→units memoization mirrors
+    production tokenizers (Zipf makes the cache hit rate ~word-frequency
+    mass).
+    """
+    if isinstance(merges, DataFrame):
+        merges = [(r["left"], r["right"])
+                  for r in merges.orderBy("rank").collect()]
+    rules = list(merges)
+
+    @pandas_udf("array<string>")
+    def encode(texts: pd.Series) -> pd.Series:
+        cache: dict = {}
+
+        def enc_word(w: str) -> list:
+            u = cache.get(w)
+            if u is None:
+                u = list(w) + [END_OF_WORD]
+                for left, right in rules:
+                    u = merge_word(u, left, right)
+                cache[w] = u
+            return u
+
+        def enc_text(t) -> list:
+            if t is None:
+                return []
+            out = []
+            for w in py_tokens(t.lower()):
+                if w:
+                    out.extend(enc_word(w))
+            return out
+
+        return texts.map(enc_text)
+
+    out = df.select(
+        F.col(id_col),
+        encode(F.col(text_col)).alias("units"),
+    )
+    return out.withColumn("n_units", F.size("units"))

@@ -1373,6 +1373,32 @@ def q100_bpe_merges(spark, sf_dir):
     return bpe_train(docs, n_merges=8)
 
 
+def q101_perplexity_buckets(spark, sf_dir):
+    """CCNet head/middle/tail stratification: every doc bucketed by exact
+    corpus terciles of its unigram-LM cost; keep-head-and-middle is the
+    classic quality filter. Spark percentile and DuckDB quantile_cont
+    are bit-identical on doubles (q34 precedent) and the scored input is
+    integer millibits, so the whole composition has a full oracle."""
+    from tantalus_spark.datapipe.scoring import perplexity_buckets
+
+    docs = db_for(spark, sf_dir).table("documents")
+    return perplexity_buckets(docs)
+
+
+def q102_bpe_encode(spark, sf_dir):
+    """The tokenizer APPLY step: encode every document with the 8 learned
+    BPE rules; real subword token counts per doc (what a packing stage
+    consumes). Pure map stage — rules broadcast in the UDF closure, zero
+    shuffles after the training pass. Iterative rule application is not
+    SQL-expressible — rows-only gate; differential-tested against the
+    pure-Python reference encoder in tests/test_tokenizer.py."""
+    from tantalus_spark.datapipe.tokenizer import bpe_apply, bpe_train
+
+    docs = db_for(spark, sf_dir).table("documents")
+    rules = bpe_train(docs, n_merges=8)
+    return bpe_apply(docs, rules).select("doc_id", "n_units")
+
+
 _ALL_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     name[1:]: fn
     for name, fn in list(globals().items())
@@ -1435,7 +1461,8 @@ _QUERY_ORDER = [
     "90_packed_text", "91_containment", "92_vocab_coverage",
     "93_keep_best", "94_source_report", "95_paragraph_dedup",
     "96_split_leakage", "97_lm_score", "98_dsir_weights",
-    "99_corpus_shuffle", "100_bpe_merges",
+    "99_corpus_shuffle", "100_bpe_merges", "101_perplexity_buckets",
+    "102_bpe_encode",
 ]
 
 QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
@@ -2904,5 +2931,36 @@ ORACLES: dict[str, str] = {
                CAST(row_number() OVER (PARTITION BY shard
                     ORDER BY key, doc_id) AS BIGINT) AS position
         FROM k
+    """,
+    "101_perplexity_buckets": """
+        WITH toks AS (
+          SELECT doc_id, unnest(string_split_regex(trim(lower(text)), '\\s+'))
+                   AS term
+          FROM documents),
+        counts AS (SELECT term, count(*) AS c FROM toks GROUP BY term),
+        scal AS (SELECT sum(c) AS n, count(*) AS v FROM counts),
+        cost AS (
+          SELECT term,
+                 CAST(floor(-log2((c + 1) / (n + v * 1.0)) * 1000 + 0.5)
+                      AS BIGINT) AS cost_mb
+          FROM counts CROSS JOIN scal),
+        tf AS (SELECT doc_id, term, count(*) AS tf
+               FROM toks GROUP BY doc_id, term),
+        scores AS (
+          SELECT doc_id, CAST(sum(tf) AS BIGINT) AS n_tokens,
+                 CAST(floor(sum(tf * cost_mb) / (sum(tf) * 1.0)) AS BIGINT)
+                   AS mc
+          FROM tf JOIN cost USING (term) GROUP BY doc_id),
+        th AS (SELECT quantile_cont(mc, 1.0/3) AS t1,
+                      quantile_cont(mc, 2.0/3) AS t2 FROM scores)
+        SELECT CASE WHEN mc <= t1 THEN 'head'
+                    WHEN mc <= t2 THEN 'middle'
+                    ELSE 'tail' END AS bucket,
+               count(*) AS n_docs,
+               CAST(sum(n_tokens) AS BIGINT) AS n_tokens,
+               min(mc) AS min_cost_millibits,
+               max(mc) AS max_cost_millibits
+        FROM scores CROSS JOIN th
+        GROUP BY 1
     """,
 }

@@ -77,6 +77,27 @@ def test_dsir_hash_families_agree_on_ranking(docs):
     assert (a[5] > a[4]) and (b[5] > b[4])
 
 
+def test_perplexity_buckets_partition_the_corpus(spark):
+    # doc i mixes a common phrase with i unique (hapax) tokens -> LM cost
+    # rises smoothly with i, so the terciles split ~evenly
+    rows = [
+        (i, "the cat sat on the mat "
+            + " ".join(f"u{i}x{j}" for j in range(i)))
+        for i in range(45)
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    from tantalus_spark.datapipe.scoring import perplexity_buckets
+
+    out = {r["bucket"]: r for r in perplexity_buckets(df).collect()}
+    assert set(out) == {"head", "middle", "tail"}
+    assert sum(r["n_docs"] for r in out.values()) == 45
+    # buckets are ordered: head's max cost <= middle's min <= tail's min
+    assert out["head"]["max_cost_millibits"] <= out["middle"]["min_cost_millibits"]
+    assert out["middle"]["max_cost_millibits"] <= out["tail"]["min_cost_millibits"]
+    # terciles of 45 smoothly-increasing scores split roughly evenly
+    assert all(10 <= out[b]["n_docs"] <= 20 for b in out)
+
+
 def test_corpus_shuffle_is_a_deterministic_permutation(spark):
     df = spark.range(0, 500).withColumnRenamed("id", "doc_id")
     out1 = corpus_shuffle(df, seed="s", n_shards=8).collect()

@@ -83,6 +83,48 @@ def test_bpe_stops_when_no_repeating_pairs(spark):
     assert bpe_train(df, n_merges=5).count() == 0
 
 
+def py_bpe_encode(text, rules):
+    out = []
+    for w in py_tokens(text.lower()):
+        if not w:
+            continue
+        u = list(w) + [END_OF_WORD]
+        for _, left, right, _, _ in rules:
+            u = merge_word(u, left, right)
+        out.extend(u)
+    return out
+
+
+def test_bpe_apply_matches_python_reference(spark, corpus):
+    from tantalus_spark.datapipe.tokenizer import bpe_apply
+
+    df = spark.createDataFrame(
+        [(i, t) for i, t in enumerate(corpus)], "doc_id long, text string")
+    rules_df = bpe_train(df, n_merges=10)
+    rules = py_bpe_train(corpus, n_merges=10)
+    got = {r["doc_id"]: list(r["units"])
+           for r in bpe_apply(df, rules_df).collect()}
+    for i, t in enumerate(corpus):
+        if t is None:
+            assert got[i] == []
+        else:
+            assert got[i] == py_bpe_encode(t, rules), (i, t)
+
+
+def test_bpe_apply_is_lossless(spark, corpus):
+    # stripping the EOW markers and concatenating units reconstructs the
+    # lowercased tokens exactly — encoding loses nothing
+    from tantalus_spark.datapipe.tokenizer import bpe_apply
+
+    df = spark.createDataFrame(
+        [(i, t) for i, t in enumerate(corpus) if t], "doc_id long, text string")
+    rules_df = bpe_train(df, n_merges=10)
+    for r in bpe_apply(df, rules_df).collect():
+        text = corpus[r["doc_id"]]
+        rebuilt = "".join(r["units"]).replace(END_OF_WORD, " ").rstrip()
+        assert rebuilt == " ".join(w for w in py_tokens(text.lower()) if w)
+
+
 def test_merge_word_overlapping_pairs_left_to_right():
     # "aaa": one (a,a) merge left-to-right -> ["aa", "a"], not ["a", "aa"]
     assert merge_word(["a", "a", "a"], "a", "a") == ["aa", "a"]
