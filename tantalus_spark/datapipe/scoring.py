@@ -46,6 +46,83 @@ def _millibits(log2_col) -> F.Column:
     return F.floor(log2_col * F.lit(1000.0) + F.lit(0.5)).cast("long")
 
 
+def lm_cost_table(
+    df: DataFrame,
+    text_col: str = "text",
+    alpha: int = 1,
+):
+    """Train the unigram LM: returns ``(cost_df, oov_cost_mb)`` where
+    ``cost_df`` is (term, cost_mb) with
+    ``cost_t = -log2((c_t + alpha) / (N + alpha*V))`` millibit-quantized,
+    and ``oov_cost_mb`` is the cost of an unseen token (c=0) — what a
+    scorer charges for out-of-vocabulary tokens when the table is frozen
+    and reused on NEW data (the production CCNet shape: train offline,
+    score forever).
+
+    One token explode into a term-keyed count aggregate (map-side
+    partials); the (N, V) scalars fold in via one single-row action.
+    The count table is persisted once — it is reused by the returned
+    plan and by the scalar action."""
+    import math
+
+    df = spread_small_scan(df)
+    toks = df.select(
+        F.explode(tokens(F.lower(F.col(text_col)))).alias("term"))
+    counts = (
+        toks.groupBy("term").agg(F.count(F.lit(1)).alias("c")).persist()
+    )
+    n_total, vocab = counts.agg(
+        F.sum("c"), F.count(F.lit(1))).first()
+    denom = float(n_total + alpha * vocab)
+    cost = counts.select(
+        "term",
+        _millibits(-F.log2((F.col("c") + F.lit(alpha)) / F.lit(denom))
+                   ).alias("cost_mb"),
+    )
+    oov_cost_mb = math.floor(-math.log2(alpha / denom) * 1000 + 0.5)
+    return cost, oov_cost_mb
+
+
+def score_with_cost_table(
+    df: DataFrame,
+    cost: DataFrame,
+    oov_cost_mb: int | None = None,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Score documents against a (possibly frozen) cost table: per doc,
+    ``total = Σ tf_t * cost_t`` (BIGINT) and the exact integer mean.
+    Unknown terms charge ``oov_cost_mb`` (left join + coalesce); None
+    means the table is known to cover the corpus (inner-join fast path —
+    the in-corpus training case, where an absent term cannot occur)."""
+    df = spread_small_scan(df)
+    tf = (
+        df.select(
+            F.col(id_col),
+            F.explode(tokens(F.lower(F.col(text_col)))).alias("term"),
+        )
+        .groupBy(id_col, "term").agg(F.count(F.lit(1)).alias("tf"))
+    )
+    if oov_cost_mb is None:
+        joined = tf.join(cost, "term")
+    else:
+        joined = tf.join(cost, "term", "left").withColumn(
+            "cost_mb", F.coalesce("cost_mb", F.lit(int(oov_cost_mb))))
+    return (
+        joined
+        .groupBy(id_col)
+        .agg(
+            F.sum("tf").alias("n_tokens"),
+            F.sum(F.col("tf") * F.col("cost_mb")).alias("total_millibits"),
+        )
+        .withColumn(
+            "mean_cost_millibits",
+            F.floor(F.col("total_millibits") / F.col("n_tokens"))
+            .cast("long"),
+        )
+    )
+
+
 def unigram_lm_score(
     df: DataFrame,
     text_col: str = "text",
@@ -67,39 +144,13 @@ def unigram_lm_score(
     back on term.  The (N, V) scalars fold in as plan literals via one
     single-row action over the vocabulary aggregate.  Nothing driver-side
     grows with corpus size; the vocabulary table is the only reused
-    intermediate and is persisted once.
+    intermediate and is persisted once.  The streaming twin
+    (``streaming/scoring.py lm_score_stream``) reuses the SAME
+    :func:`lm_cost_table` + per-doc reduction against a frozen table.
     """
-    df = spread_small_scan(df)
-    toks = df.select(
-        F.col(id_col),
-        F.explode(tokens(F.lower(F.col(text_col)))).alias("term"),
-    )
-    tf = toks.groupBy(id_col, "term").agg(F.count(F.lit(1)).alias("tf"))
-    counts = (
-        toks.groupBy("term").agg(F.count(F.lit(1)).alias("c")).persist()
-    )
-    n_total, vocab = counts.agg(
-        F.sum("c"), F.count(F.lit(1))).first()
-    denom = float(n_total + alpha * vocab)
-    cost = counts.select(
-        "term",
-        _millibits(-F.log2((F.col("c") + F.lit(alpha)) / F.lit(denom))
-                   ).alias("cost_mb"),
-    )
-    scored = (
-        tf.join(cost, "term")
-        .groupBy(id_col)
-        .agg(
-            F.sum("tf").alias("n_tokens"),
-            F.sum(F.col("tf") * F.col("cost_mb")).alias("total_millibits"),
-        )
-        .withColumn(
-            "mean_cost_millibits",
-            F.floor(F.col("total_millibits") / F.col("n_tokens"))
-            .cast("long"),
-        )
-    )
-    return scored
+    cost, _ = lm_cost_table(df, text_col=text_col, alpha=alpha)
+    return score_with_cost_table(
+        df, cost, oov_cost_mb=None, text_col=text_col, id_col=id_col)
 
 
 def perplexity_buckets(

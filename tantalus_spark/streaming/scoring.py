@@ -1,0 +1,70 @@
+"""Streaming LM quality scoring — the production CCNet shape.
+
+The language model is trained OFFLINE (one batch job over a reference
+corpus, ``datapipe/scoring.py lm_cost_table``); the stream then scores
+every arriving document against that frozen table.  This is how quality
+filtering actually deploys at 100 TB/day: the model never changes
+mid-stream (that would make scores time-dependent and irreproducible),
+it is versioned and swapped between runs.
+
+Shape: explode tokens → stream-static LEFT join to the cost table
+(static side is a fixed vocabulary table; unseen tokens charge the OOV
+cost) → watermarked per-(doc, event-window) aggregation.  State is the
+per-document partial sums inside the watermark horizon only — evicted as
+the watermark advances, O(docs per horizon), never O(corpus).
+
+Batch/stream parity is exact: both paths share ``lm_cost_table`` and the
+integer-millibit reduction, so a stream replay of a static corpus yields
+bit-identical scores to ``score_with_cost_table`` (proven in
+tests/test_scoring.py).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from tantalus_spark.datapipe.textstats import tokens
+
+
+def lm_score_stream(
+    docs_stream: DataFrame,
+    cost: DataFrame,
+    oov_cost_mb: int,
+    ts_col: str = "ts",
+    watermark: str = "2 hours",
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Score a document stream against a frozen unigram cost table.
+
+    Returns a streaming DataFrame (append mode) of
+    (doc_id, n_tokens, total_millibits, mean_cost_millibits) — the same
+    schema as the batch scorer.  Each document's row carries its event
+    time; the per-doc aggregation groups on (doc, 1-minute event window)
+    so Spark can evict state once the watermark passes the window — a
+    document is one event, so the window never splits a document.
+    """
+    toks = docs_stream.select(
+        F.col(id_col),
+        F.col(ts_col),
+        F.explode(tokens(F.lower(F.col(text_col)))).alias("term"),
+    )
+    joined = toks.join(cost, "term", "left").withColumn(
+        "cost_mb", F.coalesce("cost_mb", F.lit(int(oov_cost_mb))))
+    return (
+        joined
+        .withWatermark(ts_col, watermark)
+        .groupBy(F.col(id_col), F.window(ts_col, "1 minute"))
+        .agg(
+            F.count(F.lit(1)).alias("n_tokens"),
+            F.sum("cost_mb").alias("total_millibits"),
+        )
+        .withColumn(
+            "mean_cost_millibits",
+            F.floor(F.col("total_millibits") / F.col("n_tokens"))
+            .cast("long"),
+        )
+        .select(id_col, "n_tokens", "total_millibits",
+                "mean_cost_millibits")
+    )

@@ -115,6 +115,56 @@ def test_corpus_shuffle_is_a_deterministic_permutation(spark):
     assert key(out1) == key(out2)
 
 
+def test_lm_score_stream_matches_batch(spark, tmp_path):
+    """The streaming scorer replaying a static corpus against a frozen
+    cost table is bit-identical to the batch scorer (shared cost table,
+    shared integer-millibit reduction)."""
+    import datetime as dt
+
+    from tantalus_spark.datapipe.scoring import (
+        lm_cost_table, score_with_cost_table)
+    from tantalus_spark.streaming.scoring import lm_score_stream
+
+    base = dt.datetime(2024, 1, 1, 12, 0)
+    rows = [
+        (i, f"the cat sat on mat number {i} with oovtok{i}",
+         base + dt.timedelta(minutes=2 * i))
+        for i in range(12)
+    ]
+    # flush sentinel: a doc far in the future pushes the watermark past
+    # every real window so append mode emits them all under availableNow
+    rows.append((999, "flush", base + dt.timedelta(days=2)))
+    schema = "doc_id long, text string, ts timestamp"
+    train = spark.createDataFrame(
+        [(i, "the cat sat on the mat") for i in range(5)],
+        "doc_id long, text string")
+    cost, oov = lm_cost_table(train)
+
+    src = str(tmp_path / "src")
+    batch_df = spark.createDataFrame(rows, schema)
+    batch_df.repartition(2).write.parquet(src)
+    stream = (spark.readStream.format("parquet").schema(schema)
+              .option("maxFilesPerTrigger", 1).load(src))
+    q = (
+        lm_score_stream(stream, cost, oov, watermark="1 second")
+        .writeStream.format("memory").queryName("lm_scores")
+        .outputMode("append").trigger(availableNow=True).start()
+    )
+    q.awaitTermination(120)
+    got = {r["doc_id"]: (r["n_tokens"], r["total_millibits"],
+                         r["mean_cost_millibits"])
+           for r in spark.sql("SELECT * FROM lm_scores").collect()
+           if r["doc_id"] != 999}
+    want = {r["doc_id"]: (r["n_tokens"], r["total_millibits"],
+                          r["mean_cost_millibits"])
+            for r in score_with_cost_table(
+                batch_df.drop("ts"), cost, oov).collect()
+            if r["doc_id"] != 999}
+    assert got == want and len(got) == 12
+    # OOV tokens actually charged: every doc has one unseen token
+    assert all(v[1] > 0 for v in got.values())
+
+
 def test_corpus_shuffle_seed_changes_order(spark):
     df = spark.range(0, 200).withColumnRenamed("id", "doc_id")
     a = {(r["doc_id"]): (r["shard"], r["position"])
