@@ -211,3 +211,28 @@ def test_quality_classifier_is_single_map_stage(spark):
     plan = _plan(quality_classifier(docs))
     assert "Exchange" not in plan
     assert plan.lstrip().startswith("*(1)")   # whole-stage codegen'd
+
+
+def test_dsir_bucket_table_broadcasts(spark):
+    """q98 plan contract: the fixed-size bucket stats table reaches the
+    per-doc reduction via BroadcastHashJoin (it has n_buckets rows at ANY
+    corpus size — a shuffle join here would be a scale bug), and the only
+    hash exchanges are the bucket stats agg and the doc_id reduction."""
+    df = QUERIES["98_dsir_weights"](spark, SF)
+    plan = _plan(df)
+    assert "BroadcastHashJoin" in plan
+    assert "SortMergeJoin" not in plan and "ShuffledHashJoin" not in plan
+    # the only shuffle keys are the bucket stats agg and the doc reduction
+    import re
+    keys = set(re.findall(r"Exchange hashpartitioning\((\w+)#", plan))
+    assert keys == {"bucket", "doc_id"}, keys
+
+
+def test_corpus_shuffle_no_global_sort(spark):
+    """q99 plan contract: per-shard rank windows partition by shard —
+    never a single-partition global window (Exchange SinglePartition),
+    which would serialize the corpus through one task."""
+    df = QUERIES["99_corpus_shuffle"](spark, SF)
+    plan = _plan(df)
+    assert "SinglePartition" not in plan
+    assert "hashpartitioning(shard" in plan
