@@ -46,6 +46,9 @@ HEADLINE = [
     "53_winnowing",
     "56_funnel",
     "58_clean_corpus",
+    "97_lm_score",
+    "98_dsir_weights",
+    "101_perplexity_buckets",
 ]
 
 
@@ -73,9 +76,19 @@ def _bench_53_winnowing(spark, sf_dir):
     )
 
 
+def _bench_98_dsir_weights(spark, sf_dir):
+    from tantalus_spark.datapipe.scoring import dsir_weights
+
+    docs = db_for(spark, sf_dir).table("documents")
+    return dsir_weights(
+        docs, F.col("source").isin("src1", "src2", "src3"),
+        n_buckets=1024, hash_family="xxhash64")
+
+
 PRODUCTION_VARIANTS = {
     "45_minhash_lsh": _bench_45_minhash_lsh,
     "53_winnowing": _bench_53_winnowing,
+    "98_dsir_weights": _bench_98_dsir_weights,
 }
 
 

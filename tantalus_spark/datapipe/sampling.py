@@ -15,6 +15,8 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, Window as W
 from pyspark.sql import functions as F
 
+from tantalus_spark.operators.spread import spread_small_scan
+
 
 def split_bucket(id_col, n_buckets: int = 100, salt: str | None = None):
     """Deterministic bucket 0..n_buckets-1 from the row id: first 15 hex
@@ -136,3 +138,65 @@ def weighted_mix(
         ).withColumn(source_col, F.lit(name))
         out = picked if out is None else out.unionByName(picked)
     return out
+
+
+def temperature_mix(
+    df: DataFrame,
+    alpha: float = 0.7,
+    token_budget: int = 1_000_000,
+    source_col: str = "source",
+    text_col: str = "text",
+) -> DataFrame:
+    """Temperature-based source mixing (the T5 / Llama recipe): sampling
+    weight per source proportional to ``n_tokens ^ alpha``. ``alpha=1``
+    is proportional sampling (big sources dominate); ``alpha -> 0``
+    approaches uniform-over-sources (small curated sources up-weighted).
+
+    Returns one row per source: (source, n_docs, n_tokens, weight,
+    sample_rate, target_tokens, repeat_factor) where ``target_tokens``
+    is the source's share of ``token_budget`` and ``repeat_factor`` > 1
+    means the source must repeat (epoch > 1) to fill its share — the
+    actual decision table for a data-mixing run.
+
+    Engine-exactness: token counts are integer sums; the single
+    ``pow`` per source is quantized to a BIGINT microweight
+    (``floor(n^alpha * 1e6 + 0.5)``), so the normalizing total is an
+    exact integer sum and every derived ratio is one double division —
+    no float summation anywhere (the repo's millibit pattern).
+
+    Scale shape: one scan into a source-keyed aggregate (map-side
+    partials; #sources rows out), then the scalar total folds in via a
+    one-row action. The decision table is O(sources) — driver-safe.
+    """
+    from tantalus_spark.datapipe.textstats import tokens
+
+    stats = (
+        spread_small_scan(df)
+        .groupBy(source_col)
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum(F.size(tokens(F.lower(F.col(text_col)))))
+            .alias("n_tokens"),
+        )
+        .withColumn(
+            "weight",
+            F.floor(F.pow(F.col("n_tokens").cast("double"), F.lit(alpha))
+                    * F.lit(1_000_000.0) + F.lit(0.5)).cast("long"),
+        )
+        .persist()
+    )
+    total = stats.agg(F.sum("weight")).first()[0]
+    return (
+        stats
+        .withColumn("sample_rate",
+                    F.round(F.col("weight") / F.lit(float(total)), 6))
+        .withColumn(
+            "target_tokens",
+            F.floor(F.lit(float(token_budget)) * F.col("weight")
+                    / F.lit(float(total))).cast("long"),
+        )
+        .withColumn(
+            "repeat_factor",
+            F.round(F.col("target_tokens") / F.col("n_tokens"), 4),
+        )
+    )

@@ -153,6 +153,29 @@ def unigram_lm_score(
         df, cost, oov_cost_mb=None, text_col=text_col, id_col=id_col)
 
 
+def perplexity_labels(
+    df: DataFrame,
+    cuts: tuple = (1.0 / 3, 2.0 / 3),
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Per-document head/middle/tail label by exact corpus percentiles of
+    the LM cost — the form a pipeline FILTERS on (keep head+middle, drop
+    or downsample tail).  Returns the scored columns plus ``bucket``."""
+    scores = unigram_lm_score(df, text_col=text_col, id_col=id_col)
+    scores = scores.persist()
+    t1, t2 = scores.agg(
+        F.percentile("mean_cost_millibits", F.lit(cuts[0])),
+        F.percentile("mean_cost_millibits", F.lit(cuts[1])),
+    ).first()
+    label = (
+        F.when(F.col("mean_cost_millibits") <= F.lit(t1), "head")
+        .when(F.col("mean_cost_millibits") <= F.lit(t2), "middle")
+        .otherwise("tail")
+    )
+    return scores.withColumn("bucket", label)
+
+
 def perplexity_buckets(
     df: DataFrame,
     cuts: tuple = (1.0 / 3, 2.0 / 3),
@@ -173,19 +196,10 @@ def perplexity_buckets(
     percentile for ``approx_percentile`` (mergeable sketch) and keep this
     as the verifier — the same exact/approx division as q34.
     """
-    scores = unigram_lm_score(df, text_col=text_col, id_col=id_col)
-    scores = scores.persist()
-    t1, t2 = scores.agg(
-        F.percentile("mean_cost_millibits", F.lit(cuts[0])),
-        F.percentile("mean_cost_millibits", F.lit(cuts[1])),
-    ).first()
-    label = (
-        F.when(F.col("mean_cost_millibits") <= F.lit(t1), "head")
-        .when(F.col("mean_cost_millibits") <= F.lit(t2), "middle")
-        .otherwise("tail")
-    )
+    labeled = perplexity_labels(
+        df, cuts=cuts, text_col=text_col, id_col=id_col)
     return (
-        scores.groupBy(label.alias("bucket"))
+        labeled.groupBy("bucket")
         .agg(
             F.count(F.lit(1)).alias("n_docs"),
             F.sum("n_tokens").alias("n_tokens"),

@@ -1399,6 +1399,18 @@ def q102_bpe_encode(spark, sf_dir):
     return bpe_apply(docs, rules).select("doc_id", "n_units")
 
 
+def q103_temperature_mix(spark, sf_dir):
+    """Temperature-based source mixing (T5/Llama recipe): per-source
+    sampling weight ∝ n_tokens^0.7, with the share of a 1M-token budget
+    and the repeat factor (epochs) each source needs. The single pow per
+    source is quantized to a BIGINT microweight so the normalizing total
+    is an exact integer sum — no float summation (millibit pattern)."""
+    from tantalus_spark.datapipe.sampling import temperature_mix
+
+    docs = db_for(spark, sf_dir).table("documents")
+    return temperature_mix(docs, alpha=0.7, token_budget=1_000_000)
+
+
 _ALL_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     name[1:]: fn
     for name, fn in list(globals().items())
@@ -1462,7 +1474,7 @@ _QUERY_ORDER = [
     "93_keep_best", "94_source_report", "95_paragraph_dedup",
     "96_split_leakage", "97_lm_score", "98_dsir_weights",
     "99_corpus_shuffle", "100_bpe_merges", "101_perplexity_buckets",
-    "102_bpe_encode",
+    "102_bpe_encode", "103_temperature_mix",
 ]
 
 QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
@@ -2962,5 +2974,24 @@ ORACLES: dict[str, str] = {
                max(mc) AS max_cost_millibits
         FROM scores CROSS JOIN th
         GROUP BY 1
+    """,
+    "103_temperature_mix": """
+        WITH stats AS (
+          SELECT source, count(*) AS n_docs,
+                 CAST(sum(len(string_split_regex(trim(lower(text)), '\\s+')))
+                      AS BIGINT) AS n_tokens
+          FROM documents GROUP BY source),
+        w AS (SELECT *,
+                     CAST(floor(pow(n_tokens * 1.0, 0.7) * 1000000 + 0.5)
+                          AS BIGINT) AS weight
+              FROM stats),
+        tot AS (SELECT CAST(sum(weight) AS BIGINT) AS t FROM w)
+        SELECT source, n_docs, n_tokens, weight,
+               round(weight / (t * 1.0), 6) AS sample_rate,
+               CAST(floor(1000000.0 * weight / (t * 1.0)) AS BIGINT)
+                 AS target_tokens,
+               round(CAST(floor(1000000.0 * weight / (t * 1.0)) AS BIGINT)
+                     / (n_tokens * 1.0), 4) AS repeat_factor
+        FROM w CROSS JOIN tot
     """,
 }

@@ -79,3 +79,43 @@ def test_end_to_end_crawl_to_snapshot(spark, tmp_path):
     back = spark.read.parquet(out)
     assert back.count() == 8
     assert {r.lang_pred for r in back.select("lang_pred").collect()} == {"en"}
+
+
+def test_journey_curated_corpus_to_training_order(spark):
+    """Stage 2 of the journey: a cleaned corpus → LM quality filter
+    (drop the tail tercile) → leak-free hash split → deterministic epoch
+    order → BPE token budget. Every stage is the public operator a
+    training-data pipeline composes after cleaning."""
+    from tantalus_spark.datapipe.scoring import (
+        corpus_shuffle, perplexity_labels)
+    from tantalus_spark.datapipe.sampling import hash_split
+    from tantalus_spark.datapipe.tokenizer import bpe_apply, bpe_train
+
+    rows = [(i, f"{GOOD} marker{i}") for i in range(20)]
+    rows += [(100 + i, f"qzx{i}v wplk{i} mnvb{i}x zzq{i}") for i in range(10)]
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+
+    labeled = perplexity_labels(docs)
+    kept = docs.join(
+        labeled.filter(F.col("bucket") != "tail").select("doc_id"), "doc_id")
+    kept_ids = {r.doc_id for r in kept.select("doc_id").collect()}
+    # the gibberish block is costlier than every ordinary doc; the tail
+    # tercile of 30 docs is exactly the 10 gibberish ones
+    assert kept_ids == set(range(20))
+
+    split = hash_split(kept, {"train": 0.8, "val": 0.1, "test": 0.1})
+    by_split = {r.doc_id: r.split for r in split.collect()}
+    assert set(by_split) == kept_ids
+
+    train = split.filter(F.col("split") == "train")
+    order = corpus_shuffle(train, seed="epoch0", n_shards=4)
+    got = order.collect()
+    assert {r.doc_id for r in got} == {
+        d for d, s in by_split.items() if s == "train"}
+    for shard, n in [(r.shard, r.position) for r in got]:
+        assert n >= 1
+
+    rules = bpe_train(kept, n_merges=6)
+    enc = bpe_apply(kept, rules)
+    counts = {r.doc_id: r.n_units for r in enc.collect()}
+    assert all(counts[d] > 0 for d in kept_ids)

@@ -165,6 +165,37 @@ def test_lm_score_stream_matches_batch(spark, tmp_path):
     assert all(v[1] > 0 for v in got.values())
 
 
+def test_temperature_mix_upweights_small_sources(spark):
+    from tantalus_spark.datapipe.sampling import temperature_mix
+
+    rows = [(i, "w " * 100, "big") for i in range(90)]
+    rows += [(100 + i, "w " * 100, "small") for i in range(10)]
+    df = spark.createDataFrame(rows, "doc_id long, text string, source string")
+    out = {r["source"]: r for r in
+           temperature_mix(df, alpha=0.7, token_budget=10_000).collect()}
+    big, small = out["big"], out["small"]
+    # alpha<1 compresses: small's sampled share exceeds its natural share
+    natural_small = small["n_tokens"] / (small["n_tokens"] + big["n_tokens"])
+    assert small["sample_rate"] > natural_small
+    assert abs(big["sample_rate"] + small["sample_rate"] - 1.0) < 1e-5
+    # budget shares sum to the budget (up to the two floors)
+    assert 10_000 - 2 <= big["target_tokens"] + small["target_tokens"] <= 10_000
+    # the upweighted small source needs repetition sooner than big does
+    assert small["repeat_factor"] > big["repeat_factor"]
+
+
+def test_temperature_mix_alpha_one_is_proportional(spark):
+    from tantalus_spark.datapipe.sampling import temperature_mix
+
+    rows = [(i, "a b c d", "x") for i in range(30)]
+    rows += [(50 + i, "a b c d", "y") for i in range(10)]
+    df = spark.createDataFrame(rows, "doc_id long, text string, source string")
+    out = {r["source"]: r for r in
+           temperature_mix(df, alpha=1.0, token_budget=4000).collect()}
+    assert abs(out["x"]["sample_rate"] - 0.75) < 1e-4
+    assert abs(out["y"]["sample_rate"] - 0.25) < 1e-4
+
+
 def test_corpus_shuffle_seed_changes_order(spark):
     df = spark.range(0, 200).withColumnRenamed("id", "doc_id")
     a = {(r["doc_id"]): (r["shard"], r["position"])
