@@ -229,3 +229,56 @@ def source_report(
         nd.alias("n_distinct"),
         F.round(F.lit(1.0) - nd / n, 4).alias("dup_ratio"),
     )
+
+
+def gate_attribution(
+    docs: DataFrame,
+    min_tokens: int = 10,
+    max_tokens: int = 100_000,
+    min_alpha_ratio: float = 0.5,
+    langs: tuple[str, ...] = ("en",),
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Gate-attribution report: for each cleaning gate (length, alpha
+    ratio, language, exact-dup), how many documents fail it at all and
+    how many fail ONLY it — the observability table that says which gate
+    to tune when the pipeline is over- or under-filtering. One row out.
+
+    Same one-projection feature stage as :func:`clean_corpus`
+    (``_gated_features``); the only shuffle is the content-digest window,
+    the final reduction is a single global integer aggregate (map-side
+    partials: one row per partition crosses the wire)."""
+    f = _gated_features(docs, text_col, id_col)
+    w = Window.partitionBy("__md5")
+    fl = (~F.col("n_tokens").between(min_tokens, max_tokens))
+    fa = F.col("alpha_ratio") < min_alpha_ratio
+    fg = ~F.col("lang_pred").isin(list(langs))
+    flagged = f.withColumn("__keep_id", F.min(id_col).over(w)).select(
+        fl.alias("f_len"),
+        fa.alias("f_alpha"),
+        fg.alias("f_lang"),
+        (F.col(id_col) != F.col("__keep_id")).alias("f_dup"),
+    )
+
+    def n(c):
+        return F.sum(F.col(c).cast("int")).cast("long")
+
+    def only(c):
+        others = [o for o in ("f_len", "f_alpha", "f_lang", "f_dup")
+                  if o != c]
+        alone = F.col(c)
+        for o in others:
+            alone = alone & ~F.col(o)
+        return F.sum(alone.cast("int")).cast("long")
+
+    any_fail = (F.col("f_len") | F.col("f_alpha") | F.col("f_lang")
+                | F.col("f_dup"))
+    return flagged.agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        n("f_len").alias("fail_length"), only("f_len").alias("only_length"),
+        n("f_alpha").alias("fail_alpha"), only("f_alpha").alias("only_alpha"),
+        n("f_lang").alias("fail_lang"), only("f_lang").alias("only_lang"),
+        n("f_dup").alias("fail_dup"), only("f_dup").alias("only_dup"),
+        F.sum((~any_fail).cast("int")).cast("long").alias("n_pass"),
+    )

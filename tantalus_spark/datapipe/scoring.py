@@ -153,6 +153,80 @@ def unigram_lm_score(
         df, cost, oov_cost_mb=None, text_col=text_col, id_col=id_col)
 
 
+def bigram_lm_score(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    alpha: int = 1,
+) -> DataFrame:
+    """Per-document conditional cross-entropy under an add-``alpha``
+    bigram LM estimated from the corpus — one order up from
+    :func:`unigram_lm_score`, the same integer-millibit exactness.
+
+    Per bigram (w1, w2):
+    ``cost = -log2((c2(w1,w2) + alpha) / (c1(w1) + alpha*V))`` — the
+    smoothed conditional P(w2|w1); per doc the mean over its bigram
+    occurrences (docs with < 2 tokens have no bigrams and drop out; the
+    leading unigram term is deliberately omitted so the score is a pure
+    transition-typicality signal).
+
+    Scale shape: one bigram explode into two aggregations (bigram-type
+    counts keyed on the pair; per-doc bigram tf), a vocab-scalar action,
+    then a TYPE-level join of bigram counts to unigram counts on w1 —
+    bounded fan-out (bigram types per head word), never the occurrence
+    stream.  All reductions are BIGINT sums.
+    """
+    df = spread_small_scan(df)
+    toks = tokens(F.lower(F.col(text_col)))
+    n = F.size(toks)
+    big = df.select(
+        F.col(id_col),
+        F.explode(
+            F.arrays_zip(
+                F.slice(toks, 1, n - 1).alias("w1"),
+                F.slice(toks, 2, n - 1).alias("w2"),
+            )
+        ).alias("p"),
+    ).select(
+        id_col,
+        F.col("p.w1").alias("w1"),
+        F.col("p.w2").alias("w2"),
+    ).persist()  # reused by the type counts AND the scoring join — without
+    # this the corpus is tokenized+exploded twice (MEMORY_AND_DISK, spills
+    # rather than OOMs at scale; release is the engine's LRU)
+    uni = df.select(
+        F.explode(toks).alias("w1")
+    ).groupBy("w1").agg(F.count(F.lit(1)).alias("c1")).persist()
+    vocab = uni.count()
+    c2 = big.groupBy("w1", "w2").agg(F.count(F.lit(1)).alias("c2"))
+    cost = c2.join(uni, "w1").select(
+        "w1", "w2",
+        _millibits(
+            -F.log2((F.col("c2") + F.lit(alpha))
+                    / (F.col("c1") + F.lit(alpha * vocab)))
+        ).alias("cost_mb"),
+    )
+    # join the occurrence stream straight to the cost table: within-doc
+    # bigram repeats are rare, so a per-(doc,w1,w2) tf pre-aggregate would
+    # barely shrink the stream while costing a full extra shuffle — the
+    # occurrence join + one doc-keyed integer agg is the cheaper plan
+    # (sum over occurrences == sum tf*cost exactly; the oracle keeps the
+    # tf form and matches bit-for-bit)
+    return (
+        big.join(cost, ["w1", "w2"])
+        .groupBy(id_col)
+        .agg(
+            F.count(F.lit(1)).alias("n_bigrams"),
+            F.sum("cost_mb").alias("total_millibits"),
+        )
+        .withColumn(
+            "mean_cost_millibits",
+            F.floor(F.col("total_millibits") / F.col("n_bigrams"))
+            .cast("long"),
+        )
+    )
+
+
 def perplexity_labels(
     df: DataFrame,
     cuts: tuple = (1.0 / 3, 2.0 / 3),

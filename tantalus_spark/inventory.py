@@ -1411,6 +1411,30 @@ def q103_temperature_mix(spark, sf_dir):
     return temperature_mix(docs, alpha=0.7, token_budget=1_000_000)
 
 
+def q104_bigram_lm(spark, sf_dir):
+    """Bigram conditional cross-entropy per doc (one LM order above q97,
+    same integer-millibit exactness): cost of P(w2|w1) with add-one
+    smoothing, averaged over each doc's bigram occurrences. The
+    bigram-to-unigram count join runs at TYPE level (bounded fan-out),
+    never over the occurrence stream."""
+    from tantalus_spark.datapipe.scoring import bigram_lm_score
+
+    docs = db_for(spark, sf_dir).table("documents")
+    return bigram_lm_score(docs)
+
+
+def q105_gate_attribution(spark, sf_dir):
+    """Gate-attribution observability report: per cleaning gate (length /
+    alpha / language / exact-dup), documents failing it and failing ONLY
+    it — which gate to tune when the pipeline over- or under-filters.
+    Same one-projection feature stage as q58; one digest window; one
+    global integer aggregate."""
+    from tantalus_spark.datapipe.pipeline import gate_attribution
+
+    docs = db_for(spark, sf_dir).table("documents")
+    return gate_attribution(docs)
+
+
 _ALL_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     name[1:]: fn
     for name, fn in list(globals().items())
@@ -1474,7 +1498,8 @@ _QUERY_ORDER = [
     "93_keep_best", "94_source_report", "95_paragraph_dedup",
     "96_split_leakage", "97_lm_score", "98_dsir_weights",
     "99_corpus_shuffle", "100_bpe_merges", "101_perplexity_buckets",
-    "102_bpe_encode", "103_temperature_mix",
+    "102_bpe_encode", "103_temperature_mix", "104_bigram_lm",
+    "105_gate_attribution",
 ]
 
 QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
@@ -2993,5 +3018,78 @@ ORACLES: dict[str, str] = {
                round(CAST(floor(1000000.0 * weight / (t * 1.0)) AS BIGINT)
                      / (n_tokens * 1.0), 4) AS repeat_factor
         FROM w CROSS JOIN tot
+    """,
+    "104_bigram_lm": """
+        WITH tok AS (
+          SELECT doc_id, string_split_regex(trim(lower(text)), '\\s+') AS t
+          FROM documents),
+        big AS (
+          SELECT doc_id, t[i] AS w1, t[i+1] AS w2
+          FROM tok, UNNEST(range(1, len(t))) AS u(i)),
+        unic AS (
+          SELECT w1, count(*) AS c1 FROM (
+            SELECT unnest(t) AS w1 FROM tok) GROUP BY w1),
+        v AS (SELECT count(*) AS v FROM unic),
+        c2 AS (SELECT w1, w2, count(*) AS c2 FROM big GROUP BY w1, w2),
+        cost AS (
+          SELECT c2.w1, c2.w2,
+                 CAST(floor(-log2((c2.c2 + 1) / (unic.c1 + v.v * 1.0))
+                            * 1000 + 0.5) AS BIGINT) AS cost_mb
+          FROM c2 JOIN unic USING (w1) CROSS JOIN v),
+        tf AS (SELECT doc_id, w1, w2, count(*) AS tf
+               FROM big GROUP BY doc_id, w1, w2)
+        SELECT doc_id, CAST(sum(tf) AS BIGINT) AS n_bigrams,
+               CAST(sum(tf * cost_mb) AS BIGINT) AS total_millibits,
+               CAST(floor(sum(tf * cost_mb) / (sum(tf) * 1.0)) AS BIGINT)
+                 AS mean_cost_millibits
+        FROM tf JOIN cost USING (w1, w2) GROUP BY doc_id
+    """,
+    "105_gate_attribution": """
+        WITH q AS (
+          SELECT doc_id,
+                 CAST(len(string_split_regex(trim(text), '\\s+')) AS INTEGER)
+                   AS n_tokens,
+                 round(length(regexp_replace(text, '[^a-zA-Z]', '', 'g'))*1.0
+                       / length(text), 4) AS alpha_ratio,
+                 md5(text) AS m
+          FROM documents),
+        t AS (SELECT doc_id, ' ' || lower(text) || ' ' AS txt FROM documents),
+        s AS (SELECT doc_id,
+               len(string_split(txt, ' the '))-1 + len(string_split(txt, ' and '))-1
+                  + len(string_split(txt, ' of '))-1 + len(string_split(txt, ' a '))-1 AS score_en,
+               len(string_split(txt, ' el '))-1 + len(string_split(txt, ' la '))-1
+                  + len(string_split(txt, ' los '))-1 + len(string_split(txt, ' de '))-1 AS score_es,
+               len(string_split(txt, ' le '))-1 + len(string_split(txt, ' la '))-1
+                  + len(string_split(txt, ' les '))-1 + len(string_split(txt, ' des '))-1 AS score_fr,
+               len(string_split(txt, ' der '))-1 + len(string_split(txt, ' die '))-1
+                  + len(string_split(txt, ' das '))-1 + len(string_split(txt, ' und '))-1 AS score_de
+              FROM t),
+        l AS (SELECT doc_id,
+               CASE WHEN greatest(score_en, score_es, score_fr, score_de) = 0 THEN 'unknown'
+                    WHEN score_en = greatest(score_en, score_es, score_fr, score_de) THEN 'en'
+                    WHEN score_es = greatest(score_en, score_es, score_fr, score_de) THEN 'es'
+                    WHEN score_fr = greatest(score_en, score_es, score_fr, score_de) THEN 'fr'
+                    ELSE 'de' END AS lang_pred
+              FROM s),
+        j AS (SELECT q.doc_id, q.n_tokens, q.alpha_ratio, q.m, l.lang_pred
+              FROM q JOIN l USING (doc_id)),
+        k AS (SELECT m, min(doc_id) AS keep_id FROM j GROUP BY m),
+        flags AS (
+          SELECT NOT (n_tokens BETWEEN 10 AND 100000) AS f_len,
+                 alpha_ratio < 0.5 AS f_alpha,
+                 lang_pred NOT IN ('en') AS f_lang,
+                 doc_id <> keep_id AS f_dup
+          FROM j JOIN k USING (m))
+        SELECT count(*) AS n_docs,
+               CAST(sum(f_len::INT) AS BIGINT) AS fail_length,
+               CAST(sum((f_len AND NOT f_alpha AND NOT f_lang AND NOT f_dup)::INT) AS BIGINT) AS only_length,
+               CAST(sum(f_alpha::INT) AS BIGINT) AS fail_alpha,
+               CAST(sum((f_alpha AND NOT f_len AND NOT f_lang AND NOT f_dup)::INT) AS BIGINT) AS only_alpha,
+               CAST(sum(f_lang::INT) AS BIGINT) AS fail_lang,
+               CAST(sum((f_lang AND NOT f_len AND NOT f_alpha AND NOT f_dup)::INT) AS BIGINT) AS only_lang,
+               CAST(sum(f_dup::INT) AS BIGINT) AS fail_dup,
+               CAST(sum((f_dup AND NOT f_len AND NOT f_alpha AND NOT f_lang)::INT) AS BIGINT) AS only_dup,
+               CAST(sum((NOT (f_len OR f_alpha OR f_lang OR f_dup))::INT) AS BIGINT) AS n_pass
+        FROM flags
     """,
 }

@@ -203,3 +203,53 @@ def test_corpus_shuffle_seed_changes_order(spark):
     b = {(r["doc_id"]): (r["shard"], r["position"])
          for r in corpus_shuffle(df, seed="epoch1", n_shards=4).collect()}
     assert a != b  # different epochs draw different permutations
+
+
+def test_bigram_lm_hand_computation(spark):
+    import math
+
+    # corpus: "a b", "a b", "a c" -> c1: a=3, b=2, c=1 (V=3)
+    # bigrams: (a,b)x2, (a,c)x1
+    df = spark.createDataFrame(
+        [(1, "a b"), (2, "a b"), (3, "a c")], "doc_id long, text string")
+    from tantalus_spark.datapipe.scoring import bigram_lm_score
+
+    out = {r["doc_id"]: r for r in bigram_lm_score(df).collect()}
+    cost_ab = math.floor(-math.log2((2 + 1) / (3 + 3)) * 1000 + 0.5)
+    cost_ac = math.floor(-math.log2((1 + 1) / (3 + 3)) * 1000 + 0.5)
+    assert out[1]["total_millibits"] == cost_ab == out[2]["total_millibits"]
+    assert out[3]["total_millibits"] == cost_ac
+    assert out[1]["n_bigrams"] == 1
+    # the common transition (a->b) is cheaper than the rare one (a->c)
+    assert cost_ab < cost_ac
+
+
+def test_bigram_lm_short_docs_drop(spark):
+    from tantalus_spark.datapipe.scoring import bigram_lm_score
+
+    df = spark.createDataFrame(
+        [(1, "solo"), (2, "two words"), (3, None)],
+        "doc_id long, text string")
+    ids = {r["doc_id"] for r in bigram_lm_score(df).collect()}
+    assert ids == {2}  # one-token and null docs have no bigrams
+
+
+def test_gate_attribution_unique_and_overlapping_failures(spark):
+    from tantalus_spark.datapipe.pipeline import gate_attribution
+
+    good = ("this is a perfectly ordinary english document with the usual "
+            "words and enough measured prose to pass every quality gate")
+    rows = [
+        (1, good), (2, good + " two"), (3, good + " three"),
+        (4, "the a of and"),                 # 4 en tokens: fails length only
+        (5, good),                           # dup of 1 -> fails dup only
+        (6, "der die das und " * 5),         # fails lang only
+        (7, "the 11111111"),                 # fails alpha AND length (en)
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    r = gate_attribution(df, min_tokens=5).first()
+    assert r["n_docs"] == 7 and r["n_pass"] == 3
+    assert r["fail_length"] == 2 and r["only_length"] == 1   # 4 alone, 7 shared
+    assert r["fail_dup"] == 1 and r["only_dup"] == 1
+    assert r["fail_lang"] == 1 and r["only_lang"] == 1
+    assert r["fail_alpha"] == 1 and r["only_alpha"] == 0     # 7 also fails length
