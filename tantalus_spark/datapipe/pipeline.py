@@ -282,3 +282,71 @@ def gate_attribution(
         n("f_dup").alias("fail_dup"), only("f_dup").alias("only_dup"),
         F.sum((~any_fail).cast("int")).cast("long").alias("n_pass"),
     )
+
+
+def build_corpus(
+    docs: DataFrame,
+    bench_cond,
+    min_tokens: int = 10,
+    max_tokens: int = 100_000,
+    min_alpha_ratio: float = 0.5,
+    langs: tuple[str, ...] = ("en",),
+    shingle_n: int = 5,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    source_col: str = "source",
+) -> DataFrame:
+    """The whole pretraining-data build as ONE composed Spark job — the
+    FineWeb / CCNet pipeline shape, each stage an already-oracled engine
+    operator:
+
+    1. quality + language + exact-dup gates (:func:`clean_corpus`);
+    2. benchmark decontamination — drop any document sharing a token
+       ``shingle_n``-gram with the held-out eval slice (``bench_cond``
+       rows), the standard n-gram-overlap rule
+       (:func:`~tantalus_spark.datapipe.dedup.decontaminate`);
+    3. unigram-LM perplexity stratification over the SURVIVORS (the LM is
+       trained on the post-gate corpus, as CCNet prescribes), keeping the
+       head + middle terciles;
+    4. one per-source report: docs kept, tokens kept, id checksum, cost
+       range — the table a data lead signs off before a training run.
+
+    Composition is lazy end to end: Catalyst fuses the gate projection,
+    the decontamination anti-join, and the scoring joins into one DAG —
+    no materialization between stages except the three bounded driver
+    actions the component operators already make (LM scalars N/V, two
+    tercile thresholds). Every shuffle is keyed and bounded exactly as
+    documented on the component operator; nothing new is introduced by
+    the composition, so the 100 TB story is the conjunction of the
+    per-stage stories. ``bench_cond`` must be null-free (it partitions
+    the input two ways via ``cond`` / ``~cond``).
+
+    Returns (source, n_docs, n_tokens, id_sum, min/max_cost_millibits).
+    """
+    from tantalus_spark.datapipe.dedup import decontaminate
+    from tantalus_spark.datapipe.scoring import perplexity_labels
+
+    bench = docs.filter(bench_cond).select(text_col)
+    corpus = docs.filter(~bench_cond)
+    cleaned = clean_corpus(
+        corpus, min_tokens=min_tokens, max_tokens=max_tokens,
+        min_alpha_ratio=min_alpha_ratio, langs=langs,
+        text_col=text_col, id_col=id_col)
+    _, hits = decontaminate(corpus, bench, n=shingle_n,
+                            text_col=text_col, id_col=id_col)
+    surv_ids = (cleaned.select(id_col)
+                .join(hits.select(id_col), id_col, "left_anti"))
+    surv_docs = corpus.join(surv_ids, id_col, "left_semi")
+    labeled = perplexity_labels(surv_docs, text_col=text_col, id_col=id_col)
+    kept = labeled.filter(F.col("bucket") != "tail")
+    return (
+        kept.join(corpus.select(id_col, source_col), id_col)
+        .groupBy(source_col)
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum("n_tokens").alias("n_tokens"),
+            F.sum(id_col).alias("id_sum"),
+            F.min("mean_cost_millibits").alias("min_cost_millibits"),
+            F.max("mean_cost_millibits").alias("max_cost_millibits"),
+        )
+    )

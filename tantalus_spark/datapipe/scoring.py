@@ -359,6 +359,74 @@ def dsir_weights(
     )
 
 
+def dsir_select(
+    df: DataFrame,
+    target_cond,
+    keep_frac: float = 0.25,
+    n_buckets: int = 1024,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    hash_family: str = "xxhash64",
+) -> DataFrame:
+    """The DSIR APPLY step: keep the top ``keep_frac`` of documents by
+    importance weight (:func:`dsir_weights`), deterministically.
+
+    Selection is exact top-k with ``k = floor(n * keep_frac)`` under the
+    total order ``(weight desc, md5(doc_id), doc_id)`` — the md5 tie-break
+    makes the admitted subset of equal-weight documents a pseudo-random,
+    reproducible draw rather than an id-ordered prefix (which would bias
+    toward older documents).
+
+    Scale shape — NO global sort/row_number over the corpus:
+
+    1. the weight *histogram* (one integer groupBy, ≤ distinct-weight rows)
+       is cumulated with a window over weight values only, giving the
+       threshold weight T and how many rows sit strictly above it;
+    2. rows with ``weight > T`` pass with a map-side filter;
+    3. only the tie set ``weight == T`` (bounded: one weight bucket) goes
+       through a rank window to admit the remaining ``k - n_above`` rows.
+
+    At 100 TB the histogram is ≤ a few million rows (millibit-quantized
+    BIGINTs) and the tie bucket is tiny; nothing corpus-sized ever
+    serializes through one task.  Returns the kept rows with the same
+    schema as :func:`dsir_weights`.
+    """
+    w = dsir_weights(df, target_cond, n_buckets, text_col, id_col,
+                     hash_family).persist()
+    try:
+        n = w.count()
+        k = int(n * keep_frac)
+        if k <= 0:
+            return w.filter(F.lit(False))
+        hist = (w.groupBy("weight_millibits")
+                 .agg(F.count(F.lit(1)).alias("c")))
+        cum = hist.withColumn(
+            "cum_above",
+            F.coalesce(
+                F.sum("c").over(
+                    W.orderBy(F.col("weight_millibits").desc())
+                    .rowsBetween(W.unboundedPreceding, -1)),
+                F.lit(0)))
+        # threshold row: the weight value the k-th ranked document lands on
+        trow = (cum.filter(F.col("cum_above") < F.lit(k))
+                   .orderBy(F.col("weight_millibits").asc())
+                   .select("weight_millibits", "cum_above")
+                   .first())
+        thresh, n_above = trow[0], trow[1]
+        clear = w.filter(F.col("weight_millibits") > F.lit(thresh))
+        tie_key = F.md5(F.col(id_col).cast("string"))
+        tw = W.partitionBy(F.lit(1)).orderBy(tie_key, F.col(id_col))
+        ties = (w.filter(F.col("weight_millibits") == F.lit(thresh))
+                 .withColumn("_rn", F.row_number().over(tw))
+                 .filter(F.col("_rn") <= F.lit(int(k - n_above)))
+                 .drop("_rn"))
+        out = clear.unionByName(ties)
+        from tantalus_spark.datapipe.dedup import _materialize_and_release
+        return _materialize_and_release(out, [])
+    finally:
+        w.unpersist()
+
+
 def corpus_shuffle(
     df: DataFrame,
     seed: str = "epoch0",

@@ -795,3 +795,60 @@ def knn_graph_lsh(
     )
     from tantalus_spark.datapipe.dedup import _materialize_and_release
     return _materialize_and_release(out, [bucketed])
+
+
+def centroid_affinity(
+    df: DataFrame,
+    target_cond,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    scale: int = 1_000_000,
+) -> DataFrame:
+    """Target-centroid affinity scoring — the embedding-space analog of
+    DSIR: score every vector by its inner product with the aggregate
+    (sum) vector of a curated *target* slice. This is the model-based
+    quality-filter shape used by embedding-curated corpora (classifier-
+    lite selection; same family as SemDeDup's centroid geometry):
+    vectors aligned with the curated centroid rank high and are kept
+    preferentially downstream (:func:`~tantalus_spark.datapipe.scoring.
+    dsir_select` gives the exact top-k admission step).
+
+    Engine-exact: components are quantized ONCE to integer micro-units
+    (``floor(x * 1e6)`` on the exact float→double widening) and every
+    cross-row reduction is a BIGINT sum, so the score is independent of
+    partition/fold order and a SQL oracle replays it bit-for-bit (the
+    repo's millibit pattern).
+
+    Scale shape: the target sum-vector is a d-row aggregate (posexplode
+    of the target slice only → per-position integer sums → d collected
+    values folded into the plan as a literal — O(d) driver state, the
+    IVF-centroid precedent); the scoring pass is then one map-side
+    zip_with/aggregate projection over the full table, ZERO shuffles.
+    Production note: at ~1e9 target rows the integer dot product
+    approaches 2^63 — divide the sum-vector by n_target first (mean
+    centroid) or score in doubles; the gate keeps the exact form.
+    """
+    quant = F.transform(
+        F.col(vec_col),
+        lambda x: F.floor(x.cast("double") * F.lit(float(scale)))
+        .cast("long"))
+    base = (df.filter(F.col(vec_col).isNotNull())
+              .select(F.col(id_col), quant.alias("_qv"),
+                      target_cond.cast("int").alias("_it")))
+    crows = (base.filter(F.col("_it") == 1)
+                 .select(F.posexplode("_qv").alias("pos", "v"))
+                 .groupBy("pos").agg(F.sum("v").alias("cv"))
+                 .orderBy("pos").collect())
+    if not crows:
+        raise ValueError("target slice is empty: no centroid to score against")
+    cvec = F.array(*[F.lit(int(r["cv"])).cast("long") for r in crows])
+    score = F.aggregate(
+        F.zip_with(F.col("_qv"), cvec, lambda x, y: x * y),
+        F.lit(0).cast("long"),
+        lambda acc, x: acc + x,
+    )
+    return base.select(
+        F.col(id_col),
+        score.alias("affinity_q"),
+        F.col("_it").alias("in_target"),
+    )

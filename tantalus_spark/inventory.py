@@ -1435,6 +1435,47 @@ def q105_gate_attribution(spark, sf_dir):
     return gate_attribution(docs)
 
 
+def q106_dsir_select(spark, sf_dir):
+    """DSIR APPLY step (selection, not just scoring): keep the top 25% of
+    documents by importance weight with exact top-k semantics — histogram
+    threshold + bounded tie-window, never a corpus-wide row_number. The
+    md5 tie-break makes equal-weight admission a reproducible pseudo-
+    random draw. Full oracle: weights are integer millibits (q98) and the
+    selection is a total order, so DuckDB replays it bit-for-bit."""
+    from tantalus_spark.datapipe.scoring import dsir_select
+
+    docs = db_for(spark, sf_dir).table("documents")
+    return dsir_select(
+        docs, F.col("source").isin("src1", "src2", "src3"),
+        keep_frac=0.25, n_buckets=1024, hash_family="md5")
+
+
+def q107_centroid_affinity(spark, sf_dir):
+    """Embedding-space quality filter: integer-exact inner product of
+    every vector with the summed centroid of a curated target slice
+    (labels 0-2). One d-row aggregate for the centroid (plan literal),
+    then a zero-shuffle map-side scoring pass — the model-based
+    selection signal classifier-curated corpora use."""
+    from tantalus_spark.datapipe.similarity import centroid_affinity
+
+    emb = db_for(spark, sf_dir).table("embeddings")
+    return centroid_affinity(emb, F.col("label").isin(0, 1, 2))
+
+
+def q108_build_corpus(spark, sf_dir):
+    """The WHOLE pretraining-data build as one composed job (FineWeb /
+    CCNet shape): quality+language+exact-dup gates -> 5-gram benchmark
+    decontamination (doc_id < 5 is the eval slice) -> unigram-LM tercile
+    stratification over survivors keeping head+middle -> per-source
+    sign-off report with an id checksum. Every stage is an already-
+    oracled operator (q58/q70/q101); the composition itself is what this
+    gate proves — one lazy DAG, full value oracle."""
+    from tantalus_spark.datapipe.pipeline import build_corpus
+
+    docs = db_for(spark, sf_dir).table("documents")
+    return build_corpus(docs, F.col("doc_id") < 5, shingle_n=5)
+
+
 _ALL_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     name[1:]: fn
     for name, fn in list(globals().items())
@@ -1500,6 +1541,9 @@ _QUERY_ORDER = [
     "99_corpus_shuffle", "100_bpe_merges", "101_perplexity_buckets",
     "102_bpe_encode", "103_temperature_mix", "104_bigram_lm",
     "105_gate_attribution",
+    "106_dsir_select",
+    "107_centroid_affinity",
+    "108_build_corpus",
 ]
 
 QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
@@ -3091,5 +3135,138 @@ ORACLES: dict[str, str] = {
                CAST(sum((f_dup AND NOT f_len AND NOT f_alpha AND NOT f_lang)::INT) AS BIGINT) AS only_dup,
                CAST(sum((NOT (f_len OR f_alpha OR f_lang OR f_dup))::INT) AS BIGINT) AS n_pass
         FROM flags
+    """,
+    "106_dsir_select": """
+        WITH toks AS (
+          SELECT doc_id,
+                 CASE WHEN source IN ('src1','src2','src3')
+                      THEN 1 ELSE 0 END AS it,
+                 unnest(string_split_regex(trim(lower(text)), '\\s+')) AS term
+          FROM documents),
+        b AS (SELECT doc_id, it,
+                     ('0x'||substr(md5(term),1,15))::BIGINT % 1024 AS bucket
+              FROM toks),
+        stats AS (SELECT bucket, count(*) AS raw_c, sum(it) AS tgt_c
+                  FROM b GROUP BY bucket),
+        scal AS (SELECT sum(raw_c) AS raw_n, sum(tgt_c) AS tgt_n FROM stats),
+        lam AS (
+          SELECT bucket,
+                 CAST(floor((log2((tgt_c + 1) / (tgt_n + 1024.0))
+                             - log2((raw_c + 1) / (raw_n + 1024.0)))
+                            * 1000 + 0.5) AS BIGINT) AS lam_mb
+          FROM stats CROSS JOIN scal),
+        w AS (SELECT doc_id, count(*) AS n_tokens,
+                     CAST(sum(lam_mb) AS BIGINT) AS weight_millibits,
+                     max(it) AS in_target
+              FROM b JOIN lam USING (bucket) GROUP BY doc_id),
+        tot AS (SELECT CAST(floor(count(*) * 0.25) AS BIGINT) AS k FROM w),
+        ranked AS (
+          SELECT w.*,
+                 row_number() OVER (
+                   ORDER BY weight_millibits DESC,
+                            md5(CAST(doc_id AS VARCHAR)), doc_id) AS rn
+          FROM w)
+        SELECT doc_id, n_tokens, weight_millibits, in_target
+        FROM ranked CROSS JOIN tot WHERE rn <= k
+    """,
+    "107_centroid_affinity": """
+        WITH q AS (
+          SELECT vec_id,
+                 list_transform(embedding,
+                   e -> CAST(floor(CAST(e AS DOUBLE) * 1000000) AS BIGINT))
+                   AS qv,
+                 CASE WHEN label IN (0,1,2) THEN 1 ELSE 0 END AS it
+          FROM embeddings WHERE embedding IS NOT NULL),
+        e AS (SELECT vec_id, it,
+                     generate_subscripts(qv, 1) AS pos, unnest(qv) AS v
+              FROM q),
+        c AS (SELECT pos, CAST(sum(v) AS BIGINT) AS cv
+              FROM e WHERE it = 1 GROUP BY pos)
+        SELECT e.vec_id, CAST(sum(e.v * c.cv) AS BIGINT) AS affinity_q,
+               max(e.it) AS in_target
+        FROM e JOIN c USING (pos)
+        GROUP BY e.vec_id
+    """,
+    "108_build_corpus": """
+        WITH corpus AS (SELECT * FROM documents WHERE NOT (doc_id < 5)),
+        q AS (
+          SELECT doc_id,
+                 CAST(len(string_split_regex(trim(text), '\\s+')) AS INTEGER)
+                   AS n_tokens,
+                 round(length(regexp_replace(text, '[^a-zA-Z]', '', 'g'))*1.0
+                       / length(text), 4) AS alpha_ratio,
+                 md5(text) AS m
+          FROM corpus),
+        t AS (SELECT doc_id, ' ' || lower(text) || ' ' AS txt FROM corpus),
+        s AS (SELECT doc_id,
+               len(string_split(txt, ' the '))-1 + len(string_split(txt, ' and '))-1
+                  + len(string_split(txt, ' of '))-1 + len(string_split(txt, ' a '))-1 AS score_en,
+               len(string_split(txt, ' el '))-1 + len(string_split(txt, ' la '))-1
+                  + len(string_split(txt, ' los '))-1 + len(string_split(txt, ' de '))-1 AS score_es,
+               len(string_split(txt, ' le '))-1 + len(string_split(txt, ' la '))-1
+                  + len(string_split(txt, ' les '))-1 + len(string_split(txt, ' des '))-1 AS score_fr,
+               len(string_split(txt, ' der '))-1 + len(string_split(txt, ' die '))-1
+                  + len(string_split(txt, ' das '))-1 + len(string_split(txt, ' und '))-1 AS score_de
+              FROM t),
+        l AS (SELECT doc_id,
+               CASE WHEN greatest(score_en, score_es, score_fr, score_de) = 0 THEN 'unknown'
+                    WHEN score_en = greatest(score_en, score_es, score_fr, score_de) THEN 'en'
+                    WHEN score_es = greatest(score_en, score_es, score_fr, score_de) THEN 'es'
+                    WHEN score_fr = greatest(score_en, score_es, score_fr, score_de) THEN 'fr'
+                    ELSE 'de' END AS lang_pred
+              FROM s),
+        gated AS (
+          SELECT q.doc_id, q.m
+          FROM q JOIN l USING (doc_id)
+          WHERE q.n_tokens BETWEEN 10 AND 100000
+            AND q.alpha_ratio >= 0.5 AND l.lang_pred IN ('en')),
+        keep AS (SELECT m, min(doc_id) AS doc_id FROM gated GROUP BY m),
+        cleaned AS (SELECT g.doc_id
+                    FROM gated g JOIN keep k
+                      ON g.doc_id = k.doc_id AND g.m = k.m),
+        tok AS (
+          SELECT doc_id, string_split_regex(trim(lower(text)), '\\s+') AS t
+          FROM documents),
+        sh AS (
+          SELECT DISTINCT doc_id,
+                 t[i]||' '||t[i+1]||' '||t[i+2]||' '||t[i+3]||' '||t[i+4]
+                   AS shingle
+          FROM tok, UNNEST(range(1, greatest(len(t)-3, 1))) AS u(i)),
+        bench AS (SELECT DISTINCT shingle FROM sh WHERE doc_id < 5),
+        hits AS (SELECT DISTINCT s.doc_id
+                 FROM sh s JOIN bench b ON s.shingle = b.shingle
+                 WHERE s.doc_id >= 5),
+        surv AS (SELECT doc_id FROM cleaned
+                 WHERE doc_id NOT IN (SELECT doc_id FROM hits)),
+        stoks AS (
+          SELECT d.doc_id,
+                 unnest(string_split_regex(trim(lower(d.text)), '\\s+'))
+                   AS term
+          FROM documents d JOIN surv USING (doc_id)),
+        counts AS (SELECT term, count(*) AS c FROM stoks GROUP BY term),
+        scal AS (SELECT sum(c) AS n, count(*) AS v FROM counts),
+        cost AS (
+          SELECT term,
+                 CAST(floor(-log2((c + 1) / (n + v * 1.0)) * 1000 + 0.5)
+                      AS BIGINT) AS cost_mb
+          FROM counts CROSS JOIN scal),
+        tf AS (SELECT doc_id, term, count(*) AS tf
+               FROM stoks GROUP BY doc_id, term),
+        scores AS (
+          SELECT doc_id, CAST(sum(tf) AS BIGINT) AS n_tokens,
+                 CAST(floor(sum(tf * cost_mb) / (sum(tf) * 1.0)) AS BIGINT)
+                   AS mc
+          FROM tf JOIN cost USING (term) GROUP BY doc_id),
+        th AS (SELECT quantile_cont(mc, 1.0/3) AS t1,
+                      quantile_cont(mc, 2.0/3) AS t2 FROM scores),
+        kept AS (SELECT doc_id, n_tokens, mc
+                 FROM scores CROSS JOIN th WHERE mc <= t2)
+        SELECT d.source, count(*) AS n_docs,
+               CAST(sum(k.n_tokens) AS BIGINT) AS n_tokens,
+               CAST(sum(k.doc_id) AS BIGINT) AS id_sum,
+               min(k.mc) AS min_cost_millibits,
+               max(k.mc) AS max_cost_millibits
+        FROM kept k JOIN documents d USING (doc_id)
+        GROUP BY d.source
     """,
 }

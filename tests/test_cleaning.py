@@ -185,3 +185,57 @@ def test_source_report_known_values(spark):
     assert web["mean_tokens"] == round(8 / 3, 4)
     books = got["books"]
     assert (books["n_docs"], books["total_tokens"], books["dup_ratio"]) == (1, 4, 0.0)
+
+
+def test_build_corpus_stage_composition(spark):
+    """build_corpus must drop: the bench slice itself, gate failures
+    (short/gibberish/duplicate), 5-gram-contaminated docs, and the
+    LM-cost tail tercile — and report the rest per source."""
+    from tantalus_spark.datapipe.pipeline import build_corpus
+
+    en = ("the cat and the dog sat on the mat near the door and "
+          "the bird flew over the house in the morning light")
+    bench_text = "alpha beta gamma delta epsilon zeta eta theta iota kappa"
+    rows = [
+        # bench slice (doc_id < 100)
+        (1, bench_text, "bench"),
+        # clean survivors (distinct en docs, no bench overlap)
+        (101, en, "web"),
+        (102, en + " but the cat ran away before the dawn came up", "web"),
+        (103, "the dog and the cat walked along the road to the old "
+              "barn where the farmer kept the hay for the cold winter",
+         "books"),
+        (104, "the house near the river had a red roof and a small "
+              "garden where the children played in the warm summer sun",
+         "books"),
+        (105, "the teacher read the book to the class while the rain "
+              "fell on the roof of the school all through the day",
+         "web"),
+        (106, "the ship sailed across the sea to the far land where "
+              "the people built a town by the shore of the bay",
+         "books"),
+        # exact duplicate of 101 -> dropped (keep-min-id)
+        (201, en, "web"),
+        # contaminated: contains a bench 5-gram -> dropped
+        (202, "the story begins alpha beta gamma delta epsilon and then "
+              "the tale goes on with many other common words here",
+         "web"),
+        # too short -> gate drop
+        (203, "tiny doc", "web"),
+        # non-alpha -> gate drop
+        (204, "1234 5678 9999 0000 1111 2222 3333 4444 5555 6666 7777",
+         "web"),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string, source string")
+    out = {r["source"]: r
+           for r in build_corpus(df, F.col("doc_id") < 100,
+                                 shingle_n=5).collect()}
+    # survivors before the tercile cut: 101-106 (6 docs); the tail third
+    # (2 docs) is dropped -> 4 kept, none from bench, none of 201-204
+    kept_total = sum(r["n_docs"] for r in out.values())
+    assert kept_total == 4
+    all_id_sum = sum(r["id_sum"] for r in out.values())
+    assert 201 not in out and all_id_sum < 101 + 102 + 103 + 104 + 105 + 106
+    for r in out.values():
+        assert r["min_cost_millibits"] <= r["max_cost_millibits"]
+    assert set(out) <= {"web", "books"}

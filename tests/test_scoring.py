@@ -253,3 +253,54 @@ def test_gate_attribution_unique_and_overlapping_failures(spark):
     assert r["fail_dup"] == 1 and r["only_dup"] == 1
     assert r["fail_lang"] == 1 and r["only_lang"] == 1
     assert r["fail_alpha"] == 1 and r["only_alpha"] == 0     # 7 also fails length
+
+
+def test_dsir_select_exact_topk(docs):
+    from tantalus_spark.datapipe.scoring import dsir_select
+
+    cond = F.col("source") == "curated"
+    w = {r["doc_id"]: r["weight_millibits"]
+         for r in dsir_weights(docs, cond, n_buckets=64,
+                               hash_family="md5").collect()}
+    # 5 scored docs (null text drops), keep_frac 0.4 -> k = 2
+    kept = dsir_select(docs, cond, keep_frac=0.4, n_buckets=64,
+                       hash_family="md5").collect()
+    assert len(kept) == 2
+    kept_ids = {r["doc_id"] for r in kept}
+    # kept set == top-2 by (weight desc, md5 tie-break): every kept weight
+    # must be >= every excluded weight
+    excluded = [w[i] for i in w if i not in kept_ids]
+    assert min(w[i] for i in kept_ids) >= max(excluded)
+    # weights pass through unchanged from dsir_weights
+    for r in kept:
+        assert r["weight_millibits"] == w[r["doc_id"]]
+
+
+def test_dsir_select_tie_break_is_deterministic(spark):
+    from tantalus_spark.datapipe.scoring import dsir_select
+
+    # all docs identical -> identical weights -> pure tie; admission must
+    # be the md5(doc_id) order, stable across runs
+    rows = [(i, "same text here", "web") for i in range(1, 9)]
+    df = spark.createDataFrame(rows, "doc_id long, text string, source string")
+    cond = F.lit(False)
+    a = sorted(r["doc_id"] for r in
+               dsir_select(df, cond, keep_frac=0.5, n_buckets=64,
+                           hash_family="md5").collect())
+    b = sorted(r["doc_id"] for r in
+               dsir_select(df, cond, keep_frac=0.5, n_buckets=64,
+                           hash_family="md5").collect())
+    assert a == b and len(a) == 4
+    import hashlib
+    expect = sorted(
+        sorted(range(1, 9),
+               key=lambda i: (hashlib.md5(str(i).encode()).hexdigest(), i))[:4])
+    assert a == expect
+
+
+def test_dsir_select_zero_keep_is_empty(docs):
+    from tantalus_spark.datapipe.scoring import dsir_select
+
+    out = dsir_select(docs, F.col("source") == "curated",
+                      keep_frac=0.0, n_buckets=64, hash_family="md5")
+    assert out.count() == 0

@@ -344,3 +344,55 @@ def test_semantic_dup_clusters_lsh_method(spark):
     assert got == {1: 1, 2: 1, 3: 1, 10: 10, 11: 10}
     with pytest.raises(ValueError):
         sim.semantic_dup_clusters(df, method="bogus")
+
+
+def test_centroid_affinity_matches_numpy(spark):
+    import numpy as np
+    from tantalus_spark.datapipe.similarity import centroid_affinity
+    from pyspark.sql import functions as F
+
+    rng = np.random.RandomState(7)
+    vecs = rng.uniform(-0.5, 0.5, size=(20, 8)).astype("float32")
+    rows = [(i, [float(x) for x in vecs[i]], i % 4) for i in range(20)]
+    df = spark.createDataFrame(rows,
+                               "vec_id long, embedding array<float>, label int")
+    out = {r["vec_id"]: r for r in
+           centroid_affinity(df, F.col("label") == 0).collect()}
+    q = np.floor(vecs.astype("float64") * 1_000_000).astype("int64")
+    cvec = q[[i for i in range(20) if i % 4 == 0]].sum(axis=0)
+    for i in range(20):
+        assert out[i]["affinity_q"] == int(q[i] @ cvec)
+        assert out[i]["in_target"] == (1 if i % 4 == 0 else 0)
+
+
+def test_centroid_affinity_target_scores_high(spark):
+    # two tight clusters far apart: target-cluster members must outscore
+    # the off-cluster ones against the target centroid
+    from tantalus_spark.datapipe.similarity import centroid_affinity
+    from pyspark.sql import functions as F
+
+    rows = []
+    for i in range(10):
+        eps = (i % 3) * 0.01
+        rows.append((i, [0.4 + eps, 0.4, 0.0, 0.0], 1))        # target
+        rows.append((100 + i, [-0.4 - eps, 0.1, 0.0, 0.0], 2))  # other
+    df = spark.createDataFrame(rows,
+                               "vec_id long, embedding array<float>, label int")
+    out = centroid_affinity(df, F.col("label") == 1).collect()
+    tgt = [r["affinity_q"] for r in out if r["in_target"] == 1]
+    rest = [r["affinity_q"] for r in out if r["in_target"] == 0]
+    assert min(tgt) > max(rest)
+
+
+def test_centroid_affinity_skips_null_vectors_and_empty_target_raises(spark):
+    import pytest as _pytest
+    from tantalus_spark.datapipe.similarity import centroid_affinity
+    from pyspark.sql import functions as F
+
+    rows = [(1, [0.1, 0.2], 1), (2, None, 1), (3, [0.3, 0.1], 2)]
+    df = spark.createDataFrame(rows,
+                               "vec_id long, embedding array<float>, label int")
+    out = centroid_affinity(df, F.col("label") == 1).collect()
+    assert {r["vec_id"] for r in out} == {1, 3}
+    with _pytest.raises(ValueError, match="target slice is empty"):
+        centroid_affinity(df, F.col("label") == 99)
