@@ -1476,6 +1476,39 @@ def q108_build_corpus(spark, sf_dir):
     return build_corpus(docs, F.col("doc_id") < 5, shingle_n=5)
 
 
+def q109_media_dedup(spark, sf_dir):
+    """Exact duplicate media by payload digest (multimodal family, q65's
+    byte-payload stand-in): groupBy the 16-byte md5 of the BINARY
+    payload — the payload itself never shuffles. Returns one row per
+    distinct payload with the kept id and copy count."""
+    from tantalus_spark.datapipe import multimodal as mm
+
+    docs = db_for(spark, sf_dir).table("documents")
+    media = docs.select(
+        F.col("doc_id").alias("media_id"),
+        F.encode("text", "UTF-8").alias("payload"),
+    )
+    return mm.exact_media_dedup(media)
+
+
+def q110_grouping_sets(spark, sf_dir):
+    """Explicit GROUPING SETS (beyond q28 pivot / q29 rollup / q38 cube):
+    per-(flag,status), per-flag, and grand-total aggregates in ONE scan
+    with grouping_id disambiguating levels — Catalyst expands to a single
+    Expand + hash aggregate, not three scans."""
+    li = db_for(spark, sf_dir).table("lineitem")
+    return (
+        li.groupingSets(
+            [["l_returnflag", "l_linestatus"], ["l_returnflag"], []],
+            "l_returnflag", "l_linestatus")
+        .agg(
+            F.sum("l_quantity").alias("sum_qty"),
+            F.count(F.lit(1)).alias("n_rows"),
+            F.grouping_id().alias("gid"),
+        )
+    )
+
+
 _ALL_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     name[1:]: fn
     for name, fn in list(globals().items())
@@ -1544,6 +1577,8 @@ _QUERY_ORDER = [
     "106_dsir_select",
     "107_centroid_affinity",
     "108_build_corpus",
+    "109_media_dedup",
+    "110_grouping_sets",
 ]
 
 QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
@@ -3268,5 +3303,21 @@ ORACLES: dict[str, str] = {
                max(k.mc) AS max_cost_millibits
         FROM kept k JOIN documents d USING (doc_id)
         GROUP BY d.source
+    """,
+    "109_media_dedup": """
+        SELECT md5(text) AS payload_md5,
+               min(doc_id) AS keep_id,
+               count(*) AS n_copies
+        FROM documents
+        GROUP BY md5(text)
+    """,
+    "110_grouping_sets": """
+        SELECT l_returnflag, l_linestatus,
+               SUM(l_quantity) AS sum_qty,
+               count(*) AS n_rows,
+               GROUPING(l_returnflag, l_linestatus) AS gid
+        FROM lineitem
+        GROUP BY GROUPING SETS ((l_returnflag, l_linestatus),
+                                (l_returnflag), ())
     """,
 }

@@ -236,3 +236,39 @@ def test_corpus_shuffle_no_global_sort(spark):
     plan = _plan(df)
     assert "SinglePartition" not in plan
     assert "hashpartitioning(shard" in plan
+
+
+def test_grouping_sets_single_scan_expand(spark):
+    """q110 must compile to ONE lineitem scan + Expand + hash aggregate —
+    not one scan per grouping set."""
+    df = QUERIES["110_grouping_sets"](spark, SF)
+    plan = _plan(df)
+    assert plan.count("Scan parquet") == 1
+    assert "Expand" in plan
+    # q110 reads only the 3 needed columns
+    read = plan.split("ReadSchema:")[1].splitlines()[0]
+    assert "l_quantity" in read and "l_orderkey" not in read
+
+
+def test_dsir_select_no_global_sort(spark):
+    """q106's selection must not sort or rank the whole corpus: the only
+    row_number window runs on the bounded tie set, after a literal
+    threshold filter (no SortExec over the full weights frame feeding a
+    global window)."""
+    import re
+
+    df = QUERIES["106_dsir_select"](spark, SF)
+    plan = _plan(df)
+    # the selection is threshold-based: a global-rank design would have NO
+    # literal weight comparisons; ours must show the folded-in threshold
+    # both as the clear-branch `>` filter and the tie-branch `=` filter,
+    # so the only rank window runs on the bounded tie set
+    assert re.search(r"weight_millibits#\d+L? > -?\d+", plan)
+    assert re.search(r"weight_millibits#\d+L? = -?\d+", plan)
+
+
+def test_centroid_affinity_zero_exchange(spark):
+    """q107's scoring pass is map-side only: no Exchange in the plan."""
+    df = QUERIES["107_centroid_affinity"](spark, SF)
+    plan = _plan(df)
+    assert "Exchange" not in plan
