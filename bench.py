@@ -49,6 +49,7 @@ HEADLINE = [
     "97_lm_score",
     "98_dsir_weights",
     "101_perplexity_buckets",
+    "108_build_corpus",
 ]
 
 

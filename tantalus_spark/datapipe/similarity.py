@@ -828,27 +828,55 @@ def centroid_affinity(
     approaches 2^63 — divide the sum-vector by n_target first (mean
     centroid) or score in doubles; the gate keeps the exact form.
     """
-    quant = F.transform(
-        F.col(vec_col),
-        lambda x: F.floor(x.cast("double") * F.lit(float(scale)))
-        .cast("long"))
+    quant = _quantize_expr(vec_col, scale)
     base = (df.filter(F.col(vec_col).isNotNull())
               .select(F.col(id_col), quant.alias("_qv"),
                       target_cond.cast("int").alias("_it")))
-    crows = (base.filter(F.col("_it") == 1)
-                 .select(F.posexplode("_qv").alias("pos", "v"))
-                 .groupBy("pos").agg(F.sum("v").alias("cv"))
-                 .orderBy("pos").collect())
-    if not crows:
-        raise ValueError("target slice is empty: no centroid to score against")
-    cvec = F.array(*[F.lit(int(r["cv"])).cast("long") for r in crows])
-    score = F.aggregate(
-        F.zip_with(F.col("_qv"), cvec, lambda x, y: x * y),
-        F.lit(0).cast("long"),
-        lambda acc, x: acc + x,
-    )
+    centroid = train_quantized_centroid(df, target_cond, vec_col=vec_col,
+                                        scale=scale)
+    score = affinity_expr("_qv", centroid)
     return base.select(
         F.col(id_col),
         score.alias("affinity_q"),
         F.col("_it").alias("in_target"),
     )
+
+
+def _quantize_expr(vec_col: str, scale: int) -> Column:
+    return F.transform(
+        F.col(vec_col),
+        lambda x: F.floor(x.cast("double") * F.lit(float(scale)))
+        .cast("long"))
+
+
+def affinity_expr(qvec_col: str, centroid: list[int]) -> Column:
+    """BIGINT dot product of a quantized vector column with a frozen
+    centroid folded into the plan as a literal array — map-side only."""
+    cvec = F.array(*[F.lit(int(v)).cast("long") for v in centroid])
+    return F.aggregate(
+        F.zip_with(F.col(qvec_col), cvec, lambda x, y: x * y),
+        F.lit(0).cast("long"),
+        lambda acc, x: acc + x,
+    )
+
+
+def train_quantized_centroid(
+    df: DataFrame,
+    target_cond,
+    vec_col: str = "embedding",
+    scale: int = 1_000_000,
+) -> list[int]:
+    """The offline training step for affinity scoring: the integer sum
+    vector of the target slice, as a d-element Python list (O(d) driver
+    state — the IVF-centroid precedent). Freeze and version it; the
+    streaming scorer (``streaming/scoring.py affinity_score_stream``)
+    replays it against arriving vectors with zero state."""
+    rows = (df.filter(F.col(vec_col).isNotNull())
+              .filter(target_cond)
+              .select(F.posexplode(_quantize_expr(vec_col, scale))
+                      .alias("pos", "v"))
+              .groupBy("pos").agg(F.sum("v").alias("cv"))
+              .orderBy("pos").collect())
+    if not rows:
+        raise ValueError("target slice is empty: no centroid to score against")
+    return [int(r["cv"]) for r in rows]

@@ -68,3 +68,34 @@ def lm_score_stream(
         .select(id_col, "n_tokens", "total_millibits",
                 "mean_cost_millibits")
     )
+
+
+def affinity_score_stream(
+    vec_stream: DataFrame,
+    centroid: list[int],
+    scale: int = 1_000_000,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+) -> DataFrame:
+    """Score an embedding stream against a FROZEN quantized centroid
+    (trained offline with ``datapipe/similarity.py
+    train_quantized_centroid`` — the same offline-train/online-score
+    split as the LM scorer above).
+
+    Completely STATELESS: the centroid is a plan literal, scoring is one
+    map-side projection — no watermark, no state store, no shuffle;
+    append mode at any input rate.  Integer-exact, so a stream replay of
+    a static table is bit-identical to the batch scorer
+    (``similarity.centroid_affinity``) given the same centroid.
+    """
+    from tantalus_spark.datapipe.similarity import (
+        _quantize_expr,
+        affinity_expr,
+    )
+
+    base = vec_stream.filter(F.col(vec_col).isNotNull()).select(
+        F.col(id_col), _quantize_expr(vec_col, scale).alias("_qv"))
+    return base.select(
+        F.col(id_col),
+        affinity_expr("_qv", centroid).alias("affinity_q"),
+    )
