@@ -909,3 +909,52 @@ def split_leakage(
         .filter(F.col("split1") != F.col("split2"))
         .select("d1", "d2", "jaccard", "split1", "split2")
     )
+
+
+def fuzzy_pairs(
+    df: DataFrame,
+    max_dist: int = 20,
+    block_chars: int = 12,
+    window: int = 200,
+    max_block: int = 100,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Edit-distance near-dup pairs with prefix blocking — the classic
+    entity-resolution shape (block -> compare within block): candidate
+    pairs share their first ``block_chars`` lowercased characters, and
+    survive if the Levenshtein distance of their first ``window`` chars
+    is <= ``max_dist``.
+
+    Scale shape: the self-join runs INSIDE blocks only — O(Σ block²)
+    comparisons instead of O(n²), the same containment LSH banding gives.
+    Blocks larger than ``max_block`` docs (boilerplate prefixes — "terms
+    of service", empty strings) are dropped entirely, exactly like the
+    posting-list cap in :func:`ngram_jaccard_pairs`: a hot prefix is
+    evidence the prefix isn't discriminating, not that everything under
+    it matches. The edit-distance window bounds the O(len²) DP per
+    comparison. Levenshtein itself is JVM built-in (no UDF) and
+    integer-valued, so the gate oracle replays it exactly.
+    """
+    blocked = df.select(
+        F.col(id_col),
+        F.lower(F.col(text_col)).alias("_t"),
+        F.substring(F.lower(F.col(text_col)), 1, block_chars).alias("_bk"),
+    )
+    sizes = blocked.groupBy("_bk").agg(F.count(F.lit(1)).alias("_bc"))
+    small = blocked.join(
+        F.broadcast(sizes.filter(F.col("_bc") <= max_block)), "_bk")
+    a, b = small.alias("a"), small.alias("b")
+    dist = F.levenshtein(
+        F.substring(F.col("a._t"), 1, window),
+        F.substring(F.col("b._t"), 1, window))
+    return (
+        a.join(b, (F.col("a._bk") == F.col("b._bk"))
+               & (F.col(f"a.{id_col}") < F.col(f"b.{id_col}")))
+        .select(
+            F.col(f"a.{id_col}").alias("id_a"),
+            F.col(f"b.{id_col}").alias("id_b"),
+            dist.alias("edit_dist"),
+        )
+        .filter(F.col("edit_dist") <= max_dist)
+    )

@@ -857,3 +857,47 @@ def vocab_coverage(df: DataFrame, ks: tuple[int, ...] = (100, 1000, 10000),
             F.round(F.col("cum") / F.col("total"), 4).alias("coverage"),
         )
     )
+
+
+def length_outliers(
+    df: DataFrame,
+    z: int = 2,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    group_col: str = "source",
+) -> DataFrame:
+    """Per-group statistical outlier detection on document length,
+    with EXACT integer algebra — no float stddev anywhere.
+
+    A doc is an outlier when |x - mean| > z * stddev_samp within its
+    group. Naively that needs float mean/stddev, and Spark's stddev is a
+    partition-order-dependent float merge (not reproducible bit-for-bit
+    across runs or engines). Instead the predicate is cleared of
+    divisions: with S = Σx, Q = Σx², n per group,
+
+        (x - S/n)² > z²·(nQ - S²)/(n(n-1))
+        ⟺ (n-1)·(nx - S)² > z²·n·(nQ - S²)
+
+    — all BIGINT, exact, associative, identical in any engine and any
+    partition order. One narrow groupBy for (n, S, Q) joined back (AQE
+    broadcasts the per-group stats — one row per group); the outlier
+    test is a map-side integer comparison. Groups with n < 2 have no
+    sample variance and emit nothing.
+    """
+    x = F.size(tokens(F.col(text_col))).cast("long")
+    base = df.select(F.col(id_col), F.col(group_col), x.alias("x"))
+    stats = base.groupBy(group_col).agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum("x").alias("s"),
+        F.sum(F.col("x") * F.col("x")).alias("q"),
+    )
+    j = base.join(stats, group_col).filter(F.col("n") >= 2)
+    dev = F.col("n") * F.col("x") - F.col("s")
+    lhs = (F.col("n") - 1) * dev * dev
+    rhs = F.lit(z * z) * F.col("n") * (
+        F.col("n") * F.col("q") - F.col("s") * F.col("s"))
+    return (
+        j.filter(lhs > rhs)
+        .select(F.col(id_col), F.col(group_col),
+                F.col("x").alias("n_tokens"))
+    )

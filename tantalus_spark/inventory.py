@@ -1509,6 +1509,27 @@ def q110_grouping_sets(spark, sf_dir):
     )
 
 
+def q111_fuzzy_pairs(spark, sf_dir):
+    """Entity-resolution fuzzy join: edit-distance near-dup pairs under
+    prefix blocking (block -> compare inside block only, hot-prefix
+    blocks dropped like the q44 posting cap). Levenshtein is JVM
+    built-in and integer-valued — full oracle."""
+    docs = db_for(spark, sf_dir).table("documents")
+    return dedup.fuzzy_pairs(docs, max_dist=40, block_chars=12,
+                             window=200, max_block=100)
+
+
+def q112_length_outliers(spark, sf_dir):
+    """Per-source statistical length outliers with EXACT integer algebra:
+    |x-mean| > 2*stddev decided as (n-1)(nx-S)^2 > 4n(nQ-S^2) — no float
+    stddev (Spark's is partition-order dependent), so the gate replays
+    bit-for-bit in SQL and the result is reproducible on any cluster."""
+    from tantalus_spark.datapipe.textstats import length_outliers
+
+    docs = db_for(spark, sf_dir).table("documents")
+    return length_outliers(docs, z=2)
+
+
 _ALL_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     name[1:]: fn
     for name, fn in list(globals().items())
@@ -1579,6 +1600,8 @@ _QUERY_ORDER = [
     "108_build_corpus",
     "109_media_dedup",
     "110_grouping_sets",
+    "111_fuzzy_pairs",
+    "112_length_outliers",
 ]
 
 QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
@@ -3319,5 +3342,35 @@ ORACLES: dict[str, str] = {
         FROM lineitem
         GROUP BY GROUPING SETS ((l_returnflag, l_linestatus),
                                 (l_returnflag), ())
+    """,
+    "111_fuzzy_pairs": """
+        WITH b AS (
+          SELECT doc_id, lower(text) AS t,
+                 substr(lower(text), 1, 12) AS bk
+          FROM documents),
+        sz AS (SELECT bk, count(*) AS bc FROM b GROUP BY bk),
+        sm AS (SELECT b.* FROM b JOIN sz USING (bk) WHERE sz.bc <= 100)
+        SELECT a.doc_id AS id_a, c.doc_id AS id_b,
+               levenshtein(substr(a.t, 1, 200), substr(c.t, 1, 200))
+                 AS edit_dist
+        FROM sm a JOIN sm c ON a.bk = c.bk AND a.doc_id < c.doc_id
+        WHERE levenshtein(substr(a.t, 1, 200), substr(c.t, 1, 200)) <= 40
+    """,
+    "112_length_outliers": """
+        WITH base AS (
+          SELECT doc_id, source,
+                 CAST(len(string_split_regex(trim(text), '\\s+')) AS BIGINT)
+                   AS x
+          FROM documents),
+        stats AS (
+          SELECT source, count(*) AS n,
+                 CAST(sum(x) AS BIGINT) AS s,
+                 CAST(sum(x*x) AS BIGINT) AS q
+          FROM base GROUP BY source)
+        SELECT b.doc_id, b.source, b.x AS n_tokens
+        FROM base b JOIN stats st USING (source)
+        WHERE st.n >= 2
+          AND (st.n - 1) * (st.n * b.x - st.s) * (st.n * b.x - st.s)
+              > 4 * st.n * (st.n * st.q - st.s * st.s)
     """,
 }

@@ -513,3 +513,52 @@ def test_split_leakage_flags_cross_split_twins(spark):
     assert (lo, hi) in got and set(got[(lo, hi)]) == {"a", "b"}
     within = (min(ia, isame), max(ia, isame))
     assert within not in got                     # same-split pair filtered
+
+
+def test_length_outliers_exact_integer_predicate(spark):
+    import statistics
+    from tantalus_spark.datapipe.textstats import length_outliers
+
+    # group A: nine 10-token docs + one 100-token doc (clear outlier);
+    # group B: two equal docs (variance 0 -> no outliers);
+    # group C: singleton (n<2 -> emits nothing)
+    rows = []
+    for i in range(9):
+        rows.append((i, " ".join(["w"] * 10), "A"))
+    rows.append((9, " ".join(["w"] * 100), "A"))
+    rows.append((10, " ".join(["w"] * 7), "B"))
+    rows.append((11, " ".join(["w"] * 7), "B"))
+    rows.append((12, " ".join(["w"] * 999), "C"))
+    df = spark.createDataFrame(rows, "doc_id long, text string, source string")
+    out = {(r["doc_id"], r["source"], r["n_tokens"])
+           for r in length_outliers(df, z=2).collect()}
+    assert out == {(9, "A", 100)}
+    # the integer predicate agrees with the float z-score definition
+    xs = [10] * 9 + [100]
+    mean, sd = statistics.mean(xs), statistics.stdev(xs)
+    assert abs(100 - mean) > 2 * sd
+    assert all(abs(x - mean) <= 2 * sd for x in xs[:9])
+
+
+def test_fuzzy_pairs_blocking_and_distance(spark):
+    from tantalus_spark.datapipe.dedup import fuzzy_pairs
+
+    prefix = "shared prefix here "
+    rows = [
+        (1, prefix + "the quick brown fox jumps over the dog"),
+        (2, prefix + "the quick brown fox jumped over the dog"),   # 2 edits
+        (3, prefix + "completely different tail content that is far away"),
+        (4, "other block entirely with its own text body"),
+    ]
+    # a hot block: many docs sharing a boilerplate prefix must be dropped
+    rows += [(100 + i, "boilerplate terms of service page " + str(i))
+             for i in range(12)]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    out = fuzzy_pairs(df, max_dist=5, block_chars=12, window=200,
+                      max_block=10)
+    pairs = {(r["id_a"], r["id_b"]): r["edit_dist"] for r in out.collect()}
+    assert (1, 2) in pairs and pairs[(1, 2)] == 2
+    # doc 3 shares the block but exceeds the distance cap
+    assert (1, 3) not in pairs and (2, 3) not in pairs
+    # the 12-doc hot block contributed nothing
+    assert all(a < 100 and b < 100 for (a, b) in pairs)
