@@ -427,6 +427,76 @@ def dsir_select(
         w.unpersist()
 
 
+def quota_select(
+    df: DataFrame,
+    keep_frac: float = 1.0 / 3,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    group_col: str = "source",
+) -> DataFrame:
+    """Per-source quality QUOTA: keep the most fluent ``keep_frac`` of
+    each source by unigram-LM cost (lower = better) — the balanced
+    curation step that stops one giant source from crowding out the mix
+    when a single global threshold would.
+
+    Selection is exact per-group top-k (``k_s = floor(n_s * frac)``)
+    under the total order ``(cost asc, md5(doc_id), doc_id)`` — the
+    grouped form of :func:`dsir_select`'s machinery, and the same
+    NO-corpus-wide-sort shape:
+
+    1. a (source, cost) histogram (bounded: distinct costs per source);
+    2. per-source cumulative counts over the histogram ONLY give each
+       source its threshold cost T_s and clear-count;
+    3. rows with cost < T_s pass via a broadcast-joined filter; only the
+       tie sets (cost == T_s, one bucket per source) are rank-windowed.
+
+    A trillion-row source never serializes through one sort: the
+    histogram windows run over histogram rows, the tie windows over one
+    cost bucket per source. Returns kept rows
+    (doc_id, source, n_tokens, mean_cost_millibits).
+    """
+    src = df.select(F.col(id_col), F.col(group_col))
+    scores = (unigram_lm_score(df, text_col=text_col, id_col=id_col)
+              .join(src, id_col)
+              .select(id_col, group_col, "n_tokens",
+                      F.col("mean_cost_millibits").alias("mc"))
+              .persist())
+    try:
+        hist = (scores.groupBy(group_col, "mc")
+                .agg(F.count(F.lit(1)).alias("c")))
+        wsrc = W.partitionBy(group_col)
+        worder = wsrc.orderBy(F.col("mc").asc())
+        cum = hist.select(
+            group_col, "mc", "c",
+            F.coalesce(
+                F.sum("c").over(
+                    worder.rowsBetween(W.unboundedPreceding, -1)),
+                F.lit(0)).alias("cum_before"),
+            F.sum("c").over(wsrc).alias("n_s"),
+        ).withColumn("k_s",
+                     F.floor(F.col("n_s") * F.lit(keep_frac)).cast("long"))
+        thr = (cum.filter(F.col("cum_before") < F.col("k_s"))
+               .withColumn("_rd", F.row_number().over(
+                   wsrc.orderBy(F.col("mc").desc())))
+               .filter(F.col("_rd") == 1)
+               .select(group_col, F.col("mc").alias("t"),
+                       F.col("cum_before").alias("n_clear"), "k_s"))
+        j = scores.join(F.broadcast(thr), group_col)
+        clear = j.filter(F.col("mc") < F.col("t"))
+        tie_key = F.md5(F.col(id_col).cast("string"))
+        tw = W.partitionBy(group_col).orderBy(tie_key, F.col(id_col))
+        ties = (j.filter(F.col("mc") == F.col("t"))
+                .withColumn("_rn", F.row_number().over(tw))
+                .filter(F.col("_rn") <= F.col("k_s") - F.col("n_clear")))
+        out = (clear.unionByName(ties.drop("_rn"))
+               .select(id_col, group_col, "n_tokens",
+                       F.col("mc").alias("mean_cost_millibits")))
+        from tantalus_spark.datapipe.dedup import _materialize_and_release
+        return _materialize_and_release(out, [])
+    finally:
+        scores.unpersist()
+
+
 def corpus_shuffle(
     df: DataFrame,
     seed: str = "epoch0",

@@ -1530,6 +1530,18 @@ def q112_length_outliers(spark, sf_dir):
     return length_outliers(docs, z=2)
 
 
+def q113_quota_select(spark, sf_dir):
+    """Per-source quality quota: keep the most fluent third of EACH
+    source by unigram-LM cost — grouped exact top-k via the histogram-
+    threshold machinery (per-source thresholds from a (source, cost)
+    histogram; only tie buckets rank-windowed; no source-wide sort).
+    Full oracle: integer-millibit costs + a total tie order."""
+    from tantalus_spark.datapipe.scoring import quota_select
+
+    docs = db_for(spark, sf_dir).table("documents")
+    return quota_select(docs, keep_frac=1.0 / 3)
+
+
 _ALL_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     name[1:]: fn
     for name, fn in list(globals().items())
@@ -1602,6 +1614,7 @@ _QUERY_ORDER = [
     "110_grouping_sets",
     "111_fuzzy_pairs",
     "112_length_outliers",
+    "113_quota_select",
 ]
 
 QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
@@ -3372,5 +3385,38 @@ ORACLES: dict[str, str] = {
         WHERE st.n >= 2
           AND (st.n - 1) * (st.n * b.x - st.s) * (st.n * b.x - st.s)
               > 4 * st.n * (st.n * st.q - st.s * st.s)
+    """,
+    "113_quota_select": """
+        WITH toks AS (
+          SELECT doc_id, unnest(string_split_regex(trim(lower(text)), '\\s+'))
+                   AS term
+          FROM documents),
+        counts AS (SELECT term, count(*) AS c FROM toks GROUP BY term),
+        scal AS (SELECT sum(c) AS n, count(*) AS v FROM counts),
+        cost AS (
+          SELECT term,
+                 CAST(floor(-log2((c + 1) / (n + v * 1.0)) * 1000 + 0.5)
+                      AS BIGINT) AS cost_mb
+          FROM counts CROSS JOIN scal),
+        tf AS (SELECT doc_id, term, count(*) AS tf
+               FROM toks GROUP BY doc_id, term),
+        scores AS (
+          SELECT doc_id, CAST(sum(tf) AS BIGINT) AS n_tokens,
+                 CAST(floor(sum(tf * cost_mb) / (sum(tf) * 1.0)) AS BIGINT)
+                   AS mc
+          FROM tf JOIN cost USING (term) GROUP BY doc_id),
+        withsrc AS (
+          SELECT s.doc_id, d.source, s.n_tokens, s.mc
+          FROM scores s JOIN documents d USING (doc_id)),
+        ranked AS (
+          SELECT *,
+                 row_number() OVER (
+                   PARTITION BY source
+                   ORDER BY mc, md5(CAST(doc_id AS VARCHAR)), doc_id) AS rn,
+                 count(*) OVER (PARTITION BY source) AS n_s
+          FROM withsrc)
+        SELECT doc_id, source, n_tokens, mc AS mean_cost_millibits
+        FROM ranked
+        WHERE rn <= floor(n_s * (1.0/3))
     """,
 }

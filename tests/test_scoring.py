@@ -304,3 +304,38 @@ def test_dsir_select_zero_keep_is_empty(docs):
     out = dsir_select(docs, F.col("source") == "curated",
                       keep_frac=0.0, n_buckets=64, hash_family="md5")
     assert out.count() == 0
+
+
+def test_quota_select_per_group_sizes_and_order(spark):
+    from tantalus_spark.datapipe.scoring import quota_select, unigram_lm_score
+
+    rows = []
+    # source A: 7 docs of mixed fluency; source B: 4 docs; source C: 1 doc
+    common = "the cat sat on the mat and the dog sat on the rug"
+    for i in range(5):
+        rows.append((i, common + f" tail{i}", "A"))
+    rows.append((5, "zzq wvx plk mnb qqa wsx", "A"))       # gibberish
+    rows.append((6, "xjw qpe rrt uyy iop zzc", "A"))       # gibberish
+    for i in range(4):
+        rows.append((10 + i, common + f" b{i}", "B"))
+    rows.append((20, common, "C"))
+    df = spark.createDataFrame(rows, "doc_id long, text string, source string")
+    kept = quota_select(df, keep_frac=0.5).collect()
+    by_src = {}
+    for r in kept:
+        by_src.setdefault(r["source"], []).append(r)
+    # exact floor(n*frac) per source: A 7->3, B 4->2, C 1->0
+    assert len(by_src["A"]) == 3 and len(by_src["B"]) == 2
+    assert "C" not in by_src
+    # the kept docs are the LOWEST-cost ones: no excluded doc in the same
+    # source has a strictly lower cost than any kept doc
+    scores = {r["doc_id"]: r["mean_cost_millibits"]
+              for r in unigram_lm_score(df).collect()}
+    for srcname, members in (("A", range(7)), ("B", range(10, 14))):
+        kept_ids = {r["doc_id"] for r in by_src[srcname]}
+        kmax = max(scores[i] for i in kept_ids)
+        emin = min(scores[i] for i in members if i not in kept_ids)
+        assert kmax <= emin
+    # gibberish never survives over fluent docs
+    assert 5 not in {r["doc_id"] for r in kept}
+    assert 6 not in {r["doc_id"] for r in kept}
