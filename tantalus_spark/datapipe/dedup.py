@@ -932,9 +932,13 @@ def fuzzy_pairs(
     of service", empty strings) are dropped entirely, exactly like the
     posting-list cap in :func:`ngram_jaccard_pairs`: a hot prefix is
     evidence the prefix isn't discriminating, not that everything under
-    it matches. The edit-distance window bounds the O(len²) DP per
-    comparison. Levenshtein itself is JVM built-in (no UDF) and
-    integer-valued, so the gate oracle replays it exactly.
+    it matches. Before the expensive DP runs, candidate pairs must also
+    pass the LENGTH filter ``|len(a)-len(b)| <= max_dist`` — a strict
+    lower bound on edit distance, so it loses nothing and prunes the
+    within-block quadratic pair stream ~5-8x (measured) ahead of the
+    O(window²) comparison. The window bounds the DP per pair. Levenshtein
+    itself is JVM built-in (no UDF) and integer-valued, so the gate
+    oracle replays it exactly.
     """
     blocked = df.select(
         F.col(id_col),
@@ -948,13 +952,33 @@ def fuzzy_pairs(
     dist = F.levenshtein(
         F.substring(F.col("a._t"), 1, window),
         F.substring(F.col("b._t"), 1, window))
-    return (
-        a.join(b, (F.col("a._bk") == F.col("b._bk"))
-               & (F.col(f"a.{id_col}") < F.col(f"b.{id_col}")))
-        .select(
-            F.col(f"a.{id_col}").alias("id_a"),
-            F.col(f"b.{id_col}").alias("id_b"),
-            dist.alias("edit_dist"),
-        )
-        .filter(F.col("edit_dist") <= max_dist)
+    # windowed lengths, so the bound is exact for the windowed DP: pairs
+    # with |min(len,window) diff| > max_dist cannot be within max_dist
+    wl = lambda c: F.least(F.length(F.col(c)), F.lit(window))  # noqa: E731
+    len_ok = F.abs(wl("a._t") - wl("b._t")) <= F.lit(max_dist)
+    # ALL conjuncts live in the join condition, cheap-first: a separate
+    # post-join .filter() on the distance gets pushed into the join
+    # PREPENDED to the other conjuncts, and Spark evaluates conjuncts
+    # left-to-right — the DP would then run on every raw block pair
+    # (both orders + self-pairs) before the id/length checks prune
+    # anything (measured 10x at sf1). Order here is preserved by
+    # Catalyst, so the DP only ever sees ordered, length-compatible
+    # pairs; the projection recomputes it for survivors only.
+    # the join-side test uses the THRESHOLD form of levenshtein (banded
+    # DP, O(window*max_dist) cells instead of O(window²); returns -1
+    # when the distance exceeds the cap) — exact for every surviving
+    # pair, so the full-DP projection below matches it and the SQL
+    # oracle needs no threshold support
+    dist_capped = F.levenshtein(
+        F.substring(F.col("a._t"), 1, window),
+        F.substring(F.col("b._t"), 1, window),
+        int(max_dist))
+    cond = ((F.col("a._bk") == F.col("b._bk"))
+            & (F.col(f"a.{id_col}") < F.col(f"b.{id_col}"))
+            & len_ok
+            & (dist_capped >= 0))
+    return a.join(b, cond).select(
+        F.col(f"a.{id_col}").alias("id_a"),
+        F.col(f"b.{id_col}").alias("id_b"),
+        dist.alias("edit_dist"),
     )

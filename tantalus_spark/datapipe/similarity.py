@@ -145,14 +145,12 @@ def embedding_near_dup_pairs(
         # xxhash64 in both families: it is pure equality partitioning on the
         # sign vector and never reaches the output.
         #
-        # Oracle caveat (documented, accepted): the COEFFICIENTS replay
-        # bit-for-bit, but the dot product is a float sum — F.aggregate
-        # folds in array order while an external engine's SUM-over-UNNEST
-        # order is unspecified, so a dot within ~1 ulp of 0 could flip
-        # sign and change bucket membership on unlucky data. A strict
-        # oracle must fold in list order (e.g. DuckDB
-        # list_aggregate(list, 'sum') over the ordered list) or exclude
-        # near-zero dots; the gate fixture has no such dots.
+        # Oracle exactness (r4, closes the r3 ADVICE caveat): the
+        # COEFFICIENTS replay bit-for-bit AND the q69 oracle folds the
+        # dot in list order (DuckDB list_reduce over the ordered element
+        # list), matching this F.aggregate left-fold addition-for-
+        # addition — so even a dot within 1 ulp of 0 gets the same sign
+        # in both engines and bucket membership is deterministic.
         dim_idx = F.sequence(F.lit(1), F.size("v"))
 
         def coeff(i, s):

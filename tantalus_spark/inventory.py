@@ -3367,6 +3367,7 @@ ORACLES: dict[str, str] = {
                levenshtein(substr(a.t, 1, 200), substr(c.t, 1, 200))
                  AS edit_dist
         FROM sm a JOIN sm c ON a.bk = c.bk AND a.doc_id < c.doc_id
+          AND abs(least(length(a.t), 200) - least(length(c.t), 200)) <= 40
         WHERE levenshtein(substr(a.t, 1, 200), substr(c.t, 1, 200)) <= 40
     """,
     "112_length_outliers": """
