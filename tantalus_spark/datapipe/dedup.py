@@ -982,3 +982,52 @@ def fuzzy_pairs(
         F.col(f"b.{id_col}").alias("id_b"),
         dist.alias("edit_dist"),
     )
+
+
+def source_overlap_matrix(
+    df: DataFrame,
+    n_perm: int = 16,
+    bands: int = 4,
+    shingle_n: int = 3,
+    threshold: float = 0.2,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    source_col: str = "source",
+    hash_family: str = "xxhash64",
+) -> DataFrame:
+    """Cross-source duplication matrix: for every unordered source pair,
+    how many near-duplicate document pairs (banded MinHash-LSH, exact-
+    Jaccard-verified) span them — the provenance question a curation
+    lead asks before mixing sources ("is source X just a scrape of Y?").
+
+    One row per (src_a, src_b) with src_a <= src_b: pair count and the
+    min/max verified Jaccard (order-free aggregates only — no float
+    sums, so the matrix replays exactly).
+
+    Scale shape: everything expensive is :func:`minhash_lsh_pairs`
+    (O(docs×bands) shuffle); this adds two narrow id→source joins on
+    the BOUNDED near-dup pair set and one small groupBy. The id→source
+    map is a projection of the corpus — at 100 TB it sort-merge joins
+    on id, or broadcasts if the pair set is small enough (left
+    unhinted for AQE).
+    """
+    pairs = minhash_lsh_pairs(
+        df, n_perm=n_perm, bands=bands, shingle_n=shingle_n,
+        threshold=threshold, text_col=text_col, id_col=id_col,
+        hash_family=hash_family)
+    src = df.select(F.col(id_col), F.col(source_col))
+    j = (pairs
+         .join(src.select(F.col(id_col).alias("d1"),
+                          F.col(source_col).alias("_s1")), "d1")
+         .join(src.select(F.col(id_col).alias("d2"),
+                          F.col(source_col).alias("_s2")), "d2"))
+    sa = F.least("_s1", "_s2")
+    sb = F.greatest("_s1", "_s2")
+    return (
+        j.groupBy(sa.alias("src_a"), sb.alias("src_b"))
+        .agg(
+            F.count(F.lit(1)).alias("n_pairs"),
+            F.min("jaccard").alias("min_jaccard"),
+            F.max("jaccard").alias("max_jaccard"),
+        )
+    )

@@ -1542,6 +1542,17 @@ def q113_quota_select(spark, sf_dir):
     return quota_select(docs, keep_frac=1.0 / 3)
 
 
+def q114_source_overlap(spark, sf_dir):
+    """Cross-source duplication matrix: near-dup pairs (banded MinHash-
+    LSH, Jaccard-verified — the q45 machinery, md5 family for the
+    oracle) rolled up per unordered source pair with order-free
+    aggregates only. The provenance table a curation lead reads before
+    mixing sources."""
+    docs = db_for(spark, sf_dir).table("documents")
+    return dedup.source_overlap_matrix(
+        docs, n_perm=16, bands=4, threshold=0.2, hash_family="md5")
+
+
 _ALL_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     name[1:]: fn
     for name, fn in list(globals().items())
@@ -1615,6 +1626,7 @@ _QUERY_ORDER = [
     "111_fuzzy_pairs",
     "112_length_outliers",
     "113_quota_select",
+    "114_source_overlap",
 ]
 
 QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
@@ -3419,5 +3431,72 @@ ORACLES: dict[str, str] = {
         SELECT doc_id, source, n_tokens, mc AS mean_cost_millibits
         FROM ranked
         WHERE rn <= floor(n_s * (1.0/3))
+    """,
+    "114_source_overlap": """
+        WITH tok AS (
+          SELECT doc_id, string_split_regex(trim(lower(text)), '\\s+') AS t
+          FROM documents),
+        sh0 AS (
+          SELECT DISTINCT doc_id, t[i] || ' ' || t[i+1] || ' ' || t[i+2] AS g
+          FROM tok, UNNEST(range(1, greatest(len(t)-1, 1))) AS u(i)),
+        sh AS (
+          SELECT doc_id, ('0x'||substr(md5(g),1,15))::BIGINT AS hv FROM sh0),
+        sig AS (
+          SELECT doc_id,
+                 min(((hv % 1000000007) * 3  + 1)     % 1000000007) AS h0,
+                 min(((hv % 1000000007) * 5  + 2)     % 1000000007) AS h1,
+                 min(((hv % 1000000007) * 7  + 4)     % 1000000007) AS h2,
+                 min(((hv % 1000000007) * 11 + 8)     % 1000000007) AS h3,
+                 min(((hv % 1000000007) * 13 + 16)    % 1000000007) AS h4,
+                 min(((hv % 1000000007) * 17 + 32)    % 1000000007) AS h5,
+                 min(((hv % 1000000007) * 19 + 64)    % 1000000007) AS h6,
+                 min(((hv % 1000000007) * 23 + 128)   % 1000000007) AS h7,
+                 min(((hv % 1000000007) * 29 + 256)   % 1000000007) AS h8,
+                 min(((hv % 1000000007) * 31 + 512)   % 1000000007) AS h9,
+                 min(((hv % 1000000007) * 37 + 1024)  % 1000000007) AS h10,
+                 min(((hv % 1000000007) * 41 + 2048)  % 1000000007) AS h11,
+                 min(((hv % 1000000007) * 43 + 4096)  % 1000000007) AS h12,
+                 min(((hv % 1000000007) * 47 + 8192)  % 1000000007) AS h13,
+                 min(((hv % 1000000007) * 53 + 16384) % 1000000007) AS h14,
+                 min(((hv % 1000000007) * 59 + 32768) % 1000000007) AS h15
+          FROM sh GROUP BY doc_id),
+        bands AS (
+          SELECT doc_id, 0 AS band, h0 AS x0, h1 AS x1, h2 AS x2, h3 AS x3 FROM sig
+          UNION ALL
+          SELECT doc_id, 1, h4, h5, h6, h7 FROM sig
+          UNION ALL
+          SELECT doc_id, 2, h8, h9, h10, h11 FROM sig
+          UNION ALL
+          SELECT doc_id, 3, h12, h13, h14, h15 FROM sig),
+        cand AS (
+          SELECT DISTINCT a.doc_id AS d1, b.doc_id AS d2
+          FROM bands a JOIN bands b
+            ON a.band = b.band AND a.x0 = b.x0 AND a.x1 = b.x1
+           AND a.x2 = b.x2 AND a.x3 = b.x3 AND a.doc_id < b.doc_id),
+        counts AS (SELECT doc_id, count(*) AS n_sh FROM sh GROUP BY doc_id),
+        inter AS (
+          SELECT c.d1, c.d2, count(*) AS i
+          FROM cand c
+          JOIN sh s1 ON s1.doc_id = c.d1
+          JOIN sh s2 ON s2.doc_id = c.d2 AND s2.hv = s1.hv
+          GROUP BY c.d1, c.d2),
+        pairs AS (
+          SELECT d1, d2, round(i*1.0/(na.n_sh + nb.n_sh - i), 4) AS jaccard
+          FROM inter
+          JOIN counts na ON na.doc_id = d1
+          JOIN counts nb ON nb.doc_id = d2
+          WHERE i*1.0/(na.n_sh + nb.n_sh - i) >= 0.2),
+        withsrc AS (
+          SELECT p.jaccard,
+                 least(da.source, db.source) AS src_a,
+                 greatest(da.source, db.source) AS src_b
+          FROM pairs p
+          JOIN documents da ON da.doc_id = p.d1
+          JOIN documents db ON db.doc_id = p.d2)
+        SELECT src_a, src_b, count(*) AS n_pairs,
+               min(jaccard) AS min_jaccard,
+               max(jaccard) AS max_jaccard
+        FROM withsrc
+        GROUP BY src_a, src_b
     """,
 }

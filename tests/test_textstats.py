@@ -562,3 +562,29 @@ def test_fuzzy_pairs_blocking_and_distance(spark):
     assert (1, 3) not in pairs and (2, 3) not in pairs
     # the 12-doc hot block contributed nothing
     assert all(a < 100 and b < 100 for (a, b) in pairs)
+
+
+def test_source_overlap_matrix_planted_cross_source_dups(spark):
+    from tantalus_spark.datapipe.dedup import source_overlap_matrix
+
+    near = ("the quick brown fox jumps over the lazy dog near the old "
+            "barn by the river where the children play every day")
+    rows = [
+        (1, near, "web"),
+        (2, near + " extra tail words here", "scrape"),   # near-dup of 1
+        (3, near, "scrape"),                              # exact dup of 1
+        (4, "completely unrelated text about cooking pasta with garlic "
+            "and olive oil in a large pan over medium heat", "web"),
+        (5, "another unrelated piece concerning the weather forecast "
+            "for the coming week in the northern region", "books"),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string, source string")
+    out = {(r["src_a"], r["src_b"]): r
+           for r in source_overlap_matrix(
+               df, threshold=0.2, hash_family="md5").collect()}
+    # cross-source duplication detected, alphabetically normalized
+    assert ("scrape", "web") in out
+    assert out[("scrape", "web")]["n_pairs"] >= 2   # (1,2) and (1,3)
+    assert out[("scrape", "web")]["max_jaccard"] == 1.0  # the exact dup
+    # unrelated docs contribute nothing
+    assert ("books", "web") not in out
