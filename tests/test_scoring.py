@@ -339,3 +339,31 @@ def test_quota_select_per_group_sizes_and_order(spark):
     # gibberish never survives over fluent docs
     assert 5 not in {r["doc_id"] for r in kept}
     assert 6 not in {r["doc_id"] for r in kept}
+
+
+def test_dsir_select_differential_vs_bruteforce(spark):
+    """Randomized differential: the histogram-threshold + tie-window
+    selection must equal brute-force 'sort all by (weight desc, md5, id),
+    take k' on the SAME weights, for several keep fractions."""
+    import hashlib
+    import random
+
+    from tantalus_spark.datapipe.scoring import dsir_select
+
+    rng = random.Random(42)
+    vocab = ["alpha", "beta", "gamma", "delta", "run", "jump", "x1", "xq"]
+    rows = [(i, " ".join(rng.choices(vocab, k=rng.randint(3, 12))),
+             rng.choice(["t", "w"])) for i in range(40)]
+    df = spark.createDataFrame(rows, "doc_id long, text string, source string")
+    cond = F.col("source") == "t"
+    w = {r["doc_id"]: r["weight_millibits"]
+         for r in dsir_weights(df, cond, n_buckets=64,
+                               hash_family="md5").collect()}
+    order = sorted(
+        w, key=lambda i: (-w[i], hashlib.md5(str(i).encode()).hexdigest(), i))
+    for frac in (0.1, 0.33, 0.5, 0.9):
+        kept = sorted(r["doc_id"] for r in
+                      dsir_select(df, cond, keep_frac=frac, n_buckets=64,
+                                  hash_family="md5").collect())
+        k = int(len(w) * frac)
+        assert kept == sorted(order[:k]), f"frac={frac}"
