@@ -13,7 +13,7 @@ event feed feeds into dashboards. Both are pure DataFrame compositions:
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame
+from pyspark.sql import DataFrame, Window as W
 from pyspark.sql import functions as F
 
 
@@ -84,4 +84,54 @@ def retention(
             .cast("int").alias("k"),
         )
         .agg(F.countDistinct("u").alias("n_users"))
+    )
+
+
+def gap_fill_daily(
+    events: DataFrame,
+    ts_col: str = "ts",
+    user_col: str = "user_id",
+    value_col: str = "value",
+) -> DataFrame:
+    """Time-series resample: per user, a COMPLETE daily grid from their
+    first to last event with per-day aggregates, gaps emitted as zero-
+    event rows, and the last observed daily total FORWARD-FILLED across
+    gaps — the hypertable gap-fill/locf shape (TimescaleDB's
+    ``time_bucket_gapfill`` + ``locf``).
+
+    Exactness: per-day sums are INTEGER cents (``floor(value*100+0.5)``,
+    deterministic IEEE double ops in any engine) so no float summation
+    order can perturb the gate. Forward fill is ``last(..., ignorenulls)``
+    over the per-user day order.
+
+    Scale shape: one (user, day) aggregate shuffle; the grid is a
+    per-user ``sequence()`` explode (rows = days in the user's span, not
+    corpus size); the fill window partitions by user — parallel across
+    users, and within a user bounded by calendar days, not event count.
+    A 100 TB event store gap-fills with the same plan; only the daily
+    aggregate sees the raw volume, and it combines map-side.
+    """
+    cents = F.floor(F.col(value_col) * F.lit(100.0) + F.lit(0.5)).cast("long")
+    ev = events.select(
+        F.col(user_col),
+        F.to_date(F.col(ts_col)).alias("day"),
+        cents.alias("_cents"),
+    )
+    daily = ev.groupBy(user_col, "day").agg(
+        F.count(F.lit(1)).alias("n_events"),
+        F.sum("_cents").alias("day_cents"),
+    )
+    bounds = ev.groupBy(user_col).agg(
+        F.min("day").alias("_d0"), F.max("day").alias("_d1"))
+    grid = bounds.select(
+        F.col(user_col),
+        F.explode(F.expr("sequence(_d0, _d1, interval 1 day)")).alias("day"),
+    )
+    j = (grid.join(daily, [user_col, "day"], "left")
+         .withColumn("n_events", F.coalesce("n_events", F.lit(0))))
+    w = (W.partitionBy(user_col).orderBy("day")
+         .rowsBetween(W.unboundedPreceding, W.currentRow))
+    return j.select(
+        user_col, "day", "n_events", "day_cents",
+        F.last("day_cents", ignorenulls=True).over(w).alias("filled_cents"),
     )

@@ -1553,6 +1553,22 @@ def q114_source_overlap(spark, sf_dir):
         docs, n_perm=16, bands=4, threshold=0.2, hash_family="md5")
 
 
+def q115_gap_fill(spark, sf_dir):
+    """Hypertable-style gap-fill + forward-fill: per user, a complete
+    daily grid over their event span, zero-event gap rows, and the last
+    observed daily total carried forward (TimescaleDB
+    time_bucket_gapfill + locf shape). Integer-cents sums keep the gate
+    float-order-proof; the fill window is per-user, never global."""
+    from tantalus_spark.datapipe.funnel import gap_fill_daily
+
+    ev = db_for(spark, sf_dir).table("events")
+    out = gap_fill_daily(ev)
+    # gate projection: DATE as ISO string — pandas renders DuckDB DATE as
+    # Timestamp but Spark DateType as datetime.date, so the raw type
+    # can't hash-compare even when values agree
+    return out.withColumn("day", F.date_format("day", "yyyy-MM-dd"))
+
+
 _ALL_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     name[1:]: fn
     for name, fn in list(globals().items())
@@ -1627,6 +1643,7 @@ _QUERY_ORDER = [
     "112_length_outliers",
     "113_quota_select",
     "114_source_overlap",
+    "115_gap_fill",
 ]
 
 QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
@@ -3498,5 +3515,33 @@ ORACLES: dict[str, str] = {
                max(jaccard) AS max_jaccard
         FROM withsrc
         GROUP BY src_a, src_b
+    """,
+    "115_gap_fill": """
+        WITH ev AS (
+          SELECT user_id, CAST(ts AS DATE) AS day,
+                 CAST(floor(value * 100 + 0.5) AS BIGINT) AS cents
+          FROM events),
+        daily AS (
+          SELECT user_id, day, count(*) AS n_events,
+                 CAST(sum(cents) AS BIGINT) AS day_cents
+          FROM ev GROUP BY user_id, day),
+        bounds AS (SELECT user_id, min(day) AS d0, max(day) AS d1
+                   FROM ev GROUP BY user_id),
+        grid AS (
+          SELECT b.user_id, CAST(u.d AS DATE) AS day
+          FROM bounds b,
+               UNNEST(generate_series(b.d0, b.d1, INTERVAL 1 DAY))
+                 AS u(d)),
+        j AS (
+          SELECT g.user_id, g.day,
+                 coalesce(d.n_events, 0) AS n_events, d.day_cents
+          FROM grid g LEFT JOIN daily d USING (user_id, day))
+        SELECT user_id, strftime(day, '%Y-%m-%d') AS day, n_events,
+               day_cents,
+               last_value(day_cents IGNORE NULLS) OVER (
+                 PARTITION BY user_id ORDER BY day
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                 AS filled_cents
+        FROM j
     """,
 }

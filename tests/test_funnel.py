@@ -52,3 +52,35 @@ def test_retention_weekly(ev):
     # only u1 returns two weeks later
     assert rows[(wk0, 2)] == 1
     assert (wk0, 1) not in rows
+
+
+def test_gap_fill_daily_grid_and_locf(spark):
+    import datetime as dt
+    from tantalus_spark.datapipe.funnel import gap_fill_daily
+
+    def t(d, h=12):
+        return dt.datetime(2024, 3, d, h)
+
+    rows = [
+        # user 1: events on day 1 (two) and day 4 — days 2,3 are gaps
+        (1, t(1, 9), 1, 10.00), (2, t(1, 15), 1, 2.50), (3, t(4), 1, 5.00),
+        # user 2: single day — no gaps
+        (4, t(2), 2, 7.25),
+    ]
+    df = spark.createDataFrame(
+        rows, "event_id long, ts timestamp, user_id long, value double")
+    out = {(r["user_id"], str(r["day"])): r
+           for r in gap_fill_daily(df).collect()}
+    # complete grid: user 1 has 4 rows, user 2 has 1
+    assert len([k for k in out if k[0] == 1]) == 4
+    assert len([k for k in out if k[0] == 2]) == 1
+    d1 = out[(1, "2024-03-01")]
+    assert d1["n_events"] == 2 and d1["day_cents"] == 1250
+    # gap rows: zero events, null day total, forward-filled last total
+    g = out[(1, "2024-03-02")]
+    assert g["n_events"] == 0 and g["day_cents"] is None
+    assert g["filled_cents"] == 1250
+    assert out[(1, "2024-03-03")]["filled_cents"] == 1250
+    # a new observation resets the fill
+    assert out[(1, "2024-03-04")]["filled_cents"] == 500
+    assert out[(2, "2024-03-02")]["day_cents"] == 725
