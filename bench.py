@@ -23,6 +23,9 @@ from tantalus_spark.datapipe import dedup, textstats
 from pyspark.sql import functions as F
 
 # Headline set: one per operator family, weighted toward shuffle-heavy ops.
+# NOTE the set GREW round-over-round (r3: 22 queries; r4: 26 — added
+# 97_lm_score, 98_dsir_weights, 101_perplexity_buckets, 108_build_corpus),
+# so compare BENCH_r*.json PER-QUERY, not by total.
 HEADLINE = [
     "01_pricing_summary",
     "06_token_or_search",
