@@ -901,3 +901,45 @@ def length_outliers(
         .select(F.col(id_col), F.col(group_col),
                 F.col("x").alias("n_tokens"))
     )
+
+
+# Encoding-noise patterns, RE2-parity like PII_PATTERNS: character
+# classes only, no lookaround — identical in Java regex and RE2/DuckDB.
+ENCODING_NOISE_PATTERNS: dict[str, str] = {
+    # UTF-8 decoded as Latin-1: "Ã" + a continuation byte shown as
+    # U+0080-U+00BF ("Ã©" for e-acute), or the "â€" digraph that heads
+    # every mojibake'd punctuation mark (right quote, dashes, ellipsis)
+    "mojibake": "Ã[\x80-\xbf]|â€",
+    # U+FFFD replacement character — a decoder already gave up here
+    "replacement": "�",
+    # C0 control chars (excluding tab/newline/CR) — binary junk in text
+    "control": "[\\x00-\\x08\\x0b\\x0c\\x0e-\\x1f]",
+}
+
+
+def encoding_noise(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Per-document encoding-noise profile: counts of mojibake digraphs
+    (UTF-8 bytes decoded as Latin-1 — the classic double-decode), U+FFFD
+    replacement characters, and stray C0 control bytes, plus the
+    non-ASCII character count — the cleaning signal web pipelines gate
+    on before any language model sees the text (a page full of mojibake
+    is an extraction bug, not French).
+
+    One codegen'd projection, zero shuffles; regexes are RE2-parity
+    (:data:`ENCODING_NOISE_PATTERNS`) so the gate replays in any engine.
+    """
+    text = F.col(text_col)
+    cols = [F.col(id_col)]
+    for name, pat in ENCODING_NOISE_PATTERNS.items():
+        cols.append(F.regexp_count(text, F.lit(pat)).alias(f"n_{name}"))
+    cols.append(
+        (F.length(text)
+         - F.length(F.regexp_replace(text, "[^\\x00-\\x7f]", "")))
+        .alias("n_non_ascii"))
+    total = (F.col("n_mojibake") + F.col("n_replacement")
+             + F.col("n_control"))
+    return df.select(*cols).withColumn("is_noisy", total > 0)

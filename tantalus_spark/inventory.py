@@ -1569,6 +1569,17 @@ def q115_gap_fill(spark, sf_dir):
     return out.withColumn("day", F.date_format("day", "yyyy-MM-dd"))
 
 
+def q116_encoding_noise(spark, sf_dir):
+    """Encoding-noise profile (mojibake / U+FFFD / C0-control counts +
+    non-ASCII count + noisy flag) — the extraction-bug gate web
+    pipelines run before any LM sees the text. One codegen'd
+    projection; RE2-parity regexes, full oracle."""
+    from tantalus_spark.datapipe.textstats import encoding_noise
+
+    docs = db_for(spark, sf_dir).table("documents")
+    return encoding_noise(docs)
+
+
 _ALL_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     name[1:]: fn
     for name, fn in list(globals().items())
@@ -1644,6 +1655,7 @@ _QUERY_ORDER = [
     "113_quota_select",
     "114_source_overlap",
     "115_gap_fill",
+    "116_encoding_noise",
 ]
 
 QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
@@ -3543,5 +3555,21 @@ ORACLES: dict[str, str] = {
                  ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
                  AS filled_cents
         FROM j
+    """,
+    "116_encoding_noise": """
+        WITH c AS (
+          SELECT doc_id,
+                 len(regexp_extract_all(text, 'Ã[\x80-\xbf]|â€'))
+                   AS n_mojibake,
+                 len(regexp_extract_all(text, '�')) AS n_replacement,
+                 len(regexp_extract_all(text,
+                     '[\\x00-\\x08\\x0b\\x0c\\x0e-\\x1f]')) AS n_control,
+                 length(text)
+                   - length(regexp_replace(text, '[^\\x00-\\x7f]', '', 'g'))
+                   AS n_non_ascii
+          FROM documents)
+        SELECT doc_id, n_mojibake, n_replacement, n_control, n_non_ascii,
+               (n_mojibake + n_replacement + n_control) > 0 AS is_noisy
+        FROM c
     """,
 }

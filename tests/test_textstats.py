@@ -588,3 +588,25 @@ def test_source_overlap_matrix_planted_cross_source_dups(spark):
     assert out[("scrape", "web")]["max_jaccard"] == 1.0  # the exact dup
     # unrelated docs contribute nothing
     assert ("books", "web") not in out
+
+
+def test_encoding_noise_planted(spark):
+    from tantalus_spark.datapipe.textstats import encoding_noise
+
+    rows = [
+        (1, "perfectly clean ascii text here"),
+        (2, "cafÃ© double-decoded and â€™ quote"),
+        (3, "lost bytes �� here"),
+        (4, "ctrl\x01char"),
+        (5, "légitime français — non-ascii, not noisy"),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    out = {r["doc_id"]: r for r in encoding_noise(df).collect()}
+    assert not out[1]["is_noisy"] and out[1]["n_non_ascii"] == 0
+    # one mojibake'd e-acute + one mojibake'd right quote
+    assert out[2]["is_noisy"] and out[2]["n_mojibake"] == 2
+    assert out[3]["is_noisy"] and out[3]["n_replacement"] == 2
+    assert out[4]["is_noisy"] and out[4]["n_control"] == 1
+    # genuine non-ASCII text is NOT flagged — accents are language,
+    # not extraction bugs
+    assert not out[5]["is_noisy"] and out[5]["n_non_ascii"] > 0
