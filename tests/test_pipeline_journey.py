@@ -119,3 +119,59 @@ def test_journey_curated_corpus_to_training_order(spark):
     enc = bpe_apply(kept, rules)
     counts = {r.doc_id: r.n_units for r in enc.collect()}
     assert all(counts[d] > 0 for d in kept_ids)
+
+
+def test_journey_build_corpus_to_packed_sequences(spark):
+    """Stage 3: the one-job corpus build (gates + decontamination + LM
+    terciles, q108) feeding the packing writer — the complete raw-corpus
+    → training-sequences path. Asserts the build's per-source token
+    accounting agrees with what the packer actually packs."""
+    from tantalus_spark.datapipe.pipeline import build_corpus
+    from tantalus_spark.datapipe.scoring import perplexity_labels
+    from tantalus_spark.datapipe.dedup import decontaminate
+    from tantalus_spark.datapipe.pipeline import clean_corpus
+    from tantalus_spark.datapipe.textstats import pack_sequences
+
+    bench_text = "alpha beta gamma delta epsilon zeta eta theta iota kappa"
+    rows = [(1, bench_text, "bench")]
+    rows += [(100 + i, f"{GOOD} marker{i} extra{i}", "web") for i in range(6)]
+    rows += [(200 + i, f"qzx{i}v wplk{i} mnvb{i}x zzq{i} qq{i} ww{i} "
+              f"ee{i} rr{i} tt{i} yy{i}", "crawl") for i in range(3)]
+    docs = spark.createDataFrame(rows, "doc_id long, text string, source string")
+
+    report = build_corpus(docs, F.col("doc_id") < 100, shingle_n=5)
+    by_src = {r["source"]: r for r in report.collect()}
+    # the gibberish crawl block lands in the cost tail and is dropped
+    assert "crawl" not in by_src and "bench" not in by_src
+    kept_tokens = by_src["web"]["n_tokens"]
+    assert by_src["web"]["n_docs"] == 6 and kept_tokens > 0
+
+    # reproduce the kept set through the same public stages, then pack it
+    corpus = docs.filter(F.col("doc_id") >= 100)
+    cleaned = clean_corpus(corpus)
+    _, hits = decontaminate(corpus, docs.filter(F.col("doc_id") < 100)
+                            .select("text"), n=5)
+    surv = cleaned.select("doc_id").join(hits.select("doc_id"),
+                                         "doc_id", "left_anti")
+    sdocs = corpus.join(surv, "doc_id", "left_semi")
+    labeled = perplexity_labels(sdocs)
+    kept = sdocs.join(labeled.filter(F.col("bucket") != "tail")
+                      .select("doc_id"), "doc_id", "left_semi")
+
+    # per-doc packing plan: token conservation — the packer accounts for
+    # exactly the tokens the build report claimed
+    plan = pack_sequences(kept, seq_len=16, n_shards=2).collect()
+    assert sum(r["n_tokens"] for r in plan) == kept_tokens
+
+    # writer half: actual sequences are exactly seq_len except each
+    # shard's final partial, and conserve tokens too
+    from tantalus_spark.datapipe.textstats import assemble_packed_sequences
+    seqs = assemble_packed_sequences(kept, seq_len=16, n_shards=2).collect()
+    assert sum(r["n_tokens"] for r in seqs) == kept_tokens
+    per_shard_last = {}
+    for r in seqs:
+        per_shard_last[r["shard"]] = max(
+            per_shard_last.get(r["shard"], -1), r["seq_id"])
+    for r in seqs:
+        if r["seq_id"] != per_shard_last[r["shard"]]:
+            assert r["n_tokens"] == 16
