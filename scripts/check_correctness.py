@@ -25,11 +25,35 @@ TABLES = ["region", "nation", "customer", "supplier", "part", "orders",
 
 
 def norm_cell(v):
-    if isinstance(v, float):
+    """Dtype-tagged cell normalization.
+
+    The grading driver's value hash is rendering-sensitive: a DuckDB
+    HUGEINT renders to pandas as float64 ("748750.0") while Spark's long
+    renders int64 ("748750"), and Python ``==`` would hide that (the r4
+    q71 miss). Tag numeric kinds so int-vs-float divergence FAILS locally
+    exactly as it fails on the driver.
+    """
+    import numpy as np
+
+    if isinstance(v, (bool, np.bool_)):
+        return ("b", bool(v))
+    if isinstance(v, (float, np.floating)):
         if math.isnan(v):
-            return "NaN"
-        return v
+            return ("f", "NaN")
+        return ("f", float(v))
+    if isinstance(v, (int, np.integer)):
+        return ("i", int(v))
+    if isinstance(v, (list, tuple, np.ndarray)):
+        return tuple(norm_cell(x) for x in v)
     return v
+
+
+def col_kinds(df_pandas):
+    """Per-column pandas dtype kind ('i'/'f'/'O'/'M'…), sorted by column
+    name — compared even on EMPTY results so a 0-row fixture can't make
+    a type divergence vacuously pass (the r4 q112 gap)."""
+    return [df_pandas[c].dtype.kind.replace("u", "i")
+            for c in sorted(df_pandas.columns)]
 
 
 def norm_rows(df_pandas):
@@ -93,6 +117,12 @@ def main() -> int:
         if scols != ocols:
             failures.append(name)
             print(f"FAIL {name}: columns {scols} vs {ocols}")
+            continue
+        skinds, okinds = col_kinds(sdf), col_kinds(odf)
+        if skinds != okinds:
+            failures.append(name)
+            print(f"FAIL {name}: dtype kinds {list(zip(scols, skinds))} "
+                  f"vs {list(zip(ocols, okinds))}")
             continue
         if len(srows) != len(orows):
             failures.append(name)

@@ -339,7 +339,7 @@ def build_corpus(
     surv_docs = corpus.join(surv_ids, id_col, "left_semi")
     labeled = perplexity_labels(surv_docs, text_col=text_col, id_col=id_col)
     kept = labeled.filter(F.col("bucket") != "tail")
-    return (
+    out = (
         kept.join(corpus.select(id_col, source_col), id_col)
         .groupBy(source_col)
         .agg(
@@ -350,3 +350,8 @@ def build_corpus(
             F.max("mean_cost_millibits").alias("max_cost_millibits"),
         )
     )
+    from tantalus_spark.datapipe.dedup import _materialize_and_release
+
+    # the O(sources) report is the deliverable; release the cached
+    # per-doc labeled frame perplexity_labels handed us
+    return _materialize_and_release(out, [labeled])

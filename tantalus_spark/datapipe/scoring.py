@@ -80,7 +80,11 @@ def lm_cost_table(
                    ).alias("cost_mb"),
     )
     oov_cost_mb = math.floor(-math.log2(alpha / denom) * 1000 + 0.5)
-    return cost, oov_cost_mb
+    # Persist the RETURNED table and release the raw counts (persist-
+    # lifecycle policy: only handles the caller holds may stay cached).
+    from tantalus_spark.datapipe.dedup import _materialize_and_release
+
+    return _materialize_and_release(cost, [counts]), oov_cost_mb
 
 
 def score_with_cost_table(
@@ -149,8 +153,15 @@ def unigram_lm_score(
     :func:`lm_cost_table` + per-doc reduction against a frozen table.
     """
     cost, _ = lm_cost_table(df, text_col=text_col, alpha=alpha)
-    return score_with_cost_table(
+    scored = score_with_cost_table(
         df, cost, oov_cost_mb=None, text_col=text_col, id_col=id_col)
+    # Materialize the (narrow, per-doc) scores and release the cached
+    # cost table lm_cost_table handed us — persist-lifecycle policy:
+    # caches a caller can't see must not outlive the call. The returned
+    # frame stays cached (caller-owned, O(docs) × 4 integer columns).
+    from tantalus_spark.datapipe.dedup import _materialize_and_release
+
+    return _materialize_and_release(scored, [cost])
 
 
 def bigram_lm_score(
@@ -193,7 +204,8 @@ def bigram_lm_score(
         F.col("p.w2").alias("w2"),
     ).persist()  # reused by the type counts AND the scoring join — without
     # this the corpus is tokenized+exploded twice (MEMORY_AND_DISK, spills
-    # rather than OOMs at scale; release is the engine's LRU)
+    # rather than OOMs at scale; released below once the per-doc result
+    # is materialized)
     uni = df.select(
         F.explode(toks).alias("w1")
     ).groupBy("w1").agg(F.count(F.lit(1)).alias("c1")).persist()
@@ -212,7 +224,7 @@ def bigram_lm_score(
     # occurrence join + one doc-keyed integer agg is the cheaper plan
     # (sum over occurrences == sum tf*cost exactly; the oracle keeps the
     # tf form and matches bit-for-bit)
-    return (
+    out = (
         big.join(cost, ["w1", "w2"])
         .groupBy(id_col)
         .agg(
@@ -225,6 +237,9 @@ def bigram_lm_score(
             .cast("long"),
         )
     )
+    from tantalus_spark.datapipe.dedup import _materialize_and_release
+
+    return _materialize_and_release(out, [big, uni])
 
 
 def perplexity_labels(
@@ -236,8 +251,9 @@ def perplexity_labels(
     """Per-document head/middle/tail label by exact corpus percentiles of
     the LM cost — the form a pipeline FILTERS on (keep head+middle, drop
     or downsample tail).  Returns the scored columns plus ``bucket``."""
+    # unigram_lm_score returns a materialized, cached frame — no second
+    # persist needed; release it once the labeled result is materialized.
     scores = unigram_lm_score(df, text_col=text_col, id_col=id_col)
-    scores = scores.persist()
     t1, t2 = scores.agg(
         F.percentile("mean_cost_millibits", F.lit(cuts[0])),
         F.percentile("mean_cost_millibits", F.lit(cuts[1])),
@@ -247,7 +263,10 @@ def perplexity_labels(
         .when(F.col("mean_cost_millibits") <= F.lit(t2), "middle")
         .otherwise("tail")
     )
-    return scores.withColumn("bucket", label)
+    from tantalus_spark.datapipe.dedup import _materialize_and_release
+
+    return _materialize_and_release(scores.withColumn("bucket", label),
+                                    [scores])
 
 
 def perplexity_buckets(
@@ -272,7 +291,7 @@ def perplexity_buckets(
     """
     labeled = perplexity_labels(
         df, cuts=cuts, text_col=text_col, id_col=id_col)
-    return (
+    out = (
         labeled.groupBy("bucket")
         .agg(
             F.count(F.lit(1)).alias("n_docs"),
@@ -281,6 +300,11 @@ def perplexity_buckets(
             F.max("mean_cost_millibits").alias("max_cost_millibits"),
         )
     )
+    from tantalus_spark.datapipe.dedup import _materialize_and_release
+
+    # the 3-row rollup is the deliverable; release the cached per-doc
+    # labeled frame perplexity_labels handed us
+    return _materialize_and_release(out, [labeled])
 
 
 def _bucket(term, n_buckets: int, hash_family: str) -> F.Column:
@@ -338,16 +362,27 @@ def dsir_weights(
              F.sum("_is_target").alias("tgt_c"))
         .persist()
     )
-    raw_n, tgt_n = stats.agg(F.sum("raw_c"), F.sum("tgt_c")).first()
-    lam = stats.select(
-        "bucket",
-        _millibits(
-            F.log2((F.col("tgt_c") + F.lit(1))
-                   / F.lit(float(tgt_n + n_buckets)))
-            - F.log2((F.col("raw_c") + F.lit(1))
-                     / F.lit(float(raw_n + n_buckets)))
-        ).alias("lam_mb"),
-    )
+    # The bucket table is FIXED-size (n_buckets rows): localize it
+    # driver-side and release the persist inside the call, so the
+    # returned plan depends on no hidden cache (persist-lifecycle
+    # policy). Both actions (scalars + lam rows) read the one cached
+    # evaluation; lam values are computed by the same Spark expressions,
+    # so exactness is unchanged.
+    try:
+        raw_n, tgt_n = stats.agg(F.sum("raw_c"), F.sum("tgt_c")).first()
+        lam_plan = stats.select(
+            "bucket",
+            _millibits(
+                F.log2((F.col("tgt_c") + F.lit(1))
+                       / F.lit(float(tgt_n + n_buckets)))
+                - F.log2((F.col("raw_c") + F.lit(1))
+                         / F.lit(float(raw_n + n_buckets)))
+            ).alias("lam_mb"),
+        )
+        lam_rows = lam_plan.collect()
+        lam = df.sparkSession.createDataFrame(lam_rows, lam_plan.schema)
+    finally:
+        stats.unpersist()
     return (
         toks.join(F.broadcast(lam), "bucket")
         .groupBy(id_col)
@@ -456,7 +491,8 @@ def quota_select(
     (doc_id, source, n_tokens, mean_cost_millibits).
     """
     src = df.select(F.col(id_col), F.col(group_col))
-    scores = (unigram_lm_score(df, text_col=text_col, id_col=id_col)
+    base = unigram_lm_score(df, text_col=text_col, id_col=id_col)
+    scores = (base
               .join(src, id_col)
               .select(id_col, group_col, "n_tokens",
                       F.col("mean_cost_millibits").alias("mc"))
@@ -495,6 +531,7 @@ def quota_select(
         return _materialize_and_release(out, [])
     finally:
         scores.unpersist()
+        base.unpersist()   # the cached frame unigram_lm_score handed us
 
 
 def corpus_shuffle(

@@ -865,6 +865,7 @@ def length_outliers(
     text_col: str = "text",
     id_col: str = "doc_id",
     group_col: str = "source",
+    length_col: str | None = None,
 ) -> DataFrame:
     """Per-group statistical outlier detection on document length,
     with EXACT integer algebra — no float stddev anywhere.
@@ -878,24 +879,41 @@ def length_outliers(
         (x - S/n)² > z²·(nQ - S²)/(n(n-1))
         ⟺ (n-1)·(nx - S)² > z²·n·(nQ - S²)
 
-    — all BIGINT, exact, associative, identical in any engine and any
-    partition order. One narrow groupBy for (n, S, Q) joined back (AQE
-    broadcasts the per-group stats — one row per group); the outlier
-    test is a map-side integer comparison. Groups with n < 2 have no
-    sample variance and emit nothing.
+    — exact, associative, identical in any engine and any partition
+    order. The products are computed in DECIMAL(38,0), NOT int64: with
+    n docs per group the lhs is ≈ n³·spread², which blows past 2⁶³ at
+    n ≳ 10⁵–10⁶ (and Spark's non-ANSI long multiply wraps SILENTLY —
+    wrong flags, no error). DECIMAL(38,0) is exact through
+    n·|x − mean| < ~10¹⁸ — i.e. ~5×10¹⁰ docs/group at a 10³-token
+    spread, comfortably past 100 TB of 2 KB docs; past that the decimal
+    overflows to NULL and the row is dropped rather than mis-flagged.
+    Q = Σx² is likewise aggregated in decimal (it alone exceeds int64
+    near ~10⁹ docs). The DuckDB oracle runs the same algebra in HUGEINT
+    (int128, max 1.7×10³⁸) — bit-identical within the same bound.
+
+    One narrow groupBy for (n, S, Q) joined back (AQE broadcasts the
+    per-group stats — one row per group); the outlier test is a
+    map-side comparison. Groups with n < 2 have no sample variance and
+    emit nothing.
     """
-    x = F.size(tokens(F.col(text_col))).cast("long")
+    dec = "decimal(38,0)"
+    # length_col: pre-computed length (tests / non-text tables) instead
+    # of tokenizing text_col.
+    x = (F.col(length_col) if length_col
+         else F.size(tokens(F.col(text_col)))).cast("long")
     base = df.select(F.col(id_col), F.col(group_col), x.alias("x"))
     stats = base.groupBy(group_col).agg(
         F.count(F.lit(1)).alias("n"),
         F.sum("x").alias("s"),
-        F.sum(F.col("x") * F.col("x")).alias("q"),
+        # x ≤ ~10⁵ tokens so x² fits long; the SUM must not.
+        F.sum((F.col("x") * F.col("x")).cast(dec)).alias("q"),
     )
     j = base.join(stats, group_col).filter(F.col("n") >= 2)
-    dev = F.col("n") * F.col("x") - F.col("s")
-    lhs = (F.col("n") - 1) * dev * dev
-    rhs = F.lit(z * z) * F.col("n") * (
-        F.col("n") * F.col("q") - F.col("s") * F.col("s"))
+    n_d = F.col("n").cast(dec)
+    s_d = F.col("s").cast(dec)
+    dev = n_d * F.col("x").cast(dec) - s_d
+    lhs = (F.col("n") - 1).cast(dec) * dev * dev
+    rhs = F.lit(z * z).cast(dec) * n_d * (n_d * F.col("q") - s_d * s_d)
     return (
         j.filter(lhs > rhs)
         .select(F.col(id_col), F.col(group_col),

@@ -1520,14 +1520,18 @@ def q111_fuzzy_pairs(spark, sf_dir):
 
 
 def q112_length_outliers(spark, sf_dir):
-    """Per-source statistical length outliers with EXACT integer algebra:
-    |x-mean| > 2*stddev decided as (n-1)(nx-S)^2 > 4n(nQ-S^2) — no float
-    stddev (Spark's is partition-order dependent), so the gate replays
-    bit-for-bit in SQL and the result is reproducible on any cluster."""
+    """Per-source statistical length outliers with EXACT algebra:
+    |x-mean| > z*stddev decided as (n-1)(nx-S)^2 > z^2*n(nQ-S^2) in
+    DECIMAL(38,0) — no float stddev (Spark's is partition-order
+    dependent) and no silent int64 wraparound at 100 TB group sizes —
+    so the gate replays bit-for-bit in SQL (DuckDB HUGEINT) and the
+    result is reproducible on any cluster. The gate uses z=1: the
+    fixture token counts are near-uniform, which has zero mass beyond
+    ~1.73 sigma, so z=2 compared only empty frames (a vacuous gate)."""
     from tantalus_spark.datapipe.textstats import length_outliers
 
     docs = db_for(spark, sf_dir).table("documents")
-    return length_outliers(docs, z=2)
+    return length_outliers(docs, z=1)
 
 
 def q113_quota_select(spark, sf_dir):
@@ -1590,72 +1594,78 @@ _ALL_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
 # (CORRECTNESS_r01.json recorded exactly that prefix), so QUERIES is
 # explicitly ordered.
 #
-# r4 ROTATION: the 16 entries that sat below the 50-line in r2/r3
-# (02/03/16/19/28/29/33/34/36/37/55/70/71/72/73/74) never earned a green
-# row on the official driver record (ten failed in r1 on the nanos-parquet
-# bug and were reordered out before a driver re-check). They are now IN
-# the window; the 16 swapped OUT (05/08/09/11/24/38/54/57/59/60/61/62/
-# 64/66/67/68) all carry green CORRECTNESS_r02+r03 rows and are
-# family-redundant with in-window gates:
-#   05 string predicates -> 04 (P3-P9) + 55 regex; 08 semi / 09 anti ->
-#   10 (compiles LEFT SEMI, P12) + 12 (NOT EXISTS -> LEFT ANTI, P11) +
-#   70 (anti-join decontamination); 11 -> 10 (J3 twin); 24 -> 22/23/37
-#   (F2-F13); 38 cube -> 29 rollup + 28 pivot (grouping sets); 54 -> 23
-#   (date funcs); 57 retention -> 56 funnel; 59 sliding -> 49 tumbling;
-#   60 minhash sigs -> 45 (same signature math, full oracle); 61 hash
-#   split -> 71 weighted mix (md5-bucket sampling); 62 dup clusters ->
-#   45/46 (candidate families; fixpoint loop unit-tested); 64 full outer
-#   -> 19/20 set ops; 66 ntile -> 30/34 (window frames/percentiles);
-#   67 latest-per-key -> 18 top-k per group; 68 -> 32 (range-join twin).
-# Every tail entry stays fully oracled and covered by tests/.
+# r5 ROTATION (same protocol as r4's, below): the 16 r4-era pipeline
+# flagships that had only local-gate evidence (LOCALGATE_r04.md, 0
+# failures) are now IN the window — 79 scrub_pii, 85 exact_sample,
+# 86 novel_docs, 93 keep_best, 96 split_leakage, 97 lm_score,
+# 98 dsir_weights, 101 perplexity_buckets, 106 dsir_select,
+# 108 build_corpus, 109 media_dedup, 110 grouping_sets, 111 fuzzy_pairs,
+# 113 quota_select, 115 gap_fill, 116 encoding_noise. The 16 swapped OUT
+# all carry green CORRECTNESS_r04 rows and are family-redundant with
+# in-window gates: 02 point lookup (S2 recorded r4) -> 01/04 scans;
+# 03 distinct -> 13 count-distinct; 06 token-OR -> 26 search-union (F1);
+# 16 pagination -> 18 top-k (ordered limit); 17 lag -> 30 frames +
+# 50 sessionization + 115 gap-fill (window family); 19 union-dedup ->
+# 20 set ops; 23 date funcs -> 22 scalars + 115 (date_format);
+# 28 pivot -> 29 rollup + 110 grouping sets; 33 collect_set ->
+# 37 explode (array funcs); 34 percentiles -> 101 perplexity buckets
+# (grouped quantile thresholds); 36 first_last -> 30; 46 simhash ->
+# 45 minhash-LSH (banded near-dup); 52 ivf -> 47 + 74 (ANN family);
+# 63 tfidf -> 97/98 (term-statistic scoring); 65 media features ->
+# 109 media dedup (multimodal); 73 repetition -> 41 profile +
+# 116 encoding-noise (textstats). 71 stays IN to earn its green row
+# after the r4 oracle-typing fix (CAST(sum) AS BIGINT).
+#
+# r4 ROTATION (history): 02/03/16/19/28/29/33/34/36/37/55/70/71/72/73/74
+# rotated in (never driver-green before r4; all went green in r4);
+# 05/08/09/11/24/38/54/57/59/60/61/62/64/66/67/68 rotated out on green
+# r2+r3 rows with in-window family twins (05 -> 04+55; 08/09 -> 10+12+70;
+# 11 -> 10; 24 -> 22/23/37; 38 -> 29+28; 54 -> 23; 57 -> 56; 59 -> 49;
+# 60 -> 45; 61 -> 71; 62 -> 45/46; 64 -> 19/20; 66 -> 30/34; 67 -> 18;
+# 68 -> 32). Every tail entry stays fully oracled and covered by tests/.
 _QUERY_ORDER = [
     # §2 core: scans, filters, joins, aggregates, windows, set ops
-    "01_pricing_summary", "02_point_lookup", "03_distinct_projection",
-    "04_range_in_filter", "06_token_or_search", "07_region_revenue",
+    "01_pricing_summary", "04_range_in_filter", "07_region_revenue",
     "10_exists_same_child", "12_exclude_not_exists", "13_count_distinct",
-    "15_cross_agg_eq", "16_pagination", "17_window_lag",
-    "18_topk_per_group", "19_union_dedup", "20_set_ops",
-    "22_scalar_functions", "23_date_format", "26_search_union",
-    "28_pivot", "29_rollup", "30_window_frames", "31_asof_join",
-    "32_range_join", "33_collect_set", "34_percentiles", "36_first_last",
+    "15_cross_agg_eq", "18_topk_per_group", "20_set_ops",
+    "22_scalar_functions", "26_search_union", "29_rollup",
+    "30_window_frames", "31_asof_join", "32_range_join",
     "37_explode_tokens", "39_dashboard_counts", "55_regex_lookup",
     # datapipe: dedup, text, similarity, events
     "40_dedup_exact", "41_doc_profile", "44_ngram_jaccard",
-    "45_minhash_lsh", "46_simhash", "47_ann_cosine", "49_tumbling_window",
-    "50_sessionization", "51_embedding_near_dup", "52_ivf_ann",
-    "53_winnowing", "56_funnel", "58_clean_corpus", "63_tfidf",
-    "65_media_features", "69_embedding_lsh", "70_decontaminate",
-    "71_weighted_mix", "72_chunk_documents", "73_repetition", "74_pq_ann",
-    # ---- 50-entry line: families below are all gated above (see r4
-    # rotation note), carry green r2+r3 driver rows, and are unit-tested
+    "45_minhash_lsh", "47_ann_cosine", "49_tumbling_window",
+    "50_sessionization", "51_embedding_near_dup", "53_winnowing",
+    "56_funnel", "58_clean_corpus", "69_embedding_lsh",
+    "70_decontaminate", "71_weighted_mix", "72_chunk_documents",
+    "74_pq_ann",
+    # r5 rotation: the r4-era pipeline flagships take their driver rows
+    "79_scrub_pii", "85_exact_sample", "86_novel_docs", "93_keep_best",
+    "96_split_leakage", "97_lm_score", "98_dsir_weights",
+    "101_perplexity_buckets", "106_dsir_select", "108_build_corpus",
+    "109_media_dedup", "110_grouping_sets", "111_fuzzy_pairs",
+    "113_quota_select", "115_gap_fill", "116_encoding_noise",
+    # ---- 50-entry line: families below are all gated above (see the
+    # rotation notes), carry green r2/r3/r4 driver rows, and are
+    # unit-tested
+    "02_point_lookup", "03_distinct_projection", "06_token_or_search",
+    "16_pagination", "17_window_lag", "19_union_dedup", "23_date_format",
+    "28_pivot", "33_collect_set", "34_percentiles", "36_first_last",
+    "46_simhash", "52_ivf_ann", "63_tfidf", "65_media_features",
+    "73_repetition",
     "05_string_predicates", "08_semi_join", "09_anti_join",
     "11_exists_diff_child", "24_event_scalars", "38_cube",
     "54_date_lookups", "57_retention", "59_sliding_window",
     "60_minhash_signatures", "61_hash_split", "62_dup_clusters",
     "64_full_outer", "66_ntile", "67_latest_per_key", "68_range_join",
     "75_ann_trained",
-    # r4 additions (tail; rotation candidates for the r5 window)
     "76_line_dedup", "77_contamination_frac", "78_quality_classifier",
-    "79_scrub_pii", "80_knn_graph", "81_semantic_dedup", "82_strip_markup",
-    "83_corpus_report", "84_pack_sequences", "85_exact_sample",
-    "86_novel_docs", "87_rare_tokens", "88_domain_stats", "89_dup_spans",
-    "90_packed_text", "91_containment", "92_vocab_coverage",
-    "93_keep_best", "94_source_report", "95_paragraph_dedup",
-    "96_split_leakage", "97_lm_score", "98_dsir_weights",
-    "99_corpus_shuffle", "100_bpe_merges", "101_perplexity_buckets",
-    "102_bpe_encode", "103_temperature_mix", "104_bigram_lm",
-    "105_gate_attribution",
-    "106_dsir_select",
-    "107_centroid_affinity",
-    "108_build_corpus",
-    "109_media_dedup",
-    "110_grouping_sets",
-    "111_fuzzy_pairs",
-    "112_length_outliers",
-    "113_quota_select",
-    "114_source_overlap",
-    "115_gap_fill",
-    "116_encoding_noise",
+    "80_knn_graph", "81_semantic_dedup", "82_strip_markup",
+    "83_corpus_report", "84_pack_sequences", "87_rare_tokens",
+    "88_domain_stats", "89_dup_spans", "90_packed_text", "91_containment",
+    "92_vocab_coverage", "94_source_report", "95_paragraph_dedup",
+    "99_corpus_shuffle", "100_bpe_merges", "102_bpe_encode",
+    "103_temperature_mix", "104_bigram_lm", "105_gate_attribution",
+    "107_centroid_affinity", "112_length_outliers", "114_source_overlap",
 ]
 
 QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
@@ -2309,7 +2319,8 @@ ORACLES: dict[str, str] = {
           UNION ALL
           SELECT doc_id, 'code' AS source FROM b
           WHERE doc_id % 2 = 1 AND bkt_code < 20)
-        SELECT source, count(*) AS n, sum(doc_id) AS id_sum
+        SELECT source, count(*) AS n,
+               CAST(sum(doc_id) AS BIGINT) AS id_sum
         FROM m GROUP BY source
     """,
     "72_chunk_documents": """
@@ -2698,16 +2709,16 @@ ORACLES: dict[str, str] = {
                     ELSE 'de' END AS lang
               FROM s)
         SELECT count(*) AS n_docs,
-               sum(nt) AS total_tokens,
+               CAST(sum(nt) AS BIGINT) AS total_tokens,
                quantile_cont(nt, 0.5) AS p50_tokens,
                quantile_cont(nt, 0.9) AS p90_tokens,
                count(DISTINCT m) AS n_distinct,
                round(1.0 - count(DISTINCT m) * 1.0 / count(*), 4) AS dup_ratio,
-               sum(CASE WHEN lang = 'en' THEN 1 ELSE 0 END) AS n_en,
-               sum(CASE WHEN lang = 'es' THEN 1 ELSE 0 END) AS n_es,
-               sum(CASE WHEN lang = 'fr' THEN 1 ELSE 0 END) AS n_fr,
-               sum(CASE WHEN lang = 'de' THEN 1 ELSE 0 END) AS n_de,
-               sum(CASE WHEN lang = 'unknown' THEN 1 ELSE 0 END) AS n_unknown
+               CAST(sum(CASE WHEN lang = 'en' THEN 1 ELSE 0 END) AS BIGINT) AS n_en,
+               CAST(sum(CASE WHEN lang = 'es' THEN 1 ELSE 0 END) AS BIGINT) AS n_es,
+               CAST(sum(CASE WHEN lang = 'fr' THEN 1 ELSE 0 END) AS BIGINT) AS n_fr,
+               CAST(sum(CASE WHEN lang = 'de' THEN 1 ELSE 0 END) AS BIGINT) AS n_de,
+               CAST(sum(CASE WHEN lang = 'unknown' THEN 1 ELSE 0 END) AS BIGINT) AS n_unknown
         FROM l
     """,
     "84_pack_sequences": """
@@ -2718,8 +2729,9 @@ ORACLES: dict[str, str] = {
           FROM documents),
         c AS (
           SELECT doc_id, shard, n_tokens,
-                 SUM(n_tokens) OVER (PARTITION BY shard ORDER BY doc_id
-                                     ROWS UNBOUNDED PRECEDING) AS cum
+                 CAST(SUM(n_tokens) OVER (PARTITION BY shard ORDER BY doc_id
+                                          ROWS UNBOUNDED PRECEDING)
+                      AS BIGINT) AS cum
           FROM t WHERE n_tokens > 0)
         SELECT doc_id, shard, n_tokens,
                (cum - n_tokens) // 64 AS seq_first,
@@ -2963,8 +2975,8 @@ ORACLES: dict[str, str] = {
           FROM documents)
         SELECT source,
                count(*) AS n_docs,
-               sum(nt) AS total_tokens,
-               sum(nc) AS total_chars,
+               CAST(sum(nt) AS BIGINT) AS total_tokens,
+               CAST(sum(nc) AS BIGINT) AS total_chars,
                round(sum(nt) * 1.0 / count(*), 4) AS mean_tokens,
                count(DISTINCT m) AS n_distinct,
                round(1.0 - count(DISTINCT m) * 1.0 / count(*), 4) AS dup_ratio
@@ -3420,13 +3432,17 @@ ORACLES: dict[str, str] = {
         stats AS (
           SELECT source, count(*) AS n,
                  CAST(sum(x) AS BIGINT) AS s,
-                 CAST(sum(x*x) AS BIGINT) AS q
+                 CAST(sum(CAST(x AS HUGEINT) * x) AS HUGEINT) AS q
           FROM base GROUP BY source)
         SELECT b.doc_id, b.source, b.x AS n_tokens
         FROM base b JOIN stats st USING (source)
         WHERE st.n >= 2
-          AND (st.n - 1) * (st.n * b.x - st.s) * (st.n * b.x - st.s)
-              > 4 * st.n * (st.n * st.q - st.s * st.s)
+          AND CAST(st.n - 1 AS HUGEINT)
+              * (CAST(st.n AS HUGEINT) * b.x - st.s)
+              * (CAST(st.n AS HUGEINT) * b.x - st.s)
+              > CAST(st.n AS HUGEINT)
+                * (CAST(st.n AS HUGEINT) * st.q
+                   - CAST(st.s AS HUGEINT) * st.s)
     """,
     "113_quota_select": """
         WITH toks AS (

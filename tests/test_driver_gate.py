@@ -97,38 +97,38 @@ def test_checked_window_covers_every_operator_family():
     window = list(QUERIES)[:50]
     must_be_checked = [
         "01_pricing_summary",    # scan + agg
-        "02_point_lookup",       # S2 (r4 rotation: never driver-green)
+        "04_range_in_filter",    # predicates (covers 02/03/05/06 greens)
         "07_region_revenue",     # join chain
         "10_exists_same_child",  # M2M semi-join policy (covers 08/11)
         "12_exclude_not_exists", # NOT EXISTS -> LEFT ANTI (covers 09)
         "13_count_distinct",     # agg + having
         "15_cross_agg_eq",       # annotate preagg
-        "16_pagination", "17_window_lag", "30_window_frames",
-        "34_percentiles",        # exact grouped percentiles (r4 rotation)
-        "19_union_dedup", "20_set_ops", "26_search_union",
-        "28_pivot", "29_rollup",  # grouping sets (cover 38_cube)
+        "18_topk_per_group",     # ordered limit (covers 16 pagination)
+        "30_window_frames",      # window family (covers 17/36)
+        "20_set_ops", "26_search_union",
+        "29_rollup",             # grouping sets (covers 28/38)
         "31_asof_join", "32_range_join",
         "37_explode_tokens", "55_regex_lookup",
         "40_dedup_exact", "41_doc_profile",
-        "44_ngram_jaccard", "45_minhash_lsh", "46_simhash",
-        "47_ann_cosine", "52_ivf_ann", "74_pq_ann",
+        "44_ngram_jaccard", "45_minhash_lsh",  # banded near-dup (covers 46)
+        "47_ann_cosine", "74_pq_ann",          # ANN family (covers 52)
         "51_embedding_near_dup", "69_embedding_lsh",
         "49_tumbling_window", "50_sessionization",
         "53_winnowing", "56_funnel", "58_clean_corpus",
-        "63_tfidf", "65_media_features",
-        "70_decontaminate", "71_weighted_mix",
-        "72_chunk_documents", "73_repetition",
+        "70_decontaminate", "71_weighted_mix",  # 71: post-oracle-fix row
+        "72_chunk_documents",
     ]
     missing = [n for n in must_be_checked if n not in window]
     assert not missing, f"outside the 50-entry checked window: {missing}"
-    # the r4 rotation exists to give the one-time tail its driver rows:
-    # every formerly-below-the-line entry must now be inside the window
+    # the r5 rotation exists to give the r4-era pipeline flagships their
+    # official driver rows: every one must be inside the window
     rotated_in = [
-        "02_point_lookup", "03_distinct_projection", "16_pagination",
-        "19_union_dedup", "28_pivot", "29_rollup", "33_collect_set",
-        "34_percentiles", "36_first_last", "37_explode_tokens",
-        "55_regex_lookup", "70_decontaminate", "71_weighted_mix",
-        "72_chunk_documents", "73_repetition", "74_pq_ann",
+        "79_scrub_pii", "85_exact_sample", "86_novel_docs",
+        "93_keep_best", "96_split_leakage", "97_lm_score",
+        "98_dsir_weights", "101_perplexity_buckets", "106_dsir_select",
+        "108_build_corpus", "109_media_dedup", "110_grouping_sets",
+        "111_fuzzy_pairs", "113_quota_select", "115_gap_fill",
+        "116_encoding_noise",
     ]
     out = [n for n in rotated_in if n not in window]
-    assert not out, f"r4-rotated entries fell back out of the window: {out}"
+    assert not out, f"r5-rotated entries fell back out of the window: {out}"

@@ -1,0 +1,63 @@
+"""Persist-lifecycle policy gate (r4 verdict "What's wrong #3").
+
+Policy: a function may return a CACHED frame (the caller owns releasing
+it via ``.unpersist()``), but every cache a caller cannot see must be
+released before the function returns (``_materialize_and_release`` or
+``try/finally``). The r4 leak: ``temperature_mix`` pinned its stats
+frame forever; this gate runs the leak-prone inventory queries end to
+end and asserts that, once the caller releases the returned frame, the
+session holds no new pinned blocks.
+"""
+
+from __future__ import annotations
+
+import pytest
+
+from tantalus_spark.inventory import QUERIES
+
+SF_DIR = "/root/testdata/sf0.001"
+
+# every query family that persists internally: LM scoring, DSIR,
+# perplexity, quota, temperature mix, posting-list dedup, LSH, fused
+# corpus build
+LEAK_PRONE = [
+    "44_ngram_jaccard",
+    "45_minhash_lsh",
+    "97_lm_score",
+    "98_dsir_weights",
+    "101_perplexity_buckets",
+    "103_temperature_mix",
+    "104_bigram_lm",
+    "106_dsir_select",
+    "108_build_corpus",
+    "113_quota_select",
+]
+
+
+def _n_cached(spark) -> int:
+    return spark.sparkContext._jsc.getPersistentRDDs().size()
+
+
+@pytest.mark.parametrize("qname", LEAK_PRONE)
+def test_no_pinned_blocks_after_query_release(spark, qname):
+    before = _n_cached(spark)
+    df = QUERIES[qname](spark, SF_DIR)
+    df.collect()
+    df.unpersist()          # caller releases the (possibly cached) result
+    after = _n_cached(spark)
+    assert after <= before, (
+        f"{qname} leaked {after - before} pinned RDD(s): every internal "
+        f"persist must be released before return (persist-lifecycle "
+        f"policy)")
+
+
+def test_repeated_calls_do_not_accumulate(spark):
+    """The failure mode that matters in a long-lived session: every call
+    pinning one more block. Three rounds of the r4 leaker must be flat."""
+    counts = []
+    for _ in range(3):
+        df = QUERIES["103_temperature_mix"](spark, SF_DIR)
+        df.collect()
+        df.unpersist()
+        counts.append(_n_cached(spark))
+    assert counts[0] == counts[1] == counts[2], counts
