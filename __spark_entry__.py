@@ -5,14 +5,17 @@
 classes + the LLM-data-pipeline operators: dedup, similarity, text
 analysis, event analytics, corpus cleaning); ``oracle_sql()`` gives the
 DuckDB-equivalent SQL for EVERY query in the driver's 50-entry window —
-the gated LSH trio (45/46/69), winnowing (53), and PQ ANN (74) use
+the gated LSH trio (45/46/69), winnowing (53), PQ ANN (74), and BPE
+encode (102, frozen merge list replayed as a replace() chain) use
 portable md5-/integer-exact constructions that replay bit-for-bit in
 DuckDB, so all 50 are full value oracles (production defaults stay
-xxhash64/float — bench.py times those). r4 rotated the 16 entries that
-had never had an official driver row into the window (see _QUERY_ORDER).
-The only rows-only entry is the tail's 75_ann_trained, whose iterative
-MLlib-KMeans IVF+PQ training is genuinely not SQL-expressible (recall
-and ADC exactness are unit-proven instead).
+xxhash64/float — bench.py times those). r5 rotated the 16 r4-era
+pipeline flagships into the window (see _QUERY_ORDER; r4 did the same
+for the 16 entries that had never had an official driver row — all went
+green). The only rows-only entries are the tail's 75_ann_trained and
+100_bpe_merges, whose iterative training loops (MLlib-KMeans IVF+PQ,
+BPE argmax+rewrite) are genuinely not SQL-expressible (exactness is
+unit-proven against pure-Python references instead).
 """
 
 from __future__ import annotations

@@ -849,13 +849,26 @@ def _quantize_expr(vec_col: str, scale: int) -> Column:
 
 def affinity_expr(qvec_col: str, centroid: list[int]) -> Column:
     """BIGINT dot product of a quantized vector column with a frozen
-    centroid folded into the plan as a literal array — map-side only."""
+    centroid folded into the plan as a literal array — map-side only.
+
+    Dimension-guarded: ``zip_with`` null-pads the shorter side, and one
+    null element would poison the whole fold (a ragged or empty vector
+    silently scoring NULL). A vector whose size differs from the
+    centroid's raises via ``assert_true`` instead — a loud per-row error
+    beats a silent NULL affinity at 100 TB."""
     cvec = F.array(*[F.lit(int(v)).cast("long") for v in centroid])
-    return F.aggregate(
+    dim_ok = F.assert_true(
+        F.size(F.col(qvec_col)) == F.lit(len(centroid)),
+        F.concat(F.lit(f"affinity_expr: vector dimension != centroid "
+                       f"dimension {len(centroid)}; got "),
+                 F.size(F.col(qvec_col)).cast("string")))
+    dot = F.aggregate(
         F.zip_with(F.col(qvec_col), cvec, lambda x, y: x * y),
         F.lit(0).cast("long"),
         lambda acc, x: acc + x,
     )
+    # assert_true returns NULL on success; coalesce keeps the dot value
+    return F.coalesce(dim_ok.cast("long"), dot)
 
 
 def train_quantized_centroid(

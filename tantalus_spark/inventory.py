@@ -1385,18 +1385,34 @@ def q101_perplexity_buckets(spark, sf_dir):
     return perplexity_buckets(docs)
 
 
+# Frozen merge list for the q102 gate (the q74 fixed-codebook pattern):
+# encoding with a FIXED, deterministic rule list is pure left-to-right
+# non-overlapping rewriting — replayable in DuckDB as a replace() chain
+# over a U+001F-wrapped symbol string — so the apply step gets a FULL
+# value oracle while the iterative trainer (q100) stays rows-only.
+FIXED_BPE_MERGES: list[tuple[str, str]] = [
+    ("e", "</w>"), ("t", "h"), ("th", "e</w>"), ("s", "</w>"),
+    ("d", "</w>"), ("i", "n"), ("a", "n"), ("o", "r"),
+]
+
+
 def q102_bpe_encode(spark, sf_dir):
-    """The tokenizer APPLY step: encode every document with the 8 learned
-    BPE rules; real subword token counts per doc (what a packing stage
-    consumes). Pure map stage — rules broadcast in the UDF closure, zero
-    shuffles after the training pass. Iterative rule application is not
-    SQL-expressible — rows-only gate; differential-tested against the
-    pure-Python reference encoder in tests/test_tokenizer.py."""
-    from tantalus_spark.datapipe.tokenizer import bpe_apply, bpe_train
+    """The tokenizer APPLY step: encode every document with a frozen
+    8-rule BPE merge list (production trains one with q100's
+    ``bpe_train`` and freezes it — encoding against a versioned frozen
+    vocabulary IS the production shape); real subword token counts per
+    doc (what a packing stage consumes). Pure map stage — rules
+    broadcast in the Arrow-UDF closure, zero shuffles. Full value
+    oracle: one merge pass is a left-to-right non-overlapping rewrite,
+    exactly ``replace()`` semantics over a symbol string whose units are
+    wrapped in U+001F (so a rule can only match whole symbols), and the
+    frozen list replays the 8 replaces in rank order in DuckDB.
+    Trained-rules apply stays differential-tested in
+    tests/test_tokenizer.py."""
+    from tantalus_spark.datapipe.tokenizer import bpe_apply
 
     docs = db_for(spark, sf_dir).table("documents")
-    rules = bpe_train(docs, n_merges=8)
-    return bpe_apply(docs, rules).select("doc_id", "n_units")
+    return bpe_apply(docs, FIXED_BPE_MERGES).select("doc_id", "n_units")
 
 
 def q103_temperature_mix(spark, sf_dir):
@@ -3589,3 +3605,39 @@ ORACLES: dict[str, str] = {
         FROM c
     """,
 }
+
+
+def _bpe_encode_oracle(merges: list[tuple[str, str]]) -> str:
+    """Generate the q102 oracle from the SAME frozen rule list the Spark
+    query encodes with. Representation: every symbol is wrapped in
+    U+001F (chr(31)) — ``§s1§§s2§…§sk§`` — so a merge pattern
+    ``§left§§right§`` can only match whole adjacent symbols (symbols
+    never contain chr(31); a boundary-straddling match is impossible).
+    One ``replace()`` is exactly one left-to-right non-overlapping merge
+    pass (``tokenizer.merge_word`` semantics); the 8 replaces run in
+    rank order. n_units per word = pieces split on the chr(31)-pair."""
+    expr = ("regexp_replace(w, '(.)', chr(31) || '\\1' || chr(31), 'g')"
+            " || chr(31) || '</w>' || chr(31)")
+    for left, right in merges:
+        pat = (f"chr(31) || '{left}' || chr(31) || "
+               f"chr(31) || '{right}' || chr(31)")
+        rep = f"chr(31) || '{left}{right}' || chr(31)"
+        expr = f"replace({expr}, {pat}, {rep})"
+    return f"""
+        WITH words AS (
+          SELECT doc_id,
+                 unnest(string_split_regex(trim(lower(text)), '\\s+')) AS w
+          FROM documents),
+        enc AS (
+          SELECT doc_id,
+                 len(string_split({expr}, chr(31) || chr(31))) AS k
+          FROM words WHERE w <> ''),
+        agg AS (
+          SELECT doc_id, CAST(sum(k) AS INTEGER) AS n_units
+          FROM enc GROUP BY doc_id)
+        SELECT d.doc_id, COALESCE(a.n_units, 0) AS n_units
+        FROM documents d LEFT JOIN agg a USING (doc_id)
+    """
+
+
+ORACLES["102_bpe_encode"] = _bpe_encode_oracle(FIXED_BPE_MERGES)

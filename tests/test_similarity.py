@@ -365,6 +365,24 @@ def test_centroid_affinity_matches_numpy(spark):
         assert out[i]["in_target"] == (1 if i % 4 == 0 else 0)
 
 
+def test_centroid_affinity_ragged_vector_raises(spark):
+    """zip_with null-pads a short vector and the fold would return a
+    silent NULL affinity; the dimension guard must raise loudly instead
+    (ADVICE r4)."""
+    from pyspark.sql import functions as F
+    from tantalus_spark.datapipe.similarity import centroid_affinity
+
+    rows = [
+        (1, [0.1, 0.2, 0.3], 0),
+        (2, [0.2, 0.1, 0.4], 1),
+        (3, [0.5, 0.5], 1),          # ragged: 2-dim vs 3-dim centroid
+    ]
+    df = spark.createDataFrame(
+        rows, "vec_id long, embedding array<float>, label int")
+    with pytest.raises(Exception, match="dimension"):
+        centroid_affinity(df, F.col("label") == 0).collect()
+
+
 def test_centroid_affinity_target_scores_high(spark):
     # two tight clusters far apart: target-cluster members must outscore
     # the off-cluster ones against the target centroid
