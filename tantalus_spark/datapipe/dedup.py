@@ -946,8 +946,17 @@ def fuzzy_pairs(
         F.substring(F.lower(F.col(text_col)), 1, block_chars).alias("_bk"),
     )
     sizes = blocked.groupBy("_bk").agg(F.count(F.lit(1)).alias("_bc"))
+    # merge-hint the self-join: the build side would be the WHOLE corpus
+    # (id + text), which must never broadcast — and at mid sizes, where
+    # the estimate still clears the 64 MiB threshold, Spark picks
+    # BroadcastHashJoin and runs the block-pair probe 2-3x slower than
+    # the shuffle-partitioned merge join (measured: sf1 6.9 s BHJ vs
+    # 2.7 s SMJ with 3x the pairs at sf3, where the estimate tipped it
+    # to SMJ on its own). Shuffling both sides on _bk partitions the
+    # quadratic work by block — the plan that holds at 100 TB.
     small = blocked.join(
-        F.broadcast(sizes.filter(F.col("_bc") <= max_block)), "_bk")
+        F.broadcast(sizes.filter(F.col("_bc") <= max_block)),
+        "_bk").hint("merge")
     a, b = small.alias("a"), small.alias("b")
     dist = F.levenshtein(
         F.substring(F.col("a._t"), 1, window),

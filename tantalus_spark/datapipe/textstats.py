@@ -352,8 +352,8 @@ def winnowing_fingerprints(df: DataFrame, k: int = 5, window: int = 4,
     # posexplode gets the tokens EXPRESSION, not a materialized column:
     # Generate over a bare attribute makes Catalyst infer a `size(col)>0`
     # filter (InferFiltersFromGenerate) with the expression inlined at the
-    # scan; over an expression it infers nothing (see q53 quadratic-trap
-    # note in .claude/skills/verify/SKILL.md).
+    # scan, where per-element element_at re-evaluates the inner transform
+    # — quadratic per doc; over an expression it infers nothing.
     df = spread_small_scan(df)
     toked = df.select(
         F.col(id_col),
