@@ -613,9 +613,14 @@ def q46_simhash(spark, sf_dir):
     md5 token hash, fits signed BIGINT) so the oracle rebuilds the exact
     signature with SQL bit arithmetic — and, because recall is exact, the
     oracle needs no chunking at all: it checks ALL pairs with
-    hamming <= max_hamming."""
+    hamming <= max_hamming. The gate bound is 3 — the production dedup
+    setting (Manku, Jain & Das Sarma, WWW'07 use k=3 on 64-bit simhash)
+    and the scale envelope: bound 3 gives 16-bit chunks (65k buckets,
+    selective at any corpus size) where the r4 gate's bound 8 gave 7-bit
+    chunks whose 128 buckets collide quadratically (51 s at sf1,
+    unbounded growth beyond)."""
     docs = db_for(spark, sf_dir).table("documents")
-    return dedup.simhash_near_pairs(docs, max_hamming=8, hash_hex_chars=15)
+    return dedup.simhash_near_pairs(docs, max_hamming=3, hash_hex_chars=15)
 
 
 def q47_ann_cosine(spark, sf_dir):
@@ -2489,11 +2494,11 @@ ORACLES: dict[str, str] = {
                           ELSE 0 END) AS BIGINT) AS sh
           FROM acc GROUP BY doc_id)
         -- pigeonhole chunking is exact-recall, so the oracle skips it:
-        -- result = ALL pairs with hamming <= 8
+        -- result = ALL pairs with hamming <= 3
         SELECT a.doc_id AS d1, b.doc_id AS d2,
                CAST(bit_count(xor(a.sh, b.sh)) AS INTEGER) AS hamming
         FROM sig a JOIN sig b ON a.doc_id < b.doc_id
-        WHERE bit_count(xor(a.sh, b.sh)) <= 8
+        WHERE bit_count(xor(a.sh, b.sh)) <= 3
     """,
     "69_embedding_lsh": """
         -- the dot is an ORDERED left-fold (list_reduce over the ordered
