@@ -24,8 +24,10 @@ from pyspark.sql import functions as F
 
 # Headline set: one per operator family, weighted toward shuffle-heavy ops.
 # NOTE the set GREW round-over-round (r3: 22 queries; r4: 26 — added
-# 97_lm_score, 98_dsir_weights, 101_perplexity_buckets, 108_build_corpus),
-# so compare BENCH_r*.json PER-QUERY, not by total.
+# 97_lm_score, 98_dsir_weights, 101_perplexity_buckets, 108_build_corpus;
+# r5: 30 — added 46_simhash and 111_fuzzy_pairs, both rebuilt this round,
+# plus 113_quota_select and 116_encoding_noise), so compare BENCH_r*.json
+# PER-QUERY, not by total.
 HEADLINE = [
     "01_pricing_summary",
     "06_token_or_search",
@@ -53,6 +55,10 @@ HEADLINE = [
     "98_dsir_weights",
     "101_perplexity_buckets",
     "108_build_corpus",
+    "46_simhash",
+    "111_fuzzy_pairs",
+    "113_quota_select",
+    "116_encoding_noise",
 ]
 
 

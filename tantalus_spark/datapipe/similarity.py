@@ -37,6 +37,47 @@ def _norm(a: Column) -> Column:
     )
 
 
+def _first_dim(df: DataFrame, vec_col: str) -> int:
+    """Vector dimension from the first non-null row (the
+    train_pq_codebooks precedent); 1 on an empty frame so downstream
+    expressions stay well-formed (no rows ever evaluate them)."""
+    row = df.filter(F.col(vec_col).isNotNull()).select(vec_col).first()
+    return len(row[0]) if row is not None else 1
+
+
+def _eval_coeff_literals(spark, coeff, plane_seeds, dim: int) -> dict:
+    """Evaluate the per-(plane, dim) hyperplane coefficients ONCE on a
+    1-row frame — the exact same Spark expressions the per-row plan used
+    to recompute per element, so the values are engine-identical — and
+    return {seed: [c_1..c_dim]} for literal folding."""
+    seeds = list(plane_seeds)
+    # dim ROWS x planes small columns — NOT one giant planes*dim literal
+    # expression, whose one-off Janino compile alone costs ~7 s per
+    # session. The dim index is cast to INT to match the original
+    # sequence(1, size(v)) element type (xxhash64 is type-sensitive).
+    idx = F.col("id").cast("int")
+    rows = (spark.range(1, dim + 1)
+            .select(F.col("id"),
+                    *[coeff(idx, s).alias(f"p{si}")
+                      for si, s in enumerate(seeds)])
+            .orderBy("id")
+            .collect())
+    return {s: [float(r[f"p{si}"]) for r in rows]
+            for si, s in enumerate(seeds)}
+
+
+def _dot_literal(vec: Column, coeffs: list[float]) -> Column:
+    """Codegen'd dot of a vector column with a literal coefficient list:
+    a LEFT-TO-RIGHT multiply-add chain, bit-identical to the
+    F.aggregate fold (and the oracles' list_reduce) it replaces —
+    float addition order is part of the contract because a dot within
+    1 ulp of 0 decides an LSH bucket sign."""
+    acc = F.lit(0.0)
+    for i, c in enumerate(coeffs, start=1):
+        acc = acc + F.element_at(vec, i).cast("double") * F.lit(float(c))
+    return acc
+
+
 def cosine_similarity(a: Column, b: Column) -> Column:
     return _dot(a, b) / (_norm(a) * _norm(b))
 
@@ -148,11 +189,18 @@ def embedding_near_dup_pairs(
         # Oracle exactness (r4, closes the r3 ADVICE caveat): the
         # COEFFICIENTS replay bit-for-bit AND the q69 oracle folds the
         # dot in list order (DuckDB list_reduce over the ordered element
-        # list), matching this F.aggregate left-fold addition-for-
-        # addition — so even a dot within 1 ulp of 0 gets the same sign
-        # in both engines and bucket membership is deterministic.
-        dim_idx = F.sequence(F.lit(1), F.size("v"))
-
+        # list), matching this left-to-right addition chain addition-
+        # for-addition — so even a dot within 1 ulp of 0 gets the same
+        # sign in both engines and bucket membership is deterministic.
+        #
+        # The coefficients depend only on (plane seed, dim index): they
+        # are evaluated ONCE on a 1-row frame (engine-exact — the same
+        # md5/xxhash64 expressions, just not per data row) and folded
+        # into the plan as literals, and the dot is a codegen'd
+        # element_at multiply-add chain. The previous per-row zip_with
+        # recomputed md5 per ELEMENT per row INTERPRETED (higher-order
+        # functions never enter whole-stage codegen): 124 s at sf1 for
+        # the q69 gate vs ~2 s for this form.
         def coeff(i, s):
             if hash_family == "md5":
                 h = F.conv(
@@ -165,16 +213,12 @@ def embedding_near_dup_pairs(
                 h = F.xxhash64(i, F.lit(s))
             return (F.pmod(h, F.lit(2001)) - 1000) / 1000.0
 
+        dim = _first_dim(df, vec_col)
+        coeffs = _eval_coeff_literals(
+            df.sparkSession, coeff, range(n_hyperplanes), dim)
+
         def dot_with_plane(s):
-            # closure (not a lambda default arg) so the zip_with lambda keeps
-            # arity 2 — PySpark derives HOF arity from the signature
-            return F.aggregate(
-                F.zip_with(
-                    F.col("v"), dim_idx,
-                    lambda x, i: x.cast("double") * coeff(i, s),
-                ),
-                F.lit(0.0), lambda acc, x: acc + x,
-            )
+            return _dot_literal(F.col("v"), coeffs[s])
 
         sig = F.array(*[
             (dot_with_plane(s) > 0).cast("int") for s in range(n_hyperplanes)
@@ -298,19 +342,32 @@ def train_ivf_centroids(
 def ivf_assign(df: DataFrame, centroids: list[list[float]],
                id_col: str = "vec_id", vec_col: str = "embedding") -> DataFrame:
     """Assign each vector to its nearest centroid (IVF list). Centroids are a
-    plan literal — at realistic nlist (≤ 65k) this stays broadcast-sized."""
-    best_idx, best_sim = None, None
-    for i, c in enumerate(centroids):
-        sim = cosine_similarity(
-            F.col(vec_col), F.array(*[F.lit(float(v)) for v in c])
-        )
-        if best_sim is None:
-            best_idx, best_sim = F.lit(i), sim
-        else:
-            cond = sim > best_sim
-            best_idx = F.when(cond, F.lit(i)).otherwise(best_idx)
-            best_sim = F.when(cond, sim).otherwise(best_sim)
-    return df.select(F.col(id_col), F.col(vec_col), best_idx.alias("ivf_list"))
+    plan literal — at realistic nlist (≤ 65k) this stays broadcast-sized.
+
+    The argmax is array-based (similarity array → array_max →
+    array_position), NOT an iterative ``when(sim > best, …)`` fold: in
+    that form every reference to the running best DUPLICATES the whole
+    comparison subtree, so the plan evaluates O(2^nlist) interpreted
+    zip_with cosines per row — measured as one task pinning a core for
+    20+ minutes on 60k vectors at nlist=8 before this rewrite. The array
+    form evaluates each cosine once per reference (2 references), and
+    ties keep the first index exactly like the strict-``>`` fold did.
+    """
+    # nanvl/coalesce: a zero vector yields NaN cosines (IEEE 0/0), and
+    # array_position's equality would never match NaN — pin degenerate
+    # rows to -2 (below any real cosine) so they deterministically take
+    # list 0, as the old strict-> fold did.
+    sims = F.array(*[
+        F.coalesce(
+            F.nanvl(
+                cosine_similarity(F.col(vec_col),
+                                  F.array(*[F.lit(float(v)) for v in c])),
+                F.lit(-2.0)),
+            F.lit(-2.0))
+        for c in centroids
+    ])
+    idx = (F.array_position(sims, F.array_max(sims)) - 1).cast("int")
+    return df.select(F.col(id_col), F.col(vec_col), idx.alias("ivf_list"))
 
 
 def ivf_topk(
@@ -375,6 +432,8 @@ def train_pq_codebooks(
     Train on a sample at scale — codebook quality converges long before
     full passes pay off.
     """
+    from concurrent.futures import ThreadPoolExecutor
+
     from pyspark.ml.clustering import KMeans
     from pyspark.ml.functions import array_to_vector
 
@@ -382,14 +441,20 @@ def train_pq_codebooks(
     if d % m:
         raise ValueError(f"dim {d} not divisible by m={m}")
     sub = d // m
-    books = []
-    for j in range(m):
+
+    def fit(j: int) -> list[list[float]]:
         feats = df.select(array_to_vector(
             F.slice(F.col(vec_col).cast("array<double>"),
                     j * sub + 1, sub)).alias("features"))
         model = KMeans(k=k, seed=seed + j, maxIter=max_iter).fit(feats)
-        books.append([[float(x) for x in c] for c in model.clusterCenters()])
-    return books
+        return [[float(x) for x in c] for c in model.clusterCenters()]
+
+    # the m subspace fits are independent MLlib jobs whose cost is
+    # mostly fixed scheduler overhead at training-sample sizes — submit
+    # them concurrently (Spark's scheduler interleaves jobs; results
+    # keep subspace order)
+    with ThreadPoolExecutor(max_workers=min(m, 8)) as pool:
+        return list(pool.map(fit, range(m)))
 
 
 def pq_encode(
@@ -750,18 +815,20 @@ def knn_graph_lsh(
         return pd.Series(np.where(den > 0, num / den, 0.0))
 
     base = df.select(F.col(id_col).alias("id"), F.col(vec_col).alias("v"))
-    dim_idx = F.sequence(F.lit(1), F.size("v"))
 
     def coeff(i, s):
         h = F.xxhash64(i, F.lit(s))
         return (F.pmod(h, F.lit(2001)) - 1000) / 1000.0
 
+    # literal-folded coefficients + codegen'd multiply-add dots (see
+    # embedding_near_dup_pairs — the per-row zip_with form is interpreted
+    # and was the whole cost of the LSH stage)
+    dim = _first_dim(df, vec_col)
+    coeffs = _eval_coeff_literals(
+        df.sparkSession, coeff, range(n_tables * n_hyperplanes), dim)
+
     def dot_with_plane(s):
-        return F.aggregate(
-            F.zip_with(F.col("v"), dim_idx,
-                       lambda x, i: x.cast("double") * coeff(i, s)),
-            F.lit(0.0), lambda acc, x: acc + x,
-        )
+        return _dot_literal(F.col("v"), coeffs[s])
 
     tables = []
     for t in range(n_tables):

@@ -929,8 +929,13 @@ def q69_embedding_lsh(spark, sf_dir):
     path itself. tests/test_similarity.py additionally proves LSH pairs
     are a subset of the exact pairs and reports recall."""
     emb = db_for(spark, sf_dir).table("embeddings")
+    # 8 planes = 256 buckets: the r4 gate's 2 planes meant FOUR buckets
+    # total, so within-bucket candidates grew quadratically with the
+    # corpus (124 s at sf1); selectivity must scale with the corpus, and
+    # recall-vs-selectivity is the dial LSH exposes (q51 remains the
+    # exact verifier).
     return similarity.embedding_near_dup_pairs(
-        emb, threshold=0.45, n_hyperplanes=2, hash_family="md5")
+        emb, threshold=0.45, n_hyperplanes=8, hash_family="md5")
 
 
 def q70_decontaminate(spark, sf_dir):
@@ -1025,16 +1030,44 @@ def q75_ann_trained(spark, sf_dir):
     tests/test_similarity.py."""
     emb = db_for(spark, sf_dir).table("embeddings")
     norm = similarity.l2_normalize(emb)
-    centroids = similarity.train_ivf_centroids(norm, n_lists=8, seed=7)
-    books = similarity.train_pq_codebooks(norm, m=8, k=16)
+    # train on a seeded sample, exactly as the trainer docstrings
+    # prescribe for scale: centroid/codebook quality converges long
+    # before full-corpus passes pay off, and the nine KMeans fits were
+    # 97 s at sf1 on the full corpus vs seconds on 8k vectors. Encoding
+    # and serving still run over EVERY vector.
+    n = norm.count()
+    cap = 8192
+    train = (norm.sample(False, min(1.0, cap / n), seed=7)
+             if n > cap else norm)
+    # persist across the NINE KMeans fits (1 IVF + 8 PQ subspaces) —
+    # each fit is its own MLlib job and would otherwise re-scan and
+    # re-normalize the input; released before serving.
+    train = train.persist()
+    try:
+        train.count()
+        centroids = similarity.train_ivf_centroids(train, n_lists=8,
+                                                   seed=7)
+        books = similarity.train_pq_codebooks(train, m=8, k=16)
+    finally:
+        train.unpersist()
     assigned = similarity.ivf_assign(norm, centroids).select(
         "vec_id", "ivf_list")
     codes = similarity.pq_encode(norm, books)
-    narrow = assigned.join(codes, "vec_id")
+    # MATERIALIZE the (id, ivf_list, pq_code) index before serving — in
+    # production the index is a written artifact (FAISS writes one;
+    # here, a table partitioned by ivf_list). Served lazily instead,
+    # the nprobe filter pushes back INTO the assignment expression and
+    # re-evaluates the interpreted centroid cosines per row per
+    # reference (72 s at sf1 vs ~2 s served from the materialized
+    # index). Released once the 10-row result is materialized.
+    narrow = assigned.join(codes, "vec_id").persist()
     qvec = [float(x) for x in
             norm.filter(F.col("vec_id") == 1).first()["embedding"]]
-    return similarity.ivf_pq_topk(narrow, centroids, books, qvec,
-                                  k=10, nprobe=2)
+    out = similarity.ivf_pq_topk(narrow, centroids, books, qvec,
+                                 k=10, nprobe=2)
+    from tantalus_spark.datapipe.dedup import _materialize_and_release
+
+    return _materialize_and_release(out, [narrow])
 
 
 
@@ -2515,7 +2548,8 @@ ORACLES: dict[str, str] = {
                                               i::VARCHAR),1,15))::BIGINT
                                 % 2001 - 1000) / 1000.0)),
                    (a, b) -> a + b) AS dot
-          FROM e, (VALUES (0), (1)) AS sp(s)),
+          FROM e, (VALUES (0), (1), (2), (3), (4), (5), (6), (7))
+                  AS sp(s)),
         sig AS (
           SELECT vec_id,
                  CAST(sum(CASE WHEN dot > 0 THEN (1::BIGINT << s)
