@@ -324,7 +324,6 @@ def build_corpus(
     Returns (source, n_docs, n_tokens, id_sum, min/max_cost_millibits).
     """
     from tantalus_spark.datapipe.dedup import decontaminate
-    from tantalus_spark.datapipe.scoring import perplexity_labels
 
     bench = docs.filter(bench_cond).select(text_col)
     corpus = docs.filter(~bench_cond)
@@ -337,21 +336,32 @@ def build_corpus(
     surv_ids = (cleaned.select(id_col)
                 .join(hits.select(id_col), id_col, "left_anti"))
     surv_docs = corpus.join(surv_ids, id_col, "left_semi")
-    labeled = perplexity_labels(surv_docs, text_col=text_col, id_col=id_col)
-    kept = labeled.filter(F.col("bucket") != "tail")
-    out = (
-        kept.join(corpus.select(id_col, source_col), id_col)
-        .groupBy(source_col)
-        .agg(
-            F.count(F.lit(1)).alias("n_docs"),
-            F.sum("n_tokens").alias("n_tokens"),
-            F.sum(id_col).alias("id_sum"),
-            F.min("mean_cost_millibits").alias("min_cost_millibits"),
-            F.max("mean_cost_millibits").alias("max_cost_millibits"),
-        )
-    )
+    # ONE pass over the gate+decontaminate chain under a SCOPED persist
+    # (the quota_select pattern): the survivors' scores materialize once
+    # for the tercile action, the O(sources) report reads the cache, and
+    # the cache is released before return. "bucket != tail" is exactly
+    # "mean cost <= the 2/3 threshold", so the label column itself is
+    # not needed here.
     from tantalus_spark.datapipe.dedup import _materialize_and_release
+    from tantalus_spark.datapipe.scoring import unigram_lm_score
 
-    # the O(sources) report is the deliverable; release the cached
-    # per-doc labeled frame perplexity_labels handed us
-    return _materialize_and_release(out, [labeled])
+    scores = (unigram_lm_score(surv_docs, text_col=text_col,
+                               id_col=id_col).persist())
+    try:
+        t2 = scores.agg(
+            F.percentile("mean_cost_millibits", F.lit(2.0 / 3))).first()[0]
+        kept = scores.filter(F.col("mean_cost_millibits") <= F.lit(t2))
+        out = (
+            kept.join(corpus.select(id_col, source_col), id_col)
+            .groupBy(source_col)
+            .agg(
+                F.count(F.lit(1)).alias("n_docs"),
+                F.sum("n_tokens").alias("n_tokens"),
+                F.sum(id_col).alias("id_sum"),
+                F.min("mean_cost_millibits").alias("min_cost_millibits"),
+                F.max("mean_cost_millibits").alias("max_cost_millibits"),
+            )
+        )
+        return _materialize_and_release(out, [])
+    finally:
+        scores.unpersist()

@@ -61,18 +61,20 @@ def lm_cost_table(
 
     One token explode into a term-keyed count aggregate (map-side
     partials); the (N, V) scalars fold in via one single-row action.
-    The count table is persisted once — it is reused by the returned
-    plan and by the scalar action."""
+    The returned cost table is LAZY and cache-free: the scalar action
+    runs one fused job, and a consumer's action recomputes the count
+    aggregate FUSED into its own DAG — one extra map-side agg beats a
+    persist the caller can't see (the r4 leak) or an eager
+    materialization barrier (the first r5 fix, which slowed every
+    scoring composition 2-3x)."""
     import math
 
     df = spread_small_scan(df)
     toks = df.select(
         F.explode(tokens(F.lower(F.col(text_col)))).alias("term"))
-    counts = (
-        toks.groupBy("term").agg(F.count(F.lit(1)).alias("c")).persist()
-    )
-    n_total, vocab = counts.agg(
-        F.sum("c"), F.count(F.lit(1))).first()
+    counts = toks.groupBy("term").agg(F.count(F.lit(1)).alias("c"))
+    # one fused job for the scalars; no cache (a single action reads it)
+    n_total, vocab = counts.agg(F.sum("c"), F.count(F.lit(1))).first()
     denom = float(n_total + alpha * vocab)
     cost = counts.select(
         "term",
@@ -80,11 +82,7 @@ def lm_cost_table(
                    ).alias("cost_mb"),
     )
     oov_cost_mb = math.floor(-math.log2(alpha / denom) * 1000 + 0.5)
-    # Persist the RETURNED table and release the raw counts (persist-
-    # lifecycle policy: only handles the caller holds may stay cached).
-    from tantalus_spark.datapipe.dedup import _materialize_and_release
-
-    return _materialize_and_release(cost, [counts]), oov_cost_mb
+    return cost, oov_cost_mb
 
 
 def score_with_cost_table(
@@ -153,15 +151,12 @@ def unigram_lm_score(
     :func:`lm_cost_table` + per-doc reduction against a frozen table.
     """
     cost, _ = lm_cost_table(df, text_col=text_col, alpha=alpha)
-    scored = score_with_cost_table(
+    # LAZY and cache-free: lm_cost_table's plan is cache-free, so the
+    # whole scored frame is one fused DAG per consuming action —
+    # consumers that read it repeatedly (quota_select's histogram +
+    # join + ties) persist it themselves.
+    return score_with_cost_table(
         df, cost, oov_cost_mb=None, text_col=text_col, id_col=id_col)
-    # Materialize the (narrow, per-doc) scores and release the cached
-    # cost table lm_cost_table handed us — persist-lifecycle policy:
-    # caches a caller can't see must not outlive the call. The returned
-    # frame stays cached (caller-owned, O(docs) × 4 integer columns).
-    from tantalus_spark.datapipe.dedup import _materialize_and_release
-
-    return _materialize_and_release(scored, [cost])
 
 
 def bigram_lm_score(
@@ -251,8 +246,12 @@ def perplexity_labels(
     """Per-document head/middle/tail label by exact corpus percentiles of
     the LM cost — the form a pipeline FILTERS on (keep head+middle, drop
     or downsample tail).  Returns the scored columns plus ``bucket``."""
-    # unigram_lm_score returns a materialized, cached frame — no second
-    # persist needed; release it once the labeled result is materialized.
+    # Lazy, cache-free, barrier-free: the scored plan runs TWICE — once
+    # fused into the percentile action, once fused into the consumer's
+    # DAG — which beats both the r4 shape (persist the scores and leak
+    # the cache into the returned plan) and the eager-materialize shape
+    # (two extra job barriers that slowed q101/q108 2-3x). The
+    # thresholds fold in as plan literals.
     scores = unigram_lm_score(df, text_col=text_col, id_col=id_col)
     t1, t2 = scores.agg(
         F.percentile("mean_cost_millibits", F.lit(cuts[0])),
@@ -263,10 +262,7 @@ def perplexity_labels(
         .when(F.col("mean_cost_millibits") <= F.lit(t2), "middle")
         .otherwise("tail")
     )
-    from tantalus_spark.datapipe.dedup import _materialize_and_release
-
-    return _materialize_and_release(scores.withColumn("bucket", label),
-                                    [scores])
+    return scores.withColumn("bucket", label)
 
 
 def perplexity_buckets(
@@ -289,22 +285,37 @@ def perplexity_buckets(
     percentile for ``approx_percentile`` (mergeable sketch) and keep this
     as the verifier — the same exact/approx division as q34.
     """
-    labeled = perplexity_labels(
-        df, cuts=cuts, text_col=text_col, id_col=id_col)
-    out = (
-        labeled.groupBy("bucket")
-        .agg(
-            F.count(F.lit(1)).alias("n_docs"),
-            F.sum("n_tokens").alias("n_tokens"),
-            F.min("mean_cost_millibits").alias("min_cost_millibits"),
-            F.max("mean_cost_millibits").alias("max_cost_millibits"),
+    # Single scoring pass under a SCOPED persist (the quota_select
+    # pattern): the percentile action materializes the scores, the
+    # 3-row rollup reads the cache, and the cache is released before
+    # return — one pass, no leak, and only a 3-row frame stays cached.
+    scores = (unigram_lm_score(df, text_col=text_col, id_col=id_col)
+              .persist())
+    try:
+        t1, t2 = scores.agg(
+            F.percentile("mean_cost_millibits", F.lit(cuts[0])),
+            F.percentile("mean_cost_millibits", F.lit(cuts[1])),
+        ).first()
+        label = (
+            F.when(F.col("mean_cost_millibits") <= F.lit(t1), "head")
+            .when(F.col("mean_cost_millibits") <= F.lit(t2), "middle")
+            .otherwise("tail")
         )
-    )
-    from tantalus_spark.datapipe.dedup import _materialize_and_release
+        out = (
+            scores.withColumn("bucket", label)
+            .groupBy("bucket")
+            .agg(
+                F.count(F.lit(1)).alias("n_docs"),
+                F.sum("n_tokens").alias("n_tokens"),
+                F.min("mean_cost_millibits").alias("min_cost_millibits"),
+                F.max("mean_cost_millibits").alias("max_cost_millibits"),
+            )
+        )
+        from tantalus_spark.datapipe.dedup import _materialize_and_release
 
-    # the 3-row rollup is the deliverable; release the cached per-doc
-    # labeled frame perplexity_labels handed us
-    return _materialize_and_release(out, [labeled])
+        return _materialize_and_release(out, [])
+    finally:
+        scores.unpersist()
 
 
 def _bucket(term, n_buckets: int, hash_family: str) -> F.Column:
@@ -360,29 +371,29 @@ def dsir_weights(
         toks.groupBy("bucket")
         .agg(F.count(F.lit(1)).alias("raw_c"),
              F.sum("_is_target").alias("tgt_c"))
-        .persist()
     )
     # The bucket table is FIXED-size (n_buckets rows): localize it
-    # driver-side and release the persist inside the call, so the
-    # returned plan depends on no hidden cache (persist-lifecycle
-    # policy). Both actions (scalars + lam rows) read the one cached
-    # evaluation; lam values are computed by the same Spark expressions,
-    # so exactness is unchanged.
-    try:
-        raw_n, tgt_n = stats.agg(F.sum("raw_c"), F.sum("tgt_c")).first()
-        lam_plan = stats.select(
-            "bucket",
-            _millibits(
-                F.log2((F.col("tgt_c") + F.lit(1))
-                       / F.lit(float(tgt_n + n_buckets)))
-                - F.log2((F.col("raw_c") + F.lit(1))
-                         / F.lit(float(raw_n + n_buckets)))
-            ).alias("lam_mb"),
-        )
-        lam_rows = lam_plan.collect()
-        lam = df.sparkSession.createDataFrame(lam_rows, lam_plan.schema)
-    finally:
-        stats.unpersist()
+    # driver-side in ONE job — the (raw_N, tgt_N) scalars fold in as
+    # unbounded-window sums over the tiny stats frame instead of a
+    # separate scalar action (same integer totals, so the doubles — and
+    # the oracle parity — are bit-identical), and no persist is needed
+    # because exactly one action reads the plan. The returned per-doc
+    # reduction then depends on no hidden cache (persist-lifecycle
+    # policy) and broadcasts a local relation.
+    wall = W.partitionBy()
+    lam_plan = stats.select(
+        "bucket",
+        _millibits(
+            F.log2((F.col("tgt_c") + F.lit(1))
+                   / (F.sum("tgt_c").over(wall) + F.lit(n_buckets))
+                   .cast("double"))
+            - F.log2((F.col("raw_c") + F.lit(1))
+                     / (F.sum("raw_c").over(wall) + F.lit(n_buckets))
+                     .cast("double"))
+        ).alias("lam_mb"),
+    )
+    lam_rows = lam_plan.collect()
+    lam = df.sparkSession.createDataFrame(lam_rows, lam_plan.schema)
     return (
         toks.join(F.broadcast(lam), "bucket")
         .groupBy(id_col)
@@ -491,8 +502,9 @@ def quota_select(
     (doc_id, source, n_tokens, mean_cost_millibits).
     """
     src = df.select(F.col(id_col), F.col(group_col))
-    base = unigram_lm_score(df, text_col=text_col, id_col=id_col)
-    scores = (base
+    # unigram_lm_score is lazy/cache-free; THIS persist covers the
+    # repeated reads below (histogram, clear filter, tie window)
+    scores = (unigram_lm_score(df, text_col=text_col, id_col=id_col)
               .join(src, id_col)
               .select(id_col, group_col, "n_tokens",
                       F.col("mean_cost_millibits").alias("mc"))
@@ -531,7 +543,6 @@ def quota_select(
         return _materialize_and_release(out, [])
     finally:
         scores.unpersist()
-        base.unpersist()   # the cached frame unigram_lm_score handed us
 
 
 def corpus_shuffle(
