@@ -274,3 +274,65 @@ def test_centroid_affinity_zero_exchange(spark):
     df = QUERIES["107_centroid_affinity"](spark, SF)
     plan = _plan(df)
     assert "Exchange" not in plan
+
+
+def test_fuzzy_pairs_self_join_never_broadcasts(spark):
+    """r5 contract: the block self-join side is the whole corpus (id +
+    text) and must shuffle on the block key, never broadcast — at mid
+    sizes Catalyst's size estimate still cleared the 64 MiB threshold
+    and the BroadcastHashJoin probe ran 2-3x slower than merge join
+    (and a corpus broadcast cannot exist at 100 TB)."""
+    df = QUERIES["111_fuzzy_pairs"](spark, SF)
+    plan = _plan(df)
+    assert "SortMergeJoin" in plan
+    # the only allowed broadcast is the tiny block-size table
+    import re
+    bhj = re.findall(r"BroadcastHashJoin \[(\w+)#", plan)
+    assert all(k == "_bk" for k in bhj), bhj
+
+
+def test_simhash_signatures_are_jvm_side(spark):
+    """r5 contract: no Python evaluation anywhere in the simhash plan —
+    the signature is explode + built-in md5 hash + 64 integer bit-sums
+    (the pandas_udf per-token loop was 90% of the query's cost)."""
+    from tantalus_spark.datapipe.dedup import simhash_signatures
+
+    docs = spark.read.parquet(f"{SF}/documents.parquet")
+    plan = _plan(simhash_signatures(docs, hash_hex_chars=15))
+    assert "EvalPython" not in plan     # no BatchEvalPython/ArrowEvalPython
+    assert "HashAggregate" in plan
+
+
+def test_hyperplane_lsh_coeffs_are_literal_folded(spark):
+    """r5 contract: the q69 bucket projection contains NO higher-order
+    aggregate/zip_with and NO per-row md5 — coefficients are evaluated
+    once driver-side and folded in as literals; the dot is a codegen'd
+    element_at chain."""
+    from tantalus_spark.datapipe import similarity as sim
+    from pyspark.sql import functions as F
+
+    emb = spark.read.parquet(f"{SF}/embeddings.parquet")
+
+    def coeff(i, s):
+        h = F.conv(
+            F.substring(F.md5(F.concat_ws("_", F.lit(str(s)),
+                                          i.cast("string"))), 1, 15),
+            16, 10).cast("long")
+        return (F.pmod(h, F.lit(2001)) - 1000) / 1000.0
+
+    coeffs = sim._eval_coeff_literals(spark, coeff, range(2), 4)
+    assert set(coeffs) == {0, 1} and len(coeffs[0]) == 4
+    dot = sim._dot_literal(F.col("embedding"), coeffs[0])
+    plan = _plan(emb.select(dot.alias("d")))
+    assert "aggregate(" not in plan and "zip_with" not in plan
+    assert "md5" not in plan
+
+
+def test_trained_ann_serves_from_materialized_index(spark):
+    """r5 contract: q75's serving scan reads the cached (id, ivf_list,
+    pq_code) index — InMemoryRelation in the plan — rather than pushing
+    the nprobe filter back into the interpreted assignment expression."""
+    df = QUERIES["75_ann_trained"](spark, SF)
+    plan = _plan(df)
+    assert "InMemory" in plan
+    df.unpersist()
