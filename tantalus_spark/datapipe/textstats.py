@@ -921,6 +921,134 @@ def length_outliers(
     )
 
 
+# The Gopher rules' stop-word list (Rae et al. 2021, A1.1): a document
+# must contain at least 2 of these to pass the "stop word" rule.
+GOPHER_STOP_WORDS: tuple[str, ...] = (
+    "the", "be", "to", "of", "and", "that", "have", "with")
+
+
+def gopher_rules(
+    df: DataFrame,
+    min_words: int = 50,
+    max_words: int = 100_000,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """The Gopher quality-filter rule set (Rae et al., "Scaling Language
+    Models: ... Gopher", 2021, Appendix A1.1) as ONE codegen'd
+    projection — the canonical heuristic gate web pipelines run before
+    any model-based scoring:
+
+    * 50 <= word count <= 100,000
+    * mean word length in [3, 10]
+    * symbol-to-word ratio (``#`` or ``...``/ellipsis) <= 0.1
+    * < 90% of lines start with a bullet; < 30% end with an ellipsis
+    * >= 80% of words contain at least one alphabetic character
+    * at least 2 distinct hits from the 8-word stop-word list
+
+    Returns every rule's measurement plus the conjunction ``keep`` so a
+    pipeline can both filter and audit which rule fired. All
+    expressions are engine-portable (``(?m)`` multiline anchors work
+    identically in Java regex and RE2; the mean word length divides two
+    integer counts) — full DuckDB oracle. One scan, zero shuffles at
+    any corpus size."""
+    df = spread_small_scan(df)
+    text = F.col(text_col)
+    words = F.filter(tokens(text), lambda x: x != "")
+    n_words = F.size(words)
+    n_lines = F.size(F.split(text, "\n"))
+    # mean word length = non-whitespace chars / words (integer counts)
+    nonspace = F.length(F.regexp_replace(text, r"\s", ""))
+    mean_wl = nonspace / n_words
+    n_hash = F.length(text) - F.length(F.regexp_replace(text, "#", ""))
+    n_ellipsis = F.regexp_count(text, F.lit(r"(\.\.\.|…)"))
+    symbol_ratio = (n_hash + n_ellipsis) / n_words
+    bullet_ratio = (F.regexp_count(text, F.lit(r"(?m)^\s*[-•]"))
+                    / n_lines)
+    ell_end_ratio = (F.regexp_count(text, F.lit(r"(?m)(\.\.\.|…)$"))
+                     / n_lines)
+    alpha_words = F.size(F.filter(words, lambda x: x.rlike("[A-Za-z]")))
+    alpha_ratio = alpha_words / n_words
+    low = F.lower(text)
+    stop_hits = None
+    for wrd in GOPHER_STOP_WORDS:
+        hit = F.array_contains(
+            F.filter(tokens(low), lambda x: x != ""), wrd).cast("int")
+        stop_hits = hit if stop_hits is None else stop_hits + hit
+    keep = (
+        (n_words >= F.lit(min_words)) & (n_words <= F.lit(max_words))
+        & (mean_wl >= 3) & (mean_wl <= 10)
+        & (symbol_ratio <= 0.1)
+        & (bullet_ratio < 0.9) & (ell_end_ratio < 0.3)
+        & (alpha_ratio >= 0.8)
+        & (stop_hits >= 2)
+    )
+    return df.select(
+        F.col(id_col),
+        n_words.alias("n_words"),
+        F.round(mean_wl, 4).alias("mean_word_len"),
+        F.round(symbol_ratio, 4).alias("symbol_ratio"),
+        F.round(bullet_ratio, 4).alias("bullet_line_ratio"),
+        F.round(ell_end_ratio, 4).alias("ellipsis_line_ratio"),
+        F.round(alpha_ratio, 4).alias("alpha_word_ratio"),
+        stop_hits.alias("n_stop_words"),
+        keep.alias("keep"),
+    )
+
+
+def c4_filters(
+    df: DataFrame,
+    min_sentences: int = 3,
+    min_line_words: int = 3,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """The C4 cleaning rules (Raffel et al., "Exploring the Limits of
+    Transfer Learning with a Unified Text-to-Text Transformer", 2020,
+    §2.2) — line filtering + document gates, one projection:
+
+    * keep only lines that end in a terminal punctuation mark
+      (``.``, ``!``, ``?``, ``"``) and have >= 3 words; drop lines
+      containing "javascript" (case-insensitive)
+    * drop documents containing ``{`` (code), "lorem ipsum", or fewer
+      than ``min_sentences`` sentences after line filtering (the
+      published pipeline also applies a word blocklist — a caller
+      supplies that as a further filter; it is not embedded here)
+
+    Returns (id, n_lines, n_kept_lines, n_sentences, has_brace,
+    has_lorem, keep, clean_text) — the cleaned text is the kept lines
+    rejoined, what the next pipeline stage consumes. Higher-order
+    filter/transform run ONCE per row (single reference — the
+    interpreted-HOF rule), everything else is codegen; regexes are
+    RE2-parity so the gate has a full DuckDB oracle."""
+    df = spread_small_scan(df)
+    text = F.col(text_col)
+    lines = F.split(text, "\n")
+    line_ok = lambda ln: (  # noqa: E731
+        ln.rlike('[.!?"]\\s*$')
+        & (F.size(F.filter(F.split(F.trim(ln), r"\s+"),
+                           lambda x: x != "")) >= min_line_words)
+        & ~F.lower(ln).contains("javascript")
+    )
+    kept = F.filter(lines, line_ok)
+    clean = F.array_join(kept, "\n")
+    n_sent = F.regexp_count(clean, F.lit(r"[.!?]"))
+    has_brace = text.contains("{")
+    has_lorem = F.lower(text).contains("lorem ipsum")
+    keep = ((n_sent >= F.lit(min_sentences))
+            & ~has_brace & ~has_lorem & (F.size(kept) > 0))
+    return df.select(
+        F.col(id_col),
+        F.size(lines).alias("n_lines"),
+        F.size(kept).alias("n_kept_lines"),
+        n_sent.alias("n_sentences"),
+        has_brace.alias("has_brace"),
+        has_lorem.alias("has_lorem"),
+        keep.alias("keep"),
+        clean.alias("clean_text"),
+    )
+
+
 # Encoding-noise patterns, RE2-parity like PII_PATTERNS: character
 # classes only, no lookaround — identical in Java regex and RE2/DuckDB.
 ENCODING_NOISE_PATTERNS: dict[str, str] = {

@@ -1638,6 +1638,30 @@ def q116_encoding_noise(spark, sf_dir):
     return encoding_noise(docs)
 
 
+def q117_gopher_rules(spark, sf_dir):
+    """Gopher quality-filter rule set (Rae et al. 2021, A1.1): word
+    count / mean word length / symbol ratio / bullet+ellipsis line
+    ratios / alpha-word ratio / stop-word hits, plus the conjunction
+    keep — the canonical heuristic gate before model-based scoring.
+    One codegen'd projection, RE2-parity regexes, full oracle."""
+    from tantalus_spark.datapipe.textstats import gopher_rules
+
+    docs = db_for(spark, sf_dir).table("documents")
+    return gopher_rules(docs)
+
+
+def q118_c4_filters(spark, sf_dir):
+    """C4 cleaning rules (Raffel et al. 2020, §2.2): terminal-
+    punctuation line filter (>=3 words, no 'javascript'), document
+    gates (brace / 'lorem ipsum' / >=3 sentences), and the cleaned
+    rejoined text the next stage consumes. Single projection; the
+    line-filter HOF is evaluated once per row; full oracle."""
+    from tantalus_spark.datapipe.textstats import c4_filters
+
+    docs = db_for(spark, sf_dir).table("documents")
+    return c4_filters(docs)
+
+
 _ALL_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     name[1:]: fn
     for name, fn in list(globals().items())
@@ -1720,6 +1744,8 @@ _QUERY_ORDER = [
     "99_corpus_shuffle", "100_bpe_merges", "102_bpe_encode",
     "103_temperature_mix", "104_bigram_lm", "105_gate_attribution",
     "107_centroid_affinity", "112_length_outliers", "114_source_overlap",
+    # r5 additions: published-filter parity operators
+    "117_gopher_rules", "118_c4_filters",
 ]
 
 QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
@@ -3680,3 +3706,84 @@ def _bpe_encode_oracle(merges: list[tuple[str, str]]) -> str:
 
 
 ORACLES["102_bpe_encode"] = _bpe_encode_oracle(FIXED_BPE_MERGES)
+
+ORACLES["117_gopher_rules"] = """
+    WITH base AS (
+      SELECT doc_id, text,
+             list_filter(string_split_regex(trim(text), '\\s+'),
+                         x -> x <> '') AS words,
+             list_filter(string_split_regex(trim(lower(text)), '\\s+'),
+                         x -> x <> '') AS lwords,
+             string_split(text, chr(10)) AS lines
+      FROM documents),
+    m AS (
+      SELECT doc_id,
+        len(words) AS n_words,
+        length(regexp_replace(text, '\\s', '', 'g')) * 1.0 / len(words)
+          AS mean_wl,
+        (length(text) - length(replace(text, '#', ''))
+         + len(regexp_extract_all(text, '(\\.\\.\\.|…)'))) * 1.0
+          / len(words) AS symbol_ratio,
+        len(regexp_extract_all(text, '(?m)^\\s*[-•]')) * 1.0
+          / len(lines) AS bullet_ratio,
+        len(regexp_extract_all(text, '(?m)(\\.\\.\\.|…)$')) * 1.0
+          / len(lines) AS ell_end_ratio,
+        len(list_filter(words, x -> regexp_matches(x, '[A-Za-z]'))) * 1.0
+          / len(words) AS alpha_ratio,
+        (list_contains(lwords, 'the')::INT
+         + list_contains(lwords, 'be')::INT
+         + list_contains(lwords, 'to')::INT
+         + list_contains(lwords, 'of')::INT
+         + list_contains(lwords, 'and')::INT
+         + list_contains(lwords, 'that')::INT
+         + list_contains(lwords, 'have')::INT
+         + list_contains(lwords, 'with')::INT) AS stop_hits
+      FROM base)
+    SELECT doc_id,
+           CAST(n_words AS INTEGER) AS n_words,
+           round(mean_wl, 4) AS mean_word_len,
+           round(symbol_ratio, 4) AS symbol_ratio,
+           round(bullet_ratio, 4) AS bullet_line_ratio,
+           round(ell_end_ratio, 4) AS ellipsis_line_ratio,
+           round(alpha_ratio, 4) AS alpha_word_ratio,
+           CAST(stop_hits AS INTEGER) AS n_stop_words,
+           (n_words >= 50 AND n_words <= 100000
+            AND mean_wl >= 3 AND mean_wl <= 10
+            AND symbol_ratio <= 0.1
+            AND bullet_ratio < 0.9 AND ell_end_ratio < 0.3
+            AND alpha_ratio >= 0.8
+            AND stop_hits >= 2) AS keep
+    FROM m
+"""
+
+ORACLES["118_c4_filters"] = """
+    WITH base AS (
+      SELECT doc_id, text, string_split(text, chr(10)) AS lines
+      FROM documents),
+    k AS (
+      SELECT doc_id, text, lines,
+             list_filter(lines, ln ->
+               regexp_matches(ln, '[.!?"]\\s*$')
+               AND len(list_filter(
+                     string_split_regex(trim(ln), '\\s+'),
+                     x -> x <> '')) >= 3
+               AND NOT contains(lower(ln), 'javascript')) AS kept
+      FROM base),
+    j AS (
+      -- DuckDB array_to_string([]) is NULL where Spark array_join is ''
+      SELECT *, coalesce(array_to_string(kept, chr(10)), '') AS cl
+      FROM k)
+    SELECT doc_id,
+           CAST(len(lines) AS INTEGER) AS n_lines,
+           CAST(len(kept) AS INTEGER) AS n_kept_lines,
+           CAST(len(regexp_extract_all(cl, '[.!?]')) AS INTEGER)
+             AS n_sentences,
+           contains(text, '{') AS has_brace,
+           contains(lower(text), 'lorem ipsum') AS has_lorem,
+           (len(regexp_extract_all(cl, '[.!?]')) >= 3
+            AND NOT contains(text, '{')
+            AND NOT contains(lower(text), 'lorem ipsum')
+            AND len(kept) > 0) AS keep,
+           cl AS clean_text
+    FROM j
+"""

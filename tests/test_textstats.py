@@ -654,3 +654,61 @@ def test_encoding_noise_planted(spark):
     # genuine non-ASCII text is NOT flagged — accents are language,
     # not extraction bugs
     assert not out[5]["is_noisy"] and out[5]["n_non_ascii"] > 0
+
+
+def test_gopher_rules_each_rule_fires(spark):
+    """One crafted doc per Gopher rule (Rae et al. 2021 A1.1) that
+    fails exactly that rule, plus one passing doc."""
+    from tantalus_spark.datapipe.textstats import gopher_rules
+
+    good = ("the quick brown fox jumps over the lazy dog and then "
+            "rests with some friends that have come to visit be of "
+            "good cheer ") * 5                     # ~60 clean words
+    rows = [
+        (1, good),
+        (2, "the of and short"),                   # too few words
+        (3, " ".join(["a"] * 60) + " the of"),     # mean word len < 3
+        (4, good + " " + "# " * 20),               # symbol ratio > 0.1
+        (5, "\n".join(["- " + good[:40]] * 10)),   # 100% bullet lines
+        (6, " ".join(["12345"] * 60) + " the of"), # alpha ratio < 0.8
+        (7, " ".join(["zq" + str(i) for i in range(60)])),  # no stop words
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    out = {r["doc_id"]: r for r in gopher_rules(df).collect()}
+    assert out[1]["keep"] is True
+    for d in (2, 3, 4, 5, 6, 7):
+        assert out[d]["keep"] is False, d
+    assert out[2]["n_words"] < 50
+    assert out[3]["mean_word_len"] < 3
+    assert out[4]["symbol_ratio"] > 0.1
+    assert out[5]["bullet_line_ratio"] >= 0.9
+    assert out[6]["alpha_word_ratio"] < 0.8
+    assert out[7]["n_stop_words"] < 2
+
+
+def test_c4_filters_line_and_doc_gates(spark):
+    """C4 (Raffel et al. 2020 sec 2.2): line keep/drop decisions and the
+    brace / lorem-ipsum / sentence-count document gates."""
+    from tantalus_spark.datapipe.textstats import c4_filters
+
+    rows = [
+        (1, "This is a sentence.\nAnother good line here!\n"
+            "Is this kept too?\nno punct line\nshort.\n"
+            "Enable javascript to view this."),
+        (2, "function f() { return 1; } This is prose."),   # brace
+        (3, "Lorem ipsum dolor sit amet consectetur."),      # lorem
+        (4, "One sentence only here."),                      # < 3 sentences
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    out = {r["doc_id"]: r for r in c4_filters(df).collect()}
+    r1 = out[1]
+    assert r1["n_lines"] == 6
+    # kept: the 3 punctuated >=3-word lines; dropped: no-punct, 1-word,
+    # and the javascript line
+    assert r1["n_kept_lines"] == 3
+    assert r1["keep"] is True
+    assert "javascript" not in r1["clean_text"]
+    assert "no punct line" not in r1["clean_text"]
+    assert out[2]["has_brace"] is True and out[2]["keep"] is False
+    assert out[3]["has_lorem"] is True and out[3]["keep"] is False
+    assert out[4]["n_sentences"] < 3 and out[4]["keep"] is False
