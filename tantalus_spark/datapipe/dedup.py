@@ -13,14 +13,12 @@ Scale design (the 100 TB story):
   (xxhash64 with per-permutation seeds — JVM-side, no UDF), banded into
   ``bands``; candidate pairs only join within a band bucket, so the shuffle
   volume is O(docs × bands), independent of pair count.
-- **simhash**: 64-bit signatures via a vectorized Arrow pandas_udf (numpy
-  bit-bucketing), then candidate pairs by hamming distance on bucketed
-  prefixes.
+- **simhash**: 64-bit signatures entirely JVM-side (explode → built-in
+  md5 token hash → 64 integer bit-sums per doc, whole-stage codegen),
+  then candidate pairs by pigeonhole chunk equality + exact popcount.
 """
 
 from __future__ import annotations
-
-import pandas as pd
 
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F

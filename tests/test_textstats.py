@@ -712,3 +712,28 @@ def test_c4_filters_line_and_doc_gates(spark):
     assert out[2]["has_brace"] is True and out[2]["keep"] is False
     assert out[3]["has_lorem"] is True and out[3]["keep"] is False
     assert out[4]["n_sentences"] < 3 and out[4]["keep"] is False
+
+
+def test_filter_rules_stream_matches_batch(spark, tmp_path):
+    """gopher_rules and c4_filters are stateless projections, so they
+    must run unchanged on a stream and emit exactly the batch rows —
+    the streaming-twin guarantee for the published-filter gates."""
+    from tantalus_spark.datapipe.textstats import c4_filters, gopher_rules
+
+    rows = [(i, ("the quick brown fox jumps over the lazy dog and that "
+                 "should be of help with everything here. ") * (1 + i % 3))
+            for i in range(8)]
+    schema = "doc_id long, text string"
+    src = str(tmp_path / "src")
+    batch = spark.createDataFrame(rows, schema)
+    batch.repartition(2).write.parquet(src)
+    stream = (spark.readStream.format("parquet").schema(schema)
+              .option("maxFilesPerTrigger", 1).load(src))
+    for name, op in (("gopher_stream", gopher_rules),
+                     ("c4_stream", c4_filters)):
+        q = (op(stream).writeStream.format("memory").queryName(name)
+             .trigger(availableNow=True).start())
+        q.awaitTermination(120)
+        got = {tuple(r) for r in spark.table(name).collect()}
+        want = {tuple(r) for r in op(batch).collect()}
+        assert got == want, name
