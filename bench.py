@@ -86,6 +86,12 @@ def _bench_53_winnowing(spark, sf_dir):
     )
 
 
+def _bench_46_simhash(spark, sf_dir):
+    docs = db_for(spark, sf_dir).table("documents")
+    return dedup.simhash_near_pairs(docs, max_hamming=3,
+                                    hash_family="xxhash64")
+
+
 def _bench_98_dsir_weights(spark, sf_dir):
     from tantalus_spark.datapipe.scoring import dsir_weights
 
@@ -97,6 +103,7 @@ def _bench_98_dsir_weights(spark, sf_dir):
 
 PRODUCTION_VARIANTS = {
     "45_minhash_lsh": _bench_45_minhash_lsh,
+    "46_simhash": _bench_46_simhash,
     "53_winnowing": _bench_53_winnowing,
     "98_dsir_weights": _bench_98_dsir_weights,
 }

@@ -427,7 +427,8 @@ def dup_clusters(df: DataFrame, threshold: float = 0.2, n: int = 3,
 
 def simhash_signatures(df: DataFrame, text_col: str = "text",
                        id_col: str = "doc_id",
-                       hash_hex_chars: int = 16) -> DataFrame:
+                       hash_hex_chars: int = 16,
+                       hash_family: str = "md5") -> DataFrame:
     """64-bit SimHash per document — entirely JVM-side expressions.
 
     The shape is the oracle's own: explode tokens, hash each with
@@ -441,26 +442,33 @@ def simhash_signatures(df: DataFrame, text_col: str = "text",
     is whole-stage-codegen with map-side partial aggregation (64 longs
     per doc shuffle, not text).
 
-    ``hash_hex_chars`` is how many leading md5 hex chars feed the token
-    hash: 16 (default) is the full first-8-bytes 64-bit hash (rebuilt
-    from two 8-hex halves via shiftleft — ``conv`` of 16 chars would
-    overflow signed BIGINT); 15 gives a 60-bit hash that a single
-    ``conv`` expresses in any SQL engine, making the whole signature
-    bit-reproducible in the DuckDB oracle (signature bits 60–63 are
-    then always 0 — a 60-bit simhash, still exact-recall under the
-    pigeonhole chunking in :func:`simhash_near_pairs`).
+    ``hash_family="md5"`` (default, the gated family): ``hash_hex_chars``
+    is how many leading md5 hex chars feed the token hash — 16 is the
+    full first-8-bytes 64-bit hash (rebuilt from two 8-hex halves via
+    shiftleft — ``conv`` of 16 chars would overflow signed BIGINT);
+    15 gives a 60-bit hash that a single ``conv`` expresses in any SQL
+    engine, making the whole signature bit-reproducible in the DuckDB
+    oracle (signature bits 60–63 are then always 0 — a 60-bit simhash,
+    still exact-recall under the pigeonhole chunking in
+    :func:`simhash_near_pairs`). ``hash_family="xxhash64"`` is the
+    production default a user runs: one native JVM hash per token, no
+    hex round-trip — same operator semantics, different (still
+    deterministic) signature values; bench.py times this family.
     """
     if not 1 <= hash_hex_chars <= 16:
         raise ValueError(f"hash_hex_chars must be in [1, 16], got {hash_hex_chars}")
     nhex = hash_hex_chars
 
-    md5 = F.md5(F.col("term"))
-    if nhex <= 15:
-        h = F.conv(F.substring(md5, 1, nhex), 16, 10).cast("long")
+    if hash_family == "xxhash64":
+        h = F.xxhash64(F.col("term"))
     else:
-        hi = F.conv(F.substring(md5, 1, 8), 16, 10).cast("long")
-        lo = F.conv(F.substring(md5, 9, 8), 16, 10).cast("long")
-        h = F.shiftleft(hi, 32).bitwiseOR(lo)
+        md5 = F.md5(F.col("term"))
+        if nhex <= 15:
+            h = F.conv(F.substring(md5, 1, nhex), 16, 10).cast("long")
+        else:
+            hi = F.conv(F.substring(md5, 1, 8), 16, 10).cast("long")
+            lo = F.conv(F.substring(md5, 9, 8), 16, 10).cast("long")
+            h = F.shiftleft(hi, 32).bitwiseOR(lo)
 
     # null-text docs drop here: the SQL oracle's UNNEST(tokens) emits no
     # rows for NULL, so they have no signature on either side.
@@ -489,7 +497,8 @@ def simhash_signatures(df: DataFrame, text_col: str = "text",
 
 def simhash_near_pairs(df: DataFrame, max_hamming: int = 3,
                        text_col: str = "text", id_col: str = "doc_id",
-                       hash_hex_chars: int = 16) -> DataFrame:
+                       hash_hex_chars: int = 16,
+                       hash_family: str = "md5") -> DataFrame:
     """ALL pairs whose SimHash hamming distance <= max_hamming (full recall).
 
     Candidate generation splits the 64-bit signature into ``max_hamming + 1``
@@ -520,7 +529,8 @@ def simhash_near_pairs(df: DataFrame, max_hamming: int = 3,
 
     chunks = [chunk_expr(c).alias(f"c{c}") for c in range(n_chunks)]
     sig = simhash_signatures(df, text_col=text_col, id_col=id_col,
-                             hash_hex_chars=hash_hex_chars)
+                             hash_hex_chars=hash_hex_chars,
+                             hash_family=hash_family)
     banded = sig.select(F.col(id_col), F.col("simhash"), *chunks)
     pieces = banded.select(
         F.col(id_col), F.col("simhash"),
@@ -530,8 +540,12 @@ def simhash_near_pairs(df: DataFrame, max_hamming: int = 3,
         ])).alias("b"),
     ).select(id_col, "simhash", "b.chunk", "b.val")
     # merge-hint: the self-join side is corpus-sized (docs × chunks) and
-    # must never broadcast — same mid-size BHJ cliff as fuzzy_pairs
-    pieces = pieces.hint("merge")
+    # must never broadcast — same mid-size BHJ cliff as fuzzy_pairs.
+    # persist it too: BOTH join sides read it, and without the cache the
+    # 64-bit-sum signature aggregation runs twice (measured as ~half the
+    # query); released once the pair set is materialized (the q45
+    # posting-list pattern).
+    pieces = pieces.hint("merge").persist()
     a, b = pieces.alias("a"), pieces.alias("b")
     cand = (
         a.join(b, (F.col("a.chunk") == F.col("b.chunk"))
@@ -544,11 +558,12 @@ def simhash_near_pairs(df: DataFrame, max_hamming: int = 3,
         .dropDuplicates(["d1", "d2"])
     )
     hamming = F.bit_count(F.col("s1").bitwiseXOR(F.col("s2")))
-    return (
+    out = (
         cand.withColumn("hamming", hamming)
         .filter(F.col("hamming") <= max_hamming)
         .select("d1", "d2", "hamming")
     )
+    return _materialize_and_release(out, [pieces])
 
 
 def decontaminate(

@@ -737,3 +737,22 @@ def test_filter_rules_stream_matches_batch(spark, tmp_path):
         got = {tuple(r) for r in spark.table(name).collect()}
         want = {tuple(r) for r in op(batch).collect()}
         assert got == want, name
+
+
+def test_simhash_production_family_detects_exact_dups(spark):
+    """The xxhash64 production family (bench path) must share the md5
+    family's detection semantics: identical texts collide at hamming 0
+    and unrelated texts do not, for both families."""
+    from tantalus_spark.datapipe import dedup
+
+    rows = [
+        (1, "the quick brown fox jumps over the lazy dog tonight"),
+        (2, "the quick brown fox jumps over the lazy dog tonight"),
+        (3, "completely different content about catalyst optimizer"),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    for fam in ("md5", "xxhash64"):
+        got = {(r["d1"], r["d2"])
+               for r in dedup.simhash_near_pairs(
+                   df, max_hamming=0, hash_family=fam).collect()}
+        assert got == {(1, 2)}, fam
