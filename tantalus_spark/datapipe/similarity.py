@@ -958,3 +958,83 @@ def train_quantized_centroid(
     if not rows:
         raise ValueError("target slice is empty: no centroid to score against")
     return [int(r["cv"]) for r in rows]
+
+
+def sq8_train_stats(
+    df: DataFrame,
+    vec_col: str = "embedding",
+) -> list[tuple[float, float]]:
+    """Offline SQ8 training: per-dimension (min, max) over the corpus
+    (FAISS ScalarQuantizer QT_8bit shape, Jegou et al. infra). One
+    posexplode + a dim-keyed aggregate whose result is O(d) driver
+    state — the IVF-centroid / train_quantized_centroid precedent.
+    float32 min/max are exact, so the returned Python doubles are
+    bit-identical to what any engine derives from the same column."""
+    rows = (df.filter(F.col(vec_col).isNotNull())
+              .select(F.posexplode(vec_col).alias("pos", "v"))
+              .groupBy("pos")
+              .agg(F.min("v").alias("lo"), F.max("v").alias("hi"))
+              .orderBy("pos").collect())
+    return [(float(r["lo"]), float(r["hi"])) for r in rows]
+
+
+def sq8_reconstruction(
+    df: DataFrame,
+    stats: list[tuple[float, float]],
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """SQ8-encode each vector against frozen per-dim (min, max) stats
+    and report exact reconstruction-error diagnostics — the
+    compression-loss audit run before swapping an ANN index from
+    float32 to int8 codes (4x memory, same recall question).
+
+    Per dim i: ``code = clamp(floor((x-lo)/(hi-lo)*255 + 0.5), 0, 255)``
+    and ``recon = lo + code*(hi-lo)/255``. The per-row outputs are
+    ORDER-FREE exact integers (the scoring.py integer-millibit trick):
+    ``code_sum`` is the plain code checksum, ``err2_pico`` sums
+    ``floor(err^2 * 1e12 + 0.5)`` per dim, and ``rmse_micro`` derives
+    from that single exact integer — so the gate hash cannot drift on
+    float summation order, and DuckDB replays it bit-identically.
+
+    Scale: stats are literals folded into one codegen'd projection
+    (the _dot_literal / hyperplane-coefficient precedent — no
+    interpreted HOF in the hot path, no second shuffle, no join);
+    the scan streams map-only at any corpus size.
+    """
+    d = len(stats)
+    vec = F.col(vec_col)
+    x_of = {}
+    code_of = {}
+    code_sum = F.lit(0).cast("long")
+    err_sum = F.lit(0).cast("long")
+    for i, (lo, hi) in enumerate(stats, start=1):
+        x = F.element_at(vec, i).cast("double")
+        scale = hi - lo
+        if scale == 0.0:
+            code = F.lit(0).cast("long")
+            recon = F.lit(lo)
+        else:
+            t = (x - F.lit(lo)) / F.lit(scale) * F.lit(255.0)
+            code = F.least(
+                F.greatest(F.floor(t + F.lit(0.5)), F.lit(0).cast("long")),
+                F.lit(255).cast("long"))
+            recon = F.lit(lo) + code.cast("double") * F.lit(scale) / F.lit(255.0)
+        err = x - recon
+        err2n = F.floor(err * err * F.lit(1e12) + F.lit(0.5)).cast("long")
+        x_of[i], code_of[i] = x, code
+        code_sum = code_sum + code
+        err_sum = err_sum + err2n
+    return (
+        df.filter(F.col(vec_col).isNotNull())
+          .filter(F.size(vec) == d)  # affinity_expr dimension-guard rule
+          .select(
+              F.col(id_col),
+              code_sum.alias("code_sum"),
+              err_sum.alias("err2_pico"),
+              F.floor(
+                  F.sqrt(err_sum.cast("double") / F.lit(1e12) / F.lit(float(d)))
+                  * F.lit(1e6) + F.lit(0.5)
+              ).cast("long").alias("rmse_micro"),
+          )
+    )

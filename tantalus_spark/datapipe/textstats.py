@@ -1089,3 +1089,142 @@ def encoding_noise(
     total = (F.col("n_mojibake") + F.col("n_replacement")
              + F.col("n_control"))
     return df.select(*cols).withColumn("is_noisy", total > 0)
+
+
+def zipf_fit(df: DataFrame, group_col: str = "source",
+             text_col: str = "text") -> DataFrame:
+    """Zipf-law fit per source: least-squares slope/intercept of
+    ln(count) against ln(rank) over the source's term-frequency table
+    (the head-heaviness diagnostic curation leads read next to
+    vocab_coverage — natural text sits near slope -1; templated or
+    machine-generated sources drift shallow).
+
+    The regression moments Σx, Σy, Σxy, Σx², Σy² are ORDER-FREE exact
+    integers: each per-term ln() value is scaled to micro-units and
+    floored BEFORE summation (the scoring.py integer-millibit trick),
+    so the fit is bit-identical in any engine regardless of aggregation
+    order. Closed-form slope/intercept/r² derive from those six exact
+    scalars per group.
+
+    Scale: one explode + a (source, term)-keyed aggregate (map-side
+    combined), a rank window over the VOCAB-sized frame (≪ corpus), and
+    a 6-column group aggregate — no corpus-wide sort, no driver state.
+    Micro-scaled moment sums stay < 2^53 up to ~1e8 types/source; the
+    group aggregate sums them as BIGINT (exact to 9.2e18)."""
+    tf = (
+        spread_small_scan(df)
+        .select(F.col(group_col),
+                F.explode(tokens(F.lower(F.col(text_col)))).alias("term"))
+        .groupBy(group_col, "term").agg(F.count(F.lit(1)).alias("cnt"))
+    )
+    w = W.partitionBy(group_col).orderBy(F.col("cnt").desc(),
+                                         F.col("term").asc())
+    micro = lambda c: F.floor(c * F.lit(1e6) + F.lit(0.5)).cast("long")
+    xy = (
+        tf.withColumn("rk", F.row_number().over(w))
+          .select(
+              group_col,
+              F.col("cnt"),
+              micro(F.log(F.col("rk").cast("double"))).alias("x"),
+              micro(F.log(F.col("cnt").cast("double"))).alias("y"),
+              micro(F.log(F.col("rk").cast("double"))
+                    * F.log(F.col("cnt").cast("double"))).alias("xy"),
+              micro(F.log(F.col("rk").cast("double"))
+                    * F.log(F.col("rk").cast("double"))).alias("xx"),
+              micro(F.log(F.col("cnt").cast("double"))
+                    * F.log(F.col("cnt").cast("double"))).alias("yy"),
+          )
+    )
+    g = xy.groupBy(group_col).agg(
+        F.count(F.lit(1)).alias("n_types"),
+        F.sum("cnt").alias("n_tokens"),
+        F.sum("x").alias("sx"), F.sum("y").alias("sy"),
+        F.sum("xy").alias("sxy"), F.sum("xx").alias("sxx"),
+        F.sum("yy").alias("syy"),
+    )
+    # descale to doubles from the exact integer moments; the arithmetic
+    # below is mirrored token-for-token in the DuckDB oracle
+    n = F.col("n_types").cast("double")
+    dx = F.col("sx").cast("double") / F.lit(1e6)
+    dy = F.col("sy").cast("double") / F.lit(1e6)
+    dxy = F.col("sxy").cast("double") / F.lit(1e6)
+    dxx = F.col("sxx").cast("double") / F.lit(1e6)
+    dyy = F.col("syy").cast("double") / F.lit(1e6)
+    num = n * dxy - dx * dy
+    den = n * dxx - dx * dx
+    deny = n * dyy - dy * dy
+    return g.select(
+        group_col,
+        F.col("n_types").cast("long").alias("n_types"),
+        F.col("n_tokens").cast("long").alias("n_tokens"),
+        F.round(num / den, 4).alias("zipf_slope"),
+        F.round((dy - num / den * dx) / n, 4).alias("zipf_intercept"),
+        F.round(num * num / (den * deny), 4).alias("r2"),
+    )
+
+
+def bm25_rank(
+    df: DataFrame,
+    query_terms: list[str],
+    k: int = 20,
+    k1: float = 1.2,
+    b: float = 0.75,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """BM25 ranked retrieval (Robertson-Spärck Jones probabilistic
+    model) for a literal query-term set — the relevance-ranked upgrade
+    of the reference's boolean free-text search
+    (search_util/tasks.py get_filter_results shape; SURVEY §2.7 F1).
+
+    ``score(D) = Σ_t idf(t) · tf·(k1+1) / (tf + k1·(1-b+b·dl/avgdl))``
+    with ``idf = ln(1 + (N-df+0.5)/(df+0.5))``. Per-(doc, term) scores
+    are scaled to exact nano-integers before the per-doc sum (order-free
+    cross-engine hashing), and the returned double descales from that
+    one exact BIGINT.
+
+    Scale: doc length and avgdl come from a single-pass projection +
+    one global aggregate (two scalars folded into the plan as literals
+    — no cross join); the exploded token stream is filtered to the
+    query terms IMMEDIATELY (a tiny sliver of the corpus survives the
+    only shuffle); df(t) is a |query|-row broadcast; the final top-k is
+    TakeOrderedAndProject, never a global sort."""
+    terms = sorted(set(t.lower() for t in query_terms))
+    base = spread_small_scan(df).select(
+        F.col(id_col),
+        F.size(tokens(F.lower(F.col(text_col)))).cast("long").alias("dl"),
+        F.explode(tokens(F.lower(F.col(text_col)))).alias("term"),
+    )
+    # N and avgdl: one bounded agg action, folded in as plan literals.
+    # dl_sum/n is an exact-int double division — engine-identical.
+    dl = spread_small_scan(df).select(
+        F.size(tokens(F.lower(F.col(text_col)))).cast("long").alias("dl"))
+    tot = dl.agg(F.count(F.lit(1)).alias("n"),
+                 F.sum("dl").alias("s")).first()
+    n_docs, avgdl = int(tot["n"]), float(tot["s"]) / float(tot["n"])
+    tf = (base.filter(F.col("term").isin(terms))
+              .groupBy(id_col, "term")
+              .agg(F.count(F.lit(1)).alias("tf"),
+                   F.first("dl").alias("dl")))
+    dfreq = tf.groupBy("term").agg(F.count(F.lit(1)).alias("df"))
+    idf = F.log(F.lit(1.0) + (F.lit(float(n_docs)) - F.col("df") + F.lit(0.5))
+                / (F.col("df") + F.lit(0.5)))
+    s = idf * (F.col("tf") * F.lit(k1 + 1.0)) / (
+        F.col("tf") + F.lit(k1) * (F.lit(1.0 - b)
+                                   + F.lit(b) * F.col("dl") / F.lit(avgdl)))
+    scored = (
+        tf.join(F.broadcast(dfreq), "term")
+          .select(F.col(id_col),
+                  F.floor(s * F.lit(1e9) + F.lit(0.5)).cast("long")
+                   .alias("s_nano"))
+          .groupBy(id_col)
+          .agg(F.sum("s_nano").alias("score_nano"),
+               F.count(F.lit(1)).cast("int").alias("n_terms_hit"))
+    )
+    return (
+        scored.orderBy(F.col("score_nano").desc(), F.col(id_col).asc())
+              .limit(k)
+              .select(id_col, "score_nano", "n_terms_hit",
+                      F.round(F.col("score_nano").cast("double") / F.lit(1e9),
+                              4).alias("bm25"))
+    )

@@ -1662,6 +1662,47 @@ def q118_c4_filters(spark, sf_dir):
     return c4_filters(docs)
 
 
+def q119_sq8_quantize(spark, sf_dir):
+    """SQ8 scalar quantization audit (FAISS ScalarQuantizer QT_8bit
+    shape): train per-dim (min,max) over the corpus — O(d) driver
+    state, the IVF-centroid precedent — then encode every vector as
+    int8 codes and report exact reconstruction-error diagnostics
+    (code checksum, summed pico-scaled squared error, micro-RMSE) from
+    one literal-folded codegen'd projection. The compression-loss gate
+    before an ANN index drops from float32 to int8."""
+    from tantalus_spark.datapipe.similarity import (
+        sq8_reconstruction, sq8_train_stats)
+
+    emb = db_for(spark, sf_dir).table("embeddings")
+    stats = sq8_train_stats(emb)
+    return sq8_reconstruction(emb, stats)
+
+
+def q120_zipf_fit(spark, sf_dir):
+    """Zipf-law fit per source: closed-form least-squares
+    slope/intercept/r² of ln(count) vs ln(rank) over each source's
+    term-frequency table, with all regression moments accumulated as
+    order-free exact micro-scaled integers (cross-engine bit parity).
+    The head-heaviness diagnostic next to vocab_coverage (q92)."""
+    from tantalus_spark.datapipe.textstats import zipf_fit
+
+    docs = db_for(spark, sf_dir).table("documents")
+    return zipf_fit(docs)
+
+
+def q121_bm25_rank(spark, sf_dir):
+    """BM25 ranked retrieval for a literal query-term set — the
+    relevance-ranked upgrade of the reference's boolean free-text
+    search (search_util/tasks.py get_filter_results; SURVEY §2.7 F1).
+    Exploded tokens are filtered to the query terms immediately, df is
+    a |query|-row broadcast, per-(doc,term) scores sum as exact
+    nano-integers, and the top-20 is TakeOrderedAndProject."""
+    from tantalus_spark.datapipe.textstats import bm25_rank
+
+    docs = db_for(spark, sf_dir).table("documents")
+    return bm25_rank(docs, ["hash", "join", "window", "vector"], k=20)
+
+
 _ALL_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     name[1:]: fn
     for name, fn in list(globals().items())
@@ -1746,6 +1787,8 @@ _QUERY_ORDER = [
     "107_centroid_affinity", "112_length_outliers", "114_source_overlap",
     # r5 additions: published-filter parity operators
     "117_gopher_rules", "118_c4_filters",
+    # r5 additions: SQ8 quantization audit, Zipf fit, BM25 retrieval
+    "119_sq8_quantize", "120_zipf_fit", "121_bm25_rank",
 ]
 
 QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
@@ -3786,4 +3829,136 @@ ORACLES["118_c4_filters"] = """
             AND len(kept) > 0) AS keep,
            cl AS clean_text
     FROM j
+"""
+
+# q119: engine folds the trained per-dim (min,max) in as literals; the
+# oracle re-derives the SAME stats from the same float32 column (min/max
+# are exact), so the int8 codes and pico-scaled integer error sums are
+# bit-identical. Expression order mirrors sq8_reconstruction
+# token-for-token; dim is fixed at 64 (the testdata embedding width,
+# enforced by the dimension-guard filter on both sides).
+ORACLES["119_sq8_quantize"] = """
+    WITH pos AS (
+      SELECT vec_id, generate_subscripts(embedding, 1) AS pos,
+             unnest(embedding) AS v
+      FROM embeddings
+      WHERE embedding IS NOT NULL AND len(embedding) = 64),
+    st AS (SELECT pos, min(v) AS lo, max(v) AS hi FROM pos GROUP BY pos),
+    enc AS (
+      SELECT p.vec_id,
+             CAST(p.v AS DOUBLE) AS x,
+             CAST(s.lo AS DOUBLE) AS lo,
+             CAST(s.hi AS DOUBLE) - CAST(s.lo AS DOUBLE) AS scale
+      FROM pos p JOIN st s USING (pos)),
+    cod AS (
+      SELECT vec_id, x, lo, scale,
+             CASE WHEN scale = 0 THEN 0
+                  ELSE least(greatest(CAST(floor(
+                         (x - lo) / scale * 255.0 + 0.5) AS BIGINT),
+                       0), 255) END AS code
+      FROM enc),
+    err AS (
+      SELECT vec_id, code,
+             x - (CASE WHEN scale = 0 THEN lo
+                       ELSE lo + CAST(code AS DOUBLE) * scale / 255.0
+                  END) AS e
+      FROM cod)
+    SELECT vec_id,
+           CAST(sum(code) AS BIGINT) AS code_sum,
+           CAST(sum(CAST(floor(e * e * 1e12 + 0.5) AS BIGINT))
+                AS BIGINT) AS err2_pico,
+           CAST(floor(sqrt(
+                  CAST(sum(CAST(floor(e * e * 1e12 + 0.5) AS BIGINT))
+                       AS DOUBLE) / 1e12 / 64.0) * 1e6 + 0.5)
+                AS BIGINT) AS rmse_micro
+    FROM err GROUP BY vec_id
+"""
+
+# q120: the regression moments are exact micro-scaled integers summed
+# order-free; the closed-form slope/intercept/r2 arithmetic mirrors
+# zipf_fit's descaled-double expression order token-for-token.
+ORACLES["120_zipf_fit"] = """
+    WITH toks AS (
+      SELECT source,
+             unnest(string_split_regex(trim(lower(text)), '\\s+')) AS term
+      FROM documents),
+    tf AS (SELECT source, term, count(*) AS cnt
+           FROM toks GROUP BY source, term),
+    rk AS (SELECT *, row_number() OVER (PARTITION BY source
+                ORDER BY cnt DESC, term ASC) AS rk FROM tf),
+    m AS (
+      SELECT source, cnt,
+        CAST(floor(ln(CAST(rk AS DOUBLE)) * 1e6 + 0.5) AS BIGINT) AS x,
+        CAST(floor(ln(CAST(cnt AS DOUBLE)) * 1e6 + 0.5) AS BIGINT) AS y,
+        CAST(floor(ln(CAST(rk AS DOUBLE)) * ln(CAST(cnt AS DOUBLE))
+                   * 1e6 + 0.5) AS BIGINT) AS xy,
+        CAST(floor(ln(CAST(rk AS DOUBLE)) * ln(CAST(rk AS DOUBLE))
+                   * 1e6 + 0.5) AS BIGINT) AS xx,
+        CAST(floor(ln(CAST(cnt AS DOUBLE)) * ln(CAST(cnt AS DOUBLE))
+                   * 1e6 + 0.5) AS BIGINT) AS yy
+      FROM rk),
+    g AS (
+      SELECT source,
+        CAST(count(*) AS BIGINT) AS n_types,
+        CAST(sum(cnt) AS BIGINT) AS n_tokens,
+        CAST(sum(x) AS BIGINT) AS sx, CAST(sum(y) AS BIGINT) AS sy,
+        CAST(sum(xy) AS BIGINT) AS sxy, CAST(sum(xx) AS BIGINT) AS sxx,
+        CAST(sum(yy) AS BIGINT) AS syy
+      FROM m GROUP BY source),
+    d AS (
+      SELECT source, n_types, n_tokens,
+             CAST(n_types AS DOUBLE) AS n,
+             CAST(sx AS DOUBLE) / 1e6 AS dx,
+             CAST(sy AS DOUBLE) / 1e6 AS dy,
+             CAST(sxy AS DOUBLE) / 1e6 AS dxy,
+             CAST(sxx AS DOUBLE) / 1e6 AS dxx,
+             CAST(syy AS DOUBLE) / 1e6 AS dyy
+      FROM g),
+    f AS (
+      SELECT source, n_types, n_tokens, n, dx, dy,
+             n * dxy - dx * dy AS num,
+             n * dxx - dx * dx AS den,
+             n * dyy - dy * dy AS deny
+      FROM d)
+    SELECT source, n_types, n_tokens,
+           round(num / den, 4) AS zipf_slope,
+           round((dy - num / den * dx) / n, 4) AS zipf_intercept,
+           round(num * num / (den * deny), 4) AS r2
+    FROM f
+"""
+
+# q121: k1=1.2, b=0.75 folded as literals (2.2 = k1+1, 0.25 = 1-b);
+# expression order mirrors bm25_rank token-for-token; per-(doc,term)
+# scores become exact nano-integers BEFORE the per-doc sum.
+ORACLES["121_bm25_rank"] = """
+    WITH base AS (
+      SELECT doc_id,
+             string_split_regex(trim(lower(text)), '\\s+') AS toks
+      FROM documents),
+    dl AS (SELECT doc_id, CAST(len(toks) AS BIGINT) AS dl FROM base),
+    tot AS (SELECT CAST(count(*) AS DOUBLE) AS n,
+                   CAST(sum(dl) AS DOUBLE) / CAST(count(*) AS DOUBLE)
+                     AS avgdl
+            FROM dl),
+    toks AS (SELECT doc_id, unnest(toks) AS term FROM base),
+    tf AS (SELECT doc_id, term, count(*) AS tf
+           FROM toks
+           WHERE term IN ('hash', 'join', 'window', 'vector')
+           GROUP BY doc_id, term),
+    dfq AS (SELECT term, count(*) AS df FROM tf GROUP BY term),
+    sc AS (
+      SELECT tf.doc_id,
+             CAST(floor(
+               ln(1.0 + (tot.n - dfq.df + 0.5) / (dfq.df + 0.5))
+               * (tf.tf * 2.2)
+               / (tf.tf + 1.2 * (0.25 + 0.75 * dl.dl / tot.avgdl))
+               * 1e9 + 0.5) AS BIGINT) AS s_nano
+      FROM tf JOIN dfq USING (term) JOIN dl USING (doc_id)
+      CROSS JOIN tot),
+    g AS (SELECT doc_id, CAST(sum(s_nano) AS BIGINT) AS score_nano,
+                 CAST(count(*) AS INTEGER) AS n_terms_hit
+          FROM sc GROUP BY doc_id)
+    SELECT doc_id, score_nano, n_terms_hit,
+           round(CAST(score_nano AS DOUBLE) / 1e9, 4) AS bm25
+    FROM g ORDER BY score_nano DESC, doc_id ASC LIMIT 20
 """

@@ -446,3 +446,39 @@ def test_affinity_score_stream_matches_batch(spark, tmp_path):
     want = {r["vec_id"]: r["affinity_q"]
             for r in centroid_affinity(batch, F.col("label") == 0).collect()}
     assert got == want and len(got) == 30
+
+
+def test_sq8_reconstruction_exact_integer_diagnostics(spark):
+    from tantalus_spark.datapipe.similarity import (
+        sq8_reconstruction, sq8_train_stats)
+
+    df = spark.createDataFrame(
+        [(1, [0.0, 0.0, 7.5]), (2, [1.0, 10.0, 7.5]),
+         (3, [0.5, 5.0, 7.5]), (4, None), (5, [1.0, 2.0])],
+        "vec_id long, embedding array<float>")
+    stats = sq8_train_stats(df)
+    assert stats == [(0.0, 1.0), (0.0, 10.0), (7.5, 7.5)]
+    out = {r["vec_id"]: r for r in
+           sq8_reconstruction(df, stats).collect()}
+    # null and ragged vectors are filtered by the dimension guard
+    assert set(out) == {1, 2, 3}
+    # exact endpoints: codes 0 and 255, zero reconstruction error;
+    # the constant dim (scale 0) contributes code 0 / error 0
+    assert out[1]["code_sum"] == 0 and out[1]["err2_pico"] == 0
+    assert out[2]["code_sum"] == 510 and out[2]["err2_pico"] == 0
+    assert out[1]["rmse_micro"] == 0 and out[2]["rmse_micro"] == 0
+    # interior point: Python mirror of the exact integer pipeline
+    import math
+    exp_code_sum, exp_err = 0, 0
+    for x, (lo, hi) in zip([0.5, 5.0, 7.5], stats):
+        scale = hi - lo
+        if scale == 0.0:
+            continue
+        code = min(max(math.floor((x - lo) / scale * 255.0 + 0.5), 0), 255)
+        e = x - (lo + code * scale / 255.0)
+        exp_code_sum += code
+        exp_err += math.floor(e * e * 1e12 + 0.5)
+    assert out[3]["code_sum"] == exp_code_sum
+    assert out[3]["err2_pico"] == exp_err
+    assert out[3]["rmse_micro"] == math.floor(
+        math.sqrt(exp_err / 1e12 / 3.0) * 1e6 + 0.5)

@@ -756,3 +756,54 @@ def test_simhash_production_family_detects_exact_dups(spark):
                for r in dedup.simhash_near_pairs(
                    df, max_hamming=0, hash_family=fam).collect()}
         assert got == {(1, 2)}, fam
+
+
+def test_zipf_fit_slope_near_minus_one_on_zipfian_counts(spark):
+    from tantalus_spark.datapipe.textstats import zipf_fit
+
+    # source "z": term_r repeated floor(240/r) times -> counts follow c/r
+    words = []
+    for r in range(1, 13):
+        words += [f"t{r:02d}"] * (240 // r)
+    # source "u": uniform counts -> flat curve, slope 0
+    uwords = [f"w{i}" for i in range(8)] * 5
+    df = spark.createDataFrame(
+        [(1, "z", " ".join(words)), (2, "u", " ".join(uwords))],
+        "doc_id long, source string, text string")
+    out = {r["source"]: r for r in zipf_fit(df).collect()}
+    z = out["z"]
+    assert z["n_types"] == 12 and z["n_tokens"] == sum(240 // r
+                                                      for r in range(1, 13))
+    assert -1.15 <= z["zipf_slope"] <= -0.85
+    assert z["r2"] > 0.95
+    u = out["u"]
+    assert u["zipf_slope"] == 0.0  # constant ln(cnt) -> zero covariance
+
+
+def test_bm25_rank_idf_and_length_normalization(spark):
+    from tantalus_spark.datapipe.textstats import bm25_rank
+
+    filler = " ".join(["filler"] * 40)
+    df = spark.createDataFrame(
+        [
+            (1, "apple apple apple pie"),            # dense, short
+            (2, f"apple {filler}"),                   # sparse, long
+            (3, f"banana {filler}"),                  # rare term, long
+            (4, filler),                              # no query terms
+            (5, "apple banana split"),                # both terms
+        ],
+        "doc_id long, text string")
+    out = bm25_rank(df, ["apple", "banana"], k=10)
+    rows = {r["doc_id"]: r for r in out.collect()}
+    assert 4 not in rows                     # no-hit docs never surface
+    assert rows[5]["n_terms_hit"] == 2
+    assert rows[1]["n_terms_hit"] == 1
+    # tf saturation + length norm: dense short doc beats sparse long doc
+    assert rows[1]["score_nano"] > rows[2]["score_nano"]
+    # banana (df=2) is rarer than apple (df=3): same tf=1 and same dl
+    # (docs 2 and 3 are the same length) -> higher idf wins
+    assert rows[3]["score_nano"] > rows[2]["score_nano"]
+    # both-terms doc outranks every single-term doc
+    top = out.first()
+    assert top["doc_id"] == 5
+    assert abs(top["bm25"] - top["score_nano"] / 1e9) < 1e-4
