@@ -336,3 +336,44 @@ def test_trained_ann_serves_from_materialized_index(spark):
     plan = _plan(df)
     assert "InMemory" in plan
     df.unpersist()
+
+
+def test_sq8_encode_is_single_map_stage(spark):
+    """q119's encode pass: literal-folded stats -> one projection over
+    the scan, ZERO exchanges (training is a separate bounded job)."""
+    from tantalus_spark.datapipe.similarity import sq8_reconstruction
+
+    emb = db_for(spark, SF).table("embeddings")
+    stats = [(0.0, 1.0)] * 64  # frozen stats: no training job in the plan
+    plan = _plan(sq8_reconstruction(emb, stats))
+    assert "Exchange" not in plan
+    # per-dim work is codegen'd expression work, not an interpreted HOF
+    assert "ArrayTransform" not in plan and "ArrayAggregate" not in plan
+
+
+def test_bm25_filters_tokens_before_shuffle_and_takes_ordered_topk(spark):
+    from tantalus_spark.datapipe.textstats import bm25_rank
+
+    docs = db_for(spark, SF).table("documents")
+    df = bm25_rank(docs, ["hash", "join", "window", "vector"], k=20)
+    plan = _plan(df)
+    # top-k must be TakeOrderedAndProject, never a global Sort+Limit
+    assert "TakeOrderedAndProject" in plan
+    # the term IN-filter must sit under the first aggregate, not after it
+    assert "Filter" in plan
+    agg_pos = plan.find("HashAggregate")
+    assert plan.find("TakeOrderedAndProject") < agg_pos
+    # df(t) is a broadcast, not a shuffle join
+    assert "BroadcastHashJoin" in plan
+
+
+def test_zipf_windows_over_vocab_not_corpus(spark):
+    from tantalus_spark.datapipe.textstats import zipf_fit
+
+    docs = db_for(spark, SF).table("documents")
+    plan = _plan(zipf_fit(docs))
+    # rank window consumes the (source, term) AGGREGATE output: the
+    # window's child exchange partitions by source only after the
+    # map-side-combined term aggregate, never over raw exploded tokens
+    assert plan.index("Window") < plan.index("Generate")
+    assert "Sort" in plan  # the vocab-frame window sort (per source)
