@@ -25,9 +25,10 @@ from pyspark.sql import functions as F
 # Headline set: one per operator family, weighted toward shuffle-heavy ops.
 # NOTE the set GREW round-over-round (r3: 22 queries; r4: 26 — added
 # 97_lm_score, 98_dsir_weights, 101_perplexity_buckets, 108_build_corpus;
-# r5: 30 — added 46_simhash and 111_fuzzy_pairs, both rebuilt this round,
-# plus 113_quota_select and 116_encoding_noise), so compare BENCH_r*.json
-# PER-QUERY, not by total.
+# r5: 32 — added 46_simhash and 111_fuzzy_pairs, both rebuilt this round,
+# plus 113_quota_select and 116_encoding_noise, then the late additions
+# 120_zipf_fit and 121_bm25_rank), so compare BENCH_r*.json PER-QUERY,
+# not by total.
 HEADLINE = [
     "01_pricing_summary",
     "06_token_or_search",
@@ -59,6 +60,8 @@ HEADLINE = [
     "111_fuzzy_pairs",
     "113_quota_select",
     "116_encoding_noise",
+    "120_zipf_fit",
+    "121_bm25_rank",
 ]
 
 

@@ -1060,3 +1060,103 @@ def source_overlap_matrix(
             F.max("jaccard").alias("max_jaccard"),
         )
     )
+
+
+def minhash_calibration(
+    df: DataFrame,
+    n_perm: int = 16,
+    bands: int = 4,
+    shingle_n: int = 3,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    hash_family: str = "xxhash64",
+) -> DataFrame:
+    """Estimator-quality audit for the MinHash-LSH stack: over every LSH
+    candidate pair, compare the SIGNATURE-estimated Jaccard (fraction of
+    agreeing minhash slots) against the EXACT shingle Jaccard, bucketed
+    by estimation error — the table a curation lead reads before picking
+    (n_perm, bands, threshold) for a 100 TB dedup run, where re-running
+    with wrong parameters costs a full corpus pass.
+
+    All outputs are exact integers (milli-scaled estimates, counts):
+    ``err_bucket = floor((est_milli - exact_milli)/100)`` groups pairs
+    into 0.1-wide error bands; per band the report carries pair count,
+    integer sums of both estimates, and the error extremes. No float
+    aggregate anywhere — hash-stable in any engine.
+
+    Scale: identical machinery to :func:`minhash_lsh_pairs` (the O(docs×
+    bands) band shuffle + broadcast-candidate verification) plus two
+    broadcast-candidate probes into the signature frame; the final
+    report is O(error buckets) rows."""
+    rows = n_perm // bands
+    sh = shingles(df, n=shingle_n, text_col=text_col, id_col=id_col,
+                  hashed=True, hash_family=hash_family).persist()
+    aggs = [
+        F.min(_minhash_perm(F.col("shingle"), i, hash_family)).alias(f"h{i}")
+        for i in range(n_perm)
+    ]
+    sig = sh.groupBy(id_col).agg(*aggs).persist()
+    band_cols = [
+        F.xxhash64(F.lit(b), *[F.col(f"h{b * rows + r}") for r in range(rows)])
+        for b in range(bands)
+    ]
+    bucket = sig.select(
+        F.col(id_col),
+        F.explode(F.array(*band_cols)).alias("bucket"),
+    ).dropDuplicates()
+    a, b = bucket.alias("a"), bucket.alias("b")
+    cand = (
+        a.join(b, (F.col("a.bucket") == F.col("b.bucket"))
+               & (F.col(f"a.{id_col}") < F.col(f"b.{id_col}")))
+        .select(F.col(f"a.{id_col}").alias("d1"),
+                F.col(f"b.{id_col}").alias("d2"))
+        .dropDuplicates()
+        .persist()
+    )
+    # signature agreement: candidate-broadcast probes, slot-wise equality
+    s1 = sig.select(F.col(id_col).alias("d1"),
+                    *[F.col(f"h{i}").alias(f"a{i}") for i in range(n_perm)])
+    s2 = sig.select(F.col(id_col).alias("d2"),
+                    *[F.col(f"h{i}").alias(f"b{i}") for i in range(n_perm)])
+    agree = sum((F.col(f"a{i}") == F.col(f"b{i}")).cast("int")
+                for i in range(n_perm))
+    est = (F.broadcast(cand).join(s1, "d1").join(s2, "d2")
+           .select("d1", "d2", agree.alias("agree")))
+    # exact shingle Jaccard for the same pairs (the q45 verify step)
+    counts = sh.groupBy(id_col).agg(F.count(F.lit(1)).alias("n_sh"))
+    p1 = sh.select(F.col(id_col).alias("d1"), "shingle")
+    p2 = sh.select(F.col(id_col).alias("d2"), "shingle")
+    inter = (
+        p1.join(F.broadcast(cand), "d1")
+        .join(p2, ["d2", "shingle"])
+        .groupBy("d1", "d2").agg(F.count(F.lit(1)).alias("inter"))
+    )
+    # LEFT join: a candidate pair with ZERO shared shingles (a pure LSH
+    # false positive — the most informative calibration row) has no
+    # `inter` row; keep it with inter=0
+    pair = (
+        est.join(inter, ["d1", "d2"], "left")
+        .withColumn("inter", F.coalesce(F.col("inter"), F.lit(0)))
+        .join(F.broadcast(counts.select(F.col(id_col).alias("d1"),
+                                        F.col("n_sh").alias("n1"))), "d1")
+        .join(F.broadcast(counts.select(F.col(id_col).alias("d2"),
+                                        F.col("n_sh").alias("n2"))), "d2")
+        .select(
+            F.floor(F.col("agree") * F.lit(1000.0) / F.lit(float(n_perm))
+                    + F.lit(0.5)).cast("long").alias("est_milli"),
+            F.floor(F.col("inter") * F.lit(1000.0)
+                    / (F.col("n1") + F.col("n2") - F.col("inter"))
+                    + F.lit(0.5)).cast("long").alias("exact_milli"),
+        )
+        .withColumn("err", F.col("est_milli") - F.col("exact_milli"))
+    )
+    out = (
+        pair.groupBy(F.floor(F.col("err").cast("double") / F.lit(100.0))
+                     .cast("int").alias("err_bucket"))
+        .agg(F.count(F.lit(1)).alias("n_pairs"),
+             F.sum("est_milli").alias("sum_est_milli"),
+             F.sum("exact_milli").alias("sum_exact_milli"),
+             F.min("err").alias("min_err_milli"),
+             F.max("err").alias("max_err_milli"))
+    )
+    return _materialize_and_release(out, [sh, sig, cand])

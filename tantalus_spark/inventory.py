@@ -1703,6 +1703,19 @@ def q121_bm25_rank(spark, sf_dir):
     return bm25_rank(docs, ["hash", "join", "window", "vector"], k=20)
 
 
+def q122_minhash_calibration(spark, sf_dir):
+    """MinHash estimator-calibration report: for every LSH candidate
+    pair, signature-estimated Jaccard (agreeing-slot fraction) vs exact
+    shingle Jaccard, bucketed by milli-scaled estimation error — the
+    parameter-tuning table read before committing (n_perm, bands,
+    threshold) to a full-corpus dedup pass. All-integer outputs; md5
+    hash family for the oracle (the q45 split — production default is
+    xxhash64, covered by the same machinery)."""
+    docs = db_for(spark, sf_dir).table("documents")
+    return dedup.minhash_calibration(
+        docs, n_perm=16, bands=4, hash_family="md5")
+
+
 _ALL_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     name[1:]: fn
     for name, fn in list(globals().items())
@@ -1787,8 +1800,10 @@ _QUERY_ORDER = [
     "107_centroid_affinity", "112_length_outliers", "114_source_overlap",
     # r5 additions: published-filter parity operators
     "117_gopher_rules", "118_c4_filters",
-    # r5 additions: SQ8 quantization audit, Zipf fit, BM25 retrieval
+    # r5 additions: SQ8 quantization audit, Zipf fit, BM25 retrieval,
+    # MinHash estimator calibration
     "119_sq8_quantize", "120_zipf_fit", "121_bm25_rank",
+    "122_minhash_calibration",
 ]
 
 QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
@@ -3961,4 +3976,93 @@ ORACLES["121_bm25_rank"] = """
     SELECT doc_id, score_nano, n_terms_hit,
            round(CAST(score_nano AS DOUBLE) / 1e9, 4) AS bm25
     FROM g ORDER BY score_nano DESC, doc_id ASC LIMIT 20
+"""
+
+# q122: the q45 oracle machinery (md5 shingle hash, 16 universal-hash
+# minhash slots, 4-slot band equality for candidates) extended with the
+# slot-agreement estimate and the integer error-bucket rollup. The band
+# candidate set equals the engine's xxhash64-bucketed one: bucket values
+# are partitioning internals; equality of the 4 underlying slots is the
+# same predicate.
+ORACLES["122_minhash_calibration"] = """
+    WITH tok AS (
+      SELECT doc_id, string_split_regex(trim(lower(text)), '\\s+') AS t
+      FROM documents),
+    sh0 AS (
+      SELECT DISTINCT doc_id, t[i] || ' ' || t[i+1] || ' ' || t[i+2] AS g
+      FROM tok, UNNEST(range(1, greatest(len(t)-1, 1))) AS u(i)),
+    sh AS (
+      SELECT doc_id, ('0x'||substr(md5(g),1,15))::BIGINT AS hv FROM sh0),
+    sig AS (
+      SELECT doc_id,
+             min(((hv % 1000000007) * 3  + 1)     % 1000000007) AS h0,
+             min(((hv % 1000000007) * 5  + 2)     % 1000000007) AS h1,
+             min(((hv % 1000000007) * 7  + 4)     % 1000000007) AS h2,
+             min(((hv % 1000000007) * 11 + 8)     % 1000000007) AS h3,
+             min(((hv % 1000000007) * 13 + 16)    % 1000000007) AS h4,
+             min(((hv % 1000000007) * 17 + 32)    % 1000000007) AS h5,
+             min(((hv % 1000000007) * 19 + 64)    % 1000000007) AS h6,
+             min(((hv % 1000000007) * 23 + 128)   % 1000000007) AS h7,
+             min(((hv % 1000000007) * 29 + 256)   % 1000000007) AS h8,
+             min(((hv % 1000000007) * 31 + 512)   % 1000000007) AS h9,
+             min(((hv % 1000000007) * 37 + 1024)  % 1000000007) AS h10,
+             min(((hv % 1000000007) * 41 + 2048)  % 1000000007) AS h11,
+             min(((hv % 1000000007) * 43 + 4096)  % 1000000007) AS h12,
+             min(((hv % 1000000007) * 47 + 8192)  % 1000000007) AS h13,
+             min(((hv % 1000000007) * 53 + 16384) % 1000000007) AS h14,
+             min(((hv % 1000000007) * 59 + 32768) % 1000000007) AS h15
+      FROM sh GROUP BY doc_id),
+    bands AS (
+      SELECT doc_id, 0 AS band, h0 AS x0, h1 AS x1, h2 AS x2, h3 AS x3 FROM sig
+      UNION ALL SELECT doc_id, 1, h4, h5, h6, h7 FROM sig
+      UNION ALL SELECT doc_id, 2, h8, h9, h10, h11 FROM sig
+      UNION ALL SELECT doc_id, 3, h12, h13, h14, h15 FROM sig),
+    cand AS (
+      SELECT DISTINCT a.doc_id AS d1, b.doc_id AS d2
+      FROM bands a JOIN bands b
+        ON a.band = b.band AND a.x0 = b.x0 AND a.x1 = b.x1
+       AND a.x2 = b.x2 AND a.x3 = b.x3 AND a.doc_id < b.doc_id),
+    est AS (
+      SELECT c.d1, c.d2,
+             (sa.h0 = sb.h0)::INT + (sa.h1 = sb.h1)::INT
+           + (sa.h2 = sb.h2)::INT + (sa.h3 = sb.h3)::INT
+           + (sa.h4 = sb.h4)::INT + (sa.h5 = sb.h5)::INT
+           + (sa.h6 = sb.h6)::INT + (sa.h7 = sb.h7)::INT
+           + (sa.h8 = sb.h8)::INT + (sa.h9 = sb.h9)::INT
+           + (sa.h10 = sb.h10)::INT + (sa.h11 = sb.h11)::INT
+           + (sa.h12 = sb.h12)::INT + (sa.h13 = sb.h13)::INT
+           + (sa.h14 = sb.h14)::INT + (sa.h15 = sb.h15)::INT AS agree
+      FROM cand c
+      JOIN sig sa ON sa.doc_id = c.d1
+      JOIN sig sb ON sb.doc_id = c.d2),
+    counts AS (SELECT doc_id, count(*) AS n_sh FROM sh GROUP BY doc_id),
+    inter AS (
+      SELECT c.d1, c.d2, count(*) AS i
+      FROM cand c
+      JOIN sh s1 ON s1.doc_id = c.d1
+      JOIN sh s2 ON s2.doc_id = c.d2 AND s2.hv = s1.hv
+      GROUP BY c.d1, c.d2),
+    pair AS (
+      -- LEFT join: zero-overlap candidates (pure LSH false positives)
+      -- keep inter=0, matching the engine
+      SELECT CAST(floor(e.agree * 1000.0 / 16.0 + 0.5) AS BIGINT)
+               AS est_milli,
+             CAST(floor(coalesce(i.i, 0) * 1000.0
+                        / (na.n_sh + nb.n_sh - coalesce(i.i, 0)) + 0.5)
+               AS BIGINT) AS exact_milli
+      FROM est e
+      LEFT JOIN inter i ON i.d1 = e.d1 AND i.d2 = e.d2
+      JOIN counts na ON na.doc_id = e.d1
+      JOIN counts nb ON nb.doc_id = e.d2),
+    p2 AS (
+      SELECT est_milli, exact_milli,
+             est_milli - exact_milli AS err
+      FROM pair)
+    SELECT CAST(floor(err / 100.0) AS INTEGER) AS err_bucket,
+           count(*) AS n_pairs,
+           CAST(sum(est_milli) AS BIGINT) AS sum_est_milli,
+           CAST(sum(exact_milli) AS BIGINT) AS sum_exact_milli,
+           CAST(min(err) AS BIGINT) AS min_err_milli,
+           CAST(max(err) AS BIGINT) AS max_err_milli
+    FROM p2 GROUP BY 1
 """

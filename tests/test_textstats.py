@@ -807,3 +807,31 @@ def test_bm25_rank_idf_and_length_normalization(spark):
     top = out.first()
     assert top["doc_id"] == 5
     assert abs(top["bm25"] - top["score_nano"] / 1e9) < 1e-4
+
+
+def test_minhash_calibration_exact_dup_and_false_positive_buckets(spark):
+    from tantalus_spark.datapipe.dedup import minhash_calibration
+
+    twin = ("alpha beta gamma delta epsilon zeta eta theta iota kappa "
+            "lambda mu nu xi omicron pi rho sigma tau upsilon")
+    other = ("one two three four five six seven eight nine ten eleven "
+             "twelve thirteen fourteen fifteen sixteen seventeen")
+    df = spark.createDataFrame(
+        [(1, twin), (2, twin), (3, other)],
+        "doc_id long, text string")
+    rows = minhash_calibration(df, n_perm=16, bands=4).collect()
+    by_bucket = {r["err_bucket"]: r for r in rows}
+    # the identical pair: every slot agrees (est 1000) and exact Jaccard
+    # is 1.0 (exact 1000) -> err 0, bucket 0
+    assert 0 in by_bucket
+    z = by_bucket[0]
+    assert z["n_pairs"] >= 1
+    assert z["sum_est_milli"] >= 1000 and z["sum_exact_milli"] >= 1000
+    assert z["min_err_milli"] <= 0 <= z["max_err_milli"]
+    # totals are conserved: every candidate pair lands in exactly one bucket
+    assert sum(r["n_pairs"] for r in rows) >= 1
+    # doc 3 shares no shingles with the twins: if it ever surfaces as an
+    # LSH false positive, its exact_milli must be 0 (left-join inter=0)
+    for r in rows:
+        if r["err_bucket"] >= 9:
+            assert r["sum_exact_milli"] == 0
