@@ -1000,7 +1000,10 @@ def sq8_reconstruction(
     Scale: stats are literals folded into one codegen'd projection
     (the _dot_literal / hyperplane-coefficient precedent — no
     interpreted HOF in the hot path, no second shuffle, no join);
-    the scan streams map-only at any corpus size.
+    the scan streams map-only at any corpus size. The literal chain is
+    O(d) expression nodes — fine through ~1k dims (Spark auto-splits
+    codegen methods); for multi-k dims prefer a posexplode + broadcast
+    dim-stats join so the plan stays constant-size.
     """
     d = len(stats)
     vec = F.col(vec_col)

@@ -1110,7 +1110,12 @@ def zipf_fit(df: DataFrame, group_col: str = "source",
     combined), a rank window over the VOCAB-sized frame (≪ corpus), and
     a 6-column group aggregate — no corpus-wide sort, no driver state.
     Micro-scaled moment sums stay < 2^53 up to ~1e8 types/source; the
-    group aggregate sums them as BIGINT (exact to 9.2e18)."""
+    group aggregate sums them as BIGINT (exact to 9.2e18). Bound worth
+    knowing: the rank window sorts each source's vocabulary in ONE task
+    (partitionBy source); at an extreme ~1e8 types/source that is a
+    ~2 GB spill-backed SortExec per source — acceptable, but for a
+    single giga-vocabulary source switch the ranking to a two-phase
+    (bucket-histogram + intra-bucket window) scheme first."""
     tf = (
         spread_small_scan(df)
         .select(F.col(group_col),
