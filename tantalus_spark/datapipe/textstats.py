@@ -1207,10 +1207,15 @@ def bm25_rank(
     tot = dl.agg(F.count(F.lit(1)).alias("n"),
                  F.sum("dl").alias("s")).first()
     n_docs, avgdl = int(tot["n"]), float(tot["s"]) / float(tot["n"])
+    # tf feeds BOTH the score join and df(t): persist the (tiny,
+    # query-term-filtered) frame so the corpus scan+explode runs ONCE,
+    # not once per consumer; released after the top-k materializes
+    # (the _materialize_and_release pattern from dedup.py)
     tf = (base.filter(F.col("term").isin(terms))
               .groupBy(id_col, "term")
               .agg(F.count(F.lit(1)).alias("tf"),
-                   F.first("dl").alias("dl")))
+                   F.first("dl").alias("dl"))
+              .persist())
     dfreq = tf.groupBy("term").agg(F.count(F.lit(1)).alias("df"))
     idf = F.log(F.lit(1.0) + (F.lit(float(n_docs)) - F.col("df") + F.lit(0.5))
                 / (F.col("df") + F.lit(0.5)))
@@ -1226,10 +1231,16 @@ def bm25_rank(
           .agg(F.sum("s_nano").alias("score_nano"),
                F.count(F.lit(1)).cast("int").alias("n_terms_hit"))
     )
-    return (
+    out = (
         scored.orderBy(F.col("score_nano").desc(), F.col(id_col).asc())
               .limit(k)
               .select(id_col, "score_nano", "n_terms_hit",
                       F.round(F.col("score_nano").cast("double") / F.lit(1e9),
                               4).alias("bm25"))
+              .persist()
     )
+    try:
+        out.count()
+    finally:
+        tf.unpersist()
+    return out

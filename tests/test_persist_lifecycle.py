@@ -31,6 +31,7 @@ LEAK_PRONE = [
     "106_dsir_select",
     "108_build_corpus",
     "113_quota_select",
+    "121_bm25_rank",
     "122_minhash_calibration",
 ]
 
