@@ -1216,6 +1216,20 @@ def bm25_rank(
               .agg(F.count(F.lit(1)).alias("tf"),
                    F.first("dl").alias("dl"))
               .persist())
+    out = _bm25_topk(tf, n_docs, avgdl, k, k1, b, id_col).persist()
+    try:
+        out.count()
+    finally:
+        tf.unpersist()
+    return out
+
+
+def _bm25_topk(tf: DataFrame, n_docs: int, avgdl: float, k: int,
+               k1: float, b: float, id_col: str) -> DataFrame:
+    """Shared BM25 scorer over a (id, term, tf, dl) postings frame —
+    identical expression tree for the scan path (:func:`bm25_rank`) and
+    the serving path (:func:`bm25_rank_indexed`), so both are
+    bit-identical to one oracle."""
     dfreq = tf.groupBy("term").agg(F.count(F.lit(1)).alias("df"))
     idf = F.log(F.lit(1.0) + (F.lit(float(n_docs)) - F.col("df") + F.lit(0.5))
                 / (F.col("df") + F.lit(0.5)))
@@ -1231,16 +1245,52 @@ def bm25_rank(
           .agg(F.sum("s_nano").alias("score_nano"),
                F.count(F.lit(1)).cast("int").alias("n_terms_hit"))
     )
-    out = (
+    return (
         scored.orderBy(F.col("score_nano").desc(), F.col(id_col).asc())
               .limit(k)
               .select(id_col, "score_nano", "n_terms_hit",
                       F.round(F.col("score_nano").cast("double") / F.lit(1e9),
                               4).alias("bm25"))
-              .persist()
     )
-    try:
-        out.count()
-    finally:
-        tf.unpersist()
-    return out
+
+
+def build_term_index(df: DataFrame, text_col: str = "text",
+                     id_col: str = "doc_id") -> DataFrame:
+    """Inverted-index build for the BM25 serving path: one corpus pass
+    producing (term, doc_id, tf, dl) postings. Write it out partitioned/
+    bucketed by ``term`` (e.g. ``.write.bucketBy(256, "term")``) and
+    every subsequent query touches only its own terms' postings — the
+    index-once / query-many layout that turns retrieval from a corpus
+    scan into a pushdown-pruned posting lookup at 100 TB. Self-
+    contained: corpus stats (N, avgdl) re-derive from the distinct
+    (doc_id, dl) pairs, so the serving side needs no side table."""
+    base = spread_small_scan(df).filter(F.col(text_col).isNotNull()).select(
+        F.col(id_col),
+        F.size(tokens(F.lower(F.col(text_col)))).cast("long").alias("dl"),
+        F.explode(tokens(F.lower(F.col(text_col)))).alias("term"),
+    )
+    return base.groupBy("term", id_col).agg(
+        F.count(F.lit(1)).alias("tf"), F.first("dl").alias("dl"))
+
+
+def bm25_rank_indexed(
+    index: DataFrame,
+    query_terms: list[str],
+    k: int = 20,
+    k1: float = 1.2,
+    b: float = 0.75,
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """BM25 over a prebuilt :func:`build_term_index` postings frame —
+    the serving twin of :func:`bm25_rank` (same scorer, bit-identical
+    results on the same corpus). Raw text is never touched: the term
+    IN-filter prunes straight into the (bucketed) index scan, corpus
+    stats fold in from one bounded distinct-doc aggregate, and the
+    top-k is TakeOrderedAndProject."""
+    terms = sorted(set(t.lower() for t in query_terms))
+    docs = index.select(id_col, "dl").dropDuplicates([id_col])
+    tot = docs.agg(F.count(F.lit(1)).alias("n"),
+                   F.sum("dl").alias("s")).first()
+    n_docs, avgdl = int(tot["n"]), float(tot["s"]) / float(tot["n"])
+    tf = index.filter(F.col("term").isin(terms))
+    return _bm25_topk(tf, n_docs, avgdl, k, k1, b, id_col)

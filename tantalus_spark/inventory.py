@@ -1716,6 +1716,21 @@ def q122_minhash_calibration(spark, sf_dir):
         docs, n_perm=16, bands=4, hash_family="md5")
 
 
+def q123_bm25_indexed(spark, sf_dir):
+    """Index-backed BM25 serving path: build the (term, doc_id, tf, dl)
+    inverted index in one corpus pass, then rank a query against ONLY
+    its terms' postings — raw text untouched at query time, the
+    index-once / query-many retrieval layout. Same scorer expression
+    tree as q121 (bit-identical on the same corpus; differential test
+    in tests/test_textstats.py)."""
+    from tantalus_spark.datapipe.textstats import (
+        bm25_rank_indexed, build_term_index)
+
+    docs = db_for(spark, sf_dir).table("documents")
+    idx = build_term_index(docs)
+    return bm25_rank_indexed(idx, ["customer", "merge", "sort"], k=15)
+
+
 _ALL_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     name[1:]: fn
     for name, fn in list(globals().items())
@@ -1803,7 +1818,7 @@ _QUERY_ORDER = [
     # r5 additions: SQ8 quantization audit, Zipf fit, BM25 retrieval,
     # MinHash estimator calibration
     "119_sq8_quantize", "120_zipf_fit", "121_bm25_rank",
-    "122_minhash_calibration",
+    "122_minhash_calibration", "123_bm25_indexed",
 ]
 
 QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
@@ -4065,4 +4080,40 @@ ORACLES["122_minhash_calibration"] = """
            CAST(min(err) AS BIGINT) AS min_err_milli,
            CAST(max(err) AS BIGINT) AS max_err_milli
     FROM p2 GROUP BY 1
+"""
+
+# q123: the q121 scorer replayed over the index's postings — corpus
+# stats derive from distinct (doc_id, dl) of non-null-text docs (the
+# index drops null texts), terms customer/merge/sort, k=15.
+ORACLES["123_bm25_indexed"] = """
+    WITH base AS (
+      SELECT doc_id,
+             string_split_regex(trim(lower(text)), '\\s+') AS toks
+      FROM documents WHERE text IS NOT NULL),
+    dl AS (SELECT doc_id, CAST(len(toks) AS BIGINT) AS dl FROM base),
+    tot AS (SELECT CAST(count(*) AS DOUBLE) AS n,
+                   CAST(sum(dl) AS DOUBLE) / CAST(count(*) AS DOUBLE)
+                     AS avgdl
+            FROM dl),
+    toks AS (SELECT doc_id, unnest(toks) AS term FROM base),
+    tf AS (SELECT doc_id, term, count(*) AS tf
+           FROM toks
+           WHERE term IN ('customer', 'merge', 'sort')
+           GROUP BY doc_id, term),
+    dfq AS (SELECT term, count(*) AS df FROM tf GROUP BY term),
+    sc AS (
+      SELECT tf.doc_id,
+             CAST(floor(
+               ln(1.0 + (tot.n - dfq.df + 0.5) / (dfq.df + 0.5))
+               * (tf.tf * 2.2)
+               / (tf.tf + 1.2 * (0.25 + 0.75 * dl.dl / tot.avgdl))
+               * 1e9 + 0.5) AS BIGINT) AS s_nano
+      FROM tf JOIN dfq USING (term) JOIN dl USING (doc_id)
+      CROSS JOIN tot),
+    g AS (SELECT doc_id, CAST(sum(s_nano) AS BIGINT) AS score_nano,
+                 CAST(count(*) AS INTEGER) AS n_terms_hit
+          FROM sc GROUP BY doc_id)
+    SELECT doc_id, score_nano, n_terms_hit,
+           round(CAST(score_nano AS DOUBLE) / 1e9, 4) AS bm25
+    FROM g ORDER BY score_nano DESC, doc_id ASC LIMIT 15
 """

@@ -835,3 +835,28 @@ def test_minhash_calibration_exact_dup_and_false_positive_buckets(spark):
     for r in rows:
         if r["err_bucket"] >= 9:
             assert r["sum_exact_milli"] == 0
+
+
+def test_bm25_indexed_matches_scan_path(spark):
+    from tantalus_spark.datapipe.textstats import (
+        bm25_rank, bm25_rank_indexed, build_term_index)
+
+    filler = " ".join(["pad"] * 25)
+    df = spark.createDataFrame(
+        [(i, f"apple banana {filler} " + "apple " * (i % 4))
+         for i in range(1, 11)] + [(11, "banana cherry " + filler)],
+        "doc_id long, text string")
+    terms = ["apple", "banana", "cherry"]
+    scan = [r.asDict() for r in bm25_rank(df, terms, k=8).collect()]
+    idx = build_term_index(df)
+    served = [r.asDict() for r in
+              bm25_rank_indexed(idx, terms, k=8).collect()]
+    assert scan == served  # bit-identical: same scorer, same stats
+    # the index round-trips through parquet (the real serving layout)
+    import tempfile
+    with tempfile.TemporaryDirectory() as d:
+        idx.write.mode("overwrite").parquet(d + "/ix")
+        reread = spark.read.parquet(d + "/ix")
+        again = [r.asDict() for r in
+                 bm25_rank_indexed(reread, terms, k=8).collect()]
+    assert scan == again
