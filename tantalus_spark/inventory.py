@@ -1816,7 +1816,11 @@ _QUERY_ORDER = [
     # r5 additions: published-filter parity operators
     "117_gopher_rules", "118_c4_filters",
     # r5 additions: SQ8 quantization audit, Zipf fit, BM25 retrieval,
-    # MinHash estimator calibration
+    # MinHash estimator calibration, index-backed BM25 serving.
+    # r6 ROTATION CANDIDATES: q117-q123 have only local-gate evidence
+    # (LOCALGATE_r05.md, dtype-strict, 0 failures) — swap them into the
+    # 50-entry window next round against family-redundant greens, the
+    # same protocol as the r4/r5 rotations above.
     "119_sq8_quantize", "120_zipf_fit", "121_bm25_rank",
     "122_minhash_calibration", "123_bm25_indexed",
 ]
