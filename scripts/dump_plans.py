@@ -78,6 +78,9 @@ SHOW = [
     ("122_minhash_calibration", "MinHash calibration: the q45 band shuffle"
      " + broadcast-candidate probes into signatures and postings;"
      " all-integer error-bucket rollup"),
+    ("123_bm25_indexed", "index-backed BM25: one-pass inverted-index"
+     " build + a query that touches only its terms' postings (term"
+     " IN-filter pushes into the index scan in the parquet layout)"),
 ]
 
 

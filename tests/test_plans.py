@@ -377,3 +377,20 @@ def test_zipf_windows_over_vocab_not_corpus(spark):
     # map-side-combined term aggregate, never over raw exploded tokens
     assert plan.index("Window") < plan.index("Generate")
     assert "Sort" in plan  # the vocab-frame window sort (per source)
+
+
+def test_bm25_index_serving_pushes_terms_into_index_scan(spark, tmp_path):
+    """The serving path's whole point: a query must prune to its own
+    terms' postings at the parquet scan, never rescan the corpus."""
+    from tantalus_spark.datapipe.textstats import (
+        bm25_rank_indexed, build_term_index)
+
+    docs = db_for(spark, SF).table("documents")
+    path = str(tmp_path / "ix")
+    build_term_index(docs).write.parquet(path)
+    idx = spark.read.parquet(path)
+    plan = _plan(bm25_rank_indexed(idx, ["hash", "merge"], k=5))
+    pushed = plan.split("PushedFilters:")[1][:200]
+    assert "term" in pushed and "In(" in pushed
+    # raw documents never appear: only the index parquet is scanned
+    assert "documents.parquet" not in plan
