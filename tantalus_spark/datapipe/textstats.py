@@ -951,10 +951,27 @@ def gopher_rules(
     expressions are engine-portable (``(?m)`` multiline anchors work
     identically in Java regex and RE2; the mean word length divides two
     integer counts) — full DuckDB oracle. One scan, zero shuffles at
-    any corpus size."""
+    any corpus size.
+
+    Plan shape (the interpreted-HOF rule, burned in after the
+    q46/q52/q69 cliffs): the two tokenized arrays — original-case words
+    for the alpha check, lowered words for the stop-word check — are
+    materialized ONCE in a first projection; every ratio references
+    those columns, and CollapseProject keeps the stage separate (it
+    refuses to inline non-cheap expressions referenced more than once),
+    so the plan carries exactly two ``filter(split(...))`` subtrees,
+    not one per rule (plan-contract test in tests/test_plans.py)."""
     df = spread_small_scan(df)
     text = F.col(text_col)
-    words = F.filter(tokens(text), lambda x: x != "")
+    base = df.select(
+        F.col(id_col),
+        F.col(text_col).alias("__text"),
+        F.filter(tokens(text), lambda x: x != "").alias("__words"),
+        F.filter(tokens(F.lower(text)),
+                 lambda x: x != "").alias("__lwords"),
+    )
+    text = F.col("__text")
+    words = F.col("__words")
     n_words = F.size(words)
     n_lines = F.size(F.split(text, "\n"))
     # mean word length = non-whitespace chars / words (integer counts)
@@ -969,12 +986,13 @@ def gopher_rules(
                      / n_lines)
     alpha_words = F.size(F.filter(words, lambda x: x.rlike("[A-Za-z]")))
     alpha_ratio = alpha_words / n_words
-    low = F.lower(text)
-    stop_hits = None
-    for wrd in GOPHER_STOP_WORDS:
-        hit = F.array_contains(
-            F.filter(tokens(low), lambda x: x != ""), wrd).cast("int")
-        stop_hits = hit if stop_hits is None else stop_hits + hit
+    # distinct stop-word hits in ONE set intersection against the
+    # 8-word literal array (array_intersect dedups), replacing the
+    # former 8-term array_contains loop that re-built the tokenize
+    # subtree per word
+    stop_hits = F.size(F.array_intersect(
+        F.col("__lwords"),
+        F.array(*[F.lit(w) for w in GOPHER_STOP_WORDS]))).cast("int")
     keep = (
         (n_words >= F.lit(min_words)) & (n_words <= F.lit(max_words))
         & (mean_wl >= 3) & (mean_wl <= 10)
@@ -983,7 +1001,7 @@ def gopher_rules(
         & (alpha_ratio >= 0.8)
         & (stop_hits >= 2)
     )
-    return df.select(
+    return base.select(
         F.col(id_col),
         n_words.alias("n_words"),
         F.round(mean_wl, 4).alias("mean_word_len"),
@@ -1193,16 +1211,23 @@ def bm25_rank(
     — no cross join); the exploded token stream is filtered to the
     query terms IMMEDIATELY (a tiny sliver of the corpus survives the
     only shuffle); df(t) is a |query|-row broadcast; the final top-k is
-    TakeOrderedAndProject, never a global sort."""
+    TakeOrderedAndProject, never a global sort.
+
+    Null-text rows are excluded from BOTH the postings and the (N,
+    avgdl) stats pass — exactly :func:`build_term_index`'s filter — so
+    the scan path and the indexed serving path derive identical corpus
+    stats on any corpus (a null-text doc can never match a term, and
+    counting it in N would silently skew idf between the two paths)."""
     terms = sorted(set(t.lower() for t in query_terms))
-    base = spread_small_scan(df).select(
+    nonnull = spread_small_scan(df).filter(F.col(text_col).isNotNull())
+    base = nonnull.select(
         F.col(id_col),
         F.size(tokens(F.lower(F.col(text_col)))).cast("long").alias("dl"),
         F.explode(tokens(F.lower(F.col(text_col)))).alias("term"),
     )
     # N and avgdl: one bounded agg action, folded in as plan literals.
     # dl_sum/n is an exact-int double division — engine-identical.
-    dl = spread_small_scan(df).select(
+    dl = nonnull.select(
         F.size(tokens(F.lower(F.col(text_col)))).cast("long").alias("dl"))
     tot = dl.agg(F.count(F.lit(1)).alias("n"),
                  F.sum("dl").alias("s")).first()
@@ -1255,22 +1280,37 @@ def _bm25_topk(tf: DataFrame, n_docs: int, avgdl: float, k: int,
 
 
 def build_term_index(df: DataFrame, text_col: str = "text",
-                     id_col: str = "doc_id") -> DataFrame:
+                     id_col: str = "doc_id",
+                     with_stats: bool = False):
     """Inverted-index build for the BM25 serving path: one corpus pass
     producing (term, doc_id, tf, dl) postings. Write it out partitioned/
     bucketed by ``term`` (e.g. ``.write.bucketBy(256, "term")``) and
     every subsequent query touches only its own terms' postings — the
     index-once / query-many layout that turns retrieval from a corpus
-    scan into a pushdown-pruned posting lookup at 100 TB. Self-
-    contained: corpus stats (N, avgdl) re-derive from the distinct
-    (doc_id, dl) pairs, so the serving side needs no side table."""
+    scan into a pushdown-pruned posting lookup at 100 TB.
+
+    With ``with_stats=True`` returns ``(postings, (n_docs, avgdl))`` —
+    the two corpus scalars BM25 needs, paid ONCE at build time (a
+    lightweight dl-only projection + one bounded aggregate over the
+    same corpus the postings pass already reads) so the serving path
+    never aggregates over the index per query. Store them next to the
+    written index; :func:`bm25_rank_indexed` accepts them and falls
+    back to re-deriving from the postings only when they are absent."""
     base = spread_small_scan(df).filter(F.col(text_col).isNotNull()).select(
         F.col(id_col),
         F.size(tokens(F.lower(F.col(text_col)))).cast("long").alias("dl"),
         F.explode(tokens(F.lower(F.col(text_col)))).alias("term"),
     )
-    return base.groupBy("term", id_col).agg(
+    postings = base.groupBy("term", id_col).agg(
         F.count(F.lit(1)).alias("tf"), F.first("dl").alias("dl"))
+    if not with_stats:
+        return postings
+    dl = (spread_small_scan(df).filter(F.col(text_col).isNotNull())
+          .select(F.size(tokens(F.lower(F.col(text_col))))
+                   .cast("long").alias("dl")))
+    tot = dl.agg(F.count(F.lit(1)).alias("n"),
+                 F.sum("dl").alias("s")).first()
+    return postings, (int(tot["n"]), float(tot["s"]) / float(tot["n"]))
 
 
 def bm25_rank_indexed(
@@ -1280,17 +1320,28 @@ def bm25_rank_indexed(
     k1: float = 1.2,
     b: float = 0.75,
     id_col: str = "doc_id",
+    n_docs: int | None = None,
+    avgdl: float | None = None,
 ) -> DataFrame:
     """BM25 over a prebuilt :func:`build_term_index` postings frame —
     the serving twin of :func:`bm25_rank` (same scorer, bit-identical
     results on the same corpus). Raw text is never touched: the term
-    IN-filter prunes straight into the (bucketed) index scan, corpus
-    stats fold in from one bounded distinct-doc aggregate, and the
-    top-k is TakeOrderedAndProject."""
+    IN-filter prunes straight into the (bucketed) index scan and the
+    top-k is TakeOrderedAndProject.
+
+    Corpus stats (``n_docs``, ``avgdl``) are build-time artifacts —
+    pass the pair :func:`build_term_index` emitted (``with_stats=True``)
+    and the serving plan touches ONLY the query's own postings: no
+    full-index distinct/aggregate per query (at 100 TB the postings
+    index is corpus-scale, so a per-query O(index) stats pass would
+    erase the serving win; plan-contract test in tests/test_plans.py).
+    When the pair is absent (ad-hoc index without a stats sidecar),
+    falls back to one self-contained re-derivation over the postings."""
     terms = sorted(set(t.lower() for t in query_terms))
-    docs = index.select(id_col, "dl").dropDuplicates([id_col])
-    tot = docs.agg(F.count(F.lit(1)).alias("n"),
-                   F.sum("dl").alias("s")).first()
-    n_docs, avgdl = int(tot["n"]), float(tot["s"]) / float(tot["n"])
+    if n_docs is None or avgdl is None:
+        docs = index.select(id_col, "dl").dropDuplicates([id_col])
+        tot = docs.agg(F.count(F.lit(1)).alias("n"),
+                       F.sum("dl").alias("s")).first()
+        n_docs, avgdl = int(tot["n"]), float(tot["s"]) / float(tot["n"])
     tf = index.filter(F.col("term").isin(terms))
     return _bm25_topk(tf, n_docs, avgdl, k, k1, b, id_col)

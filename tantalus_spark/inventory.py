@@ -1727,8 +1727,9 @@ def q123_bm25_indexed(spark, sf_dir):
         bm25_rank_indexed, build_term_index)
 
     docs = db_for(spark, sf_dir).table("documents")
-    idx = build_term_index(docs)
-    return bm25_rank_indexed(idx, ["customer", "merge", "sort"], k=15)
+    idx, (n_docs, avgdl) = build_term_index(docs, with_stats=True)
+    return bm25_rank_indexed(idx, ["customer", "merge", "sort"], k=15,
+                             n_docs=n_docs, avgdl=avgdl)
 
 
 _ALL_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
@@ -3968,7 +3969,7 @@ ORACLES["121_bm25_rank"] = """
     WITH base AS (
       SELECT doc_id,
              string_split_regex(trim(lower(text)), '\\s+') AS toks
-      FROM documents),
+      FROM documents WHERE text IS NOT NULL),
     dl AS (SELECT doc_id, CAST(len(toks) AS BIGINT) AS dl FROM base),
     tot AS (SELECT CAST(count(*) AS DOUBLE) AS n,
                    CAST(sum(dl) AS DOUBLE) / CAST(count(*) AS DOUBLE)

@@ -387,10 +387,58 @@ def test_bm25_index_serving_pushes_terms_into_index_scan(spark, tmp_path):
 
     docs = db_for(spark, SF).table("documents")
     path = str(tmp_path / "ix")
-    build_term_index(docs).write.parquet(path)
+    idx_df, (n_docs, avgdl) = build_term_index(docs, with_stats=True)
+    idx_df.write.parquet(path)
     idx = spark.read.parquet(path)
-    plan = _plan(bm25_rank_indexed(idx, ["hash", "merge"], k=5))
+    plan = _plan(bm25_rank_indexed(idx, ["hash", "merge"], k=5,
+                                   n_docs=n_docs, avgdl=avgdl))
     pushed = plan.split("PushedFilters:")[1][:200]
     assert "term" in pushed and "In(" in pushed
     # raw documents never appear: only the index parquet is scanned
     assert "documents.parquet" not in plan
+
+
+def test_bm25_index_serving_never_aggregates_full_index(spark, tmp_path):
+    """With build-time (n_docs, avgdl) supplied, the serving plan must
+    touch ONLY the query's own postings: every scan of the index
+    carries the term IN-filter, and no full-index distinct/aggregate
+    (the fallback stats re-derivation) appears anywhere in the plan —
+    at 100 TB the postings index is corpus-scale, so a per-query
+    O(index) stats pass would erase the serving win."""
+    from tantalus_spark.datapipe.textstats import (
+        bm25_rank_indexed, build_term_index)
+
+    docs = db_for(spark, SF).table("documents")
+    path = str(tmp_path / "ix")
+    idx_df, (n_docs, avgdl) = build_term_index(docs, with_stats=True)
+    idx_df.write.parquet(path)
+    idx = spark.read.parquet(path)
+    plan = _plan(bm25_rank_indexed(idx, ["hash", "merge"], k=5,
+                                   n_docs=n_docs, avgdl=avgdl))
+    # every index scan in the plan is term-pruned: each PushedFilters
+    # section must carry the In(term, ...) predicate
+    chunks = plan.split("PushedFilters:")[1:]
+    assert chunks, "no parquet scan in serving plan"
+    for chunk in chunks:
+        head = chunk.splitlines()[0]
+        assert "In(term" in head, f"unfiltered index scan: {head}"
+    # and the corpus scalars are plan literals — no stats aggregate
+    # keyed on doc_id alone (the dropDuplicates(doc_id) fallback shape)
+    import re
+    assert not re.search(r"HashAggregate\(keys=\[doc_id[^,\]]*\],\s*functions=\[\]",
+                         plan), "full-index distinct(doc_id) in serving plan"
+
+
+def test_gopher_rules_tokenizes_at_most_twice(spark):
+    """q117's plan contract (the interpreted-HOF rule): the tokenized
+    word arrays are materialized once — original-case + lowered — so
+    the plan carries at most TWO filter(split(...)) subtrees, not one
+    per rule (the pre-r6 shape had ~12 with separate lambda IDs)."""
+    from tantalus_spark.datapipe.textstats import gopher_rules
+
+    docs = db_for(spark, SF).table("documents")
+    plan = _optimized(gopher_rules(docs))
+    n_tokenize = plan.count("filter(split(")
+    assert n_tokenize <= 2, (
+        f"{n_tokenize} filter(split( subtrees — the tokenize HOF is "
+        "being re-evaluated per rule instead of materialized once")
