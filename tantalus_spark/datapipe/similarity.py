@@ -78,6 +78,22 @@ def _dot_literal(vec: Column, coeffs: list[float]) -> Column:
     return acc
 
 
+def _dim_guard(vec: Column, dim: int, where: str) -> Column:
+    """Loud per-row dimension assert for the literal-folded dot paths
+    (the affinity_expr rule): ``_dot_literal`` fixes the dimension from
+    the first non-null row, so under the session's ANSI default a
+    SHORTER vector would throw INVALID_ARRAY_INDEX_IN_ELEMENT_AT
+    mid-query with no context, and a LONGER one would be silently
+    truncated to the first row's dim — a mixed-dimension corpus must
+    fail loudly, not change LSH bucket membership. NULL on success, so
+    callers fold it in with ``F.coalesce(guard.cast(...), value)``."""
+    return F.assert_true(
+        F.size(vec) == F.lit(dim),
+        F.concat(F.lit(f"{where}: vector dimension != hyperplane "
+                       f"dimension {dim}; got "),
+                 F.size(vec).cast("string")))
+
+
 def cosine_similarity(a: Column, b: Column) -> Column:
     return _dot(a, b) / (_norm(a) * _norm(b))
 
@@ -223,7 +239,10 @@ def embedding_near_dup_pairs(
         sig = F.array(*[
             (dot_with_plane(s) > 0).cast("int") for s in range(n_hyperplanes)
         ])
-        base = base.withColumn("bucket", F.xxhash64(sig.cast("string")))
+        base = base.withColumn("bucket", F.coalesce(
+            _dim_guard(F.col("v"), dim,
+                       "embedding_near_dup_pairs").cast("long"),
+            F.xxhash64(sig.cast("string"))))
         join_cond = (F.col("a.bucket") == F.col("b.bucket")) & (
             F.col("a.id") < F.col("b.id"))
         base = base.persist()
@@ -837,6 +856,11 @@ def knn_graph_lsh(
             for s in range(n_hyperplanes)
         ])
         tables.append(F.xxhash64(F.lit(t), sig.cast("string")))
+    # one guard covers all tables: every table expression reads the
+    # same row's vector
+    tables[0] = F.coalesce(
+        _dim_guard(F.col("v"), dim, "knn_graph_lsh").cast("long"),
+        tables[0])
     bucketed = base.select(
         "id", "v", F.explode(F.array(*tables)).alias("bucket")).persist()
     a, b = bucketed.alias("a"), bucketed.alias("b")

@@ -882,20 +882,35 @@ def length_outliers(
     — exact, associative, identical in any engine and any partition
     order. The products are computed in DECIMAL(38,0), NOT int64: with
     n docs per group the lhs is ≈ n³·spread², which blows past 2⁶³ at
-    n ≳ 10⁵–10⁶ (and Spark's non-ANSI long multiply wraps SILENTLY —
-    wrong flags, no error). DECIMAL(38,0) is exact through
-    n·|x − mean| < ~10¹⁸ — i.e. ~5×10¹⁰ docs/group at a 10³-token
-    spread, comfortably past 100 TB of 2 KB docs; past that the decimal
-    overflows to NULL and the row is dropped rather than mis-flagged.
-    Q = Σx² is likewise aggregated in decimal (it alone exceeds int64
-    near ~10⁹ docs). The DuckDB oracle runs the same algebra in HUGEINT
-    (int128, max 1.7×10³⁸) — bit-identical within the same bound.
+    n ≳ 10⁵–10⁶ (an int64 multiply would either wrap silently in
+    legacy mode or throw mid-query under ANSI). DECIMAL(38,0) is exact
+    through n·|x − mean| < ~10¹⁸ — i.e. ~5×10¹⁰ docs/group at a
+    10³-token spread, comfortably past 100 TB of 2 KB docs. Past that
+    bound the behavior follows the session's ANSI setting — and this
+    package runs pyspark>=4.0 where ANSI is ON by default, so the
+    decimal product throws ArithmeticException LOUDLY rather than
+    dropping or mis-flagging rows (under legacy ``ansi=false`` it would
+    overflow to NULL and drop the row). Q = Σx² is likewise aggregated
+    in decimal (it alone exceeds int64 near ~10⁹ docs). The DuckDB
+    oracle runs the same algebra in HUGEINT (int128, max 1.7×10³⁸) —
+    bit-identical within the same bound.
 
     One narrow groupBy for (n, S, Q) joined back (AQE broadcasts the
     per-group stats — one row per group); the outlier test is a
     map-side comparison. Groups with n < 2 have no sample variance and
     emit nothing.
+
+    ``z`` must be an integer: the exact-algebra rhs folds z² into the
+    DECIMAL(38,0) product, and a fractional z² would be silently
+    rounded by the cast (z=1.5 → 2.25 → 2, a different test than
+    documented). Rejected loudly instead of mis-flagging.
     """
+    if z != int(z):
+        raise ValueError(
+            f"length_outliers requires integer z (got {z!r}): z² folds "
+            "into the exact DECIMAL(38,0) algebra; a fractional z² "
+            "would be silently truncated by the cast")
+    z = int(z)
     dec = "decimal(38,0)"
     # length_col: pre-computed length (tests / non-text tables) instead
     # of tokenizing text_col.

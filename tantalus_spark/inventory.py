@@ -1742,7 +1742,28 @@ _ALL_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
 # (CORRECTNESS_r01.json recorded exactly that prefix), so QUERIES is
 # explicitly ordered.
 #
-# r5 ROTATION (same protocol as r4's, below): the 16 r4-era pipeline
+# r6 ROTATION (same protocol as r4/r5): 14 entries that had only
+# local-gate evidence take their official driver rows — the five r5
+# late additions plus Gopher/C4 (117 gopher, 118 c4, 119 sq8_quantize,
+# 120 zipf_fit, 121 bm25_rank, 122 minhash_calibration,
+# 123 bm25_indexed) and the never-driver-green tail flagships
+# (84 pack_sequences, 90 packed_text, 102 bpe_encode — full-value
+# frozen-merge oracle, 104 bigram_lm, 107 centroid_affinity,
+# 112 length_outliers, 114 source_overlap). The 14 swapped OUT all
+# carry green CORRECTNESS_r05 rows and stay family-covered in-window:
+# 49 tumbling window -> 50 sessionization + 56 funnel (event windows);
+# 79 scrub_pii -> 41 profile + 58 clean_corpus (text cleaning);
+# 85 exact_sample -> 71 weighted_mix (sampling); 86 novel_docs ->
+# 45 minhash-LSH + 122 calibration (band-index family); 93 keep_best ->
+# 40 + 45 (dedup apply); 96 split_leakage -> 70 decontaminate;
+# 97 lm_score + 101 perplexity_buckets -> 104 bigram_lm (LM scoring,
+# higher-order twin); 98 dsir_weights + 113 quota_select ->
+# 106 dsir_select (DSIR family, select composes weights);
+# 110 grouping_sets -> 29 rollup (one Expand family); 111 fuzzy_pairs ->
+# 44 ngram_jaccard (fuzzy ER); 115 gap_fill -> 30 frames + 50
+# (window family); 116 encoding_noise -> 41 + 117/118 (quality gates).
+#
+# r5 ROTATION (history): the 16 r4-era pipeline
 # flagships that had only local-gate evidence (LOCALGATE_r04.md, 0
 # failures) are now IN the window — 79 scrub_pii, 85 exact_sample,
 # 86 novel_docs, 93 keep_best, 96 split_leakage, 97 lm_score,
@@ -1781,20 +1802,27 @@ _QUERY_ORDER = [
     "37_explode_tokens", "39_dashboard_counts", "55_regex_lookup",
     # datapipe: dedup, text, similarity, events
     "40_dedup_exact", "41_doc_profile", "44_ngram_jaccard",
-    "45_minhash_lsh", "47_ann_cosine", "49_tumbling_window",
+    "45_minhash_lsh", "47_ann_cosine",
     "50_sessionization", "51_embedding_near_dup", "53_winnowing",
     "56_funnel", "58_clean_corpus", "69_embedding_lsh",
     "70_decontaminate", "71_weighted_mix", "72_chunk_documents",
     "74_pq_ann",
-    # r5 rotation: the r4-era pipeline flagships take their driver rows
-    "79_scrub_pii", "85_exact_sample", "86_novel_docs", "93_keep_best",
-    "96_split_leakage", "97_lm_score", "98_dsir_weights",
-    "101_perplexity_buckets", "106_dsir_select", "108_build_corpus",
-    "109_media_dedup", "110_grouping_sets", "111_fuzzy_pairs",
-    "113_quota_select", "115_gap_fill", "116_encoding_noise",
+    # r5 rotation survivors (family anchors kept in-window)
+    "106_dsir_select", "108_build_corpus", "109_media_dedup",
+    # r6 rotation: never-driver-green tail flagships + r5 late additions
+    "84_pack_sequences", "90_packed_text", "102_bpe_encode",
+    "104_bigram_lm", "107_centroid_affinity", "112_length_outliers",
+    "114_source_overlap", "117_gopher_rules", "118_c4_filters",
+    "119_sq8_quantize", "120_zipf_fit", "121_bm25_rank",
+    "122_minhash_calibration", "123_bm25_indexed",
     # ---- 50-entry line: families below are all gated above (see the
-    # rotation notes), carry green r2/r3/r4 driver rows, and are
+    # rotation notes), carry green r2/r3/r4/r5 driver rows, and are
     # unit-tested
+    "49_tumbling_window", "79_scrub_pii", "85_exact_sample",
+    "86_novel_docs", "93_keep_best", "96_split_leakage", "97_lm_score",
+    "98_dsir_weights", "101_perplexity_buckets", "110_grouping_sets",
+    "111_fuzzy_pairs", "113_quota_select", "115_gap_fill",
+    "116_encoding_noise",
     "02_point_lookup", "03_distinct_projection", "06_token_or_search",
     "16_pagination", "17_window_lag", "19_union_dedup", "23_date_format",
     "28_pivot", "33_collect_set", "34_percentiles", "36_first_last",
@@ -1811,19 +1839,8 @@ _QUERY_ORDER = [
     "83_corpus_report", "84_pack_sequences", "87_rare_tokens",
     "88_domain_stats", "89_dup_spans", "90_packed_text", "91_containment",
     "92_vocab_coverage", "94_source_report", "95_paragraph_dedup",
-    "99_corpus_shuffle", "100_bpe_merges", "102_bpe_encode",
-    "103_temperature_mix", "104_bigram_lm", "105_gate_attribution",
-    "107_centroid_affinity", "112_length_outliers", "114_source_overlap",
-    # r5 additions: published-filter parity operators
-    "117_gopher_rules", "118_c4_filters",
-    # r5 additions: SQ8 quantization audit, Zipf fit, BM25 retrieval,
-    # MinHash estimator calibration, index-backed BM25 serving.
-    # r6 ROTATION CANDIDATES: q117-q123 have only local-gate evidence
-    # (LOCALGATE_r05.md, dtype-strict, 0 failures) — swap them into the
-    # 50-entry window next round against family-redundant greens, the
-    # same protocol as the r4/r5 rotations above.
-    "119_sq8_quantize", "120_zipf_fit", "121_bm25_rank",
-    "122_minhash_calibration", "123_bm25_indexed",
+    "99_corpus_shuffle", "100_bpe_merges",
+    "103_temperature_mix", "105_gate_attribution",
 ]
 
 QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {

@@ -41,9 +41,10 @@ from tantalus_spark.inventory import QUERIES
 sf_dir = sys.argv[1]
 # events has timestamp[ns] (the round-1 killer); the others cover the main
 # table shapes, a fused datapipe scan, the persist/release pair path
-# (45), and an Arrow pandas-UDF path (46 simhash).
+# (45), and an Arrow pandas-UDF path (102 bpe_encode — 46 simhash went
+# pure-JVM in r5, so it no longer exercises Python/Arrow plumbing).
 for name in ["01_pricing_summary", "31_asof_join", "49_tumbling_window",
-             "41_doc_profile", "45_minhash_lsh", "46_simhash"]:
+             "41_doc_profile", "45_minhash_lsh", "102_bpe_encode"]:
     df = QUERIES[name](spark, sf_dir)
     n = df.count()
     assert n >= 0, name
@@ -113,22 +114,25 @@ def test_checked_window_covers_every_operator_family():
         "44_ngram_jaccard", "45_minhash_lsh",  # banded near-dup (covers 46)
         "47_ann_cosine", "74_pq_ann",          # ANN family (covers 52)
         "51_embedding_near_dup", "69_embedding_lsh",
-        "49_tumbling_window", "50_sessionization",
+        "50_sessionization",   # event windows (covers 49 tumbling, green r5)
         "53_winnowing", "56_funnel", "58_clean_corpus",
         "70_decontaminate", "71_weighted_mix",  # 71: post-oracle-fix row
         "72_chunk_documents",
     ]
     missing = [n for n in must_be_checked if n not in window]
     assert not missing, f"outside the 50-entry checked window: {missing}"
-    # the r5 rotation exists to give the r4-era pipeline flagships their
-    # official driver rows: every one must be inside the window
+    # the r6 rotation exists to give the never-driver-green tail
+    # flagships + r5 late additions their official driver rows: every
+    # one must be inside the window (r5's rotated set all carry green
+    # CORRECTNESS_r05 rows and rotated back out under the protocol)
     rotated_in = [
-        "79_scrub_pii", "85_exact_sample", "86_novel_docs",
-        "93_keep_best", "96_split_leakage", "97_lm_score",
-        "98_dsir_weights", "101_perplexity_buckets", "106_dsir_select",
-        "108_build_corpus", "109_media_dedup", "110_grouping_sets",
-        "111_fuzzy_pairs", "113_quota_select", "115_gap_fill",
-        "116_encoding_noise",
+        "84_pack_sequences", "90_packed_text", "102_bpe_encode",
+        "104_bigram_lm", "107_centroid_affinity", "112_length_outliers",
+        "114_source_overlap", "117_gopher_rules", "118_c4_filters",
+        "119_sq8_quantize", "120_zipf_fit", "121_bm25_rank",
+        "122_minhash_calibration", "123_bm25_indexed",
+        # family anchors kept from the r5 window
+        "106_dsir_select", "108_build_corpus", "109_media_dedup",
     ]
     out = [n for n in rotated_in if n not in window]
-    assert not out, f"r5-rotated entries fell back out of the window: {out}"
+    assert not out, f"r6-rotated entries fell back out of the window: {out}"

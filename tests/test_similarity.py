@@ -482,3 +482,29 @@ def test_sq8_reconstruction_exact_integer_diagnostics(spark):
     assert out[3]["err2_pico"] == exp_err
     assert out[3]["rmse_micro"] == math.floor(
         math.sqrt(exp_err / 1e12 / 3.0) * 1e6 + 0.5)
+
+
+def test_lsh_paths_ragged_vector_raises(spark):
+    """_dot_literal fixes the hyperplane dimension from the first
+    non-null row; a mixed-dimension corpus must fail loudly instead of
+    truncating longer vectors / ANSI-throwing a contextless
+    element_at error on shorter ones (ADVICE r5)."""
+    from tantalus_spark.datapipe.similarity import (
+        embedding_near_dup_pairs, knn_graph_lsh)
+
+    rows = [(1, [0.1, 0.2, 0.3]), (2, [0.2, 0.1, 0.4]),
+            (3, [0.5, 0.5])]     # ragged: 2-dim vs 3-dim corpus
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+    with pytest.raises(Exception, match="dimension"):
+        embedding_near_dup_pairs(df, n_hyperplanes=4).collect()
+    with pytest.raises(Exception, match="dimension"):
+        knn_graph_lsh(df, k=2).collect()
+
+
+def test_length_outliers_rejects_fractional_z():
+    """z² folds into the exact DECIMAL(38,0) algebra; a fractional z²
+    would be silently truncated by the cast (ADVICE r5)."""
+    from tantalus_spark.datapipe.textstats import length_outliers
+
+    with pytest.raises(ValueError, match="integer z"):
+        length_outliers(None, z=1.5)
