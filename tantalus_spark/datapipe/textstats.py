@@ -1264,6 +1264,22 @@ def bm25_rank(
     return out
 
 
+def _bm25_score_nano_expr(n_docs: int, avgdl: float,
+                          k1: float, b: float) -> Column:
+    """The BM25 per-(doc, term) score as an exact nano-integer column
+    expression over (tf, dl, df) columns — ONE expression tree shared
+    by the batch scan path (:func:`bm25_rank`), the indexed serving
+    path (:func:`bm25_rank_indexed`), and the streaming serving twin
+    (``streaming/scoring.py bm25_serve_stream``), so all three are
+    bit-identical to one oracle."""
+    idf = F.log(F.lit(1.0) + (F.lit(float(n_docs)) - F.col("df") + F.lit(0.5))
+                / (F.col("df") + F.lit(0.5)))
+    s = idf * (F.col("tf") * F.lit(k1 + 1.0)) / (
+        F.col("tf") + F.lit(k1) * (F.lit(1.0 - b)
+                                   + F.lit(b) * F.col("dl") / F.lit(avgdl)))
+    return F.floor(s * F.lit(1e9) + F.lit(0.5)).cast("long")
+
+
 def _bm25_topk(tf: DataFrame, n_docs: int, avgdl: float, k: int,
                k1: float, b: float, id_col: str) -> DataFrame:
     """Shared BM25 scorer over a (id, term, tf, dl) postings frame —
@@ -1271,16 +1287,11 @@ def _bm25_topk(tf: DataFrame, n_docs: int, avgdl: float, k: int,
     the serving path (:func:`bm25_rank_indexed`), so both are
     bit-identical to one oracle."""
     dfreq = tf.groupBy("term").agg(F.count(F.lit(1)).alias("df"))
-    idf = F.log(F.lit(1.0) + (F.lit(float(n_docs)) - F.col("df") + F.lit(0.5))
-                / (F.col("df") + F.lit(0.5)))
-    s = idf * (F.col("tf") * F.lit(k1 + 1.0)) / (
-        F.col("tf") + F.lit(k1) * (F.lit(1.0 - b)
-                                   + F.lit(b) * F.col("dl") / F.lit(avgdl)))
     scored = (
         tf.join(F.broadcast(dfreq), "term")
           .select(F.col(id_col),
-                  F.floor(s * F.lit(1e9) + F.lit(0.5)).cast("long")
-                   .alias("s_nano"))
+                  _bm25_score_nano_expr(n_docs, avgdl, k1, b)
+                  .alias("s_nano"))
           .groupBy(id_col)
           .agg(F.sum("s_nano").alias("score_nano"),
                F.count(F.lit(1)).cast("int").alias("n_terms_hit"))

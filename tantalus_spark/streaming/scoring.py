@@ -99,3 +99,77 @@ def affinity_score_stream(
         F.col(id_col),
         affinity_expr("_qv", centroid).alias("affinity_q"),
     )
+
+
+def bm25_serve_stream(
+    query_stream: DataFrame,
+    index: DataFrame,
+    n_docs: int,
+    avgdl: float,
+    k1: float = 1.2,
+    b: float = 0.75,
+    ts_col: str = "ts",
+    watermark: str = "2 hours",
+    terms_col: str = "terms",
+    qid_col: str = "query_id",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Streaming BM25 serving: score an incoming query stream against a
+    FROZEN :func:`~tantalus_spark.datapipe.textstats.build_term_index`
+    postings index — the retrieval twin of ``lm_score_stream``'s
+    frozen-model shape.  The index and its corpus stats (``n_docs``,
+    ``avgdl``, emitted at build time with ``with_stats=True``) never
+    change mid-stream; they are versioned and swapped between runs, so
+    scores are time-independent and reproducible.
+
+    Shape: explode each query's (deduplicated, lowered) terms →
+    stream-static join to the postings index on ``term`` (the static
+    side prunes to the stream batch's terms — bucket the written index
+    by ``term`` and each micro-batch touches only its own postings) →
+    stream-static join to the per-term document frequencies (a static
+    aggregate of the index, computed once per plan) → the exact
+    nano-integer scorer expression shared with the batch paths →
+    watermarked per-(query, window, doc) sum.  State is the partial
+    per-(query, doc) sums inside the watermark horizon, O(queries ×
+    matched docs per horizon), never O(index).
+
+    Returns (query_id, doc_id, score_nano, n_terms_hit, bm25) in append
+    mode — the pre-top-k scored frame; rank/limit is the consumer's
+    (per-group top-k inside a streaming aggregation would need
+    arbitrary stateful sorting, and every serving deployment wants the
+    raw scored candidates anyway).  Bit-identical to
+    ``bm25_rank_indexed``'s scores on the same index + stats
+    (stream-batch parity test in tests/test_textstats.py).
+    """
+    from tantalus_spark.datapipe.textstats import _bm25_score_nano_expr
+
+    dfreq = index.groupBy("term").agg(F.count(F.lit(1)).alias("df"))
+    # watermark at the SOURCE, before the postings join: the join is
+    # inner, so a query whose terms match nothing would never reach a
+    # post-join watermark operator and could not advance event time —
+    # the stream would hold every open window forever. Watermarking the
+    # raw stream tracks every arriving query and propagates through
+    # the joins.
+    qterms = query_stream.withWatermark(ts_col, watermark).select(
+        F.col(qid_col),
+        F.col(ts_col),
+        F.explode(F.array_distinct(
+            F.transform(F.col(terms_col), F.lower))).alias("term"),
+    )
+    scored = (
+        qterms.join(index, "term")
+              .join(dfreq, "term")
+              .select(F.col(qid_col), F.col(ts_col), F.col(id_col),
+                      _bm25_score_nano_expr(n_docs, avgdl, k1, b)
+                      .alias("s_nano"))
+    )
+    return (
+        scored
+        .groupBy(F.col(qid_col), F.window(ts_col, "1 minute"),
+                 F.col(id_col))
+        .agg(F.sum("s_nano").alias("score_nano"),
+             F.count(F.lit(1)).cast("int").alias("n_terms_hit"))
+        .select(qid_col, id_col, "score_nano", "n_terms_hit",
+                F.round(F.col("score_nano").cast("double") / F.lit(1e9),
+                        4).alias("bm25"))
+    )

@@ -63,3 +63,27 @@ def test_repeated_calls_do_not_accumulate(spark):
         df.unpersist()
         counts.append(_n_cached(spark))
     assert counts[0] == counts[1] == counts[2], counts
+
+
+@pytest.mark.slow
+def test_no_pinned_blocks_between_headline_bench_queries(spark):
+    """The r5 bench tail still printed ``CacheManager: Asked to cache
+    already cached data`` — the tell that a persisted plan survived
+    between bench iterations and later timings were cache-assisted
+    (the r4 leak class, resurfacing through the harness). bench.py now
+    releases each returned frame per iteration; this gate runs the
+    bench loop shape over the full headline set and asserts the
+    session holds ZERO new pinned blocks between consecutive queries,
+    not just after the final release."""
+    import bench
+
+    before = _n_cached(spark)
+    for name in bench.HEADLINE:
+        fn = bench.PRODUCTION_VARIANTS.get(name, QUERIES[name])
+        df = fn(spark, SF_DIR)
+        df.count()
+        df.unpersist()
+        now = _n_cached(spark)
+        assert now <= before, (
+            f"{name} left {now - before} pinned block(s) after caller "
+            f"release — the next bench query would be cache-assisted")

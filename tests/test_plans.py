@@ -442,3 +442,35 @@ def test_gopher_rules_tokenizes_at_most_twice(spark):
     assert n_tokenize <= 2, (
         f"{n_tokenize} filter(split( subtrees — the tokenize HOF is "
         "being re-evaluated per rule instead of materialized once")
+
+
+def test_bm25_index_bucketed_table_prunes_term_buckets(spark):
+    """The 100 TB serving layout the build_term_index docstring
+    promises: the postings index written ``bucketBy(256, "term")`` into
+    the warehouse must let a query read ONLY its own terms' buckets —
+    the scan node reports SelectedBucketsCount well under 256 (bucket
+    pruning on the IN-filter), so serving cost is O(query terms'
+    postings), not O(index)."""
+    from tantalus_spark.datapipe.textstats import (
+        bm25_rank_indexed, build_term_index)
+
+    docs = db_for(spark, SF).table("documents")
+    table = "bm25_postings_bucketed_test"
+    spark.sql(f"DROP TABLE IF EXISTS {table}")
+    idx_df, (n_docs, avgdl) = build_term_index(docs, with_stats=True)
+    (idx_df.write.bucketBy(256, "term").sortBy("term")
+           .format("parquet").saveAsTable(table))
+    try:
+        idx = spark.table(table)
+        plan = _plan(bm25_rank_indexed(idx, ["hash", "merge"], k=5,
+                                       n_docs=n_docs, avgdl=avgdl))
+        assert "SelectedBucketsCount" in plan, plan[:2000]
+        import re
+        counts = [int(m.group(1)) for m in
+                  re.finditer(r"SelectedBucketsCount: (\d+) out of 256",
+                              plan)]
+        assert counts, plan[:2000]
+        # 2 query terms -> at most 2 of 256 buckets per scan
+        assert all(c <= 2 for c in counts), counts
+    finally:
+        spark.sql(f"DROP TABLE IF EXISTS {table}")

@@ -860,3 +860,54 @@ def test_bm25_indexed_matches_scan_path(spark):
         again = [r.asDict() for r in
                  bm25_rank_indexed(reread, terms, k=8).collect()]
     assert scan == again
+
+
+def test_bm25_serve_stream_matches_indexed_batch(spark, tmp_path):
+    """The streaming serving twin replaying a static query set against
+    the frozen postings index + build-time corpus stats emits exactly
+    the batch serving path's scores (shared nano-integer scorer
+    expression) — the stream-batch parity guarantee for retrieval."""
+    import datetime as dt
+
+    from tantalus_spark.datapipe.textstats import (
+        bm25_rank_indexed, build_term_index)
+    from tantalus_spark.streaming.scoring import bm25_serve_stream
+
+    filler = " ".join(["pad"] * 25)
+    docs = spark.createDataFrame(
+        [(i, f"apple banana {filler} " + "apple " * (i % 4))
+         for i in range(1, 11)] + [(11, "banana cherry " + filler)],
+        "doc_id long, text string")
+    idx, (n_docs, avgdl) = build_term_index(docs, with_stats=True)
+    terms = ["Apple", "banana", "cherry"]
+
+    base = dt.datetime(2024, 1, 1, 12, 0)
+    qschema = "query_id long, terms array<string>, ts timestamp"
+    src = str(tmp_path / "queries")
+    # two separate writes so the flush sentinel lands in a LATER
+    # micro-batch (FileStreamSource orders files by modification time):
+    # the sentinel pushes the watermark past the real query's window so
+    # append mode emits it under availableNow
+    spark.createDataFrame([(7, terms, base)], qschema) \
+        .coalesce(1).write.mode("append").parquet(src)
+    import time
+    time.sleep(1.1)
+    spark.createDataFrame(
+        [(999, ["zzz"], base + dt.timedelta(days=2))], qschema
+    ).coalesce(1).write.mode("append").parquet(src)
+    stream = (spark.readStream.format("parquet")
+              .schema("query_id long, terms array<string>, ts timestamp")
+              .option("maxFilesPerTrigger", 1).load(src))
+    q = (bm25_serve_stream(stream, idx, n_docs, avgdl,
+                           watermark="1 second")
+         .writeStream.format("memory").queryName("bm25_served")
+         .outputMode("append").trigger(availableNow=True).start())
+    q.awaitTermination(120)
+    got = {r["doc_id"]: (r["score_nano"], r["n_terms_hit"], r["bm25"])
+           for r in spark.sql(
+               "SELECT * FROM bm25_served WHERE query_id = 7").collect()}
+    # batch twin: k large enough to return every matched doc
+    want = {r["doc_id"]: (r["score_nano"], r["n_terms_hit"], r["bm25"])
+            for r in bm25_rank_indexed(
+                idx, terms, k=100, n_docs=n_docs, avgdl=avgdl).collect()}
+    assert got == want and len(got) == 11
