@@ -205,3 +205,52 @@ def temperature_mix(
             F.round(F.col("target_tokens") / F.col("n_tokens"), 4),
         )
     )
+
+
+def weighted_sample(
+    df: DataFrame,
+    k: int,
+    weight_col: str,
+    id_col: str = "doc_id",
+    salt: str = "ws",
+) -> DataFrame:
+    """Deterministic weighted sampling WITHOUT replacement in one pass —
+    Efraimidis & Spirakis A-ES ("Weighted random sampling with a
+    reservoir", IPL 2006): each row draws a uniform ``u`` and is ranked
+    by the key ``ln(u) / w``; the k LARGEST keys are exactly a weighted
+    sample without replacement (a row's inclusion probability is
+    proportional to its weight at every step of the sequential
+    process).
+
+    ``u`` is not random state but a deterministic md5-derived uniform —
+    ``(h + 0.5) / 2^60`` with ``h`` the first 15 hex chars of
+    ``md5(salt_id)`` (the :func:`split_bucket` engine-portable hash
+    family) — so the sample replays bit-identically in any engine and
+    any partition order, and ``salt`` yields independent re-draws.
+    ``u`` is never 0 or 1, so ``ln(u)`` is finite and keys are distinct
+    with probability 1 (md5 of distinct salted ids).
+
+    Scale shape: one projection computes the key, the top-k is
+    ``TakeOrderedAndProject`` — a per-partition heap + driver merge of
+    k rows, NEVER a global sort; the corpus is read once and nothing
+    corpus-sized shuffles. This is the production "draw a quality-
+    weighted eval set from 100 TB" primitive. Rows with
+    ``weight <= 0`` or NULL weight are excluded (zero weight = zero
+    inclusion probability; the log form needs w > 0)."""
+    key = F.col(id_col).cast("string")
+    h = F.conv(
+        F.substring(F.md5(F.concat_ws("_", F.lit(salt), key)), 1, 15),
+        16, 10).cast("long")
+    u = (h.cast("double") + F.lit(0.5)) / F.lit(float(2 ** 60))
+    es_key = F.log(u) / F.col(weight_col).cast("double")
+    return (
+        df.filter(F.col(weight_col).isNotNull()
+                  & (F.col(weight_col) > F.lit(0)))
+          .withColumn("_es_key", es_key)
+          .orderBy(F.col("_es_key").desc(), F.col(id_col).asc())
+          .limit(int(k))
+          # select on FULL precision (IEEE-identical in every engine);
+          # round only the reported key
+          .withColumn("sample_key", F.round(F.col("_es_key"), 6))
+          .drop("_es_key")
+    )

@@ -580,3 +580,81 @@ def corpus_shuffle(
         out.withColumn("position", F.row_number().over(w).cast("long"))
         .select(id_col, "shard", "position")
     )
+
+
+def budget_select(
+    df: DataFrame,
+    budget_tokens: int,
+    score_col: str,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Token-budget corpus selection: admit documents in quality order
+    until a token budget is spent — the "fill a 10B-token training
+    budget with the best documents" primitive that sits after scoring
+    and before packing in every production pipeline.
+
+    Semantics (exact, engine-portable): order documents by
+    ``(score desc, md5(id), id)`` — the md5 tie-break makes the
+    admitted subset of equal-score documents a reproducible
+    pseudo-random draw, the :func:`~.sampling.hash_split` rule — and
+    take the maximal prefix whose running token total stays within
+    ``budget_tokens`` (take-while; token counts are positive so the
+    running sum is strictly monotone and the prefix is unique). The
+    DuckDB oracle states this directly as one cumulative window.
+
+    Scale shape — the :func:`dsir_select` histogram trick, with the
+    cumulation over TOKENS instead of rows, so there is NO global
+    sort/row_number over the corpus:
+
+    1. one integer groupBy builds the per-score token histogram
+       (<= distinct-score rows), cumulated with a window over score
+       values only → the threshold score T and the tokens already
+       spent strictly above it;
+    2. rows with ``score > T`` pass with a map-side filter;
+    3. only the tie bucket ``score == T`` (bounded: one score value)
+       runs a rank-window prefix sum to spend the remaining budget.
+
+    Returns (id, score, n_tokens) for the admitted set."""
+    df = spread_small_scan(df)
+    base = df.select(
+        F.col(id_col), F.col(score_col).alias("score"),
+        F.size(tokens(F.lower(F.col(text_col)))).cast("long")
+         .alias("n_tokens"),
+    ).filter(F.col("n_tokens") > 0).persist()
+    try:
+        hist = base.groupBy("score").agg(F.sum("n_tokens").alias("t"))
+        cum = hist.withColumn(
+            "cum_above",
+            F.coalesce(
+                F.sum("t").over(
+                    W.orderBy(F.col("score").desc())
+                    .rowsBetween(W.unboundedPreceding, -1)),
+                F.lit(0)))
+        trow = (cum.filter(F.col("cum_above") < F.lit(int(budget_tokens)))
+                   .orderBy(F.col("score").asc())
+                   .select("score", "cum_above")
+                   .first())
+        if trow is None:      # budget smaller than the best bucket
+            out = base.filter(F.lit(False)) \
+                      .select(id_col, "score", "n_tokens")
+            from tantalus_spark.datapipe.dedup import (
+                _materialize_and_release)
+            return _materialize_and_release(out, [base])
+        thresh, spent_above = trow[0], int(trow[1])
+        remaining = int(budget_tokens) - spent_above
+        clear = base.filter(F.col("score") > F.lit(thresh))
+        tie_key = F.md5(F.col(id_col).cast("string"))
+        tw = (W.partitionBy(F.lit(1))
+               .orderBy(tie_key, F.col(id_col))
+               .rowsBetween(W.unboundedPreceding, 0))
+        ties = (base.filter(F.col("score") == F.lit(thresh))
+                    .withColumn("_cum", F.sum("n_tokens").over(tw))
+                    .filter(F.col("_cum") <= F.lit(remaining))
+                    .drop("_cum"))
+        out = clear.unionByName(ties).select(id_col, "score", "n_tokens")
+        from tantalus_spark.datapipe.dedup import _materialize_and_release
+        return _materialize_and_release(out, [base])
+    except Exception:
+        base.unpersist()
+        raise

@@ -1371,3 +1371,80 @@ def bm25_rank_indexed(
         n_docs, avgdl = int(tot["n"]), float(tot["s"]) / float(tot["n"])
     tf = index.filter(F.col("term").isin(terms))
     return _bm25_topk(tf, n_docs, avgdl, k, k1, b, id_col)
+
+
+def tfidf_cosine_pairs(
+    df: DataFrame,
+    threshold: float = 0.3,
+    min_df: int = 2,
+    max_df_frac: float = 0.5,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Sparse TF-IDF cosine document similarity: (id_a, id_b, n_shared,
+    cosine) for pairs with cosine >= threshold — term-vector similarity
+    through a POSTING-LIST join, the third leg of the near-dup triad
+    next to token-set Jaccard (:func:`~.dedup.ngram_jaccard_pairs`) and
+    dense embedding cosine (:func:`~.similarity.embedding_near_dup_pairs`):
+    it weighs *which* terms two documents share, not just how many, and
+    needs no embedding model.
+
+    Exactness: per-(doc, term) weights ``w = tf · ln(N/df)`` are IEEE
+    doubles computed identically in any engine; every SUM is over
+    nano-scaled BIGINTs (per-term pair products and per-doc squared
+    norms floor-scaled to 1e-9 before aggregation), so aggregation
+    order cannot move a bit and the full DuckDB oracle matches
+    hash-for-hash. The final cosine divides the exact integer dot by
+    the sqrt of the two exact integer norms in double.
+
+    Scale shape: terms outside ``[min_df, max_df_frac·N]`` document
+    frequency are dropped BEFORE the self-join — singleton terms pair
+    nothing, and the df cap bounds every posting list (pairs per term
+    <= cap², the same quadratic-bound dial as q44's
+    ``max_shingle_freq``), so the term self-join shuffles a pruned
+    sliver of the postings, never the corpus. Three keyed shuffles
+    total (tf groupBy, pair aggregate, norm join-back); N folds in as
+    a plan literal."""
+    df = spread_small_scan(df)
+    toks = df.select(
+        F.col(id_col),
+        F.explode(tokens(F.lower(F.col(text_col)))).alias("term"),
+    )
+    tf = toks.groupBy(id_col, "term").agg(F.count(F.lit(1)).alias("tf"))
+    n = df.count()
+    df_cap = int(n * max_df_frac)
+    dfreq = (tf.groupBy("term").agg(F.count(F.lit(1)).alias("df"))
+               .filter((F.col("df") >= F.lit(int(min_df)))
+                       & (F.col("df") <= F.lit(df_cap))))
+    w_expr = F.col("tf") * F.log(F.lit(float(n)) / F.col("df"))
+    weighted = (tf.join(F.broadcast(dfreq), "term")
+                  .select(F.col(id_col), "term", w_expr.alias("w"))
+                  .persist())
+    norms = weighted.groupBy(id_col).agg(
+            F.sum(F.floor(F.col("w") * F.col("w") * F.lit(1e9)
+                      + F.lit(0.5)).cast("long")).alias("norm_nano"))
+    a, b = weighted.alias("a"), weighted.alias("b")
+    pairs = (
+        a.join(b, (F.col("a.term") == F.col("b.term"))
+               & (F.col(f"a.{id_col}") < F.col(f"b.{id_col}")))
+         .select(F.col(f"a.{id_col}").alias("id_a"),
+                 F.col(f"b.{id_col}").alias("id_b"),
+                 F.floor(F.col("a.w") * F.col("b.w") * F.lit(1e9)
+                         + F.lit(0.5)).cast("long").alias("p_nano"))
+         .groupBy("id_a", "id_b")
+         .agg(F.sum("p_nano").alias("dot_nano"),
+              F.count(F.lit(1)).cast("int").alias("n_shared"))
+    )
+    na = norms.select(F.col(id_col).alias("id_a"),
+                      F.col("norm_nano").alias("na"))
+    nb = norms.select(F.col(id_col).alias("id_b"),
+                      F.col("norm_nano").alias("nb"))
+    cos = (F.col("dot_nano").cast("double")
+           / F.sqrt(F.col("na").cast("double")
+                    * F.col("nb").cast("double")))
+    out = (pairs.join(na, "id_a").join(nb, "id_b")
+                .filter(cos >= F.lit(float(threshold)))
+                .select("id_a", "id_b", "n_shared",
+                        F.round(cos, 4).alias("cosine")))
+    from tantalus_spark.datapipe.dedup import _materialize_and_release
+    return _materialize_and_release(out, [weighted])

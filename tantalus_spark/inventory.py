@@ -1732,6 +1732,50 @@ def q123_bm25_indexed(spark, sf_dir):
                              n_docs=n_docs, avgdl=avgdl)
 
 
+def q124_tfidf_cosine(spark, sf_dir):
+    """Sparse TF-IDF cosine similarity pairs through a df-pruned
+    posting-list self-join — term-weighted near-dup detection without
+    an embedding model (the third leg next to q44 Jaccard and q51
+    embedding cosine). Exact nano-integer dot/norm sums, full oracle;
+    the [min_df, max_df·N] prune bounds every posting list before the
+    only quadratic stage."""
+    from tantalus_spark.datapipe.textstats import tfidf_cosine_pairs
+
+    docs = db_for(spark, sf_dir).table("documents")
+    return tfidf_cosine_pairs(docs, threshold=0.3, min_df=2,
+                              max_df_frac=0.5)
+
+
+def q125_weighted_sample(spark, sf_dir):
+    """Deterministic weighted sampling without replacement in ONE pass
+    (Efraimidis-Spirakis A-ES keys from an md5-derived uniform): top-40
+    documents by ln(u)/n_chars — the quality-weighted eval-set draw.
+    TakeOrderedAndProject top-k, no global sort, engine-exact replay."""
+    from tantalus_spark.datapipe.sampling import weighted_sample
+
+    docs = db_for(spark, sf_dir).table("documents")
+    return weighted_sample(docs, k=40, weight_col="n_chars")
+
+
+def q126_budget_select(spark, sf_dir):
+    """Token-budget corpus selection: admit documents by vocabulary
+    richness (distinct-token count) until a 12k-token budget is spent (about half the corpus at every test SF, so the histogram threshold and tie bucket are genuinely exercised) —
+    take-while under (score desc, md5 tie, id), computed with the
+    dsir_select histogram-threshold machinery (no corpus-wide sort);
+    the oracle states the same prefix as one cumulative window."""
+    from pyspark.sql import functions as F
+
+    from tantalus_spark.datapipe.scoring import budget_select
+    from tantalus_spark.datapipe.textstats import tokens
+
+    docs = db_for(spark, sf_dir).table("documents")
+    scored = docs.withColumn(
+        "qscore",
+        F.size(F.array_distinct(tokens(F.lower(F.col("text")))))
+         .cast("long"))
+    return budget_select(scored, budget_tokens=12_000, score_col="qscore")
+
+
 _ALL_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     name[1:]: fn
     for name, fn in list(globals().items())
@@ -1841,6 +1885,10 @@ _QUERY_ORDER = [
     "92_vocab_coverage", "94_source_report", "95_paragraph_dedup",
     "99_corpus_shuffle", "100_bpe_merges",
     "103_temperature_mix", "105_gate_attribution",
+    # r6 additions: sparse TF-IDF cosine pairs, A-ES weighted sampling,
+    # token-budget selection — local-gate evidence this round; r7
+    # ROTATION CANDIDATES under the standing protocol.
+    "124_tfidf_cosine", "125_weighted_sample", "126_budget_select",
 ]
 
 QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
@@ -4138,4 +4186,79 @@ ORACLES["123_bm25_indexed"] = """
     SELECT doc_id, score_nano, n_terms_hit,
            round(CAST(score_nano AS DOUBLE) / 1e9, 4) AS bm25
     FROM g ORDER BY score_nano DESC, doc_id ASC LIMIT 15
+"""
+
+ORACLES["124_tfidf_cosine"] = """
+    WITH base AS (
+      SELECT doc_id,
+             string_split_regex(trim(lower(text)), '\\s+') AS toks
+      FROM documents),
+    n AS (SELECT CAST(count(*) AS DOUBLE) AS n,
+                 CAST(floor(count(*) * 0.5) AS BIGINT) AS df_cap
+          FROM documents),
+    toks AS (SELECT doc_id, unnest(toks) AS term FROM base),
+    tf AS (SELECT doc_id, term, count(*) AS tf
+           FROM toks GROUP BY doc_id, term),
+    dfq AS (SELECT term, count(*) AS df FROM tf GROUP BY term),
+    kept AS (SELECT dfq.term, dfq.df FROM dfq CROSS JOIN n
+             WHERE dfq.df >= 2 AND dfq.df <= n.df_cap),
+    w AS (SELECT tf.doc_id, tf.term,
+                 tf.tf * ln(n.n / kept.df) AS w
+          FROM tf JOIN kept USING (term) CROSS JOIN n),
+    norms AS (SELECT doc_id,
+                     sum(CAST(floor(w * w * 1e9 + 0.5) AS BIGINT))
+                       AS norm_nano
+              FROM w GROUP BY doc_id),
+    pairs AS (SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+                     sum(CAST(floor(a.w * b.w * 1e9 + 0.5) AS BIGINT))
+                       AS dot_nano,
+                     CAST(count(*) AS INTEGER) AS n_shared
+              FROM w a JOIN w b
+                ON a.term = b.term AND a.doc_id < b.doc_id
+              GROUP BY a.doc_id, b.doc_id),
+    sc AS (SELECT id_a, id_b, n_shared,
+                  CAST(dot_nano AS DOUBLE)
+                    / sqrt(CAST(na.norm_nano AS DOUBLE)
+                           * CAST(nb.norm_nano AS DOUBLE)) AS c
+           FROM pairs
+           JOIN norms na ON na.doc_id = id_a
+           JOIN norms nb ON nb.doc_id = id_b)
+    SELECT id_a, id_b, n_shared, round(c, 4) AS cosine
+    FROM sc WHERE c >= 0.3
+"""
+
+ORACLES["125_weighted_sample"] = """
+    WITH f AS (
+      SELECT * FROM documents
+      WHERE n_chars IS NOT NULL AND n_chars > 0),
+    k AS (
+      SELECT *,
+             ln((CAST(('0x' || substr(
+                    md5('ws_' || CAST(doc_id AS VARCHAR)),
+                    1, 15)) AS BIGINT) + 0.5)
+                / 1152921504606846976.0)
+               / CAST(n_chars AS DOUBLE) AS es
+      FROM f)
+    SELECT doc_id, text, lang, source, n_chars,
+           round(es, 6) AS sample_key
+    FROM k ORDER BY es DESC, doc_id ASC LIMIT 40
+"""
+
+ORACLES["126_budget_select"] = """
+    WITH t AS (
+      SELECT doc_id,
+             CAST(len(list_distinct(
+               string_split_regex(trim(lower(text)), '\\s+')))
+               AS BIGINT) AS score,
+             CAST(len(string_split_regex(trim(lower(text)), '\\s+'))
+               AS BIGINT) AS n_tokens
+      FROM documents),
+    o AS (SELECT *,
+                 sum(n_tokens) OVER (
+                   ORDER BY score DESC,
+                            md5(CAST(doc_id AS VARCHAR)), doc_id
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                   AS cum
+          FROM t WHERE n_tokens > 0)
+    SELECT doc_id, score, n_tokens FROM o WHERE cum <= 12000
 """

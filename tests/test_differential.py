@@ -120,3 +120,30 @@ def test_filter_trees_match_duckdb(tpch, ducks, tree, exclude):
     sql = f"SELECT o_orderkey FROM orders o WHERE {neg}{pred}"
     want = sorted(r[0] for r in ducks.sql(sql).fetchall())
     assert got == want, f"exclude={exclude} sql={sql}"
+
+
+def test_weighted_sample_matches_brute_force_aes(spark):
+    """weighted_sample's top-k by ln(u)/w must equal the brute-force
+    A-ES computation with the same md5-derived uniforms, and heavier
+    rows must dominate the admitted set on average."""
+    import hashlib
+    import math
+
+    from tantalus_spark.datapipe.sampling import weighted_sample
+
+    rows = [(i, float(1 + (i % 10) * 10)) for i in range(200)]
+    df = spark.createDataFrame(rows, "doc_id long, w double")
+    out = weighted_sample(df, k=30, weight_col="w")
+    got = [r["doc_id"] for r in out.collect()]
+
+    def key(i, w):
+        h = int(hashlib.md5(f"ws_{i}".encode()).hexdigest()[:15], 16)
+        u = (h + 0.5) / 2.0 ** 60
+        return math.log(u) / w
+
+    want = sorted(rows, key=lambda r: (-key(*r), r[0]))[:30]
+    assert got == [i for i, _ in want]
+    # weight actually biases the draw: mean weight of the sample far
+    # above the population mean (~46)
+    mean_w = sum(w for i, w in rows if i in set(got)) / 30
+    assert mean_w > 60

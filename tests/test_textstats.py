@@ -911,3 +911,55 @@ def test_bm25_serve_stream_matches_indexed_batch(spark, tmp_path):
             for r in bm25_rank_indexed(
                 idx, terms, k=100, n_docs=n_docs, avgdl=avgdl).collect()}
     assert got == want and len(got) == 11
+
+
+def test_tfidf_cosine_pairs_identical_docs_score_one(spark):
+    """Two identical documents share every term with equal weights:
+    cosine must be exactly 1.0; a disjoint doc must produce no pair.
+    min_df=2 drops terms appearing in one doc only."""
+    from tantalus_spark.datapipe.textstats import tfidf_cosine_pairs
+
+    rows = [
+        (1, "alpha beta gamma delta alpha"),
+        (2, "alpha beta gamma delta alpha"),
+        (3, "zeta eta theta iota kappa"),
+        (4, "zeta eta theta iota kappa"),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    out = tfidf_cosine_pairs(df, threshold=0.0, min_df=2,
+                             max_df_frac=0.9)
+    got = {(r["id_a"], r["id_b"]): r["cosine"] for r in out.collect()}
+    out.unpersist()
+    assert got[(1, 2)] == 1.0 and got[(3, 4)] == 1.0
+    # cross-group pairs share zero kept terms -> no row at all
+    assert (1, 3) not in got and (2, 4) not in got and len(got) == 2
+
+
+def test_budget_select_is_takewhile_prefix(spark):
+    """budget_select's two-phase histogram plan must equal the one-line
+    spec: the maximal prefix of (score desc, md5(id), id) whose running
+    token total stays within budget."""
+    import hashlib
+
+    from pyspark.sql import functions as F
+    from tantalus_spark.datapipe.scoring import budget_select
+
+    rows = [(i, "tok " * (5 + i % 7), (i % 4)) for i in range(40)]
+    df = spark.createDataFrame(rows, "doc_id long, text string, q int") \
+              .withColumn("q", F.col("q").cast("long"))
+    budget = 120
+    out = budget_select(df, budget_tokens=budget, score_col="q")
+    got = sorted(r["doc_id"] for r in out.collect())
+    out.unpersist()
+    # brute-force spec
+    docs = [(i, len(("tok " * (5 + i % 7)).split()), i % 4)
+            for i in range(40)]
+    order = sorted(docs, key=lambda d: (
+        -d[2], hashlib.md5(str(d[0]).encode()).hexdigest(), d[0]))
+    want, cum = [], 0
+    for i, ntok, _q in order:
+        if cum + ntok > budget:
+            break
+        cum += ntok
+        want.append(i)
+    assert got == sorted(want) and 0 < len(got) < 40
