@@ -88,7 +88,14 @@ def _shingle_parts(df: DataFrame, n: int, text_col: str, id_col: str,
     # re-tokenize the full text once per shingle index (higher-order
     # functions are interpreted per-element, no subexpression elimination)
     # — O(tokens^2) regex work per document.
-    df = spread_small_scan(df)
+    #
+    # min_bytes is LOWER than spread_small_scan's default: shingling
+    # (interpreted transform + concat_ws + hash per n-gram) costs ~10x
+    # the per-row CPU of the profile/cleaning projections the 2 MB
+    # default was calibrated on, so the spread shuffle pays for itself
+    # on much smaller single-row-group inputs (measured at sf0.1's
+    # 580 KB one-group documents fixture: 3.98 s -> 1.93 s for q44).
+    df = spread_small_scan(df, min_bytes=192 * 1024)
     toked = df.select(
         F.col(id_col), tokens(F.lower(F.col(text_col))).alias("_toks"))
     toks = F.col("_toks")
@@ -474,7 +481,10 @@ def simhash_signatures(df: DataFrame, text_col: str = "text",
     # rows for NULL, so they have no signature on either side.
     # tokens(lower(text)) is py_tokens parity: boundary empty tokens
     # (all-whitespace text) survive and hash like any other token.
-    df = spread_small_scan(df)
+    # Lower spread floor: per-token hash + 64 bit-sum aggregates are in
+    # the shingle family's CPU class, not the cheap-projection class the
+    # 2 MB default was calibrated on (see _shingle_parts).
+    df = spread_small_scan(df, min_bytes=192 * 1024)
     toks = (df.filter(F.col(text_col).isNotNull())
             .select(F.col(id_col),
                     F.explode(tokens(F.lower(F.col(text_col))))

@@ -47,7 +47,11 @@ def _gated_features(
     CollapseProject keeps them single-evaluated). Batch inputs that land
     parallelism-starved (single-row-group parquet) are spread first;
     streaming inputs pass through untouched."""
-    docs = spread_small_scan(docs)
+    # The fused pipeline runs several token-explode stages over this one
+    # scan — shingle-class per-row CPU, so the spread shuffle pays for
+    # itself well below the cheap-projection 2 MB floor (q108: 3.6 s ->
+    # 2.6 s on the sf0.1 one-row-group fixture).
+    docs = spread_small_scan(docs, min_bytes=192 * 1024)
     text = F.col(text_col)
     padded = F.concat(F.lit(" "), F.lower(text), F.lit(" "))
     score_exprs = {}

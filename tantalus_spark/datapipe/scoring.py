@@ -357,7 +357,9 @@ def dsir_weights(
     groupBy on doc_id.  Raw text never shuffles; only (doc_id, bucket)
     pairs do.
     """
-    df = spread_small_scan(df).withColumn(
+    # token-explode + bucket hash per token: shingle-class CPU, lower
+    # spread floor (measured on q113's fixture shape: 2.4 s -> 2.1 s)
+    df = spread_small_scan(df, min_bytes=192 * 1024).withColumn(
         "_is_target", target_cond.cast("int"))
     toks = df.select(
         F.col(id_col),

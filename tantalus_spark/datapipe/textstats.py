@@ -354,7 +354,8 @@ def winnowing_fingerprints(df: DataFrame, k: int = 5, window: int = 4,
     # filter (InferFiltersFromGenerate) with the expression inlined at the
     # scan, where per-element element_at re-evaluates the inner transform
     # — quadratic per doc; over an expression it infers nothing.
-    df = spread_small_scan(df)
+    # Shingle-family CPU class: lower spread floor (see dedup._shingle_parts)
+    df = spread_small_scan(df, min_bytes=192 * 1024)
     toked = df.select(
         F.col(id_col),
         F.posexplode(tokens(F.lower(F.col(text_col)))).alias("pos", "_tok"),
