@@ -25,7 +25,7 @@ from pyspark.sql import functions as F
 # Headline set: one per operator family, weighted toward shuffle-heavy ops.
 # NOTE the set GREW round-over-round (r3: 22 queries; r4: 26 — added
 # 97_lm_score, 98_dsir_weights, 101_perplexity_buckets, 108_build_corpus;
-# r5: 32 — added 46_simhash and 111_fuzzy_pairs, both rebuilt this round,
+# r5: 32 — added 46_simhash and 111_fuzzy_pairs, both rebuilt that round,
 # plus 113_quota_select and 116_encoding_noise, then the late additions
 # 120_zipf_fit and 121_bm25_rank), so compare BENCH_r*.json PER-QUERY,
 # not by total.
@@ -62,6 +62,10 @@ HEADLINE = [
     "116_encoding_noise",
     "120_zipf_fit",
     "121_bm25_rank",
+    # r6 additions: index-backed serving (includes its one-time index
+    # build — the honest one-job cost) and the posting-join cosine
+    "123_bm25_indexed",
+    "124_tfidf_cosine",
 ]
 
 

@@ -55,13 +55,22 @@ def main() -> None:
     for name in full:
         fn = QUERIES[name]
         for sf in sfs:          # warmup once per (query, sf)
-            fn(spark, sf).count()
+            df = fn(spark, sf)
+            df.count()
+            # release caller-owned caches: without this every timed rep
+            # below re-serves the warmup's persisted result (identical
+            # analyzed plan -> CacheManager hit) and the "scale ratio"
+            # measures result-read size, not query cost — the same
+            # harness cache-assist bug bench.py had (SCALING.md r6)
+            df.unpersist()
         best = {sf: float("inf") for sf in sfs}
         for _ in range(n):
             for sf in sfs:      # interleave SFs within each rep
                 t0 = time.time()
-                fn(spark, sf).count()
+                df = fn(spark, sf)
+                df.count()
                 best[sf] = min(best[sf], time.time() - t0)
+                df.unpersist()
         out[name] = {sf: round(best[sf], 3) for sf in sfs}
         if len(sfs) == 2:
             a, b = sfs

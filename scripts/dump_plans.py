@@ -62,8 +62,10 @@ SHOW = [
     ("69_embedding_lsh", "r5: literal-folded hyperplane coefficients —"
      " the bucket projection is a codegen'd element_at chain, no"
      " interpreted HOF, no per-row md5"),
-    ("117_gopher_rules", "Gopher rule set: one codegen'd projection,"
-     " zero exchanges; HOF word filters evaluated once per row"),
+    ("117_gopher_rules", "Gopher rule set: zero exchanges; the two token"
+     " arrays (original-case + lowered) are MATERIALIZED once in a first"
+     " projection — exactly two filter(split(...)) subtrees in the plan"
+     " (r6 fix; the stop-word loop is one array_intersect)"),
     ("118_c4_filters", "C4 cleaning: line-filter HOF once per row, all"
      " doc gates codegen, zero exchanges"),
     ("119_sq8_quantize", "SQ8 audit: trained per-dim stats literal-folded"
@@ -79,8 +81,18 @@ SHOW = [
      " + broadcast-candidate probes into signatures and postings;"
      " all-integer error-bucket rollup"),
     ("123_bm25_indexed", "index-backed BM25: one-pass inverted-index"
-     " build + a query that touches only its terms' postings (term"
-     " IN-filter pushes into the index scan in the parquet layout)"),
+     " build emitting (N, avgdl) as build-time artifacts; the serving"
+     " query touches ONLY its terms' postings — term IN-filter pushes"
+     " into the index scan and NO full-index stats aggregate (r6 fix)"),
+    ("124_tfidf_cosine", "sparse TF-IDF cosine pairs: df-pruned posting"
+     " self-join (pairs per term bounded by the df cap), nano-integer"
+     " dot/norm sums, broadcast df table"),
+    ("125_weighted_sample", "A-ES weighted sampling: one projection"
+     " computes ln(u)/w keys, top-k is TakeOrderedAndProject — no"
+     " global sort, nothing corpus-sized shuffles"),
+    ("126_budget_select", "token-budget selection: score-token histogram"
+     " + literal threshold filter + bounded tie window — no corpus-wide"
+     " sort/row_number"),
 ]
 
 

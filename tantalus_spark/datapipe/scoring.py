@@ -357,9 +357,11 @@ def dsir_weights(
     groupBy on doc_id.  Raw text never shuffles; only (doc_id, bucket)
     pairs do.
     """
-    # token-explode + bucket hash per token: shingle-class CPU, lower
-    # spread floor (measured on q113's fixture shape: 2.4 s -> 2.1 s)
-    df = spread_small_scan(df, min_bytes=192 * 1024).withColumn(
+    # Default spread floor: an A/B in the official bench harness showed
+    # the 192 KB shingle-class floor REGRESSED both consumers here
+    # (q98 +0.19 s, q113 +0.17 s) — the bucket hash is one xxhash64 per
+    # token, light enough that the extra exchange doesn't pay below 2 MB.
+    df = spread_small_scan(df).withColumn(
         "_is_target", target_cond.cast("int"))
     toks = df.select(
         F.col(id_col),
