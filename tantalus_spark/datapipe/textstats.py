@@ -1379,6 +1379,7 @@ def tfidf_cosine_pairs(
     threshold: float = 0.3,
     min_df: int = 2,
     max_df_frac: float = 0.5,
+    max_df: int = 500,
     text_col: str = "text",
     id_col: str = "doc_id",
 ) -> DataFrame:
@@ -1398,12 +1399,16 @@ def tfidf_cosine_pairs(
     hash-for-hash. The final cosine divides the exact integer dot by
     the sqrt of the two exact integer norms in double.
 
-    Scale shape: terms outside ``[min_df, max_df_frac·N]`` document
-    frequency are dropped BEFORE the self-join — singleton terms pair
-    nothing, and the df cap bounds every posting list (pairs per term
-    <= cap², the same quadratic-bound dial as q44's
+    Scale shape: terms outside ``[min_df, min(max_df_frac·N, max_df)]``
+    document frequency are dropped BEFORE the self-join — singleton
+    terms pair nothing, and the df cap bounds every posting list (pairs
+    per term <= cap², the same quadratic-bound dial as q44's
     ``max_shingle_freq``), so the term self-join shuffles a pruned
-    sliver of the postings, never the corpus. Three keyed shuffles
+    sliver of the postings, never the corpus. ``max_df`` is the
+    ABSOLUTE cap that holds at scale: a fractional cap alone grows with
+    N (at 10x corpus a 50%-df stopword pairs 25k² candidates per term —
+    measured OOM in the r6 sf1 sweep), while an absolute cap keeps the
+    quadratic bound constant at any corpus size. Three keyed shuffles
     total (tf groupBy, pair aggregate, norm join-back); N folds in as
     a plan literal."""
     df = spread_small_scan(df)
@@ -1413,7 +1418,7 @@ def tfidf_cosine_pairs(
     )
     tf = toks.groupBy(id_col, "term").agg(F.count(F.lit(1)).alias("tf"))
     n = df.count()
-    df_cap = int(n * max_df_frac)
+    df_cap = min(int(n * max_df_frac), int(max_df))
     dfreq = (tf.groupBy("term").agg(F.count(F.lit(1)).alias("df"))
                .filter((F.col("df") >= F.lit(int(min_df)))
                        & (F.col("df") <= F.lit(df_cap))))

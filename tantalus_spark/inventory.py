@@ -4194,7 +4194,8 @@ ORACLES["124_tfidf_cosine"] = """
              string_split_regex(trim(lower(text)), '\\s+') AS toks
       FROM documents),
     n AS (SELECT CAST(count(*) AS DOUBLE) AS n,
-                 CAST(floor(count(*) * 0.5) AS BIGINT) AS df_cap
+                 LEAST(CAST(floor(count(*) * 0.5) AS BIGINT), 500)
+                   AS df_cap
           FROM documents),
     toks AS (SELECT doc_id, unnest(toks) AS term FROM base),
     tf AS (SELECT doc_id, term, count(*) AS tf
