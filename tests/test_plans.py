@@ -474,3 +474,29 @@ def test_bm25_index_bucketed_table_prunes_term_buckets(spark):
         assert all(c <= 2 for c in counts), counts
     finally:
         spark.sql(f"DROP TABLE IF EXISTS {table}")
+
+
+def test_weighted_sample_is_topk_not_global_sort(spark):
+    """q125's scale contract: the A-ES key top-k must be
+    TakeOrderedAndProject (per-partition heap + driver merge of k rows),
+    never a global Sort, and nothing corpus-sized may shuffle."""
+    plan = _plan(QUERIES["125_weighted_sample"](spark, SF))
+    assert "TakeOrderedAndProject" in plan
+    assert "Exchange hashpartitioning" not in plan
+
+
+def test_budget_select_has_no_corpus_wide_sort(spark):
+    """q126's scale contract (the dsir_select shape): threshold filter +
+    bounded tie window only — no corpus-wide global sort and no
+    row_number over the full corpus. The only windows in the plan sit
+    over the score histogram and the single tie bucket."""
+    df = QUERIES["126_budget_select"](spark, SF)
+    plan = _plan(df)
+    # the clear set is a plain literal filter on score: it must appear
+    assert "Filter" in plan
+    # no corpus-wide Sort feeding a Window over everything: every Sort
+    # in the plan belongs to a windowed frame that sits behind a Filter
+    # on the threshold score (the bounded tie bucket) or the tiny
+    # histogram — a global rangepartitioning Sort would show up as
+    # 'Exchange rangepartitioning' with no preceding threshold filter
+    assert plan.count("Exchange rangepartitioning") == 0
