@@ -1065,3 +1065,134 @@ def sq8_reconstruction(
               ).cast("long").alias("rmse_micro"),
           )
     )
+
+
+def hard_negatives(
+    df: DataFrame,
+    k: int = 5,
+    anchor_cond=None,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    label_col: str = "label",
+) -> DataFrame:
+    """Contrastive hard-negative mining: for each anchor vector, the
+    ``k`` most cosine-similar vectors carrying a DIFFERENT label — the
+    training-pair construction step for contrastive/embedding-model
+    fine-tuning (a random negative is trivially separable; the
+    highest-similarity cross-label neighbors are the examples that
+    actually move the loss).
+
+    ``anchor_cond`` restricts which rows act as anchors (default: every
+    row); candidates are always the full cross-label complement.
+    Returns (id, neg_id, neg_label, cosine, rank<=k) under the
+    deterministic total order (similarity desc, neg_id asc).
+
+    Scale shape: this exact form is the cross-label BLOCKED join —
+    anchors × different-label candidates, strictly smaller than the
+    full self-join — and is the verifier. At corpus scale, mine from
+    :func:`knn_graph_lsh`'s bucketed candidates filtered to
+    cross-label pairs instead; the ranking expression and total order
+    are identical, so the two paths grade against each other the same
+    way q51 grades q69."""
+    from pyspark.sql import Window as W
+
+    base = df.filter(F.col(vec_col).isNotNull())
+    a = base if anchor_cond is None else base.filter(anchor_cond)
+    anchors = a.select(F.col(id_col).alias("id"),
+                       F.col(vec_col).alias("av"),
+                       F.col(label_col).alias("alabel"))
+    cands = base.select(F.col(id_col).alias("neg_id"),
+                        F.col(vec_col).alias("nv"),
+                        F.col(label_col).alias("neg_label"))
+    sim = cosine_similarity(F.col("av"), F.col("nv"))
+    w = W.partitionBy("id").orderBy(F.col("_sim").desc(),
+                                    F.col("neg_id").asc())
+    return (
+        anchors.join(cands, F.col("alabel") != F.col("neg_label"))
+               .withColumn("_sim", sim)
+               .withColumn("rank", F.row_number().over(w))
+               .filter(F.col("rank") <= int(k))
+               .select(F.col("id").alias(id_col), "neg_id", "neg_label",
+                       F.round(F.col("_sim"), 4).alias("cosine"),
+                       F.col("rank").cast("int").alias("rank"))
+    )
+
+
+def retrieval_metrics(
+    ranked: DataFrame,
+    relevant: DataFrame,
+    ks: tuple[int, ...] = (1, 5, 10),
+    id_col: str = "doc_id",
+    rank_col: str = "rank",
+) -> DataFrame:
+    """Offline retrieval-quality evaluation of ONE ranked result list
+    against a relevance set: per cutoff k — hits@k, precision@k,
+    recall@k, MRR@k, nDCG@k.  The eval harness counterpart of the
+    BM25/ANN serving stack: every retrieval change ships with these
+    numbers.
+
+    ``ranked``: (id, rank) with rank 1-based and total (ties broken
+    upstream); ``relevant``: one id per relevant document (the ground
+    truth, corpus-wide).  R = |relevant| is taken from the relevance
+    frame (one bounded action) so recall and ideal-DCG use the true
+    denominator even when a relevant doc was not retrieved at all.
+
+    Exactness: hit counts are integer sums; DCG quantizes each
+    ``1/log2(rank+1)`` contribution to an exact nano-integer BEFORE the
+    sum (fold-order-free, the repo's nano-BIGINT rule) and iDCG is the
+    same quantized sum computed driver-side (R is known), so nDCG is a
+    ratio of two exact integers; MRR is a MAX (order-free).  One small
+    join + one groupBy on k; nothing corpus-sized moves — ``ranked``
+    is already a top-N result.
+
+    Returns one row per k: (k, n_relevant, hits, precision, recall,
+    mrr, ndcg), doubles rounded to 4."""
+    import math
+
+    r_total = relevant.distinct().count()
+    rel = relevant.select(F.col(id_col)).distinct() \
+                  .withColumn("_rel", F.lit(1))
+    base = (ranked.select(F.col(id_col), F.col(rank_col).alias("_rank"))
+                  .join(rel, id_col, "left")
+                  .withColumn("_rel", F.coalesce("_rel", F.lit(0))))
+    kdf = F.explode(F.array(*[F.lit(int(k)) for k in ks])).alias("k")
+    exp = base.select("*", kdf).filter(F.col("_rank") <= F.col("k"))
+    # DCG contribution as an exact nano-integer per row: the sum is then
+    # fold-order-free in any engine
+    dcg_nano = (F.col("_rel").cast("long")
+                * F.floor(F.lit(1e9) / F.log2(F.col("_rank") + F.lit(1.0))
+                          + F.lit(0.5)).cast("long"))
+    rr = F.when(F.col("_rel") == 1, F.lit(1.0) / F.col("_rank"))
+    agg = (exp.groupBy("k")
+              .agg(F.sum("_rel").cast("long").alias("hits"),
+                   F.sum(dcg_nano).alias("_dcg_nano"),
+                   # reciprocal rank of the FIRST relevant hit: 1/rank
+                   # is monotone decreasing in rank, so max = earliest
+                   F.max(rr).alias("_best_rr")))
+    # ideal DCG: all R relevant docs ranked first — the SAME quantized
+    # sum computed driver-side (R is one bounded count)
+    idcg_nano = {k: sum(math.floor(1e9 / math.log2(i + 1) + 0.5)
+                        for i in range(1, min(int(k), r_total) + 1)) or 1
+                 for k in ks}
+    idcg_expr = None
+    for k in ks:
+        lit = F.lit(int(idcg_nano[k])).cast("long")
+        idcg_expr = (F.when(F.col("k") == int(k), lit)
+                     if idcg_expr is None
+                     else idcg_expr.when(F.col("k") == int(k), lit))
+    return (
+        agg.select(
+            F.col("k").cast("int").alias("k"),
+            F.lit(int(r_total)).alias("n_relevant"),
+            F.col("hits"),
+            # "precision" is a reserved word in ANSI SQL — suffix both
+            # ratio columns so the oracle can alias them identically
+            F.round(F.col("hits") / F.col("k"), 4).alias("precision_k"),
+            F.round(F.col("hits") / F.lit(max(r_total, 1)), 4)
+             .alias("recall_k"),
+            F.round(F.coalesce(F.col("_best_rr"), F.lit(0.0)), 4)
+             .alias("mrr"),
+            F.round(F.col("_dcg_nano").cast("double")
+                    / idcg_expr.cast("double"), 4).alias("ndcg"),
+        )
+    )

@@ -1776,6 +1776,51 @@ def q126_budget_select(spark, sf_dir):
     return budget_select(scored, budget_tokens=12_000, score_col="qscore")
 
 
+def q127_hard_negatives(spark, sf_dir):
+    """Contrastive hard-negative mining: for each label-1 anchor, the 5
+    most cosine-similar vectors with a DIFFERENT label — the training-
+    pair construction step for embedding-model fine-tuning. Exact
+    cross-label blocked join (the verifier; at scale the same ranking
+    rides knn_graph_lsh's buckets filtered to cross-label pairs)."""
+    from pyspark.sql import functions as F
+
+    from tantalus_spark.datapipe.similarity import hard_negatives
+
+    emb = db_for(spark, sf_dir).table("embeddings")
+    return hard_negatives(emb, k=5, anchor_cond=F.col("label") == 1)
+
+
+def q128_retrieval_metrics(spark, sf_dir):
+    """Offline retrieval evaluation: rank the corpus against vec 0's
+    embedding (exact cosine top-20), grade against the label-1
+    relevance set — hits / precision / recall / MRR / nDCG at
+    k=1,5,10,20. DCG is an exact nano-integer sum (fold-order-free);
+    iDCG is the same quantized sum as a driver literal."""
+    from pyspark.sql import Window as W
+    from pyspark.sql import functions as F
+
+    from tantalus_spark.datapipe.similarity import (
+        cosine_similarity, retrieval_metrics)
+
+    emb = db_for(spark, sf_dir).table("embeddings")
+    q0 = emb.filter(F.col("vec_id") == 0).select("embedding").first()[0]
+    qlit = F.array(*[F.lit(float(v)) for v in q0])
+    scored = (emb.filter(F.col("vec_id") != 0)
+                 .select("vec_id",
+                         cosine_similarity(F.col("embedding"), qlit)
+                         .alias("_s")))
+    top = (scored.orderBy(F.col("_s").desc(), F.col("vec_id").asc())
+                 .limit(20))
+    ranked = top.withColumn(
+        "rank",
+        F.row_number().over(W.orderBy(F.col("_s").desc(),
+                                      F.col("vec_id").asc()))
+    ).select("vec_id", "rank")
+    relevant = emb.filter(F.col("label") == 1).select("vec_id")
+    return retrieval_metrics(ranked, relevant, ks=(1, 5, 10, 20),
+                             id_col="vec_id")
+
+
 _ALL_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     name[1:]: fn
     for name, fn in list(globals().items())
@@ -1886,9 +1931,11 @@ _QUERY_ORDER = [
     "99_corpus_shuffle", "100_bpe_merges",
     "103_temperature_mix", "105_gate_attribution",
     # r6 additions: sparse TF-IDF cosine pairs, A-ES weighted sampling,
-    # token-budget selection — local-gate evidence this round; r7
-    # ROTATION CANDIDATES under the standing protocol.
+    # token-budget selection, contrastive hard negatives, retrieval
+    # eval metrics — local-gate evidence this round; r7 ROTATION
+    # CANDIDATES under the standing protocol.
     "124_tfidf_cosine", "125_weighted_sample", "126_budget_select",
+    "127_hard_negatives", "128_retrieval_metrics",
 ]
 
 QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
@@ -4262,4 +4309,63 @@ ORACLES["126_budget_select"] = """
                    AS cum
           FROM t WHERE n_tokens > 0)
     SELECT doc_id, score, n_tokens FROM o WHERE cum <= 12000
+"""
+
+ORACLES["127_hard_negatives"] = """
+    WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v, label
+               FROM embeddings WHERE embedding IS NOT NULL),
+    a AS (SELECT * FROM e WHERE label = 1),
+    p AS (SELECT a.vec_id, b.vec_id AS neg_id, b.label AS neg_label,
+                 list_cosine_similarity(a.v, b.v) AS s
+          FROM a JOIN e b ON a.label <> b.label),
+    r AS (SELECT *, row_number() OVER (
+              PARTITION BY vec_id ORDER BY s DESC, neg_id ASC) AS rk
+          FROM p)
+    SELECT vec_id, neg_id, neg_label,
+           round(s, 4) AS cosine, CAST(rk AS INTEGER) AS rank
+    FROM r WHERE rk <= 5
+"""
+
+ORACLES["128_retrieval_metrics"] = """
+    WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v, label
+               FROM embeddings),
+    q AS (SELECT v AS qv FROM e WHERE vec_id = 0),
+    s AS (SELECT vec_id, list_cosine_similarity(v, qv) AS s
+          FROM e, q WHERE vec_id <> 0),
+    r AS (SELECT vec_id,
+                 row_number() OVER (ORDER BY s DESC, vec_id ASC) AS rank
+          FROM s ORDER BY s DESC, vec_id ASC LIMIT 20),
+    rel AS (SELECT vec_id FROM e WHERE label = 1),
+    tot AS (SELECT count(*) AS r_total FROM rel),
+    ks AS (SELECT unnest([1, 5, 10, 20]) AS k),
+    ex AS (SELECT ks.k, r.rank,
+                  CASE WHEN rel.vec_id IS NOT NULL THEN 1 ELSE 0 END
+                    AS is_rel
+           FROM r CROSS JOIN ks
+           LEFT JOIN rel ON r.vec_id = rel.vec_id
+           WHERE r.rank <= ks.k),
+    agg AS (SELECT k,
+                   CAST(sum(is_rel) AS BIGINT) AS hits,
+                   sum(CAST(is_rel AS BIGINT)
+                       * CAST(floor(1e9 / log2(rank + 1.0) + 0.5)
+                              AS BIGINT)) AS dcg_nano,
+                   max(CASE WHEN is_rel = 1
+                            THEN 1.0 / rank END) AS best_rr
+            FROM ex GROUP BY k),
+    idcg AS (SELECT ks.k,
+                    CAST(sum(CAST(floor(1e9 / log2(t.i + 1.0) + 0.5)
+                                  AS BIGINT)) AS BIGINT) AS inano
+             FROM ks CROSS JOIN tot
+             CROSS JOIN generate_series(1, 20) AS t(i)
+             WHERE t.i <= least(ks.k, tot.r_total)
+             GROUP BY ks.k)
+    SELECT CAST(agg.k AS INTEGER) AS k,
+           CAST(tot.r_total AS INTEGER) AS n_relevant,
+           agg.hits,
+           round(agg.hits * 1.0 / agg.k, 4) AS precision_k,
+           round(agg.hits * 1.0 / tot.r_total, 4) AS recall_k,
+           round(coalesce(agg.best_rr, 0.0), 4) AS mrr,
+           round(CAST(agg.dcg_nano AS DOUBLE)
+                 / CAST(idcg.inano AS DOUBLE), 4) AS ndcg
+    FROM agg JOIN idcg ON agg.k = idcg.k CROSS JOIN tot
 """

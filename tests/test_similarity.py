@@ -508,3 +508,51 @@ def test_length_outliers_rejects_fractional_z():
 
     with pytest.raises(ValueError, match="integer z"):
         length_outliers(None, z=1.5)
+
+
+def test_hard_negatives_known_geometry(spark):
+    """Anchors must rank cross-label vectors by true cosine: with
+    orthogonal-ish axes the nearest different-label vector is the one
+    sharing the anchor's direction."""
+    rows = [
+        (1, [1.0, 0.0, 0.0], 1),
+        (2, [0.9, 0.1, 0.0], 0),   # closest to anchor 1
+        (3, [0.0, 1.0, 0.0], 0),
+        (4, [0.0, 0.0, 1.0], 1),
+        (5, [0.1, 0.0, 0.9], 0),   # closest to anchor 4
+    ]
+    from pyspark.sql import functions as F
+    from tantalus_spark.datapipe.similarity import hard_negatives
+
+    df = spark.createDataFrame(
+        rows, "vec_id long, embedding array<float>, label int")
+    out = hard_negatives(df, k=1, anchor_cond=F.col("label") == 1)
+    got = {r["vec_id"]: r["neg_id"] for r in out.collect()}
+    assert got == {1: 2, 4: 5}
+    # negatives never share the anchor's label
+    assert all(r["neg_label"] == 0 for r in out.collect())
+
+
+def test_retrieval_metrics_hand_computed(spark):
+    """Five ranked docs, relevant = {d1, d3, d9} (d9 never retrieved):
+    metrics at k=1 and k=5 against hand-computed values."""
+    import math
+
+    from tantalus_spark.datapipe.similarity import retrieval_metrics
+
+    ranked = spark.createDataFrame(
+        [(1, 1), (2, 2), (3, 3), (4, 4), (5, 5)], "doc_id long, rank int")
+    relevant = spark.createDataFrame([(1,), (3,), (9,)], "doc_id long")
+    out = {r["k"]: r for r in
+           retrieval_metrics(ranked, relevant, ks=(1, 5)).collect()}
+    r1, r5 = out[1], out[5]
+    assert r1["hits"] == 1 and r1["precision_k"] == 1.0
+    assert r1["recall_k"] == round(1 / 3, 4) and r1["mrr"] == 1.0
+    assert r1["ndcg"] == 1.0          # best possible single hit
+    assert r5["hits"] == 2 and r5["precision_k"] == 0.4
+    assert r5["recall_k"] == round(2 / 3, 4) and r5["mrr"] == 1.0
+    dcg = (math.floor(1e9 / math.log2(2) + 0.5)
+           + math.floor(1e9 / math.log2(4) + 0.5))
+    idcg = sum(math.floor(1e9 / math.log2(i + 1) + 0.5)
+               for i in (1, 2, 3))
+    assert r5["ndcg"] == round(dcg / idcg, 4)
