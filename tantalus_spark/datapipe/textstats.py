@@ -354,8 +354,11 @@ def winnowing_fingerprints(df: DataFrame, k: int = 5, window: int = 4,
     # filter (InferFiltersFromGenerate) with the expression inlined at the
     # scan, where per-element element_at re-evaluates the inner transform
     # — quadratic per doc; over an expression it infers nothing.
-    # Shingle-family CPU class: lower spread floor (see dedup._shingle_parts)
-    df = spread_small_scan(df, min_bytes=192 * 1024)
+    # Default spread floor: winnowing's per-gram work (posexplode + one
+    # hash) is lighter than the shingle family's, and the window-min
+    # exchange right below already redistributes — the 192 KB floor was
+    # A/B-measured SLOWER here (0.65 s vs 0.46 s at sf0.1).
+    df = spread_small_scan(df)
     toked = df.select(
         F.col(id_col),
         F.posexplode(tokens(F.lower(F.col(text_col)))).alias("pos", "_tok"),
