@@ -1087,34 +1087,104 @@ def hard_negatives(
     Returns (id, neg_id, neg_label, cosine, rank<=k) under the
     deterministic total order (similarity desc, neg_id asc).
 
-    Scale shape: this exact form is the cross-label BLOCKED join —
-    anchors × different-label candidates, strictly smaller than the
-    full self-join — and is the verifier. At corpus scale, mine from
-    :func:`knn_graph_lsh`'s bucketed candidates filtered to
-    cross-label pairs instead; the ranking expression and total order
-    are identical, so the two paths grade against each other the same
-    way q51 grades q69."""
+    Plan shape (the _block_matmul_pairs pattern, adapted to a cross
+    top-k): materializing anchor×candidate PAIRS is the trap — a
+    ``label != label`` join is nested-loop, a per-pair HOF cosine is
+    interpreted (the q46/q52/q69 cliff class, measured 12 s at sf0.1
+    for the first cut), and even Arrow-batched per-pair scoring ships
+    every vector once PER PAIR. Instead anchors hash into ``a_blocks``
+    and candidates into ``c_blocks``; each side replicates only
+    block-count times (linear volume), every (anchor-block,
+    cand-block) group runs ONE BLAS gemm with same-label pairs masked
+    out and keeps its per-anchor top-k, and a final rank window merges
+    the c_blocks×k partials per anchor. Quadratic FLOPs happen inside
+    the gemm at matrix speed; nothing quadratic shuffles.
+
+    Scale shape: this exact form is the verifier. At corpus scale,
+    mine from :func:`knn_graph_lsh`'s bucketed candidates filtered to
+    cross-label pairs instead; the ranking total order (similarity
+    desc, neg_id asc) is identical, so the two paths grade against
+    each other the same way q51 grades q69."""
+    import numpy as np
+
     from pyspark.sql import Window as W
 
+    a_blocks, c_blocks = 8, 4
     base = df.filter(F.col(vec_col).isNotNull())
     a = base if anchor_cond is None else base.filter(anchor_cond)
-    anchors = a.select(F.col(id_col).alias("id"),
-                       F.col(vec_col).alias("av"),
-                       F.col(label_col).alias("alabel"))
-    cands = base.select(F.col(id_col).alias("neg_id"),
-                        F.col(vec_col).alias("nv"),
-                        F.col(label_col).alias("neg_label"))
-    sim = cosine_similarity(F.col("av"), F.col("nv"))
+    side_a = a.select(
+        F.lit(0).alias("side"),
+        F.col(id_col).alias("id"),
+        F.col(vec_col).alias("v"),
+        F.col(label_col).alias("lbl"),
+        F.pmod(F.xxhash64(F.col(id_col)), F.lit(a_blocks)).cast("int")
+         .alias("gi"),
+        F.explode(F.sequence(F.lit(0), F.lit(c_blocks - 1))).alias("gj"),
+    )
+    side_c = base.select(
+        F.lit(1).alias("side"),
+        F.col(id_col).alias("id"),
+        F.col(vec_col).alias("v"),
+        F.col(label_col).alias("lbl"),
+        F.explode(F.sequence(F.lit(0), F.lit(a_blocks - 1))).alias("gi"),
+        F.pmod(F.xxhash64(F.col(id_col)), F.lit(c_blocks)).cast("int")
+         .alias("gj"),
+    )
+    kk = int(k)
+
+    def gemm_topk(key, pdf: pd.DataFrame) -> pd.DataFrame:
+        import numpy as np
+
+        empty = pd.DataFrame(
+            {"id": pd.Series(dtype="int64"),
+             "neg_id": pd.Series(dtype="int64"),
+             "neg_label": pd.Series(dtype="int32"),
+             "_sim": pd.Series(dtype="float64")})
+        ap = pdf[pdf["side"] == 0]
+        cp = pdf[pdf["side"] == 1]
+        if ap.empty or cp.empty:
+            return empty
+        A = np.stack(ap["v"].to_numpy()).astype(np.float64)
+        B = np.stack(cp["v"].to_numpy()).astype(np.float64)
+        An = np.linalg.norm(A, axis=1)
+        Bn = np.linalg.norm(B, axis=1)
+        An[An == 0] = 1.0
+        Bn[Bn == 0] = 1.0
+        S = (A @ B.T) / np.outer(An, Bn)
+        la = ap["lbl"].to_numpy()
+        lb = cp["lbl"].to_numpy()
+        S[la[:, None] == lb[None, :]] = -np.inf   # same-label masked out
+        ib = cp["id"].to_numpy()
+        lbv = cp["lbl"].to_numpy()
+        rows = {"id": [], "neg_id": [], "neg_label": [], "_sim": []}
+        for r in range(S.shape[0]):
+            # per-anchor top-k under (sim desc, neg_id asc): lexsort is
+            # stable, last key is primary
+            order = np.lexsort((ib, -S[r]))[:kk]
+            keep = order[np.isfinite(S[r][order])]
+            rows["id"].extend([ap["id"].iloc[r]] * len(keep))
+            rows["neg_id"].extend(ib[keep])
+            rows["neg_label"].extend(lbv[keep])
+            rows["_sim"].extend(S[r][keep])
+        out = pd.DataFrame(rows)
+        return out.astype({"id": "int64", "neg_id": "int64",
+                           "neg_label": "int32", "_sim": "float64"}) \
+            if len(out) else empty
+
+    partials = (
+        side_a.unionByName(side_c)
+        .groupBy("gi", "gj")
+        .applyInPandas(gemm_topk,
+                       "id long, neg_id long, neg_label int, _sim double")
+    )
     w = W.partitionBy("id").orderBy(F.col("_sim").desc(),
                                     F.col("neg_id").asc())
     return (
-        anchors.join(cands, F.col("alabel") != F.col("neg_label"))
-               .withColumn("_sim", sim)
-               .withColumn("rank", F.row_number().over(w))
-               .filter(F.col("rank") <= int(k))
-               .select(F.col("id").alias(id_col), "neg_id", "neg_label",
-                       F.round(F.col("_sim"), 4).alias("cosine"),
-                       F.col("rank").cast("int").alias("rank"))
+        partials.withColumn("rank", F.row_number().over(w))
+                .filter(F.col("rank") <= kk)
+                .select(F.col("id").alias(id_col), "neg_id", "neg_label",
+                        F.round(F.col("_sim"), 4).alias("cosine"),
+                        F.col("rank").cast("int").alias("rank"))
     )
 
 
