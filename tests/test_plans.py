@@ -500,3 +500,16 @@ def test_budget_select_has_no_corpus_wide_sort(spark):
     # histogram — a global rangepartitioning Sort would show up as
     # 'Exchange rangepartitioning' with no preceding threshold filter
     assert plan.count("Exchange rangepartitioning") == 0
+
+
+def test_tfidf_cosine_prunes_df_and_broadcasts_term_table(spark):
+    """q124's scale contract: the [min_df, df_cap] prune happens
+    BEFORE the posting self-join (the kept-terms table is filtered and
+    broadcast into the weight projection), so the pair stage only ever
+    sees capped posting lists."""
+    df = QUERIES["124_tfidf_cosine"](spark, SF)
+    plan = _plan(df)
+    df.unpersist()
+    assert "BroadcastHashJoin" in plan     # df table joins broadcast
+    # the df-range filter exists in the plan (cap + min_df conjuncts)
+    assert "df#" in plan and "Filter" in plan

@@ -110,3 +110,52 @@ def test_py_tokens_matches_spark_tokens(spark, texts):
         "i", tokens(F.lower(F.col("t"))).alias("tk")).collect()}
     for i, t in enumerate(texts):
         assert got[i] == py_tokens(t), repr(t)
+
+
+@given(k=st.integers(min_value=1, max_value=30),
+       salt=st.sampled_from(["ws", "v2"]))
+@settings(max_examples=6, deadline=None)
+def test_weighted_sample_partition_invariant_and_nested(spark, k, salt):
+    """The A-ES draw is a pure function of (salt, id, weight): the
+    selected set must not change under repartitioning, and the top-j
+    of a top-k draw must equal the top-j draw directly (prefix
+    property of a fixed total order)."""
+    from tantalus_spark.datapipe.sampling import weighted_sample
+
+    rows = [(i, float(1 + (i * 7) % 13)) for i in range(80)]
+    df = spark.createDataFrame(rows, "doc_id long, w double")
+    a = [r["doc_id"] for r in
+         weighted_sample(df, k=k, weight_col="w", salt=salt).collect()]
+    b = [r["doc_id"] for r in
+         weighted_sample(df.repartition(7), k=k, weight_col="w",
+                         salt=salt).collect()]
+    assert a == b
+    j = max(1, k // 2)
+    c = [r["doc_id"] for r in
+         weighted_sample(df, k=j, weight_col="w", salt=salt).collect()]
+    assert a[:j] == c
+
+
+@given(budget=st.integers(min_value=10, max_value=400))
+@settings(max_examples=6, deadline=None)
+def test_budget_select_monotone_in_budget(spark, budget):
+    """A larger budget must admit a SUPERSET of documents (take-while
+    prefixes of one fixed total order are nested), and the admitted
+    token total never exceeds the budget."""
+    from tantalus_spark.datapipe.scoring import budget_select
+
+    rows = [(i, "tok " * (3 + i % 5), (i % 3)) for i in range(30)]
+    from pyspark.sql import functions as F
+    df = spark.createDataFrame(
+        rows, "doc_id long, text string, q int").withColumn(
+        "q", F.col("q").cast("long"))
+    small = budget_select(df, budget_tokens=budget, score_col="q")
+    srows = small.collect()
+    small.unpersist()
+    big = budget_select(df, budget_tokens=budget + 40, score_col="q")
+    brows = big.collect()
+    big.unpersist()
+    s_ids = {r["doc_id"] for r in srows}
+    b_ids = {r["doc_id"] for r in brows}
+    assert s_ids <= b_ids
+    assert sum(r["n_tokens"] for r in srows) <= budget
