@@ -9,6 +9,8 @@ from __future__ import annotations
 
 import re
 
+import pandas as pd
+
 from pyspark.sql import Column, DataFrame, Window as W
 from pyspark.sql import functions as F
 
@@ -1457,3 +1459,53 @@ def tfidf_cosine_pairs(
                         F.round(cos, 4).alias("cosine")))
     from tantalus_spark.datapipe.dedup import _materialize_and_release
     return _materialize_and_release(out, [weighted])
+
+
+def normalize_nfc(df: DataFrame, text_col: str = "text",
+                  id_col: str = "doc_id") -> DataFrame:
+    """Unicode canonicalization for dedup keys: NFC-normalize the text
+    (composed form — 'e' + COMBINING ACUTE and the precomposed 'é'
+    become the SAME bytes) and collapse whitespace runs, so visually
+    identical documents that differ only in Unicode encoding or
+    spacing hash to one digest. Web crawls mix NFC/NFD sources freely;
+    exact dedup without this step silently misses those pairs.
+
+    NFC runs as an Arrow-batched pandas UDF over Python's stdlib
+    ``unicodedata`` (Spark SQL has no normalization builtin); both
+    engines implement Unicode NFC, so DuckDB's ``nfc_normalize``
+    replays it exactly — full oracle. Case folding is deliberately NOT
+    included: JVM/Python lower('İ') disagrees with DuckDB's, so a
+    caller composes ``F.lower`` when the corpus allows it.
+
+    Returns (id, norm_text, norm_digest, n_chars_norm) — one Arrow map
+    pass + codegen'd digest, zero shuffles."""
+    import unicodedata
+
+    @F.pandas_udf("string")
+    def _nfc(s: pd.Series) -> pd.Series:
+        return s.map(lambda t: unicodedata.normalize("NFC", t)
+                     if t is not None else None)
+
+    df = spread_small_scan(df)
+    norm = F.trim(F.regexp_replace(_nfc(F.col(text_col)),
+                                   r"\s+", " "))
+    return df.select(
+        F.col(id_col),
+        norm.alias("norm_text"),
+        F.md5(norm).alias("norm_digest"),
+        F.length(norm).alias("n_chars_norm"),
+    )
+
+
+def normalized_dup_groups(df: DataFrame, text_col: str = "text",
+                          id_col: str = "doc_id") -> DataFrame:
+    """Exact dedup on the NFC-canonicalized text: per normalized
+    digest, the group size and canonical (minimum) doc id — the
+    :func:`~.dedup.exact_dup_groups` shape with Unicode-equivalence
+    built in. Only the 16-byte digest shuffles; payloads stay put."""
+    n = normalize_nfc(df, text_col=text_col, id_col=id_col)
+    return (n.groupBy("norm_digest")
+             .agg(F.count(F.lit(1)).cast("long").alias("n_docs"),
+                  F.min(F.col(id_col)).alias("canonical_id"),
+                  F.min("n_chars_norm").alias("n_chars_norm"))
+             .filter(F.col("n_docs") >= 1))

@@ -1821,6 +1821,18 @@ def q128_retrieval_metrics(spark, sf_dir):
                              id_col="vec_id")
 
 
+def q129_normalized_dedup(spark, sf_dir):
+    """Unicode-canonical exact dedup: NFC-normalize (Arrow pandas UDF
+    over stdlib unicodedata — Spark has no normalization builtin) +
+    whitespace collapse, then digest groups with canonical min-id.
+    Catches NFC/NFD-mixed duplicates byte-exact dedup misses; only the
+    16-byte digest shuffles. Full oracle via DuckDB nfc_normalize."""
+    from tantalus_spark.datapipe.textstats import normalized_dup_groups
+
+    docs = db_for(spark, sf_dir).table("documents")
+    return normalized_dup_groups(docs)
+
+
 _ALL_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     name[1:]: fn
     for name, fn in list(globals().items())
@@ -1936,6 +1948,7 @@ _QUERY_ORDER = [
     # CANDIDATES under the standing protocol.
     "124_tfidf_cosine", "125_weighted_sample", "126_budget_select",
     "127_hard_negatives", "128_retrieval_metrics",
+    "129_normalized_dedup",
 ]
 
 QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
@@ -4368,4 +4381,17 @@ ORACLES["128_retrieval_metrics"] = """
            round(CAST(agg.dcg_nano AS DOUBLE)
                  / CAST(idcg.inano AS DOUBLE), 4) AS ndcg
     FROM agg JOIN idcg ON agg.k = idcg.k CROSS JOIN tot
+"""
+
+ORACLES["129_normalized_dedup"] = """
+    WITH n AS (
+      SELECT doc_id,
+             trim(regexp_replace(nfc_normalize(text), '\\s+', ' ', 'g'))
+               AS norm
+      FROM documents)
+    SELECT md5(norm) AS norm_digest,
+           CAST(count(*) AS BIGINT) AS n_docs,
+           min(doc_id) AS canonical_id,
+           CAST(min(length(norm)) AS INTEGER) AS n_chars_norm
+    FROM n GROUP BY md5(norm) HAVING count(*) >= 1
 """

@@ -963,3 +963,18 @@ def test_budget_select_is_takewhile_prefix(spark):
         cum += ntok
         want.append(i)
     assert got == sorted(want) and 0 < len(got) < 40
+
+
+def test_normalized_dedup_collapses_nfc_nfd_variants(spark):
+    """An NFD-encoded twin ('e' + COMBINING ACUTE) and extra whitespace
+    must land in the SAME group as the NFC original; distinct content
+    must not."""
+    nfc = "résumé writing guide"          # precomposed é
+    nfd = "résumé   writing  guide"     # decomposed + spaces
+    rows = [(1, nfc), (2, nfd), (3, "unrelated text")]
+    from tantalus_spark.datapipe.textstats import normalized_dup_groups
+
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    groups = {r["canonical_id"]: r["n_docs"]
+              for r in normalized_dup_groups(df).collect()}
+    assert groups == {1: 2, 3: 1}
