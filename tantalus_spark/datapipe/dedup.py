@@ -1170,3 +1170,44 @@ def minhash_calibration(
              F.max("err").alias("max_err_milli"))
     )
     return _materialize_and_release(out, [sh, sig, cand])
+
+
+def lsh_plan(n_perm: int, threshold: float,
+             min_rows: int = 1) -> dict:
+    """Banded-LSH parameter planner: choose (bands, rows) for a MinHash
+    signature of ``n_perm`` permutations so the S-curve's critical
+    similarity ``(1/b)^(1/r)`` sits closest to the target Jaccard
+    ``threshold`` — the standard tuning rule (Leskovec/Rajaraman/Ullman,
+    "Mining of Massive Datasets" §3.4.3: candidate probability at
+    similarity s is ``1 - (1 - s^r)^b``).
+
+    Pure driver-side arithmetic over the divisors of ``n_perm`` — no
+    data touched. Returns the chosen plan plus its predicted
+    candidate-recall at the threshold and at ±0.1 around it, so a
+    pipeline can assert its dial BEFORE paying for a corpus pass, and
+    :func:`minhash_calibration` (q122) can then VERIFY the prediction
+    empirically on a sample. Keys: bands, rows, critical_similarity,
+    p_at_threshold, p_below (t-0.1), p_above (t+0.1)."""
+    if not 0.0 < threshold < 1.0:
+        raise ValueError(f"threshold must be in (0,1), got {threshold}")
+    cands = [(b, n_perm // b) for b in range(1, n_perm + 1)
+             if n_perm % b == 0 and n_perm // b >= min_rows]
+    if not cands:
+        raise ValueError(f"no (bands, rows) split of {n_perm} with "
+                         f"rows >= {min_rows}")
+
+    def crit(b, r):
+        return (1.0 / b) ** (1.0 / r)
+
+    def p_cand(s, b, r):
+        return 1.0 - (1.0 - s ** r) ** b
+
+    b, r = min(cands, key=lambda br: abs(crit(*br) - threshold))
+    return {
+        "bands": b,
+        "rows": r,
+        "critical_similarity": round(crit(b, r), 4),
+        "p_at_threshold": round(p_cand(threshold, b, r), 4),
+        "p_below": round(p_cand(max(threshold - 0.1, 0.0), b, r), 4),
+        "p_above": round(p_cand(min(threshold + 0.1, 1.0), b, r), 4),
+    }

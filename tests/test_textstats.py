@@ -729,8 +729,11 @@ def test_filter_rules_stream_matches_batch(spark, tmp_path):
     batch.repartition(2).write.parquet(src)
     stream = (spark.readStream.format("parquet").schema(schema)
               .option("maxFilesPerTrigger", 1).load(src))
+    from tantalus_spark.datapipe.textstats import normalize_nfc
+
     for name, op in (("gopher_stream", gopher_rules),
-                     ("c4_stream", c4_filters)):
+                     ("c4_stream", c4_filters),
+                     ("nfc_stream", normalize_nfc)):
         q = (op(stream).writeStream.format("memory").queryName(name)
              .trigger(availableNow=True).start())
         q.awaitTermination(120)
@@ -978,3 +981,22 @@ def test_normalized_dedup_collapses_nfc_nfd_variants(spark):
     groups = {r["canonical_id"]: r["n_docs"]
               for r in normalized_dup_groups(df).collect()}
     assert groups == {1: 2, 3: 1}
+
+
+def test_lsh_plan_matches_s_curve_math():
+    """The planner must pick the divisor split whose critical
+    similarity is closest to the target, and its probabilities must
+    follow the published S-curve formula."""
+    from tantalus_spark.datapipe.dedup import lsh_plan
+
+    plan = lsh_plan(16, threshold=0.2)
+    assert plan["bands"] * plan["rows"] == 16
+    # s-curve sanity: steeply more likely above the threshold
+    assert plan["p_above"] > plan["p_at_threshold"] > plan["p_below"]
+    # the q45 production dial (bands=4, rows=4 -> crit ~ 0.707) is what
+    # the planner picks for a HIGH threshold:
+    high = lsh_plan(16, threshold=0.7)
+    assert (high["bands"], high["rows"]) == (4, 4)
+    import pytest as _pytest
+    with _pytest.raises(ValueError):
+        lsh_plan(16, threshold=1.5)
