@@ -93,6 +93,13 @@ SHOW = [
     ("126_budget_select", "token-budget selection: score-token histogram"
      " + literal threshold filter + bounded tie window — no corpus-wide"
      " sort/row_number"),
+    ("127_hard_negatives", "cross-label block gemm: linear block-count"
+     " replication, per-group BLAS top-k inside applyInPandas, one rank"
+     " window merges the per-block partials — nothing pairwise"
+     " shuffles"),
+    ("129_normalized_dedup", "NFC-canonical dedup: one Arrow map pass"
+     " (stdlib unicodedata), codegen digest, digest-keyed group —"
+     " payloads never shuffle"),
 ]
 
 
