@@ -1509,3 +1509,68 @@ def normalized_dup_groups(df: DataFrame, text_col: str = "text",
                   F.min(F.col(id_col)).alias("canonical_id"),
                   F.min("n_chars_norm").alias("n_chars_norm"))
              .filter(F.col("n_docs") >= 1))
+
+
+def hashed_features(
+    df: DataFrame,
+    dim: int = 256,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Signed feature hashing (the "hashing trick", Weinberger et al.,
+    ICML 2009): every token maps to bucket ``md5(term) mod dim`` with a
+    ±1 sign from an independent hash bit, and a document's feature is
+    the signed token-count sum per bucket — a fixed-dimension text
+    vectorizer with NO vocabulary, NO training, and NO driver state,
+    the standard way to get model-free document vectors at corpus
+    scale (the sign makes collisions cancel in expectation, so inner
+    products are unbiased estimates of the un-hashed ones).
+
+    Returns the SPARSE form (id, bucket, feat) — one explode + one
+    (id, bucket)-keyed integer aggregate, fully engine-portable via the
+    md5 hash family (full DuckDB oracle); :func:`hashed_vectors`
+    assembles the dense array for the embedding-side operators."""
+    h = lambda c: F.conv(F.substring(F.md5(c), 1, 15), 16, 10) \
+        .cast("long")  # noqa: E731
+    term = F.col("term")
+    bucket = F.pmod(h(term), F.lit(int(dim))).cast("int")
+    sgn = (F.lit(1) - F.lit(2) * F.pmod(
+        h(F.concat(F.lit("s_"), term)), F.lit(2))).cast("int")
+    toks = (spread_small_scan(df)
+            .filter(F.col(text_col).isNotNull())
+            .select(F.col(id_col),
+                    F.explode(tokens(F.lower(F.col(text_col))))
+                    .alias("term")))
+    return (toks.select(F.col(id_col), bucket.alias("bucket"),
+                        sgn.alias("sgn"))
+                .groupBy(id_col, "bucket")
+                .agg(F.sum("sgn").cast("long").alias("feat")))
+
+
+def hashed_vectors(
+    df: DataFrame,
+    dim: int = 256,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Dense ``array<double>`` document vectors from
+    :func:`hashed_features` — (id, vector[dim]) ready for the
+    embedding-side stack (cosine top-k, near-dup pairs, SQ8, IVF...),
+    so every similarity operator in this engine runs on raw text with
+    no external embedding model. Assembly is map_from_arrays over the
+    per-doc sparse pairs + one sequence transform — JVM-side, no UDF,
+    one aggregate beyond the sparse form."""
+    sparse = hashed_features(df, dim=dim, text_col=text_col,
+                             id_col=id_col)
+    m = F.map_from_arrays(F.collect_list("bucket"),
+                          F.collect_list("feat"))
+    return (sparse.groupBy(id_col)
+            .agg(m.alias("_m"))
+            .select(
+                F.col(id_col),
+                F.transform(
+                    F.sequence(F.lit(0), F.lit(int(dim) - 1)),
+                    lambda b: F.coalesce(
+                        F.element_at(F.col("_m"), b.cast("int")),
+                        F.lit(0).cast("long")).cast("double"),
+                ).alias("vector")))

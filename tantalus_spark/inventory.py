@@ -1833,6 +1833,19 @@ def q129_normalized_dedup(spark, sf_dir):
     return normalized_dup_groups(docs)
 
 
+def q130_hashed_features(spark, sf_dir):
+    """Signed feature hashing (Weinberger et al. 2009): model-free
+    fixed-dim text vectorization — md5 bucket + independent ±1 sign
+    bit, signed token counts per (doc, bucket). Sparse gated form
+    (full oracle); hashed_vectors assembles the dense array that feeds
+    the embedding-side operators. One explode + one keyed integer
+    aggregate."""
+    from tantalus_spark.datapipe.textstats import hashed_features
+
+    docs = db_for(spark, sf_dir).table("documents")
+    return hashed_features(docs, dim=64)
+
+
 _ALL_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     name[1:]: fn
     for name, fn in list(globals().items())
@@ -1948,7 +1961,7 @@ _QUERY_ORDER = [
     # CANDIDATES under the standing protocol.
     "124_tfidf_cosine", "125_weighted_sample", "126_budget_select",
     "127_hard_negatives", "128_retrieval_metrics",
-    "129_normalized_dedup",
+    "129_normalized_dedup", "130_hashed_features",
 ]
 
 QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
@@ -4394,4 +4407,20 @@ ORACLES["129_normalized_dedup"] = """
            min(doc_id) AS canonical_id,
            CAST(min(length(norm)) AS INTEGER) AS n_chars_norm
     FROM n GROUP BY md5(norm) HAVING count(*) >= 1
+"""
+
+ORACLES["130_hashed_features"] = """
+    WITH toks AS (
+      SELECT doc_id,
+             unnest(string_split_regex(trim(lower(text)), '\\s+')) AS term
+      FROM documents WHERE text IS NOT NULL),
+    h AS (
+      SELECT doc_id,
+             CAST(('0x' || substr(md5(term), 1, 15))::BIGINT % 64
+                  AS INTEGER) AS bucket,
+             CAST(1 - 2 * (('0x' || substr(md5('s_' || term), 1, 15))
+                           ::BIGINT % 2) AS INTEGER) AS sgn
+      FROM toks)
+    SELECT doc_id, bucket, CAST(sum(sgn) AS BIGINT) AS feat
+    FROM h GROUP BY doc_id, bucket
 """

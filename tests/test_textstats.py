@@ -1000,3 +1000,47 @@ def test_lsh_plan_matches_s_curve_math():
     import pytest as _pytest
     with _pytest.raises(ValueError):
         lsh_plan(16, threshold=1.5)
+
+
+def test_hashed_vectors_feed_cosine_topk(spark):
+    """The hashing-trick bridge: dense hashed vectors must be valid
+    input for the embedding-side stack, identical documents must get
+    identical vectors, and a shared-token document must be more similar
+    to its near-twin than to unrelated content."""
+    from tantalus_spark.datapipe.similarity import cosine_topk
+    from tantalus_spark.datapipe.textstats import hashed_vectors
+
+    rows = [
+        (1, "spark catalyst optimizer shuffles partitions and joins"),
+        (2, "spark catalyst optimizer shuffles partitions and joins"),
+        (3, "spark catalyst optimizer shuffles partitions and tables"),
+        (4, "completely different words about cooking pasta tonight"),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    vecs = hashed_vectors(df, dim=64)
+    got = {r["doc_id"]: r["vector"] for r in vecs.collect()}
+    assert got[1] == got[2] and len(got[1]) == 64
+    q = got[1]
+    top = cosine_topk(vecs.filter("doc_id != 1"), q, k=3,
+                      id_col="doc_id", vec_col="vector").collect()
+    order = [r["doc_id"] for r in top]
+    assert order[0] == 2 and top[0]["cosine"] == 1.0
+    assert order[1] == 3          # near-twin beats unrelated
+    assert top[1]["cosine"] > top[2]["cosine"]
+
+
+def test_hashed_features_sign_cancellation_is_deterministic(spark):
+    """Repeated tokens accumulate: 'a a a' gives one bucket with |feat|
+    = 3; determinism under repartitioning."""
+    from tantalus_spark.datapipe.textstats import hashed_features
+
+    df = spark.createDataFrame([(1, "a a a")], "doc_id long, text string")
+    rows = hashed_features(df, dim=16).collect()
+    assert len(rows) == 1 and abs(rows[0]["feat"]) == 3
+    df7 = spark.createDataFrame(
+        [(i, "x y z w " * (1 + i % 3)) for i in range(20)],
+        "doc_id long, text string")
+    a = sorted(map(tuple, hashed_features(df7, dim=8).collect()))
+    b = sorted(map(tuple,
+                   hashed_features(df7.repartition(5), dim=8).collect()))
+    assert a == b
