@@ -1574,3 +1574,31 @@ def hashed_vectors(
                         F.element_at(F.col("_m"), b.cast("int")),
                         F.lit(0).cast("long")).cast("double"),
                 ).alias("vector")))
+
+
+def merge_term_index(
+    index: DataFrame,
+    stats: tuple[int, float],
+    new_docs: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+):
+    """Incremental maintenance for the BM25 serving index: fold a batch
+    of NEW documents into an existing :func:`build_term_index` postings
+    frame and its build-time stats WITHOUT rescanning the old corpus —
+    the index-refresh half of the index-once/query-many lifecycle
+    (build once, merge deltas, swap versions between serving runs).
+
+    New docs must be disjoint from the indexed ids (an id appearing in
+    both would double its postings — the caller dedups first, e.g. via
+    the q86 novel-docs semi-join). Corpus stats update in O(batch):
+    ``N' = N + n_new``; ``avgdl' = (N·avgdl + Σ dl_new) / N'`` — exact,
+    because N·avgdl is the old dl sum. Returns
+    ``(postings', (n_docs', avgdl'))`` bit-identical to a full rebuild
+    over the union (differential test in tests/test_textstats.py)."""
+    n_old, avgdl_old = int(stats[0]), float(stats[1])
+    delta, (n_new, avgdl_new) = build_term_index(
+        new_docs, text_col=text_col, id_col=id_col, with_stats=True)
+    n_total = n_old + n_new
+    avgdl = (n_old * avgdl_old + n_new * avgdl_new) / float(n_total)
+    return index.unionByName(delta), (n_total, avgdl)

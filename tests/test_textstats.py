@@ -1044,3 +1044,34 @@ def test_hashed_features_sign_cancellation_is_deterministic(spark):
     b = sorted(map(tuple,
                    hashed_features(df7.repartition(5), dim=8).collect()))
     assert a == b
+
+
+def test_merge_term_index_equals_full_rebuild(spark):
+    """Incremental index + stats merge must be bit-identical to a full
+    rebuild over the union — same postings multiset, same (N, avgdl),
+    same BM25 serving results."""
+    from tantalus_spark.datapipe.textstats import (
+        bm25_rank_indexed, build_term_index, merge_term_index)
+
+    filler = " ".join(["pad"] * 20)
+    old = spark.createDataFrame(
+        [(i, f"apple banana {filler} " + "apple " * (i % 3))
+         for i in range(1, 8)], "doc_id long, text string")
+    new = spark.createDataFrame(
+        [(10, "banana cherry " + filler),
+         (11, "cherry cherry apple " + filler)],
+        "doc_id long, text string")
+    idx_old, stats_old = build_term_index(old, with_stats=True)
+    idx_m, (n_m, avg_m) = merge_term_index(idx_old, stats_old, new)
+    idx_f, (n_f, avg_f) = build_term_index(old.unionByName(new),
+                                           with_stats=True)
+    assert n_m == n_f and abs(avg_m - avg_f) < 1e-12
+    pm = sorted(map(tuple, idx_m.collect()))
+    pf = sorted(map(tuple, idx_f.collect()))
+    assert pm == pf
+    terms = ["apple", "cherry"]
+    served_m = [r.asDict() for r in bm25_rank_indexed(
+        idx_m, terms, k=20, n_docs=n_m, avgdl=avg_m).collect()]
+    served_f = [r.asDict() for r in bm25_rank_indexed(
+        idx_f, terms, k=20, n_docs=n_f, avgdl=avg_f).collect()]
+    assert served_m == served_f
