@@ -235,8 +235,11 @@ def weighted_sample(
     k rows, NEVER a global sort; the corpus is read once and nothing
     corpus-sized shuffles. This is the production "draw a quality-
     weighted eval set from 100 TB" primitive. Rows with
-    ``weight <= 0`` or NULL weight are excluded (zero weight = zero
-    inclusion probability; the log form needs w > 0)."""
+    ``weight <= 0``, NULL, or NaN weight are excluded (zero weight =
+    zero inclusion probability; the log form needs w > 0 — and Spark
+    orders NaN as GREATER than every number, so an unguarded NaN
+    weight would yield a NaN key that sorts to the top and hijacks the
+    sample)."""
     key = F.col(id_col).cast("string")
     h = F.conv(
         F.substring(F.md5(F.concat_ws("_", F.lit(salt), key)), 1, 15),
@@ -245,6 +248,7 @@ def weighted_sample(
     es_key = F.log(u) / F.col(weight_col).cast("double")
     return (
         df.filter(F.col(weight_col).isNotNull()
+                  & ~F.isnan(F.col(weight_col).cast("double"))
                   & (F.col(weight_col) > F.lit(0)))
           .withColumn("_es_key", es_key)
           .orderBy(F.col("_es_key").desc(), F.col(id_col).asc())

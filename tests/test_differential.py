@@ -147,3 +147,18 @@ def test_weighted_sample_matches_brute_force_aes(spark):
     # above the population mean (~46)
     mean_w = sum(w for i, w in rows if i in set(got)) / 30
     assert mean_w > 60
+
+
+def test_weighted_sample_excludes_nan_and_nonpositive_weights(spark):
+    """Spark orders NaN as greater than every double: an unguarded NaN
+    weight would produce a NaN key that sorts to the top of the desc
+    order and hijack the draw. NaN / zero / negative / NULL weights
+    must all be excluded."""
+    rows = [(1, 2.0), (2, float("nan")), (3, 0.0), (4, -1.0),
+            (5, None), (6, 5.0)]
+    from tantalus_spark.datapipe.sampling import weighted_sample
+
+    df = spark.createDataFrame(rows, "doc_id long, w double")
+    got = {r["doc_id"] for r in
+           weighted_sample(df, k=10, weight_col="w").collect()}
+    assert got == {1, 6}
