@@ -1453,7 +1453,12 @@ def tfidf_cosine_pairs(
     cos = (F.col("dot_nano").cast("double")
            / F.sqrt(F.col("na").cast("double")
                     * F.col("nb").cast("double")))
+    # zero-norm guard: with max_df_frac=1.0 a term present in EVERY doc
+    # has idf 0, and a doc whose kept terms all have zero weight gets
+    # norm 0 — the division yields NaN, and Spark orders/compares NaN
+    # as GREATEST, so `NaN >= threshold` would smuggle garbage pairs in
     out = (pairs.join(na, "id_a").join(nb, "id_b")
+                .filter((F.col("na") > 0) & (F.col("nb") > 0))
                 .filter(cos >= F.lit(float(threshold)))
                 .select("id_a", "id_b", "n_shared",
                         F.round(cos, 4).alias("cosine")))

@@ -1075,3 +1075,19 @@ def test_merge_term_index_equals_full_rebuild(spark):
     served_f = [r.asDict() for r in bm25_rank_indexed(
         idx_f, terms, k=20, n_docs=n_f, avgdl=avg_f).collect()]
     assert served_m == served_f
+
+
+def test_tfidf_cosine_zero_norm_docs_never_pair(spark):
+    """max_df_frac=1.0 keeps a universal term with idf 0; docs whose
+    only kept term is that one have zero norm — the NaN cosine must not
+    leak through the threshold (Spark compares NaN as greatest)."""
+    from tantalus_spark.datapipe.textstats import tfidf_cosine_pairs
+
+    rows = [(1, "the alpha"), (2, "the beta"),
+            (3, "the"), (4, "the")]        # docs 3/4: only the idf-0 term
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    out = tfidf_cosine_pairs(df, threshold=0.0, min_df=2,
+                             max_df_frac=1.0, max_df=500)
+    got = {(r["id_a"], r["id_b"]) for r in out.collect()}
+    out.unpersist()
+    assert not any(3 in p or 4 in p for p in got), got
