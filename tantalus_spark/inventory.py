@@ -1956,9 +1956,11 @@ _QUERY_ORDER = [
     "99_corpus_shuffle", "100_bpe_merges",
     "103_temperature_mix", "105_gate_attribution",
     # r6 additions: sparse TF-IDF cosine pairs, A-ES weighted sampling,
-    # token-budget selection, contrastive hard negatives, retrieval
-    # eval metrics — local-gate evidence this round; r7 ROTATION
-    # CANDIDATES under the standing protocol.
+    # token-budget selection, contrastive hard negatives (block-gemm),
+    # retrieval eval metrics, Unicode-canonical dedup, signed feature
+    # hashing — all full-value-oracled, local-gate evidence this round
+    # (LOCALGATE_r06.md, 0 failures); r7 ROTATION CANDIDATES under the
+    # standing protocol.
     "124_tfidf_cosine", "125_weighted_sample", "126_budget_select",
     "127_hard_negatives", "128_retrieval_metrics",
     "129_normalized_dedup", "130_hashed_features",
