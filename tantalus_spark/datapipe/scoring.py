@@ -619,13 +619,23 @@ def budget_select(
     3. only the tie bucket ``score == T`` (bounded: one score value)
        runs a rank-window prefix sum to spend the remaining budget.
 
+    Rows with NULL or NaN score are excluded up front (the
+    :func:`~.sampling.weighted_sample` guard): Spark orders NaN as
+    GREATER than every double, so an unguarded NaN score would pass
+    ``score > T`` and be admitted as top-quality while the DuckDB
+    oracle (NaN orders last there) diverges.
+
     Returns (id, score, n_tokens) for the admitted set."""
     df = spread_small_scan(df)
     base = df.select(
         F.col(id_col), F.col(score_col).alias("score"),
         F.size(tokens(F.lower(F.col(text_col)))).cast("long")
          .alias("n_tokens"),
-    ).filter(F.col("n_tokens") > 0).persist()
+    ).filter(
+        (F.col("n_tokens") > 0)
+        & F.col("score").isNotNull()
+        & ~F.isnan(F.col("score").cast("double"))
+    ).persist()
     try:
         hist = base.groupBy("score").agg(F.sum("n_tokens").alias("t"))
         cum = hist.withColumn(

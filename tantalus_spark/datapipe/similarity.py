@@ -1109,6 +1109,25 @@ def hard_negatives(
 
     from pyspark.sql import Window as W
 
+    # Output id/label dtypes follow the INPUT schema (the ADVICE r6
+    # fix: hard-coded int64/int32 crashed inside the UDF for string
+    # ids/labels). Map the Spark type to the matching Arrow-compatible
+    # pandas dtype; anything outside the supported set fails fast here
+    # with a clear message instead of deep inside the worker.
+    _dtype_map = {
+        "bigint": "int64", "int": "int32", "smallint": "int16",
+        "tinyint": "int8", "double": "float64", "float": "float32",
+        "string": "object",
+    }
+    id_sql = df.schema[id_col].dataType.simpleString()
+    lbl_sql = df.schema[label_col].dataType.simpleString()
+    for name, sql in ((id_col, id_sql), (label_col, lbl_sql)):
+        if sql not in _dtype_map:
+            raise TypeError(
+                f"hard_negatives: unsupported {name!r} type {sql}; "
+                f"supported: {sorted(_dtype_map)}")
+    id_pd, lbl_pd = _dtype_map[id_sql], _dtype_map[lbl_sql]
+
     a_blocks, c_blocks = 8, 4
     base = df.filter(F.col(vec_col).isNotNull())
     a = base if anchor_cond is None else base.filter(anchor_cond)
@@ -1136,9 +1155,9 @@ def hard_negatives(
         import numpy as np
 
         empty = pd.DataFrame(
-            {"id": pd.Series(dtype="int64"),
-             "neg_id": pd.Series(dtype="int64"),
-             "neg_label": pd.Series(dtype="int32"),
+            {"id": pd.Series(dtype=id_pd),
+             "neg_id": pd.Series(dtype=id_pd),
+             "neg_label": pd.Series(dtype=lbl_pd),
              "_sim": pd.Series(dtype="float64")})
         ap = pdf[pdf["side"] == 0]
         cp = pdf[pdf["side"] == 1]
@@ -1167,15 +1186,17 @@ def hard_negatives(
             rows["neg_label"].extend(lbv[keep])
             rows["_sim"].extend(S[r][keep])
         out = pd.DataFrame(rows)
-        return out.astype({"id": "int64", "neg_id": "int64",
-                           "neg_label": "int32", "_sim": "float64"}) \
+        return out.astype({"id": id_pd, "neg_id": id_pd,
+                           "neg_label": lbl_pd, "_sim": "float64"}) \
             if len(out) else empty
 
     partials = (
         side_a.unionByName(side_c)
         .groupBy("gi", "gj")
-        .applyInPandas(gemm_topk,
-                       "id long, neg_id long, neg_label int, _sim double")
+        .applyInPandas(
+            gemm_topk,
+            f"id {id_sql}, neg_id {id_sql}, neg_label {lbl_sql}, "
+            f"_sim double")
     )
     w = W.partitionBy("id").orderBy(F.col("_sim").desc(),
                                     F.col("neg_id").asc())

@@ -1342,7 +1342,13 @@ def build_term_index(df: DataFrame, text_col: str = "text",
                    .cast("long").alias("dl")))
     tot = dl.agg(F.count(F.lit(1)).alias("n"),
                  F.sum("dl").alias("s")).first()
-    return postings, (int(tot["n"]), float(tot["s"]) / float(tot["n"]))
+    n = int(tot["n"])
+    if n == 0:
+        # Empty / all-null-text delta batch: SUM is NULL and n/0 would
+        # crash; an empty build legitimately carries (0, 0.0) stats so
+        # merge_term_index can fold it in as a no-op.
+        return postings, (0, 0.0)
+    return postings, (n, float(tot["s"]) / float(n))
 
 
 def bm25_rank_indexed(
@@ -1506,14 +1512,16 @@ def normalized_dup_groups(df: DataFrame, text_col: str = "text",
                           id_col: str = "doc_id") -> DataFrame:
     """Exact dedup on the NFC-canonicalized text: per normalized
     digest, the group size and canonical (minimum) doc id — the
-    :func:`~.dedup.exact_dup_groups` shape with Unicode-equivalence
-    built in. Only the 16-byte digest shuffles; payloads stay put."""
+    :func:`~.dedup.exact_duplicates` grouping shape with
+    Unicode-equivalence built in. Returns EVERY group (n_docs >= 1),
+    so the frame doubles as the canonical-id dedup map; filter
+    ``n_docs >= 2`` downstream for duplicate groups only. Only the
+    16-byte digest shuffles; payloads stay put."""
     n = normalize_nfc(df, text_col=text_col, id_col=id_col)
     return (n.groupBy("norm_digest")
              .agg(F.count(F.lit(1)).cast("long").alias("n_docs"),
                   F.min(F.col(id_col)).alias("canonical_id"),
-                  F.min("n_chars_norm").alias("n_chars_norm"))
-             .filter(F.col("n_docs") >= 1))
+                  F.min("n_chars_norm").alias("n_chars_norm")))
 
 
 def hashed_features(
@@ -1604,6 +1612,10 @@ def merge_term_index(
     n_old, avgdl_old = int(stats[0]), float(stats[1])
     delta, (n_new, avgdl_new) = build_term_index(
         new_docs, text_col=text_col, id_col=id_col, with_stats=True)
+    if n_new == 0:
+        # Empty delta batch: the index and its stats are unchanged
+        # (and n_old may itself be 0 — avoid 0/0).
+        return index, (n_old, avgdl_old)
     n_total = n_old + n_new
     avgdl = (n_old * avgdl_old + n_new * avgdl_new) / float(n_total)
     return index.unionByName(delta), (n_total, avgdl)

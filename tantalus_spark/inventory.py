@@ -4408,7 +4408,7 @@ ORACLES["129_normalized_dedup"] = """
            CAST(count(*) AS BIGINT) AS n_docs,
            min(doc_id) AS canonical_id,
            CAST(min(length(norm)) AS INTEGER) AS n_chars_norm
-    FROM n GROUP BY md5(norm) HAVING count(*) >= 1
+    FROM n GROUP BY md5(norm)
 """
 
 ORACLES["130_hashed_features"] = """

@@ -533,6 +533,36 @@ def test_hard_negatives_known_geometry(spark):
     assert all(r["neg_label"] == 0 for r in out.collect())
 
 
+def test_hard_negatives_string_ids_and_labels(spark):
+    """Output id/label dtypes must follow the input schema — string
+    ids/labels crashed inside the UDF when int64/int32 were hard-coded
+    (ADVICE r6). Same geometry as the known-geometry test, re-keyed."""
+    rows = [
+        ("a1", [1.0, 0.0, 0.0], "pos"),
+        ("c2", [0.9, 0.1, 0.0], "neg"),   # closest to anchor a1
+        ("c3", [0.0, 1.0, 0.0], "neg"),
+        ("a4", [0.0, 0.0, 1.0], "pos"),
+        ("c5", [0.1, 0.0, 0.9], "neg"),   # closest to anchor a4
+    ]
+    from pyspark.sql import functions as F
+    from tantalus_spark.datapipe.similarity import hard_negatives
+
+    df = spark.createDataFrame(
+        rows, "vec_id string, embedding array<float>, label string")
+    out = hard_negatives(df, k=1, anchor_cond=F.col("label") == "pos")
+    assert dict(out.dtypes)["vec_id"] == "string"
+    assert dict(out.dtypes)["neg_label"] == "string"
+    got = {r["vec_id"]: r["neg_id"] for r in out.collect()}
+    assert got == {"a1": "c2", "a4": "c5"}
+
+    # unsupported id type fails fast with a clear message
+    bad = spark.createDataFrame(
+        [([1], [1.0], 0)],
+        "vec_id array<int>, embedding array<float>, label int")
+    with pytest.raises(TypeError, match="unsupported 'vec_id'"):
+        hard_negatives(bad, k=1)
+
+
 def test_retrieval_metrics_hand_computed(spark):
     """Five ranked docs, relevant = {d1, d3, d9} (d9 never retrieved):
     metrics at k=1 and k=5 against hand-computed values."""

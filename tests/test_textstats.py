@@ -968,6 +968,23 @@ def test_budget_select_is_takewhile_prefix(spark):
     assert got == sorted(want) and 0 < len(got) < 40
 
 
+def test_budget_select_excludes_nan_and_null_scores(spark):
+    """Spark orders NaN greater than every double, so an unguarded
+    NaN score would pass `score > T` and be admitted as top-quality
+    (ADVICE r6). NaN- and NULL-scored rows must never be admitted and
+    must not consume budget."""
+    from pyspark.sql import functions as F
+    from tantalus_spark.datapipe.scoring import budget_select
+
+    rows = [(1, "tok " * 10, 5.0), (2, "tok " * 10, 3.0),
+            (3, "tok " * 10, float("nan")), (4, "tok " * 10, None)]
+    df = spark.createDataFrame(rows, "doc_id long, text string, q double")
+    out = budget_select(df, budget_tokens=20, score_col="q")
+    got = sorted(r["doc_id"] for r in out.collect())
+    out.unpersist()
+    assert got == [1, 2]   # NaN (3) and NULL (4) excluded, budget full
+
+
 def test_normalized_dedup_collapses_nfc_nfd_variants(spark):
     """An NFD-encoded twin ('e' + COMBINING ACUTE) and extra whitespace
     must land in the SAME group as the NFC original; distinct content
@@ -1075,6 +1092,32 @@ def test_merge_term_index_equals_full_rebuild(spark):
     served_f = [r.asDict() for r in bm25_rank_indexed(
         idx_f, terms, k=20, n_docs=n_f, avgdl=avg_f).collect()]
     assert served_m == served_f
+
+
+def test_term_index_empty_corpus_and_empty_delta(spark):
+    """Empty or all-null-text corpora: build_term_index(with_stats)
+    must return (0, 0.0) instead of crashing on SUM()=NULL / n=0, and
+    merge_term_index with an empty delta must return the index and
+    stats unchanged (ADVICE r6)."""
+    from tantalus_spark.datapipe.textstats import (
+        build_term_index, merge_term_index)
+
+    empty = spark.createDataFrame(
+        [(1, None)], "doc_id long, text string")
+    idx0, stats0 = build_term_index(empty, with_stats=True)
+    assert idx0.count() == 0 and stats0 == (0, 0.0)
+
+    old = spark.createDataFrame(
+        [(1, "apple banana"), (2, "banana cherry")],
+        "doc_id long, text string")
+    idx, stats = build_term_index(old, with_stats=True)
+    idx_m, stats_m = merge_term_index(idx, stats, empty)
+    assert stats_m == stats
+    assert sorted(map(tuple, idx_m.collect())) == \
+        sorted(map(tuple, idx.collect()))
+    # empty-into-empty must not divide by zero either
+    idx_e, stats_e = merge_term_index(idx0, stats0, empty)
+    assert stats_e == (0, 0.0) and idx_e.count() == 0
 
 
 def test_tfidf_cosine_zero_norm_docs_never_pair(spark):
