@@ -1856,7 +1856,22 @@ _ALL_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
 # (CORRECTNESS_r01.json recorded exactly that prefix), so QUERIES is
 # explicitly ordered.
 #
-# r6 ROTATION (same protocol as r4/r5): 14 entries that had only
+# r7 ROTATION (same protocol as r4/r5/r6): the seven r6 additions —
+# 124 tfidf_cosine, 125 weighted_sample, 126 budget_select,
+# 127 hard_negatives, 128 retrieval_metrics, 129 normalized_dedup,
+# 130 hashed_features — had only local-gate evidence (LOCALGATE_r06.md,
+# 0 failures) and take their official driver rows. The 7 swapped OUT
+# all carry green CORRECTNESS_r06 rows and stay family-covered
+# in-window: 84 pack_sequences -> 90 packed_text (packing pipeline,
+# 90 composes chunk+pack+write); 107 centroid_affinity ->
+# 47 ann_cosine + 51 embedding_near_dup (cosine family);
+# 112 length_outliers -> 41 doc_profile + 117 gopher (per-doc stats);
+# 114 source_overlap -> 45 minhash_lsh + 122 calibration (band
+# family); 118 c4_filters -> 117 gopher_rules + 58 clean_corpus
+# (quality-rule gates); 119 sq8_quantize -> 74 pq_ann (quantization);
+# 120 zipf_fit -> 121 bm25_rank + 53 winnowing (term statistics).
+#
+# r6 ROTATION (history, same protocol as r4/r5): 14 entries that had only
 # local-gate evidence take their official driver rows — the five r5
 # late additions plus Gopher/C4 (117 gopher, 118 c4, 119 sq8_quantize,
 # 120 zipf_fit, 121 bm25_rank, 122 minhash_calibration,
@@ -1923,15 +1938,20 @@ _QUERY_ORDER = [
     "74_pq_ann",
     # r5 rotation survivors (family anchors kept in-window)
     "106_dsir_select", "108_build_corpus", "109_media_dedup",
-    # r6 rotation: never-driver-green tail flagships + r5 late additions
-    "84_pack_sequences", "90_packed_text", "102_bpe_encode",
-    "104_bigram_lm", "107_centroid_affinity", "112_length_outliers",
-    "114_source_overlap", "117_gopher_rules", "118_c4_filters",
-    "119_sq8_quantize", "120_zipf_fit", "121_bm25_rank",
+    # r6 rotation survivors (family anchors kept in-window)
+    "90_packed_text", "102_bpe_encode", "104_bigram_lm",
+    "117_gopher_rules", "121_bm25_rank",
     "122_minhash_calibration", "123_bm25_indexed",
+    # r7 rotation: the r6 additions take their official driver rows
+    "124_tfidf_cosine", "125_weighted_sample", "126_budget_select",
+    "127_hard_negatives", "128_retrieval_metrics",
+    "129_normalized_dedup", "130_hashed_features",
     # ---- 50-entry line: families below are all gated above (see the
-    # rotation notes), carry green r2/r3/r4/r5 driver rows, and are
+    # rotation notes), carry green r2/r3/r4/r5/r6 driver rows, and are
     # unit-tested
+    "84_pack_sequences", "107_centroid_affinity", "112_length_outliers",
+    "114_source_overlap", "118_c4_filters", "119_sq8_quantize",
+    "120_zipf_fit",
     "49_tumbling_window", "79_scrub_pii", "85_exact_sample",
     "86_novel_docs", "93_keep_best", "96_split_leakage", "97_lm_score",
     "98_dsir_weights", "101_perplexity_buckets", "110_grouping_sets",
@@ -1950,20 +1970,11 @@ _QUERY_ORDER = [
     "75_ann_trained",
     "76_line_dedup", "77_contamination_frac", "78_quality_classifier",
     "80_knn_graph", "81_semantic_dedup", "82_strip_markup",
-    "83_corpus_report", "84_pack_sequences", "87_rare_tokens",
-    "88_domain_stats", "89_dup_spans", "90_packed_text", "91_containment",
+    "83_corpus_report", "87_rare_tokens",
+    "88_domain_stats", "89_dup_spans", "91_containment",
     "92_vocab_coverage", "94_source_report", "95_paragraph_dedup",
     "99_corpus_shuffle", "100_bpe_merges",
     "103_temperature_mix", "105_gate_attribution",
-    # r6 additions: sparse TF-IDF cosine pairs, A-ES weighted sampling,
-    # token-budget selection, contrastive hard negatives (block-gemm),
-    # retrieval eval metrics, Unicode-canonical dedup, signed feature
-    # hashing — all full-value-oracled, local-gate evidence this round
-    # (LOCALGATE_r06.md, 0 failures); r7 ROTATION CANDIDATES under the
-    # standing protocol.
-    "124_tfidf_cosine", "125_weighted_sample", "126_budget_select",
-    "127_hard_negatives", "128_retrieval_metrics",
-    "129_normalized_dedup", "130_hashed_features",
 ]
 
 QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {

@@ -121,18 +121,21 @@ def test_checked_window_covers_every_operator_family():
     ]
     missing = [n for n in must_be_checked if n not in window]
     assert not missing, f"outside the 50-entry checked window: {missing}"
-    # the r6 rotation exists to give the never-driver-green tail
-    # flagships + r5 late additions their official driver rows: every
-    # one must be inside the window (r5's rotated set all carry green
-    # CORRECTNESS_r05 rows and rotated back out under the protocol)
+    # the r7 rotation exists to give the r6 additions (never
+    # driver-green, local-gate evidence only) their official driver
+    # rows: every one must be inside the window. The r6-rotated set all
+    # carry green CORRECTNESS_r06 rows; the survivors below stay as
+    # family anchors (packing / tokenizer / LM / quality-rules /
+    # BM25+calibration / DSIR / multimodal).
     rotated_in = [
-        "84_pack_sequences", "90_packed_text", "102_bpe_encode",
-        "104_bigram_lm", "107_centroid_affinity", "112_length_outliers",
-        "114_source_overlap", "117_gopher_rules", "118_c4_filters",
-        "119_sq8_quantize", "120_zipf_fit", "121_bm25_rank",
-        "122_minhash_calibration", "123_bm25_indexed",
-        # family anchors kept from the r5 window
+        "124_tfidf_cosine", "125_weighted_sample", "126_budget_select",
+        "127_hard_negatives", "128_retrieval_metrics",
+        "129_normalized_dedup", "130_hashed_features",
+        # family anchors kept from the r5/r6 windows
+        "90_packed_text", "102_bpe_encode", "104_bigram_lm",
+        "117_gopher_rules", "121_bm25_rank", "122_minhash_calibration",
+        "123_bm25_indexed",
         "106_dsir_select", "108_build_corpus", "109_media_dedup",
     ]
     out = [n for n in rotated_in if n not in window]
-    assert not out, f"r6-rotated entries fell back out of the window: {out}"
+    assert not out, f"r7-rotated entries fell back out of the window: {out}"
