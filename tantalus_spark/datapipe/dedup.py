@@ -549,14 +549,18 @@ def simhash_near_pairs(df: DataFrame, max_hamming: int = 3,
             for c in range(n_chunks)
         ])).alias("b"),
     ).select(id_col, "simhash", "b.chunk", "b.val")
-    # merge-hint: the self-join side is corpus-sized (docs × chunks) and
-    # must never broadcast — same mid-size BHJ cliff as fuzzy_pairs.
-    # persist it too: BOTH join sides read it, and without the cache the
-    # 64-bit-sum signature aggregation runs twice (measured as ~half the
-    # query); released once the pair set is materialized (the q45
-    # posting-list pattern).
-    pieces = pieces.hint("merge").persist()
-    a, b = pieces.alias("a"), pieces.alias("b")
+    # persist: BOTH join sides read the banded frame, and without the
+    # cache the 64-bit-sum signature aggregation runs twice (measured as
+    # ~half the query); released once the pair set is materialized (the
+    # q45 posting-list pattern). The merge-hint goes on the JOIN SIDES,
+    # not the persisted plan: the self-join side is corpus-sized
+    # (docs × chunks) and must never broadcast — same mid-size BHJ cliff
+    # as fuzzy_pairs — but a hint underneath the persist also lives in
+    # the cache-materialization plan, where no join consumes it and
+    # HintErrorLogger warns on every call (the r6 bench-tail noise).
+    pieces = pieces.persist()
+    a = pieces.alias("a").hint("merge")
+    b = pieces.alias("b").hint("merge")
     cand = (
         a.join(b, (F.col("a.chunk") == F.col("b.chunk"))
                & (F.col("a.val") == F.col("b.val"))
