@@ -1287,3 +1287,152 @@ def retrieval_metrics(
                     / idcg_expr.cast("double"), 4).alias("ndcg"),
         )
     )
+
+
+def _jl_sign_matrix(spark, out_dim: int, in_dim: int) -> DataFrame:
+    """The ±1 Achlioptas/JL projection matrix as a (j, i, sgn) frame —
+    k·d rows, data-independent and md5-derived, so any engine (and any
+    later run) regenerates the identical matrix from (out_dim, in_dim)
+    alone: no trained state to ship. Broadcast-sized by construction
+    (out_dim·in_dim, e.g. 16·64 = 1024 rows)."""
+    j = spark.range(int(out_dim)).select(F.col("id").cast("int").alias("j"))
+    i = spark.range(int(in_dim)).select(F.col("id").cast("int").alias("i"))
+    key = F.concat_ws("_", F.col("j"), F.col("i"))
+    h = F.conv(F.substring(F.md5(key), 1, 15), 16, 10).cast("long")
+    return j.crossJoin(i).select(
+        "j", "i",
+        (F.lit(1) - F.lit(2) * F.pmod(h, F.lit(2))).cast("int")
+        .alias("sgn"))
+
+
+def jl_project(
+    df: DataFrame,
+    out_dim: int = 16,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+) -> DataFrame:
+    """Johnson-Lindenstrauss random projection with a ±1 sign matrix
+    (Achlioptas, JCSS 2003): reduce ``array<float>`` embeddings to
+    ``out_dim`` integer components ``y_j = Σ_i sgn(j,i)·x_i`` — the
+    standard pre-clustering/pre-ANN dimensionality cut at corpus scale
+    (JL lemma: pairwise angles survive within ε for
+    out_dim = O(log n / ε²); the 1/√k normalization cancels in cosine,
+    so it is omitted and the components stay exact integers).
+
+    Exactness: components are micro-quantized (floor(x·1e6 + 0.5)) into
+    BIGINTs BEFORE the sign-sum, so the projection — and every cosine
+    computed from it downstream — is exact integer math any engine
+    replays bit-identically.
+
+    Scale shape: one posexplode (rows·d — the unavoidable JL read), a
+    broadcast join against the fixed k·d sign matrix, and one (id, j)
+    integer groupBy producing rows·k cells; assembly back to a dense
+    array is map_from_arrays (the :func:`~.textstats.hashed_vectors`
+    pattern). Returns (id, proj array<long>[out_dim])."""
+    spark = df.sparkSession
+    in_dim = _first_dim(df, vec_col)
+    signs = _jl_sign_matrix(spark, out_dim, in_dim)
+    comps = (df.filter(F.col(vec_col).isNotNull())
+               .select(F.col(id_col),
+                       F.posexplode(F.col(vec_col))
+                       .alias("i", "x"))
+               .select(F.col(id_col), F.col("i").cast("int").alias("i"),
+                       F.floor(F.col("x").cast("double") * F.lit(1e6)
+                               + F.lit(0.5)).cast("long")
+                       .alias("x_micro")))
+    cells = (comps.join(F.broadcast(signs), "i")
+                  .groupBy(id_col, "j")
+                  .agg(F.sum(F.col("sgn") * F.col("x_micro"))
+                       .alias("y")))
+    m = F.map_from_arrays(F.collect_list("j"), F.collect_list("y"))
+    return (cells.groupBy(id_col)
+                 .agg(m.alias("_m"))
+                 .select(
+                     F.col(id_col),
+                     F.transform(
+                         F.sequence(F.lit(0), F.lit(int(out_dim) - 1)),
+                         lambda jj: F.coalesce(
+                             F.element_at(F.col("_m"), jj.cast("int")),
+                             F.lit(0).cast("long")),
+                     ).alias("proj")))
+
+
+def jl_distortion_pairs(
+    df: DataFrame,
+    out_dim: int = 16,
+    n_probes: int = 50,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+) -> DataFrame:
+    """JL quality audit: for a bounded probe set (the ``n_probes``
+    lowest ids — deterministic), every pair's cosine in the ORIGINAL
+    space vs the :func:`jl_project` space and the absolute error — the
+    measurement that tells a pipeline whether ``out_dim`` is safe
+    before the cheap projected vectors replace the originals in
+    clustering/near-dup (the JL lemma bounds the tail of exactly this
+    distribution).
+
+    Both cosines divide exact BIGINT dot products by exact BIGINT
+    norms (original components micro-quantized once, projected
+    components already integer), so the full frame replays in SQL.
+
+    Scale: probes are top-``n_probes`` by id (TakeOrderedAndProject),
+    so every frame after the initial scan is O(n_probes²) — the audit
+    runs at any corpus size; the corpus-wide projection itself is
+    :func:`jl_project` (audited here, applied there)."""
+    probes = (df.filter(F.col(vec_col).isNotNull())
+                .orderBy(F.col(id_col).asc()).limit(int(n_probes))
+                .persist())
+    comps = probes.select(
+        F.col(id_col),
+        F.posexplode(F.col(vec_col)).alias("i", "x")
+    ).select(F.col(id_col), "i",
+             F.floor(F.col("x").cast("double") * F.lit(1e6) + F.lit(0.5))
+             .cast("long").alias("xm"))
+    proj = (jl_project(probes, out_dim=out_dim, vec_col=vec_col,
+                       id_col=id_col)
+            .select(F.col(id_col),
+                    F.posexplode(F.col("proj")).alias("j", "y")))
+
+    def _pair_dots(frame: DataFrame, dim_key: str, val: str,
+                   out: str) -> DataFrame:
+        a, b = frame.alias("a"), frame.alias("b")
+        return (a.join(b, (F.col(f"a.{dim_key}") == F.col(f"b.{dim_key}"))
+                       & (F.col(f"a.{id_col}") < F.col(f"b.{id_col}")))
+                 .groupBy(F.col(f"a.{id_col}").alias("id_a"),
+                          F.col(f"b.{id_col}").alias("id_b"))
+                 .agg(F.sum(F.col(f"a.{val}") * F.col(f"b.{val}"))
+                      .alias(out)))
+
+    def _norms(frame: DataFrame, val: str, out: str) -> DataFrame:
+        return frame.groupBy(id_col).agg(
+            F.sum(F.col(val) * F.col(val)).alias(out))
+
+    d_o = _pair_dots(comps, "i", "xm", "dot_o")
+    d_p = _pair_dots(proj, "j", "y", "dot_p")
+    n_o, n_p = _norms(comps, "xm", "no"), _norms(proj, "y", "np")
+    cos_o = (F.col("dot_o").cast("double")
+             / F.sqrt(F.col("na_o").cast("double")
+                      * F.col("nb_o").cast("double")))
+    cos_p = (F.col("dot_p").cast("double")
+             / F.sqrt(F.col("na_p").cast("double")
+                      * F.col("nb_p").cast("double")))
+    out = (
+        d_o.join(d_p, ["id_a", "id_b"])
+           .join(n_o.select(F.col(id_col).alias("id_a"),
+                            F.col("no").alias("na_o")), "id_a")
+           .join(n_o.select(F.col(id_col).alias("id_b"),
+                            F.col("no").alias("nb_o")), "id_b")
+           .join(n_p.select(F.col(id_col).alias("id_a"),
+                            F.col("np").alias("na_p")), "id_a")
+           .join(n_p.select(F.col(id_col).alias("id_b"),
+                            F.col("np").alias("nb_p")), "id_b")
+           .filter((F.col("na_o") > 0) & (F.col("nb_o") > 0)
+                   & (F.col("na_p") > 0) & (F.col("nb_p") > 0))
+           .select("id_a", "id_b",
+                   F.round(cos_o, 4).alias("cos_orig"),
+                   F.round(cos_p, 4).alias("cos_proj"),
+                   F.round(F.abs(cos_o - cos_p), 4).alias("abs_err"))
+    )
+    from tantalus_spark.datapipe.dedup import _materialize_and_release
+    return _materialize_and_release(out, [probes])

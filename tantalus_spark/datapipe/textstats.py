@@ -1619,3 +1619,193 @@ def merge_term_index(
     n_total = n_old + n_new
     avgdl = (n_old * avgdl_old + n_new * avgdl_new) / float(n_total)
     return index.unionByName(delta), (n_total, avgdl)
+
+
+def _query_hashed_features(query_terms: list[str], dim: int) -> dict[int, int]:
+    """Driver-side twin of :func:`hashed_features` for a literal query:
+    bucket = md5(term)[:15 hex] mod dim, sign from an independent md5
+    bit — hashlib md5 of UTF-8 equals Spark's ``F.md5`` and DuckDB's
+    ``md5`` byte-for-byte, so the query vector lands in exactly the
+    buckets the corpus side populates. O(|query|) driver work."""
+    import hashlib
+
+    feats: dict[int, int] = {}
+    for t in query_terms:
+        h = int(hashlib.md5(t.encode("utf-8")).hexdigest()[:15], 16)
+        s = int(hashlib.md5(("s_" + t).encode("utf-8")).hexdigest()[:15],
+                16)
+        b = h % dim
+        feats[b] = feats.get(b, 0) + (1 - 2 * (s % 2))
+    return {b: v for b, v in feats.items() if v != 0}
+
+
+def hybrid_rank_rrf(
+    df: DataFrame,
+    query_terms: list[str],
+    k: int = 20,
+    depth: int = 50,
+    rrf_k: int = 60,
+    dim: int = 64,
+    k1: float = 1.2,
+    b: float = 0.75,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Hybrid retrieval with Reciprocal Rank Fusion (Cormack, Clarke &
+    Büttcher, SIGIR 2009): fuse a lexical BM25 leg (:func:`bm25_rank`)
+    with a dense hashed-feature cosine leg (:func:`hashed_features` —
+    model-free document vectors, so the hybrid stack runs on raw text
+    with no external embedding service), the standard two-leg serving
+    shape of modern retrieval systems. Upgrades the reference's
+    single-signal free-text search (search_util/search_helper.py:27-34)
+    the same way q121 upgraded its boolean matching.
+
+    ``rrf(d) = Σ_legs 1/(rrf_k + rank_leg(d))`` over the legs that
+    retrieved d within ``depth``; ranks are dense per leg under a TOTAL
+    order (exact nano-integer score desc, id asc), so both legs and the
+    fused ordering replay bit-identically in the SQL oracle. A doc
+    missing from a leg contributes nothing; its rank column reports 0.
+
+    Scale shape: each leg is the already-scale-audited operator (BM25:
+    term-filtered explode + broadcast df; dense: the query vector is an
+    O(|query|) broadcast joined against the sparse hashed features, so
+    only docs sharing a query bucket survive the shuffle). Both legs
+    end in a bounded top-``depth`` (TakeOrderedAndProject); the fusion
+    join and final window touch <= 2·depth rows — driver-bounded, never
+    corpus-sized."""
+    terms = sorted(set(t.lower() for t in query_terms))
+    # --- lexical leg: exact BM25 top-depth, dense rank 1..depth
+    sparse_top = bm25_rank(df, terms, k=depth, k1=k1, b=b,
+                           text_col=text_col, id_col=id_col)
+    w_s = W.orderBy(F.col("score_nano").desc(), F.col(id_col).asc())
+    leg_s = sparse_top.select(
+        F.col(id_col), F.row_number().over(w_s).alias("rank_bm25"))
+    # --- dense leg: hashed-feature cosine against the query vector
+    qfeats = _query_hashed_features(terms, dim)
+    spark = df.sparkSession
+    out_cols = [F.col(id_col), F.col("rank_bm25"), F.col("rank_dense"),
+                F.round(F.col("rrf"), 6).alias("rrf")]
+    if qfeats:
+        qnorm = float(sum(v * v for v in qfeats.values()))
+        qdf = spark.createDataFrame(
+            [(int(bk), int(v)) for bk, v in sorted(qfeats.items())],
+            "bucket int, qfeat long")
+        feats = hashed_features(df, dim=dim, text_col=text_col,
+                                id_col=id_col).persist()
+        norms = feats.groupBy(id_col).agg(
+            F.sum(F.col("feat") * F.col("feat")).alias("norm"))
+        dots = (feats.join(F.broadcast(qdf), "bucket")
+                     .groupBy(id_col)
+                     .agg(F.sum(F.col("feat") * F.col("qfeat"))
+                          .alias("dot")))
+        cos = (F.col("dot").cast("double")
+               / F.sqrt(F.col("norm").cast("double") * F.lit(qnorm)))
+        # exact nano-integer cosine BEFORE ranking: the rank order (and
+        # therefore the fused output) depends only on BIGINT comparisons
+        scored = (dots.join(norms, id_col)
+                      .filter(F.col("norm") > 0)
+                      .select(F.col(id_col),
+                              F.floor(cos * F.lit(1e9) + F.lit(0.5))
+                              .cast("long").alias("cos_nano"))
+                      .orderBy(F.col("cos_nano").desc(),
+                               F.col(id_col).asc())
+                      .limit(depth))
+        w_d = W.orderBy(F.col("cos_nano").desc(), F.col(id_col).asc())
+        leg_d = scored.select(
+            F.col(id_col), F.row_number().over(w_d).alias("rank_dense"))
+        fused = leg_s.join(leg_d, id_col, "full_outer")
+    else:  # query hashes to an all-zero vector: lexical-only fusion
+        fused = leg_s.withColumn("rank_dense",
+                                 F.lit(None).cast("int"))
+    rrf = (F.coalesce(F.lit(1.0) / (F.lit(float(rrf_k))
+                                    + F.col("rank_bm25")), F.lit(0.0))
+           + F.coalesce(F.lit(1.0) / (F.lit(float(rrf_k))
+                                      + F.col("rank_dense")), F.lit(0.0)))
+    out = (fused.withColumn("rrf", rrf)
+                .withColumn("rank_bm25",
+                            F.coalesce("rank_bm25", F.lit(0)))
+                .withColumn("rank_dense",
+                            F.coalesce("rank_dense", F.lit(0)))
+                .orderBy(F.col("rrf").desc(), F.col(id_col).asc())
+                .limit(k)
+                .select(*out_cols))
+    from tantalus_spark.datapipe.dedup import _materialize_and_release
+    released = [sparse_top] + ([feats] if qfeats else [])
+    return _materialize_and_release(out, released)
+
+
+def source_js_divergence(
+    df: DataFrame,
+    n_buckets: int = 256,
+    text_col: str = "text",
+    group_col: str = "source",
+    hash_family: str = "md5",
+) -> DataFrame:
+    """Pairwise Jensen-Shannon divergence between the hashed-unigram
+    token distributions of every two corpus slices (sources) — the
+    standard data-mixing diagnostic: JS (in bits, 0 = identical,
+    1 = disjoint) tells a pipeline which sources are redundant with
+    each other and which add genuinely new text before mixing weights
+    are chosen (same hashed-sketch trick as DSIR, Xie et al. 2023).
+
+    ``JS(P,Q) = ½·Σ_b p·log2(p/m) + ½·Σ_b q·log2(q/m)``, ``m=(p+q)/2``,
+    zero-count terms contribute 0. Each per-bucket contribution is
+    computed from exact integer counts and floor-scaled to a nano
+    BIGINT before the per-pair sum, so aggregation order cannot move a
+    bit and the DuckDB oracle matches hash-for-hash.
+
+    Scale shape: ONE corpus explode + one (source, bucket) integer
+    groupBy — the only corpus-sized work. Everything after runs on the
+    FIXED-size distribution grid (|sources| · n_buckets rows): the grid
+    densifies missing buckets to 0 via a broadcast cross of the source
+    list with ``spark.range(n_buckets)``, per-source totals broadcast
+    back, and the pair self-join keys on bucket with ``s_a < s_b`` —
+    at 100 TB the grid is still |sources|·n_buckets rows, never
+    corpus-sized. Production uses ``hash_family='xxhash64'`` (one
+    codegen'd long op per token); ``md5`` is the SQL-portable gate
+    family."""
+    from tantalus_spark.datapipe.scoring import _bucket
+
+    spark = df.sparkSession
+    toks = (spread_small_scan(df)
+            .filter(F.col(text_col).isNotNull())
+            .select(F.col(group_col).alias("src"),
+                    F.explode(tokens(F.lower(F.col(text_col))))
+                    .alias("term")))
+    counts = (toks.select("src",
+                          _bucket(F.col("term"), n_buckets, hash_family)
+                          .alias("bucket"))
+                  .groupBy("src", "bucket")
+                  .agg(F.count(F.lit(1)).alias("c")))
+    srcs = counts.select("src").distinct()
+    grid = (srcs.crossJoin(
+                F.broadcast(spark.range(int(n_buckets))
+                            .select(F.col("id").cast("int")
+                                    .alias("bucket"))))
+                .join(counts, ["src", "bucket"], "left")
+                .select("src", "bucket",
+                        F.coalesce("c", F.lit(0)).cast("long").alias("c")))
+    totals = counts.groupBy("src").agg(F.sum("c").alias("n"))
+    dist = grid.join(F.broadcast(totals), "src")
+    a, b2 = dist.alias("a"), dist.alias("b")
+    p = F.col("a.c").cast("double") / F.col("a.n").cast("double")
+    q = F.col("b.c").cast("double") / F.col("b.n").cast("double")
+    m = (p + q) / F.lit(2.0)
+    contrib = (
+        F.when(F.col("a.c") > 0, p * F.log2(p / m)).otherwise(F.lit(0.0))
+        + F.when(F.col("b.c") > 0, q * F.log2(q / m)).otherwise(F.lit(0.0))
+    ) / F.lit(2.0)
+    pairs = (
+        a.join(b2, (F.col("a.bucket") == F.col("b.bucket"))
+               & (F.col("a.src") < F.col("b.src")))
+         .select(F.col("a.src").alias("source_a"),
+                 F.col("b.src").alias("source_b"),
+                 F.floor(contrib * F.lit(1e9) + F.lit(0.5)).cast("long")
+                 .alias("js_nano"))
+         .groupBy("source_a", "source_b")
+         .agg(F.sum("js_nano").alias("js_nano_sum"))
+    )
+    return pairs.select(
+        "source_a", "source_b",
+        F.round(F.col("js_nano_sum").cast("double") / F.lit(1e9), 6)
+        .alias("js_bits"))

@@ -1846,6 +1846,49 @@ def q130_hashed_features(spark, sf_dir):
     return hashed_features(docs, dim=64)
 
 
+def q131_hybrid_rrf(spark, sf_dir):
+    """Hybrid retrieval with Reciprocal Rank Fusion (Cormack et al.
+    2009): BM25 lexical leg (q121 machinery) fused with a dense
+    hashed-feature cosine leg (q130 vectors) — the two-leg serving
+    shape of modern search, upgrading the reference's single-signal
+    free-text path (search_util/search_helper.py:27-34). Both legs
+    rank by exact nano-integers under a total order; fusion touches
+    <= 2·depth rows."""
+    from tantalus_spark.datapipe.textstats import hybrid_rank_rrf
+
+    docs = db_for(spark, sf_dir).table("documents")
+    return hybrid_rank_rrf(docs, ["hash", "join", "window", "vector"],
+                           k=20, depth=50, rrf_k=60, dim=64)
+
+
+def q132_source_divergence(spark, sf_dir):
+    """Pairwise Jensen-Shannon divergence between per-source
+    hashed-unigram distributions — the data-mixing diagnostic that
+    finds redundant vs novel sources before mixing weights are chosen
+    (DSIR-style hashed sketch, Xie et al. 2023). One corpus explode +
+    one keyed integer groupBy; everything after runs on the fixed
+    |sources|·n_buckets grid. Exact per-bucket nano-integer
+    contributions, full oracle."""
+    from tantalus_spark.datapipe.textstats import source_js_divergence
+
+    docs = db_for(spark, sf_dir).table("documents")
+    return source_js_divergence(docs, n_buckets=64)
+
+
+def q133_jl_distortion(spark, sf_dir):
+    """Johnson-Lindenstrauss ±1 random projection (Achlioptas 2003)
+    with its quality audit: per probe pair, cosine in the original
+    64-dim space vs the 16-dim projected space and the absolute error
+    — the measurement that gates replacing full embeddings with cheap
+    projections in clustering/near-dup at corpus scale. Micro-integer
+    components, md5-derived data-independent sign matrix, exact BIGINT
+    dots/norms, full oracle."""
+    from tantalus_spark.datapipe.similarity import jl_distortion_pairs
+
+    emb = db_for(spark, sf_dir).table("embeddings")
+    return jl_distortion_pairs(emb, out_dim=16, n_probes=50)
+
+
 _ALL_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     name[1:]: fn
     for name, fn in list(globals().items())
@@ -1975,6 +2018,10 @@ _QUERY_ORDER = [
     "92_vocab_coverage", "94_source_report", "95_paragraph_dedup",
     "99_corpus_shuffle", "100_bpe_merges",
     "103_temperature_mix", "105_gate_attribution",
+    # r7 additions: hybrid RRF retrieval, per-source JS divergence,
+    # JL random-projection distortion audit — all full-value-oracled;
+    # r8 ROTATION CANDIDATES under the standing protocol.
+    "131_hybrid_rrf", "132_source_divergence", "133_jl_distortion",
 ]
 
 QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
@@ -4436,4 +4483,203 @@ ORACLES["130_hashed_features"] = """
       FROM toks)
     SELECT doc_id, bucket, CAST(sum(sgn) AS BIGINT) AS feat
     FROM h GROUP BY doc_id, bucket
+"""
+
+# q131: both legs rank by exact nano-integers (BM25 leg = the q121
+# oracle machinery at depth 50; dense leg = q130 hashed features vs the
+# md5-hashed query vector), so the fused ordering replays exactly; the
+# rrf double is a fixed-order sum of two exact divisions.
+ORACLES["131_hybrid_rrf"] = """
+    WITH base AS (
+      SELECT doc_id,
+             string_split_regex(trim(lower(text)), '\\s+') AS toks
+      FROM documents WHERE text IS NOT NULL),
+    dl AS (SELECT doc_id, CAST(len(toks) AS BIGINT) AS dl FROM base),
+    tot AS (SELECT CAST(count(*) AS DOUBLE) AS n,
+                   CAST(sum(dl) AS DOUBLE) / CAST(count(*) AS DOUBLE)
+                     AS avgdl
+            FROM dl),
+    toks AS (SELECT doc_id, unnest(toks) AS term FROM base),
+    tf AS (SELECT doc_id, term, count(*) AS tf
+           FROM toks
+           WHERE term IN ('hash', 'join', 'window', 'vector')
+           GROUP BY doc_id, term),
+    dfq AS (SELECT term, count(*) AS df FROM tf GROUP BY term),
+    sc AS (
+      SELECT tf.doc_id,
+             CAST(floor(
+               ln(1.0 + (tot.n - dfq.df + 0.5) / (dfq.df + 0.5))
+               * (tf.tf * 2.2)
+               / (tf.tf + 1.2 * (0.25 + 0.75 * dl.dl / tot.avgdl))
+               * 1e9 + 0.5) AS BIGINT) AS s_nano
+      FROM tf JOIN dfq USING (term) JOIN dl USING (doc_id)
+      CROSS JOIN tot),
+    g AS (SELECT doc_id, CAST(sum(s_nano) AS BIGINT) AS score_nano
+          FROM sc GROUP BY doc_id),
+    leg_s AS (
+      SELECT doc_id,
+             CAST(row_number() OVER (ORDER BY score_nano DESC,
+                                     doc_id ASC) AS INTEGER) AS rank_bm25
+      FROM (SELECT * FROM g
+            ORDER BY score_nano DESC, doc_id ASC LIMIT 50)),
+    sf AS (
+      SELECT doc_id,
+             CAST(('0x' || substr(md5(term), 1, 15))::BIGINT % 64
+                  AS INTEGER) AS bucket,
+             CAST(1 - 2 * (('0x' || substr(md5('s_' || term), 1, 15))
+                           ::BIGINT % 2) AS INTEGER) AS sgn
+      FROM toks),
+    feats AS (SELECT doc_id, bucket, CAST(sum(sgn) AS BIGINT) AS feat
+              FROM sf GROUP BY doc_id, bucket),
+    qf AS (
+      SELECT bucket, CAST(sum(sgn) AS BIGINT) AS qfeat FROM (
+        SELECT CAST(('0x' || substr(md5(term), 1, 15))::BIGINT % 64
+                    AS INTEGER) AS bucket,
+               CAST(1 - 2 * (('0x' || substr(md5('s_' || term), 1, 15))
+                             ::BIGINT % 2) AS INTEGER) AS sgn
+        FROM (VALUES ('hash'), ('join'), ('window'), ('vector'))
+             t(term)) q
+      GROUP BY bucket HAVING sum(sgn) <> 0),
+    qn AS (SELECT CAST(sum(qfeat * qfeat) AS DOUBLE) AS qnorm FROM qf),
+    dots AS (SELECT f.doc_id, CAST(sum(f.feat * q.qfeat) AS BIGINT)
+                    AS dot
+             FROM feats f JOIN qf q USING (bucket) GROUP BY f.doc_id),
+    norms AS (SELECT doc_id, CAST(sum(feat * feat) AS BIGINT) AS norm
+              FROM feats GROUP BY doc_id),
+    scored AS (
+      SELECT d.doc_id,
+             CAST(floor(CAST(d.dot AS DOUBLE)
+                        / sqrt(CAST(n.norm AS DOUBLE) * qn.qnorm)
+                        * 1e9 + 0.5) AS BIGINT) AS cos_nano
+      FROM dots d JOIN norms n USING (doc_id) CROSS JOIN qn
+      WHERE n.norm > 0),
+    leg_d AS (
+      SELECT doc_id,
+             CAST(row_number() OVER (ORDER BY cos_nano DESC,
+                                     doc_id ASC) AS INTEGER) AS rank_dense
+      FROM (SELECT * FROM scored
+            ORDER BY cos_nano DESC, doc_id ASC LIMIT 50)),
+    fused AS (
+      SELECT COALESCE(s.doc_id, d.doc_id) AS doc_id,
+             s.rank_bm25, d.rank_dense,
+             COALESCE(1.0 / (60.0 + s.rank_bm25), 0.0)
+               + COALESCE(1.0 / (60.0 + d.rank_dense), 0.0) AS rrf
+      FROM leg_s s FULL OUTER JOIN leg_d d ON s.doc_id = d.doc_id)
+    SELECT doc_id,
+           CAST(COALESCE(rank_bm25, 0) AS INTEGER) AS rank_bm25,
+           CAST(COALESCE(rank_dense, 0) AS INTEGER) AS rank_dense,
+           round(rrf, 6) AS rrf
+    FROM fused ORDER BY rrf DESC, doc_id ASC LIMIT 20
+"""
+
+# q132: exact integer bucket counts; each per-bucket JS contribution is
+# computed from the same double divisions and log2 in both engines and
+# floor-scaled to a nano BIGINT before the per-pair sum.
+ORACLES["132_source_divergence"] = """
+    WITH toks AS (
+      SELECT source AS src,
+             unnest(string_split_regex(trim(lower(text)), '\\s+')) AS term
+      FROM documents WHERE text IS NOT NULL),
+    counts AS (
+      SELECT src,
+             CAST(('0x' || substr(md5(term), 1, 15))::BIGINT % 64
+                  AS INTEGER) AS bucket,
+             CAST(count(*) AS BIGINT) AS c
+      FROM toks GROUP BY 1, 2),
+    srcs AS (SELECT DISTINCT src FROM counts),
+    buckets AS (SELECT CAST(b AS INTEGER) AS bucket
+                FROM (SELECT unnest(range(64)) AS b) t),
+    grid AS (
+      SELECT s.src, b.bucket, CAST(COALESCE(c.c, 0) AS BIGINT) AS c
+      FROM srcs s CROSS JOIN buckets b
+      LEFT JOIN counts c ON c.src = s.src AND c.bucket = b.bucket),
+    totals AS (SELECT src, CAST(sum(c) AS BIGINT) AS n
+               FROM counts GROUP BY src),
+    dist AS (SELECT g.src, g.bucket, g.c, t.n
+             FROM grid g JOIN totals t USING (src)),
+    pairs AS (
+      SELECT a.src AS source_a, b.src AS source_b,
+             CAST(floor((
+               (CASE WHEN a.c > 0 THEN
+                  (CAST(a.c AS DOUBLE) / CAST(a.n AS DOUBLE))
+                  * log2((CAST(a.c AS DOUBLE) / CAST(a.n AS DOUBLE))
+                         / ((CAST(a.c AS DOUBLE) / CAST(a.n AS DOUBLE)
+                             + CAST(b.c AS DOUBLE) / CAST(b.n AS DOUBLE))
+                            / 2.0))
+                ELSE 0.0 END
+                + CASE WHEN b.c > 0 THEN
+                    (CAST(b.c AS DOUBLE) / CAST(b.n AS DOUBLE))
+                    * log2((CAST(b.c AS DOUBLE) / CAST(b.n AS DOUBLE))
+                           / ((CAST(a.c AS DOUBLE) / CAST(a.n AS DOUBLE)
+                               + CAST(b.c AS DOUBLE) / CAST(b.n AS DOUBLE))
+                              / 2.0))
+                  ELSE 0.0 END
+             ) / 2.0 * 1e9 + 0.5)) AS BIGINT) AS js_nano
+      FROM dist a JOIN dist b
+        ON a.bucket = b.bucket AND a.src < b.src)
+    SELECT source_a, source_b,
+           round(CAST(sum(js_nano) AS DOUBLE) / 1e9, 6) AS js_bits
+    FROM pairs GROUP BY source_a, source_b
+"""
+
+# q133: micro-integer components, md5-derived sign matrix (0-based
+# (j, i) keys match Spark's posexplode positions), exact BIGINT
+# dots/norms in both spaces; cosines divide exact integers in double.
+ORACLES["133_jl_distortion"] = """
+    WITH probes AS (
+      SELECT vec_id, embedding FROM embeddings
+      WHERE embedding IS NOT NULL ORDER BY vec_id ASC LIMIT 50),
+    comps AS (
+      SELECT vec_id,
+             CAST(generate_subscripts(embedding, 1) - 1 AS INTEGER)
+               AS i,
+             CAST(floor(CAST(unnest(embedding) AS DOUBLE) * 1e6 + 0.5)
+                  AS BIGINT) AS xm
+      FROM probes),
+    signs AS (
+      SELECT CAST(jj.j AS INTEGER) AS j, CAST(ii.i AS INTEGER) AS i,
+             CAST(1 - 2 * (('0x' || substr(md5(
+                    jj.j::VARCHAR || '_' || ii.i::VARCHAR), 1, 15))
+                    ::BIGINT % 2) AS INTEGER) AS sgn
+      FROM (SELECT unnest(range(16)) AS j) jj
+      CROSS JOIN (SELECT unnest(range(64)) AS i) ii),
+    proj AS (
+      SELECT c.vec_id, s.j, CAST(sum(s.sgn * c.xm) AS BIGINT) AS y
+      FROM comps c JOIN signs s ON s.i = c.i
+      GROUP BY c.vec_id, s.j),
+    dot_o AS (
+      SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+             CAST(sum(a.xm * b.xm) AS BIGINT) AS dot_o
+      FROM comps a JOIN comps b
+        ON a.i = b.i AND a.vec_id < b.vec_id
+      GROUP BY 1, 2),
+    dot_p AS (
+      SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+             CAST(sum(a.y * b.y) AS BIGINT) AS dot_p
+      FROM proj a JOIN proj b
+        ON a.j = b.j AND a.vec_id < b.vec_id
+      GROUP BY 1, 2),
+    n_o AS (SELECT vec_id, CAST(sum(xm * xm) AS BIGINT) AS n
+            FROM comps GROUP BY vec_id),
+    n_p AS (SELECT vec_id, CAST(sum(y * y) AS BIGINT) AS n
+            FROM proj GROUP BY vec_id)
+    SELECT d.id_a, d.id_b,
+           round(CAST(d.dot_o AS DOUBLE)
+                 / sqrt(CAST(nao.n AS DOUBLE) * CAST(nbo.n AS DOUBLE)),
+                 4) AS cos_orig,
+           round(CAST(p.dot_p AS DOUBLE)
+                 / sqrt(CAST(nap.n AS DOUBLE) * CAST(nbp.n AS DOUBLE)),
+                 4) AS cos_proj,
+           round(abs(CAST(d.dot_o AS DOUBLE)
+                     / sqrt(CAST(nao.n AS DOUBLE) * CAST(nbo.n AS DOUBLE))
+                     - CAST(p.dot_p AS DOUBLE)
+                     / sqrt(CAST(nap.n AS DOUBLE)
+                            * CAST(nbp.n AS DOUBLE))), 4) AS abs_err
+    FROM dot_o d
+    JOIN dot_p p ON p.id_a = d.id_a AND p.id_b = d.id_b
+    JOIN n_o nao ON nao.vec_id = d.id_a
+    JOIN n_o nbo ON nbo.vec_id = d.id_b
+    JOIN n_p nap ON nap.vec_id = d.id_a
+    JOIN n_p nbp ON nbp.vec_id = d.id_b
+    WHERE nao.n > 0 AND nbo.n > 0 AND nap.n > 0 AND nbp.n > 0
 """

@@ -586,3 +586,45 @@ def test_retrieval_metrics_hand_computed(spark):
     idcg = sum(math.floor(1e9 / math.log2(i + 1) + 0.5)
                for i in (1, 2, 3))
     assert r5["ndcg"] == round(dcg / idcg, 4)
+
+
+def test_jl_project_matches_numpy_reference(spark):
+    """The Spark projection equals a pure-Python rebuild from the same
+    md5 sign matrix and micro-quantized components — exact integers."""
+    import hashlib
+    import math
+
+    from tantalus_spark.datapipe.similarity import jl_project
+
+    vecs = [(1, [0.5, -0.25, 0.125, 1.0]),
+            (2, [-1.0, 0.0, 0.75, -0.5])]
+    df = spark.createDataFrame(vecs, "vec_id long, embedding array<float>")
+    got = {r["vec_id"]: list(r["proj"])
+           for r in jl_project(df, out_dim=3).collect()}
+
+    def sgn(j, i):
+        h = int(hashlib.md5(f"{j}_{i}".encode()).hexdigest()[:15], 16)
+        return 1 - 2 * (h % 2)
+
+    for vid, v in vecs:
+        xm = [math.floor(x * 1e6 + 0.5) for x in v]
+        want = [sum(sgn(j, i) * xm[i] for i in range(4)) for j in range(3)]
+        assert got[vid] == want, (vid, got[vid], want)
+
+
+def test_jl_distortion_identical_vectors_have_zero_error(spark):
+    """Two identical embeddings have cosine 1 in BOTH spaces — the
+    projection is a linear map, so exact duplicates stay exact."""
+    from tantalus_spark.datapipe.similarity import jl_distortion_pairs
+
+    v = [float(k % 7) / 7.0 - 0.4 for k in range(16)]
+    w = [float((k * 3) % 5) / 5.0 - 0.3 for k in range(16)]
+    df = spark.createDataFrame(
+        [(1, v), (2, v), (3, w)], "vec_id long, embedding array<float>")
+    out = jl_distortion_pairs(df, out_dim=4, n_probes=3)
+    rows = {(r["id_a"], r["id_b"]): r.asDict() for r in out.collect()}
+    out.unpersist()
+    assert rows[(1, 2)]["cos_orig"] == 1.0
+    assert rows[(1, 2)]["cos_proj"] == 1.0
+    assert rows[(1, 2)]["abs_err"] == 0.0
+    assert len(rows) == 3

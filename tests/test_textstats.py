@@ -1134,3 +1134,61 @@ def test_tfidf_cosine_zero_norm_docs_never_pair(spark):
     got = {(r["id_a"], r["id_b"]) for r in out.collect()}
     out.unpersist()
     assert not any(3 in p or 4 in p for p in got), got
+
+
+def test_hybrid_rrf_fuses_both_legs(spark):
+    """A doc ranked well by BOTH legs must outscore a doc seen by only
+    one leg at the same per-leg rank, the rank sentinel for a missing
+    leg is 0, and the driver-side query hashing twin matches the
+    Spark-side md5 exactly (same buckets, same signs)."""
+    from tantalus_spark.datapipe.textstats import (
+        _query_hashed_features, hashed_features, hybrid_rank_rrf)
+
+    filler = " ".join(f"pad{i}" for i in range(30))
+    docs = spark.createDataFrame(
+        [(1, f"apple banana {filler}"),      # both legs
+         (2, f"apple apple {filler}"),       # lexical-heavy
+         (3, f"banana banana {filler}"),
+         (4, filler)],                       # neither query term
+        "doc_id long, text string")
+    out = hybrid_rank_rrf(docs, ["apple", "banana"], k=4, depth=4,
+                          dim=16)
+    rows = {r["doc_id"]: r.asDict() for r in out.collect()}
+    out.unpersist()
+    # doc 1 contains both terms: top fused rank
+    top = max(rows.values(), key=lambda r: r["rrf"])
+    assert top["doc_id"] == 1
+    # every returned row carries ranks; 0 means "not in that leg"
+    assert all(r["rank_bm25"] >= 0 and r["rank_dense"] >= 0
+               for r in rows.values())
+    # rrf equals the closed form from the reported ranks
+    for r in rows.values():
+        want = (1.0 / (60 + r["rank_bm25"]) if r["rank_bm25"] else 0.0) \
+            + (1.0 / (60 + r["rank_dense"]) if r["rank_dense"] else 0.0)
+        assert abs(r["rrf"] - round(want, 6)) < 1e-9
+    # driver-side query twin == Spark-side hashing of the same terms
+    qf = _query_hashed_features(["apple", "banana"], 16)
+    qdf = spark.createDataFrame([(0, "apple banana")],
+                                "doc_id long, text string")
+    spark_feats = {r["bucket"]: r["feat"]
+                   for r in hashed_features(qdf, dim=16).collect()
+                   if r["feat"] != 0}
+    assert qf == spark_feats
+
+
+def test_source_js_divergence_bounds_and_symmetry(spark):
+    """JS is 0 for identically-distributed slices, 1 bit for disjoint
+    vocabularies, and the pair grid covers each unordered pair once."""
+    from tantalus_spark.datapipe.textstats import source_js_divergence
+
+    same = [(i, "alpha beta gamma", "s1") for i in range(5)] + \
+           [(100 + i, "alpha beta gamma", "s2") for i in range(5)]
+    disj = [(200 + i, "zzz qqq", "s3") for i in range(5)]
+    df = spark.createDataFrame(same + disj,
+                               "doc_id long, text string, source string")
+    out = {(r["source_a"], r["source_b"]): r["js_bits"]
+           for r in source_js_divergence(df, n_buckets=32).collect()}
+    assert set(out) == {("s1", "s2"), ("s1", "s3"), ("s2", "s3")}
+    assert out[("s1", "s2")] == 0.0
+    assert abs(out[("s1", "s3")] - 1.0) < 1e-6
+    assert abs(out[("s2", "s3")] - 1.0) < 1e-6
