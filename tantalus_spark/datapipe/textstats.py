@@ -1772,11 +1772,20 @@ def source_js_divergence(
             .select(F.col(group_col).alias("src"),
                     F.explode(tokens(F.lower(F.col(text_col))))
                     .alias("term")))
+    # PERSIST the (source, bucket) count sketch: it is referenced SIX
+    # ways downstream (srcs, the grid left join, totals, then each of
+    # those twice through the pair self-join) — without the cache
+    # Catalyst re-derives every reference from the RAW CORPUS (six
+    # explode+aggregate passes in the executed plan; caught by the
+    # q132 plan-contract test). The sketch is |sources|·n_buckets rows,
+    # never corpus-sized, and is released once the pair frame
+    # materializes (the posting-list pattern).
     counts = (toks.select("src",
                           _bucket(F.col("term"), n_buckets, hash_family)
                           .alias("bucket"))
                   .groupBy("src", "bucket")
-                  .agg(F.count(F.lit(1)).alias("c")))
+                  .agg(F.count(F.lit(1)).alias("c"))
+                  .persist())
     srcs = counts.select("src").distinct()
     grid = (srcs.crossJoin(
                 F.broadcast(spark.range(int(n_buckets))
@@ -1805,7 +1814,9 @@ def source_js_divergence(
          .groupBy("source_a", "source_b")
          .agg(F.sum("js_nano").alias("js_nano_sum"))
     )
-    return pairs.select(
+    out = pairs.select(
         "source_a", "source_b",
         F.round(F.col("js_nano_sum").cast("double") / F.lit(1e9), 6)
         .alias("js_bits"))
+    from tantalus_spark.datapipe.dedup import _materialize_and_release
+    return _materialize_and_release(out, [counts])

@@ -513,3 +513,34 @@ def test_tfidf_cosine_prunes_df_and_broadcasts_term_table(spark):
     assert "BroadcastHashJoin" in plan     # df table joins broadcast
     # the df-range filter exists in the plan (cap + min_df conjuncts)
     assert "df#" in plan and "Filter" in plan
+
+
+def test_source_divergence_single_explode_fixed_grid(spark):
+    """q132 contract: the corpus explode feeds ONE persisted
+    (source, bucket) sketch, and all six downstream references (srcs,
+    grid, totals — each on both pair-join sides) read that cache as
+    InMemoryTableScans. Without the persist, Catalyst re-derives every
+    reference from the raw corpus: six explode+aggregate passes (the
+    bug this test caught on the first cut)."""
+    from tantalus_spark.datapipe.textstats import source_js_divergence
+
+    out = source_js_divergence(db_for(spark, SF).table("documents"),
+                               n_buckets=32)
+    plan = _plan(out)
+    out.unpersist()
+    # result cache at the root + >= 5 sketch reads behind it (the
+    # expanded InMemoryRelation text repeats per reference)
+    assert plan.count("InMemoryTableScan") >= 6, plan
+    assert "BroadcastHashJoin" in plan  # totals + bucket grid sides
+
+
+def test_jl_project_broadcasts_sign_matrix(spark):
+    """q133 contract: the k·d sign matrix joins as a broadcast against
+    the exploded components (the corpus side must never be the build
+    side), and the projection is one posexplode + one keyed aggregate."""
+    from tantalus_spark.datapipe.similarity import jl_project
+
+    emb = db_for(spark, SF).table("embeddings")
+    plan = _plan(jl_project(emb, out_dim=8))
+    assert "BroadcastHashJoin" in plan
+    assert plan.count("Generate") == 1, plan

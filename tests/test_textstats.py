@@ -1186,8 +1186,10 @@ def test_source_js_divergence_bounds_and_symmetry(spark):
     disj = [(200 + i, "zzz qqq", "s3") for i in range(5)]
     df = spark.createDataFrame(same + disj,
                                "doc_id long, text string, source string")
+    res = source_js_divergence(df, n_buckets=32)
     out = {(r["source_a"], r["source_b"]): r["js_bits"]
-           for r in source_js_divergence(df, n_buckets=32).collect()}
+           for r in res.collect()}
+    res.unpersist()
     assert set(out) == {("s1", "s2"), ("s1", "s3"), ("s2", "s3")}
     assert out[("s1", "s2")] == 0.0
     assert abs(out[("s1", "s3")] - 1.0) < 1e-6
