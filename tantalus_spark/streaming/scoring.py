@@ -173,3 +173,97 @@ def bm25_serve_stream(
                 F.round(F.col("score_nano").cast("double") / F.lit(1e9),
                         4).alias("bm25"))
     )
+
+
+def dense_serve_stream(
+    query_stream: DataFrame,
+    feats: DataFrame,
+    norms: DataFrame | None = None,
+    dim: int = 64,
+    ts_col: str = "ts",
+    watermark: str = "2 hours",
+    terms_col: str = "terms",
+    qid_col: str = "query_id",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Streaming dense-leg serving for hybrid retrieval: score an
+    incoming query stream against a FROZEN
+    :func:`~tantalus_spark.datapipe.textstats.hashed_features` corpus
+    table — the model-free-vector twin of :func:`bm25_serve_stream`;
+    run both against the same stream and fuse ranks consumer-side for
+    the streaming version of the q131 hybrid.
+
+    Exactness without a pre-aggregated query vector: the batch leg's
+    ``dot(d) = Σ_b qfeat_b·feat_{d,b}`` expands to
+    ``Σ_{distinct terms t} sgn(t)·feat_{d,bucket(t)}`` — term-instance
+    contributions sum to the identical BIGINT, so the stream needs ONE
+    stateful aggregation (no chained streaming aggs, which append mode
+    forbids). The per-query norm is computed row-locally with a
+    higher-order fold over the (tiny) terms array before the explode.
+    Docs whose net dot is 0 (only-cancelled-bucket matches) are
+    filtered out statelessly — the batch leg never emits them.
+
+    Shape: watermark at the source → per-row qnorm fold → explode
+    distinct lowered terms → stream-static join to the (bucket-keyed)
+    feature table pre-joined with per-doc norms → one watermarked
+    (query, window, doc) integer sum → stateless cosine projection.
+    State is O(queries × matched docs per horizon), never O(corpus).
+    Returns (query_id, doc_id, dot, cos_nano, cosine) in append mode;
+    bit-identical to the q131 dense leg on the same corpus (parity
+    test in tests/test_textstats.py)."""
+    def bucket_of(t):
+        return F.pmod(
+            F.conv(F.substring(F.md5(t), 1, 15), 16, 10).cast("long"),
+            F.lit(int(dim))).cast("int")
+
+    def sgn_of(t):
+        return (F.lit(1) - F.lit(2) * F.pmod(
+            F.conv(F.substring(F.md5(F.concat(F.lit("s_"), t)), 1, 15),
+                   16, 10).cast("long"),
+            F.lit(2))).cast("int")
+
+    if norms is None:
+        norms = feats.groupBy(id_col).agg(
+            F.sum(F.col("feat") * F.col("feat")).alias("norm"))
+    enriched = feats.join(norms, id_col)  # static-static, plans once
+
+    terms_d = F.array_distinct(F.transform(F.col(terms_col), F.lower))
+    empty = F.map_from_arrays(F.array().cast("array<int>"),
+                              F.array().cast("array<int>"))
+    qmap = F.aggregate(
+        terms_d, empty,
+        lambda acc, t: F.map_concat(
+            F.map_filter(acc, lambda k, v: k != bucket_of(t)),
+            F.create_map(
+                bucket_of(t),
+                F.coalesce(F.try_element_at(acc, bucket_of(t)),
+                           F.lit(0)) + sgn_of(t))))
+    qnorm = F.aggregate(
+        F.map_values(qmap), F.lit(0).cast("long"),
+        lambda a, v: a + (v * v).cast("long"))
+
+    qterms = (query_stream.withWatermark(ts_col, watermark)
+              .select(F.col(qid_col), F.col(ts_col),
+                      qnorm.alias("_qnorm"),
+                      F.explode(terms_d).alias("_term"))
+              .select(F.col(qid_col), F.col(ts_col), F.col("_qnorm"),
+                      bucket_of(F.col("_term")).alias("bucket"),
+                      sgn_of(F.col("_term")).alias("_sgn")))
+    scored = (
+        qterms.join(enriched, "bucket")
+              .groupBy(F.col(qid_col), F.window(ts_col, "1 minute"),
+                       F.col(id_col))
+              .agg(F.sum(F.col("_sgn") * F.col("feat")).cast("long")
+                   .alias("dot"),
+                   F.first("norm").alias("_norm"),
+                   F.first("_qnorm").alias("_qn"))
+    )
+    cos = (F.col("dot").cast("double")
+           / F.sqrt(F.col("_norm").cast("double")
+                    * F.col("_qn").cast("double")))
+    return (scored.filter((F.col("dot") != 0) & (F.col("_norm") > 0)
+                          & (F.col("_qn") > 0))
+                  .select(qid_col, id_col, "dot",
+                          F.floor(cos * F.lit(1e9) + F.lit(0.5))
+                          .cast("long").alias("cos_nano"),
+                          F.round(cos, 4).alias("cosine")))

@@ -1194,3 +1194,65 @@ def test_source_js_divergence_bounds_and_symmetry(spark):
     assert out[("s1", "s2")] == 0.0
     assert abs(out[("s1", "s3")] - 1.0) < 1e-6
     assert abs(out[("s2", "s3")] - 1.0) < 1e-6
+
+
+def test_dense_serve_stream_matches_batch_dense_leg(spark, tmp_path):
+    """The streaming dense leg replaying a static query set against the
+    frozen hashed-feature table emits exactly the batch q131 dense
+    leg's integer dots and nano-cosines: the per-term-instance
+    expansion Σ sgn(t)·feat_bucket(t) equals Σ_b qfeat_b·feat_b
+    bit-for-bit (both are BIGINT sums of the same products)."""
+    import datetime as dt
+    import time
+
+    from tantalus_spark.datapipe.textstats import (
+        _query_hashed_features, hashed_features)
+    from tantalus_spark.streaming.scoring import dense_serve_stream
+
+    filler = " ".join(f"pad{i}" for i in range(20))
+    docs = spark.createDataFrame(
+        [(i, f"apple banana {filler} " + "cherry " * (i % 3))
+         for i in range(1, 9)],
+        "doc_id long, text string")
+    dim, terms = 16, ["Apple", "banana", "cherry"]
+    feats = hashed_features(docs, dim=dim).persist()
+
+    base = dt.datetime(2024, 1, 1, 12, 0)
+    qschema = "query_id long, terms array<string>, ts timestamp"
+    src = str(tmp_path / "dense_queries")
+    spark.createDataFrame([(7, terms, base)], qschema) \
+        .coalesce(1).write.mode("append").parquet(src)
+    time.sleep(1.1)
+    spark.createDataFrame(
+        [(999, ["zzz"], base + dt.timedelta(days=2))], qschema
+    ).coalesce(1).write.mode("append").parquet(src)
+    stream = (spark.readStream.format("parquet").schema(qschema)
+              .option("maxFilesPerTrigger", 1).load(src))
+    q = (dense_serve_stream(stream, feats, dim=dim, watermark="1 second")
+         .writeStream.format("memory").queryName("dense_served")
+         .outputMode("append").trigger(availableNow=True).start())
+    q.awaitTermination(120)
+    got = {r["doc_id"]: (r["dot"], r["cos_nano"])
+           for r in spark.sql(
+               "SELECT * FROM dense_served WHERE query_id = 7").collect()}
+
+    # batch dense leg, exactly as hybrid_rank_rrf builds it
+    from pyspark.sql import functions as F
+    qf = _query_hashed_features([t.lower() for t in terms], dim)
+    qnorm = float(sum(v * v for v in qf.values()))
+    qdf = spark.createDataFrame(sorted(qf.items()), "bucket int, qfeat long")
+    norms = feats.groupBy("doc_id").agg(
+        F.sum(F.col("feat") * F.col("feat")).alias("norm"))
+    dots = (feats.join(F.broadcast(qdf), "bucket").groupBy("doc_id")
+                 .agg(F.sum(F.col("feat") * F.col("qfeat")).alias("dot")))
+    cosc = (F.col("dot").cast("double")
+            / F.sqrt(F.col("norm").cast("double") * F.lit(qnorm)))
+    want = {r["doc_id"]: (r["dot"], r["cos_nano"])
+            for r in dots.join(norms, "doc_id")
+                         .filter((F.col("dot") != 0) & (F.col("norm") > 0))
+                         .select("doc_id", "dot",
+                                 F.floor(cosc * F.lit(1e9) + F.lit(0.5))
+                                 .cast("long").alias("cos_nano"))
+                         .collect()}
+    feats.unpersist()
+    assert got == want and len(got) >= 4, (got, want)
