@@ -66,6 +66,10 @@ HEADLINE = [
     # build — the honest one-job cost) and the posting-join cosine
     "123_bm25_indexed",
     "124_tfidf_cosine",
+    # r7 additions: two-leg hybrid retrieval and the JS mixing
+    # diagnostic (one corpus pass + persisted sketch)
+    "131_hybrid_rrf",
+    "132_source_divergence",
 ]
 
 
@@ -108,11 +112,20 @@ def _bench_98_dsir_weights(spark, sf_dir):
         n_buckets=1024, hash_family="xxhash64")
 
 
+def _bench_132_source_divergence(spark, sf_dir):
+    from tantalus_spark.datapipe.textstats import source_js_divergence
+
+    docs = db_for(spark, sf_dir).table("documents")
+    return source_js_divergence(docs, n_buckets=64,
+                                hash_family="xxhash64")
+
+
 PRODUCTION_VARIANTS = {
     "45_minhash_lsh": _bench_45_minhash_lsh,
     "46_simhash": _bench_46_simhash,
     "53_winnowing": _bench_53_winnowing,
     "98_dsir_weights": _bench_98_dsir_weights,
+    "132_source_divergence": _bench_132_source_divergence,
 }
 
 

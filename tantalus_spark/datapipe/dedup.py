@@ -1215,3 +1215,80 @@ def lsh_plan(n_perm: int, threshold: float,
         "p_below": round(p_cand(max(threshold - 0.1, 0.0), b, r), 4),
         "p_above": round(p_cand(min(threshold + 0.1, 1.0), b, r), 4),
     }
+
+
+def dedup_funnel(
+    df: DataFrame,
+    threshold: float = 0.2,
+    n: int = 3,
+    max_shingle_freq: int | None = 100,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Staged dedup funnel with per-document attribution: run the three
+    standard passes in escalating cost order — exact digest, Unicode-
+    canonical (NFC) digest, n-gram-Jaccard near-dup — each over the
+    previous stage's survivors, and report for every document WHICH
+    stage removed it (``stage`` ∈ 'exact' | 'nfc' | 'near' | 'kept').
+    This is the audit every production dedup pipeline needs before the
+    destructive apply: how much each pass pays for, and whether the
+    expensive near-dup stage is still earning its quadratic candidate
+    step after the cheap digest passes (Lee et al. 2022 report exactly
+    this staging for C4/MassiveText-scale corpora).
+
+    Stage rules are integer/digest-deterministic so the whole funnel
+    replays in SQL: exact and NFC stages keep each group's minimum id;
+    the near stage applies the greedy first-wins rule — a document is
+    removed iff it pairs (jaccard >= threshold) with ANY smaller
+    surviving id — the order-free approximation of cluster-keep-one
+    (the cluster-exact variant is :func:`dedup_keep_best`).
+
+    Scale: stage 1/2 shuffle 16-byte digests; stage 3 is the capped
+    posting-list join over an already-thinned corpus — the funnel
+    ordering exists precisely so the quadratic stage sees the fewest
+    documents. Null-text documents are excluded (no stage applies).
+    """
+    from tantalus_spark.datapipe.textstats import normalize_nfc
+
+    base = df.filter(F.col(text_col).isNotNull()) \
+             .select(F.col(id_col), F.col(text_col))
+    # Each stage's (id, removed) flag frame is PERSISTED: the flags are
+    # read twice (next stage's survivor filter + the attribution join),
+    # and without the cache each reference re-runs the stage's digest
+    # shuffle. Flags are O(rows) booleans — never the text — so the
+    # cache stays tiny at corpus scale; all released on return.
+    dg = base.withColumn("_dg", F.md5(F.col(text_col)))
+    canon1 = dg.groupBy("_dg").agg(F.min(id_col).alias("_c1"))
+    s1f = (dg.join(canon1, "_dg")
+             .select(F.col(id_col),
+                     (F.col(id_col) != F.col("_c1")).alias("_rm1"))
+             .persist())
+    surv1 = base.join(s1f.filter(~F.col("_rm1")).select(id_col), id_col)
+    # stage 2: NFC-canonical digest over stage-1 survivors
+    nn = normalize_nfc(surv1, text_col=text_col, id_col=id_col)
+    canon2 = nn.groupBy("norm_digest").agg(F.min(id_col).alias("_c2"))
+    s2f = (nn.join(canon2, "norm_digest")
+             .select(F.col(id_col),
+                     (F.col(id_col) != F.col("_c2")).alias("_rm2"))
+             .persist())
+    surv2 = base.join(s2f.filter(~F.col("_rm2")).select(id_col), id_col)
+    # stage 3: near-dup pairs over stage-2 survivors; greedy first-wins
+    pairs = ngram_jaccard_pairs(surv2, n=n, threshold=threshold,
+                                text_col=text_col, id_col=id_col,
+                                max_shingle_freq=max_shingle_freq)
+    near_rm = pairs.select(F.col("d2").alias(id_col)).distinct()
+    out = (
+        base.select(id_col)
+            .join(s1f, id_col)
+            .join(s2f, id_col, "left")
+            .join(near_rm.withColumn("_rm3", F.lit(True)), id_col, "left")
+            .select(
+                F.col(id_col),
+                F.when(F.col("_rm1"), F.lit("exact"))
+                 .when(F.coalesce(F.col("_rm2"), F.lit(False)),
+                       F.lit("nfc"))
+                 .when(F.coalesce(F.col("_rm3"), F.lit(False)),
+                       F.lit("near"))
+                 .otherwise(F.lit("kept")).alias("stage"))
+    )
+    return _materialize_and_release(out, [pairs, s1f, s2f])

@@ -1889,6 +1889,20 @@ def q133_jl_distortion(spark, sf_dir):
     return jl_distortion_pairs(emb, out_dim=16, n_probes=50)
 
 
+def q134_dedup_funnel(spark, sf_dir):
+    """Staged dedup funnel with per-document attribution: exact digest
+    -> NFC-canonical digest -> n-gram-Jaccard near-dup, each over the
+    previous stage's survivors; every document reports the stage that
+    removed it ('exact'/'nfc'/'near'/'kept'). The audit before the
+    destructive apply (Lee et al. 2022 staging); digest-deterministic
+    rules + the greedy first-wins near rule make the whole funnel
+    SQL-replayable."""
+    from tantalus_spark.datapipe.dedup import dedup_funnel
+
+    docs = db_for(spark, sf_dir).table("documents")
+    return dedup_funnel(docs, threshold=0.2, n=3, max_shingle_freq=100)
+
+
 _ALL_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     name[1:]: fn
     for name, fn in list(globals().items())
@@ -2019,9 +2033,11 @@ _QUERY_ORDER = [
     "99_corpus_shuffle", "100_bpe_merges",
     "103_temperature_mix", "105_gate_attribution",
     # r7 additions: hybrid RRF retrieval, per-source JS divergence,
-    # JL random-projection distortion audit — all full-value-oracled;
-    # r8 ROTATION CANDIDATES under the standing protocol.
+    # JL random-projection distortion audit, staged dedup funnel —
+    # all full-value-oracled; r8 ROTATION CANDIDATES under the
+    # standing protocol.
     "131_hybrid_rrf", "132_source_divergence", "133_jl_distortion",
+    "134_dedup_funnel",
 ]
 
 QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
@@ -4620,6 +4636,56 @@ ORACLES["132_source_divergence"] = """
     SELECT source_a, source_b,
            round(CAST(sum(js_nano) AS DOUBLE) / 1e9, 6) AS js_bits
     FROM pairs GROUP BY source_a, source_b
+"""
+
+# q134: each stage is digest/integer-deterministic (exact + NFC keep
+# the group's min id; the near stage removes any doc pairing with a
+# smaller survivor at jaccard >= threshold over the q44 machinery), so
+# the staged composition replays exactly.
+ORACLES["134_dedup_funnel"] = """
+    WITH d AS (SELECT doc_id, text FROM documents
+               WHERE text IS NOT NULL),
+    s1 AS (SELECT doc_id, text,
+                  doc_id <> min(doc_id) OVER (PARTITION BY md5(text))
+                    AS rm1
+           FROM d),
+    n AS (SELECT doc_id,
+                 trim(regexp_replace(nfc_normalize(text), '\\s+', ' ',
+                                     'g')) AS norm
+          FROM s1 WHERE NOT rm1),
+    s2 AS (SELECT doc_id,
+                  doc_id <> min(doc_id) OVER (PARTITION BY md5(norm))
+                    AS rm2
+           FROM n),
+    surv2 AS (SELECT d.doc_id, d.text FROM d
+              JOIN s2 ON s2.doc_id = d.doc_id WHERE NOT s2.rm2),
+    tok AS (SELECT doc_id,
+                   string_split_regex(trim(lower(text)), '\\s+') AS t
+            FROM surv2),
+    sh0 AS (SELECT DISTINCT doc_id,
+                   t[i] || ' ' || t[i+1] || ' ' || t[i+2] AS shingle
+            FROM tok, UNNEST(range(1, greatest(len(t)-1, 1))) AS u(i)),
+    sh AS (SELECT * FROM sh0 WHERE shingle NOT IN (
+             SELECT shingle FROM sh0
+             GROUP BY shingle HAVING count(*) > 100)),
+    counts AS (SELECT doc_id, count(*) AS n_sh FROM sh GROUP BY doc_id),
+    inter AS (SELECT a.doc_id AS d1, b.doc_id AS d2, count(*) AS i
+              FROM sh a JOIN sh b
+                ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+              GROUP BY 1, 2),
+    nearrm AS (SELECT DISTINCT d2 AS doc_id FROM inter
+               JOIN counts na ON na.doc_id = inter.d1
+               JOIN counts nb ON nb.doc_id = inter.d2
+               WHERE i * 1.0 / (na.n_sh + nb.n_sh - i) >= 0.2)
+    SELECT d.doc_id,
+           CASE WHEN s1.rm1 THEN 'exact'
+                WHEN COALESCE(s2.rm2, FALSE) THEN 'nfc'
+                WHEN nr.doc_id IS NOT NULL THEN 'near'
+                ELSE 'kept' END AS stage
+    FROM d
+    JOIN s1 ON s1.doc_id = d.doc_id
+    LEFT JOIN s2 ON s2.doc_id = d.doc_id
+    LEFT JOIN nearrm nr ON nr.doc_id = d.doc_id
 """
 
 # q133: micro-integer components, md5-derived sign matrix (0-based
