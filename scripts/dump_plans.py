@@ -100,6 +100,18 @@ SHOW = [
     ("129_normalized_dedup", "NFC-canonical dedup: one Arrow map pass"
      " (stdlib unicodedata), codegen digest, digest-keyed group —"
      " payloads never shuffle"),
+    ("131_hybrid_rrf", "hybrid RRF: both legs end in bounded top-depth;"
+     " the dense leg joins an O(|query|) broadcast vector against the"
+     " sparse hashed features; fusion touches <= 2*depth rows"),
+    ("132_source_divergence", "JS divergence: ONE corpus explode into a"
+     " persisted (source,bucket) sketch; all six grid references read"
+     " the cache (r7 fix); pair math on the fixed grid only"),
+    ("133_jl_distortion", "JL audit: broadcast k*d sign matrix, micro-"
+     "integer components, O(probes^2) frames after a TakeOrdered probe"
+     " select"),
+    ("134_dedup_funnel", "staged dedup funnel: 16-byte digest shuffles"
+     " for exact/NFC stages, capped posting join over the twice-thinned"
+     " corpus, O(rows) boolean flag caches released on return"),
 ]
 
 
@@ -115,6 +127,14 @@ def main() -> None:
     for name, why in SHOW:
         df = QUERIES[name](spark, sf)
         plan = df._jdf.queryExecution().executedPlan().toString()
+        # Deeply-composed materialized queries (q134) expand nested
+        # InMemoryRelation subtrees into thousands of repeated lines —
+        # the reviewable evidence is the top of the tree; cap it.
+        lines = plan.splitlines()
+        if len(lines) > 400:
+            plan = "\n".join(lines[:400]) + (
+                f"\n... [truncated {len(lines) - 400} lines of nested"
+                " cached-subplan expansion]")
         out.write(f"\n## {name} — {why}\n\n```\n{plan}\n```\n")
     with open(os.path.join(os.path.dirname(os.path.dirname(
             os.path.abspath(__file__))), "PLANS.md"), "w") as f:
