@@ -1820,3 +1820,104 @@ def source_js_divergence(
         .alias("js_bits"))
     from tantalus_spark.datapipe.dedup import _materialize_and_release
     return _materialize_and_release(out, [counts])
+
+
+def token_bucket_counts(
+    df: DataFrame,
+    n_buckets: int = 64,
+    text_col: str = "text",
+    hash_family: str = "md5",
+) -> DataFrame:
+    """Hashed-unigram bucket histogram of a corpus slice — the frozen
+    REFERENCE distribution for :func:`js_against_baseline` (train it
+    once on the accepted corpus, version it, compare every new batch
+    against it). One explode + one fixed-size integer groupBy; returns
+    (bucket, c) with only populated buckets (consumers densify)."""
+    from tantalus_spark.datapipe.scoring import _bucket
+
+    toks = (spread_small_scan(df)
+            .filter(F.col(text_col).isNotNull())
+            .select(F.explode(tokens(F.lower(F.col(text_col))))
+                    .alias("term")))
+    return (toks.select(_bucket(F.col("term"), n_buckets, hash_family)
+                        .alias("bucket"))
+                .groupBy("bucket")
+                .agg(F.count(F.lit(1)).cast("long").alias("c")))
+
+
+def js_against_baseline(
+    df: DataFrame,
+    baseline: DataFrame,
+    n_buckets: int = 64,
+    text_col: str = "text",
+    group_col: str = "source",
+    hash_family: str = "md5",
+) -> DataFrame:
+    """Jensen-Shannon divergence of each corpus slice's hashed-unigram
+    distribution against a FROZEN baseline (:func:`token_bucket_counts`
+    of the accepted corpus) — the drift detector of a production
+    ingestion pipeline: a source whose js_bits jumps between batches
+    changed its content mix and needs a human before it changes the
+    training mix. Same exact-integer + nano-quantized contribution
+    discipline as :func:`source_js_divergence`, so the full frame
+    replays in SQL.
+
+    Scale: one corpus explode into a (group, bucket) integer groupBy;
+    the baseline is an ``n_buckets``-row broadcast; everything after
+    runs on the fixed |groups|·n_buckets grid. Groups with zero tokens
+    are absent (no distribution to compare). Returns
+    (group, js_bits, n_tokens)."""
+    from tantalus_spark.datapipe.scoring import _bucket
+
+    spark = df.sparkSession
+    toks = (spread_small_scan(df)
+            .filter(F.col(text_col).isNotNull())
+            .select(F.col(group_col).alias("grp"),
+                    F.explode(tokens(F.lower(F.col(text_col))))
+                    .alias("term")))
+    counts = (toks.select("grp",
+                          _bucket(F.col("term"), n_buckets, hash_family)
+                          .alias("bucket"))
+                  .groupBy("grp", "bucket")
+                  .agg(F.count(F.lit(1)).alias("c"))
+                  .persist())  # referenced 3x (srcs, grid, totals)
+    srcs = counts.select("grp").distinct()
+    grid = (srcs.crossJoin(
+                F.broadcast(spark.range(int(n_buckets))
+                            .select(F.col("id").cast("int")
+                                    .alias("bucket"))))
+                .join(counts, ["grp", "bucket"], "left")
+                .select("grp", "bucket",
+                        F.coalesce("c", F.lit(0)).cast("long").alias("c")))
+    totals = counts.groupBy("grp").agg(F.sum("c").alias("n"))
+    dist = grid.join(F.broadcast(totals), "grp")
+    # densified baseline with its total folded in (both bounded)
+    base_n = int(baseline.agg(F.coalesce(F.sum("c"), F.lit(0))
+                              .alias("n")).first()["n"])
+    if base_n == 0:
+        raise ValueError("js_against_baseline: empty baseline "
+                         "distribution (no tokens)")
+    bdense = (spark.range(int(n_buckets))
+              .select(F.col("id").cast("int").alias("bucket"))
+              .join(baseline, "bucket", "left")
+              .select("bucket",
+                      F.coalesce("c", F.lit(0)).cast("long").alias("bc")))
+    j = dist.join(F.broadcast(bdense), "bucket")
+    p = F.col("c").cast("double") / F.col("n").cast("double")
+    q = F.col("bc").cast("double") / F.lit(float(base_n))
+    m = (p + q) / F.lit(2.0)
+    contrib = (
+        F.when(F.col("c") > 0, p * F.log2(p / m)).otherwise(F.lit(0.0))
+        + F.when(F.col("bc") > 0, q * F.log2(q / m)).otherwise(F.lit(0.0))
+    ) / F.lit(2.0)
+    out = (j.select("grp", "n",
+                    F.floor(contrib * F.lit(1e9) + F.lit(0.5))
+                    .cast("long").alias("js_nano"))
+            .groupBy("grp", "n")
+            .agg(F.sum("js_nano").alias("js_nano_sum"))
+            .select(F.col("grp").alias(group_col),
+                    F.round(F.col("js_nano_sum").cast("double")
+                            / F.lit(1e9), 6).alias("js_bits"),
+                    F.col("n").cast("long").alias("n_tokens")))
+    from tantalus_spark.datapipe.dedup import _materialize_and_release
+    return _materialize_and_release(out, [counts])

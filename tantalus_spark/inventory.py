@@ -1903,6 +1903,24 @@ def q134_dedup_funnel(spark, sf_dir):
     return dedup_funnel(docs, threshold=0.2, n=3, max_shingle_freq=100)
 
 
+def q135_js_drift(spark, sf_dir):
+    """Drift detection against a frozen reference distribution: every
+    source's hashed-unigram distribution scored by Jensen-Shannon
+    divergence against a baseline built from the accepted slice
+    (src0-src4) — the per-batch monitor of a production ingestion
+    pipeline (streaming twin: streaming/scoring.py
+    drift_monitor_batches, parity-tested). Exact integer counts,
+    nano-quantized contributions, full oracle."""
+    from tantalus_spark.datapipe.textstats import (
+        js_against_baseline, token_bucket_counts)
+
+    docs = db_for(spark, sf_dir).table("documents")
+    ref = docs.filter(F.col("source").isin(
+        "src0", "src1", "src2", "src3", "src4"))
+    baseline = token_bucket_counts(ref, n_buckets=64)
+    return js_against_baseline(docs, baseline, n_buckets=64)
+
+
 _ALL_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     name[1:]: fn
     for name, fn in list(globals().items())
@@ -2037,7 +2055,7 @@ _QUERY_ORDER = [
     # all full-value-oracled; r8 ROTATION CANDIDATES under the
     # standing protocol.
     "131_hybrid_rrf", "132_source_divergence", "133_jl_distortion",
-    "134_dedup_funnel",
+    "134_dedup_funnel", "135_js_drift",
 ]
 
 QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
@@ -4686,6 +4704,69 @@ ORACLES["134_dedup_funnel"] = """
     JOIN s1 ON s1.doc_id = d.doc_id
     LEFT JOIN s2 ON s2.doc_id = d.doc_id
     LEFT JOIN nearrm nr ON nr.doc_id = d.doc_id
+"""
+
+# q135: the q132 per-bucket JS discipline against a FROZEN baseline
+# histogram (src0-src4); the baseline total folds in as a literal in
+# both engines.
+ORACLES["135_js_drift"] = """
+    WITH toks AS (
+      SELECT source AS grp,
+             unnest(string_split_regex(trim(lower(text)), '\\s+')) AS term
+      FROM documents WHERE text IS NOT NULL),
+    counts AS (
+      SELECT grp,
+             CAST(('0x' || substr(md5(term), 1, 15))::BIGINT % 64
+                  AS INTEGER) AS bucket,
+             CAST(count(*) AS BIGINT) AS c
+      FROM toks GROUP BY 1, 2),
+    srcs AS (SELECT DISTINCT grp FROM counts),
+    buckets AS (SELECT CAST(b AS INTEGER) AS bucket
+                FROM (SELECT unnest(range(64)) AS b) t),
+    grid AS (
+      SELECT s.grp, bk.bucket, CAST(COALESCE(c.c, 0) AS BIGINT) AS c
+      FROM srcs s CROSS JOIN buckets bk
+      LEFT JOIN counts c ON c.grp = s.grp AND c.bucket = bk.bucket),
+    totals AS (SELECT grp, CAST(sum(c) AS BIGINT) AS n
+               FROM counts GROUP BY grp),
+    btoks AS (
+      SELECT unnest(string_split_regex(trim(lower(text)), '\\s+')) AS term
+      FROM documents
+      WHERE text IS NOT NULL
+        AND source IN ('src0', 'src1', 'src2', 'src3', 'src4')),
+    bc AS (
+      SELECT CAST(('0x' || substr(md5(term), 1, 15))::BIGINT % 64
+                  AS INTEGER) AS bucket,
+             CAST(count(*) AS BIGINT) AS c
+      FROM btoks GROUP BY 1),
+    bn AS (SELECT CAST(sum(c) AS DOUBLE) AS n FROM bc),
+    bdense AS (
+      SELECT bk.bucket, CAST(COALESCE(bc.c, 0) AS BIGINT) AS bcnt
+      FROM buckets bk LEFT JOIN bc ON bc.bucket = bk.bucket),
+    j AS (
+      SELECT g.grp, g.n,
+             CAST(floor((
+               (CASE WHEN g.c > 0 THEN
+                  (CAST(g.c AS DOUBLE) / CAST(g.n AS DOUBLE))
+                  * log2((CAST(g.c AS DOUBLE) / CAST(g.n AS DOUBLE))
+                         / ((CAST(g.c AS DOUBLE) / CAST(g.n AS DOUBLE)
+                             + CAST(b.bcnt AS DOUBLE) / bn.n) / 2.0))
+                ELSE 0.0 END
+                + CASE WHEN b.bcnt > 0 THEN
+                    (CAST(b.bcnt AS DOUBLE) / bn.n)
+                    * log2((CAST(b.bcnt AS DOUBLE) / bn.n)
+                           / ((CAST(g.c AS DOUBLE) / CAST(g.n AS DOUBLE)
+                               + CAST(b.bcnt AS DOUBLE) / bn.n) / 2.0))
+                  ELSE 0.0 END
+             ) / 2.0 * 1e9 + 0.5)) AS BIGINT) AS js_nano
+      FROM (SELECT gr.grp, gr.bucket, gr.c, t.n FROM grid gr
+            JOIN totals t USING (grp)) g
+      JOIN bdense b ON b.bucket = g.bucket
+      CROSS JOIN bn)
+    SELECT grp AS source,
+           round(CAST(sum(js_nano) AS DOUBLE) / 1e9, 6) AS js_bits,
+           CAST(n AS BIGINT) AS n_tokens
+    FROM j GROUP BY grp, n
 """
 
 # q133: micro-integer components, md5-derived sign matrix (0-based

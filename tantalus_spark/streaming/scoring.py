@@ -267,3 +267,47 @@ def dense_serve_stream(
                           F.floor(cos * F.lit(1e9) + F.lit(0.5))
                           .cast("long").alias("cos_nano"),
                           F.round(cos, 4).alias("cosine")))
+
+
+def drift_monitor_batches(
+    baseline: DataFrame,
+    sink,
+    n_buckets: int = 64,
+    text_col: str = "text",
+    group_col: str = "source",
+    hash_family: str = "md5",
+):
+    """The foreachBatch drift monitor: returns the (batch_df, batch_id)
+    callback that scores every arriving micro-batch's per-group token
+    distribution against the FROZEN baseline
+    (:func:`~tantalus_spark.datapipe.textstats.token_bucket_counts`)
+    and hands (batch_id, group, js_bits, n_tokens) rows to ``sink``.
+
+    foreachBatch is the honest shape for this operator: JS needs the
+    batch's WHOLE bucket distribution before the cross-bucket reduce —
+    two chained stateful aggregations, which append-mode streaming
+    forbids — and drift monitors are batch-granular by definition
+    (a per-row drift score is meaningless). Inside the callback the
+    math is exactly the batch operator
+    :func:`~tantalus_spark.datapipe.textstats.js_against_baseline`,
+    so stream and batch agree bit-for-bit (parity test).
+
+    Wire it: ``stream.writeStream.foreachBatch(
+    drift_monitor_batches(baseline, sink)).start()``; ``sink`` receives
+    a LIST of plain dicts per micro-batch (already collected — the
+    frame is |groups| rows) and can forward to a metrics store or an
+    alerting table."""
+    from tantalus_spark.datapipe.textstats import js_against_baseline
+
+    def _on_batch(batch_df: DataFrame, batch_id: int) -> None:
+        if not batch_df.take(1):
+            return
+        scored = js_against_baseline(
+            batch_df, baseline, n_buckets=n_buckets, text_col=text_col,
+            group_col=group_col, hash_family=hash_family)
+        rows = [{"batch_id": int(batch_id), **r.asDict()}
+                for r in scored.collect()]
+        scored.unpersist()
+        sink(rows)
+
+    return _on_batch

@@ -1256,3 +1256,70 @@ def test_dense_serve_stream_matches_batch_dense_leg(spark, tmp_path):
                          .collect()}
     feats.unpersist()
     assert got == want and len(got) >= 4, (got, want)
+
+
+def test_drift_monitor_foreachbatch_matches_batch_operator(spark, tmp_path):
+    """Each micro-batch's drift rows equal js_against_baseline run on
+    that batch's rows — the foreachBatch twin IS the batch operator, so
+    parity is bit-exact. Also: a slice identical to the baseline mix
+    scores lower than a disjoint-vocabulary slice."""
+    import time
+
+    from tantalus_spark.datapipe.textstats import (
+        js_against_baseline, token_bucket_counts)
+    from tantalus_spark.streaming.scoring import drift_monitor_batches
+
+    ref_rows = [(i, "alpha beta gamma delta epsilon", "ok") for i in range(8)]
+    ref = spark.createDataFrame(ref_rows,
+                                "doc_id long, text string, source string")
+    baseline = token_bucket_counts(ref, n_buckets=32).persist()
+    baseline.count()
+
+    b1 = [(100 + i, "alpha beta gamma delta epsilon", "same")
+          for i in range(4)]
+    b2 = [(200 + i, "zz qq ww ee rr", "drifted") for i in range(4)]
+    schema = "doc_id long, text string, source string"
+    src = str(tmp_path / "drift_docs")
+    spark.createDataFrame(b1, schema).coalesce(1) \
+        .write.mode("append").parquet(src)
+    time.sleep(1.1)
+    spark.createDataFrame(b2, schema).coalesce(1) \
+        .write.mode("append").parquet(src)
+
+    emitted: list[list[dict]] = []
+    stream = (spark.readStream.format("parquet").schema(schema)
+              .option("maxFilesPerTrigger", 1).load(src))
+    q = (stream.writeStream
+         .foreachBatch(drift_monitor_batches(baseline, emitted.append,
+                                             n_buckets=32))
+         .trigger(availableNow=True).start())
+    q.awaitTermination(120)
+
+    got = {r["source"]: (r["js_bits"], r["n_tokens"])
+           for batch in emitted for r in batch}
+    assert set(got) == {"same", "drifted"}
+    # batch-operator parity on each slice
+    for rows in (b1, b2):
+        bdf = spark.createDataFrame(rows, schema)
+        out = js_against_baseline(bdf, baseline, n_buckets=32)
+        for r in out.collect():
+            assert got[r["source"]] == (r["js_bits"], r["n_tokens"])
+        out.unpersist()
+    # identical mix ~0 drift; disjoint vocabulary ~1 bit
+    assert got["same"][0] == 0.0
+    assert abs(got["drifted"][0] - 1.0) < 1e-6
+    baseline.unpersist()
+
+
+def test_js_against_baseline_rejects_empty_baseline(spark):
+    from tantalus_spark.datapipe.textstats import (
+        js_against_baseline, token_bucket_counts)
+
+    docs = spark.createDataFrame([(1, "a b c", "s")],
+                                 "doc_id long, text string, source string")
+    empty = token_bucket_counts(
+        spark.createDataFrame([], "doc_id long, text string"),
+        n_buckets=8)
+    import pytest as _pytest
+    with _pytest.raises(ValueError, match="empty baseline"):
+        js_against_baseline(docs, empty, n_buckets=8)
