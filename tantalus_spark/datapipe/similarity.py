@@ -1436,3 +1436,88 @@ def jl_distortion_pairs(
     )
     from tantalus_spark.datapipe.dedup import _materialize_and_release
     return _materialize_and_release(out, [probes])
+
+
+def ivf_recall(
+    df: DataFrame,
+    n_centroids: int = 8,
+    k: int = 10,
+    nprobe: int = 2,
+    n_queries: int = 10,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Recall@k audit of the IVF scale path against exact brute force —
+    the measurement that chooses ``nprobe`` before an ANN index serves
+    production traffic (FAISS ships exactly this evaluation loop): for
+    each probe query, how many of the true top-k survive probing only
+    ``nprobe`` of ``n_centroids`` inverted lists.
+
+    Deterministic and engine-replayable: centroids are the embeddings
+    of the first ``n_centroids`` ids, queries the first ``n_queries``
+    ids (both bounded collects); assignment is :func:`ivf_assign`'s
+    first-max argmax; both legs rank under the total order
+    (cosine desc, id asc). Returns (query_id, n_hits, recall) with
+    recall = |ivf top-k ∩ exact top-k| / k.
+
+    Scale: ONE corpus pass assigns lists (persisted as (id, list) +
+    vector — the audit's working set); the query set is a broadcast;
+    the exact leg is the verifier-role brute force (queries × corpus,
+    bounded by n_queries); the IVF leg scans only probed lists. At
+    production scale you run this on a sample, never the full corpus —
+    the operator is sample-in, sample-out by construction."""
+    import math
+
+    from pyspark.sql import Window as W
+
+    head = (df.filter(F.col(vec_col).isNotNull())
+              .filter(F.col(id_col) < max(n_centroids, n_queries))
+              .orderBy(id_col).collect())
+    by_id = {r[id_col]: [float(x) for x in r[vec_col]] for r in head}
+    centroids = [by_id[i] for i in range(n_centroids)]
+    queries = [(i, by_id[i]) for i in range(n_queries)]
+
+    def cos(a: list[float], b: list[float]) -> float:
+        dot = sum(x * y for x, y in zip(a, b))
+        na = math.sqrt(sum(x * x for x in a))
+        nb = math.sqrt(sum(x * x for x in b))
+        return dot / (na * nb) if na and nb else 0.0
+
+    spark = df.sparkSession
+    qrows = []
+    for qid, qv in queries:
+        ranked = sorted(range(n_centroids),
+                        key=lambda i: -cos(centroids[i], qv))
+        qrows.append((qid, qv, ranked[:nprobe]))
+    qdf = spark.createDataFrame(
+        qrows, f"query_id long, qvec array<double>, probes array<int>")
+
+    assigned = ivf_assign(df, centroids, id_col=id_col,
+                          vec_col=vec_col).persist()
+    sim = cosine_similarity(F.col(vec_col), F.col("qvec"))
+    w = W.partitionBy("query_id").orderBy(F.desc("_sim"),
+                                          F.col(id_col).asc())
+    exact = (assigned.crossJoin(F.broadcast(qdf.select("query_id",
+                                                       "qvec")))
+             .select("query_id", F.col(id_col), sim.alias("_sim"))
+             .withColumn("_rk", F.row_number().over(w))
+             .filter(F.col("_rk") <= k)
+             .select("query_id", id_col))
+    approx = (assigned.crossJoin(F.broadcast(qdf))
+              .filter(F.expr("array_contains(probes, ivf_list)"))
+              .select("query_id", F.col(id_col), sim.alias("_sim"))
+              .withColumn("_rk", F.row_number().over(w))
+              .filter(F.col("_rk") <= k)
+              .select("query_id", id_col))
+    hits = (exact.join(approx, ["query_id", id_col])
+                 .groupBy("query_id")
+                 .agg(F.count(F.lit(1)).cast("int").alias("n_hits")))
+    out = (qdf.select("query_id")
+              .join(hits, "query_id", "left")
+              .select("query_id",
+                      F.coalesce("n_hits", F.lit(0)).cast("int")
+                      .alias("n_hits"),
+                      F.round(F.coalesce("n_hits", F.lit(0))
+                              / F.lit(float(k)), 4).alias("recall")))
+    from tantalus_spark.datapipe.dedup import _materialize_and_release
+    return _materialize_and_release(out, [assigned])

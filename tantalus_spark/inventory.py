@@ -1921,6 +1921,17 @@ def q135_js_drift(spark, sf_dir):
     return js_against_baseline(docs, baseline, n_buckets=64)
 
 
+def q136_ivf_recall(spark, sf_dir):
+    """Recall@10 audit of the IVF ANN scale path vs exact brute force
+    (nprobe=2 of 8 deterministic centroids, 10 probe queries) — the
+    FAISS-style evaluation that picks nprobe before an index serves.
+    Both legs rank under (cosine desc, id asc); assignment is the
+    first-max argmax. Full oracle."""
+    emb = db_for(spark, sf_dir).table("embeddings")
+    return similarity.ivf_recall(emb, n_centroids=8, k=10, nprobe=2,
+                                 n_queries=10)
+
+
 _ALL_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     name[1:]: fn
     for name, fn in list(globals().items())
@@ -2055,7 +2066,7 @@ _QUERY_ORDER = [
     # all full-value-oracled; r8 ROTATION CANDIDATES under the
     # standing protocol.
     "131_hybrid_rrf", "132_source_divergence", "133_jl_distortion",
-    "134_dedup_funnel", "135_js_drift",
+    "134_dedup_funnel", "135_js_drift", "136_ivf_recall",
 ]
 
 QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
@@ -4704,6 +4715,65 @@ ORACLES["134_dedup_funnel"] = """
     JOIN s1 ON s1.doc_id = d.doc_id
     LEFT JOIN s2 ON s2.doc_id = d.doc_id
     LEFT JOIN nearrm nr ON nr.doc_id = d.doc_id
+"""
+
+# q136: assignment = first-max argmax over centroid cosines (row_number
+# ties to the lowest centroid id, exactly array_position's first-max);
+# both legs rank by (cosine desc, id asc); recall joins the two top-k
+# sets. Cosine ordering parity between Spark's fold and DuckDB's
+# list_cosine_similarity is the q47/q51 precedent.
+ORACLES["136_ivf_recall"] = """
+    WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v
+               FROM embeddings WHERE embedding IS NOT NULL),
+    cent AS (SELECT vec_id AS cid, v FROM e WHERE vec_id < 8),
+    q AS (SELECT vec_id AS query_id, v AS qv FROM e WHERE vec_id < 10),
+    sims AS (
+      SELECT e.vec_id, c.cid,
+             CASE WHEN isnan(list_cosine_similarity(e.v, c.v))
+                  THEN -2.0
+                  ELSE list_cosine_similarity(e.v, c.v) END AS s
+      FROM e CROSS JOIN cent c),
+    assign AS (
+      SELECT vec_id, cid AS ivf_list FROM (
+        SELECT vec_id, cid,
+               row_number() OVER (PARTITION BY vec_id
+                                  ORDER BY s DESC, cid ASC) AS rn
+        FROM sims) t WHERE rn = 1),
+    qc AS (
+      SELECT q.query_id, c.cid,
+             list_cosine_similarity(q.qv, c.v) AS s
+      FROM q CROSS JOIN cent c),
+    probes AS (
+      SELECT query_id, cid FROM (
+        SELECT query_id, cid,
+               row_number() OVER (PARTITION BY query_id
+                                  ORDER BY s DESC, cid ASC) AS rn
+        FROM qc) t WHERE rn <= 2),
+    ex AS (
+      SELECT query_id, vec_id FROM (
+        SELECT q.query_id, e.vec_id,
+               row_number() OVER (PARTITION BY q.query_id
+                 ORDER BY list_cosine_similarity(e.v, q.qv) DESC,
+                          e.vec_id ASC) AS rn
+        FROM e CROSS JOIN q) t WHERE rn <= 10),
+    ap AS (
+      SELECT query_id, vec_id FROM (
+        SELECT p.query_id, e.vec_id,
+               row_number() OVER (PARTITION BY p.query_id
+                 ORDER BY list_cosine_similarity(e.v, q.qv) DESC,
+                          e.vec_id ASC) AS rn
+        FROM assign a
+        JOIN e ON e.vec_id = a.vec_id
+        JOIN probes p ON p.cid = a.ivf_list
+        JOIN q ON q.query_id = p.query_id) t WHERE rn <= 10),
+    hits AS (SELECT ex.query_id, count(*) AS n
+             FROM ex JOIN ap ON ap.query_id = ex.query_id
+                            AND ap.vec_id = ex.vec_id
+             GROUP BY ex.query_id)
+    SELECT q.query_id,
+           CAST(COALESCE(h.n, 0) AS INTEGER) AS n_hits,
+           round(COALESCE(h.n, 0) / 10.0, 4) AS recall
+    FROM q LEFT JOIN hits h ON h.query_id = q.query_id
 """
 
 # q135: the q132 per-bucket JS discipline against a FROZEN baseline

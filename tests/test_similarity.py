@@ -628,3 +628,24 @@ def test_jl_distortion_identical_vectors_have_zero_error(spark):
     assert rows[(1, 2)]["cos_proj"] == 1.0
     assert rows[(1, 2)]["abs_err"] == 0.0
     assert len(rows) == 3
+
+
+def test_ivf_recall_full_probe_is_exact(spark):
+    """Probing every list IS brute force: recall@k must be exactly 1.0
+    for all queries; with fewer probes recall stays in [0, 1]."""
+    from tantalus_spark.catalog.loader import read_parquet
+    from tantalus_spark.datapipe.similarity import ivf_recall
+
+    emb = read_parquet(spark,
+                       "/root/testdata/sf0.001/embeddings.parquet")
+    full = ivf_recall(emb, n_centroids=4, k=5, nprobe=4, n_queries=5)
+    rows = full.collect()
+    full.unpersist()
+    assert len(rows) == 5
+    assert all(r["recall"] == 1.0 and r["n_hits"] == 5 for r in rows)
+    part = ivf_recall(emb, n_centroids=4, k=5, nprobe=1, n_queries=5)
+    prows = part.collect()
+    part.unpersist()
+    assert all(0.0 <= r["recall"] <= 1.0 for r in prows)
+    # the query's own vector is in its probed list: recall never 0
+    assert all(r["n_hits"] >= 1 for r in prows)
