@@ -66,10 +66,13 @@ HEADLINE = [
     # build — the honest one-job cost) and the posting-join cosine
     "123_bm25_indexed",
     "124_tfidf_cosine",
-    # r7 additions: two-leg hybrid retrieval and the JS mixing
-    # diagnostic (one corpus pass + persisted sketch)
+    # r7 additions: two-leg hybrid retrieval, the JS mixing diagnostic
+    # (one corpus pass + persisted sketch), the staged dedup funnel,
+    # and the drift monitor
     "131_hybrid_rrf",
     "132_source_divergence",
+    "134_dedup_funnel",
+    "135_js_drift",
 ]
 
 

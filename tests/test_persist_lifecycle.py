@@ -33,6 +33,14 @@ LEAK_PRONE = [
     "113_quota_select",
     "121_bm25_rank",
     "122_minhash_calibration",
+    # r7: every new operator that persists internally (legs/sketches/
+    # flag caches/assignments) must release them before return
+    "131_hybrid_rrf",
+    "132_source_divergence",
+    "133_jl_distortion",
+    "134_dedup_funnel",
+    "135_js_drift",
+    "136_ivf_recall",
 ]
 
 
