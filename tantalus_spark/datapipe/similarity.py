@@ -1474,6 +1474,13 @@ def ivf_recall(
               .filter(F.col(id_col) < max(n_centroids, n_queries))
               .orderBy(id_col).collect())
     by_id = {r[id_col]: [float(x) for x in r[vec_col]] for r in head}
+    missing = [i for i in range(max(n_centroids, n_queries))
+               if i not in by_id]
+    if missing:
+        raise ValueError(
+            f"ivf_recall: ids {missing[:5]} absent (or null-vector) — "
+            f"centroids/queries are the first "
+            f"{max(n_centroids, n_queries)} ids by contract")
     centroids = [by_id[i] for i in range(n_centroids)]
     queries = [(i, by_id[i]) for i in range(n_queries)]
 

@@ -1891,12 +1891,23 @@ def js_against_baseline(
                         F.coalesce("c", F.lit(0)).cast("long").alias("c")))
     totals = counts.groupBy("grp").agg(F.sum("c").alias("n"))
     dist = grid.join(F.broadcast(totals), "grp")
-    # densified baseline with its total folded in (both bounded)
-    base_n = int(baseline.agg(F.coalesce(F.sum("c"), F.lit(0))
-                              .alias("n")).first()["n"])
+    # densified baseline with its total folded in (both bounded).
+    # One bounded action derives (total, max bucket): a baseline built
+    # with a LARGER n_buckets would silently lose its out-of-range
+    # buckets in the dense join while base_n still counted them —
+    # every q would under-sum and the divergence would skew low.
+    brow = baseline.agg(
+        F.coalesce(F.sum("c"), F.lit(0)).alias("n"),
+        F.max("bucket").alias("mb")).first()
+    base_n = int(brow["n"])
     if base_n == 0:
         raise ValueError("js_against_baseline: empty baseline "
                          "distribution (no tokens)")
+    if brow["mb"] is not None and int(brow["mb"]) >= int(n_buckets):
+        raise ValueError(
+            f"js_against_baseline: baseline has bucket {brow['mb']} "
+            f">= n_buckets={n_buckets} — it was built with a different "
+            f"n_buckets; rebuild or pass the matching value")
     bdense = (spark.range(int(n_buckets))
               .select(F.col("id").cast("int").alias("bucket"))
               .join(baseline, "bucket", "left")

@@ -649,3 +649,14 @@ def test_ivf_recall_full_probe_is_exact(spark):
     assert all(0.0 <= r["recall"] <= 1.0 for r in prows)
     # the query's own vector is in its probed list: recall never 0
     assert all(r["n_hits"] >= 1 for r in prows)
+
+
+def test_ivf_recall_rejects_missing_head_ids(spark):
+    from tantalus_spark.datapipe.similarity import ivf_recall
+
+    emb = spark.createDataFrame(
+        [(0, [1.0, 0.0]), (2, [0.0, 1.0]), (5, [1.0, 1.0])],
+        "vec_id long, embedding array<float>")
+    import pytest as _pytest
+    with _pytest.raises(ValueError, match="absent"):
+        ivf_recall(emb, n_centroids=2, k=2, nprobe=1, n_queries=2)

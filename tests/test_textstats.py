@@ -1323,3 +1323,19 @@ def test_js_against_baseline_rejects_empty_baseline(spark):
     import pytest as _pytest
     with _pytest.raises(ValueError, match="empty baseline"):
         js_against_baseline(docs, empty, n_buckets=8)
+
+
+def test_js_against_baseline_rejects_bucket_mismatch(spark):
+    """A baseline built with a larger n_buckets would silently lose its
+    out-of-range buckets in the dense join while the total still
+    counted them — fail fast instead."""
+    from tantalus_spark.datapipe.textstats import (
+        js_against_baseline, token_bucket_counts)
+
+    docs = spark.createDataFrame(
+        [(1, "alpha beta gamma delta", "s")],
+        "doc_id long, text string, source string")
+    big = token_bucket_counts(docs, n_buckets=256)
+    import pytest as _pytest
+    with _pytest.raises(ValueError, match="n_buckets"):
+        js_against_baseline(docs, big, n_buckets=8)
