@@ -544,3 +544,37 @@ def test_jl_project_broadcasts_sign_matrix(spark):
     plan = _plan(jl_project(emb, out_dim=8))
     assert "BroadcastHashJoin" in plan
     assert plan.count("Generate") == 1, plan
+
+
+def test_bucketed_fact_join_is_shuffle_free(spark, tmp_path):
+    """Deployment posture (SCALING.md shape #1): fact tables written
+    bucketed on the join key co-locate — the orders⋈lineitem join over
+    the bucketed warehouse tables must contain NO shuffle Exchange
+    (bucket layout satisfies the join's distribution requirement).
+    This is the layout the engine assumes for repeated fact-fact joins
+    at 100 TB; unbucketed parquet pays two corpus shuffles per join."""
+    db = db_for(spark, SF)
+    lt, ot = "li_bucketed_test", "ord_bucketed_test"
+    spark.sql(f"DROP TABLE IF EXISTS {lt}")
+    spark.sql(f"DROP TABLE IF EXISTS {ot}")
+    (db.table("lineitem").select("l_orderkey", "l_quantity")
+       .write.bucketBy(8, "l_orderkey").sortBy("l_orderkey")
+       .format("parquet").saveAsTable(lt))
+    (db.table("orders").select("o_orderkey", "o_totalprice")
+       .write.bucketBy(8, "o_orderkey").sortBy("o_orderkey")
+       .format("parquet").saveAsTable(ot))
+    try:
+        li, orders = spark.table(lt), spark.table(ot)
+        # merge-hint: at sf0.001 the planner would broadcast instead
+        # (and skip bucketed reads entirely); at fact-fact scale SMJ is
+        # what runs, and the bucket layout must feed it shuffle-free
+        j = li.hint("merge").join(orders,
+                                  li.l_orderkey == orders.o_orderkey)
+        plan = _plan(j)
+        assert "SortMergeJoin" in plan, plan
+        assert "Exchange hashpartitioning" not in plan, plan
+        assert "Bucketed: true" in plan, plan
+        assert j.count() > 0
+    finally:
+        spark.sql(f"DROP TABLE IF EXISTS {lt}")
+        spark.sql(f"DROP TABLE IF EXISTS {ot}")
