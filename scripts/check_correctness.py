@@ -95,7 +95,13 @@ def main() -> int:
             continue
         t0 = time.time()
         try:
-            sdf = fn(spark, sf_dir).toPandas()
+            frame = fn(spark, sf_dir)
+            sdf = frame.toPandas()
+            # release per-query result caches (persist-lifecycle
+            # contract): without this the 128-entry run accumulates
+            # pinned results and later identical plans log CacheManager
+            # "already cached" noise
+            frame.unpersist()
         except Exception as exc:  # noqa: BLE001
             failures.append(name)
             print(f"FAIL {name}: spark error: {exc}")
