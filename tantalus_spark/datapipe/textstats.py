@@ -1932,3 +1932,36 @@ def js_against_baseline(
                     F.col("n").cast("long").alias("n_tokens")))
     from tantalus_spark.datapipe.dedup import _materialize_and_release
     return _materialize_and_release(out, [counts])
+
+
+def lang_confusion(
+    df: DataFrame,
+    text_col: str = "text",
+    label_col: str = "lang",
+) -> DataFrame:
+    """Evaluation of the language-ID heuristic against labeled data:
+    the (label, prediction) confusion matrix with counts and the
+    per-cell share of the label's documents — the measurement that
+    says whether the cheap marker classifier is safe to gate a corpus
+    slice, and which labels need a real model (here: 'zh' has no
+    marker set, so the matrix shows exactly where the heuristic is
+    blind instead of silently misrouting).
+
+    One corpus map pass (:func:`lang_pred_expr` is pure codegen string
+    ops) + one tiny (label, pred) integer groupBy — the matrix is
+    |langs|² rows at any corpus size. share = n/label_total from exact
+    integers, full oracle."""
+    base = (spread_small_scan(df)
+            .filter(F.col(text_col).isNotNull()
+                    & F.col(label_col).isNotNull())
+            .select(F.col(label_col).alias("label"),
+                    lang_pred_expr(F.col(text_col)).alias("pred")))
+    cells = base.groupBy("label", "pred").agg(
+        F.count(F.lit(1)).cast("long").alias("n_docs"))
+    totals = cells.groupBy("label").agg(
+        F.sum("n_docs").alias("_tot"))
+    return (cells.join(F.broadcast(totals), "label")
+                 .select("label", "pred", "n_docs",
+                         F.round(F.col("n_docs").cast("double")
+                                 / F.col("_tot").cast("double"), 4)
+                         .alias("share")))

@@ -1932,6 +1932,18 @@ def q136_ivf_recall(spark, sf_dir):
                                  n_queries=10)
 
 
+def q137_lang_confusion(spark, sf_dir):
+    """Language-ID evaluation: the (label, prediction) confusion matrix
+    of the marker-word heuristic against the labeled lang column, with
+    per-label shares — shows where the cheap classifier is safe and
+    where it is blind (zh has no marker set -> 'unknown'). One codegen
+    map pass + a |langs|^2 integer matrix. Full oracle."""
+    from tantalus_spark.datapipe.textstats import lang_confusion
+
+    docs = db_for(spark, sf_dir).table("documents")
+    return lang_confusion(docs)
+
+
 _ALL_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     name[1:]: fn
     for name, fn in list(globals().items())
@@ -2067,6 +2079,7 @@ _QUERY_ORDER = [
     # standing protocol.
     "131_hybrid_rrf", "132_source_divergence", "133_jl_distortion",
     "134_dedup_funnel", "135_js_drift", "136_ivf_recall",
+    "137_lang_confusion",
 ]
 
 QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
@@ -4715,6 +4728,51 @@ ORACLES["134_dedup_funnel"] = """
     JOIN s1 ON s1.doc_id = d.doc_id
     LEFT JOIN s2 ON s2.doc_id = d.doc_id
     LEFT JOIN nearrm nr ON nr.doc_id = d.doc_id
+"""
+
+# q137: the q41 marker-count + ties-to-earlier argmax machinery,
+# reduced to the (label, pred) matrix with exact-integer shares.
+ORACLES["137_lang_confusion"] = """
+    WITH t AS (SELECT lang AS label, ' ' || lower(text) || ' ' AS txt
+               FROM documents
+               WHERE text IS NOT NULL AND lang IS NOT NULL),
+    s AS (SELECT label,
+           CAST(len(string_split(txt, ' the '))-1
+              + len(string_split(txt, ' and '))-1
+              + len(string_split(txt, ' of '))-1
+              + len(string_split(txt, ' a '))-1 AS INTEGER) AS score_en,
+           CAST(len(string_split(txt, ' el '))-1
+              + len(string_split(txt, ' la '))-1
+              + len(string_split(txt, ' los '))-1
+              + len(string_split(txt, ' de '))-1 AS INTEGER) AS score_es,
+           CAST(len(string_split(txt, ' le '))-1
+              + len(string_split(txt, ' la '))-1
+              + len(string_split(txt, ' les '))-1
+              + len(string_split(txt, ' des '))-1 AS INTEGER) AS score_fr,
+           CAST(len(string_split(txt, ' der '))-1
+              + len(string_split(txt, ' die '))-1
+              + len(string_split(txt, ' das '))-1
+              + len(string_split(txt, ' und '))-1 AS INTEGER) AS score_de
+          FROM t),
+    p AS (SELECT label,
+           CASE WHEN greatest(score_en, score_es, score_fr, score_de) = 0
+                THEN 'unknown'
+                WHEN score_en = greatest(score_en, score_es, score_fr,
+                                         score_de) THEN 'en'
+                WHEN score_es = greatest(score_en, score_es, score_fr,
+                                         score_de) THEN 'es'
+                WHEN score_fr = greatest(score_en, score_es, score_fr,
+                                         score_de) THEN 'fr'
+                ELSE 'de' END AS pred
+          FROM s),
+    cells AS (SELECT label, pred, CAST(count(*) AS BIGINT) AS n_docs
+              FROM p GROUP BY label, pred),
+    tot AS (SELECT label, CAST(sum(n_docs) AS BIGINT) AS t
+            FROM cells GROUP BY label)
+    SELECT c.label, c.pred, c.n_docs,
+           round(CAST(c.n_docs AS DOUBLE) / CAST(tot.t AS DOUBLE), 4)
+             AS share
+    FROM cells c JOIN tot ON tot.label = c.label
 """
 
 # q136: assignment = first-max argmax over centroid cosines (row_number

@@ -1339,3 +1339,26 @@ def test_js_against_baseline_rejects_bucket_mismatch(spark):
     import pytest as _pytest
     with _pytest.raises(ValueError, match="n_buckets"):
         js_against_baseline(docs, big, n_buckets=8)
+
+
+def test_lang_confusion_cells_and_shares(spark):
+    """Marker-heavy docs land on their language's diagonal; a label
+    with no marker set (zh-like text) shows up as 'unknown' — the
+    blindness is visible, not silent; shares sum to 1 per label."""
+    from tantalus_spark.datapipe.textstats import lang_confusion
+
+    rows = [
+        (1, "the cat and the dog of a house", "en"),
+        (2, "the quick fox and a bird of prey", "en"),
+        (3, "el perro la casa los gatos de madrid", "es"),
+        (4, "xyzzy plugh qqqq", "zh"),
+        (5, None, "en"),                     # excluded (null text)
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string, lang string")
+    out = lang_confusion(df)
+    cells = {(r["label"], r["pred"]): (r["n_docs"], r["share"])
+             for r in out.collect()}
+    assert cells[("en", "en")] == (2, 1.0)
+    assert cells[("es", "es")] == (1, 1.0)
+    assert cells[("zh", "unknown")] == (1, 1.0)
+    assert ("en", "unknown") not in cells   # null text excluded
