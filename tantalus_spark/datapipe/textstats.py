@@ -1252,6 +1252,15 @@ def bm25_rank(
         F.size(tokens(F.lower(F.col(text_col)))).cast("long").alias("dl"))
     tot = dl.agg(F.count(F.lit(1)).alias("n"),
                  F.sum("dl").alias("s")).first()
+    if int(tot["n"]) == 0:
+        # empty or all-null-text corpus: nothing can match — return the
+        # empty result with the output schema instead of dividing 0/0
+        # (the build_term_index empty-corpus contract, r6 advice class);
+        # the id dtype follows the input schema, not a hard-coded long
+        id_type = df.schema[id_col].dataType.simpleString()
+        return df.sparkSession.createDataFrame(
+            [], f"{id_col} {id_type}, score_nano long, "
+                f"n_terms_hit int, bm25 double")
     n_docs, avgdl = int(tot["n"]), float(tot["s"]) / float(tot["n"])
     # tf feeds BOTH the score join and df(t): persist the (tiny,
     # query-term-filtered) frame so the corpus scan+explode runs ONCE,
@@ -1650,6 +1659,7 @@ def hybrid_rank_rrf(
     b: float = 0.75,
     text_col: str = "text",
     id_col: str = "doc_id",
+    feats: DataFrame | None = None,
 ) -> DataFrame:
     """Hybrid retrieval with Reciprocal Rank Fusion (Cormack, Clarke &
     Büttcher, SIGIR 2009): fuse a lexical BM25 leg (:func:`bm25_rank`)
@@ -1672,7 +1682,14 @@ def hybrid_rank_rrf(
     only docs sharing a query bucket survive the shuffle). Both legs
     end in a bounded top-``depth`` (TakeOrderedAndProject); the fusion
     join and final window touch <= 2·depth rows — driver-bounded, never
-    corpus-sized."""
+    corpus-sized.
+
+    Serving path: pass a prebuilt ``feats`` table
+    (:func:`hashed_features` written/bucketed by ``bucket``, the q123
+    index-once/query-many lifecycle) and the dense leg never rescans
+    raw text — the caller owns that table's lifecycle (it is not
+    released here). ``dim`` must match the dim the table was built
+    with (the query vector hashes with it)."""
     terms = sorted(set(t.lower() for t in query_terms))
     # --- lexical leg: exact BM25 top-depth, dense rank 1..depth
     sparse_top = bm25_rank(df, terms, k=depth, k1=k1, b=b,
@@ -1690,8 +1707,10 @@ def hybrid_rank_rrf(
         qdf = spark.createDataFrame(
             [(int(bk), int(v)) for bk, v in sorted(qfeats.items())],
             "bucket int, qfeat long")
-        feats = hashed_features(df, dim=dim, text_col=text_col,
-                                id_col=id_col).persist()
+        caller_feats = feats is not None
+        if not caller_feats:
+            feats = hashed_features(df, dim=dim, text_col=text_col,
+                                    id_col=id_col).persist()
         norms = feats.groupBy(id_col).agg(
             F.sum(F.col("feat") * F.col("feat")).alias("norm"))
         dots = (feats.join(F.broadcast(qdf), "bucket")
@@ -1730,7 +1749,9 @@ def hybrid_rank_rrf(
                 .limit(k)
                 .select(*out_cols))
     from tantalus_spark.datapipe.dedup import _materialize_and_release
-    released = [sparse_top] + ([feats] if qfeats else [])
+    released = [sparse_top]
+    if qfeats and not caller_feats:
+        released.append(feats)
     return _materialize_and_release(out, released)
 
 

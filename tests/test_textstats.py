@@ -1362,3 +1362,53 @@ def test_lang_confusion_cells_and_shares(spark):
     assert cells[("es", "es")] == (1, 1.0)
     assert cells[("zh", "unknown")] == (1, 1.0)
     assert ("en", "unknown") not in cells   # null text excluded
+
+
+def test_bm25_rank_empty_corpus_returns_empty_frame(spark):
+    """Empty or all-null-text corpus: bm25_rank returns the empty
+    result with the correct schema (id dtype follows the input),
+    instead of crashing on 0/0 avgdl — the build_term_index
+    empty-corpus contract."""
+    from tantalus_spark.datapipe.textstats import bm25_rank
+
+    empty = spark.createDataFrame([], "doc_id long, text string")
+    out = bm25_rank(empty, ["apple"], k=5)
+    assert out.count() == 0
+    assert [f.name for f in out.schema.fields] == [
+        "doc_id", "score_nano", "n_terms_hit", "bm25"]
+    allnull = spark.createDataFrame([(1, None)],
+                                    "doc_id string, text string")
+    out2 = bm25_rank(allnull, ["apple"], k=5)
+    assert out2.count() == 0
+    assert out2.schema["doc_id"].dataType.simpleString() == "string"
+
+
+def test_hybrid_rrf_prebuilt_feats_serving_path(spark):
+    """The serving path (prebuilt hashed-feature table) returns exactly
+    the scan path's fusion, and the caller-owned table stays cached —
+    hybrid never releases what it did not build."""
+    from tantalus_spark.datapipe.textstats import (
+        hashed_features, hybrid_rank_rrf)
+
+    filler = " ".join(f"pad{i}" for i in range(25))
+    docs = spark.createDataFrame(
+        [(i, f"apple banana {filler} " + "cherry " * (i % 3))
+         for i in range(1, 9)],
+        "doc_id long, text string")
+    feats = hashed_features(docs, dim=16).persist()
+    feats.count()
+    served = hybrid_rank_rrf(docs, ["apple", "cherry"], k=5, depth=8,
+                             dim=16, feats=feats)
+    b = sorted(map(tuple, served.collect()))
+    served.unpersist()
+    # the served call must NOT release the caller-owned table (assert
+    # BEFORE the scan-path call below: that one builds — and releases —
+    # an identical hashed_features plan, and Spark's CacheManager keys
+    # caches by analyzed plan, so it would drop this shared entry too)
+    assert feats.storageLevel.useMemory
+    scan = hybrid_rank_rrf(docs, ["apple", "cherry"], k=5, depth=8,
+                           dim=16)
+    a = sorted(map(tuple, scan.collect()))
+    scan.unpersist()
+    assert a == b and len(a) == 5
+    feats.unpersist()
