@@ -1528,3 +1528,129 @@ def ivf_recall(
                               / F.lit(float(k)), 4).alias("recall")))
     from tantalus_spark.datapipe.dedup import _materialize_and_release
     return _materialize_and_release(out, [assigned])
+
+
+def pq_topk_batch(
+    encoded: DataFrame,
+    codebooks: list[list[list[float]]],
+    queries: list[tuple[int, list[float]]],
+    k: int = 10,
+    id_col: str = "vec_id",
+) -> DataFrame:
+    """Batch ADC serving: score a SET of queries against the PQ code
+    table in one distributed job — the production shape
+    (:func:`pq_topk` serves one query per plan; a serving tier batches).
+    The per-(query, subspace, centroid) dot table is |queries|·m·k
+    rows, broadcast; codes posexplode to (id, j, c), join the broadcast
+    on (j, c), and one (query, id) sum + per-query rank window yields
+    every query's top-k. No float vector is read anywhere.
+
+    Scale: the joined stream is rows·m·|queries| narrow integers per
+    probe batch — linear in both, partitioned by the corpus; the rank
+    window partitions by query (bounded depth after the candidate
+    aggregate). Returns (query_id, id, adc_dot) — bit-identical to
+    per-query :func:`pq_topk` (differential test)."""
+    from pyspark.sql import Window as W
+
+    m = len(codebooks)
+    sub = len(codebooks[0][0])
+    spark = encoded.sparkSession
+    rows = [
+        (int(qid), j, c,
+         float(sum(qv[j * sub + i] * codebooks[j][c][i]
+                   for i in range(sub))))
+        for qid, qv in queries
+        for j in range(m)
+        for c in range(len(codebooks[j]))
+    ]
+    adc = spark.createDataFrame(
+        rows, "query_id long, j int, c int, dot double")
+    codes = encoded.select(
+        F.col(id_col), F.posexplode("pq_code").alias("j", "c"))
+    scored = (codes.join(F.broadcast(adc), ["j", "c"])
+                   .groupBy("query_id", id_col)
+                   .agg(F.sum("dot").alias("_adc")))
+    w = W.partitionBy("query_id").orderBy(F.col("_adc").desc(),
+                                          F.col(id_col).asc())
+    return (scored.withColumn("_rk", F.row_number().over(w))
+                  .filter(F.col("_rk") <= int(k))
+                  .select("query_id", id_col,
+                          F.round("_adc", 4).alias("adc_dot")))
+
+
+def pq_recall(
+    df: DataFrame,
+    m: int = 8,
+    n_codes: int = 16,
+    k: int = 10,
+    n_queries: int = 10,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Recall@k audit of the PQ/ADC path against the exact dot-product
+    ranking — the quantization-loss measurement that sizes (m, k*) for
+    a PQ index before it serves (the :func:`ivf_recall` twin for the
+    memory-side lever; FAISS evaluates exactly this). Uses the q74
+    exactness convention: vectors integerized floor(x·32) so every
+    distance/dot is exact integer arithmetic in float64, codebook c of
+    subspace j = the subspace-j slice of vec id c+1, queries the first
+    ``n_queries`` ids — the whole audit replays in SQL bit-for-bit.
+
+    Scale: one :func:`pq_encode` pass (persisted narrow codes), one
+    :func:`pq_topk_batch` job for all queries, and the exact leg is
+    the bounded-query brute-force verifier — sample-in/sample-out at
+    production scale like :func:`ivf_recall`."""
+    from pyspark.sql import Window as W
+
+    sub_d = _first_dim(df, vec_col)
+    if sub_d % m:
+        raise ValueError(f"pq_recall: dim {sub_d} not divisible by m={m}")
+    sub = sub_d // m
+    iv = df.filter(F.col(vec_col).isNotNull()).select(
+        F.col(id_col),
+        F.transform(vec_col,
+                    lambda x: F.floor(x.cast("double") * F.lit(32.0))
+                    .cast("double")).alias(vec_col))
+    head = (iv.filter(F.col(id_col) <= max(n_codes, n_queries - 1))
+              .orderBy(id_col).collect())
+    by_id = {r[id_col]: [float(x) for x in r[vec_col]] for r in head}
+    missing = [i for i in range(max(n_codes + 1, n_queries))
+               if i not in by_id]
+    if missing:
+        raise ValueError(
+            f"pq_recall: ids {missing[:5]} absent (or null-vector) — "
+            f"codebooks are slices of ids 1..{n_codes} and queries ids "
+            f"0..{n_queries - 1} by contract")
+    books = [
+        [by_id[c + 1][j * sub:(j + 1) * sub] for c in range(n_codes)]
+        for j in range(m)
+    ]
+    queries = [(i, by_id[i]) for i in range(n_queries)]
+
+    enc = pq_encode(iv, books, id_col=id_col,
+                    vec_col=vec_col).persist()
+    approx = pq_topk_batch(enc, books, queries, k=k, id_col=id_col) \
+        .select("query_id", id_col)
+    spark = df.sparkSession
+    qdf = spark.createDataFrame(queries,
+                                f"query_id long, qvec array<double>")
+    w = W.partitionBy("query_id").orderBy(F.col("_s").desc(),
+                                          F.col(id_col).asc())
+    exact = (iv.crossJoin(F.broadcast(qdf))
+               .select("query_id", F.col(id_col),
+                       _dot(F.col(vec_col), F.col("qvec")).alias("_s"))
+               .withColumn("_rk", F.row_number().over(w))
+               .filter(F.col("_rk") <= int(k))
+               .select("query_id", id_col))
+    hits = (exact.join(approx, ["query_id", id_col])
+                 .groupBy("query_id")
+                 .agg(F.count(F.lit(1)).cast("int").alias("n_hits")))
+    out = (qdf.select("query_id")
+              .join(hits, "query_id", "left")
+              .select("query_id",
+                      F.coalesce("n_hits", F.lit(0)).cast("int")
+                      .alias("n_hits"),
+                      F.round(F.coalesce("n_hits", F.lit(0))
+                              / F.lit(float(k)), 4).alias("recall")))
+    from tantalus_spark.datapipe.dedup import _materialize_and_release
+    return _materialize_and_release(out, [enc])

@@ -1944,6 +1944,17 @@ def q137_lang_confusion(spark, sf_dir):
     return lang_confusion(docs)
 
 
+def q138_pq_recall(spark, sf_dir):
+    """Recall@10 audit of the PQ/ADC quantized path vs the exact
+    dot-product ranking (the q136 twin for the memory-side lever):
+    q74's integerized-vector + fixed-codebook exactness convention, a
+    batch ADC job scoring all 10 queries at once, both legs ranked
+    under (score desc, id asc). Full oracle."""
+    emb = db_for(spark, sf_dir).table("embeddings")
+    return similarity.pq_recall(emb, m=8, n_codes=16, k=10,
+                                n_queries=10)
+
+
 _ALL_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     name[1:]: fn
     for name, fn in list(globals().items())
@@ -2079,7 +2090,7 @@ _QUERY_ORDER = [
     # standing protocol.
     "131_hybrid_rrf", "132_source_divergence", "133_jl_distortion",
     "134_dedup_funnel", "135_js_drift", "136_ivf_recall",
-    "137_lang_confusion",
+    "137_lang_confusion", "138_pq_recall",
 ]
 
 QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
@@ -4728,6 +4739,68 @@ ORACLES["134_dedup_funnel"] = """
     JOIN s1 ON s1.doc_id = d.doc_id
     LEFT JOIN s2 ON s2.doc_id = d.doc_id
     LEFT JOIN nearrm nr ON nr.doc_id = d.doc_id
+"""
+
+# q138: the q74 integerized-vector/fixed-codebook machinery (exact
+# integer arithmetic in float64) + a 10-query ADC batch + the q136
+# recall tail; both legs rank (score desc, id asc).
+ORACLES["138_pq_recall"] = """
+    WITH iv AS (
+      SELECT vec_id,
+             list_transform(embedding,
+                            x -> floor(CAST(x AS DOUBLE) * 32)) AS v
+      FROM embeddings WHERE embedding IS NOT NULL),
+    js AS (SELECT unnest(range(0, 8)) AS j),
+    cb AS (
+      SELECT js.j, iv.vec_id - 1 AS c,
+             list_slice(iv.v, js.j*8 + 1, js.j*8 + 8) AS bv
+      FROM iv, js WHERE iv.vec_id BETWEEN 1 AND 16),
+    dist AS (
+      SELECT iv.vec_id, cb.j, cb.c,
+             list_sum(list_transform(range(1, 9), i ->
+               (iv.v[cb.j*8 + i] - cb.bv[i])
+               * (iv.v[cb.j*8 + i] - cb.bv[i]))) AS d2
+      FROM iv, cb),
+    code AS (
+      SELECT vec_id, j, c FROM (
+        SELECT vec_id, j, c,
+               ROW_NUMBER() OVER (PARTITION BY vec_id, j
+                                  ORDER BY d2, c) AS rn
+        FROM dist) t WHERE rn = 1),
+    q AS (SELECT vec_id AS query_id, v AS qv FROM iv
+          WHERE vec_id < 10),
+    adc AS (
+      SELECT q.query_id, cb.j, cb.c,
+             list_sum(list_transform(range(1, 9), i ->
+               q.qv[cb.j*8 + i] * cb.bv[i])) AS dot
+      FROM cb, q),
+    ascore AS (
+      SELECT adc.query_id, code.vec_id, SUM(adc.dot) AS s
+      FROM code JOIN adc ON code.j = adc.j AND code.c = adc.c
+      GROUP BY adc.query_id, code.vec_id),
+    ap AS (SELECT query_id, vec_id FROM (
+             SELECT query_id, vec_id,
+                    ROW_NUMBER() OVER (PARTITION BY query_id
+                      ORDER BY s DESC, vec_id ASC) AS rn
+             FROM ascore) t WHERE rn <= 10),
+    escore AS (
+      SELECT q.query_id, iv.vec_id,
+             list_sum(list_transform(range(1, 65), i ->
+               iv.v[i] * q.qv[i])) AS s
+      FROM iv, q),
+    ex AS (SELECT query_id, vec_id FROM (
+             SELECT query_id, vec_id,
+                    ROW_NUMBER() OVER (PARTITION BY query_id
+                      ORDER BY s DESC, vec_id ASC) AS rn
+             FROM escore) t WHERE rn <= 10),
+    hits AS (SELECT ex.query_id, count(*) AS n
+             FROM ex JOIN ap ON ap.query_id = ex.query_id
+                            AND ap.vec_id = ex.vec_id
+             GROUP BY ex.query_id)
+    SELECT q.query_id,
+           CAST(COALESCE(h.n, 0) AS INTEGER) AS n_hits,
+           round(COALESCE(h.n, 0) / 10.0, 4) AS recall
+    FROM q LEFT JOIN hits h ON h.query_id = q.query_id
 """
 
 # q137: the q41 marker-count + ties-to-earlier argmax machinery,

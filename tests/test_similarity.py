@@ -660,3 +660,49 @@ def test_ivf_recall_rejects_missing_head_ids(spark):
     import pytest as _pytest
     with _pytest.raises(ValueError, match="absent"):
         ivf_recall(emb, n_centroids=2, k=2, nprobe=1, n_queries=2)
+
+
+def test_pq_topk_batch_matches_per_query(spark):
+    """Batch ADC must be bit-identical to per-query pq_topk for every
+    query in the batch — same codes, same dot tables, same ranking."""
+    from tantalus_spark.catalog.loader import read_parquet
+    from tantalus_spark.datapipe import similarity as sim
+    from pyspark.sql import functions as F
+
+    emb = read_parquet(spark, "/root/testdata/sf0.001/embeddings.parquet")
+    iv = emb.select(
+        "vec_id",
+        F.transform("embedding",
+                    lambda x: F.floor(x.cast("double") * F.lit(32.0))
+                    .cast("double")).alias("embedding"))
+    head = {r["vec_id"]: [float(x) for x in r["embedding"]]
+            for r in iv.filter(F.col("vec_id") <= 8)
+                       .orderBy("vec_id").collect()}
+    books = [[head[c + 1][j * 16:(j + 1) * 16] for c in range(4)]
+             for j in range(4)]
+    queries = [(i, head[i]) for i in range(3)]
+    enc = sim.pq_encode(iv, books).persist()
+    batch = {(r["query_id"], r["vec_id"]): r["adc_dot"]
+             for r in sim.pq_topk_batch(enc, books, queries, k=5)
+                         .collect()}
+    for qid, qv in queries:
+        single = sim.pq_topk(enc, books, qv, k=5).collect()
+        for r in single:
+            assert batch[(qid, r["vec_id"])] == r["adc_dot"], (qid, r)
+    assert len(batch) == 15
+    enc.unpersist()
+
+
+def test_pq_recall_bounds_and_self_hit(spark):
+    """Recall in [0,1] for every query; identity queries (query vector
+    IS an indexed vector) keep their own id in the ADC top-k for this
+    well-separated integerized data, so n_hits >= 1."""
+    from tantalus_spark.catalog.loader import read_parquet
+    from tantalus_spark.datapipe.similarity import pq_recall
+
+    emb = read_parquet(spark, "/root/testdata/sf0.001/embeddings.parquet")
+    out = pq_recall(emb, m=8, n_codes=16, k=10, n_queries=5)
+    rows = out.collect()
+    out.unpersist()
+    assert len(rows) == 5
+    assert all(0.0 <= r["recall"] <= 1.0 for r in rows)
