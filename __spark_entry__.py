@@ -9,10 +9,11 @@ the gated LSH trio (45/46/69), winnowing (53), PQ ANN (74), and BPE
 encode (102, frozen merge list replayed as a replace() chain) use
 portable md5-/integer-exact constructions that replay bit-for-bit in
 DuckDB, so all 50 are full value oracles (production defaults stay
-xxhash64/float — bench.py times those). r6 rotated the 14 entries that
-had only local-gate evidence into the window (q84/90/102/104/107/112/
-114 + the r5 late additions q117-q123; see _QUERY_ORDER — r4 and r5 ran
-the same protocol and every rotated-in entry went green). The only
+xxhash64/float — bench.py times those). r7 rotated the seven r6
+additions (q124-q130) into the window under the standing protocol
+(r4/r5/r6 ran the same rotation and every rotated-in entry went
+green); the r7 additions q131-q138 are the queued r8 candidates, all
+full-value-oracled in the tail meanwhile. The only
 rows-only entries are the tail's 75_ann_trained and 100_bpe_merges,
 whose iterative training loops (MLlib-KMeans IVF+PQ, BPE argmax+rewrite)
 are genuinely not SQL-expressible (exactness is unit-proven against

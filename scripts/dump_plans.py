@@ -112,6 +112,16 @@ SHOW = [
     ("134_dedup_funnel", "staged dedup funnel: 16-byte digest shuffles"
      " for exact/NFC stages, capped posting join over the twice-thinned"
      " corpus, O(rows) boolean flag caches released on return"),
+    ("135_js_drift", "drift monitor: one corpus explode into the"
+     " persisted sketch; baseline is an n_buckets-row broadcast; JS on"
+     " the fixed grid"),
+    ("136_ivf_recall", "IVF recall audit: broadcast query set; exact"
+     " leg = bounded brute-force verifier; IVF leg filters probed"
+     " lists before ranking"),
+    ("138_pq_recall", "PQ recall audit: batch ADC — broadcast"
+     " |queries|*m*k dot table joined onto posexploded codes, one"
+     " (query,id) sum, per-query rank windows; no vector column read"
+     " in the ADC leg"),
 ]
 
 
