@@ -195,3 +195,38 @@ def bpe_apply(
         encode(F.col(text_col)).alias("units"),
     )
     return out.withColumn("n_units", F.size("units"))
+
+
+def bpe_compression(
+    df: DataFrame,
+    merges,
+    group_col: str = "source",
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Tokenizer compression-rate audit per corpus slice: characters
+    per BPE unit under a FROZEN merge list — the metric that chooses
+    (or re-trains) a tokenizer per domain before a training run (a
+    slice whose chars/unit is far below the corpus mean is being
+    shredded into char-level pieces: vocabulary mismatch, more compute
+    per byte). Composes :func:`bpe_apply` (pure map stage, rules in
+    the Arrow closure) with one tiny (group) integer aggregate;
+    chars/unit divides two exact BIGINTs, so the frame replays in SQL.
+    Returns (group, n_docs, n_chars, n_units, chars_per_unit), slices
+    with zero units omitted (nothing to measure)."""
+    enc = bpe_apply(df, merges, text_col=text_col, id_col=id_col) \
+        .select(F.col(id_col), "n_units")
+    meta = df.select(F.col(id_col), F.col(group_col).alias("grp"),
+                     F.length(F.col(text_col)).cast("long")
+                     .alias("n_chars"))
+    return (meta.join(enc, id_col)
+                .groupBy("grp")
+                .agg(F.count(F.lit(1)).cast("long").alias("n_docs"),
+                     F.sum("n_chars").alias("n_chars"),
+                     F.sum("n_units").cast("long").alias("n_units"))
+                .filter(F.col("n_units") > 0)
+                .select(F.col("grp").alias(group_col),
+                        "n_docs", "n_chars", "n_units",
+                        F.round(F.col("n_chars").cast("double")
+                                / F.col("n_units").cast("double"), 4)
+                        .alias("chars_per_unit")))

@@ -1955,6 +1955,19 @@ def q138_pq_recall(spark, sf_dir):
                                 n_queries=10)
 
 
+def q139_bpe_compression(spark, sf_dir):
+    """Per-source tokenizer compression rate under the frozen q102
+    merge list: chars per BPE unit — the vocabulary-fit metric that
+    flags domains a tokenizer shreds into char pieces (more compute
+    per byte) before a training run. One Arrow encode map pass + one
+    |sources|-row integer aggregate; exact BIGINT division, full
+    oracle."""
+    from tantalus_spark.datapipe.tokenizer import bpe_compression
+
+    docs = db_for(spark, sf_dir).table("documents")
+    return bpe_compression(docs, FIXED_BPE_MERGES)
+
+
 _ALL_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     name[1:]: fn
     for name, fn in list(globals().items())
@@ -2090,7 +2103,7 @@ _QUERY_ORDER = [
     # standing protocol.
     "131_hybrid_rrf", "132_source_divergence", "133_jl_distortion",
     "134_dedup_funnel", "135_js_drift", "136_ivf_recall",
-    "137_lang_confusion", "138_pq_recall",
+    "137_lang_confusion", "138_pq_recall", "139_bpe_compression",
 ]
 
 QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
@@ -4051,6 +4064,50 @@ def _bpe_encode_oracle(merges: list[tuple[str, str]]) -> str:
 
 
 ORACLES["102_bpe_encode"] = _bpe_encode_oracle(FIXED_BPE_MERGES)
+
+
+def _bpe_compression_oracle(merges: list[tuple[str, str]]) -> str:
+    """q139: the q102 encode replay aggregated per source — exact
+    BIGINT char/unit sums, chars/unit divides the exact integers.
+    Every document row participates (bpe_apply returns n_units=0 for
+    empty/null text; null n_chars is skipped by SUM in both engines)."""
+    expr = ("regexp_replace(w, '(.)', chr(31) || '\\1' || chr(31), 'g')"
+            " || chr(31) || '</w>' || chr(31)")
+    for left, right in merges:
+        pat = (f"chr(31) || '{left}' || chr(31) || "
+               f"chr(31) || '{right}' || chr(31)")
+        rep = f"chr(31) || '{left}{right}' || chr(31)"
+        expr = f"replace({expr}, {pat}, {rep})"
+    return f"""
+        WITH words AS (
+          SELECT doc_id,
+                 unnest(string_split_regex(trim(lower(text)), '\\s+')) AS w
+          FROM documents),
+        enc AS (
+          SELECT doc_id,
+                 len(string_split({expr}, chr(31) || chr(31))) AS k
+          FROM words WHERE w <> ''),
+        agg AS (
+          SELECT doc_id, CAST(sum(k) AS BIGINT) AS n_units
+          FROM enc GROUP BY doc_id),
+        meta AS (
+          SELECT d.doc_id, d.source AS grp,
+                 CAST(length(d.text) AS BIGINT) AS n_chars,
+                 COALESCE(a.n_units, 0) AS n_units
+          FROM documents d LEFT JOIN agg a USING (doc_id)),
+        g AS (
+          SELECT grp, CAST(count(*) AS BIGINT) AS n_docs,
+                 CAST(sum(n_chars) AS BIGINT) AS n_chars,
+                 CAST(sum(n_units) AS BIGINT) AS n_units
+          FROM meta GROUP BY grp)
+        SELECT grp AS source, n_docs, n_chars, n_units,
+               round(CAST(n_chars AS DOUBLE) / CAST(n_units AS DOUBLE),
+                     4) AS chars_per_unit
+        FROM g WHERE n_units > 0
+    """
+
+
+ORACLES["139_bpe_compression"] = _bpe_compression_oracle(FIXED_BPE_MERGES)
 
 ORACLES["117_gopher_rules"] = """
     WITH base AS (

@@ -129,3 +129,25 @@ def test_merge_word_overlapping_pairs_left_to_right():
     # "aaa": one (a,a) merge left-to-right -> ["aa", "a"], not ["a", "aa"]
     assert merge_word(["a", "a", "a"], "a", "a") == ["aa", "a"]
     assert merge_word(["a", "a", "a", "a"], "a", "a") == ["aa", "aa"]
+
+
+def test_bpe_compression_known_values(spark):
+    """chars/unit is exact BIGINT division; empty/null-text docs count
+    toward n_docs but add zero units; zero-unit slices are omitted."""
+    from tantalus_spark.datapipe.tokenizer import bpe_compression
+
+    rows = [
+        (1, "ab ab", "s1"),        # with merge (a,b): 2 words x 2 units
+        (2, "ab", "s1"),
+        (3, None, "s1"),           # counted, zero chars/units
+        (4, "", "s2"),             # zero-unit slice -> omitted
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string, source string")
+    out = {r["source"]: r.asDict()
+           for r in bpe_compression(df, [("a", "b")]).collect()}
+    assert set(out) == {"s1"}
+    s1 = out["s1"]
+    # "ab ab" -> 2 words, each (ab,</w>) = 2 units -> 4; "ab" -> 2
+    assert s1["n_docs"] == 3 and s1["n_units"] == 6
+    assert s1["n_chars"] == 5 + 2          # len("ab ab") + len("ab")
+    assert s1["chars_per_unit"] == round(7 / 6, 4)
