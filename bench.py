@@ -73,6 +73,7 @@ HEADLINE = [
     "132_source_divergence",
     "134_dedup_funnel",
     "135_js_drift",
+    "139_bpe_compression",
 ]
 
 
