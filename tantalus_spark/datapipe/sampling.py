@@ -258,3 +258,42 @@ def weighted_sample(
           .withColumn("sample_key", F.round(F.col("_es_key"), 6))
           .drop("_es_key")
     )
+
+
+def group_split(
+    df: DataFrame,
+    fractions: dict[str, float],
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    bucket_col: str = "split",
+) -> DataFrame:
+    """Leakage-free train/val/test split: whole duplicate FAMILIES land
+    in one split (scikit-learn's GroupShuffleSplit at corpus scale).
+    :func:`hash_split` on raw ids puts two copies of the same document
+    in different splits with probability ~(1-Σf²) — exactly the
+    contamination :func:`split_leakage` measures; splitting on the
+    family's CANONICAL id makes that impossible by construction for
+    exact/Unicode-equivalence duplicates (near-dup families need the
+    cluster map from ``dup_clusters`` — iterative, the rows-only path;
+    this operator is the exact-family, fully-SQL-replayable tier).
+
+    Family key = the NFC-normalized digest's minimum id
+    (:func:`~.textstats.normalized_dup_groups` canonical); every member
+    hashes the canonical id through the same md5 bucket ranges as
+    :func:`hash_split`, so singleton corpora reproduce hash_split
+    exactly. Null-text rows are excluded (no content to group by).
+    Returns (id, canonical_id, split) — join back to payloads on id.
+
+    Scale: one Arrow NFC pass + one 16-byte digest shuffle + a
+    broadcast-sized canonical map join; the split itself is a map-side
+    expression."""
+    from tantalus_spark.datapipe.textstats import normalize_nfc
+
+    n = normalize_nfc(df.filter(F.col(text_col).isNotNull()),
+                      text_col=text_col, id_col=id_col) \
+        .select(F.col(id_col), "norm_digest")
+    canon = n.groupBy("norm_digest").agg(
+        F.min(id_col).alias("canonical_id"))
+    members = n.join(canon, "norm_digest").select(id_col, "canonical_id")
+    return hash_split(members, fractions, id_col="canonical_id",
+                      bucket_col=bucket_col)

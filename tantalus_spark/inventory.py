@@ -1968,6 +1968,18 @@ def q139_bpe_compression(spark, sf_dir):
     return bpe_compression(docs, FIXED_BPE_MERGES)
 
 
+def q140_group_split(spark, sf_dir):
+    """Leakage-free train/val/test split: duplicate FAMILIES (exact /
+    Unicode-equivalence classes via the NFC digest) hash as one unit on
+    their canonical id, so no family straddles splits by construction —
+    the fix-side op for the contamination q96 split_leakage measures.
+    Full oracle (md5 bucket ranges replay in SQL)."""
+    from tantalus_spark.datapipe.sampling import group_split
+
+    docs = db_for(spark, sf_dir).table("documents")
+    return group_split(docs, {"train": 0.8, "val": 0.1, "test": 0.1})
+
+
 _ALL_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     name[1:]: fn
     for name, fn in list(globals().items())
@@ -2104,6 +2116,7 @@ _QUERY_ORDER = [
     "131_hybrid_rrf", "132_source_divergence", "133_jl_distortion",
     "134_dedup_funnel", "135_js_drift", "136_ivf_recall",
     "137_lang_confusion", "138_pq_recall", "139_bpe_compression",
+    "140_group_split",
 ]
 
 QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
@@ -4108,6 +4121,28 @@ def _bpe_compression_oracle(merges: list[tuple[str, str]]) -> str:
 
 
 ORACLES["139_bpe_compression"] = _bpe_compression_oracle(FIXED_BPE_MERGES)
+
+# q140: the q129 NFC-digest family canonical + the q61 md5 bucket
+# ranges, hashed on the CANONICAL id so families move as one unit.
+ORACLES["140_group_split"] = """
+    WITH n AS (
+      SELECT doc_id,
+             md5(trim(regexp_replace(nfc_normalize(text), '\\s+', ' ',
+                                     'g'))) AS dg
+      FROM documents WHERE text IS NOT NULL),
+    canon AS (SELECT dg, min(doc_id) AS canonical_id FROM n GROUP BY dg),
+    m AS (SELECT n.doc_id, c.canonical_id
+          FROM n JOIN canon c ON c.dg = n.dg),
+    b AS (SELECT doc_id, canonical_id,
+                 ('0x' || substr(md5(CAST(canonical_id AS VARCHAR)),
+                                 1, 15))::BIGINT % 100 AS bk
+          FROM m)
+    SELECT doc_id, canonical_id,
+           CASE WHEN bk < 80 THEN 'train'
+                WHEN bk < 90 THEN 'val'
+                ELSE 'test' END AS split
+    FROM b
+"""
 
 ORACLES["117_gopher_rules"] = """
     WITH base AS (

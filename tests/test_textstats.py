@@ -1412,3 +1412,29 @@ def test_hybrid_rrf_prebuilt_feats_serving_path(spark):
     scan.unpersist()
     assert a == b and len(a) == 5
     feats.unpersist()
+
+
+def test_group_split_families_never_straddle(spark):
+    """Exact and NFC-variant duplicates always land in the SAME split
+    (they hash their canonical id); singleton corpora reproduce
+    hash_split on raw ids exactly; null text excluded."""
+    from tantalus_spark.datapipe.sampling import group_split, hash_split
+
+    base = "some reusable document body with enough words to be real"
+    rows = ([(i, f"unique doc {i} " + base, ) for i in range(50)]
+            + [(100, base), (101, base), (102, base + "  ")]  # one family
+            + [(103, None)])
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    out = group_split(df, {"train": .8, "val": .1, "test": .1})
+    got = {r["doc_id"]: (r["canonical_id"], r["split"])
+           for r in out.collect()}
+    assert 103 not in got
+    # the 100/101/102 family shares a canonical id and one split
+    fam = {got[i] for i in (100, 101, 102)}
+    assert len(fam) == 1 and fam.pop()[0] == 100
+    # singletons: canonical == own id, split == hash_split on raw id
+    solo = hash_split(df.filter("doc_id < 50"),
+                      {"train": .8, "val": .1, "test": .1})
+    want = {r["doc_id"]: r["split"] for r in solo.collect()}
+    for i in range(50):
+        assert got[i] == (i, want[i])
