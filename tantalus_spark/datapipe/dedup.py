@@ -1252,22 +1252,30 @@ def dedup_funnel(
 
     base = df.filter(F.col(text_col).isNotNull()) \
              .select(F.col(id_col), F.col(text_col))
-    # Each stage's (id, removed) flag frame is PERSISTED: the flags are
-    # read twice (next stage's survivor filter + the attribution join),
-    # and without the cache each reference re-runs the stage's digest
-    # shuffle. Flags are O(rows) booleans — never the text — so the
-    # cache stays tiny at corpus scale; all released on return.
-    dg = base.withColumn("_dg", F.md5(F.col(text_col)))
-    canon1 = dg.groupBy("_dg").agg(F.min(id_col).alias("_c1"))
-    s1f = (dg.join(canon1, "_dg")
-             .select(F.col(id_col),
-                     (F.col(id_col) != F.col("_c1")).alias("_rm1"))
-             .persist())
-    surv1 = base.join(s1f.filter(~F.col("_rm1")).select(id_col), id_col)
+    # ONE text pass computes BOTH digests (exact md5 + the Arrow NFC
+    # digest): a digest is a function of the text alone, so stage 2's
+    # restriction to stage-1 survivors only changes the GROUPING
+    # population, never the digest — fusing the two scans is exact.
+    # The narrow (id, dg, nd) frame is PERSISTED: it feeds stage 1,
+    # stage 2 (survivors), and the attribution join; O(rows × two
+    # 16-byte digests), never the text. Released on return, as are the
+    # per-stage boolean flag frames (each read twice: the next stage's
+    # survivor filter + the attribution join).
+    digests = (normalize_nfc(
+                   base, text_col=text_col, id_col=id_col,
+                   extra_exprs={"_dg": F.md5(F.col(text_col))})
+               .select(F.col(id_col),
+                       F.col("norm_digest").alias("_nd"), "_dg")
+               .persist())
+    canon1 = digests.groupBy("_dg").agg(F.min(id_col).alias("_c1"))
+    s1f = (digests.join(canon1, "_dg")
+                  .select(F.col(id_col),
+                          (F.col(id_col) != F.col("_c1")).alias("_rm1"))
+                  .persist())
     # stage 2: NFC-canonical digest over stage-1 survivors
-    nn = normalize_nfc(surv1, text_col=text_col, id_col=id_col)
-    canon2 = nn.groupBy("norm_digest").agg(F.min(id_col).alias("_c2"))
-    s2f = (nn.join(canon2, "norm_digest")
+    nn = digests.join(s1f.filter(~F.col("_rm1")).select(id_col), id_col)
+    canon2 = nn.groupBy("_nd").agg(F.min(id_col).alias("_c2"))
+    s2f = (nn.join(canon2, "_nd")
              .select(F.col(id_col),
                      (F.col(id_col) != F.col("_c2")).alias("_rm2"))
              .persist())

@@ -1482,7 +1482,9 @@ def tfidf_cosine_pairs(
 
 
 def normalize_nfc(df: DataFrame, text_col: str = "text",
-                  id_col: str = "doc_id") -> DataFrame:
+                  id_col: str = "doc_id",
+                  extra_exprs: dict[str, Column] | None = None
+                  ) -> DataFrame:
     """Unicode canonicalization for dedup keys: NFC-normalize the text
     (composed form — 'e' + COMBINING ACUTE and the precomposed 'é'
     become the SAME bytes) and collapse whitespace runs, so visually
@@ -1498,7 +1500,10 @@ def normalize_nfc(df: DataFrame, text_col: str = "text",
     caller composes ``F.lower`` when the corpus allows it.
 
     Returns (id, norm_text, norm_digest, n_chars_norm) — one Arrow map
-    pass + codegen'd digest, zero shuffles."""
+    pass + codegen'd digest, zero shuffles. ``extra_exprs`` appends
+    caller expressions over the SAME projection (e.g. the raw-text md5
+    the dedup funnel pairs with the NFC digest) so composing operators
+    get both from one text scan."""
     import unicodedata
 
     @F.pandas_udf("string")
@@ -1509,11 +1514,14 @@ def normalize_nfc(df: DataFrame, text_col: str = "text",
     df = spread_small_scan(df)
     norm = F.trim(F.regexp_replace(_nfc(F.col(text_col)),
                                    r"\s+", " "))
+    extras = [expr.alias(name)
+              for name, expr in (extra_exprs or {}).items()]
     return df.select(
         F.col(id_col),
         norm.alias("norm_text"),
         F.md5(norm).alias("norm_digest"),
         F.length(norm).alias("n_chars_norm"),
+        *extras,
     )
 
 
