@@ -1994,3 +1994,42 @@ def lang_confusion(
                          F.round(F.col("n_docs").cast("double")
                                  / F.col("_tot").cast("double"), 4)
                          .alias("share")))
+
+
+def merge_canonical_map(
+    cmap: DataFrame,
+    new_docs: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Incremental maintenance for the dedup canonical map (the
+    :func:`merge_term_index` analog for the dedup-serving lifecycle):
+    fold a batch of NEW documents into an existing
+    :func:`normalized_dup_groups` frame WITHOUT rescanning the old
+    corpus. A new doc whose NFC digest already has a canonical joins
+    that group (count grows, canonical UNCHANGED — canonical STABILITY
+    is the production property: downstream references keep resolving,
+    unlike a full rebuild where a later smaller id would steal the
+    canonical); unseen digests open new groups with the batch's own
+    minimum id. O(batch) work: one batch digest pass + a digest-keyed
+    join against the map.
+
+    Bit-identical to a full rebuild whenever ids arrive in ascending
+    order (the common append-only ingest) — differential test in
+    tests/test_textstats.py; the stability divergence for
+    out-of-order ids is deliberate and documented."""
+    delta = normalized_dup_groups(new_docs, text_col=text_col,
+                                  id_col=id_col)
+    joined = delta.alias("d").join(
+        cmap.alias("m"),
+        F.col("d.norm_digest") == F.col("m.norm_digest"), "full_outer")
+    return joined.select(
+        F.coalesce(F.col("d.norm_digest"), F.col("m.norm_digest"))
+         .alias("norm_digest"),
+        (F.coalesce(F.col("d.n_docs"), F.lit(0))
+         + F.coalesce(F.col("m.n_docs"), F.lit(0))).cast("long")
+        .alias("n_docs"),
+        F.coalesce(F.col("m.canonical_id"), F.col("d.canonical_id"))
+         .alias("canonical_id"),
+        F.coalesce(F.col("m.n_chars_norm"), F.col("d.n_chars_norm"))
+         .alias("n_chars_norm"))

@@ -1438,3 +1438,34 @@ def test_group_split_families_never_straddle(spark):
     want = {r["doc_id"]: r["split"] for r in solo.collect()}
     for i in range(50):
         assert got[i] == (i, want[i])
+
+
+def test_merge_canonical_map_matches_rebuild_on_ascending_ids(spark):
+    """Append-only ingest (ascending ids): the incremental map equals a
+    full rebuild bit-for-bit; an out-of-order smaller id keeps the
+    FIRST-SEEN canonical (stability contract) instead of stealing it."""
+    from tantalus_spark.datapipe.textstats import (
+        merge_canonical_map, normalized_dup_groups)
+
+    old = spark.createDataFrame(
+        [(1, "alpha beta"), (2, "gamma delta"), (3, "alpha beta")],
+        "doc_id long, text string")
+    new = spark.createDataFrame(
+        [(10, "alpha  beta"), (11, "epsilon zeta")],
+        "doc_id long, text string")
+    cmap = normalized_dup_groups(old)
+    merged = {r["norm_digest"]: (r["n_docs"], r["canonical_id"])
+              for r in merge_canonical_map(cmap, new).collect()}
+    rebuilt = {r["norm_digest"]: (r["n_docs"], r["canonical_id"])
+               for r in normalized_dup_groups(
+                   old.unionByName(new)).collect()}
+    assert merged == rebuilt
+    # out-of-order: id 0 duplicates group canonical=1; merge keeps 1
+    late = spark.createDataFrame([(0, "alpha beta")],
+                                 "doc_id long, text string")
+    kept = {r["norm_digest"]: r["canonical_id"]
+            for r in merge_canonical_map(cmap, late).collect()}
+    dg = [d for d, (n, c) in
+          {r["norm_digest"]: (r["n_docs"], r["canonical_id"])
+           for r in cmap.collect()}.items() if c == 1][0]
+    assert kept[dg] == 1   # stability: first-seen canonical survives
