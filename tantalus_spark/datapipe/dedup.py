@@ -1299,4 +1299,4 @@ def dedup_funnel(
                        F.lit("near"))
                  .otherwise(F.lit("kept")).alias("stage"))
     )
-    return _materialize_and_release(out, [pairs, s1f, s2f])
+    return _materialize_and_release(out, [pairs, s1f, s2f, digests])
