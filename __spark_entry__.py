@@ -5,17 +5,20 @@
 classes + the LLM-data-pipeline operators: dedup, similarity, text
 analysis, event analytics, corpus cleaning); ``oracle_sql()`` gives the
 DuckDB-equivalent SQL for EVERY query in the driver's 50-entry window —
-the gated LSH trio (45/46/69), winnowing (53), PQ ANN (74), and BPE
-encode (102, frozen merge list replayed as a replace() chain) use
-portable md5-/integer-exact constructions that replay bit-for-bit in
-DuckDB, so all 50 are full value oracles (production defaults stay
-xxhash64/float — bench.py times those). r7 rotated the seven r6
-additions (q124-q130) into the window under the standing protocol
-(r4/r5/r6 ran the same rotation and every rotated-in entry went
-green); the r7 additions q131-q138 are the queued r8 candidates, all
-full-value-oracled in the tail meanwhile. The only
-rows-only entries are the tail's 75_ann_trained and 100_bpe_merges,
-whose iterative training loops (MLlib-KMeans IVF+PQ, BPE argmax+rewrite)
+the gated LSH/minhash entries (45/122), PQ ANN (74/138), and BPE
+encode/compression (102/139, frozen merge list replayed as a
+replace() chain) use portable md5-/integer-exact constructions that
+replay bit-for-bit in DuckDB, so all 50 are full value oracles
+(production defaults stay xxhash64/float — bench.py times those).
+r8 rotated the ten r7 additions (q131-q140) into the window under the
+standing protocol (r4-r7 ran the same rotation and every rotated-in
+entry went green), plus the two r8 serving-lifecycle entries
+(141 hybrid_serve_indexed — both legs off build-time artifacts, zero
+raw-text scans; 142 group_split with the near-dup cluster-map tier);
+the 12 swapped out all carry green CORRECTNESS_r07 rows and stay
+family-covered (rotation notes in inventory.py). The only rows-only
+entries are the tail's 75_ann_trained and 100_bpe_merges, whose
+iterative training loops (MLlib-KMeans IVF+PQ, BPE argmax+rewrite)
 are genuinely not SQL-expressible (exactness is unit-proven against
 pure-Python references instead).
 """

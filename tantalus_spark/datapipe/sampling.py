@@ -266,27 +266,42 @@ def group_split(
     text_col: str = "text",
     id_col: str = "doc_id",
     bucket_col: str = "split",
+    cluster_map: DataFrame | None = None,
 ) -> DataFrame:
     """Leakage-free train/val/test split: whole duplicate FAMILIES land
     in one split (scikit-learn's GroupShuffleSplit at corpus scale).
     :func:`hash_split` on raw ids puts two copies of the same document
     in different splits with probability ~(1-Σf²) — exactly the
     contamination :func:`split_leakage` measures; splitting on the
-    family's CANONICAL id makes that impossible by construction for
-    exact/Unicode-equivalence duplicates (near-dup families need the
-    cluster map from ``dup_clusters`` — iterative, the rows-only path;
-    this operator is the exact-family, fully-SQL-replayable tier).
+    family's CANONICAL id makes that impossible by construction.
 
-    Family key = the NFC-normalized digest's minimum id
-    (:func:`~.textstats.normalized_dup_groups` canonical); every member
-    hashes the canonical id through the same md5 bucket ranges as
-    :func:`hash_split`, so singleton corpora reproduce hash_split
-    exactly. Null-text rows are excluded (no content to group by).
-    Returns (id, canonical_id, split) — join back to payloads on id.
+    Base tier (always on): family key = the NFC-normalized digest's
+    minimum id (:func:`~.textstats.normalized_dup_groups` canonical);
+    every member hashes the canonical id through the same md5 bucket
+    ranges as :func:`hash_split`, so singleton corpora reproduce
+    hash_split exactly. Null-text rows are excluded (no content to
+    group by). Returns (id, canonical_id, split) — join back to
+    payloads on id.
+
+    Near-dup tier (``cluster_map``): pass a frozen (id, cluster
+    canonical) frame — ``dup_clusters`` / ``semantic_dup_clusters``
+    output, or any precomputed family map — and near-duplicate twins
+    that are NOT byte-/NFC-equal also land in one split. The cluster
+    canonical is lifted to the NFC-family level (min cluster canonical
+    per NFC group, one aggregate over the map-sized join), so the two
+    tiers compose: NFC-equal docs always share a family, and cluster
+    twins share one whenever the map assigns them one canonical.
+    Closure across CHAINS of alternating tiers (doc A NFC-equal B,
+    B near-dup C, C NFC-equal D...) is the iterative connected-
+    components job's responsibility (``dup_clusters``) — feed its
+    transitive output here rather than raw pair edges.
 
     Scale: one Arrow NFC pass + one 16-byte digest shuffle + a
-    broadcast-sized canonical map join; the split itself is a map-side
-    expression."""
+    digest-keyed canonical-map shuffle join (the map is O(distinct
+    digests) — corpus-scale, NOT broadcast-sized; only the 16-byte
+    digest and two ids travel); the cluster tier adds one id-keyed join
+    against the (already corpus-bounded) cluster map + one map-sized
+    aggregate; the split itself is a map-side expression."""
     from tantalus_spark.datapipe.textstats import normalize_nfc
 
     n = normalize_nfc(df.filter(F.col(text_col).isNotNull()),
@@ -295,5 +310,21 @@ def group_split(
     canon = n.groupBy("norm_digest").agg(
         F.min(id_col).alias("canonical_id"))
     members = n.join(canon, "norm_digest").select(id_col, "canonical_id")
+    if cluster_map is not None:
+        cl_id, cl_canon = cluster_map.columns[:2]
+        cmap = cluster_map.select(
+            F.col(cl_id).alias(id_col),
+            F.col(cl_canon).alias("_cl"))
+        # lift the cluster canonical to the NFC-family level so the
+        # tiers agree: every member of an NFC family gets the family's
+        # minimum cluster canonical (or keeps the NFC canonical when no
+        # member is clustered)
+        fam = (members.join(cmap, id_col, "left")
+                      .groupBy("canonical_id")
+                      .agg(F.min("_cl").alias("_fam_cl")))
+        members = (members.join(fam, "canonical_id")
+                          .select(F.col(id_col),
+                                  F.coalesce("_fam_cl", "canonical_id")
+                                  .alias("canonical_id")))
     return hash_split(members, fractions, id_col="canonical_id",
                       bucket_col=bucket_col)

@@ -1499,9 +1499,15 @@ def ivf_recall(
     qdf = spark.createDataFrame(
         qrows, f"query_id long, qvec array<double>, probes array<int>")
 
-    assigned = ivf_assign(df, centroids, id_col=id_col,
+    # null embeddings carry nothing rankable (the DuckDB oracle excludes
+    # them too), and a zero-norm vector's cosine is NaN — which Spark's
+    # DESCENDING sort ranks FIRST, so an unguarded degenerate row would
+    # displace true neighbors from the top-k of BOTH legs
+    assigned = ivf_assign(df.filter(F.col(vec_col).isNotNull()),
+                          centroids, id_col=id_col,
                           vec_col=vec_col).persist()
-    sim = cosine_similarity(F.col(vec_col), F.col("qvec"))
+    sim = F.nanvl(cosine_similarity(F.col(vec_col), F.col("qvec")),
+                  F.lit(-2.0))
     w = W.partitionBy("query_id").orderBy(F.desc("_sim"),
                                           F.col(id_col).asc())
     exact = (assigned.crossJoin(F.broadcast(qdf.select("query_id",

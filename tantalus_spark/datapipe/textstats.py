@@ -1606,6 +1606,20 @@ def hashed_vectors(
                 ).alias("vector")))
 
 
+def hashed_norms(feats: DataFrame, id_col: str = "doc_id") -> DataFrame:
+    """Per-document squared-norm sidecar for a :func:`hashed_features`
+    table: (id, norm) with ``norm = Σ_b feat_b²`` — a BUILD-TIME
+    artifact of the dense serving leg, the exact analog of the
+    (n_docs, avgdl) stats pair :func:`build_term_index` emits. Compute
+    it once from the written feature table and store it alongside;
+    :func:`hybrid_rank_rrf` / :func:`hybrid_serve_indexed` accept it
+    and the serving plan never aggregates the corpus-scale feature
+    table per query (plan-contract test in tests/test_plans.py — the
+    q123 lesson applied to the dense leg)."""
+    return feats.groupBy(id_col).agg(
+        F.sum(F.col("feat") * F.col("feat")).alias("norm"))
+
+
 def merge_term_index(
     index: DataFrame,
     stats: tuple[int, float],
@@ -1638,6 +1652,84 @@ def merge_term_index(
     return index.unionByName(delta), (n_total, avgdl)
 
 
+def prune_term_index(
+    index: DataFrame,
+    stats: tuple[int, float],
+    removed_ids: DataFrame,
+    id_col: str = "doc_id",
+):
+    """Delete-side incremental maintenance for the BM25 serving index —
+    the tombstone half of the lifecycle (:func:`build_term_index` →
+    :func:`merge_term_index` for inserts → this for deletes → swap
+    versions): drop the removed documents' postings and downdate the
+    corpus stats WITHOUT rescanning the surviving corpus.
+
+    ``removed_ids`` (first column = doc id) must be ids that ARE in the
+    indexed corpus (pruning an id that was never indexed would downdate
+    N for a document the stats never counted — the caller intersects
+    first, e.g. with the q70 decontaminate semi-join). The removed
+    documents' lengths come from the index itself (any posting of a doc
+    carries its dl; a doc with tokens always has >= 1 posting, and a
+    token-less doc has dl 0 — absent from the postings AND contributing
+    0 to the dl sum, so only its count is subtracted). Stats downdate
+    exactly: ``N' = N - n_removed``; ``dl_sum' = N·avgdl - Σ dl_removed``.
+
+    Scale: the tombstone set BROADCASTS — the postings drop is a
+    map-side broadcast anti-join (the corpus-scale index never
+    shuffles) and the dl recovery is one max-per-doc aggregate over
+    ONLY the removed docs' postings (broadcast semi-join pruned).
+    Returns ``(postings', (n_docs', avgdl'))`` bit-identical to a full
+    rebuild over the surviving corpus (differential test in
+    tests/test_textstats.py)."""
+    n_old, avgdl_old = int(stats[0]), float(stats[1])
+    rem = removed_ids.select(
+        F.col(removed_ids.columns[0]).alias(id_col)).distinct()
+    n_removed = rem.count()
+    if n_removed == 0:
+        return index, (n_old, avgdl_old)
+    pruned = (index.join(F.broadcast(rem), id_col, "left_anti")
+                   .select(*index.columns))  # join hoists the key col
+    n_total = n_old - n_removed
+    if n_total <= 0:
+        # everything removed: empty index, empty-corpus stats (the
+        # build_term_index empty contract, mergeable as a no-op)
+        return pruned, (0, 0.0)
+    # a doc's dl repeats on every posting — max per doc, then sum; a
+    # token-less removed doc has no postings and contributes dl 0
+    rs = (index.join(F.broadcast(rem), id_col, "leftsemi")
+               .groupBy(id_col).agg(F.max("dl").alias("_dl"))
+               .agg(F.sum("_dl").alias("s"))).first()
+    dl_sum = n_old * avgdl_old - float(rs["s"] or 0.0)
+    return pruned, (n_total, dl_sum / float(n_total))
+
+
+def merge_hashed_index(
+    feats: DataFrame,
+    norms: DataFrame,
+    new_docs: DataFrame,
+    dim: int = 64,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+):
+    """Insert-side incremental maintenance for the DENSE serving leg:
+    fold a batch of NEW documents into an existing
+    :func:`hashed_features` table and its :func:`hashed_norms` sidecar
+    without rescanning the old corpus — the dense-leg twin of
+    :func:`merge_term_index`, so a :func:`hybrid_serve_indexed`
+    deployment refreshes BOTH legs in O(batch) between serving runs.
+
+    New docs must be disjoint from the indexed ids (the caller dedups
+    first); ``dim`` must match the build dim. Per-doc features and
+    norms are independent across documents, so the merge is two
+    unions — no cross-corpus arithmetic at all. Returns
+    ``(feats', norms')`` bit-identical to a full rebuild over the
+    union (differential test in tests/test_textstats.py)."""
+    delta = hashed_features(new_docs, dim=dim, text_col=text_col,
+                            id_col=id_col)
+    return (feats.unionByName(delta),
+            norms.unionByName(hashed_norms(delta, id_col=id_col)))
+
+
 def _query_hashed_features(query_terms: list[str], dim: int) -> dict[int, int]:
     """Driver-side twin of :func:`hashed_features` for a literal query:
     bucket = md5(term)[:15 hex] mod dim, sign from an independent md5
@@ -1656,6 +1748,84 @@ def _query_hashed_features(query_terms: list[str], dim: int) -> dict[int, int]:
     return {b: v for b, v in feats.items() if v != 0}
 
 
+def _dense_leg_scored(
+    feats: DataFrame,
+    qfeats: dict[int, int],
+    depth: int,
+    id_col: str,
+    norms: DataFrame | None,
+) -> DataFrame:
+    """Top-``depth`` (id, cos_nano) dense leg over a hashed-feature
+    table — shared by the scan-path :func:`hybrid_rank_rrf` and the
+    serving-path :func:`hybrid_serve_indexed` so both are bit-identical
+    to one oracle. The feats scan carries an explicit
+    ``bucket IN (query buckets)`` filter (the query vector is a
+    driver-side literal), so against a written/bucketed feature table
+    the scan is pushdown-pruned to the query's own buckets — zero-qfeat
+    buckets contribute nothing to the dot and are pruned too. With
+    prebuilt ``norms`` (:func:`hashed_norms`) the leg performs NO
+    corpus-wide aggregate: the norm join keys on the bucket-pruned dots
+    side. ``norms=None`` falls back to one self-contained derivation
+    over ``feats`` (ad-hoc corpus without a norms sidecar)."""
+    spark = feats.sparkSession
+    qnorm = float(sum(v * v for v in qfeats.values()))
+    qdf = spark.createDataFrame(
+        [(int(bk), int(v)) for bk, v in sorted(qfeats.items())],
+        "bucket int, qfeat long")
+    if norms is None:
+        norms = hashed_norms(feats, id_col=id_col)
+    pruned = feats.filter(
+        F.col("bucket").isin([int(bk) for bk in qfeats]))
+    dots = (pruned.join(F.broadcast(qdf), "bucket")
+                  .groupBy(id_col)
+                  .agg(F.sum(F.col("feat") * F.col("qfeat"))
+                       .alias("dot")))
+    cos = (F.col("dot").cast("double")
+           / F.sqrt(F.col("norm").cast("double") * F.lit(qnorm)))
+    # exact nano-integer cosine BEFORE ranking: the rank order (and
+    # therefore the fused output) depends only on BIGINT comparisons
+    return (dots.join(norms, id_col)
+                .filter(F.col("norm") > 0)
+                .select(F.col(id_col),
+                        F.floor(cos * F.lit(1e9) + F.lit(0.5))
+                        .cast("long").alias("cos_nano"))
+                .orderBy(F.col("cos_nano").desc(), F.col(id_col).asc())
+                .limit(depth))
+
+
+def _rrf_fuse(sparse_top: DataFrame, scored: DataFrame | None,
+              k: int, rrf_k: int, id_col: str) -> DataFrame:
+    """RRF fusion of the two leg top-depths (each already bounded):
+    dense per-leg ranks under a TOTAL order, full-outer rank join,
+    ``rrf(d) = Σ_legs 1/(rrf_k + rank_leg(d))``, final top-k. Touches
+    <= 2·depth rows — driver-bounded, never corpus-sized. ``scored``
+    None = the query hashed to an all-zero vector: lexical-only."""
+    w_s = W.orderBy(F.col("score_nano").desc(), F.col(id_col).asc())
+    leg_s = sparse_top.select(
+        F.col(id_col), F.row_number().over(w_s).alias("rank_bm25"))
+    if scored is not None:
+        w_d = W.orderBy(F.col("cos_nano").desc(), F.col(id_col).asc())
+        leg_d = scored.select(
+            F.col(id_col), F.row_number().over(w_d).alias("rank_dense"))
+        fused = leg_s.join(leg_d, id_col, "full_outer")
+    else:
+        fused = leg_s.withColumn("rank_dense", F.lit(None).cast("int"))
+    rrf = (F.coalesce(F.lit(1.0) / (F.lit(float(rrf_k))
+                                    + F.col("rank_bm25")), F.lit(0.0))
+           + F.coalesce(F.lit(1.0) / (F.lit(float(rrf_k))
+                                      + F.col("rank_dense")), F.lit(0.0)))
+    return (fused.withColumn("rrf", rrf)
+                 .withColumn("rank_bm25",
+                             F.coalesce("rank_bm25", F.lit(0)))
+                 .withColumn("rank_dense",
+                             F.coalesce("rank_dense", F.lit(0)))
+                 .orderBy(F.col("rrf").desc(), F.col(id_col).asc())
+                 .limit(k)
+                 .select(F.col(id_col), F.col("rank_bm25"),
+                         F.col("rank_dense"),
+                         F.round(F.col("rrf"), 6).alias("rrf")))
+
+
 def hybrid_rank_rrf(
     df: DataFrame,
     query_terms: list[str],
@@ -1668,6 +1838,7 @@ def hybrid_rank_rrf(
     text_col: str = "text",
     id_col: str = "doc_id",
     feats: DataFrame | None = None,
+    norms: DataFrame | None = None,
 ) -> DataFrame:
     """Hybrid retrieval with Reciprocal Rank Fusion (Cormack, Clarke &
     Büttcher, SIGIR 2009): fuse a lexical BM25 leg (:func:`bm25_rank`)
@@ -1685,82 +1856,88 @@ def hybrid_rank_rrf(
     missing from a leg contributes nothing; its rank column reports 0.
 
     Scale shape: each leg is the already-scale-audited operator (BM25:
-    term-filtered explode + broadcast df; dense: the query vector is an
-    O(|query|) broadcast joined against the sparse hashed features, so
-    only docs sharing a query bucket survive the shuffle). Both legs
-    end in a bounded top-``depth`` (TakeOrderedAndProject); the fusion
-    join and final window touch <= 2·depth rows — driver-bounded, never
-    corpus-sized.
+    term-filtered explode + broadcast df; dense: the feats scan is
+    pruned to the query's buckets and joined to the O(|query|)
+    broadcast vector). Both legs end in a bounded top-``depth``
+    (TakeOrderedAndProject); fusion touches <= 2·depth rows.
 
     Serving path: pass a prebuilt ``feats`` table
-    (:func:`hashed_features` written/bucketed by ``bucket``, the q123
-    index-once/query-many lifecycle) and the dense leg never rescans
-    raw text — the caller owns that table's lifecycle (it is not
-    released here). ``dim`` must match the dim the table was built
-    with (the query vector hashes with it)."""
+    (:func:`hashed_features` written/bucketed by ``bucket``) AND its
+    ``norms`` sidecar (:func:`hashed_norms`, a build-time artifact like
+    q123's (n_docs, avgdl)) and the dense leg touches only the query's
+    buckets — no raw-text rescan, no per-query corpus-wide norm
+    aggregate (plan-contract test in tests/test_plans.py). The caller
+    owns both tables' lifecycles (they are not released here). With
+    ``feats`` but no ``norms`` the leg falls back to one self-contained
+    norm derivation over the feature table. ``dim`` must match the dim
+    the table was built with (the query vector hashes with it). For a
+    fully index-served deployment — the lexical leg off a prebuilt
+    postings index too — use :func:`hybrid_serve_indexed`."""
     terms = sorted(set(t.lower() for t in query_terms))
     # --- lexical leg: exact BM25 top-depth, dense rank 1..depth
     sparse_top = bm25_rank(df, terms, k=depth, k1=k1, b=b,
                            text_col=text_col, id_col=id_col)
-    w_s = W.orderBy(F.col("score_nano").desc(), F.col(id_col).asc())
-    leg_s = sparse_top.select(
-        F.col(id_col), F.row_number().over(w_s).alias("rank_bm25"))
     # --- dense leg: hashed-feature cosine against the query vector
     qfeats = _query_hashed_features(terms, dim)
-    spark = df.sparkSession
-    out_cols = [F.col(id_col), F.col("rank_bm25"), F.col("rank_dense"),
-                F.round(F.col("rrf"), 6).alias("rrf")]
+    released = [sparse_top]
+    scored = None
     if qfeats:
-        qnorm = float(sum(v * v for v in qfeats.values()))
-        qdf = spark.createDataFrame(
-            [(int(bk), int(v)) for bk, v in sorted(qfeats.items())],
-            "bucket int, qfeat long")
-        caller_feats = feats is not None
-        if not caller_feats:
+        if feats is None:
             feats = hashed_features(df, dim=dim, text_col=text_col,
                                     id_col=id_col).persist()
-        norms = feats.groupBy(id_col).agg(
-            F.sum(F.col("feat") * F.col("feat")).alias("norm"))
-        dots = (feats.join(F.broadcast(qdf), "bucket")
-                     .groupBy(id_col)
-                     .agg(F.sum(F.col("feat") * F.col("qfeat"))
-                          .alias("dot")))
-        cos = (F.col("dot").cast("double")
-               / F.sqrt(F.col("norm").cast("double") * F.lit(qnorm)))
-        # exact nano-integer cosine BEFORE ranking: the rank order (and
-        # therefore the fused output) depends only on BIGINT comparisons
-        scored = (dots.join(norms, id_col)
-                      .filter(F.col("norm") > 0)
-                      .select(F.col(id_col),
-                              F.floor(cos * F.lit(1e9) + F.lit(0.5))
-                              .cast("long").alias("cos_nano"))
-                      .orderBy(F.col("cos_nano").desc(),
-                               F.col(id_col).asc())
-                      .limit(depth))
-        w_d = W.orderBy(F.col("cos_nano").desc(), F.col(id_col).asc())
-        leg_d = scored.select(
-            F.col(id_col), F.row_number().over(w_d).alias("rank_dense"))
-        fused = leg_s.join(leg_d, id_col, "full_outer")
-    else:  # query hashes to an all-zero vector: lexical-only fusion
-        fused = leg_s.withColumn("rank_dense",
-                                 F.lit(None).cast("int"))
-    rrf = (F.coalesce(F.lit(1.0) / (F.lit(float(rrf_k))
-                                    + F.col("rank_bm25")), F.lit(0.0))
-           + F.coalesce(F.lit(1.0) / (F.lit(float(rrf_k))
-                                      + F.col("rank_dense")), F.lit(0.0)))
-    out = (fused.withColumn("rrf", rrf)
-                .withColumn("rank_bm25",
-                            F.coalesce("rank_bm25", F.lit(0)))
-                .withColumn("rank_dense",
-                            F.coalesce("rank_dense", F.lit(0)))
-                .orderBy(F.col("rrf").desc(), F.col(id_col).asc())
-                .limit(k)
-                .select(*out_cols))
+            released.append(feats)
+            norms = None  # derive from the one-shot build just made
+        scored = _dense_leg_scored(feats, qfeats, depth, id_col, norms)
+    out = _rrf_fuse(sparse_top, scored, k, rrf_k, id_col)
     from tantalus_spark.datapipe.dedup import _materialize_and_release
-    released = [sparse_top]
-    if qfeats and not caller_feats:
-        released.append(feats)
     return _materialize_and_release(out, released)
+
+
+def hybrid_serve_indexed(
+    index: DataFrame,
+    query_terms: list[str],
+    feats: DataFrame,
+    k: int = 20,
+    depth: int = 50,
+    rrf_k: int = 60,
+    dim: int = 64,
+    k1: float = 1.2,
+    b: float = 0.75,
+    id_col: str = "doc_id",
+    n_docs: int | None = None,
+    avgdl: float | None = None,
+    norms: DataFrame | None = None,
+) -> DataFrame:
+    """Fully index-served hybrid retrieval — the composed batch serving
+    entry point: BOTH legs run off build-time artifacts with ZERO
+    raw-text scans. Lexical leg = :func:`bm25_rank_indexed` over a
+    :func:`build_term_index` postings frame + its (n_docs, avgdl)
+    stats; dense leg = the :func:`hashed_features` table + its
+    :func:`hashed_norms` sidecar; fusion = the same
+    :func:`_rrf_fuse` as :func:`hybrid_rank_rrf`, so on the same corpus
+    the two are bit-identical (parity test in tests/test_textstats.py).
+    This is the batch twin of running ``bm25_serve_stream`` +
+    ``dense_serve_stream`` and fusing consumer-side, and the
+    index-backed upgrade of the reference's free-text search
+    (search_util/search_helper.py:27-49).
+
+    Serving plan shape (plan-contract tested): the postings scan is
+    pruned to the query's terms, the feats scan to the query's buckets
+    (both pushdown-prunable against written/bucketed tables), the norm
+    join keys on the bucket-pruned dots side, and corpus stats are plan
+    literals — per-query work is O(matching postings + matching
+    buckets), never O(corpus). Omitting ``n_docs``/``avgdl``/``norms``
+    falls back to self-contained re-derivation over the prebuilt
+    tables (ad-hoc use; the plan test covers the fully-supplied
+    shape)."""
+    terms = sorted(set(t.lower() for t in query_terms))
+    sparse_top = bm25_rank_indexed(index, terms, k=depth, k1=k1, b=b,
+                                   id_col=id_col, n_docs=n_docs,
+                                   avgdl=avgdl)
+    qfeats = _query_hashed_features(terms, dim)
+    scored = (_dense_leg_scored(feats, qfeats, depth, id_col, norms)
+              if qfeats else None)
+    return _rrf_fuse(sparse_top, scored, k, rrf_k, id_col)
 
 
 def source_js_divergence(
@@ -1881,6 +2058,7 @@ def js_against_baseline(
     text_col: str = "text",
     group_col: str = "source",
     hash_family: str = "md5",
+    baseline_n_buckets: int | None = None,
 ) -> DataFrame:
     """Jensen-Shannon divergence of each corpus slice's hashed-unigram
     distribution against a FROZEN baseline (:func:`token_bucket_counts`
@@ -1895,7 +2073,21 @@ def js_against_baseline(
     the baseline is an ``n_buckets``-row broadcast; everything after
     runs on the fixed |groups|·n_buckets grid. Groups with zero tokens
     are absent (no distribution to compare). Returns
-    (group, js_bits, n_tokens)."""
+    (group, js_bits, n_tokens).
+
+    Record the build-time n_buckets NEXT TO the frozen baseline and
+    pass it as ``baseline_n_buckets`` — a modulus mismatch means p and
+    q were hashed onto different grids and every js_bits is garbage.
+    A LARGER baseline modulus is caught from the data (out-of-range
+    buckets, checked below), but a SMALLER one is undetectable from
+    bucket values alone (all buckets look in-range), which is exactly
+    why the recorded value must travel with the artifact."""
+    if (baseline_n_buckets is not None
+            and int(baseline_n_buckets) != int(n_buckets)):
+        raise ValueError(
+            f"js_against_baseline: baseline was built with "
+            f"n_buckets={baseline_n_buckets} but comparing with "
+            f"n_buckets={n_buckets} — the two hash moduli must match")
     from tantalus_spark.datapipe.scoring import _bucket
 
     spark = df.sparkSession

@@ -1980,6 +1980,54 @@ def q140_group_split(spark, sf_dir):
     return group_split(docs, {"train": 0.8, "val": 0.1, "test": 0.1})
 
 
+def q141_hybrid_serve(spark, sf_dir):
+    """Fully index-served hybrid retrieval — BOTH legs off build-time
+    artifacts with zero raw-text scans at query time: BM25 from the
+    q123 postings index + its (n_docs, avgdl) stats, the dense cosine
+    leg from the q130 hashed-feature table + its norms sidecar, RRF
+    fusion over <= 2·depth rows. Bit-identical to q131 on the same
+    corpus (parity test); the serving plan performs NO corpus-wide
+    aggregate (plan-contract test). Completes the index-once/query-many
+    lifecycle for the reference's free-text search
+    (search_util/search_helper.py:27-49)."""
+    from tantalus_spark.datapipe.textstats import (
+        build_term_index, hashed_features, hashed_norms,
+        hybrid_serve_indexed)
+
+    docs = db_for(spark, sf_dir).table("documents")
+    idx, (n_docs, avgdl) = build_term_index(docs, with_stats=True)
+    feats = hashed_features(docs, dim=64).persist()
+    norms = hashed_norms(feats)
+    out = hybrid_serve_indexed(
+        idx, ["customer", "sort", "hash"], feats, k=15, depth=40,
+        rrf_k=60, dim=64, n_docs=n_docs, avgdl=avgdl, norms=norms)
+    from tantalus_spark.datapipe.dedup import _materialize_and_release
+    return _materialize_and_release(out, [feats])
+
+
+def q142_group_split_clustered(spark, sf_dir):
+    """Leakage-free split with the NEAR-DUP family tier: a frozen
+    cluster map (here the case-fold equivalence classes — a strictly
+    coarser, fully-SQL-replayable family source standing in for the
+    dup_clusters/semantic_dup_clusters output a production run feeds)
+    is lifted to the NFC-family level, so twins that are NOT byte- or
+    NFC-equal still land in one split. Closes the q96-measured leakage
+    q140's exact tier leaves for near-duplicates."""
+    from tantalus_spark.datapipe.sampling import group_split
+    from tantalus_spark.datapipe.textstats import normalize_nfc
+
+    docs = db_for(spark, sf_dir).table("documents")
+    n = normalize_nfc(docs.filter(F.col("text").isNotNull()))
+    lowered = n.select("doc_id",
+                       F.md5(F.lower(F.col("norm_text"))).alias("_ld"))
+    cmap = (lowered.join(
+                lowered.groupBy("_ld").agg(F.min("doc_id").alias("cl")),
+                "_ld")
+            .select("doc_id", "cl"))
+    return group_split(docs, {"train": 0.8, "val": 0.1, "test": 0.1},
+                       cluster_map=cmap)
+
+
 _ALL_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     name[1:]: fn
     for name, fn in list(globals().items())
@@ -1990,7 +2038,31 @@ _ALL_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
 # (CORRECTNESS_r01.json recorded exactly that prefix), so QUERIES is
 # explicitly ordered.
 #
-# r7 ROTATION (same protocol as r4/r5/r6): the seven r6 additions —
+# r8 ROTATION (same protocol as r4-r7): the ten r7 additions —
+# 131 hybrid_rrf, 132 source_divergence, 133 jl_distortion,
+# 134 dedup_funnel, 135 js_drift, 136 ivf_recall, 137 lang_confusion,
+# 138 pq_recall, 139 bpe_compression, 140 group_split — had only
+# local-gate evidence (LOCALGATE_r07.md, 0 failures at three SFs,
+# independently re-run by the r7 judge) and take their official driver
+# rows, alongside the new r8 serving-lifecycle entries 141/142. The 12
+# swapped OUT all carry green CORRECTNESS_r07 rows and stay
+# family-covered in-window: 124 tfidf_cosine -> 123 bm25_indexed +
+# 131 hybrid_rrf (term-weighted ranking); 125 weighted_sample ->
+# 71 weighted_mix + 140 group_split (sampling/splits);
+# 126 budget_select -> 106 dsir_select (histogram-threshold selection);
+# 127 hard_negatives -> 47 ann_cosine + 136 ivf_recall (similarity
+# ranking); 128 retrieval_metrics -> 136 + 138 (recall audits);
+# 129 normalized_dedup -> 40 dedup_exact + 134 dedup_funnel (the funnel
+# composes the NFC stage); 130 hashed_features -> 131 + 141 (both
+# consume the hashed-feature table); 53 winnowing -> 44 ngram_jaccard +
+# 134 (shingle fingerprints); 69 embedding_lsh -> 51 near_dup +
+# 133 jl_distortion (random projections); 72 chunk_documents ->
+# 90 packed_text (composes chunk+pack+write); 109 media_dedup ->
+# 40 dedup_exact (binary-digest dedup; multimodal plumbing stays
+# unit-tested); 121 bm25_rank -> 123 bm25_indexed + 131/141 (same
+# scorer expression tree, bit-identity differential-tested).
+#
+# r7 ROTATION (history, same protocol as r4/r5/r6): the seven r6 additions —
 # 124 tfidf_cosine, 125 weighted_sample, 126 budget_select,
 # 127 hard_negatives, 128 retrieval_metrics, 129 normalized_dedup,
 # 130 hashed_features — had only local-gate evidence (LOCALGATE_r06.md,
@@ -2066,23 +2138,29 @@ _QUERY_ORDER = [
     # datapipe: dedup, text, similarity, events
     "40_dedup_exact", "41_doc_profile", "44_ngram_jaccard",
     "45_minhash_lsh", "47_ann_cosine",
-    "50_sessionization", "51_embedding_near_dup", "53_winnowing",
-    "56_funnel", "58_clean_corpus", "69_embedding_lsh",
-    "70_decontaminate", "71_weighted_mix", "72_chunk_documents",
+    "50_sessionization", "51_embedding_near_dup",
+    "56_funnel", "58_clean_corpus",
+    "70_decontaminate", "71_weighted_mix",
     "74_pq_ann",
-    # r5 rotation survivors (family anchors kept in-window)
-    "106_dsir_select", "108_build_corpus", "109_media_dedup",
-    # r6 rotation survivors (family anchors kept in-window)
+    # r5/r6 rotation survivors (family anchors kept in-window)
+    "106_dsir_select", "108_build_corpus",
     "90_packed_text", "102_bpe_encode", "104_bigram_lm",
-    "117_gopher_rules", "121_bm25_rank",
+    "117_gopher_rules",
     "122_minhash_calibration", "123_bm25_indexed",
-    # r7 rotation: the r6 additions take their official driver rows
+    # r8 rotation: the r7 additions take their official driver rows,
+    # plus the two r8 serving-lifecycle entries (141/142)
+    "131_hybrid_rrf", "132_source_divergence", "133_jl_distortion",
+    "134_dedup_funnel", "135_js_drift", "136_ivf_recall",
+    "137_lang_confusion", "138_pq_recall", "139_bpe_compression",
+    "140_group_split", "141_hybrid_serve", "142_group_split_clustered",
+    # ---- 50-entry line: families below are all gated above (see the
+    # rotation notes), carry green r2-r7 driver rows, and are
+    # unit-tested
     "124_tfidf_cosine", "125_weighted_sample", "126_budget_select",
     "127_hard_negatives", "128_retrieval_metrics",
     "129_normalized_dedup", "130_hashed_features",
-    # ---- 50-entry line: families below are all gated above (see the
-    # rotation notes), carry green r2/r3/r4/r5/r6 driver rows, and are
-    # unit-tested
+    "53_winnowing", "69_embedding_lsh", "72_chunk_documents",
+    "109_media_dedup", "121_bm25_rank",
     "84_pack_sequences", "107_centroid_affinity", "112_length_outliers",
     "114_source_overlap", "118_c4_filters", "119_sq8_quantize",
     "120_zipf_fit",
@@ -2109,14 +2187,6 @@ _QUERY_ORDER = [
     "92_vocab_coverage", "94_source_report", "95_paragraph_dedup",
     "99_corpus_shuffle", "100_bpe_merges",
     "103_temperature_mix", "105_gate_attribution",
-    # r7 additions: hybrid RRF retrieval, per-source JS divergence,
-    # JL random-projection distortion audit, staged dedup funnel —
-    # all full-value-oracled; r8 ROTATION CANDIDATES under the
-    # standing protocol.
-    "131_hybrid_rrf", "132_source_divergence", "133_jl_distortion",
-    "134_dedup_funnel", "135_js_drift", "136_ivf_recall",
-    "137_lang_confusion", "138_pq_recall", "139_bpe_compression",
-    "140_group_split",
 ]
 
 QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
@@ -4144,6 +4214,37 @@ ORACLES["140_group_split"] = """
     FROM b
 """
 
+# q142: the q140 split with the near-dup family tier — the cluster map
+# (case-fold equivalence canonical) is lifted to the NFC-family level
+# (min cluster canonical per NFC family) before the same md5 bucket
+# ranges assign splits.
+ORACLES["142_group_split_clustered"] = """
+    WITH n AS (
+      SELECT doc_id,
+             trim(regexp_replace(nfc_normalize(text), '\\s+', ' ',
+                                 'g')) AS nt
+      FROM documents WHERE text IS NOT NULL),
+    d AS (SELECT doc_id, md5(nt) AS dg, md5(lower(nt)) AS ld FROM n),
+    canon AS (SELECT dg, min(doc_id) AS canonical_id FROM d GROUP BY dg),
+    lcanon AS (SELECT ld, min(doc_id) AS cl FROM d GROUP BY ld),
+    m AS (SELECT d.doc_id, c.canonical_id, l.cl
+          FROM d JOIN canon c USING (dg) JOIN lcanon l USING (ld)),
+    fam AS (SELECT canonical_id, min(cl) AS fam_cl
+            FROM m GROUP BY canonical_id),
+    m2 AS (SELECT m.doc_id,
+                  COALESCE(f.fam_cl, m.canonical_id) AS canonical_id
+           FROM m JOIN fam f USING (canonical_id)),
+    b AS (SELECT doc_id, canonical_id,
+                 ('0x' || substr(md5(CAST(canonical_id AS VARCHAR)),
+                                 1, 15))::BIGINT % 100 AS bk
+          FROM m2)
+    SELECT doc_id, canonical_id,
+           CASE WHEN bk < 80 THEN 'train'
+                WHEN bk < 90 THEN 'val'
+                ELSE 'test' END AS split
+    FROM b
+"""
+
 ORACLES["117_gopher_rules"] = """
     WITH base AS (
       SELECT doc_id, text,
@@ -4731,6 +4832,93 @@ ORACLES["131_hybrid_rrf"] = """
            CAST(COALESCE(rank_dense, 0) AS INTEGER) AS rank_dense,
            round(rrf, 6) AS rrf
     FROM fused ORDER BY rrf DESC, doc_id ASC LIMIT 20
+"""
+
+# q141: hybrid_serve_indexed is bit-identical to hybrid_rank_rrf on the
+# same corpus (the legs share one scorer/fusion expression tree; parity
+# test in tests/test_textstats.py), so the oracle is the q131 pipeline
+# with q141's query terms / depth / k.
+ORACLES["141_hybrid_serve"] = """
+    WITH base AS (
+      SELECT doc_id,
+             string_split_regex(trim(lower(text)), '\\s+') AS toks
+      FROM documents WHERE text IS NOT NULL),
+    dl AS (SELECT doc_id, CAST(len(toks) AS BIGINT) AS dl FROM base),
+    tot AS (SELECT CAST(count(*) AS DOUBLE) AS n,
+                   CAST(sum(dl) AS DOUBLE) / CAST(count(*) AS DOUBLE)
+                     AS avgdl
+            FROM dl),
+    toks AS (SELECT doc_id, unnest(toks) AS term FROM base),
+    tf AS (SELECT doc_id, term, count(*) AS tf
+           FROM toks
+           WHERE term IN ('customer', 'sort', 'hash')
+           GROUP BY doc_id, term),
+    dfq AS (SELECT term, count(*) AS df FROM tf GROUP BY term),
+    sc AS (
+      SELECT tf.doc_id,
+             CAST(floor(
+               ln(1.0 + (tot.n - dfq.df + 0.5) / (dfq.df + 0.5))
+               * (tf.tf * 2.2)
+               / (tf.tf + 1.2 * (0.25 + 0.75 * dl.dl / tot.avgdl))
+               * 1e9 + 0.5) AS BIGINT) AS s_nano
+      FROM tf JOIN dfq USING (term) JOIN dl USING (doc_id)
+      CROSS JOIN tot),
+    g AS (SELECT doc_id, CAST(sum(s_nano) AS BIGINT) AS score_nano
+          FROM sc GROUP BY doc_id),
+    leg_s AS (
+      SELECT doc_id,
+             CAST(row_number() OVER (ORDER BY score_nano DESC,
+                                     doc_id ASC) AS INTEGER) AS rank_bm25
+      FROM (SELECT * FROM g
+            ORDER BY score_nano DESC, doc_id ASC LIMIT 40)),
+    sf AS (
+      SELECT doc_id,
+             CAST(('0x' || substr(md5(term), 1, 15))::BIGINT % 64
+                  AS INTEGER) AS bucket,
+             CAST(1 - 2 * (('0x' || substr(md5('s_' || term), 1, 15))
+                           ::BIGINT % 2) AS INTEGER) AS sgn
+      FROM toks),
+    feats AS (SELECT doc_id, bucket, CAST(sum(sgn) AS BIGINT) AS feat
+              FROM sf GROUP BY doc_id, bucket),
+    qf AS (
+      SELECT bucket, CAST(sum(sgn) AS BIGINT) AS qfeat FROM (
+        SELECT CAST(('0x' || substr(md5(term), 1, 15))::BIGINT % 64
+                    AS INTEGER) AS bucket,
+               CAST(1 - 2 * (('0x' || substr(md5('s_' || term), 1, 15))
+                             ::BIGINT % 2) AS INTEGER) AS sgn
+        FROM (VALUES ('customer'), ('sort'), ('hash'))
+             t(term)) q
+      GROUP BY bucket HAVING sum(sgn) <> 0),
+    qn AS (SELECT CAST(sum(qfeat * qfeat) AS DOUBLE) AS qnorm FROM qf),
+    dots AS (SELECT f.doc_id, CAST(sum(f.feat * q.qfeat) AS BIGINT)
+                    AS dot
+             FROM feats f JOIN qf q USING (bucket) GROUP BY f.doc_id),
+    norms AS (SELECT doc_id, CAST(sum(feat * feat) AS BIGINT) AS norm
+              FROM feats GROUP BY doc_id),
+    scored AS (
+      SELECT d.doc_id,
+             CAST(floor(CAST(d.dot AS DOUBLE)
+                        / sqrt(CAST(n.norm AS DOUBLE) * qn.qnorm)
+                        * 1e9 + 0.5) AS BIGINT) AS cos_nano
+      FROM dots d JOIN norms n USING (doc_id) CROSS JOIN qn
+      WHERE n.norm > 0),
+    leg_d AS (
+      SELECT doc_id,
+             CAST(row_number() OVER (ORDER BY cos_nano DESC,
+                                     doc_id ASC) AS INTEGER) AS rank_dense
+      FROM (SELECT * FROM scored
+            ORDER BY cos_nano DESC, doc_id ASC LIMIT 40)),
+    fused AS (
+      SELECT COALESCE(s.doc_id, d.doc_id) AS doc_id,
+             s.rank_bm25, d.rank_dense,
+             COALESCE(1.0 / (60.0 + s.rank_bm25), 0.0)
+               + COALESCE(1.0 / (60.0 + d.rank_dense), 0.0) AS rrf
+      FROM leg_s s FULL OUTER JOIN leg_d d ON s.doc_id = d.doc_id)
+    SELECT doc_id,
+           CAST(COALESCE(rank_bm25, 0) AS INTEGER) AS rank_bm25,
+           CAST(COALESCE(rank_dense, 0) AS INTEGER) AS rank_dense,
+           round(rrf, 6) AS rrf
+    FROM fused ORDER BY rrf DESC, doc_id ASC LIMIT 15
 """
 
 # q132: exact integer bucket counts; each per-bucket JS contribution is

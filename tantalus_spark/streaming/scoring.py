@@ -193,24 +193,26 @@ def dense_serve_stream(
     run both against the same stream and fuse ranks consumer-side for
     the streaming version of the q131 hybrid.
 
-    Exactness without a pre-aggregated query vector: the batch leg's
-    ``dot(d) = Σ_b qfeat_b·feat_{d,b}`` expands to
-    ``Σ_{distinct terms t} sgn(t)·feat_{d,bucket(t)}`` — term-instance
-    contributions sum to the identical BIGINT, so the stream needs ONE
-    stateful aggregation (no chained streaming aggs, which append mode
-    forbids). The per-query norm is computed row-locally with a
-    higher-order fold over the (tiny) terms array before the explode.
-    Docs whose net dot is 0 (only-cancelled-bucket matches) are
-    filtered out statelessly — the batch leg never emits them.
+    Exactness without a driver-side query vector: the net signed
+    bucket map ``b -> qfeat_b`` is folded ROW-LOCALLY from the (tiny)
+    terms array with a higher-order aggregate, then exploded — only
+    buckets with ``qfeat_b != 0`` join the feature table, exactly the
+    batch leg's bucket pruning (``_dense_leg_scored``), so the emitted
+    doc set and every (dot, cos_nano) are bit-identical to the batch
+    leg on the same corpus, INCLUDING docs whose net dot is 0 (a
+    nonzero-bucket match whose products cancel — the batch leg emits
+    them with cos_nano 0 and they can legitimately occupy within-depth
+    dense-rank slots, so the stream must emit them too; parity test in
+    tests/test_textstats.py compares the actual shared batch leg).
+    One stateful aggregation only (append mode forbids chaining).
 
-    Shape: watermark at the source → per-row qnorm fold → explode
-    distinct lowered terms → stream-static join to the (bucket-keyed)
-    feature table pre-joined with per-doc norms → one watermarked
-    (query, window, doc) integer sum → stateless cosine projection.
-    State is O(queries × matched docs per horizon), never O(corpus).
-    Returns (query_id, doc_id, dot, cos_nano, cosine) in append mode;
-    bit-identical to the q131 dense leg on the same corpus (parity
-    test in tests/test_textstats.py)."""
+    Shape: watermark at the source → per-row qnorm + bucket-map fold →
+    explode nonzero query buckets → stream-static join to the
+    (bucket-keyed) feature table pre-joined with per-doc norms → one
+    watermarked (query, window, doc) integer sum → stateless cosine
+    projection. State is O(queries × matched docs per horizon), never
+    O(corpus). Returns (query_id, doc_id, dot, cos_nano, cosine) in
+    append mode."""
     def bucket_of(t):
         return F.pmod(
             F.conv(F.substring(F.md5(t), 1, 15), 16, 10).cast("long"),
@@ -242,27 +244,24 @@ def dense_serve_stream(
         F.map_values(qmap), F.lit(0).cast("long"),
         lambda a, v: a + (v * v).cast("long"))
 
-    qterms = (query_stream.withWatermark(ts_col, watermark)
-              .select(F.col(qid_col), F.col(ts_col),
-                      qnorm.alias("_qnorm"),
-                      F.explode(terms_d).alias("_term"))
-              .select(F.col(qid_col), F.col(ts_col), F.col("_qnorm"),
-                      bucket_of(F.col("_term")).alias("bucket"),
-                      sgn_of(F.col("_term")).alias("_sgn")))
+    qbuckets = (query_stream.withWatermark(ts_col, watermark)
+                .select(F.col(qid_col), F.col(ts_col),
+                        qnorm.alias("_qnorm"),
+                        F.explode(qmap).alias("bucket", "_qfeat"))
+                .filter(F.col("_qfeat") != 0))
     scored = (
-        qterms.join(enriched, "bucket")
-              .groupBy(F.col(qid_col), F.window(ts_col, "1 minute"),
-                       F.col(id_col))
-              .agg(F.sum(F.col("_sgn") * F.col("feat")).cast("long")
-                   .alias("dot"),
-                   F.first("norm").alias("_norm"),
-                   F.first("_qnorm").alias("_qn"))
+        qbuckets.join(enriched, "bucket")
+                .groupBy(F.col(qid_col), F.window(ts_col, "1 minute"),
+                         F.col(id_col))
+                .agg(F.sum(F.col("_qfeat") * F.col("feat")).cast("long")
+                     .alias("dot"),
+                     F.first("norm").alias("_norm"),
+                     F.first("_qnorm").alias("_qn"))
     )
     cos = (F.col("dot").cast("double")
            / F.sqrt(F.col("_norm").cast("double")
                     * F.col("_qn").cast("double")))
-    return (scored.filter((F.col("dot") != 0) & (F.col("_norm") > 0)
-                          & (F.col("_qn") > 0))
+    return (scored.filter((F.col("_norm") > 0) & (F.col("_qn") > 0))
                   .select(qid_col, id_col, "dot",
                           F.floor(cos * F.lit(1e9) + F.lit(0.5))
                           .cast("long").alias("cos_nano"),
@@ -276,6 +275,7 @@ def drift_monitor_batches(
     text_col: str = "text",
     group_col: str = "source",
     hash_family: str = "md5",
+    baseline_n_buckets: int | None = None,
 ):
     """The foreachBatch drift monitor: returns the (batch_df, batch_id)
     callback that scores every arriving micro-batch's per-group token
@@ -304,7 +304,8 @@ def drift_monitor_batches(
             return
         scored = js_against_baseline(
             batch_df, baseline, n_buckets=n_buckets, text_col=text_col,
-            group_col=group_col, hash_family=hash_family)
+            group_col=group_col, hash_family=hash_family,
+            baseline_n_buckets=baseline_n_buckets)
         rows = [{"batch_id": int(batch_id), **r.asDict()}
                 for r in scored.collect()]
         scored.unpersist()

@@ -113,29 +113,31 @@ def test_checked_window_covers_every_operator_family():
         "40_dedup_exact", "41_doc_profile",
         "44_ngram_jaccard", "45_minhash_lsh",  # banded near-dup (covers 46)
         "47_ann_cosine", "74_pq_ann",          # ANN family (covers 52)
-        "51_embedding_near_dup", "69_embedding_lsh",
+        "51_embedding_near_dup",  # embedding near-dup (covers 69 + 133)
         "50_sessionization",   # event windows (covers 49 tumbling, green r5)
-        "53_winnowing", "56_funnel", "58_clean_corpus",
+        "56_funnel", "58_clean_corpus",
         "70_decontaminate", "71_weighted_mix",  # 71: post-oracle-fix row
-        "72_chunk_documents",
     ]
     missing = [n for n in must_be_checked if n not in window]
     assert not missing, f"outside the 50-entry checked window: {missing}"
-    # the r7 rotation exists to give the r6 additions (never
+    # the r8 rotation exists to give the r7 additions (never
     # driver-green, local-gate evidence only) their official driver
-    # rows: every one must be inside the window. The r6-rotated set all
-    # carry green CORRECTNESS_r06 rows; the survivors below stay as
-    # family anchors (packing / tokenizer / LM / quality-rules /
-    # BM25+calibration / DSIR / multimodal).
+    # rows, plus the two r8 serving-lifecycle entries: every one must
+    # be inside the window. The r7-rotated-out set all carry green
+    # CORRECTNESS_r07 rows; the survivors below stay as family anchors
+    # (packing / tokenizer / LM / quality-rules / indexed-BM25 +
+    # calibration / DSIR).
     rotated_in = [
-        "124_tfidf_cosine", "125_weighted_sample", "126_budget_select",
-        "127_hard_negatives", "128_retrieval_metrics",
-        "129_normalized_dedup", "130_hashed_features",
-        # family anchors kept from the r5/r6 windows
+        "131_hybrid_rrf", "132_source_divergence", "133_jl_distortion",
+        "134_dedup_funnel", "135_js_drift", "136_ivf_recall",
+        "137_lang_confusion", "138_pq_recall", "139_bpe_compression",
+        "140_group_split", "141_hybrid_serve",
+        "142_group_split_clustered",
+        # family anchors kept from the r5/r6/r7 windows
         "90_packed_text", "102_bpe_encode", "104_bigram_lm",
-        "117_gopher_rules", "121_bm25_rank", "122_minhash_calibration",
+        "117_gopher_rules", "122_minhash_calibration",
         "123_bm25_indexed",
-        "106_dsir_select", "108_build_corpus", "109_media_dedup",
+        "106_dsir_select", "108_build_corpus",
     ]
     out = [n for n in rotated_in if n not in window]
-    assert not out, f"r7-rotated entries fell back out of the window: {out}"
+    assert not out, f"r8-rotated entries fell back out of the window: {out}"

@@ -429,6 +429,56 @@ def test_bm25_index_serving_never_aggregates_full_index(spark, tmp_path):
                          plan), "full-index distinct(doc_id) in serving plan"
 
 
+def test_hybrid_serving_never_aggregates_feature_table(spark, tmp_path):
+    """The fully-supplied hybrid serving path (postings index + stats,
+    feats + norms) must be a pure lookup plan: every postings scan is
+    term-pruned, the feature-table scan is bucket-pruned (the query
+    vector is a driver-side literal, so the IN-filter pushes into the
+    written table), and NO corpus-wide aggregate over the feature table
+    appears — in particular no ``sum(feat * feat)`` norm re-derivation,
+    the q123 defect class on the dense leg. Raw text is never
+    scanned."""
+    import re
+
+    from tantalus_spark.datapipe.textstats import (
+        build_term_index, hashed_features, hashed_norms,
+        hybrid_serve_indexed)
+
+    docs = db_for(spark, SF).table("documents")
+    idx_df, (n_docs, avgdl) = build_term_index(docs, with_stats=True)
+    idx_df.write.parquet(str(tmp_path / "ix"))
+    feats_df = hashed_features(docs, dim=64)
+    feats_df.write.parquet(str(tmp_path / "feats"))
+    feats = spark.read.parquet(str(tmp_path / "feats"))
+    hashed_norms(feats).write.parquet(str(tmp_path / "norms"))
+    plan = _plan(hybrid_serve_indexed(
+        spark.read.parquet(str(tmp_path / "ix")),
+        ["hash", "merge"], feats, k=5, depth=10, dim=64,
+        n_docs=n_docs, avgdl=avgdl,
+        norms=spark.read.parquet(str(tmp_path / "norms"))))
+    # raw documents never appear: only the prebuilt artifacts are read
+    assert "documents.parquet" not in plan
+    # every scan is pruned to the query: postings by term, feats by
+    # bucket; the norms sidecar scan joins on the bucket-pruned dots
+    # side (no static predicate to push — its chunk may be empty)
+    chunks = [c.splitlines()[0] for c in plan.split("PushedFilters:")[1:]]
+    assert chunks, "no parquet scan in serving plan"
+    assert any("In(term" in c for c in chunks), chunks
+    assert any("In(bucket" in c for c in chunks), chunks
+    for c in chunks:
+        ok = ("In(term" in c or "In(bucket" in c
+              or "feat" not in c)  # norms/id-only scans push no literal
+        assert ok, f"unpruned scan: {c}"
+    # no corpus-wide norm aggregate: the only sum(feat*feat) shape
+    # allowed is none at all when norms are supplied
+    assert not re.search(r"sum\(\(?feat#\d+L?\s*\*\s*feat#\d+L?\)?\)",
+                         plan), "per-query norm re-derivation in plan"
+    # and no full-index distinct(doc_id) stats fallback either
+    assert not re.search(
+        r"HashAggregate\(keys=\[doc_id[^,\]]*\],\s*functions=\[\]",
+        plan), "full-index distinct(doc_id) in serving plan"
+
+
 def test_gopher_rules_tokenizes_at_most_twice(spark):
     """q117's plan contract (the interpreted-HOF rule): the tokenized
     word arrays are materialized once — original-case + lowered — so

@@ -1120,6 +1120,71 @@ def test_term_index_empty_corpus_and_empty_delta(spark):
     assert stats_e == (0, 0.0) and idx_e.count() == 0
 
 
+def test_prune_term_index_equals_rebuild_over_survivors(spark):
+    """Delete-side maintenance must be bit-identical to a full rebuild
+    over the surviving corpus — same postings multiset, same (N, avgdl),
+    same BM25 serving results — including a token-less removed doc
+    (counted in N, dl 0, no postings) and the everything-removed /
+    nothing-removed edges."""
+    from pyspark.sql import functions as F
+
+    from tantalus_spark.datapipe.textstats import (
+        bm25_rank_indexed, build_term_index, prune_term_index)
+
+    filler = " ".join(["pad"] * 15)
+    docs = spark.createDataFrame(
+        [(i, f"apple banana {filler} " + "apple " * (i % 3))
+         for i in range(1, 8)] + [(8, "   ")],  # 8: token-less, dl 0
+        "doc_id long, text string")
+    idx, stats = build_term_index(docs, with_stats=True)
+    removed = spark.createDataFrame([(2,), (5,), (8,)], "doc_id long")
+    idx_p, (n_p, avg_p) = prune_term_index(idx, stats, removed)
+    idx_f, (n_f, avg_f) = build_term_index(
+        docs.filter(~F.col("doc_id").isin(2, 5, 8)), with_stats=True)
+    assert n_p == n_f and abs(avg_p - avg_f) < 1e-12
+    assert sorted(map(tuple, idx_p.collect())) == \
+        sorted(map(tuple, idx_f.collect()))
+    served_p = [r.asDict() for r in bm25_rank_indexed(
+        idx_p, ["apple"], k=20, n_docs=n_p, avgdl=avg_p).collect()]
+    served_f = [r.asDict() for r in bm25_rank_indexed(
+        idx_f, ["apple"], k=20, n_docs=n_f, avgdl=avg_f).collect()]
+    assert served_p == served_f
+    # nothing removed: unchanged
+    none = spark.createDataFrame([], "doc_id long")
+    idx_0, stats_0 = prune_term_index(idx, stats, none)
+    assert stats_0 == stats
+    # everything removed: empty index, empty-corpus stats
+    all_ids = docs.select("doc_id")
+    idx_e, stats_e = prune_term_index(idx, stats, all_ids)
+    assert stats_e == (0, 0.0) and idx_e.count() == 0
+
+
+def test_merge_hashed_index_equals_full_rebuild(spark):
+    """Dense-leg insert maintenance: merged (feats, norms) equal a full
+    rebuild over the union bit-for-bit, and hybrid serving over the
+    merged artifacts equals serving over the rebuilt ones."""
+    from tantalus_spark.datapipe.textstats import (
+        hashed_features, hashed_norms, merge_hashed_index)
+
+    filler = " ".join(f"pad{i}" for i in range(10))
+    old = spark.createDataFrame(
+        [(i, f"apple banana {filler}") for i in range(1, 6)],
+        "doc_id long, text string")
+    new = spark.createDataFrame(
+        [(10, f"cherry date {filler}"), (11, "cherry cherry")],
+        "doc_id long, text string")
+    feats_old = hashed_features(old, dim=16)
+    norms_old = hashed_norms(feats_old)
+    feats_m, norms_m = merge_hashed_index(feats_old, norms_old, new,
+                                          dim=16)
+    both = old.unionByName(new)
+    feats_f = hashed_features(both, dim=16)
+    assert sorted(map(tuple, feats_m.collect())) == \
+        sorted(map(tuple, feats_f.collect()))
+    assert sorted(map(tuple, norms_m.collect())) == \
+        sorted(map(tuple, hashed_norms(feats_f).collect()))
+
+
 def test_tfidf_cosine_zero_norm_docs_never_pair(spark):
     """max_df_frac=1.0 keeps a universal term with idf 0; docs whose
     only kept term is that one have zero norm — the NaN cosine must not
@@ -1198,15 +1263,16 @@ def test_source_js_divergence_bounds_and_symmetry(spark):
 
 def test_dense_serve_stream_matches_batch_dense_leg(spark, tmp_path):
     """The streaming dense leg replaying a static query set against the
-    frozen hashed-feature table emits exactly the batch q131 dense
-    leg's integer dots and nano-cosines: the per-term-instance
-    expansion Σ sgn(t)·feat_bucket(t) equals Σ_b qfeat_b·feat_b
-    bit-for-bit (both are BIGINT sums of the same products)."""
+    frozen hashed-feature table emits exactly the batch q131/q141
+    dense leg (_dense_leg_scored — the ACTUAL shared code path, not a
+    test-local recomputation): same doc set — including any net-dot-0
+    docs, which the batch leg emits with cos_nano 0 and which can
+    occupy within-depth rank slots — and bit-identical nano-cosines."""
     import datetime as dt
     import time
 
     from tantalus_spark.datapipe.textstats import (
-        _query_hashed_features, hashed_features)
+        _dense_leg_scored, _query_hashed_features, hashed_features)
     from tantalus_spark.streaming.scoring import dense_serve_stream
 
     filler = " ".join(f"pad{i}" for i in range(20))
@@ -1232,28 +1298,16 @@ def test_dense_serve_stream_matches_batch_dense_leg(spark, tmp_path):
          .writeStream.format("memory").queryName("dense_served")
          .outputMode("append").trigger(availableNow=True).start())
     q.awaitTermination(120)
-    got = {r["doc_id"]: (r["dot"], r["cos_nano"])
+    got = {r["doc_id"]: r["cos_nano"]
            for r in spark.sql(
                "SELECT * FROM dense_served WHERE query_id = 7").collect()}
 
-    # batch dense leg, exactly as hybrid_rank_rrf builds it
-    from pyspark.sql import functions as F
+    # the ACTUAL batch dense leg (depth > corpus so the limit is inert)
     qf = _query_hashed_features([t.lower() for t in terms], dim)
-    qnorm = float(sum(v * v for v in qf.values()))
-    qdf = spark.createDataFrame(sorted(qf.items()), "bucket int, qfeat long")
-    norms = feats.groupBy("doc_id").agg(
-        F.sum(F.col("feat") * F.col("feat")).alias("norm"))
-    dots = (feats.join(F.broadcast(qdf), "bucket").groupBy("doc_id")
-                 .agg(F.sum(F.col("feat") * F.col("qfeat")).alias("dot")))
-    cosc = (F.col("dot").cast("double")
-            / F.sqrt(F.col("norm").cast("double") * F.lit(qnorm)))
-    want = {r["doc_id"]: (r["dot"], r["cos_nano"])
-            for r in dots.join(norms, "doc_id")
-                         .filter((F.col("dot") != 0) & (F.col("norm") > 0))
-                         .select("doc_id", "dot",
-                                 F.floor(cosc * F.lit(1e9) + F.lit(0.5))
-                                 .cast("long").alias("cos_nano"))
-                         .collect()}
+    want = {r["doc_id"]: r["cos_nano"]
+            for r in _dense_leg_scored(feats, qf, depth=100,
+                                       id_col="doc_id",
+                                       norms=None).collect()}
     feats.unpersist()
     assert got == want and len(got) >= 4, (got, want)
 
@@ -1412,6 +1466,76 @@ def test_hybrid_rrf_prebuilt_feats_serving_path(spark):
     scan.unpersist()
     assert a == b and len(a) == 5
     feats.unpersist()
+
+
+def test_hybrid_serve_indexed_matches_scan_path(spark):
+    """The fully index-served hybrid (q141: postings + stats + feats +
+    norms, zero raw-text scans) returns EXACTLY the scan path's fusion
+    (q131) — legs and fusion share one expression tree, so parity is
+    bit-exact, not approximate."""
+    from tantalus_spark.datapipe.textstats import (
+        build_term_index, hashed_features, hashed_norms,
+        hybrid_rank_rrf, hybrid_serve_indexed)
+
+    filler = " ".join(f"pad{i}" for i in range(25))
+    docs = spark.createDataFrame(
+        [(i, f"apple banana {filler} " + "cherry " * (i % 4))
+         for i in range(1, 12)],
+        "doc_id long, text string")
+    scan = hybrid_rank_rrf(docs, ["apple", "cherry"], k=6, depth=8,
+                           dim=16)
+    a = sorted(map(tuple, scan.collect()))
+    scan.unpersist()
+
+    idx, (n_docs, avgdl) = build_term_index(docs, with_stats=True)
+    feats = hashed_features(docs, dim=16).persist()
+    norms = hashed_norms(feats).persist()
+    norms.count()
+    served = hybrid_serve_indexed(idx, ["apple", "cherry"], feats,
+                                  k=6, depth=8, dim=16,
+                                  n_docs=n_docs, avgdl=avgdl,
+                                  norms=norms)
+    b = sorted(map(tuple, served.collect()))
+    assert a == b and len(a) == 6
+    # self-contained fallback (no stats / no norms) is also identical
+    served2 = hybrid_serve_indexed(idx, ["apple", "cherry"], feats,
+                                   k=6, depth=8, dim=16)
+    assert sorted(map(tuple, served2.collect())) == a
+    feats.unpersist()
+    norms.unpersist()
+
+
+def test_group_split_cluster_map_joins_near_dup_twins(spark):
+    """With a frozen cluster map, near-dup twins that are NOT byte- or
+    NFC-equal land in ONE split; docs NFC-equal to a clustered member
+    inherit the cluster family (the lift to the NFC-family level); and
+    unmapped singletons reproduce the base tier exactly."""
+    from tantalus_spark.datapipe.sampling import group_split
+
+    base = "shared near duplicate body with plenty of words here"
+    rows = ([(i, f"unique doc {i} body") for i in range(20)]
+            + [(100, base + " variant one"),
+               (101, base + " variant two"),     # near-dup of 100
+               (102, base + " variant  one")])   # NFC/ws-equal to 100
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    # frozen family map (as dup_clusters would emit): 100 and 101 are
+    # one cluster; 102 is NOT in the map (only NFC-linked to 100)
+    cmap = spark.createDataFrame([(100, 100), (101, 100)],
+                                 "doc_id long, cluster_id long")
+    out = group_split(df, {"train": .8, "val": .1, "test": .1},
+                      cluster_map=cmap)
+    got = {r["doc_id"]: (r["canonical_id"], r["split"])
+           for r in out.collect()}
+    # 100 and 101 (near-dups, different NFC digests) share the family
+    assert got[100] == got[101]
+    # 102 is NFC-equal to 100, so the lift pulls it into the same family
+    assert got[102] == got[100]
+    # unmapped singletons: identical to the base (no-map) tier
+    plain = group_split(df, {"train": .8, "val": .1, "test": .1})
+    want = {r["doc_id"]: (r["canonical_id"], r["split"])
+            for r in plain.collect()}
+    for i in range(20):
+        assert got[i] == want[i]
 
 
 def test_group_split_families_never_straddle(spark):
