@@ -1636,8 +1636,13 @@ def merge_term_index(
     New docs must be disjoint from the indexed ids (an id appearing in
     both would double its postings — the caller dedups first, e.g. via
     the q86 novel-docs semi-join). Corpus stats update in O(batch):
-    ``N' = N + n_new``; ``avgdl' = (N·avgdl + Σ dl_new) / N'`` — exact,
-    because N·avgdl is the old dl sum. Returns
+    ``N' = N + n_new``; ``avgdl' = (Σ dl_old + Σ dl_new) / N'``. The
+    integer dl sums are recovered exactly from the stored doubles —
+    ``round(N·avgdl)`` equals the true integer sum while Σ dl < 2^51
+    (the double s/n·n round-trip errs by < 0.5 there; 2^51 tokens is
+    beyond any corpus) — so avgdl' is BIT-identical to a full rebuild's
+    one division, not merely close: serving scores floor at 1e-9 and a
+    1-ulp avgdl drift could flip a boundary. Returns
     ``(postings', (n_docs', avgdl'))`` bit-identical to a full rebuild
     over the union (differential test in tests/test_textstats.py)."""
     n_old, avgdl_old = int(stats[0]), float(stats[1])
@@ -1648,8 +1653,9 @@ def merge_term_index(
         # (and n_old may itself be 0 — avoid 0/0).
         return index, (n_old, avgdl_old)
     n_total = n_old + n_new
-    avgdl = (n_old * avgdl_old + n_new * avgdl_new) / float(n_total)
-    return index.unionByName(delta), (n_total, avgdl)
+    dl_sum = round(n_old * avgdl_old) + round(n_new * avgdl_new)
+    return index.unionByName(delta), (n_total,
+                                      float(dl_sum) / float(n_total))
 
 
 def prune_term_index(
@@ -1672,7 +1678,11 @@ def prune_term_index(
     carries its dl; a doc with tokens always has >= 1 posting, and a
     token-less doc has dl 0 — absent from the postings AND contributing
     0 to the dl sum, so only its count is subtracted). Stats downdate
-    exactly: ``N' = N - n_removed``; ``dl_sum' = N·avgdl - Σ dl_removed``.
+    exactly: ``N' = N - n_removed``;
+    ``dl_sum' = round(N·avgdl) - Σ dl_removed`` — the rounding recovers
+    the true INTEGER dl sum (exact while Σ dl < 2^51, see
+    :func:`merge_term_index`), so avgdl' is bit-identical to a full
+    rebuild's division.
 
     Scale: the tombstone set BROADCASTS — the postings drop is a
     map-side broadcast anti-join (the corpus-scale index never
@@ -1699,8 +1709,8 @@ def prune_term_index(
     rs = (index.join(F.broadcast(rem), id_col, "leftsemi")
                .groupBy(id_col).agg(F.max("dl").alias("_dl"))
                .agg(F.sum("_dl").alias("s"))).first()
-    dl_sum = n_old * avgdl_old - float(rs["s"] or 0.0)
-    return pruned, (n_total, dl_sum / float(n_total))
+    dl_sum = round(n_old * avgdl_old) - int(rs["s"] or 0)
+    return pruned, (n_total, float(dl_sum) / float(n_total))
 
 
 def merge_hashed_index(

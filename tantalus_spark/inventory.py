@@ -2028,6 +2028,48 @@ def q142_group_split_clustered(spark, sf_dir):
                        cluster_map=cmap)
 
 
+def q143_pruned_index_serve(spark, sf_dir):
+    """Delete-side index lifecycle (prune_term_index): tombstone every
+    doc_id divisible by 7 out of the postings index WITHOUT rescanning
+    the surviving corpus (broadcast anti-join + exact O(removed) stats
+    downdate), then serve BM25 from the pruned index + downdated
+    stats — scores are bit-identical to a full rebuild over the
+    survivors, which is exactly what the oracle computes. Completes
+    build → merge → prune → serve."""
+    from tantalus_spark.datapipe.textstats import (
+        bm25_rank_indexed, build_term_index, prune_term_index)
+
+    docs = db_for(spark, sf_dir).table("documents")
+    idx, stats = build_term_index(docs, with_stats=True)
+    removed = docs.filter(F.col("doc_id") % 7 == 0).select("doc_id")
+    idx_p, (n_p, avg_p) = prune_term_index(idx, stats, removed)
+    return bm25_rank_indexed(idx_p, ["customer", "merge", "sort"],
+                             k=15, n_docs=n_p, avgdl=avg_p)
+
+
+def q144_merged_dense_serve(spark, sf_dir):
+    """Insert-side dense-leg lifecycle (merge_hashed_index): fold the
+    doc_id >= 400 batch into the hashed-feature table + norms sidecar
+    built from the older docs (two unions, zero old-corpus rescans),
+    then serve the dense cosine leg from the merged artifacts — ranks
+    bit-identical to a rebuild over the union, which the oracle
+    computes."""
+    from tantalus_spark.datapipe.textstats import (
+        _dense_leg_scored, _query_hashed_features, hashed_features,
+        hashed_norms, merge_hashed_index)
+
+    docs = db_for(spark, sf_dir).table("documents")
+    old = docs.filter(F.col("doc_id") < 400)
+    new = docs.filter(F.col("doc_id") >= 400)
+    feats_old = hashed_features(old, dim=64)
+    feats, norms = merge_hashed_index(feats_old,
+                                      hashed_norms(feats_old), new,
+                                      dim=64)
+    qf = _query_hashed_features(["customer", "sort", "hash"], 64)
+    return _dense_leg_scored(feats, qf, depth=25, id_col="doc_id",
+                             norms=norms)
+
+
 _ALL_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     name[1:]: fn
     for name, fn in list(globals().items())
@@ -2187,6 +2229,10 @@ _QUERY_ORDER = [
     "92_vocab_coverage", "94_source_report", "95_paragraph_dedup",
     "99_corpus_shuffle", "100_bpe_merges",
     "103_temperature_mix", "105_gate_attribution",
+    # r8 additions beyond the window: index-lifecycle delete/insert
+    # maintenance served end-to-end — full-value-oracled; r9 ROTATION
+    # CANDIDATES under the standing protocol.
+    "143_pruned_index_serve", "144_merged_dense_serve",
 ]
 
 QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
@@ -4212,6 +4258,85 @@ ORACLES["140_group_split"] = """
                 WHEN bk < 90 THEN 'val'
                 ELSE 'test' END AS split
     FROM b
+"""
+
+# q143: serving from the pruned index + downdated stats is bit-identical
+# to BM25 over the surviving corpus (integer dl-sum recovery makes the
+# avgdl division identical to a rebuild's), so the oracle simply ranks
+# over documents with the tombstoned ids filtered out.
+ORACLES["143_pruned_index_serve"] = """
+    WITH base AS (
+      SELECT doc_id,
+             string_split_regex(trim(lower(text)), '\\s+') AS toks
+      FROM documents WHERE text IS NOT NULL AND doc_id % 7 <> 0),
+    dl AS (SELECT doc_id, CAST(len(toks) AS BIGINT) AS dl FROM base),
+    tot AS (SELECT CAST(count(*) AS DOUBLE) AS n,
+                   CAST(sum(dl) AS DOUBLE) / CAST(count(*) AS DOUBLE)
+                     AS avgdl
+            FROM dl),
+    toks AS (SELECT doc_id, unnest(toks) AS term FROM base),
+    tf AS (SELECT doc_id, term, count(*) AS tf
+           FROM toks
+           WHERE term IN ('customer', 'merge', 'sort')
+           GROUP BY doc_id, term),
+    dfq AS (SELECT term, count(*) AS df FROM tf GROUP BY term),
+    sc AS (
+      SELECT tf.doc_id,
+             CAST(floor(
+               ln(1.0 + (tot.n - dfq.df + 0.5) / (dfq.df + 0.5))
+               * (tf.tf * 2.2)
+               / (tf.tf + 1.2 * (0.25 + 0.75 * dl.dl / tot.avgdl))
+               * 1e9 + 0.5) AS BIGINT) AS s_nano
+      FROM tf JOIN dfq USING (term) JOIN dl USING (doc_id)
+      CROSS JOIN tot),
+    g AS (SELECT doc_id, CAST(sum(s_nano) AS BIGINT) AS score_nano,
+                 CAST(count(*) AS INTEGER) AS n_terms_hit
+          FROM sc GROUP BY doc_id)
+    SELECT doc_id, score_nano, n_terms_hit,
+           round(CAST(score_nano AS DOUBLE) / 1e9, 4) AS bm25
+    FROM g ORDER BY score_nano DESC, doc_id ASC LIMIT 15
+"""
+
+# q144: per-doc features/norms are independent across documents, so the
+# merged artifacts equal a build over the whole corpus — the oracle is
+# the dense leg over all documents.
+ORACLES["144_merged_dense_serve"] = """
+    WITH toks AS (
+      SELECT doc_id,
+             unnest(string_split_regex(trim(lower(text)), '\\s+'))
+               AS term
+      FROM documents WHERE text IS NOT NULL),
+    sf AS (
+      SELECT doc_id,
+             CAST(('0x' || substr(md5(term), 1, 15))::BIGINT % 64
+                  AS INTEGER) AS bucket,
+             CAST(1 - 2 * (('0x' || substr(md5('s_' || term), 1, 15))
+                           ::BIGINT % 2) AS INTEGER) AS sgn
+      FROM toks),
+    feats AS (SELECT doc_id, bucket, CAST(sum(sgn) AS BIGINT) AS feat
+              FROM sf GROUP BY doc_id, bucket),
+    qf AS (
+      SELECT bucket, CAST(sum(sgn) AS BIGINT) AS qfeat FROM (
+        SELECT CAST(('0x' || substr(md5(term), 1, 15))::BIGINT % 64
+                    AS INTEGER) AS bucket,
+               CAST(1 - 2 * (('0x' || substr(md5('s_' || term), 1, 15))
+                             ::BIGINT % 2) AS INTEGER) AS sgn
+        FROM (VALUES ('customer'), ('sort'), ('hash'))
+             t(term)) q
+      GROUP BY bucket HAVING sum(sgn) <> 0),
+    qn AS (SELECT CAST(sum(qfeat * qfeat) AS DOUBLE) AS qnorm FROM qf),
+    dots AS (SELECT f.doc_id, CAST(sum(f.feat * q.qfeat) AS BIGINT)
+                    AS dot
+             FROM feats f JOIN qf q USING (bucket) GROUP BY f.doc_id),
+    norms AS (SELECT doc_id, CAST(sum(feat * feat) AS BIGINT) AS norm
+              FROM feats GROUP BY doc_id)
+    SELECT d.doc_id,
+           CAST(floor(CAST(d.dot AS DOUBLE)
+                      / sqrt(CAST(n.norm AS DOUBLE) * qn.qnorm)
+                      * 1e9 + 0.5) AS BIGINT) AS cos_nano
+    FROM dots d JOIN norms n USING (doc_id) CROSS JOIN qn
+    WHERE n.norm > 0
+    ORDER BY cos_nano DESC, doc_id ASC LIMIT 25
 """
 
 # q142: the q140 split with the near-dup family tier — the cluster map

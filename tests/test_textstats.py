@@ -1082,7 +1082,10 @@ def test_merge_term_index_equals_full_rebuild(spark):
     idx_m, (n_m, avg_m) = merge_term_index(idx_old, stats_old, new)
     idx_f, (n_f, avg_f) = build_term_index(old.unionByName(new),
                                            with_stats=True)
-    assert n_m == n_f and abs(avg_m - avg_f) < 1e-12
+    # BIT-identical, not merely close: serving floors scores at 1e-9,
+    # so a 1-ulp avgdl drift could flip a boundary (integer dl-sum
+    # recovery via round(N*avgdl))
+    assert n_m == n_f and avg_m == avg_f
     pm = sorted(map(tuple, idx_m.collect()))
     pf = sorted(map(tuple, idx_f.collect()))
     assert pm == pf
@@ -1141,7 +1144,7 @@ def test_prune_term_index_equals_rebuild_over_survivors(spark):
     idx_p, (n_p, avg_p) = prune_term_index(idx, stats, removed)
     idx_f, (n_f, avg_f) = build_term_index(
         docs.filter(~F.col("doc_id").isin(2, 5, 8)), with_stats=True)
-    assert n_p == n_f and abs(avg_p - avg_f) < 1e-12
+    assert n_p == n_f and avg_p == avg_f  # bit-identical (see merge)
     assert sorted(map(tuple, idx_p.collect())) == \
         sorted(map(tuple, idx_f.collect()))
     served_p = [r.asDict() for r in bm25_rank_indexed(
