@@ -74,6 +74,11 @@ HEADLINE = [
     "134_dedup_funnel",
     "135_js_drift",
     "139_bpe_compression",
+    # r8 additions: the fully index-served hybrid (build + both-leg
+    # serve in one job — the honest lifecycle cost) and the
+    # cluster-tier leakage-free split
+    "141_hybrid_serve",
+    "142_group_split_clustered",
 ]
 
 

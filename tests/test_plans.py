@@ -479,6 +479,42 @@ def test_hybrid_serving_never_aggregates_feature_table(spark, tmp_path):
         plan), "full-index distinct(doc_id) in serving plan"
 
 
+def test_ivfpq_serving_partition_prunes_written_index(spark, tmp_path):
+    """The ANN warehouse layout (q138/q75 family): the (id, ivf_list,
+    pq_code) table written ``partitionBy("ivf_list")`` must
+    PARTITION-prune at serve time — ivf_pq_topk's probe filter is a
+    static IN over the partition column, so the scan reads only the
+    nprobe probed lists' files, never the whole index. This is the
+    index-once/query-many posture for the ANN stack (FAISS IVFPQ's
+    inverted-list layout expressed as hive partitioning)."""
+    from tantalus_spark.datapipe.similarity import (
+        ivf_assign, ivf_pq_topk, pq_encode, train_ivf_centroids,
+        train_pq_codebooks)
+
+    emb = db_for(spark, SF).table("embeddings")
+    cents = train_ivf_centroids(emb, n_lists=4, seed=7)
+    books = train_pq_codebooks(emb, m=4, k=16, seed=7)
+    codes = (ivf_assign(emb, cents).select("vec_id", "ivf_list")
+             .join(pq_encode(emb, books), "vec_id"))
+    codes.write.partitionBy("ivf_list").parquet(str(tmp_path / "ann"))
+    idx = spark.read.parquet(str(tmp_path / "ann"))
+
+    q = [float(x) for x in
+         emb.filter("vec_id = 3").first()["embedding"]]
+    plan = _plan(ivf_pq_topk(idx, cents, books, q, k=5, nprobe=2))
+    # the embeddings table is never read at serve time
+    assert "embeddings.parquet" not in plan
+    # the probe filter lands in PartitionFilters, and the scan's
+    # partition count is the probed subset, not all 4 lists
+    assert "PartitionFilters:" in plan
+    pf = plan.split("PartitionFilters:")[1].splitlines()[0]
+    assert "ivf_list" in pf, pf
+    import re
+    m = re.search(r"partitions read:\s*(\d+)", plan)
+    if m:  # Spark prints the pruned count in the scan node
+        assert int(m.group(1)) <= 2, plan[:2000]
+
+
 def test_gopher_rules_tokenizes_at_most_twice(spark):
     """q117's plan contract (the interpreted-HOF rule): the tokenized
     word arrays are materialized once — original-case + lowered — so
