@@ -122,6 +122,23 @@ SHOW = [
      " |queries|*m*k dot table joined onto posexploded codes, one"
      " (query,id) sum, per-query rank windows; no vector column read"
      " in the ADC leg"),
+    ("141_hybrid_serve", "fully index-served hybrid (r8): postings scan"
+     " term-IN-pruned, feats scan bucket-IN-pruned, prebuilt norms join"
+     " keys on the pruned dots side — NO corpus-wide aggregate anywhere"
+     " in the serving plan (the q123 lesson applied to the dense leg)"),
+    ("142_group_split_clustered", "cluster-tier leakage-free split (r8):"
+     " Arrow NFC pass, 16-byte digest shuffles, the cluster map lifted"
+     " to the NFC-family level with one map-sized aggregate; the split"
+     " itself stays a map-side md5-bucket expression"),
+    ("143_pruned_index_serve", "delete-side index lifecycle (r8): the"
+     " tombstone set broadcasts — postings drop is a map-side broadcast"
+     " anti-join (the corpus-scale index never shuffles), stats"
+     " downdate is one bounded aggregate over the removed docs'"
+     " postings; serving stays the q123 pruned-lookup shape"),
+    ("144_merged_dense_serve", "insert-side dense lifecycle (r8): the"
+     " merged feats/norms are two unions (per-doc independence), the"
+     " dense serve is the bucket-pruned broadcast-join leg with"
+     " prebuilt norms — no re-aggregation of the merged table"),
 ]
 
 

@@ -268,6 +268,60 @@ def dense_serve_stream(
                           F.round(cos, 4).alias("cosine")))
 
 
+def hybrid_serve_batches(
+    index: DataFrame,
+    n_docs: int,
+    avgdl: float,
+    feats: DataFrame,
+    norms: DataFrame,
+    sink,
+    k: int = 20,
+    depth: int = 50,
+    rrf_k: int = 60,
+    dim: int = 64,
+    k1: float = 1.2,
+    b: float = 0.75,
+    terms_col: str = "terms",
+    qid_col: str = "query_id",
+    id_col: str = "doc_id",
+):
+    """The foreachBatch hybrid server: returns the (batch_df, batch_id)
+    callback that runs EVERY query arriving in a micro-batch through
+    :func:`~tantalus_spark.datapipe.textstats.hybrid_serve_indexed` —
+    both legs off the frozen build-time artifacts (postings index +
+    stats, feats + norms; zero raw-text scans) — and hands
+    (batch_id, query_id, doc_id, rank_bm25, rank_dense, rrf) rows to
+    ``sink``.
+
+    foreachBatch is the honest shape for RRF fusion: each leg's dense
+    rank needs the leg's COMPLETE top-``depth`` before fusion — a
+    second stateful ranking over a streaming aggregate, which append
+    mode forbids (the leg twins ``bm25_serve_stream`` /
+    ``dense_serve_stream`` stop at scored candidates for exactly that
+    reason, documented there). Inside the callback the math IS the
+    batch operator, so each served query is bit-identical to
+    :func:`hybrid_serve_indexed` on the same artifacts (parity test in
+    tests/test_textstats.py). Per-batch driver work is
+    O(queries · k) collected rows; the per-query Spark jobs scan only
+    term-/bucket-pruned slivers of the frozen artifacts."""
+    from tantalus_spark.datapipe.textstats import hybrid_serve_indexed
+
+    def _on_batch(batch_df: DataFrame, batch_id: int) -> None:
+        queries = batch_df.select(qid_col, terms_col).collect()
+        out = []
+        for q in queries:
+            served = hybrid_serve_indexed(
+                index, list(q[terms_col]), feats, k=k, depth=depth,
+                rrf_k=rrf_k, dim=dim, k1=k1, b=b, id_col=id_col,
+                n_docs=n_docs, avgdl=avgdl, norms=norms)
+            out.extend({"batch_id": int(batch_id),
+                        "query_id": q[qid_col], **r.asDict()}
+                       for r in served.collect())
+        sink(out)
+
+    return _on_batch
+
+
 def drift_monitor_batches(
     baseline: DataFrame,
     sink,

@@ -1315,6 +1315,60 @@ def test_dense_serve_stream_matches_batch_dense_leg(spark, tmp_path):
     assert got == want and len(got) >= 4, (got, want)
 
 
+def test_hybrid_serve_batches_matches_batch_operator(spark, tmp_path):
+    """Each query served through the foreachBatch hybrid server equals
+    hybrid_serve_indexed run directly on the same frozen artifacts —
+    the callback IS the batch operator, so parity is bit-exact."""
+    import datetime as dt
+
+    from tantalus_spark.datapipe.textstats import (
+        build_term_index, hashed_features, hashed_norms,
+        hybrid_serve_indexed)
+    from tantalus_spark.streaming.scoring import hybrid_serve_batches
+
+    filler = " ".join(f"pad{i}" for i in range(20))
+    docs = spark.createDataFrame(
+        [(i, f"apple banana {filler} " + "cherry " * (i % 3))
+         for i in range(1, 9)],
+        "doc_id long, text string")
+    idx, (n_docs, avgdl) = build_term_index(docs, with_stats=True)
+    idx = idx.persist()
+    feats = hashed_features(docs, dim=16).persist()
+    norms = hashed_norms(feats).persist()
+    norms.count()
+
+    base = dt.datetime(2024, 1, 1, 12, 0)
+    qschema = "query_id long, terms array<string>, ts timestamp"
+    src = str(tmp_path / "hybrid_queries")
+    spark.createDataFrame(
+        [(1, ["apple", "cherry"], base), (2, ["banana"], base)],
+        qschema).coalesce(1).write.parquet(src)
+
+    got: list[dict] = []
+    stream = (spark.readStream.format("parquet").schema(qschema)
+              .load(src))
+    cb = hybrid_serve_batches(idx, n_docs, avgdl, feats, norms,
+                              sink=got.extend, k=5, depth=8, dim=16)
+    q = (stream.writeStream.foreachBatch(cb)
+         .trigger(availableNow=True)
+         .option("checkpointLocation", str(tmp_path / "ck"))
+         .start())
+    q.awaitTermination(120)
+
+    for qid, terms in [(1, ["apple", "cherry"]), (2, ["banana"])]:
+        want = sorted(
+            (r["doc_id"], r["rank_bm25"], r["rank_dense"], r["rrf"])
+            for r in hybrid_serve_indexed(
+                idx, terms, feats, k=5, depth=8, dim=16,
+                n_docs=n_docs, avgdl=avgdl, norms=norms).collect())
+        have = sorted(
+            (r["doc_id"], r["rank_bm25"], r["rank_dense"], r["rrf"])
+            for r in got if r["query_id"] == qid)
+        assert have == want and len(have) == 5, (qid, have, want)
+    for df in (idx, feats, norms):
+        df.unpersist()
+
+
 def test_drift_monitor_foreachbatch_matches_batch_operator(spark, tmp_path):
     """Each micro-batch's drift rows equal js_against_baseline run on
     that batch's rows — the foreachBatch twin IS the batch operator, so
