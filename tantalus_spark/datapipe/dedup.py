@@ -913,23 +913,34 @@ def split_leakage(
     text_col: str = "text",
     id_col: str = "doc_id",
     hash_family: str = "xxhash64",
+    splits: DataFrame | None = None,
 ) -> DataFrame:
     """Train/eval leakage audit: near-duplicate pairs that CROSS a
-    hash-split boundary. Exact-dup and near-dup twins landing on
+    split boundary. Exact-dup and near-dup twins landing on
     opposite sides of a train/val split silently inflate eval metrics
     (Lee et al. 2022) — decontamination (q70/q77) checks against an
     external benchmark, this checks the split against itself.
 
-    Composes :func:`~tantalus_spark.datapipe.sampling.hash_split` with
+    By default composes :func:`~tantalus_spark.datapipe.sampling.hash_split`
+    (measuring the leakage a naive id-hash split incurs) with
     :func:`minhash_lsh_pairs` and keeps only pairs whose endpoints got
-    different splits. Returns (d1, d2, jaccard, split1, split2).
+    different splits. Pass ``splits`` — any (id, split) assignment,
+    e.g. :func:`~tantalus_spark.datapipe.sampling.group_split` output —
+    to audit THAT split instead: the measure-then-fix loop is
+    split_leakage(hash) > 0 → group_split(cluster_map=...) →
+    split_leakage(splits=that) == 0 (test in tests/test_dedup.py).
+    Returns (d1, d2, jaccard, split1, split2).
     Scale: the LSH pair generation dominates (banded, O(docs x bands));
     the split map carries two tiny columns and broadcasts into the
     (small) pair set.
     """
     from tantalus_spark.datapipe.sampling import hash_split
 
-    splits = hash_split(df.select(id_col), fractions, id_col=id_col)
+    if splits is None:
+        splits = hash_split(df.select(id_col), fractions, id_col=id_col)
+    else:
+        splits = splits.select(F.col(splits.columns[0]).alias(id_col),
+                               F.col("split"))
     pairs = minhash_lsh_pairs(
         df, n_perm=n_perm, bands=bands, shingle_n=shingle_n,
         threshold=threshold, text_col=text_col, id_col=id_col,

@@ -544,9 +544,24 @@ def quality_classifier(
     weights over engine-computable features) runs in."""
     import math
 
-    w = dict(QUALITY_WEIGHTS, **(weights or {}))
     df = spread_small_scan(df)
-    text = F.col(text_col)
+    z = _quality_logit(F.col(text_col), weights, bias)
+    cut = math.log(threshold / (1.0 - threshold))
+    return df.select(
+        F.col(id_col),
+        F.round(F.lit(1.0) / (F.lit(1.0) + F.exp(-z)), 4)
+        .alias("quality_score"),
+        (z >= F.lit(cut)).alias("keep"),
+    )
+
+
+def _quality_logit(text: Column, weights: dict[str, float] | None,
+                   bias: float) -> Column:
+    """The logistic quality scorer's LOGIT as one expression tree —
+    shared by :func:`quality_classifier` (gate decision) and
+    :func:`score_calibration` (reliability audit) so both score the
+    exact same IEEE arithmetic."""
+    w = dict(QUALITY_WEIGHTS, **(weights or {}))
     n = F.length(text)
     feats = {
         "log_tokens": F.log(F.size(tokens(text)) + F.lit(1.0)),
@@ -561,13 +576,7 @@ def quality_classifier(
     z = F.lit(float(bias))
     for name, weight in w.items():
         z = z + F.lit(float(weight)) * feats[name]
-    cut = math.log(threshold / (1.0 - threshold))
-    return df.select(
-        F.col(id_col),
-        F.round(F.lit(1.0) / (F.lit(1.0) + F.exp(-z)), 4)
-        .alias("quality_score"),
-        (z >= F.lit(cut)).alias("keep"),
-    )
+    return z
 
 
 # PII patterns chosen for cross-engine regex parity: no backreferences,
@@ -1061,7 +1070,20 @@ def c4_filters(
     interpreted-HOF rule), everything else is codegen; regexes are
     RE2-parity so the gate has a full DuckDB oracle."""
     df = spread_small_scan(df)
-    text = F.col(text_col)
+    c4 = _c4_exprs(F.col(text_col), min_sentences, min_line_words)
+    return df.select(
+        F.col(id_col),
+        *[expr.alias(name) for name, expr in c4.items()],
+    )
+
+
+def _c4_exprs(text: Column, min_sentences: int,
+              min_line_words: int) -> dict[str, Column]:
+    """The C4 gate columns as one expression-tree dict — shared by
+    :func:`c4_filters` (the cleaning pass) and
+    :func:`score_calibration` (which uses only ``keep`` as the
+    calibration label) so the rule gate is the same arithmetic in
+    both."""
     lines = F.split(text, "\n")
     line_ok = lambda ln: (  # noqa: E731
         ln.rlike('[.!?"]\\s*$')
@@ -1076,16 +1098,71 @@ def c4_filters(
     has_lorem = F.lower(text).contains("lorem ipsum")
     keep = ((n_sent >= F.lit(min_sentences))
             & ~has_brace & ~has_lorem & (F.size(kept) > 0))
-    return df.select(
-        F.col(id_col),
-        F.size(lines).alias("n_lines"),
-        F.size(kept).alias("n_kept_lines"),
-        n_sent.alias("n_sentences"),
-        has_brace.alias("has_brace"),
-        has_lorem.alias("has_lorem"),
-        keep.alias("keep"),
-        clean.alias("clean_text"),
+    return {
+        "n_lines": F.size(lines),
+        "n_kept_lines": F.size(kept),
+        "n_sentences": n_sent,
+        "has_brace": has_brace,
+        "has_lorem": has_lorem,
+        "keep": keep,
+        "clean_text": clean,
+    }
+
+
+def score_calibration(
+    df: DataFrame,
+    n_bins: int = 10,
+    weights: dict[str, float] | None = None,
+    bias: float = QUALITY_BIAS,
+    min_sentences: int = 3,
+    min_line_words: int = 3,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Reliability diagram for the logistic quality scorer against the
+    C4 rule gate — the evaluation that says whether the cheap learned
+    score can REPLACE the rule cascade at a given operating point
+    (a well-calibrated bin-k has pass_rate ≈ k-th probability band;
+    a badly calibrated one says keep the rules): per predicted-
+    probability bin, how many documents the rule gate actually keeps.
+
+    Engine-exactness: binning compares the LOGIT to literal logit-space
+    cuts ``ln(p/(1-p))`` (plain IEEE comparisons, the
+    :func:`quality_classifier` trick — no exp() near a boundary), the
+    per-bin mean logit sums exact micro-integers, and the gate label is
+    the same expression tree as :func:`c4_filters`. Full oracle.
+
+    Scale: ONE projection computes logit + bin + gate label (the score
+    and the label are both per-row text expressions — no join, no
+    second scan), then an n_bins-row integer groupBy. Scan-bound at any
+    corpus size. Returns (bin, n_docs, n_pass, pass_rate, mean_logit);
+    empty bins are absent (no docs to calibrate there)."""
+    import math
+
+    df = spread_small_scan(df).filter(F.col(text_col).isNotNull())
+    z = _quality_logit(F.col(text_col), weights, bias)
+    cuts = [math.log((k / n_bins) / (1.0 - k / n_bins))
+            for k in range(1, n_bins)]
+    bin_expr = F.lit(0)
+    for c in cuts:
+        bin_expr = bin_expr + (z >= F.lit(float(c))).cast("int")
+    keep = _c4_exprs(F.col(text_col), min_sentences, min_line_words)["keep"]
+    per_doc = df.select(
+        bin_expr.alias("bin"),
+        F.floor(z * F.lit(1e6) + F.lit(0.5)).cast("long").alias("_zm"),
+        keep.cast("int").alias("_pass"),
     )
+    return (per_doc.groupBy("bin")
+            .agg(F.count(F.lit(1)).cast("long").alias("n_docs"),
+                 F.sum("_pass").cast("long").alias("n_pass"),
+                 F.sum("_zm").alias("_zsum"))
+            .select("bin", "n_docs", "n_pass",
+                    F.round(F.col("n_pass").cast("double")
+                            / F.col("n_docs").cast("double"), 4)
+                    .alias("pass_rate"),
+                    F.round(F.col("_zsum").cast("double") / F.lit(1e6)
+                            / F.col("n_docs").cast("double"), 4)
+                    .alias("mean_logit")))
 
 
 # Encoding-noise patterns, RE2-parity like PII_PATTERNS: character

@@ -2028,6 +2028,22 @@ def q142_group_split_clustered(spark, sf_dir):
                        cluster_map=cmap)
 
 
+def q145_score_calibration(spark, sf_dir):
+    """Reliability diagram for the logistic quality scorer (q78)
+    against the C4 rule gate (q118): per predicted-probability decile,
+    the rule gate's actual pass rate — the eval that says whether the
+    cheap learned score can replace the rule cascade at an operating
+    point. One projection computes logit + bin + label (score and
+    label are both per-row text expressions — no join, no second
+    scan); binning compares the logit to literal logit-space cuts
+    (no exp() near a boundary); mean logits sum exact micro-integers.
+    Full oracle."""
+    from tantalus_spark.datapipe.textstats import score_calibration
+
+    docs = db_for(spark, sf_dir).table("documents")
+    return score_calibration(docs, n_bins=10)
+
+
 def q143_pruned_index_serve(spark, sf_dir):
     """Delete-side index lifecycle (prune_term_index): tombstone every
     doc_id divisible by 7 out of the postings index WITHOUT rescanning
@@ -2230,9 +2246,11 @@ _QUERY_ORDER = [
     "99_corpus_shuffle", "100_bpe_merges",
     "103_temperature_mix", "105_gate_attribution",
     # r8 additions beyond the window: index-lifecycle delete/insert
-    # maintenance served end-to-end — full-value-oracled; r9 ROTATION
-    # CANDIDATES under the standing protocol.
+    # maintenance served end-to-end, and the quality-score reliability
+    # diagram — full-value-oracled; r9 ROTATION CANDIDATES under the
+    # standing protocol.
     "143_pruned_index_serve", "144_merged_dense_serve",
+    "145_score_calibration",
 ]
 
 QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
@@ -4338,6 +4356,68 @@ ORACLES["144_merged_dense_serve"] = """
     WHERE n.norm > 0
     ORDER BY cos_nano DESC, doc_id ASC LIMIT 25
 """
+
+# q145: the reliability diagram — the bin cuts are the SAME Python
+# math.log literals Spark folds into its plan (full-precision repr), so
+# the IEEE comparisons agree bit-for-bit; the gate label is the q118
+# keep expression; mean logits sum exact micro-integers.
+import math as _math  # noqa: E402  (oracle literal generation)
+
+_CAL_BIN_SQL = " + ".join(
+    "CAST(z >= " + repr(_math.log((k / 10) / (1.0 - k / 10)))
+    + " AS INTEGER)" for k in range(1, 10))
+ORACLES["145_score_calibration"] = """
+    WITH base AS (
+      SELECT doc_id, text, string_split(text, chr(10)) AS lines
+      FROM documents WHERE text IS NOT NULL),
+    k AS (
+      SELECT doc_id, text, lines,
+             list_filter(lines, ln ->
+               regexp_matches(ln, '[.!?"]\\s*$')
+               AND len(list_filter(
+                     string_split_regex(trim(ln), '\\s+'),
+                     x -> x <> '')) >= 3
+               AND NOT contains(lower(ln), 'javascript')) AS kept
+      FROM base),
+    lab AS (
+      SELECT doc_id, text, lines,
+             (len(regexp_extract_all(
+                    coalesce(array_to_string(kept, chr(10)), ''),
+                    '[.!?]')) >= 3
+              AND NOT contains(text, '__BRACE__')
+              AND NOT contains(lower(text), 'lorem ipsum')
+              AND len(kept) > 0) AS keep
+      FROM k),
+    f AS (
+      SELECT doc_id, keep,
+             ln(len(string_split_regex(trim(text), '\\s+')) + 1.0)
+               AS log_tokens,
+             length(regexp_replace(text, '[^a-zA-Z]', '', 'g')) * 1.0
+               / length(text) AS alpha_ratio,
+             length(regexp_replace(text, '[^\\s]', '', 'g')) * 1.0
+               / length(text) AS space_ratio,
+             1.0 - len(list_distinct(lines)) * 1.0 / len(lines)
+               AS dup_line_ratio
+      FROM lab),
+    z AS (
+      SELECT doc_id, keep,
+             -2.2 + 0.35 * log_tokens + 3.0 * alpha_ratio
+                  + 4.0 * space_ratio + (-2.5) * dup_line_ratio AS z
+      FROM f),
+    b AS (
+      SELECT __BIN__ AS bin,
+             CAST(floor(z * 1e6 + 0.5) AS BIGINT) AS zm,
+             CAST(keep AS INTEGER) AS pass
+      FROM z)
+    SELECT bin,
+           CAST(count(*) AS BIGINT) AS n_docs,
+           CAST(sum(pass) AS BIGINT) AS n_pass,
+           round(CAST(sum(pass) AS DOUBLE) / CAST(count(*) AS DOUBLE),
+                 4) AS pass_rate,
+           round(CAST(sum(zm) AS DOUBLE) / 1e6
+                 / CAST(count(*) AS DOUBLE), 4) AS mean_logit
+    FROM b GROUP BY bin
+""".replace("__BIN__", _CAL_BIN_SQL).replace("__BRACE__", chr(123))
 
 # q142: the q140 split with the near-dup family tier — the cluster map
 # (case-fold equivalence canonical) is lifted to the NFC-family level

@@ -515,6 +515,105 @@ def test_split_leakage_flags_cross_split_twins(spark):
     assert within not in got                     # same-split pair filtered
 
 
+def test_group_split_with_cluster_map_closes_measured_leakage(spark):
+    """The measure-then-fix loop end to end: split_leakage flags the
+    near-dup twin pair a naive hash split separates (measured above);
+    auditing the SAME corpus under group_split with the dup-cluster
+    family map reports ZERO leakage — near-dup twins now move as one
+    family."""
+    from tantalus_spark.datapipe.dedup import (dup_clusters,
+                                               split_leakage)
+    from tantalus_spark.datapipe.sampling import group_split, hash_split
+
+    base = "the quick brown fox jumps over the lazy dog before midnight"
+    ids = spark.createDataFrame([(i,) for i in range(20)], "doc_id long")
+    sp = {r["doc_id"]: r["split"]
+          for r in hash_split(ids, {"a": 0.5, "b": 0.5}).collect()}
+    ia = next(i for i in sp if sp[i] == "a")
+    ib = next(i for i in sp if sp[i] == "b")
+    docs = spark.createDataFrame([
+        (ia, base),
+        (ib, base + " extra"),                   # near-dup across splits
+        (99_000, "completely unrelated content about other things"),
+    ], "doc_id long, text string")
+    # the naive split leaks (same construction as the test above)
+    leaks = split_leakage(docs, {"a": 0.5, "b": 0.5}).count()
+    assert leaks >= 1
+    # fix: family map from the iterative near-dup clustering, split on
+    # families, audit THAT assignment — zero cross-split near-dup pairs
+    cmap = dup_clusters(docs).select("doc_id", "cluster_id")
+    fixed = group_split(docs, {"a": 0.5, "b": 0.5}, cluster_map=cmap)
+    assert split_leakage(docs, {"a": 0.5, "b": 0.5},
+                         splits=fixed.select("doc_id", "split")
+                         ).count() == 0
+
+
+def test_score_calibration_bins_and_rates(spark):
+    """The reliability diagram's bins, counts, pass rates, and exact
+    micro-integer mean logits match a pure-Python recomputation of the
+    same features over a corpus crafted to span several probability
+    bins and both label outcomes."""
+    import math
+
+    from tantalus_spark.datapipe.textstats import (
+        QUALITY_BIAS, QUALITY_WEIGHTS, score_calibration)
+
+    good = ("This is a well formed sentence with plenty of words here."
+            "\nAnother proper line that also ends with punctuation!"
+            "\nA third sentence keeps the C4 gate happy.")
+    rows = [(1, good),
+            (2, good + "\nMore good text ends right here."),
+            (3, "short no punct"),
+            (4, "{ code block } lorem ipsum\n" + good),  # gated out
+            (5, "x\nx\nx\nx"),                           # dup lines
+            (6, None)]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    got = {r["bin"]: (r["n_docs"], r["n_pass"], r["pass_rate"],
+                      r["mean_logit"])
+           for r in score_calibration(df, n_bins=10).collect()}
+
+    def logit(t):
+        toks = [x for x in t.strip().split() if x]
+        n = len(t)
+        lines = t.split("\n")
+        feats = {
+            "log_tokens": math.log(len(toks) + 1.0),
+            "alpha_ratio": sum(c.isalpha() and c.isascii()
+                               for c in t) / n,
+            "space_ratio": sum(c.isspace() for c in t) / n,
+            "dup_line_ratio": 1.0 - len(set(lines)) / len(lines),
+        }
+        return QUALITY_BIAS + sum(QUALITY_WEIGHTS[k] * v
+                                  for k, v in feats.items())
+
+    def c4_keep(t):
+        kept = [ln for ln in t.split("\n")
+                if ln.rstrip() and ln.rstrip()[-1] in '.!?"'
+                and len(ln.split()) >= 3 and "javascript" not in ln.lower()]
+        cl = "\n".join(kept)
+        n_sent = sum(cl.count(p) for p in ".!?")
+        return (n_sent >= 3 and "{" not in t
+                and "lorem ipsum" not in t.lower() and len(kept) > 0)
+
+    cuts = [math.log((k / 10) / (1.0 - k / 10)) for k in range(1, 10)]
+    want: dict[int, list] = {}
+    for _id, t in rows:
+        if t is None:
+            continue
+        z = logit(t)
+        b = sum(z >= c for c in cuts)
+        want.setdefault(b, []).append(
+            (math.floor(z * 1e6 + 0.5), c4_keep(t)))
+    assert set(got) == set(want) and len(got) >= 2
+    for b, members in want.items():
+        n = len(members)
+        n_pass = sum(1 for _, kp in members if kp)
+        zsum = sum(zm for zm, _ in members)
+        assert got[b][0] == n and got[b][1] == n_pass
+        assert abs(got[b][2] - round(n_pass / n, 4)) < 1e-9
+        assert abs(got[b][3] - round(zsum / 1e6 / n, 4)) < 1e-9
+
+
 def test_length_outliers_exact_integer_predicate(spark):
     import statistics
     from tantalus_spark.datapipe.textstats import length_outliers
