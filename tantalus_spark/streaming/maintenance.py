@@ -1,0 +1,129 @@
+"""Versioned serving-index maintenance from a document stream.
+
+The deployment shape SCALING.md's "serving indexes" section describes,
+made concrete: the BM25 postings index + its (n_docs, avgdl) stats
+sidecar live as IMMUTABLE VERSIONS under one directory, a pointer file
+names the current one, refreshes fold each arriving micro-batch in with
+:func:`~tantalus_spark.datapipe.textstats.merge_term_index` (O(batch),
+never a rebuild) and atomically swap the pointer. Serving sessions
+(:func:`~tantalus_spark.datapipe.textstats.bm25_rank_indexed`,
+``hybrid_serve_indexed``, ``bm25_serve_stream``) read a version and keep
+it for the whole query/run — a swap mid-run is invisible to them, which
+is the point of version-swap over in-place mutation.
+
+Local filesystem semantics here (tests run on one box); on an object
+store the pointer update maps to the same conditional-put/rename
+primitive every table format uses for its commit file. Reference
+capability upgraded: the reference app re-queries Postgres per search
+(search_util/search_helper.py:27-49) — here the search index is a
+maintained, versioned artifact.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+
+from pyspark.sql import DataFrame, SparkSession
+
+_POINTER = "CURRENT"
+
+
+def load_term_index(spark: SparkSession, index_dir: str):
+    """Read the CURRENT index version: (postings DataFrame,
+    (n_docs, avgdl)). Returns (None, (0, 0.0)) when no version has been
+    committed yet (empty deployment)."""
+    ptr = os.path.join(index_dir, _POINTER)
+    if not os.path.exists(ptr):
+        return None, (0, 0.0)
+    with open(ptr) as f:
+        version = f.read().strip()
+    vdir = os.path.join(index_dir, version)
+    with open(os.path.join(vdir, "stats.json")) as f:
+        stats = json.load(f)
+    postings = spark.read.parquet(os.path.join(vdir, "postings"))
+    return postings, (int(stats["n_docs"]), float(stats["avgdl"]))
+
+
+def _commit_version(index_dir: str, version: str, postings: DataFrame,
+                    stats: tuple[int, float]) -> None:
+    """Write an immutable version directory, then atomically swap the
+    pointer (tmp + rename — the object-store commit-file primitive)."""
+    vdir = os.path.join(index_dir, version)
+    postings.write.mode("overwrite").parquet(
+        os.path.join(vdir, "postings"))
+    with open(os.path.join(vdir, "stats.json"), "w") as f:
+        json.dump({"n_docs": int(stats[0]), "avgdl": float(stats[1])}, f)
+    tmp = os.path.join(index_dir, _POINTER + ".tmp")
+    with open(tmp, "w") as f:
+        f.write(version)
+    os.replace(tmp, os.path.join(index_dir, _POINTER))
+
+
+def index_refresh_batches(
+    index_dir: str,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    dedup_against_current: bool = False,
+):
+    """The foreachBatch index maintainer: returns the (batch_df,
+    batch_id) callback that folds every arriving document micro-batch
+    into the versioned BM25 index under ``index_dir`` — O(batch) work
+    per refresh via
+    :func:`~tantalus_spark.datapipe.textstats.merge_term_index` (the
+    old corpus is never rescanned; its postings parquet is unioned
+    lazily and written back), then an atomic pointer swap publishes the
+    new version. After any number of batches the CURRENT index is
+    bit-identical to a full rebuild over every document seen
+    (rebuild-equal test in tests/test_textstats.py).
+
+    ``merge_term_index``'s disjoint-ids contract applies: a doc id
+    appearing in two batches would double its postings. Leave
+    ``dedup_against_current=False`` when upstream already dedups (the
+    q86 novel-docs pass — the production layout); set it True to drop
+    already-indexed ids here with a distinct-ids semi-join against the
+    current postings (one O(index) column scan per batch — the
+    convenience mode, not the 100 TB default; at that scale keep a doc-id
+    sidecar or the canonical map instead).
+
+    Wire it: ``doc_stream.writeStream.foreachBatch(
+    index_refresh_batches("/path/ix")).start()``. Delete-side
+    maintenance (tombstones) composes the same way with
+    :func:`~tantalus_spark.datapipe.textstats.prune_term_index`.
+    """
+    from pyspark.sql import functions as F
+
+    from tantalus_spark.datapipe.textstats import (build_term_index,
+                                                   merge_term_index)
+
+    os.makedirs(index_dir, exist_ok=True)
+
+    def _on_batch(batch_df: DataFrame, batch_id: int) -> None:
+        if not batch_df.take(1):
+            return
+        spark = batch_df.sparkSession
+        current, stats = load_term_index(spark, index_dir)
+        if current is not None and dedup_against_current:
+            # one postings scan, broadcast-pruned to the batch's ids;
+            # `already` is bounded by the batch size
+            already = (current.select(id_col)
+                       .join(F.broadcast(batch_df.select(id_col)
+                                         .distinct()),
+                             id_col, "left_semi")
+                       .distinct())
+            batch_df = batch_df.join(F.broadcast(already), id_col,
+                                     "left_anti")
+            if not batch_df.take(1):
+                return
+        if current is None:
+            postings, new_stats = build_term_index(
+                batch_df, text_col=text_col, id_col=id_col,
+                with_stats=True)
+        else:
+            postings, new_stats = merge_term_index(
+                current, stats, batch_df, text_col=text_col,
+                id_col=id_col)
+        _commit_version(index_dir, f"v{int(batch_id):08d}", postings,
+                        new_stats)
+
+    return _on_batch

@@ -1468,6 +1468,64 @@ def test_hybrid_serve_batches_matches_batch_operator(spark, tmp_path):
         df.unpersist()
 
 
+def test_index_refresh_batches_rebuild_equal_with_version_swap(
+        spark, tmp_path):
+    """Streaming index maintenance end to end: after N micro-batches
+    the CURRENT version is bit-identical to a full rebuild over every
+    document seen (postings multiset, stats, and served BM25 scores),
+    each refresh was O(batch) merge + atomic pointer swap, the version
+    history is immutable, and a duplicate-id batch is dropped by the
+    dedup_against_current semi-join instead of doubling postings."""
+    import datetime as dt
+    import os
+    import time
+
+    from tantalus_spark.datapipe.textstats import (bm25_rank_indexed,
+                                                   build_term_index)
+    from tantalus_spark.streaming.maintenance import (
+        index_refresh_batches, load_term_index)
+
+    filler = " ".join(f"pad{i}" for i in range(15))
+    b1 = [(i, f"apple banana {filler}") for i in range(1, 5)]
+    b2 = [(10, f"cherry apple {filler}"), (11, "banana banana")]
+    b3 = [(10, f"cherry apple {filler}")]  # duplicate id: must be dropped
+    schema = "doc_id long, text string, ts timestamp"
+    base = dt.datetime(2024, 1, 1)
+    src = str(tmp_path / "docs_stream")
+    for batch in (b1, b2, b3):
+        spark.createDataFrame([(i, t, base) for i, t in batch], schema) \
+            .coalesce(1).write.mode("append").parquet(src)
+        time.sleep(1.1)
+
+    ix_dir = str(tmp_path / "ix")
+    stream = (spark.readStream.format("parquet").schema(schema)
+              .option("maxFilesPerTrigger", 1).load(src))
+    q = (stream.select("doc_id", "text").writeStream
+         .foreachBatch(index_refresh_batches(
+             ix_dir, dedup_against_current=True))
+         .trigger(availableNow=True)
+         .option("checkpointLocation", str(tmp_path / "ck"))
+         .start())
+    q.awaitTermination(120)
+
+    postings, (n, avgdl) = load_term_index(spark, ix_dir)
+    all_docs = spark.createDataFrame(b1 + b2, "doc_id long, text string")
+    want_p, (wn, wavg) = build_term_index(all_docs, with_stats=True)
+    assert (n, avgdl) == (wn, wavg)  # bit-identical stats
+    assert sorted(map(tuple, postings.collect())) == \
+        sorted(map(tuple, want_p.collect()))
+    served = [r.asDict() for r in bm25_rank_indexed(
+        postings, ["apple", "banana"], k=10, n_docs=n,
+        avgdl=avgdl).collect()]
+    want_s = [r.asDict() for r in bm25_rank_indexed(
+        want_p, ["apple", "banana"], k=10, n_docs=wn,
+        avgdl=wavg).collect()]
+    assert served == want_s
+    # immutable version history: one directory per non-empty refresh
+    versions = sorted(d for d in os.listdir(ix_dir) if d.startswith("v"))
+    assert len(versions) == 2  # batch 3 was all-duplicate -> no commit
+
+
 def test_drift_monitor_foreachbatch_matches_batch_operator(spark, tmp_path):
     """Each micro-batch's drift rows equal js_against_baseline run on
     that batch's rows — the foreachBatch twin IS the batch operator, so
