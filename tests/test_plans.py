@@ -515,6 +515,30 @@ def test_ivfpq_serving_partition_prunes_written_index(spark, tmp_path):
         assert int(m.group(1)) <= 2, plan[:2000]
 
 
+def test_prune_term_index_never_shuffles_the_index(spark, tmp_path):
+    """q143's scale claim, plan-verified: dropping tombstoned docs from
+    a written postings index is a BROADCAST anti-join — the removed-id
+    set broadcasts and the corpus-scale index never exchanges. A
+    shuffled anti-join here would repartition the whole index per
+    delete batch."""
+    from tantalus_spark.datapipe.textstats import (build_term_index,
+                                                   prune_term_index)
+
+    docs = db_for(spark, SF).table("documents")
+    idx_df, stats = build_term_index(docs, with_stats=True)
+    idx_df.write.parquet(str(tmp_path / "ix"))
+    idx = spark.read.parquet(str(tmp_path / "ix"))
+    removed = docs.filter("doc_id % 7 = 0").select("doc_id")
+    pruned, _ = prune_term_index(idx, stats, removed)
+    plan = _plan(pruned)
+    assert "BroadcastHashJoin" in plan and "LeftAnti" in plan, plan[:1500]
+    # at most one hash exchange, and it belongs to the SMALL side (the
+    # removed-ids distinct) — the index parquet scan feeds the anti-join
+    # directly, never through a repartition
+    shuffles = plan.count("Exchange hashpartitioning")
+    assert shuffles <= 1, f"{shuffles} hash exchanges in prune plan"
+
+
 def test_gopher_rules_tokenizes_at_most_twice(spark):
     """q117's plan contract (the interpreted-HOF rule): the tokenized
     word arrays are materialized once — original-case + lowered — so
