@@ -139,6 +139,10 @@ SHOW = [
      " merged feats/norms are two unions (per-doc independence), the"
      " dense serve is the bucket-pruned broadcast-join leg with"
      " prebuilt norms — no re-aggregation of the merged table"),
+    ("145_score_calibration", "quality-score reliability diagram (r8):"
+     " ONE projection computes logit + literal-cut bin + C4 label (no"
+     " join, no second text scan), then an n_bins-row integer groupBy"
+     " — scan-bound at any corpus size"),
 ]
 
 

@@ -1287,6 +1287,59 @@ def test_merge_hashed_index_equals_full_rebuild(spark):
         sorted(map(tuple, hashed_norms(feats_f).collect()))
 
 
+def test_index_lifecycle_rebuild_equal_on_random_corpora(spark):
+    """Seeded randomized rebuild-equality for the full lifecycle:
+    build → merge a random delta → prune a random tombstone set must
+    equal a clean build over (old ∪ new) − removed, bit-for-bit —
+    postings, stats, and served scores — across corpora that mix
+    unicode, empty/whitespace-only docs, and repeated tokens."""
+    import random
+
+    from pyspark.sql import functions as F
+
+    from tantalus_spark.datapipe.textstats import (
+        bm25_rank_indexed, build_term_index, merge_term_index,
+        prune_term_index)
+
+    vocab = ["alpha", "beta", "γάμμα", "delta", "éclair",
+             "zeta", "The", "the", "x"]
+    for seed in (7, 23, 91):
+        rng = random.Random(seed)
+
+        def doc(i):
+            if rng.random() < 0.1:
+                return (i, "   ")  # whitespace-only: dl 0, no postings
+            n = rng.randint(1, 12)
+            return (i, " ".join(rng.choice(vocab) for _ in range(n)))
+
+        old = spark.createDataFrame([doc(i) for i in range(20)],
+                                    "doc_id long, text string")
+        new = spark.createDataFrame([doc(i) for i in range(100, 108)],
+                                    "doc_id long, text string")
+        removed_ids = rng.sample(list(range(20)) + list(range(100, 108)),
+                                 6)
+        removed = spark.createDataFrame([(i,) for i in removed_ids],
+                                        "doc_id long")
+
+        idx0, st0 = build_term_index(old, with_stats=True)
+        idx1, st1 = merge_term_index(idx0, st0, new)
+        idx2, (n2, avg2) = prune_term_index(idx1, st1, removed)
+
+        survivors = old.unionByName(new).filter(
+            ~F.col("doc_id").isin(removed_ids))
+        want, (wn, wavg) = build_term_index(survivors, with_stats=True)
+        assert (n2, avg2) == (wn, wavg), seed
+        assert sorted(map(tuple, idx2.collect())) == \
+            sorted(map(tuple, want.collect())), seed
+        got_s = [r.asDict() for r in bm25_rank_indexed(
+            idx2, ["alpha", "the"], k=30, n_docs=n2,
+            avgdl=avg2).collect()]
+        want_s = [r.asDict() for r in bm25_rank_indexed(
+            want, ["alpha", "the"], k=30, n_docs=wn,
+            avgdl=wavg).collect()]
+        assert got_s == want_s, seed
+
+
 def test_tfidf_cosine_zero_norm_docs_never_pair(spark):
     """max_df_frac=1.0 keeps a universal term with idf 0; docs whose
     only kept term is that one have zero norm — the NaN cosine must not
