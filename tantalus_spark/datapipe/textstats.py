@@ -1849,35 +1849,46 @@ def _dense_leg_scored(
     ``bucket IN (query buckets)`` filter (the query vector is a
     driver-side literal), so against a written/bucketed feature table
     the scan is pushdown-pruned to the query's own buckets — zero-qfeat
-    buckets contribute nothing to the dot and are pruned too. With
-    prebuilt ``norms`` (:func:`hashed_norms`) the leg performs NO
-    corpus-wide aggregate: the norm join keys on the bucket-pruned dots
-    side. ``norms=None`` falls back to one self-contained derivation
-    over ``feats`` (ad-hoc corpus without a norms sidecar)."""
+    buckets contribute nothing to the dot and are pruned too.
+
+    Norm lookup, best to worst:
+
+    * ENRICHED feats (a ``norm`` column on every (id, bucket) row —
+      build once with ``feats.join(hashed_norms(feats), id)``, the same
+      pre-join ``dense_serve_stream`` plans statically): the dots
+      aggregate carries ``first(norm)`` and the serving plan has ZERO
+      norm joins — the deployment posture.
+    * ``norms`` sidecar table: joined onto the bucket-pruned dots side
+      (AQE broadcasts the small dots frame; or write norms bucketed by
+      id). No corpus-wide aggregate either way.
+    * neither: one self-contained norm derivation over ``feats``
+      (ad-hoc corpus without build artifacts)."""
     spark = feats.sparkSession
     qnorm = float(sum(v * v for v in qfeats.values()))
     qdf = spark.createDataFrame(
         [(int(bk), int(v)) for bk, v in sorted(qfeats.items())],
         "bucket int, qfeat long")
-    if norms is None:
+    enriched = "norm" in feats.columns
+    if norms is None and not enriched:
         norms = hashed_norms(feats, id_col=id_col)
     pruned = feats.filter(
         F.col("bucket").isin([int(bk) for bk in qfeats]))
+    aggs = [F.sum(F.col("feat") * F.col("qfeat")).alias("dot")]
+    if enriched:
+        aggs.append(F.first("norm").alias("norm"))
     dots = (pruned.join(F.broadcast(qdf), "bucket")
-                  .groupBy(id_col)
-                  .agg(F.sum(F.col("feat") * F.col("qfeat"))
-                       .alias("dot")))
+                  .groupBy(id_col).agg(*aggs))
+    scored = dots if enriched else dots.join(norms, id_col)
     cos = (F.col("dot").cast("double")
            / F.sqrt(F.col("norm").cast("double") * F.lit(qnorm)))
     # exact nano-integer cosine BEFORE ranking: the rank order (and
     # therefore the fused output) depends only on BIGINT comparisons
-    return (dots.join(norms, id_col)
-                .filter(F.col("norm") > 0)
-                .select(F.col(id_col),
-                        F.floor(cos * F.lit(1e9) + F.lit(0.5))
-                        .cast("long").alias("cos_nano"))
-                .orderBy(F.col("cos_nano").desc(), F.col(id_col).asc())
-                .limit(depth))
+    return (scored.filter(F.col("norm") > 0)
+                  .select(F.col(id_col),
+                          F.floor(cos * F.lit(1e9) + F.lit(0.5))
+                          .cast("long").alias("cos_nano"))
+                  .orderBy(F.col("cos_nano").desc(), F.col(id_col).asc())
+                  .limit(depth))
 
 
 def _rrf_fuse(sparse_top: DataFrame, scored: DataFrame | None,
@@ -2013,10 +2024,13 @@ def hybrid_serve_indexed(
     (both pushdown-prunable against written/bucketed tables), the norm
     join keys on the bucket-pruned dots side, and corpus stats are plan
     literals — per-query work is O(matching postings + matching
-    buckets), never O(corpus). Omitting ``n_docs``/``avgdl``/``norms``
-    falls back to self-contained re-derivation over the prebuilt
-    tables (ad-hoc use; the plan test covers the fully-supplied
-    shape)."""
+    buckets), never O(corpus). Best layout: write the feature table
+    ENRICHED (``feats.join(hashed_norms(feats), id)``) and skip
+    ``norms`` entirely — the serving plan then has zero norm joins
+    (see :func:`_dense_leg_scored`). Omitting
+    ``n_docs``/``avgdl``/``norms`` on a plain feats table falls back
+    to self-contained re-derivation over the prebuilt tables (ad-hoc
+    use; the plan test covers both supplied shapes)."""
     terms = sorted(set(t.lower() for t in query_terms))
     sparse_top = bm25_rank_indexed(index, terms, k=depth, k1=k1, b=b,
                                    id_col=id_col, n_docs=n_docs,

@@ -44,7 +44,14 @@ def db_for(spark: SparkSession, sf_dir: str) -> Database:
 
 def _dec_sum(col, scale: int, alias: str):
     """Exact decimal-accumulated sum emitted as double (bit-deterministic
-    across engines and partition orders)."""
+    across engines and partition orders). Oracle-side convention: the
+    matching SQL routes the final cast through VARCHAR
+    (``CAST(CAST(sum AS VARCHAR) AS DOUBLE)``) because DuckDB's direct
+    decimal->double conversion double-rounds once the unscaled value
+    exceeds 2^53 (int128 -> double -> /10^scale, two roundings; found
+    by the r8 sf1 sweep on q01's scale-6 sum_charge, 1 ulp off), while
+    Spark's BigDecimal.doubleValue — and a string->double parse — round
+    correctly once."""
     return F.sum(col.cast(f"decimal(18,{scale})")).cast("double").alias(alias)
 
 
@@ -2264,10 +2271,10 @@ ORACLES: dict[str, str] = {
     "01_pricing_summary": """
         SELECT l_returnflag, l_linestatus,
                SUM(l_quantity) AS sum_qty,
-               CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) AS sum_base_price,
-               CAST(SUM(CAST(l_extendedprice*(1-l_discount) AS DECIMAL(18,4))) AS DOUBLE) AS sum_disc_price,
-               CAST(SUM(CAST(l_extendedprice*(1-l_discount)*(1+l_tax) AS DECIMAL(18,6))) AS DOUBLE) AS sum_charge,
-               CAST(SUM(CAST(l_discount AS DECIMAL(18,2))) AS DOUBLE) AS sum_disc,
+               CAST(CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))) AS VARCHAR) AS DOUBLE) AS sum_base_price,
+               CAST(CAST(SUM(CAST(l_extendedprice*(1-l_discount) AS DECIMAL(18,4))) AS VARCHAR) AS DOUBLE) AS sum_disc_price,
+               CAST(CAST(SUM(CAST(l_extendedprice*(1-l_discount)*(1+l_tax) AS DECIMAL(18,6))) AS VARCHAR) AS DOUBLE) AS sum_charge,
+               CAST(CAST(SUM(CAST(l_discount AS DECIMAL(18,2))) AS VARCHAR) AS DOUBLE) AS sum_disc,
                count(*) AS count_order
         FROM lineitem WHERE l_shipdate <= TIMESTAMP '1998-09-02'
         GROUP BY l_returnflag, l_linestatus
@@ -2298,7 +2305,7 @@ ORACLES: dict[str, str] = {
     """,
     "07_region_revenue": """
         SELECT r_name,
-               CAST(SUM(CAST(l_extendedprice*(1-l_discount) AS DECIMAL(18,4))) AS DOUBLE) AS revenue,
+               CAST(CAST(SUM(CAST(l_extendedprice*(1-l_discount) AS DECIMAL(18,4))) AS VARCHAR) AS DOUBLE) AS revenue,
                count(DISTINCT o_orderkey) AS n_orders
         FROM lineitem
         JOIN orders ON l_orderkey = o_orderkey
@@ -2458,7 +2465,7 @@ ORACLES: dict[str, str] = {
           ('low', 0.0, 50000.0), ('mid', 50000.0, 150000.0),
           ('high', 150000.0, 300000.0), ('whale', 300000.0, 1e12))
         SELECT band, count(*) AS n,
-               CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE)
+               CAST(CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS VARCHAR) AS DOUBLE)
                  AS band_total
         FROM orders LEFT JOIN bands
           ON o_totalprice >= lo AND o_totalprice < hi
@@ -2850,7 +2857,7 @@ ORACLES: dict[str, str] = {
     "49_tumbling_window": """
         SELECT time_bucket(INTERVAL 1 HOUR, ts) AS ws, event_type,
                count(*) AS n,
-               CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS sum_value
+               CAST(CAST(SUM(CAST(value AS DECIMAL(18,2))) AS VARCHAR) AS DOUBLE) AS sum_value
         FROM events GROUP BY 1, 2
     """,
     "50_sessionization": """

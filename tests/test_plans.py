@@ -478,6 +478,26 @@ def test_hybrid_serving_never_aggregates_feature_table(spark, tmp_path):
         r"HashAggregate\(keys=\[doc_id[^,\]]*\],\s*functions=\[\]",
         plan), "full-index distinct(doc_id) in serving plan"
 
+    # ENRICHED layout (norm column written into the feature table —
+    # the dense_serve_stream pre-join posture): the dense leg carries
+    # first(norm) through the dots aggregate, so the serving plan has
+    # exactly TWO parquet scans (postings + feats) and ZERO norm joins
+    (feats_df.join(hashed_norms(feats), "doc_id")
+     .write.parquet(str(tmp_path / "enriched")))
+    plan2 = _plan(hybrid_serve_indexed(
+        spark.read.parquet(str(tmp_path / "ix")),
+        ["hash", "merge"], spark.read.parquet(str(tmp_path / "enriched")),
+        k=5, depth=10, dim=64, n_docs=n_docs, avgdl=avgdl))
+    chunks2 = [c.splitlines()[0]
+               for c in plan2.split("PushedFilters:")[1:]]
+    # two term-pruned index scans (tf + df sides of the BM25 leg), ONE
+    # bucket-pruned feats scan, and nothing else — no norms scan at all
+    assert sum("In(bucket" in c for c in chunks2) == 1, chunks2
+    assert sum("In(term" in c for c in chunks2) == 2, chunks2
+    assert len(chunks2) == 3, chunks2
+    assert not re.search(r"sum\(\(?feat#\d+L?\s*\*\s*feat#\d+L?\)?\)",
+                         plan2)
+
 
 def test_ivfpq_serving_partition_prunes_written_index(spark, tmp_path):
     """The ANN warehouse layout (q138/q75 family): the (id, ivf_list,

@@ -1768,6 +1768,13 @@ def test_hybrid_serve_indexed_matches_scan_path(spark):
     served2 = hybrid_serve_indexed(idx, ["apple", "cherry"], feats,
                                    k=6, depth=8, dim=16)
     assert sorted(map(tuple, served2.collect())) == a
+    # ENRICHED layout (norm column pre-joined at build, the
+    # dense_serve_stream posture): identical too, with zero norm joins
+    enriched = feats.join(norms, "doc_id")
+    served3 = hybrid_serve_indexed(idx, ["apple", "cherry"], enriched,
+                                   k=6, depth=8, dim=16,
+                                   n_docs=n_docs, avgdl=avgdl)
+    assert sorted(map(tuple, served3.collect())) == a
     feats.unpersist()
     norms.unpersist()
 
