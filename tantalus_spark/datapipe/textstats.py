@@ -1808,13 +1808,19 @@ def merge_hashed_index(
     New docs must be disjoint from the indexed ids (the caller dedups
     first); ``dim`` must match the build dim. Per-doc features and
     norms are independent across documents, so the merge is two
-    unions — no cross-corpus arithmetic at all. Returns
-    ``(feats', norms')`` bit-identical to a full rebuild over the
-    union (differential test in tests/test_textstats.py)."""
+    unions — no cross-corpus arithmetic at all. Works for both feature
+    layouts: a plain (id, bucket, feat) table, or the ENRICHED one
+    with a pre-joined ``norm`` column (the zero-join serving posture —
+    the delta batch is enriched with its own O(batch) norms before the
+    union). Returns ``(feats', norms')`` bit-identical to a full
+    rebuild over the union (differential test in
+    tests/test_textstats.py)."""
     delta = hashed_features(new_docs, dim=dim, text_col=text_col,
                             id_col=id_col)
-    return (feats.unionByName(delta),
-            norms.unionByName(hashed_norms(delta, id_col=id_col)))
+    dnorms = hashed_norms(delta, id_col=id_col)
+    if "norm" in feats.columns:
+        delta = delta.join(dnorms, id_col)
+    return feats.unionByName(delta), norms.unionByName(dnorms)
 
 
 def _query_hashed_features(query_terms: list[str], dim: int) -> dict[int, int]:

@@ -1285,6 +1285,15 @@ def test_merge_hashed_index_equals_full_rebuild(spark):
         sorted(map(tuple, feats_f.collect()))
     assert sorted(map(tuple, norms_m.collect())) == \
         sorted(map(tuple, hashed_norms(feats_f).collect()))
+    # ENRICHED layout merges too: the delta is enriched with its own
+    # O(batch) norms before the union
+    enr_old = feats_old.join(norms_old, "doc_id")
+    enr_m, _ = merge_hashed_index(enr_old, norms_old, new, dim=16)
+    enr_f = feats_f.join(hashed_norms(feats_f), "doc_id")
+    assert sorted(map(tuple, enr_m.select("doc_id", "bucket", "feat",
+                                          "norm").collect())) == \
+        sorted(map(tuple, enr_f.select("doc_id", "bucket", "feat",
+                                       "norm").collect()))
 
 
 def test_index_lifecycle_rebuild_equal_on_random_corpora(spark):
