@@ -41,6 +41,12 @@ LEAK_PRONE = [
     "134_dedup_funnel",
     "135_js_drift",
     "136_ivf_recall",
+    # r8: the index-served hybrid (gate entry persists the built feats
+    # and must release it) and the serve-side lifecycle entries
+    "141_hybrid_serve",
+    "143_pruned_index_serve",
+    "144_merged_dense_serve",
+    "145_score_calibration",
 ]
 
 
