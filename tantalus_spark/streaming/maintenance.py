@@ -29,15 +29,21 @@ from pyspark.sql import DataFrame, SparkSession
 _POINTER = "CURRENT"
 
 
+def _current_version(index_dir: str) -> str | None:
+    ptr = os.path.join(index_dir, _POINTER)
+    if not os.path.exists(ptr):
+        return None
+    with open(ptr) as f:
+        return f.read().strip()
+
+
 def load_term_index(spark: SparkSession, index_dir: str):
     """Read the CURRENT index version: (postings DataFrame,
     (n_docs, avgdl)). Returns (None, (0, 0.0)) when no version has been
     committed yet (empty deployment)."""
-    ptr = os.path.join(index_dir, _POINTER)
-    if not os.path.exists(ptr):
+    version = _current_version(index_dir)
+    if version is None:
         return None, (0, 0.0)
-    with open(ptr) as f:
-        version = f.read().strip()
     vdir = os.path.join(index_dir, version)
     with open(os.path.join(vdir, "stats.json")) as f:
         stats = json.load(f)
@@ -86,6 +92,14 @@ def index_refresh_batches(
     convenience mode, not the 100 TB default; at that scale keep a doc-id
     sidecar or the canonical map instead).
 
+    Exactly-once under replay: foreachBatch is at-least-once — after a
+    crash the same ``batch_id`` can fire again, and a naive re-merge
+    would DOUBLE that batch's postings. Versions are named by batch id
+    (monotone), so the callback skips any batch id at or below the
+    committed pointer — the replayed commit becomes a no-op, exactly
+    the batch-id-based idempotence Structured Streaming's foreachBatch
+    contract prescribes (replay test in tests/test_textstats.py).
+
     Wire it: ``doc_stream.writeStream.foreachBatch(
     index_refresh_batches("/path/ix")).start()``. Delete-side
     maintenance (tombstones) composes the same way with
@@ -99,6 +113,9 @@ def index_refresh_batches(
     os.makedirs(index_dir, exist_ok=True)
 
     def _on_batch(batch_df: DataFrame, batch_id: int) -> None:
+        cur = _current_version(index_dir)
+        if cur is not None and int(cur[1:]) >= int(batch_id):
+            return  # replayed batch: already committed, idempotent skip
         if not batch_df.take(1):
             return
         spark = batch_df.sparkSession

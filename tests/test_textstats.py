@@ -1588,6 +1588,40 @@ def test_index_refresh_batches_rebuild_equal_with_version_swap(
     assert len(versions) == 2  # batch 3 was all-duplicate -> no commit
 
 
+def test_index_refresh_replay_is_idempotent(spark, tmp_path):
+    """foreachBatch is at-least-once: re-delivering a committed batch id
+    must be a no-op (the naive re-merge would DOUBLE that batch's
+    postings). Also: a replayed batch id below the pointer is skipped
+    even when its dataframe differs (the commit, not the data, is the
+    unit of idempotence)."""
+    from tantalus_spark.datapipe.textstats import build_term_index
+    from tantalus_spark.streaming.maintenance import (
+        index_refresh_batches, load_term_index)
+
+    ix = str(tmp_path / "ix")
+    cb = index_refresh_batches(ix)
+    b0 = spark.createDataFrame([(1, "apple banana"), (2, "banana")],
+                               "doc_id long, text string")
+    b1 = spark.createDataFrame([(10, "cherry apple")],
+                               "doc_id long, text string")
+    cb(b0, 0)
+    cb(b1, 1)
+    want_p, want_stats = load_term_index(spark, ix)
+    want = sorted(map(tuple, want_p.collect()))
+    # replay both batches (same ids): nothing may change
+    cb(b0, 0)
+    cb(b1, 1)
+    got_p, got_stats = load_term_index(spark, ix)
+    assert got_stats == want_stats
+    assert sorted(map(tuple, got_p.collect())) == want
+    # and the final state equals a clean build over both batches
+    ref, ref_stats = build_term_index(b0.unionByName(b1),
+                                      with_stats=True)
+    assert got_stats == ref_stats
+    assert sorted(map(tuple, got_p.collect())) == \
+        sorted(map(tuple, ref.collect()))
+
+
 def test_drift_monitor_foreachbatch_matches_batch_operator(spark, tmp_path):
     """Each micro-batch's drift rows equal js_against_baseline run on
     that batch's rows — the foreachBatch twin IS the batch operator, so
