@@ -1536,6 +1536,52 @@ def ivf_recall(
     return _materialize_and_release(out, [assigned])
 
 
+def ivf_list_balance(
+    df: DataFrame,
+    centroids: list[list[float]],
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Inverted-list balance audit for an IVF index — the operational
+    stat that decides when centroids need retraining and what nprobe
+    really buys (FAISS's imbalance factor): per list, its vector count
+    and share, plus the global ``imbalance = nlist · Σ nᵢ² / N²``
+    (1.0 = perfectly even; k = probing one list costs ~k× the even
+    split's work on average). EMPTY lists appear with n_vecs 0 — dead
+    centroids are exactly the signal (the grid densifies over all
+    nlist lists, not just populated ones).
+
+    Scale: one :func:`ivf_assign` map pass (centroids are plan
+    literals), one nlist-sized integer groupBy, and the (N, Σn²)
+    scalars fold in from a 1-row broadcast — exact integer arithmetic
+    until the two display divisions, full oracle."""
+    spark = df.sparkSession
+    assigned = ivf_assign(df.filter(F.col(vec_col).isNotNull()),
+                          centroids, id_col=id_col, vec_col=vec_col)
+    counts = assigned.groupBy("ivf_list").agg(
+        F.count(F.lit(1)).cast("long").alias("n_vecs"))
+    grid = spark.range(len(centroids)).select(
+        F.col("id").cast("int").alias("ivf_list"))
+    dense = (grid.join(counts, "ivf_list", "left")
+                 .select("ivf_list",
+                         F.coalesce("n_vecs", F.lit(0)).cast("long")
+                         .alias("n_vecs")))
+    tot = dense.agg(F.sum("n_vecs").alias("_n"),
+                    F.sum(F.col("n_vecs") * F.col("n_vecs"))
+                    .alias("_s2"))
+    nlist = float(len(centroids))
+    return (dense.crossJoin(F.broadcast(tot))
+                 .select("ivf_list", "n_vecs",
+                         F.round(F.col("n_vecs").cast("double")
+                                 / F.col("_n").cast("double"), 4)
+                         .alias("share"),
+                         F.round(F.lit(nlist)
+                                 * F.col("_s2").cast("double")
+                                 / (F.col("_n").cast("double")
+                                    * F.col("_n").cast("double")), 4)
+                         .alias("imbalance")))
+
+
 def pq_topk_batch(
     encoded: DataFrame,
     codebooks: list[list[list[float]]],

@@ -2035,6 +2035,22 @@ def q142_group_split_clustered(spark, sf_dir):
                        cluster_map=cmap)
 
 
+def q146_ivf_balance(spark, sf_dir):
+    """IVF inverted-list balance audit (FAISS's imbalance factor): per
+    list, vector count and share, plus nlist·Σn²/N² — the stat that
+    decides when centroids need retraining and what nprobe really
+    costs. Deterministic centroids (the embeddings of the first 8 ids,
+    the q136 contract) make it engine-replayable; dead lists appear
+    with n_vecs 0. One assign map pass + an nlist-row groupBy."""
+    from tantalus_spark.datapipe.similarity import ivf_list_balance
+
+    emb = db_for(spark, sf_dir).table("embeddings")
+    head = (emb.filter(F.col("embedding").isNotNull())
+               .filter(F.col("vec_id") < 8).orderBy("vec_id").collect())
+    cents = [[float(x) for x in r["embedding"]] for r in head]
+    return ivf_list_balance(emb, cents)
+
+
 def q145_score_calibration(spark, sf_dir):
     """Reliability diagram for the logistic quality scorer (q78)
     against the C4 rule gate (q118): per predicted-probability decile,
@@ -2257,7 +2273,7 @@ _QUERY_ORDER = [
     # diagram — full-value-oracled; r9 ROTATION CANDIDATES under the
     # standing protocol.
     "143_pruned_index_serve", "144_merged_dense_serve",
-    "145_score_calibration",
+    "145_score_calibration", "146_ivf_balance",
 ]
 
 QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
@@ -4362,6 +4378,39 @@ ORACLES["144_merged_dense_serve"] = """
     FROM dots d JOIN norms n USING (doc_id) CROSS JOIN qn
     WHERE n.norm > 0
     ORDER BY cos_nano DESC, doc_id ASC LIMIT 25
+"""
+
+# q146: the q136 assignment CTE (NaN-guarded cosine, first-max argmax)
+# reduced to per-list counts; every division is from exact integers.
+ORACLES["146_ivf_balance"] = """
+    WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v
+               FROM embeddings WHERE embedding IS NOT NULL),
+    cent AS (SELECT vec_id AS cid, v FROM e WHERE vec_id < 8),
+    sims AS (
+      SELECT e.vec_id, c.cid,
+             CASE WHEN isnan(list_cosine_similarity(e.v, c.v))
+                  THEN -2.0
+                  ELSE list_cosine_similarity(e.v, c.v) END AS s
+      FROM e CROSS JOIN cent c),
+    assign AS (
+      SELECT vec_id, cid AS ivf_list FROM (
+        SELECT vec_id, cid,
+               row_number() OVER (PARTITION BY vec_id
+                                  ORDER BY s DESC, cid ASC) AS rn
+        FROM sims) t WHERE rn = 1),
+    counts AS (SELECT ivf_list, count(*) AS n
+               FROM assign GROUP BY ivf_list),
+    grid AS (SELECT CAST(b AS INTEGER) AS ivf_list
+             FROM (SELECT unnest(range(8)) AS b) t),
+    d AS (SELECT g.ivf_list, CAST(COALESCE(c.n, 0) AS BIGINT) AS n_vecs
+          FROM grid g LEFT JOIN counts c USING (ivf_list)),
+    tot AS (SELECT CAST(sum(n_vecs) AS BIGINT) AS nn,
+                   CAST(sum(n_vecs * n_vecs) AS BIGINT) AS s2
+            FROM d)
+    SELECT ivf_list, n_vecs,
+           round(n_vecs * 1.0 / nn, 4) AS share,
+           round(8.0 * s2 / (nn * 1.0 * nn), 4) AS imbalance
+    FROM d CROSS JOIN tot
 """
 
 # q145: the reliability diagram — the bin cuts are the SAME Python
