@@ -71,6 +71,7 @@ def index_refresh_batches(
     text_col: str = "text",
     id_col: str = "doc_id",
     dedup_against_current: bool = False,
+    op_col: str | None = None,
 ):
     """The foreachBatch index maintainer: returns the (batch_df,
     batch_id) callback that folds every arriving document micro-batch
@@ -100,15 +101,24 @@ def index_refresh_batches(
     the batch-id-based idempotence Structured Streaming's foreachBatch
     contract prescribes (replay test in tests/test_textstats.py).
 
+    CDC mode (``op_col``): batches carry an operation column with
+    ``'add'`` / ``'delete'`` rows and ONE stream maintains the index
+    through both sides — deletes prune first (via
+    :func:`~tantalus_spark.datapipe.textstats.prune_term_index`, so a
+    re-indexed document arrives as delete+add in one batch and lands
+    with its NEW postings only), then adds merge. Delete ids are
+    intersected with the indexed ids first (same broadcast-pruned
+    postings semi-join as the dedup path, output bounded by the batch)
+    so a tombstone for a never-indexed id cannot corrupt the stats.
+
     Wire it: ``doc_stream.writeStream.foreachBatch(
-    index_refresh_batches("/path/ix")).start()``. Delete-side
-    maintenance (tombstones) composes the same way with
-    :func:`~tantalus_spark.datapipe.textstats.prune_term_index`.
+    index_refresh_batches("/path/ix")).start()``.
     """
     from pyspark.sql import functions as F
 
     from tantalus_spark.datapipe.textstats import (build_term_index,
-                                                   merge_term_index)
+                                                   merge_term_index,
+                                                   prune_term_index)
 
     os.makedirs(index_dir, exist_ok=True)
 
@@ -120,27 +130,49 @@ def index_refresh_batches(
             return
         spark = batch_df.sparkSession
         current, stats = load_term_index(spark, index_dir)
-        if current is not None and dedup_against_current:
-            # one postings scan, broadcast-pruned to the batch's ids;
-            # `already` is bounded by the batch size
-            already = (current.select(id_col)
-                       .join(F.broadcast(batch_df.select(id_col)
-                                         .distinct()),
-                             id_col, "left_semi")
-                       .distinct())
-            batch_df = batch_df.join(F.broadcast(already), id_col,
-                                     "left_anti")
-            if not batch_df.take(1):
-                return
-        if current is None:
-            postings, new_stats = build_term_index(
-                batch_df, text_col=text_col, id_col=id_col,
-                with_stats=True)
+
+        if op_col is not None:
+            adds = batch_df.filter(F.col(op_col) == "add").drop(op_col)
+            dels = (batch_df.filter(F.col(op_col) == "delete")
+                    .select(id_col).distinct())
         else:
-            postings, new_stats = merge_term_index(
-                current, stats, batch_df, text_col=text_col,
-                id_col=id_col)
-        _commit_version(index_dir, f"v{int(batch_id):08d}", postings,
-                        new_stats)
+            adds, dels = batch_df, None
+
+        changed = False
+        postings, new_stats = current, stats
+        if dels is not None and postings is not None and dels.take(1):
+            # only prune ids that ARE indexed (contract guard): one
+            # postings scan broadcast-pruned to the tombstone set
+            present = (postings.select(id_col)
+                       .join(F.broadcast(dels), id_col, "left_semi")
+                       .distinct())
+            if present.take(1):
+                postings, new_stats = prune_term_index(
+                    postings, new_stats, present, id_col=id_col)
+                changed = True
+        if adds.take(1):
+            if postings is not None and dedup_against_current:
+                # one postings scan, broadcast-pruned to the batch's
+                # ids; `already` is bounded by the batch size
+                already = (postings.select(id_col)
+                           .join(F.broadcast(adds.select(id_col)
+                                             .distinct()),
+                                 id_col, "left_semi")
+                           .distinct())
+                adds = adds.join(F.broadcast(already), id_col,
+                                 "left_anti")
+            if adds.take(1):
+                if postings is None:
+                    postings, new_stats = build_term_index(
+                        adds, text_col=text_col, id_col=id_col,
+                        with_stats=True)
+                else:
+                    postings, new_stats = merge_term_index(
+                        postings, new_stats, adds, text_col=text_col,
+                        id_col=id_col)
+                changed = True
+        if changed:
+            _commit_version(index_dir, f"v{int(batch_id):08d}",
+                            postings, new_stats)
 
     return _on_batch

@@ -1588,6 +1588,38 @@ def test_index_refresh_batches_rebuild_equal_with_version_swap(
     assert len(versions) == 2  # batch 3 was all-duplicate -> no commit
 
 
+def test_index_refresh_cdc_adds_and_deletes(spark, tmp_path):
+    """CDC maintenance: one op-column stream drives both index sides —
+    adds merge, deletes prune, a re-indexed doc (delete+add in one
+    batch) lands with its NEW postings only, a tombstone for a
+    never-indexed id is ignored (stats guard), and the final CURRENT
+    equals a clean rebuild over the surviving documents bit-for-bit."""
+    from tantalus_spark.datapipe.textstats import build_term_index
+    from tantalus_spark.streaming.maintenance import (
+        index_refresh_batches, load_term_index)
+
+    ix = str(tmp_path / "ix")
+    cb = index_refresh_batches(ix, op_col="op")
+    schema = "doc_id long, text string, op string"
+    cb(spark.createDataFrame(
+        [(1, "apple banana", "add"), (2, "banana cherry", "add"),
+         (3, "cherry cherry apple", "add")], schema), 0)
+    cb(spark.createDataFrame(
+        [(2, None, "delete"),                  # plain tombstone
+         (3, None, "delete"), (3, "apple apple rewritten", "add"),
+         (99, None, "delete"),                 # never indexed: ignored
+         (4, "banana date", "add")], schema), 1)
+
+    postings, (n, avgdl) = load_term_index(spark, ix)
+    survivors = spark.createDataFrame(
+        [(1, "apple banana"), (3, "apple apple rewritten"),
+         (4, "banana date")], "doc_id long, text string")
+    want, (wn, wavg) = build_term_index(survivors, with_stats=True)
+    assert (n, avgdl) == (wn, wavg)
+    assert sorted(map(tuple, postings.collect())) == \
+        sorted(map(tuple, want.collect()))
+
+
 def test_index_refresh_replay_is_idempotent(spark, tmp_path):
     """foreachBatch is at-least-once: re-delivering a committed batch id
     must be a no-op (the naive re-merge would DOUBLE that batch's
