@@ -1823,6 +1823,29 @@ def merge_hashed_index(
     return feats.unionByName(delta), norms.unionByName(dnorms)
 
 
+def prune_hashed_index(
+    feats: DataFrame,
+    norms: DataFrame,
+    removed_ids: DataFrame,
+    id_col: str = "doc_id",
+):
+    """Delete-side maintenance for the dense serving leg — the
+    :func:`prune_term_index` twin: drop the tombstoned documents' rows
+    from the feature table and its norms sidecar. Per-doc independence
+    makes this two broadcast anti-joins and nothing else (no stats to
+    downdate — norms are per-document, not corpus aggregates); the
+    corpus-scale tables never shuffle. Works for both the plain and
+    the ENRICHED (norm-column) feature layouts. Returns
+    ``(feats', norms')`` bit-identical to a rebuild over the survivors
+    (differential test in tests/test_textstats.py)."""
+    rem = removed_ids.select(
+        F.col(removed_ids.columns[0]).alias(id_col)).distinct()
+    return (feats.join(F.broadcast(rem), id_col, "left_anti")
+                 .select(*feats.columns),
+            norms.join(F.broadcast(rem), id_col, "left_anti")
+                 .select(*norms.columns))
+
+
 def _query_hashed_features(query_terms: list[str], dim: int) -> dict[int, int]:
     """Driver-side twin of :func:`hashed_features` for a literal query:
     bucket = md5(term)[:15 hex] mod dim, sign from an independent md5

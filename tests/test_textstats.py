@@ -1294,6 +1294,18 @@ def test_merge_hashed_index_equals_full_rebuild(spark):
                                           "norm").collect())) == \
         sorted(map(tuple, enr_f.select("doc_id", "bucket", "feat",
                                        "norm").collect()))
+    # delete side: pruning tombstoned ids equals a rebuild over the
+    # survivors (both layouts share the same two anti-joins)
+    from tantalus_spark.datapipe.textstats import prune_hashed_index
+
+    removed = spark.createDataFrame([(2,), (10,)], "doc_id long")
+    pf, pn = prune_hashed_index(feats_m, norms_m, removed)
+    surv = both.filter("doc_id NOT IN (2, 10)")
+    sf = hashed_features(surv, dim=16)
+    assert sorted(map(tuple, pf.collect())) == \
+        sorted(map(tuple, sf.collect()))
+    assert sorted(map(tuple, pn.collect())) == \
+        sorted(map(tuple, hashed_norms(sf).collect()))
 
 
 def test_index_lifecycle_rebuild_equal_on_random_corpora(spark):
