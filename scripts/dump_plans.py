@@ -143,6 +143,9 @@ SHOW = [
      " ONE projection computes logit + literal-cut bin + C4 label (no"
      " join, no second text scan), then an n_bins-row integer groupBy"
      " — scan-bound at any corpus size"),
+    ("146_ivf_balance", "IVF list-balance audit (r8): one codegen"
+     " assign pass over literal centroids, an nlist-row integer"
+     " groupBy, (N, sum n^2) folded in from a 1-row broadcast"),
 ]
 
 
