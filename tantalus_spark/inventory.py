@@ -2269,9 +2269,9 @@ _QUERY_ORDER = [
     "99_corpus_shuffle", "100_bpe_merges",
     "103_temperature_mix", "105_gate_attribution",
     # r8 additions beyond the window: index-lifecycle delete/insert
-    # maintenance served end-to-end, and the quality-score reliability
-    # diagram — full-value-oracled; r9 ROTATION CANDIDATES under the
-    # standing protocol.
+    # maintenance served end-to-end, the quality-score reliability
+    # diagram, and the IVF list-balance audit — full-value-oracled;
+    # r9 ROTATION CANDIDATES under the standing protocol.
     "143_pruned_index_serve", "144_merged_dense_serve",
     "145_score_calibration", "146_ivf_balance",
 ]
