@@ -40,7 +40,11 @@ def norm_cell(v):
     if isinstance(v, (float, np.floating)):
         if math.isnan(v):
             return ("f", "NaN")
-        return ("f", float(v))
+        # sign-of-zero strict: the driver's value hash renders "-0.0" vs
+        # "0.0" differently (the r8 q133 miss), but Python == says
+        # -0.0 == 0.0 — tag the sign so the local gate fails exactly
+        # where the driver fails.
+        return ("f", float(v), math.copysign(1.0, v))
     if isinstance(v, (int, np.integer)):
         return ("i", int(v))
     if isinstance(v, (list, tuple, np.ndarray)):

@@ -2119,7 +2119,23 @@ _ALL_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
 # (CORRECTNESS_r01.json recorded exactly that prefix), so QUERIES is
 # explicitly ordered.
 #
-# r8 ROTATION (same protocol as r4-r7): the ten r7 additions —
+# r9 ROTATION (same protocol as r4-r8): the four r8 tail additions —
+# 143 pruned_index_serve, 144 merged_dense_serve, 145 score_calibration,
+# 146 ivf_balance — had only local-gate evidence (LOCALGATE_r08.md plus
+# the r8 judge's independent 138-entry re-run, 0 failures) and take
+# their official driver rows. The 4 swapped OUT all carry green
+# CORRECTNESS_r08 rows and stay family-covered in-window:
+# 131 hybrid_rrf -> 141 hybrid_serve (bit-identity parity-tested
+# serving twin of the same RRF fusion); 135 js_drift ->
+# 132 source_divergence (same JS-sketch expression tree; drift adds
+# only the baseline broadcast join); 139 bpe_compression ->
+# 102 bpe_encode (same frozen-merge BPE encoder, compression is a
+# 1-agg composition); 140 group_split -> 142 group_split_clustered
+# (composes the same hash splitter plus the cluster map). 133 stays IN
+# to earn its green row after the r8 signed-zero oracle fix
+# (round(x) + 0.0 kills DuckDB's -0.0; Spark's F.round emits +0.0).
+#
+# r8 ROTATION (history, same protocol as r4-r7): the ten r7 additions —
 # 131 hybrid_rrf, 132 source_divergence, 133 jl_distortion,
 # 134 dedup_funnel, 135 js_drift, 136 ivf_recall, 137 lang_confusion,
 # 138 pq_recall, 139 bpe_compression, 140 group_split — had only
@@ -2228,15 +2244,22 @@ _QUERY_ORDER = [
     "90_packed_text", "102_bpe_encode", "104_bigram_lm",
     "117_gopher_rules",
     "122_minhash_calibration", "123_bm25_indexed",
-    # r8 rotation: the r7 additions take their official driver rows,
-    # plus the two r8 serving-lifecycle entries (141/142)
-    "131_hybrid_rrf", "132_source_divergence", "133_jl_distortion",
-    "134_dedup_funnel", "135_js_drift", "136_ivf_recall",
-    "137_lang_confusion", "138_pq_recall", "139_bpe_compression",
-    "140_group_split", "141_hybrid_serve", "142_group_split_clustered",
+    # r8 rotation survivors (family anchors; 133 stays to earn its
+    # post-signed-zero-fix green row)
+    "132_source_divergence", "133_jl_distortion",
+    "134_dedup_funnel", "136_ivf_recall",
+    "137_lang_confusion", "138_pq_recall",
+    "141_hybrid_serve", "142_group_split_clustered",
+    # r9 rotation: the r8 tail additions take their official driver
+    # rows (serving lifecycle: delete-maintained serve, insert-merged
+    # serve, calibration reliability, IVF list-balance audit)
+    "143_pruned_index_serve", "144_merged_dense_serve",
+    "145_score_calibration", "146_ivf_balance",
     # ---- 50-entry line: families below are all gated above (see the
-    # rotation notes), carry green r2-r7 driver rows, and are
+    # rotation notes), carry green r2-r8 driver rows, and are
     # unit-tested
+    "131_hybrid_rrf", "135_js_drift", "139_bpe_compression",
+    "140_group_split",
     "124_tfidf_cosine", "125_weighted_sample", "126_budget_select",
     "127_hard_negatives", "128_retrieval_metrics",
     "129_normalized_dedup", "130_hashed_features",
@@ -2268,12 +2291,6 @@ _QUERY_ORDER = [
     "92_vocab_coverage", "94_source_report", "95_paragraph_dedup",
     "99_corpus_shuffle", "100_bpe_merges",
     "103_temperature_mix", "105_gate_attribution",
-    # r8 additions beyond the window: index-lifecycle delete/insert
-    # maintenance served end-to-end, the quality-score reliability
-    # diagram, and the IVF list-balance audit — full-value-oracled;
-    # r9 ROTATION CANDIDATES under the standing protocol.
-    "143_pruned_index_serve", "144_merged_dense_serve",
-    "145_score_calibration", "146_ivf_balance",
 ]
 
 QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
@@ -2601,7 +2618,7 @@ ORACLES: dict[str, str] = {
     "47_ann_cosine": """
         WITH q AS (SELECT embedding AS qe FROM embeddings WHERE vec_id = 0)
         SELECT vec_id,
-               round(list_cosine_similarity(embedding::DOUBLE[], qe::DOUBLE[]), 4) AS cosine
+               round(list_cosine_similarity(embedding::DOUBLE[], qe::DOUBLE[]), 4) + 0.0 AS cosine
         FROM embeddings, q WHERE vec_id <> 0
         ORDER BY list_cosine_similarity(embedding::DOUBLE[], qe::DOUBLE[]) DESC, vec_id ASC
         LIMIT 10
@@ -2609,7 +2626,7 @@ ORACLES: dict[str, str] = {
     "51_embedding_near_dup": """
         WITH e AS (SELECT vec_id, embedding::DOUBLE[] v FROM embeddings)
         SELECT a.vec_id AS id_a, b.vec_id AS id_b,
-               round(list_cosine_similarity(a.v, b.v), 4) AS cosine
+               round(list_cosine_similarity(a.v, b.v), 4) + 0.0 AS cosine
         FROM e a JOIN e b ON a.vec_id < b.vec_id
         WHERE list_cosine_similarity(a.v, b.v) >= 0.45
     """,
@@ -2626,7 +2643,7 @@ ORACLES: dict[str, str] = {
         probe AS (SELECT cid FROM cent, q
                   ORDER BY list_cosine_similarity(cv, qv) DESC, cid ASC
                   LIMIT 2)
-        SELECT a.vec_id, round(list_cosine_similarity(a.v, qv), 4) AS cosine
+        SELECT a.vec_id, round(list_cosine_similarity(a.v, qv), 4) + 0.0 AS cosine
         FROM assign a, q WHERE a.lst IN (SELECT cid FROM probe)
         ORDER BY list_cosine_similarity(a.v, qv) DESC, a.vec_id ASC
         LIMIT 10
@@ -3110,7 +3127,7 @@ ORACLES: dict[str, str] = {
                           ELSE 0 END) AS BIGINT) AS b
           FROM comp GROUP BY vec_id)
         SELECT ea.vec_id AS id_a, eb.vec_id AS id_b,
-               round(list_cosine_similarity(ea.v, eb.v), 4) AS cosine
+               round(list_cosine_similarity(ea.v, eb.v), 4) + 0.0 AS cosine
         FROM sig a JOIN sig b ON a.b = b.b AND a.vec_id < b.vec_id
         JOIN e ea ON ea.vec_id = a.vec_id
         JOIN e eb ON eb.vec_id = b.vec_id
@@ -3224,7 +3241,7 @@ ORACLES: dict[str, str] = {
           SELECT a.vec_id AS vec_id, b.vec_id AS nb_id,
                  list_dot_product(a.v, b.v) / (a.nrm * b.nrm) AS c
           FROM n a JOIN n b ON a.vec_id <> b.vec_id)
-        SELECT vec_id, nb_id, round(c, 4) AS cosine,
+        SELECT vec_id, nb_id, round(c, 4) + 0.0 AS cosine,
                CAST(rk AS INTEGER) AS rank
         FROM (SELECT *, row_number() OVER (
                 PARTITION BY vec_id ORDER BY c DESC, nb_id) AS rk
@@ -3247,7 +3264,7 @@ ORACLES: dict[str, str] = {
                  list_dot_product(a.v, b.v) / (a.nrm * b.nrm) AS c
           FROM n a JOIN n b ON a.vec_id <> b.vec_id),
         knn AS (
-          SELECT vec_id, nb_id, round(c, 4) AS cosine
+          SELECT vec_id, nb_id, round(c, 4) + 0.0 AS cosine
           FROM (SELECT *, row_number() OVER (
                   PARTITION BY vec_id ORDER BY c DESC, nb_id) AS rk
                 FROM p)
@@ -4334,7 +4351,7 @@ ORACLES["143_pruned_index_serve"] = """
                  CAST(count(*) AS INTEGER) AS n_terms_hit
           FROM sc GROUP BY doc_id)
     SELECT doc_id, score_nano, n_terms_hit,
-           round(CAST(score_nano AS DOUBLE) / 1e9, 4) AS bm25
+           round(CAST(score_nano AS DOUBLE) / 1e9, 4) + 0.0 AS bm25
     FROM g ORDER BY score_nano DESC, doc_id ASC LIMIT 15
 """
 
@@ -4471,7 +4488,7 @@ ORACLES["145_score_calibration"] = """
            round(CAST(sum(pass) AS DOUBLE) / CAST(count(*) AS DOUBLE),
                  4) AS pass_rate,
            round(CAST(sum(zm) AS DOUBLE) / 1e6
-                 / CAST(count(*) AS DOUBLE), 4) AS mean_logit
+                 / CAST(count(*) AS DOUBLE), 4) + 0.0 AS mean_logit
     FROM b GROUP BY bin
 """.replace("__BIN__", _CAL_BIN_SQL).replace("__BRACE__", chr(123))
 
@@ -4677,8 +4694,8 @@ ORACLES["120_zipf_fit"] = """
              n * dyy - dy * dy AS deny
       FROM d)
     SELECT source, n_types, n_tokens,
-           round(num / den, 4) AS zipf_slope,
-           round((dy - num / den * dx) / n, 4) AS zipf_intercept,
+           round(num / den, 4) + 0.0 AS zipf_slope,
+           round((dy - num / den * dx) / n, 4) + 0.0 AS zipf_intercept,
            round(num * num / (den * deny), 4) AS r2
     FROM f
 """
@@ -4715,7 +4732,7 @@ ORACLES["121_bm25_rank"] = """
                  CAST(count(*) AS INTEGER) AS n_terms_hit
           FROM sc GROUP BY doc_id)
     SELECT doc_id, score_nano, n_terms_hit,
-           round(CAST(score_nano AS DOUBLE) / 1e9, 4) AS bm25
+           round(CAST(score_nano AS DOUBLE) / 1e9, 4) + 0.0 AS bm25
     FROM g ORDER BY score_nano DESC, doc_id ASC LIMIT 20
 """
 
@@ -4840,7 +4857,7 @@ ORACLES["123_bm25_indexed"] = """
                  CAST(count(*) AS INTEGER) AS n_terms_hit
           FROM sc GROUP BY doc_id)
     SELECT doc_id, score_nano, n_terms_hit,
-           round(CAST(score_nano AS DOUBLE) / 1e9, 4) AS bm25
+           round(CAST(score_nano AS DOUBLE) / 1e9, 4) + 0.0 AS bm25
     FROM g ORDER BY score_nano DESC, doc_id ASC LIMIT 15
 """
 
@@ -4880,7 +4897,7 @@ ORACLES["124_tfidf_cosine"] = """
            FROM pairs
            JOIN norms na ON na.doc_id = id_a
            JOIN norms nb ON nb.doc_id = id_b)
-    SELECT id_a, id_b, n_shared, round(c, 4) AS cosine
+    SELECT id_a, id_b, n_shared, round(c, 4) + 0.0 AS cosine
     FROM sc WHERE c >= 0.3
 """
 
@@ -4897,7 +4914,7 @@ ORACLES["125_weighted_sample"] = """
                / CAST(n_chars AS DOUBLE) AS es
       FROM f)
     SELECT doc_id, text, lang, source, n_chars,
-           round(es, 6) AS sample_key
+           round(es, 6) + 0.0 AS sample_key
     FROM k ORDER BY es DESC, doc_id ASC LIMIT 40
 """
 
@@ -4931,7 +4948,7 @@ ORACLES["127_hard_negatives"] = """
               PARTITION BY vec_id ORDER BY s DESC, neg_id ASC) AS rk
           FROM p)
     SELECT vec_id, neg_id, neg_label,
-           round(s, 4) AS cosine, CAST(rk AS INTEGER) AS rank
+           round(s, 4) + 0.0 AS cosine, CAST(rk AS INTEGER) AS rank
     FROM r WHERE rk <= 5
 """
 
@@ -5555,10 +5572,10 @@ ORACLES["133_jl_distortion"] = """
     SELECT d.id_a, d.id_b,
            round(CAST(d.dot_o AS DOUBLE)
                  / sqrt(CAST(nao.n AS DOUBLE) * CAST(nbo.n AS DOUBLE)),
-                 4) AS cos_orig,
+                 4) + 0.0 AS cos_orig,
            round(CAST(p.dot_p AS DOUBLE)
                  / sqrt(CAST(nap.n AS DOUBLE) * CAST(nbp.n AS DOUBLE)),
-                 4) AS cos_proj,
+                 4) + 0.0 AS cos_proj,
            round(abs(CAST(d.dot_o AS DOUBLE)
                      / sqrt(CAST(nao.n AS DOUBLE) * CAST(nbo.n AS DOUBLE))
                      - CAST(p.dot_p AS DOUBLE)
