@@ -1,30 +1,46 @@
 """Versioned serving-index maintenance from a document stream.
 
 The deployment shape SCALING.md's "serving indexes" section describes,
-made concrete: the BM25 postings index + its (n_docs, avgdl) stats
-sidecar live as IMMUTABLE VERSIONS under one directory, a pointer file
-names the current one, refreshes fold each arriving micro-batch in with
-:func:`~tantalus_spark.datapipe.textstats.merge_term_index` (O(batch),
-never a rebuild) and atomically swap the pointer. Serving sessions
-(:func:`~tantalus_spark.datapipe.textstats.bm25_rank_indexed`,
-``hybrid_serve_indexed``, ``bm25_serve_stream``) read a version and keep
-it for the whole query/run — a swap mid-run is invisible to them, which
-is the point of version-swap over in-place mutation.
+made concrete as an LSM-style SEGMENTED store: the BM25 postings index
+lives as immutable DELTA SEGMENTS plus TOMBSTONE sets under one
+directory, a per-version MANIFEST names the live segment/tombstone set
+and carries the exact corpus stats, and a pointer file names the
+current manifest. A refresh folds each arriving micro-batch in by
+writing ONLY that batch's delta segment and/or tombstone set plus a new
+manifest — O(batch) bytes per commit, never a copy of the index
+(byte-budget test in tests/test_textstats.py) — then atomically swaps
+the pointer. Compaction folds tombstones in physically and collapses
+the segment list when it crosses ``max_segments`` (amortized
+O(index / max_segments) extra write per batch); GC drops manifests
+older than ``keep_versions`` and any segment no kept manifest
+references, bounding storage at O(index + keep·batch).
+
+Serving sessions (:func:`~tantalus_spark.datapipe.textstats.
+bm25_rank_indexed`, ``hybrid_serve_indexed``, ``bm25_serve_stream``)
+read one manifest and keep it for the whole query/run — a swap mid-run
+is invisible to them, which is the point of version-swap over in-place
+mutation. The served view is the lazy union of the manifest's segments
+with superseded postings masked by a broadcast tombstone anti-join;
+term IN-filters push into every segment scan unchanged.
 
 Local filesystem semantics here (tests run on one box); on an object
 store the pointer update maps to the same conditional-put/rename
-primitive every table format uses for its commit file. Reference
-capability upgraded: the reference app re-queries Postgres per search
+primitive every table format uses for its commit file, and GC maps to
+expiring unreferenced objects. Reference capability upgraded: the
+reference app re-queries Postgres per search
 (search_util/search_helper.py:27-49) — here the search index is a
-maintained, versioned artifact.
+maintained, versioned, write-scalable artifact.
 """
 
 from __future__ import annotations
 
 import json
 import os
+import shutil
+from functools import reduce
 
 from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
 
 _POINTER = "CURRENT"
 
@@ -37,33 +53,106 @@ def _current_version(index_dir: str) -> str | None:
         return f.read().strip()
 
 
+def _read_manifest(index_dir: str, version: str) -> dict:
+    with open(os.path.join(index_dir, version, "manifest.json")) as f:
+        return json.load(f)
+
+
+def _masked_union(spark: SparkSession, index_dir: str, manifest: dict,
+                  leaf: str) -> DataFrame | None:
+    """Lazy live view over the manifest: union of each segment's
+    ``leaf`` parquet ("postings" or "doclens"), with rows of documents
+    superseded by a LATER tombstone masked out. A tombstone at seq T
+    kills a segment-seq-S row iff T > S — so a delete+add CDC batch
+    (tombstone and re-add share one seq) keeps the re-added document's
+    NEW rows, matching the deletes-before-adds batch contract. With no
+    tombstones the view is the bare union (no join in the plan at all);
+    tombstone sets are batch-bounded and BROADCAST, so the masked read
+    is map-side — the corpus-scale segments never shuffle."""
+    segs = manifest["segments"]
+    if not segs:
+        return None
+    tombs = manifest["tombstones"]
+    parts = []
+    for s in segs:
+        part = spark.read.parquet(os.path.join(index_dir, s["name"], leaf))
+        if tombs:
+            part = part.withColumn("_seg_seq", F.lit(int(s["seq"])))
+        parts.append(part)
+    view = reduce(DataFrame.unionByName, parts)
+    if not tombs:
+        return view
+    tparts = [
+        spark.read.parquet(os.path.join(index_dir, t["name"]))
+             .withColumn("_ts_seq", F.lit(int(t["seq"])))
+        for t in tombs
+    ]
+    tomb = reduce(DataFrame.unionByName, tparts)
+    id_col = manifest["id_col"]
+    cond = ((view[id_col] == tomb[id_col])
+            & (tomb["_ts_seq"] > view["_seg_seq"]))
+    return (view.join(F.broadcast(tomb), cond, "left_anti")
+                .drop("_seg_seq"))
+
+
 def load_term_index(spark: SparkSession, index_dir: str):
     """Read the CURRENT index version: (postings DataFrame,
     (n_docs, avgdl)). Returns (None, (0, 0.0)) when no version has been
-    committed yet (empty deployment)."""
+    committed yet (empty deployment). The stats come straight off the
+    manifest's exact integer (n_docs, dl_sum) — avgdl is the same one
+    division a full rebuild performs, so it is bit-identical to
+    :func:`~tantalus_spark.datapipe.textstats.build_term_index`'s."""
     version = _current_version(index_dir)
     if version is None:
         return None, (0, 0.0)
-    vdir = os.path.join(index_dir, version)
-    with open(os.path.join(vdir, "stats.json")) as f:
-        stats = json.load(f)
-    postings = spark.read.parquet(os.path.join(vdir, "postings"))
-    return postings, (int(stats["n_docs"]), float(stats["avgdl"]))
+    m = _read_manifest(index_dir, version)
+    n, dl_sum = int(m["n_docs"]), int(m["dl_sum"])
+    avgdl = float(dl_sum) / float(n) if n > 0 else 0.0
+    postings = _masked_union(spark, index_dir, m, "postings")
+    return postings, (n, avgdl)
 
 
-def _commit_version(index_dir: str, version: str, postings: DataFrame,
-                    stats: tuple[int, float]) -> None:
-    """Write an immutable version directory, then atomically swap the
-    pointer (tmp + rename — the object-store commit-file primitive)."""
+def _commit_version(index_dir: str, version: str, manifest: dict) -> None:
+    """Write an immutable manifest directory, then atomically swap the
+    pointer (tmp + rename — the object-store commit-file primitive).
+    The manifest is the WHOLE commit: segments/tombstones it references
+    were already written; a crash before the rename leaves the old
+    version intact and the orphaned segment for GC."""
     vdir = os.path.join(index_dir, version)
-    postings.write.mode("overwrite").parquet(
-        os.path.join(vdir, "postings"))
-    with open(os.path.join(vdir, "stats.json"), "w") as f:
-        json.dump({"n_docs": int(stats[0]), "avgdl": float(stats[1])}, f)
+    os.makedirs(vdir, exist_ok=True)
+    with open(os.path.join(vdir, "manifest.json"), "w") as f:
+        json.dump(manifest, f)
     tmp = os.path.join(index_dir, _POINTER + ".tmp")
     with open(tmp, "w") as f:
         f.write(version)
     os.replace(tmp, os.path.join(index_dir, _POINTER))
+
+
+def _gc_versions(index_dir: str, keep_versions: int) -> None:
+    """Drop manifests older than the last ``keep_versions`` and every
+    segment/tombstone no kept manifest references. keep_versions >= 2
+    leaves one full swap window for serving sessions that pinned the
+    previous version (an object-store deployment would add a TTL
+    grace period on top)."""
+    versions = sorted(
+        d for d in os.listdir(index_dir)
+        if d.startswith("v") and
+        os.path.isdir(os.path.join(index_dir, d)))
+    keep = versions[-int(keep_versions):]
+    referenced: set[str] = set()
+    for v in keep:
+        m = _read_manifest(index_dir, v)
+        referenced |= {s["name"] for s in m["segments"]}
+        referenced |= {t["name"] for t in m["tombstones"]}
+    for d in os.listdir(index_dir):
+        full = os.path.join(index_dir, d)
+        if not os.path.isdir(full):
+            continue
+        if d.startswith("v") and d not in keep:
+            shutil.rmtree(full)
+        elif ((d.startswith("seg-") or d.startswith("ts-"))
+              and d not in referenced):
+            shutil.rmtree(full)
 
 
 def index_refresh_batches(
@@ -72,26 +161,45 @@ def index_refresh_batches(
     id_col: str = "doc_id",
     dedup_against_current: bool = False,
     op_col: str | None = None,
+    max_segments: int = 8,
+    keep_versions: int = 2,
 ):
     """The foreachBatch index maintainer: returns the (batch_df,
     batch_id) callback that folds every arriving document micro-batch
-    into the versioned BM25 index under ``index_dir`` — O(batch) work
-    per refresh via
-    :func:`~tantalus_spark.datapipe.textstats.merge_term_index` (the
-    old corpus is never rescanned; its postings parquet is unioned
-    lazily and written back), then an atomic pointer swap publishes the
-    new version. After any number of batches the CURRENT index is
-    bit-identical to a full rebuild over every document seen
-    (rebuild-equal test in tests/test_textstats.py).
+    into the segmented BM25 index under ``index_dir``.
 
-    ``merge_term_index``'s disjoint-ids contract applies: a doc id
-    appearing in two batches would double its postings. Leave
+    O(batch) I/O per refresh, by construction: a commit writes the
+    batch's delta postings segment (built by
+    :func:`~tantalus_spark.datapipe.textstats.build_term_index` over
+    the batch alone), its (doc_id, dl) doclens sidecar, a tombstone id
+    set for deletes, and a manifest — never the prior index, whose
+    segments are immutable and shared across versions (byte-budget test
+    in tests/test_textstats.py asserts a small batch's commit writes a
+    small fraction of the index). Corpus stats stay exact integers in
+    the manifest: ``n_docs' = n_docs − n_deleted + n_added``;
+    ``dl_sum' = dl_sum − Σ dl_deleted + Σ dl_added``, where the deleted
+    lengths come from the DOCLENS sidecars (one broadcast-pruned scan
+    of per-doc lengths, never the postings). After any number of
+    batches the CURRENT view is bit-identical to a full rebuild over
+    the surviving documents (rebuild-equal tests).
+
+    Compaction: when the manifest exceeds ``max_segments`` segments the
+    commit also materializes the live view into ONE compacted segment
+    (tombstones fold in physically and clear), so a serve never unions
+    more than ``max_segments + 1`` scans and the amortized extra write
+    per batch is O(index / max_segments) — the standard LSM trade
+    (SCALING.md "segmented index maintenance" does the math). GC then
+    drops manifests beyond ``keep_versions`` and unreferenced segments,
+    bounding storage at O(index + keep·batch).
+
+    ``merge``'s disjoint-ids contract applies: a doc id appearing in
+    two ADD batches would double its postings. Leave
     ``dedup_against_current=False`` when upstream already dedups (the
     q86 novel-docs pass — the production layout); set it True to drop
-    already-indexed ids here with a distinct-ids semi-join against the
-    current postings (one O(index) column scan per batch — the
-    convenience mode, not the 100 TB default; at that scale keep a doc-id
-    sidecar or the canonical map instead).
+    already-indexed ids here with a broadcast semi-join against the
+    live DOCLENS view (O(n_docs) per-doc rows, not the postings — the
+    convenience mode; at 100 TB keep a doc-id sidecar or the canonical
+    map upstream instead).
 
     Exactly-once under replay: foreachBatch is at-least-once — after a
     crash the same ``batch_id`` can fire again, and a naive re-merge
@@ -103,33 +211,37 @@ def index_refresh_batches(
 
     CDC mode (``op_col``): batches carry an operation column with
     ``'add'`` / ``'delete'`` rows and ONE stream maintains the index
-    through both sides — deletes prune first (via
-    :func:`~tantalus_spark.datapipe.textstats.prune_term_index`, so a
-    re-indexed document arrives as delete+add in one batch and lands
-    with its NEW postings only), then adds merge. Delete ids are
-    intersected with the indexed ids first (same broadcast-pruned
-    postings semi-join as the dedup path, output bounded by the batch)
-    so a tombstone for a never-indexed id cannot corrupt the stats.
+    through both sides — deletes apply first (a re-indexed document
+    arrives as delete+add in one batch and lands with its NEW postings
+    only, via the tombstone-seq > segment-seq mask). Delete ids are
+    intersected with the LIVE doc ids first (broadcast semi-join on the
+    doclens view, output bounded by the batch) so a tombstone for a
+    never-indexed id cannot corrupt the stats.
 
     Wire it: ``doc_stream.writeStream.foreachBatch(
     index_refresh_batches("/path/ix")).start()``.
     """
-    from pyspark.sql import functions as F
-
-    from tantalus_spark.datapipe.textstats import (build_term_index,
-                                                   merge_term_index,
-                                                   prune_term_index)
+    from tantalus_spark.datapipe.textstats import build_term_index, tokens
 
     os.makedirs(index_dir, exist_ok=True)
 
+    def _doclens(docs: DataFrame) -> DataFrame:
+        return (docs.filter(F.col(text_col).isNotNull())
+                    .select(F.col(id_col),
+                            F.size(tokens(F.lower(F.col(text_col))))
+                             .cast("long").alias("dl")))
+
     def _on_batch(batch_df: DataFrame, batch_id: int) -> None:
         cur = _current_version(index_dir)
-        if cur is not None and int(cur[1:]) >= int(batch_id):
+        if cur is not None and int(cur[1:].rstrip("c")) >= int(batch_id):
             return  # replayed batch: already committed, idempotent skip
         if not batch_df.take(1):
             return
         spark = batch_df.sparkSession
-        current, stats = load_term_index(spark, index_dir)
+        manifest = (_read_manifest(index_dir, cur) if cur is not None
+                    else {"segments": [], "tombstones": [],
+                          "n_docs": 0, "dl_sum": 0, "id_col": id_col})
+        live_lens = _masked_union(spark, index_dir, manifest, "doclens")
 
         if op_col is not None:
             adds = batch_df.filter(F.col(op_col) == "add").drop(op_col)
@@ -138,41 +250,85 @@ def index_refresh_batches(
         else:
             adds, dels = batch_df, None
 
+        seq = int(batch_id)
+        segments = list(manifest["segments"])
+        tombstones = list(manifest["tombstones"])
+        n_docs, dl_sum = int(manifest["n_docs"]), int(manifest["dl_sum"])
         changed = False
-        postings, new_stats = current, stats
-        if dels is not None and postings is not None and dels.take(1):
-            # only prune ids that ARE indexed (contract guard): one
-            # postings scan broadcast-pruned to the tombstone set
-            present = (postings.select(id_col)
+
+        if dels is not None and live_lens is not None and dels.take(1):
+            # only tombstone ids that ARE live (stats guard): one
+            # broadcast-pruned pass over the per-doc doclens sidecars —
+            # never the postings. Output is bounded by the batch.
+            present = (live_lens
                        .join(F.broadcast(dels), id_col, "left_semi")
-                       .distinct())
-            if present.take(1):
-                postings, new_stats = prune_term_index(
-                    postings, new_stats, present, id_col=id_col)
+                       .groupBy(id_col).agg(F.max("dl").alias("dl")))
+            removed = present.agg(
+                F.count(F.lit(1)).alias("n"),
+                F.sum("dl").alias("s")).first()
+            n_rm = int(removed["n"])
+            if n_rm > 0:
+                ts_name = f"ts-{seq:08d}"
+                (present.select(id_col).coalesce(1).write
+                 .mode("overwrite")
+                 .parquet(os.path.join(index_dir, ts_name)))
+                tombstones.append({"name": ts_name, "seq": seq})
+                n_docs -= n_rm
+                dl_sum -= int(removed["s"] or 0)
                 changed = True
+
         if adds.take(1):
-            if postings is not None and dedup_against_current:
-                # one postings scan, broadcast-pruned to the batch's
-                # ids; `already` is bounded by the batch size
-                already = (postings.select(id_col)
+            if live_lens is not None and dedup_against_current:
+                # broadcast-pruned semi over the DOCLENS view (per-doc
+                # rows); `already` is bounded by the batch size
+                already = (live_lens.select(id_col)
                            .join(F.broadcast(adds.select(id_col)
                                              .distinct()),
                                  id_col, "left_semi")
                            .distinct())
                 adds = adds.join(F.broadcast(already), id_col,
                                  "left_anti")
-            if adds.take(1):
-                if postings is None:
-                    postings, new_stats = build_term_index(
-                        adds, text_col=text_col, id_col=id_col,
-                        with_stats=True)
-                else:
-                    postings, new_stats = merge_term_index(
-                        postings, new_stats, adds, text_col=text_col,
-                        id_col=id_col)
+            lens = _doclens(adds)
+            added = lens.agg(F.count(F.lit(1)).alias("n"),
+                             F.sum("dl").alias("s")).first()
+            n_new = int(added["n"])
+            if n_new > 0:
+                delta = build_term_index(adds, text_col=text_col,
+                                         id_col=id_col)
+                seg_name = f"seg-{seq:08d}"
+                seg_dir = os.path.join(index_dir, seg_name)
+                delta.write.mode("overwrite").parquet(
+                    os.path.join(seg_dir, "postings"))
+                lens.write.mode("overwrite").parquet(
+                    os.path.join(seg_dir, "doclens"))
+                segments.append({"name": seg_name, "seq": seq})
+                n_docs += n_new
+                dl_sum += int(added["s"] or 0)
                 changed = True
-        if changed:
-            _commit_version(index_dir, f"v{int(batch_id):08d}",
-                            postings, new_stats)
+
+        if not changed:
+            return
+
+        new_manifest = {"segments": segments, "tombstones": tombstones,
+                        "n_docs": n_docs, "dl_sum": dl_sum,
+                        "id_col": id_col}
+        if len(segments) > int(max_segments):
+            # compaction: fold tombstones in physically, collapse to
+            # ONE segment. O(index) write amortized over max_segments
+            # batches; the "c" suffix keeps the compacted segment's
+            # name distinct from this batch's delta segment.
+            comp = f"seg-{seq:08d}c"
+            cdir = os.path.join(index_dir, comp)
+            (_masked_union(spark, index_dir, new_manifest, "postings")
+             .write.mode("overwrite")
+             .parquet(os.path.join(cdir, "postings")))
+            (_masked_union(spark, index_dir, new_manifest, "doclens")
+             .write.mode("overwrite")
+             .parquet(os.path.join(cdir, "doclens")))
+            new_manifest = {"segments": [{"name": comp, "seq": seq}],
+                            "tombstones": [], "n_docs": n_docs,
+                            "dl_sum": dl_sum, "id_col": id_col}
+        _commit_version(index_dir, f"v{seq:08d}", new_manifest)
+        _gc_versions(index_dir, keep_versions)
 
     return _on_batch

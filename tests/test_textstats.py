@@ -1666,6 +1666,121 @@ def test_index_refresh_replay_is_idempotent(spark, tmp_path):
         sorted(map(tuple, ref.collect()))
 
 
+def _tree_bytes(root):
+    import os
+    total = 0
+    for dirpath, _dirs, files in os.walk(root):
+        for f in files:
+            total += os.path.getsize(os.path.join(dirpath, f))
+    return total
+
+
+def _tree_files(root):
+    import os
+    out = set()
+    for dirpath, _dirs, files in os.walk(root):
+        for f in files:
+            out.add(os.path.relpath(os.path.join(dirpath, f), root))
+    return out
+
+
+def test_index_refresh_commit_writes_o_batch_bytes(spark, tmp_path):
+    """The segmented store's load-bearing scale property: folding a
+    SMALL batch into a LARGE index writes only that batch's delta
+    segment + manifest — never a copy of the index (the r8 design flaw:
+    every commit rewrote the full unioned postings parquet). Measured
+    on bytes actually written: the small commit's new files must be a
+    small fraction of the large segment, and every pre-existing file
+    must be untouched (immutable segments shared across versions)."""
+    import os
+
+    from tantalus_spark.streaming.maintenance import (
+        index_refresh_batches, load_term_index)
+
+    ix = str(tmp_path / "ix")
+    cb = index_refresh_batches(ix)
+    big = spark.createDataFrame(
+        [(i, " ".join(f"tok{i}_{j}" for j in range(40)))
+         for i in range(2000)], "doc_id long, text string")
+    cb(big, 0)
+    before_files = _tree_files(ix)
+    seg0_bytes = _tree_bytes(os.path.join(ix, "seg-00000000"))
+
+    small = spark.createDataFrame(
+        [(100000 + i, f"delta doc {i} alpha beta") for i in range(5)],
+        "doc_id long, text string")
+    cb(small, 1)
+    new_files = _tree_files(ix) - before_files
+    # every new byte belongs to the batch's own segment or a manifest /
+    # pointer — nothing under seg-00000000 was rewritten
+    assert new_files, "second commit wrote nothing"
+    assert all(f.startswith(("seg-00000001", "v00000001", "CURRENT"))
+               for f in new_files), sorted(new_files)
+    new_bytes = sum(_tree_bytes(os.path.join(ix, d))
+                    for d in ("seg-00000001", "v00000001"))
+    assert new_bytes < 0.2 * seg0_bytes, (new_bytes, seg0_bytes)
+    # and the served view still covers both batches
+    postings, (n, _avg) = load_term_index(spark, ix)
+    assert n == 2005
+    assert postings.select("doc_id").distinct().count() == 2005
+
+
+def test_index_refresh_compaction_and_gc(spark, tmp_path):
+    """Crossing ``max_segments`` folds the manifest into ONE compacted
+    segment with tombstones cleared (physically applied), stays
+    rebuild-equal through the fold, and GC drops superseded manifests
+    and unreferenced segments so storage stays bounded."""
+    import json
+    import os
+
+    from tantalus_spark.datapipe.textstats import build_term_index
+    from tantalus_spark.streaming.maintenance import (
+        index_refresh_batches, load_term_index)
+
+    ix = str(tmp_path / "ix")
+    cb = index_refresh_batches(ix, op_col="op", max_segments=2,
+                               keep_versions=2)
+    schema = "doc_id long, text string, op string"
+    cb(spark.createDataFrame(
+        [(1, "apple banana", "add"), (2, "banana cherry", "add")],
+        schema), 0)
+    cb(spark.createDataFrame(
+        [(2, None, "delete"), (3, "cherry date", "add")], schema), 1)
+    # third segment crosses max_segments=2 -> compaction in this commit
+    cb(spark.createDataFrame(
+        [(4, "elder fig", "add")], schema), 2)
+
+    cur = open(os.path.join(ix, "CURRENT")).read().strip()
+    with open(os.path.join(ix, cur, "manifest.json")) as f:
+        m = json.load(f)
+    assert len(m["segments"]) == 1, m
+    assert m["segments"][0]["name"].endswith("c")
+    assert m["tombstones"] == []
+    # rebuild-equal through compaction (doc 2's delete applied
+    # physically)
+    postings, (n, avgdl) = load_term_index(spark, ix)
+    survivors = spark.createDataFrame(
+        [(1, "apple banana"), (3, "cherry date"), (4, "elder fig")],
+        "doc_id long, text string")
+    want, (wn, wavg) = build_term_index(survivors, with_stats=True)
+    assert (n, avgdl) == (wn, wavg)
+    assert sorted(map(tuple, postings.collect())) == \
+        sorted(map(tuple, want.collect()))
+    # GC: only keep_versions manifests survive, and no segment outside
+    # the kept manifests' reference set remains on disk
+    dirs = set(os.listdir(ix))
+    versions = sorted(d for d in dirs if d.startswith("v"))
+    assert versions == ["v00000001", "v00000002"]
+    segs = {d for d in dirs if d.startswith(("seg-", "ts-"))}
+    referenced = set()
+    for v in versions:
+        with open(os.path.join(ix, v, "manifest.json")) as f:
+            mv = json.load(f)
+        referenced |= {s["name"] for s in mv["segments"]}
+        referenced |= {t["name"] for t in mv["tombstones"]}
+    assert segs == referenced, (segs, referenced)
+
+
 def test_drift_monitor_foreachbatch_matches_batch_operator(spark, tmp_path):
     """Each micro-batch's drift rows equal js_against_baseline run on
     that batch's rows — the foreachBatch twin IS the batch operator, so
