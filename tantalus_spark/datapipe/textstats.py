@@ -2070,6 +2070,140 @@ def hybrid_serve_indexed(
     return _rrf_fuse(sparse_top, scored, k, rrf_k, id_col)
 
 
+def hybrid_serve_topk_batch(
+    index: DataFrame,
+    queries: list[tuple[int, list[str]]],
+    feats: DataFrame,
+    k: int = 20,
+    depth: int = 50,
+    rrf_k: int = 60,
+    dim: int = 64,
+    k1: float = 1.2,
+    b: float = 0.75,
+    id_col: str = "doc_id",
+    n_docs: int | None = None,
+    avgdl: float | None = None,
+    norms: DataFrame | None = None,
+) -> DataFrame:
+    """Batched hybrid serving: run a SET of queries through both
+    index-served legs in ONE distributed job — the throughput shape a
+    serving tier needs (:func:`hybrid_serve_indexed` plans one job per
+    query; job-launch latency × |queries| serialized on the driver is
+    the ceiling the per-query form hits). Mirrors
+    :func:`~tantalus_spark.datapipe.similarity.pq_topk_batch`:
+    ``query_id`` rides through every join, each per-query reduction is
+    a window partitioned by query, and the output is
+    (query_id, id, rank_bm25, rank_dense, rrf) — per query
+    BIT-IDENTICAL to :func:`hybrid_serve_indexed` on the same
+    artifacts (differential test in tests/test_textstats.py).
+
+    Plan shape, one job end to end: the postings scan is pruned ONCE
+    to the union of all queries' terms (then the broadcast
+    (query_id, term) map fans each posting only to the queries that
+    asked for it); per-term df comes from one aggregate over that
+    pruned sliver (df per term is a corpus property, identical
+    whichever query asks); the feats scan is pruned once to the union
+    of query buckets and joined to the broadcast (query_id, bucket,
+    qfeat) vectors; all BM25/dot sums are exact BIGINTs so fan-in
+    order cannot move a bit; per-query top-``depth``/top-``k`` are
+    rank windows partitioned by query (bounded state per query). Total
+    work: O(matching postings + matching buckets) across the query
+    set + O(|queries| · depth) fusion rows — the index is scanned once
+    per BATCH, not once per query. Queries whose terms hash to an
+    all-zero vector serve lexical-only, exactly like the scalar path.
+    ENRICHED feats (``norm`` column) serve with zero norm joins."""
+    spark = index.sparkSession
+    norm_q = [(int(qid), sorted(set(t.lower() for t in ts)))
+              for qid, ts in queries]
+    all_terms = sorted({t for _, ts in norm_q for t in ts})
+    if n_docs is None or avgdl is None:
+        docs = index.select(id_col, "dl").dropDuplicates([id_col])
+        tot = docs.agg(F.count(F.lit(1)).alias("n"),
+                       F.sum("dl").alias("s")).first()
+        n_docs, avgdl = int(tot["n"]), float(tot["s"]) / float(tot["n"])
+
+    # --- lexical leg: one term-pruned postings scan for the whole set
+    tf = index.filter(F.col("term").isin(all_terms))
+    dfreq = tf.groupBy("term").agg(F.count(F.lit(1)).alias("df"))
+    qterms = spark.createDataFrame(
+        [(qid, t) for qid, ts in norm_q for t in ts],
+        "query_id long, term string")
+    sparse = (tf.join(F.broadcast(dfreq), "term")
+                .join(F.broadcast(qterms), "term")
+                .select("query_id", F.col(id_col),
+                        _bm25_score_nano_expr(n_docs, avgdl, k1, b)
+                        .alias("s_nano"))
+                .groupBy("query_id", id_col)
+                .agg(F.sum("s_nano").alias("score_nano")))
+    w_s = W.partitionBy("query_id").orderBy(
+        F.col("score_nano").desc(), F.col(id_col).asc())
+    leg_s = (sparse.withColumn("rank_bm25", F.row_number().over(w_s))
+                   .filter(F.col("rank_bm25") <= int(depth))
+                   .select("query_id", id_col, "rank_bm25"))
+
+    # --- dense leg: one bucket-pruned feats scan for the whole set
+    qfeat_rows: list[tuple[int, int, int]] = []
+    qnorms: list[tuple[int, float]] = []
+    for qid, ts in norm_q:
+        qf = _query_hashed_features(ts, dim)
+        if qf:
+            qnorms.append(
+                (qid, float(sum(v * v for v in qf.values()))))
+            qfeat_rows.extend((qid, int(bk), int(v))
+                              for bk, v in sorted(qf.items()))
+    scored = None
+    if qfeat_rows:
+        qdf = spark.createDataFrame(
+            qfeat_rows, "query_id long, bucket int, qfeat long")
+        qn = spark.createDataFrame(qnorms, "query_id long, qnorm double")
+        enriched = "norm" in feats.columns
+        if norms is None and not enriched:
+            norms = hashed_norms(feats, id_col=id_col)
+        pruned = feats.filter(
+            F.col("bucket").isin(sorted({r[1] for r in qfeat_rows})))
+        aggs = [F.sum(F.col("feat") * F.col("qfeat")).alias("dot")]
+        if enriched:
+            aggs.append(F.first("norm").alias("norm"))
+        dots = (pruned.join(F.broadcast(qdf), "bucket")
+                      .groupBy("query_id", id_col).agg(*aggs))
+        sc = dots if enriched else dots.join(norms, id_col)
+        sc = sc.join(F.broadcast(qn), "query_id")
+        cos = (F.col("dot").cast("double")
+               / F.sqrt(F.col("norm").cast("double") * F.col("qnorm")))
+        w_d = W.partitionBy("query_id").orderBy(
+            F.col("cos_nano").desc(), F.col(id_col).asc())
+        scored = (sc.filter(F.col("norm") > 0)
+                    .select("query_id", F.col(id_col),
+                            F.floor(cos * F.lit(1e9) + F.lit(0.5))
+                            .cast("long").alias("cos_nano"))
+                    .withColumn("rank_dense", F.row_number().over(w_d))
+                    .filter(F.col("rank_dense") <= int(depth))
+                    .select("query_id", id_col, "rank_dense"))
+
+    # --- per-query RRF fusion over <= 2·depth rows each
+    if scored is not None:
+        fused = leg_s.join(scored, ["query_id", id_col], "full_outer")
+    else:
+        fused = leg_s.withColumn("rank_dense", F.lit(None).cast("int"))
+    rrf = (F.coalesce(F.lit(1.0) / (F.lit(float(rrf_k))
+                                    + F.col("rank_bm25")), F.lit(0.0))
+           + F.coalesce(F.lit(1.0) / (F.lit(float(rrf_k))
+                                      + F.col("rank_dense")),
+                        F.lit(0.0)))
+    w_f = W.partitionBy("query_id").orderBy(
+        F.col("rrf").desc(), F.col(id_col).asc())
+    return (fused.withColumn("rrf", rrf)
+                 .withColumn("rank_bm25", F.coalesce("rank_bm25",
+                                                     F.lit(0)))
+                 .withColumn("rank_dense", F.coalesce("rank_dense",
+                                                      F.lit(0)))
+                 .withColumn("_rk", F.row_number().over(w_f))
+                 .filter(F.col("_rk") <= int(k))
+                 .select("query_id", F.col(id_col), "rank_bm25",
+                         "rank_dense",
+                         F.round(F.col("rrf"), 6).alias("rrf")))
+
+
 def source_js_divergence(
     df: DataFrame,
     n_buckets: int = 256,

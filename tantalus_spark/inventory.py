@@ -2004,10 +2004,15 @@ def q141_hybrid_serve(spark, sf_dir):
     docs = db_for(spark, sf_dir).table("documents")
     idx, (n_docs, avgdl) = build_term_index(docs, with_stats=True)
     feats = hashed_features(docs, dim=64).persist()
-    norms = hashed_norms(feats)
+    # ENRICHED layout — the default written artifact since r9: the
+    # norm column rides on every (id, bucket) row, so the serving plan
+    # has ZERO norm joins (bit-identical to the sidecar layout,
+    # differential test in tests/test_textstats.py; plan contract in
+    # tests/test_plans.py)
+    enriched = feats.join(hashed_norms(feats), "doc_id")
     out = hybrid_serve_indexed(
-        idx, ["customer", "sort", "hash"], feats, k=15, depth=40,
-        rrf_k=60, dim=64, n_docs=n_docs, avgdl=avgdl, norms=norms)
+        idx, ["customer", "sort", "hash"], enriched, k=15, depth=40,
+        rrf_k=60, dim=64, n_docs=n_docs, avgdl=avgdl)
     from tantalus_spark.datapipe.dedup import _materialize_and_release
     return _materialize_and_release(out, [feats])
 
@@ -2101,12 +2106,43 @@ def q144_merged_dense_serve(spark, sf_dir):
     old = docs.filter(F.col("doc_id") < 400)
     new = docs.filter(F.col("doc_id") >= 400)
     feats_old = hashed_features(old, dim=64)
-    feats, norms = merge_hashed_index(feats_old,
-                                      hashed_norms(feats_old), new,
-                                      dim=64)
+    norms_old = hashed_norms(feats_old)
+    # ENRICHED layout (r9 default): merge keeps the norm column on the
+    # delta too, and the serve runs with zero norm joins
+    feats, _norms = merge_hashed_index(feats_old.join(norms_old,
+                                                      "doc_id"),
+                                       norms_old, new, dim=64)
     qf = _query_hashed_features(["customer", "sort", "hash"], 64)
     return _dense_leg_scored(feats, qf, depth=25, id_col="doc_id",
-                             norms=norms)
+                             norms=None)
+
+
+def q147_hybrid_serve_batch(spark, sf_dir):
+    """Batched hybrid serving (hybrid_serve_topk_batch): THREE queries
+    served through both index legs in ONE distributed job — the
+    postings scan pruned once to the union of the queries' terms, the
+    ENRICHED feature scan pruned once to the union of their buckets,
+    per-query reductions as rank windows, per-query RRF fusion. Each
+    query's rows are bit-identical to the per-query server
+    (differential test); the plan has exactly three artifact scans
+    however many queries arrive (plan-contract test). The throughput
+    shape of the serving tier: one job per batch, not one per query."""
+    from tantalus_spark.datapipe.textstats import (
+        build_term_index, hashed_features, hashed_norms,
+        hybrid_serve_topk_batch)
+
+    docs = db_for(spark, sf_dir).table("documents")
+    idx, (n_docs, avgdl) = build_term_index(docs, with_stats=True)
+    feats = hashed_features(docs, dim=64).persist()
+    enriched = feats.join(hashed_norms(feats), "doc_id")
+    out = hybrid_serve_topk_batch(
+        idx, [(1, ["customer", "sort", "hash"]),
+              (2, ["merge", "join"]),
+              (3, ["hash", "table"])],
+        enriched, k=10, depth=40, rrf_k=60, dim=64,
+        n_docs=n_docs, avgdl=avgdl)
+    from tantalus_spark.datapipe.dedup import _materialize_and_release
+    return _materialize_and_release(out, [feats])
 
 
 _ALL_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
@@ -2291,6 +2327,10 @@ _QUERY_ORDER = [
     "92_vocab_coverage", "94_source_report", "95_paragraph_dedup",
     "99_corpus_shuffle", "100_bpe_merges",
     "103_temperature_mix", "105_gate_attribution",
+    # r9 additions beyond the window: the batched hybrid serving tier
+    # (one job per query SET) — full-value-oracled; r10 ROTATION
+    # CANDIDATES under the standing protocol.
+    "147_hybrid_serve_batch",
 ]
 
 QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
@@ -5197,6 +5237,115 @@ ORACLES["141_hybrid_serve"] = """
            CAST(COALESCE(rank_dense, 0) AS INTEGER) AS rank_dense,
            round(rrf, 6) AS rrf
     FROM fused ORDER BY rrf DESC, doc_id ASC LIMIT 15
+"""
+
+# q147: the batched server is per-query bit-identical to q141's scalar
+# pipeline (differential test), so the oracle is the q141 SQL with a
+# query dimension: a (query_id, term) VALUES table fans the shared
+# term-pruned tf/df slivers per query, every window partitions by
+# query_id, and fusion full-outer-joins on (query_id, doc_id).
+ORACLES["147_hybrid_serve_batch"] = """
+    WITH q AS (
+      SELECT * FROM (VALUES
+        (1, 'customer'), (1, 'sort'), (1, 'hash'),
+        (2, 'merge'), (2, 'join'),
+        (3, 'hash'), (3, 'table')) t(query_id, term)),
+    base AS (
+      SELECT doc_id,
+             string_split_regex(trim(lower(text)), '\\s+') AS toks
+      FROM documents WHERE text IS NOT NULL),
+    dl AS (SELECT doc_id, CAST(len(toks) AS BIGINT) AS dl FROM base),
+    tot AS (SELECT CAST(count(*) AS DOUBLE) AS n,
+                   CAST(sum(dl) AS DOUBLE) / CAST(count(*) AS DOUBLE)
+                     AS avgdl
+            FROM dl),
+    toks AS (SELECT doc_id, unnest(toks) AS term FROM base),
+    tf AS (SELECT doc_id, term, count(*) AS tf
+           FROM toks
+           WHERE term IN (SELECT DISTINCT term FROM q)
+           GROUP BY doc_id, term),
+    dfq AS (SELECT term, count(*) AS df FROM tf GROUP BY term),
+    sc AS (
+      SELECT qq.query_id, tf.doc_id,
+             CAST(floor(
+               ln(1.0 + (tot.n - dfq.df + 0.5) / (dfq.df + 0.5))
+               * (tf.tf * 2.2)
+               / (tf.tf + 1.2 * (0.25 + 0.75 * dl.dl / tot.avgdl))
+               * 1e9 + 0.5) AS BIGINT) AS s_nano
+      FROM tf JOIN dfq USING (term) JOIN dl USING (doc_id)
+      JOIN q qq USING (term)
+      CROSS JOIN tot),
+    g AS (SELECT query_id, doc_id,
+                 CAST(sum(s_nano) AS BIGINT) AS score_nano
+          FROM sc GROUP BY query_id, doc_id),
+    leg_s AS (
+      SELECT query_id, doc_id, CAST(rk AS INTEGER) AS rank_bm25
+      FROM (SELECT query_id, doc_id,
+                   row_number() OVER (PARTITION BY query_id
+                                      ORDER BY score_nano DESC,
+                                      doc_id ASC) AS rk
+            FROM g)
+      WHERE rk <= 40),
+    sf AS (
+      SELECT doc_id,
+             CAST(('0x' || substr(md5(term), 1, 15))::BIGINT % 64
+                  AS INTEGER) AS bucket,
+             CAST(1 - 2 * (('0x' || substr(md5('s_' || term), 1, 15))
+                           ::BIGINT % 2) AS INTEGER) AS sgn
+      FROM toks),
+    feats AS (SELECT doc_id, bucket, CAST(sum(sgn) AS BIGINT) AS feat
+              FROM sf GROUP BY doc_id, bucket),
+    qf AS (
+      SELECT query_id, bucket, CAST(sum(sgn) AS BIGINT) AS qfeat
+      FROM (
+        SELECT query_id,
+               CAST(('0x' || substr(md5(term), 1, 15))::BIGINT % 64
+                    AS INTEGER) AS bucket,
+               CAST(1 - 2 * (('0x' || substr(md5('s_' || term), 1, 15))
+                             ::BIGINT % 2) AS INTEGER) AS sgn
+        FROM q) s
+      GROUP BY query_id, bucket HAVING sum(sgn) <> 0),
+    qn AS (SELECT query_id, CAST(sum(qfeat * qfeat) AS DOUBLE) AS qnorm
+           FROM qf GROUP BY query_id),
+    dots AS (SELECT qf.query_id, f.doc_id,
+                    CAST(sum(f.feat * qf.qfeat) AS BIGINT) AS dot
+             FROM feats f JOIN qf USING (bucket)
+             GROUP BY qf.query_id, f.doc_id),
+    norms AS (SELECT doc_id, CAST(sum(feat * feat) AS BIGINT) AS norm
+              FROM feats GROUP BY doc_id),
+    scored AS (
+      SELECT d.query_id, d.doc_id,
+             CAST(floor(CAST(d.dot AS DOUBLE)
+                        / sqrt(CAST(n.norm AS DOUBLE) * qn.qnorm)
+                        * 1e9 + 0.5) AS BIGINT) AS cos_nano
+      FROM dots d JOIN norms n USING (doc_id)
+      JOIN qn ON qn.query_id = d.query_id
+      WHERE n.norm > 0),
+    leg_d AS (
+      SELECT query_id, doc_id, CAST(rk AS INTEGER) AS rank_dense
+      FROM (SELECT query_id, doc_id,
+                   row_number() OVER (PARTITION BY query_id
+                                      ORDER BY cos_nano DESC,
+                                      doc_id ASC) AS rk
+            FROM scored)
+      WHERE rk <= 40),
+    fused AS (
+      SELECT COALESCE(s.query_id, d.query_id) AS query_id,
+             COALESCE(s.doc_id, d.doc_id) AS doc_id,
+             s.rank_bm25, d.rank_dense,
+             COALESCE(1.0 / (60.0 + s.rank_bm25), 0.0)
+               + COALESCE(1.0 / (60.0 + d.rank_dense), 0.0) AS rrf
+      FROM leg_s s FULL OUTER JOIN leg_d d
+        ON s.query_id = d.query_id AND s.doc_id = d.doc_id)
+    SELECT CAST(query_id AS BIGINT) AS query_id, doc_id,
+           CAST(COALESCE(rank_bm25, 0) AS INTEGER) AS rank_bm25,
+           CAST(COALESCE(rank_dense, 0) AS INTEGER) AS rank_dense,
+           round(rrf, 6) AS rrf
+    FROM (SELECT *, row_number() OVER (PARTITION BY query_id
+                                       ORDER BY rrf DESC, doc_id ASC)
+                    AS frk
+          FROM fused)
+    WHERE frk <= 10
 """
 
 # q132: exact integer bucket counts; each per-bucket JS contribution is

@@ -298,26 +298,34 @@ def hybrid_serve_batches(
     second stateful ranking over a streaming aggregate, which append
     mode forbids (the leg twins ``bm25_serve_stream`` /
     ``dense_serve_stream`` stop at scored candidates for exactly that
-    reason, documented there). Inside the callback the math IS the
-    batch operator, so each served query is bit-identical to
-    :func:`hybrid_serve_indexed` on the same artifacts (parity test in
-    tests/test_textstats.py). Per-batch driver work is
-    O(queries · k) collected rows; the per-query Spark jobs scan only
-    term-/bucket-pruned slivers of the frozen artifacts."""
-    from tantalus_spark.datapipe.textstats import hybrid_serve_indexed
+    reason, documented there). The whole micro-batch's query set is
+    served by ONE
+    :func:`~tantalus_spark.datapipe.textstats.hybrid_serve_topk_batch`
+    job — query_id rides through both legs' joins and every per-query
+    reduction is a rank window, so the driver launches one job per
+    BATCH, not one per query (the r8 shape looped
+    ``hybrid_serve_indexed`` sequentially; job-launch latency ×
+    |queries| was the throughput ceiling of the one component whose
+    purpose is throughput). Each served query stays bit-identical to
+    :func:`hybrid_serve_indexed` on the same artifacts (differential
+    test in tests/test_textstats.py). Per-batch driver work is
+    O(queries · k) collected rows; the one Spark job scans only the
+    union-of-queries term-/bucket-pruned slivers of the frozen
+    artifacts."""
+    from tantalus_spark.datapipe.textstats import hybrid_serve_topk_batch
 
     def _on_batch(batch_df: DataFrame, batch_id: int) -> None:
-        queries = batch_df.select(qid_col, terms_col).collect()
-        out = []
-        for q in queries:
-            served = hybrid_serve_indexed(
-                index, list(q[terms_col]), feats, k=k, depth=depth,
-                rrf_k=rrf_k, dim=dim, k1=k1, b=b, id_col=id_col,
-                n_docs=n_docs, avgdl=avgdl, norms=norms)
-            out.extend({"batch_id": int(batch_id),
-                        "query_id": q[qid_col], **r.asDict()}
-                       for r in served.collect())
-        sink(out)
+        qrows = batch_df.select(qid_col, terms_col).collect()
+        if not qrows:
+            sink([])
+            return
+        queries = [(int(q[qid_col]), list(q[terms_col])) for q in qrows]
+        served = hybrid_serve_topk_batch(
+            index, queries, feats, k=k, depth=depth, rrf_k=rrf_k,
+            dim=dim, k1=k1, b=b, id_col=id_col, n_docs=n_docs,
+            avgdl=avgdl, norms=norms)
+        sink([{"batch_id": int(batch_id), **r.asDict()}
+              for r in served.collect()])
 
     return _on_batch
 

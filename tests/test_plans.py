@@ -499,6 +499,52 @@ def test_hybrid_serving_never_aggregates_feature_table(spark, tmp_path):
                          plan2)
 
 
+def test_hybrid_batch_serving_scans_index_once_per_batch(spark, tmp_path):
+    """hybrid_serve_topk_batch's scale claim, plan-verified: serving N
+    queries is ONE plan whose artifact scans are pruned to the UNION of
+    the queries' terms/buckets — the index is scanned once per BATCH,
+    not once per query. On the ENRICHED layout the whole plan has
+    exactly THREE parquet scans (tf + df postings sides, one feats
+    scan) regardless of |queries|, zero norm joins, and no corpus-wide
+    aggregate."""
+    import re
+
+    from tantalus_spark.datapipe.textstats import (
+        build_term_index, hashed_features, hashed_norms,
+        hybrid_serve_topk_batch)
+
+    docs = db_for(spark, SF).table("documents")
+    idx_df, (n_docs, avgdl) = build_term_index(docs, with_stats=True)
+    idx_df.write.parquet(str(tmp_path / "ix"))
+    feats_df = hashed_features(docs, dim=64)
+    (feats_df.join(hashed_norms(feats_df), "doc_id")
+     .write.parquet(str(tmp_path / "enriched")))
+
+    queries = [(1, ["hash", "merge"]), (2, ["sort", "join"]),
+               (3, ["customer", "hash"])]
+    plan = _plan(hybrid_serve_topk_batch(
+        spark.read.parquet(str(tmp_path / "ix")), queries,
+        spark.read.parquet(str(tmp_path / "enriched")),
+        k=5, depth=10, dim=64, n_docs=n_docs, avgdl=avgdl))
+    assert "documents.parquet" not in plan
+    chunks = [c.splitlines()[0] for c in plan.split("PushedFilters:")[1:]]
+    # 3 queries, still exactly three scans: 2 term-pruned postings
+    # (tf + df) + 1 bucket-pruned feats — not 3 per query
+    assert sum("In(term" in c for c in chunks) == 2, chunks
+    assert sum("In(bucket" in c for c in chunks) == 1, chunks
+    assert len(chunks) == 3, chunks
+    # the term filter is the UNION of all queries' terms
+    term_chunk = next(c for c in chunks if "In(term" in c)
+    for t in ("hash", "merge", "sort", "join", "customer"):
+        assert t in term_chunk, (t, term_chunk)
+    # no per-query norm re-derivation, no full-index stats fallback
+    assert not re.search(r"sum\(\(?feat#\d+L?\s*\*\s*feat#\d+L?\)?\)",
+                         plan)
+    assert not re.search(
+        r"HashAggregate\(keys=\[doc_id[^,\]]*\],\s*functions=\[\]",
+        plan), "full-index distinct(doc_id) in batched serving plan"
+
+
 def test_ivfpq_serving_partition_prunes_written_index(spark, tmp_path):
     """The ANN warehouse layout (q138/q75 family): the (id, ivf_list,
     pq_code) table written ``partitionBy("ivf_list")`` must

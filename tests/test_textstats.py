@@ -1981,6 +1981,57 @@ def test_hybrid_serve_indexed_matches_scan_path(spark):
     norms.unpersist()
 
 
+def test_hybrid_serve_topk_batch_matches_per_query(spark):
+    """The batched hybrid server (one job for the whole query set) is
+    per-query BIT-IDENTICAL to hybrid_serve_indexed on the same frozen
+    artifacts — for overlapping term sets, disjoint term sets, a query
+    with zero lexical hits, on BOTH feature layouts (norms sidecar and
+    ENRICHED norm column)."""
+    from tantalus_spark.datapipe.textstats import (
+        build_term_index, hashed_features, hashed_norms,
+        hybrid_serve_indexed, hybrid_serve_topk_batch)
+
+    filler = " ".join(f"pad{i}" for i in range(25))
+    docs = spark.createDataFrame(
+        [(i, f"apple banana {filler} " + "cherry " * (i % 4)
+          + ("date fig " if i % 5 == 0 else ""))
+         for i in range(1, 14)],
+        "doc_id long, text string")
+    idx, (n_docs, avgdl) = build_term_index(docs, with_stats=True)
+    idx = idx.persist()
+    feats = hashed_features(docs, dim=16).persist()
+    norms = hashed_norms(feats).persist()
+    norms.count()
+
+    queries = [(1, ["apple", "cherry"]), (2, ["banana"]),
+               (3, ["date", "fig"]),
+               (4, ["zzz_absent_term"])]  # no lexical hits anywhere
+    batched = hybrid_serve_topk_batch(
+        idx, queries, feats, k=5, depth=8, dim=16,
+        n_docs=n_docs, avgdl=avgdl, norms=norms)
+    got = [r.asDict() for r in batched.collect()]
+    for qid, terms in queries:
+        want = sorted(
+            (r["doc_id"], r["rank_bm25"], r["rank_dense"], r["rrf"])
+            for r in hybrid_serve_indexed(
+                idx, terms, feats, k=5, depth=8, dim=16,
+                n_docs=n_docs, avgdl=avgdl, norms=norms).collect())
+        have = sorted(
+            (r["doc_id"], r["rank_bm25"], r["rank_dense"], r["rrf"])
+            for r in got if r["query_id"] == qid)
+        assert have == want, (qid, have, want)
+
+    # ENRICHED layout: identical output, zero norm joins in the plan
+    enriched = feats.join(norms, "doc_id")
+    b2 = hybrid_serve_topk_batch(
+        idx, queries, enriched, k=5, depth=8, dim=16,
+        n_docs=n_docs, avgdl=avgdl)
+    assert sorted(map(tuple, b2.collect())) == \
+        sorted(map(tuple, batched.collect()))
+    for df in (idx, feats, norms):
+        df.unpersist()
+
+
 def test_group_split_cluster_map_joins_near_dup_twins(spark):
     """With a frozen cluster map, near-dup twins that are NOT byte- or
     NFC-equal land in ONE split; docs NFC-equal to a clustered member
