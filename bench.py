@@ -79,6 +79,9 @@ HEADLINE = [
     # cluster-tier leakage-free split
     "141_hybrid_serve",
     "142_group_split_clustered",
+    # r9 addition: the batched serving tier — three queries through
+    # both index legs in ONE job (includes the one-time builds)
+    "147_hybrid_serve_batch",
 ]
 
 
@@ -181,12 +184,22 @@ def main() -> None:
         timings[name] = round(best, 3)
 
     total = round(sum(timings.values()), 3)
+    # record box load so round-over-round artifacts are auditable: the
+    # r8 artifact showed +40-50% on untouched queries that a re-run on
+    # an idle box didn't reproduce — co-tenant load, not a regression.
+    # loadavg >> 32 at record time marks the numbers as inflated.
+    try:
+        load1, load5, _ = os.getloadavg()
+    except OSError:
+        load1 = load5 = -1.0
     print(json.dumps({
         "metric": "headline_queries_total",
         "value": total,
         "unit": "sec",
         "queries": timings,
         "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
+        "load_1m": round(load1, 2),
+        "load_5m": round(load5, 2),
     }))
 
 
