@@ -1506,6 +1506,23 @@ def ivf_recall(
     assigned = ivf_assign(df.filter(F.col(vec_col).isNotNull()),
                           centroids, id_col=id_col,
                           vec_col=vec_col).persist()
+    hits = _ivf_recall_hits(assigned, qdf, k, id_col, vec_col)
+    out = hits.select("query_id", "n_hits",
+                      F.round(F.col("n_hits") / F.lit(float(k)), 4)
+                      .alias("recall"))
+    from tantalus_spark.datapipe.dedup import _materialize_and_release
+    return _materialize_and_release(out, [assigned])
+
+
+def _ivf_recall_hits(assigned: DataFrame, qdf: DataFrame, k: int,
+                     id_col: str, vec_col: str) -> DataFrame:
+    """(query_id, n_hits) = |exact top-k ∩ probed top-k| per probe
+    query over a (persisted) :func:`ivf_assign` frame — the shared
+    recall legs of :func:`ivf_recall` and :func:`ivf_index_health`.
+    ``qdf`` carries (query_id, qvec, probes); queries with no hits
+    report 0 (left join + coalesce)."""
+    from pyspark.sql import Window as W
+
     sim = F.nanvl(cosine_similarity(F.col(vec_col), F.col("qvec")),
                   F.lit(-2.0))
     w = W.partitionBy("query_id").orderBy(F.desc("_sim"),
@@ -1525,15 +1542,11 @@ def ivf_recall(
     hits = (exact.join(approx, ["query_id", id_col])
                  .groupBy("query_id")
                  .agg(F.count(F.lit(1)).cast("int").alias("n_hits")))
-    out = (qdf.select("query_id")
-              .join(hits, "query_id", "left")
-              .select("query_id",
-                      F.coalesce("n_hits", F.lit(0)).cast("int")
-                      .alias("n_hits"),
-                      F.round(F.coalesce("n_hits", F.lit(0))
-                              / F.lit(float(k)), 4).alias("recall")))
-    from tantalus_spark.datapipe.dedup import _materialize_and_release
-    return _materialize_and_release(out, [assigned])
+    return (qdf.select("query_id")
+               .join(hits, "query_id", "left")
+               .select("query_id",
+                       F.coalesce("n_hits", F.lit(0)).cast("int")
+                       .alias("n_hits")))
 
 
 def ivf_list_balance(
@@ -1580,6 +1593,109 @@ def ivf_list_balance(
                                  / (F.col("_n").cast("double")
                                     * F.col("_n").cast("double")), 4)
                          .alias("imbalance")))
+
+
+def ivf_index_health(
+    df: DataFrame,
+    n_centroids: int = 8,
+    k: int = 10,
+    nprobe: int = 2,
+    n_queries: int = 10,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """One-job IVF index health report — the operational composition of
+    :func:`ivf_list_balance` (retrain signal) and :func:`ivf_recall`
+    (nprobe signal): per inverted list its population and share, the
+    global FAISS imbalance factor, and the sampled recall@k at the
+    given ``nprobe`` — every input the retrain/re-probe decision needs,
+    from ONE :func:`ivf_assign` corpus pass shared by both audits (run
+    separately they each pay their own assign pass; the report
+    persists one).
+
+    Same determinism contract as both parents: centroids are the
+    embeddings of the first ``n_centroids`` ids, probe queries the
+    first ``n_queries`` ids, assignment first-max argmax, both recall
+    legs ranked under the total order — fully SQL-replayable. Returns
+    (ivf_list, n_vecs, share, imbalance, mean_recall, min_recall);
+    the recall columns are query-sample globals repeated per list row
+    (a report, not a join key). Dead lists appear with n_vecs 0.
+
+    Scale: the assign pass is the only corpus-sized work (centroids
+    are plan literals); balance is an nlist-row groupBy; the exact
+    recall leg is the bounded-query brute-force verifier —
+    sample-in/sample-out at production scale, like :func:`ivf_recall`.
+    """
+    import math
+
+    head = (df.filter(F.col(vec_col).isNotNull())
+              .filter(F.col(id_col) < max(n_centroids, n_queries))
+              .orderBy(id_col).collect())
+    by_id = {r[id_col]: [float(x) for x in r[vec_col]] for r in head}
+    missing = [i for i in range(max(n_centroids, n_queries))
+               if i not in by_id]
+    if missing:
+        raise ValueError(
+            f"ivf_index_health: ids {missing[:5]} absent (or "
+            f"null-vector) — centroids/queries are the first "
+            f"{max(n_centroids, n_queries)} ids by contract")
+    centroids = [by_id[i] for i in range(n_centroids)]
+
+    def cos(a: list[float], b: list[float]) -> float:
+        dot = sum(x * y for x, y in zip(a, b))
+        na = math.sqrt(sum(x * x for x in a))
+        nb = math.sqrt(sum(x * x for x in b))
+        return dot / (na * nb) if na and nb else 0.0
+
+    spark = df.sparkSession
+    qrows = []
+    for qid in range(n_queries):
+        qv = by_id[qid]
+        ranked = sorted(range(n_centroids),
+                        key=lambda i: -cos(centroids[i], qv))
+        qrows.append((qid, qv, ranked[:nprobe]))
+    qdf = spark.createDataFrame(
+        qrows, "query_id long, qvec array<double>, probes array<int>")
+
+    assigned = ivf_assign(df.filter(F.col(vec_col).isNotNull()),
+                          centroids, id_col=id_col,
+                          vec_col=vec_col).persist()
+    # balance legs (the q146 expression tree) over the shared assign
+    counts = assigned.groupBy("ivf_list").agg(
+        F.count(F.lit(1)).cast("long").alias("n_vecs"))
+    grid = spark.range(n_centroids).select(
+        F.col("id").cast("int").alias("ivf_list"))
+    dense = (grid.join(counts, "ivf_list", "left")
+                 .select("ivf_list",
+                         F.coalesce("n_vecs", F.lit(0)).cast("long")
+                         .alias("n_vecs")))
+    tot = dense.agg(F.sum("n_vecs").alias("_n"),
+                    F.sum(F.col("n_vecs") * F.col("n_vecs"))
+                    .alias("_s2"))
+    # recall legs (the q136 expression tree) over the SAME assign
+    hits = _ivf_recall_hits(assigned, qdf, k, id_col, vec_col)
+    health = hits.agg(F.sum("n_hits").alias("_sh"),
+                      F.min("n_hits").alias("_mh"))
+    nlist = float(n_centroids)
+    out = (dense.crossJoin(F.broadcast(tot))
+                .crossJoin(F.broadcast(health))
+                .select("ivf_list", "n_vecs",
+                        F.round(F.col("n_vecs").cast("double")
+                                / F.col("_n").cast("double"), 4)
+                        .alias("share"),
+                        F.round(F.lit(nlist)
+                                * F.col("_s2").cast("double")
+                                / (F.col("_n").cast("double")
+                                   * F.col("_n").cast("double")), 4)
+                        .alias("imbalance"),
+                        F.round(F.col("_sh").cast("double")
+                                / F.lit(float(n_queries * k)), 4)
+                        .alias("mean_recall"),
+                        F.round(F.col("_mh").cast("double")
+                                / F.lit(float(k)), 4)
+                        .alias("min_recall")))
+    from tantalus_spark.datapipe.dedup import _materialize_and_release
+    return _materialize_and_release(out, [assigned])
 
 
 def pq_topk_batch(

@@ -2145,6 +2145,20 @@ def q147_hybrid_serve_batch(spark, sf_dir):
     return _materialize_and_release(out, [feats])
 
 
+def q148_ivf_index_health(spark, sf_dir):
+    """IVF index health report (ivf_index_health): per-list balance +
+    sampled recall@k at the serving nprobe, from ONE shared assign
+    pass — the single job that emits every retrain/re-probe decision
+    input (the q136 + q146 composition SCALING.md's serving section
+    calls for). Deterministic q136/q146 contract (first-8-id centroids,
+    first-10-id queries); full oracle."""
+    from tantalus_spark.datapipe.similarity import ivf_index_health
+
+    emb = db_for(spark, sf_dir).table("embeddings")
+    return ivf_index_health(emb, n_centroids=8, k=10, nprobe=2,
+                            n_queries=10)
+
+
 _ALL_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     name[1:]: fn
     for name, fn in list(globals().items())
@@ -2328,9 +2342,10 @@ _QUERY_ORDER = [
     "99_corpus_shuffle", "100_bpe_merges",
     "103_temperature_mix", "105_gate_attribution",
     # r9 additions beyond the window: the batched hybrid serving tier
-    # (one job per query SET) — full-value-oracled; r10 ROTATION
-    # CANDIDATES under the standing protocol.
-    "147_hybrid_serve_batch",
+    # (one job per query SET) and the one-pass IVF health report —
+    # full-value-oracled; r10 ROTATION CANDIDATES under the standing
+    # protocol.
+    "147_hybrid_serve_batch", "148_ivf_index_health",
 ]
 
 QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
@@ -4439,6 +4454,79 @@ ORACLES["144_merged_dense_serve"] = """
 
 # q146: the q136 assignment CTE (NaN-guarded cosine, first-max argmax)
 # reduced to per-list counts; every division is from exact integers.
+# q148: the q146 balance CTEs and the q136 recall CTEs over ONE shared
+# assignment, recall aggregated to (mean, min) over the 10-query sample
+# and repeated per list row (a report, not a join key).
+ORACLES["148_ivf_index_health"] = """
+    WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v
+               FROM embeddings WHERE embedding IS NOT NULL),
+    cent AS (SELECT vec_id AS cid, v FROM e WHERE vec_id < 8),
+    q AS (SELECT vec_id AS query_id, v AS qv FROM e WHERE vec_id < 10),
+    sims AS (
+      SELECT e.vec_id, c.cid,
+             CASE WHEN isnan(list_cosine_similarity(e.v, c.v))
+                  THEN -2.0
+                  ELSE list_cosine_similarity(e.v, c.v) END AS s
+      FROM e CROSS JOIN cent c),
+    assign AS (
+      SELECT vec_id, cid AS ivf_list FROM (
+        SELECT vec_id, cid,
+               row_number() OVER (PARTITION BY vec_id
+                                  ORDER BY s DESC, cid ASC) AS rn
+        FROM sims) t WHERE rn = 1),
+    counts AS (SELECT ivf_list, count(*) AS n
+               FROM assign GROUP BY ivf_list),
+    grid AS (SELECT CAST(b AS INTEGER) AS ivf_list
+             FROM (SELECT unnest(range(8)) AS b) t),
+    d AS (SELECT g.ivf_list, CAST(COALESCE(c.n, 0) AS BIGINT) AS n_vecs
+          FROM grid g LEFT JOIN counts c USING (ivf_list)),
+    tot AS (SELECT CAST(sum(n_vecs) AS BIGINT) AS nn,
+                   CAST(sum(n_vecs * n_vecs) AS BIGINT) AS s2
+            FROM d),
+    qc AS (
+      SELECT q.query_id, c.cid,
+             list_cosine_similarity(q.qv, c.v) AS s
+      FROM q CROSS JOIN cent c),
+    probes AS (
+      SELECT query_id, cid FROM (
+        SELECT query_id, cid,
+               row_number() OVER (PARTITION BY query_id
+                                  ORDER BY s DESC, cid ASC) AS rn
+        FROM qc) t WHERE rn <= 2),
+    ex AS (
+      SELECT query_id, vec_id FROM (
+        SELECT q.query_id, e.vec_id,
+               row_number() OVER (PARTITION BY q.query_id
+                 ORDER BY list_cosine_similarity(e.v, q.qv) DESC,
+                          e.vec_id ASC) AS rn
+        FROM e CROSS JOIN q) t WHERE rn <= 10),
+    ap AS (
+      SELECT query_id, vec_id FROM (
+        SELECT p.query_id, e.vec_id,
+               row_number() OVER (PARTITION BY p.query_id
+                 ORDER BY list_cosine_similarity(e.v, q.qv) DESC,
+                          e.vec_id ASC) AS rn
+        FROM assign a
+        JOIN e ON e.vec_id = a.vec_id
+        JOIN probes p ON p.cid = a.ivf_list
+        JOIN q ON q.query_id = p.query_id) t WHERE rn <= 10),
+    hits AS (SELECT ex.query_id, count(*) AS n
+             FROM ex JOIN ap ON ap.query_id = ex.query_id
+                            AND ap.vec_id = ex.vec_id
+             GROUP BY ex.query_id),
+    per_q AS (SELECT q.query_id, COALESCE(h.n, 0) AS n
+              FROM q LEFT JOIN hits h ON h.query_id = q.query_id),
+    health AS (SELECT CAST(sum(n) AS BIGINT) AS sh,
+                      CAST(min(n) AS BIGINT) AS mh
+               FROM per_q)
+    SELECT ivf_list, n_vecs,
+           round(n_vecs * 1.0 / nn, 4) AS share,
+           round(8.0 * s2 / (nn * 1.0 * nn), 4) AS imbalance,
+           round(CAST(sh AS DOUBLE) / 100.0, 4) AS mean_recall,
+           round(CAST(mh AS DOUBLE) / 10.0, 4) AS min_recall
+    FROM d CROSS JOIN tot CROSS JOIN health
+"""
+
 ORACLES["146_ivf_balance"] = """
     WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v
                FROM embeddings WHERE embedding IS NOT NULL),

@@ -706,3 +706,39 @@ def test_pq_recall_bounds_and_self_hit(spark):
     out.unpersist()
     assert len(rows) == 5
     assert all(0.0 <= r["recall"] <= 1.0 for r in rows)
+
+
+def test_ivf_index_health_matches_standalone_audits(spark):
+    """The one-pass health report's balance columns equal
+    ivf_list_balance and its recall aggregates equal ivf_recall's
+    per-query rows aggregated — the composition changes the number of
+    assign passes, never a value."""
+    from tantalus_spark.catalog.loader import read_parquet
+    from tantalus_spark.datapipe.similarity import (
+        ivf_index_health, ivf_list_balance, ivf_recall)
+
+    emb = read_parquet(spark, "/root/testdata/sf0.001/embeddings.parquet")
+    health = ivf_index_health(emb, n_centroids=8, k=10, nprobe=2,
+                              n_queries=10)
+    hrows = {r["ivf_list"]: r.asDict() for r in health.collect()}
+    health.unpersist()
+    assert len(hrows) == 8
+
+    head = (emb.filter("embedding is not null and vec_id < 8")
+               .orderBy("vec_id").collect())
+    cents = [[float(x) for x in r["embedding"]] for r in head]
+    brows = {r["ivf_list"]: r.asDict()
+             for r in ivf_list_balance(emb, cents).collect()}
+    for lst, b in brows.items():
+        h = hrows[lst]
+        assert (h["n_vecs"], h["share"], h["imbalance"]) == \
+            (b["n_vecs"], b["share"], b["imbalance"]), (lst, h, b)
+
+    rec = ivf_recall(emb, n_centroids=8, k=10, nprobe=2, n_queries=10)
+    rrows = [r["n_hits"] for r in rec.collect()]
+    rec.unpersist()
+    mean_recall = round(sum(rrows) / 100.0, 4)
+    min_recall = round(min(rrows) / 10.0, 4)
+    for h in hrows.values():
+        assert h["mean_recall"] == mean_recall, (h, mean_recall)
+        assert h["min_recall"] == min_recall, (h, min_recall)
