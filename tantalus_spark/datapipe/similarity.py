@@ -595,6 +595,60 @@ def ivf_pq_topk(
         codebooks, query_vec, k=k, id_col=id_col)
 
 
+def merge_ann_index(
+    codes: DataFrame,
+    new_vectors: DataFrame,
+    centroids: list[list[float]],
+    codebooks: list[list[list[float]]],
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Insert-side maintenance for the IVFPQ ANN warehouse layout — the
+    third index family's :func:`~tantalus_spark.datapipe.textstats.
+    merge_term_index` twin (BM25 postings and the dense-hash legs got
+    theirs in r8): fold a batch of NEW vectors into an existing
+    (id, ivf_list, pq_code) code table by running :func:`ivf_assign` +
+    :func:`pq_encode` over the DELTA ONLY with the FROZEN coarse
+    quantizer and codebooks, then one union. Per-vector independence
+    makes the merge bit-identical to a rebuild over the union with the
+    same frozen artifacts (differential test); new ids must be disjoint
+    from the indexed ones (caller dedups, the standard contract).
+
+    Scale: O(batch) assign+encode (centroids/codebooks are plan
+    literals / broadcast Arrow state); the corpus-scale code table is
+    never read or shuffled. On the ``partitionBy("ivf_list")`` warehouse
+    layout (q138's plan-contract-tested shape) the delta appends only
+    to the lists it lands in. FROZEN means frozen: quantizer drift under
+    inserts is exactly what :func:`ivf_index_health`'s imbalance/recall
+    report detects — retraining is a rebuild decision, not a merge."""
+    delta = (ivf_assign(new_vectors, centroids, id_col=id_col,
+                        vec_col=vec_col)
+             .select(F.col(id_col), F.col("ivf_list"))
+             .join(pq_encode(new_vectors, codebooks, id_col=id_col,
+                             vec_col=vec_col), id_col))
+    return codes.unionByName(delta.select(*codes.columns))
+
+
+def prune_ann_index(
+    codes: DataFrame,
+    removed_ids: DataFrame,
+    id_col: str = "vec_id",
+) -> DataFrame:
+    """Delete-side maintenance for the IVFPQ code table — the
+    :func:`~tantalus_spark.datapipe.textstats.prune_hashed_index` twin:
+    drop tombstoned vectors with ONE broadcast anti-join (per-vector
+    independence, no stats to downdate; the imbalance/recall health
+    report reads the surviving population directly). The corpus-scale
+    code table never shuffles; on the partitioned layout only the
+    affected lists' files rewrite (dynamic partition overwrite).
+    Bit-identical to a rebuild over the survivors with the same frozen
+    artifacts (differential test)."""
+    rem = removed_ids.select(
+        F.col(removed_ids.columns[0]).alias(id_col)).distinct()
+    return (codes.join(F.broadcast(rem), id_col, "left_anti")
+                 .select(*codes.columns))
+
+
 def l2_normalize(df: DataFrame, id_col: str = "vec_id",
                  vec_col: str = "embedding") -> DataFrame:
     """(id, unit-norm vector). The norm is materialized in its OWN

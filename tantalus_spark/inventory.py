@@ -2159,6 +2159,45 @@ def q148_ivf_index_health(spark, sf_dir):
                             n_queries=10)
 
 
+def q149_maintained_ann_serve(spark, sf_dir):
+    """Full ANN index lifecycle in one oracled entry (merge_ann_index /
+    prune_ann_index): build the IVFPQ code table over the old vectors
+    (vec_id < 300), tombstone every old id divisible by 7 (one
+    broadcast anti-join), fold the vec_id >= 300 batch in with the
+    FROZEN quantizer + codebooks (assign+encode over the delta only),
+    then serve ivf_pq_topk from the maintained table — bit-identical to
+    a rebuild over the surviving union with the same artifacts, which
+    is exactly what the oracle computes. Deterministic q136/q138
+    contracts: centroids = first-8-id embeddings, codebooks = subspace
+    slices of ids 1..16, vectors integerized floor(x*32) so every
+    distance/ADC dot is exact integer arithmetic."""
+    from tantalus_spark.datapipe.similarity import (
+        ivf_assign, ivf_pq_topk, merge_ann_index, pq_encode,
+        prune_ann_index)
+
+    emb = db_for(spark, sf_dir).table("embeddings")
+    iv = (emb.filter(F.col("embedding").isNotNull())
+             .select("vec_id",
+                     F.transform("embedding",
+                                 lambda x: F.floor(x.cast("double")
+                                                   * F.lit(32.0))
+                                 .cast("double")).alias("embedding")))
+    head = (iv.filter(F.col("vec_id") <= 16).orderBy("vec_id").collect())
+    by_id = {r["vec_id"]: [float(x) for x in r["embedding"]]
+             for r in head}
+    cents = [by_id[i] for i in range(8)]
+    books = [[by_id[c + 1][j * 8:(j + 1) * 8] for c in range(16)]
+             for j in range(8)]
+    old = iv.filter(F.col("vec_id") < 300)
+    new = iv.filter(F.col("vec_id") >= 300)
+    codes = (ivf_assign(old, cents).select("vec_id", "ivf_list")
+             .join(pq_encode(old, books), "vec_id"))
+    codes = prune_ann_index(
+        codes, old.filter(F.col("vec_id") % 7 == 0).select("vec_id"))
+    codes = merge_ann_index(codes, new, cents, books)
+    return ivf_pq_topk(codes, cents, books, by_id[0], k=12, nprobe=3)
+
+
 _ALL_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     name[1:]: fn
     for name, fn in list(globals().items())
@@ -2346,6 +2385,7 @@ _QUERY_ORDER = [
     # full-value-oracled; r10 ROTATION CANDIDATES under the standing
     # protocol.
     "147_hybrid_serve_batch", "148_ivf_index_health",
+    "149_maintained_ann_serve",
 ]
 
 QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
@@ -4454,6 +4494,77 @@ ORACLES["144_merged_dense_serve"] = """
 
 # q146: the q136 assignment CTE (NaN-guarded cosine, first-max argmax)
 # reduced to per-list counts; every division is from exact integers.
+# q149: the q138 integerize/codebook/encode/ADC CTEs over the
+# maintained population ((vec_id < 300 minus the %7 tombstones) union
+# vec_id >= 300) with the FROZEN first-8-id centroids and id-slice
+# codebooks — the maintained serve is bit-identical to this rebuild.
+# Probe ranking and assignment use the q136 isnan->-2 / first-max
+# conventions; the ADC sum is exact integer arithmetic in double.
+ORACLES["149_maintained_ann_serve"] = """
+    WITH iv0 AS (
+      SELECT vec_id,
+             list_transform(embedding,
+                            x -> floor(CAST(x AS DOUBLE) * 32)) AS v
+      FROM embeddings WHERE embedding IS NOT NULL),
+    iv AS (SELECT * FROM iv0
+           WHERE (vec_id < 300 AND vec_id % 7 <> 0) OR vec_id >= 300),
+    cent AS (SELECT vec_id AS cid, v FROM iv0 WHERE vec_id < 8),
+    js AS (SELECT unnest(range(0, 8)) AS j),
+    cb AS (
+      SELECT js.j, iv0.vec_id - 1 AS c,
+             list_slice(iv0.v, js.j*8 + 1, js.j*8 + 8) AS bv
+      FROM iv0, js WHERE iv0.vec_id BETWEEN 1 AND 16),
+    dist AS (
+      SELECT iv.vec_id, cb.j, cb.c,
+             list_sum(list_transform(range(1, 9), i ->
+               (iv.v[cb.j*8 + i] - cb.bv[i])
+               * (iv.v[cb.j*8 + i] - cb.bv[i]))) AS d2
+      FROM iv, cb),
+    code AS (
+      SELECT vec_id, j, c FROM (
+        SELECT vec_id, j, c,
+               ROW_NUMBER() OVER (PARTITION BY vec_id, j
+                                  ORDER BY d2, c) AS rn
+        FROM dist) t WHERE rn = 1),
+    sims AS (
+      SELECT iv.vec_id, c.cid,
+             CASE WHEN isnan(list_cosine_similarity(iv.v, c.v))
+                  THEN -2.0
+                  ELSE list_cosine_similarity(iv.v, c.v) END AS s
+      FROM iv CROSS JOIN cent c),
+    assign AS (
+      SELECT vec_id, cid AS ivf_list FROM (
+        SELECT vec_id, cid,
+               row_number() OVER (PARTITION BY vec_id
+                                  ORDER BY s DESC, cid ASC) AS rn
+        FROM sims) t WHERE rn = 1),
+    q AS (SELECT v AS qv FROM iv0 WHERE vec_id = 0),
+    probes AS (
+      SELECT cid FROM (
+        SELECT c.cid,
+               row_number() OVER (
+                 ORDER BY list_cosine_similarity(q.qv, c.v) DESC,
+                          c.cid ASC) AS rn
+        FROM cent c, q) t WHERE rn <= 3),
+    adc AS (
+      SELECT cb.j, cb.c,
+             list_sum(list_transform(range(1, 9), i ->
+               q.qv[cb.j*8 + i] * cb.bv[i])) AS dot
+      FROM cb, q),
+    ascore AS (
+      SELECT code.vec_id, SUM(adc.dot) AS s
+      FROM code
+      JOIN assign a ON a.vec_id = code.vec_id
+      JOIN adc ON code.j = adc.j AND code.c = adc.c
+      WHERE a.ivf_list IN (SELECT cid FROM probes)
+      GROUP BY code.vec_id)
+    SELECT vec_id, round(s, 4) + 0.0 AS adc_dot
+    FROM (SELECT vec_id, s,
+                 ROW_NUMBER() OVER (ORDER BY s DESC, vec_id ASC) AS rn
+          FROM ascore) t
+    WHERE rn <= 12
+"""
+
 # q148: the q146 balance CTEs and the q136 recall CTEs over ONE shared
 # assignment, recall aggregated to (mean, min) over the 10-query sample
 # and repeated per list row (a report, not a join key).

@@ -742,3 +742,51 @@ def test_ivf_index_health_matches_standalone_audits(spark):
     for h in hrows.values():
         assert h["mean_recall"] == mean_recall, (h, mean_recall)
         assert h["min_recall"] == min_recall, (h, min_recall)
+
+
+def test_ann_index_maintenance_rebuild_equal(spark):
+    """merge_ann_index / prune_ann_index over the frozen quantizer +
+    codebooks are bit-identical to a rebuild over the maintained
+    population — per-vector independence, the third index family's
+    lifecycle contract (postings and dense-hash have theirs in
+    test_textstats)."""
+    from tantalus_spark.catalog.loader import read_parquet
+    from tantalus_spark.datapipe.similarity import (
+        ivf_assign, merge_ann_index, pq_encode, prune_ann_index)
+    from pyspark.sql import functions as F
+
+    emb = read_parquet(spark, "/root/testdata/sf0.001/embeddings.parquet")
+    iv = (emb.filter("embedding is not null")
+             .select("vec_id",
+                     F.transform("embedding",
+                                 lambda x: F.floor(x.cast("double")
+                                                   * F.lit(32.0))
+                                 .cast("double")).alias("embedding")))
+    head = iv.filter("vec_id <= 16").orderBy("vec_id").collect()
+    by_id = {r["vec_id"]: [float(x) for x in r["embedding"]]
+             for r in head}
+    cents = [by_id[i] for i in range(8)]
+    books = [[by_id[c + 1][j * 8:(j + 1) * 8] for c in range(16)]
+             for j in range(8)]
+
+    def build(pop):
+        return (ivf_assign(pop, cents).select("vec_id", "ivf_list")
+                .join(pq_encode(pop, books), "vec_id"))
+
+    old = iv.filter("vec_id < 300")
+    new = iv.filter("vec_id >= 300")
+    maintained = merge_ann_index(
+        prune_ann_index(build(old),
+                        old.filter("vec_id % 7 = 0").select("vec_id")),
+        new, cents, books)
+    survivors = iv.filter(
+        "(vec_id < 300 and vec_id % 7 <> 0) or vec_id >= 300")
+    want = build(survivors)
+    norm = lambda df: sorted(
+        (r["vec_id"], r["ivf_list"], tuple(r["pq_code"]))
+        for r in df.collect())
+    assert norm(maintained) == norm(want)
+    # a tombstone for a never-indexed id is a no-op
+    assert norm(prune_ann_index(
+        maintained,
+        spark.createDataFrame([(999999,)], "vec_id long"))) == norm(want)
