@@ -155,6 +155,117 @@ def _gc_versions(index_dir: str, keep_versions: int) -> None:
             shutil.rmtree(full)
 
 
+def load_ann_index(spark: SparkSession, index_dir: str):
+    """Read the CURRENT ANN code-table version: the (id, ivf_list,
+    pq_code) DataFrame, or None when no version has been committed.
+    Same manifest/segment layout as the BM25 store (single "codes"
+    leaf per segment; per-row independence means no stats sidecar)."""
+    version = _current_version(index_dir)
+    if version is None:
+        return None
+    m = _read_manifest(index_dir, version)
+    return _masked_union(spark, index_dir, m, "codes")
+
+
+def ann_refresh_batches(
+    index_dir: str,
+    centroids: list[list[float]],
+    codebooks: list[list[list[float]]],
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    op_col: str | None = None,
+    max_segments: int = 8,
+    keep_versions: int = 2,
+):
+    """The foreachBatch maintainer for the IVFPQ ANN code table — the
+    third index family's :func:`index_refresh_batches` twin, on the
+    same segmented store: a micro-batch commit writes ONLY the batch's
+    delta code segment (:func:`~tantalus_spark.datapipe.similarity.
+    merge_ann_index`'s assign+encode over the delta, frozen quantizer +
+    codebooks) and/or a tombstone id set, plus a manifest — O(batch)
+    bytes per refresh; serving unions the manifest's segments and
+    masks deletes with the broadcast ``ts_seq > seg_seq`` rule (a
+    delete+re-add CDC batch keeps the NEW code). Compaction folds the
+    live view into one segment past ``max_segments``; GC bounds
+    storage. Per-vector independence means no stats sidecar and no
+    tombstone-intersection guard: a tombstone for a never-indexed id
+    masks nothing and corrupts nothing.
+
+    Replay-idempotent by batch-id-versioned commits like the BM25
+    maintainer. After any number of batches the CURRENT view is
+    bit-identical to a rebuild over the surviving vectors with the
+    same frozen artifacts (rebuild-equal test in
+    tests/test_similarity.py). Quantizer drift under maintenance is
+    :func:`~tantalus_spark.datapipe.similarity.ivf_index_health`'s
+    department — retraining is a rebuild decision, not a merge.
+
+    Wire it: ``vec_stream.writeStream.foreachBatch(
+    ann_refresh_batches("/path/ann", cents, books)).start()``.
+    """
+    from tantalus_spark.datapipe.similarity import ivf_assign, pq_encode
+
+    os.makedirs(index_dir, exist_ok=True)
+
+    def _on_batch(batch_df: DataFrame, batch_id: int) -> None:
+        cur = _current_version(index_dir)
+        if cur is not None and int(cur[1:].rstrip("c")) >= int(batch_id):
+            return  # replayed batch: already committed
+        if not batch_df.take(1):
+            return
+        spark = batch_df.sparkSession
+        manifest = (_read_manifest(index_dir, cur) if cur is not None
+                    else {"segments": [], "tombstones": [],
+                          "id_col": id_col})
+
+        if op_col is not None:
+            adds = batch_df.filter(F.col(op_col) == "add").drop(op_col)
+            dels = (batch_df.filter(F.col(op_col) == "delete")
+                    .select(id_col).distinct())
+        else:
+            adds, dels = batch_df, None
+
+        seq = int(batch_id)
+        segments = list(manifest["segments"])
+        tombstones = list(manifest["tombstones"])
+        changed = False
+
+        if dels is not None and segments and dels.take(1):
+            ts_name = f"ts-{seq:08d}"
+            (dels.coalesce(1).write.mode("overwrite")
+             .parquet(os.path.join(index_dir, ts_name)))
+            tombstones.append({"name": ts_name, "seq": seq})
+            changed = True
+        if adds.take(1):
+            delta = (ivf_assign(adds.filter(F.col(vec_col).isNotNull()),
+                                centroids, id_col=id_col,
+                                vec_col=vec_col)
+                     .select(F.col(id_col), F.col("ivf_list"))
+                     .join(pq_encode(adds, codebooks, id_col=id_col,
+                                     vec_col=vec_col), id_col))
+            if delta.take(1):
+                seg_name = f"seg-{seq:08d}"
+                delta.write.mode("overwrite").parquet(
+                    os.path.join(index_dir, seg_name, "codes"))
+                segments.append({"name": seg_name, "seq": seq})
+                changed = True
+
+        if not changed:
+            return
+        new_manifest = {"segments": segments, "tombstones": tombstones,
+                        "id_col": id_col}
+        if len(segments) > int(max_segments):
+            comp = f"seg-{seq:08d}c"
+            (_masked_union(spark, index_dir, new_manifest, "codes")
+             .write.mode("overwrite")
+             .parquet(os.path.join(index_dir, comp, "codes")))
+            new_manifest = {"segments": [{"name": comp, "seq": seq}],
+                            "tombstones": [], "id_col": id_col}
+        _commit_version(index_dir, f"v{seq:08d}", new_manifest)
+        _gc_versions(index_dir, keep_versions)
+
+    return _on_batch
+
+
 def index_refresh_batches(
     index_dir: str,
     text_col: str = "text",

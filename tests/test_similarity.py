@@ -790,3 +790,74 @@ def test_ann_index_maintenance_rebuild_equal(spark):
     assert norm(prune_ann_index(
         maintained,
         spark.createDataFrame([(999999,)], "vec_id long"))) == norm(want)
+
+
+def test_ann_refresh_batches_rebuild_equal_cdc(spark, tmp_path):
+    """Streaming ANN maintenance on the segmented store: CDC batches
+    drive adds, deletes, and a delete+re-add; after replay the CURRENT
+    view is bit-identical to a rebuild over the survivors with the
+    frozen artifacts, compaction folds tombstones physically, and a
+    replayed batch id is a no-op."""
+    from pyspark.sql import functions as F
+
+    from tantalus_spark.catalog.loader import read_parquet
+    from tantalus_spark.datapipe.similarity import ivf_assign, pq_encode
+    from tantalus_spark.streaming.maintenance import (
+        ann_refresh_batches, load_ann_index)
+
+    emb = read_parquet(spark, "/root/testdata/sf0.001/embeddings.parquet")
+    iv = (emb.filter("embedding is not null")
+             .select("vec_id",
+                     F.transform("embedding",
+                                 lambda x: F.floor(x.cast("double")
+                                                   * F.lit(32.0))
+                                 .cast("double")).alias("embedding")))
+    head = iv.filter("vec_id <= 16").orderBy("vec_id").collect()
+    by_id = {r["vec_id"]: [float(x) for x in r["embedding"]]
+             for r in head}
+    cents = [by_id[i] for i in range(8)]
+    books = [[by_id[c + 1][j * 8:(j + 1) * 8] for c in range(16)]
+             for j in range(8)]
+
+    ix = str(tmp_path / "ann")
+    cb = ann_refresh_batches(ix, cents, books, op_col="op",
+                             max_segments=2, keep_versions=2)
+    b0 = iv.filter("vec_id < 100").withColumn("op", F.lit("add"))
+    # batch 1: delete some, re-add one with a DIFFERENT vector (vec of
+    # id 400 under id 50 — the re-add must win), add a new slice
+    readd = (iv.filter("vec_id = 400")
+               .select(F.lit(50).cast("long").alias("vec_id"),
+                       "embedding").withColumn("op", F.lit("add")))
+    dels = spark.createDataFrame(
+        [(7, None, "delete"), (50, None, "delete"),
+         (999999, None, "delete")],
+        "vec_id long, embedding array<double>, op string")
+    b1 = (iv.filter("vec_id >= 100 and vec_id < 140")
+            .withColumn("op", F.lit("add"))
+            .unionByName(dels).unionByName(readd))
+    # batch 2 crosses max_segments=2 -> compaction
+    b2 = (iv.filter("vec_id >= 140 and vec_id < 160")
+            .withColumn("op", F.lit("add")))
+    cb(b0, 0)
+    cb(b1, 1)
+    cb(b1, 1)  # replay: must be a no-op
+    cb(b2, 2)
+
+    got = load_ann_index(spark, ix)
+    survivors = (iv.filter(
+        "vec_id < 160 and vec_id not in (7, 50)")
+        .unionByName(readd.drop("op")))
+    want = (ivf_assign(survivors, cents).select("vec_id", "ivf_list")
+            .join(pq_encode(survivors, books), "vec_id"))
+    norm = lambda df: sorted(
+        (r["vec_id"], r["ivf_list"], tuple(r["pq_code"]))
+        for r in df.collect())
+    assert norm(got) == norm(want)
+    # compaction happened: single compacted segment, tombstones gone
+    import json
+    import os
+    cur = open(os.path.join(ix, "CURRENT")).read().strip()
+    with open(os.path.join(ix, cur, "manifest.json")) as f:
+        m = json.load(f)
+    assert len(m["segments"]) == 1 and m["segments"][0]["name"].endswith("c")
+    assert m["tombstones"] == []
