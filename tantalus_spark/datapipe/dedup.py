@@ -786,6 +786,51 @@ def novel_documents(
     )
 
 
+def merge_band_index(
+    index_df: DataFrame,
+    new_docs: DataFrame,
+    n_perm: int = 16,
+    bands: int = 4,
+    shingle_n: int = 3,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    hash_family: str = "xxhash64",
+) -> DataFrame:
+    """Insert-side maintenance for the persisted LSH band index (the
+    :func:`minhash_bands` table :func:`novel_documents` probes) — the
+    near-dup family's merge twin (postings / dense-hash / IVFPQ have
+    theirs): band ONLY the new batch with the SAME parameters and
+    union. Per-doc independence makes the merge bit-identical to
+    re-banding the whole corpus (differential test); band parameters
+    must match the build (the band hash folds them in, so a mismatch
+    makes every probe miss rather than silently corrupt). New ids must
+    be disjoint from the indexed ones (the novel_documents pass IS the
+    dedup — index the batch's novel survivors). O(batch) work; the
+    corpus-scale band table is never read."""
+    delta = minhash_bands(new_docs, n_perm=n_perm, bands=bands,
+                          shingle_n=shingle_n, text_col=text_col,
+                          id_col=id_col, hash_family=hash_family)
+    return index_df.unionByName(delta.select(*index_df.columns))
+
+
+def prune_band_index(
+    index_df: DataFrame,
+    removed_ids: DataFrame,
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Delete-side maintenance for the LSH band index: drop tombstoned
+    documents' band rows with ONE broadcast anti-join — a removed
+    document stops blocking novelty for its near-twins immediately
+    (right-to-be-forgotten semantics for the dedup state). Per-doc
+    independence, no stats to downdate; the corpus-scale band table
+    never shuffles. Bit-identical to re-banding the survivors
+    (differential test)."""
+    rem = removed_ids.select(
+        F.col(removed_ids.columns[0]).alias(id_col)).distinct()
+    return (index_df.join(F.broadcast(rem), id_col, "left_anti")
+                    .select(*index_df.columns))
+
+
 def duplicated_spans(
     docs: DataFrame,
     n: int = 13,

@@ -2198,6 +2198,28 @@ def q149_maintained_ann_serve(spark, sf_dir):
     return ivf_pq_topk(codes, cents, books, by_id[0], k=12, nprobe=3)
 
 
+def q150_maintained_novel_serve(spark, sf_dir):
+    """LSH band-index lifecycle (merge_band_index / prune_band_index):
+    build the band table over the even-id corpus, tombstone every
+    indexed id divisible by 10 (their near-twins become novel again —
+    right-to-be-forgotten for dedup state), fold the id % 4 == 1 batch
+    in (band the delta only, one union), then serve novelty detection
+    for the id % 4 == 3 probe batch against the MAINTAINED index —
+    identical to q86's detector over the maintained population, which
+    is what the oracle computes. Completes the maintenance story for
+    the fourth serving-index family (postings, dense-hash, IVFPQ code
+    table, LSH bands)."""
+    docs = db_for(spark, sf_dir).table("documents")
+    idx = dedup.minhash_bands(
+        docs.filter(F.col("doc_id") % 2 == 0), hash_family="md5")
+    idx = dedup.prune_band_index(
+        idx, docs.filter(F.col("doc_id") % 10 == 0).select("doc_id"))
+    idx = dedup.merge_band_index(
+        idx, docs.filter(F.col("doc_id") % 4 == 1), hash_family="md5")
+    return dedup.novel_documents(
+        docs.filter(F.col("doc_id") % 4 == 3), idx, hash_family="md5")
+
+
 _ALL_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     name[1:]: fn
     for name, fn in list(globals().items())
@@ -2385,7 +2407,7 @@ _QUERY_ORDER = [
     # full-value-oracled; r10 ROTATION CANDIDATES under the standing
     # protocol.
     "147_hybrid_serve_batch", "148_ivf_index_health",
-    "149_maintained_ann_serve",
+    "149_maintained_ann_serve", "150_maintained_novel_serve",
 ]
 
 QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
@@ -4494,6 +4516,59 @@ ORACLES["144_merged_dense_serve"] = """
 
 # q146: the q136 assignment CTE (NaN-guarded cosine, first-max argmax)
 # reduced to per-list counts; every division is from exact integers.
+# q150: the q86 band CTEs with the maintained index population — probe
+# = id % 4 == 3; index = (even minus %10 tombstones) union id % 4 == 1.
+# Band collision = signature-tuple equality (the xxhash64 band hash is
+# injective on the tuple up to negligible collisions, q86's convention).
+ORACLES["150_maintained_novel_serve"] = """
+    WITH tok AS (
+      SELECT doc_id, string_split_regex(trim(lower(text)), '\\s+') AS t
+      FROM documents),
+    sh0 AS (
+      SELECT DISTINCT doc_id, t[i] || ' ' || t[i+1] || ' ' || t[i+2] AS g
+      FROM tok, UNNEST(range(1, greatest(len(t)-1, 1))) AS u(i)),
+    sh AS (
+      SELECT doc_id, ('0x'||substr(md5(g),1,15))::BIGINT AS hv FROM sh0),
+    sig AS (
+      SELECT doc_id,
+             min(((hv % 1000000007) * 3  + 1)     % 1000000007) AS h0,
+             min(((hv % 1000000007) * 5  + 2)     % 1000000007) AS h1,
+             min(((hv % 1000000007) * 7  + 4)     % 1000000007) AS h2,
+             min(((hv % 1000000007) * 11 + 8)     % 1000000007) AS h3,
+             min(((hv % 1000000007) * 13 + 16)    % 1000000007) AS h4,
+             min(((hv % 1000000007) * 17 + 32)    % 1000000007) AS h5,
+             min(((hv % 1000000007) * 19 + 64)    % 1000000007) AS h6,
+             min(((hv % 1000000007) * 23 + 128)   % 1000000007) AS h7,
+             min(((hv % 1000000007) * 29 + 256)   % 1000000007) AS h8,
+             min(((hv % 1000000007) * 31 + 512)   % 1000000007) AS h9,
+             min(((hv % 1000000007) * 37 + 1024)  % 1000000007) AS h10,
+             min(((hv % 1000000007) * 41 + 2048)  % 1000000007) AS h11,
+             min(((hv % 1000000007) * 43 + 4096)  % 1000000007) AS h12,
+             min(((hv % 1000000007) * 47 + 8192)  % 1000000007) AS h13,
+             min(((hv % 1000000007) * 53 + 16384) % 1000000007) AS h14,
+             min(((hv % 1000000007) * 59 + 32768) % 1000000007) AS h15
+      FROM sh GROUP BY doc_id),
+    bands AS (
+      SELECT doc_id, 0 AS band, h0 AS x0, h1 AS x1, h2 AS x2, h3 AS x3 FROM sig
+      UNION ALL
+      SELECT doc_id, 1, h4, h5, h6, h7 FROM sig
+      UNION ALL
+      SELECT doc_id, 2, h8, h9, h10, h11 FROM sig
+      UNION ALL
+      SELECT doc_id, 3, h12, h13, h14, h15 FROM sig),
+    hit AS (
+      SELECT DISTINCT a.doc_id
+      FROM bands a JOIN bands b
+        ON a.band = b.band AND a.x0 = b.x0 AND a.x1 = b.x1
+       AND a.x2 = b.x2 AND a.x3 = b.x3
+       AND a.doc_id % 4 = 3
+       AND ((b.doc_id % 2 = 0 AND b.doc_id % 10 <> 0)
+            OR b.doc_id % 4 = 1))
+    SELECT n.doc_id, (h.doc_id IS NULL) AS is_novel
+    FROM (SELECT doc_id FROM documents WHERE doc_id % 4 = 3) n
+    LEFT JOIN hit h USING (doc_id)
+"""
+
 # q149: the q138 integerize/codebook/encode/ADC CTEs over the
 # maintained population ((vec_id < 300 minus the %7 tombstones) union
 # vec_id >= 300) with the FROZEN first-8-id centroids and id-slice
