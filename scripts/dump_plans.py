@@ -146,6 +146,23 @@ SHOW = [
     ("146_ivf_balance", "IVF list-balance audit (r8): one codegen"
      " assign pass over literal centroids, an nlist-row integer"
      " groupBy, (N, sum n^2) folded in from a 1-row broadcast"),
+    ("147_hybrid_serve_batch", "batched hybrid serving (r9): ONE job"
+     " for the whole query set — postings scan pruned to the UNION of"
+     " the queries' terms, ENRICHED feats scan to the union of"
+     " buckets, broadcast (query_id, term)/(query_id, bucket, qfeat)"
+     " maps fan work per query, every per-query reduction is a rank"
+     " window; exactly three artifact scans however many queries"),
+    ("148_ivf_index_health", "IVF health report (r9): per-list balance"
+     " + sampled recall@nprobe off ONE shared persisted assign pass;"
+     " exact leg is the bounded-query verifier"),
+    ("149_maintained_ann_serve", "ANN lifecycle serve (r9): prune ="
+     " broadcast anti-join on the code table, merge = delta-only"
+     " assign+encode + union with frozen artifacts, serve scans only"
+     " the probed lists' codes via the ADC literal table"),
+    ("150_maintained_novel_serve", "LSH band-index lifecycle serve"
+     " (r9): prune = broadcast anti-join, merge = band-the-delta +"
+     " union, novelty probe = two-column (band, hash) semi-join — raw"
+     " text never leaves the map side"),
 ]
 
 
