@@ -141,3 +141,20 @@ def test_checked_window_covers_every_operator_family():
     ]
     out = [n for n in rotated_in if n not in window]
     assert not out, f"r9-rotated entries fell back out of the window: {out}"
+
+
+def test_comparator_is_sign_of_zero_strict():
+    """The r8 q133 class: DuckDB round() preserves -0.0, Spark F.round
+    emits +0.0, Python == hides it. norm_cell must distinguish the two
+    so the local gate fails exactly where the driver's
+    rendering-sensitive hash fails."""
+    import sys
+
+    sys.path.insert(0, REPO)
+    from scripts.check_correctness import norm_cell
+
+    assert norm_cell(-0.0) != norm_cell(0.0)
+    assert norm_cell(-0.0) == norm_cell(-0.0)
+    assert norm_cell(1.5) == norm_cell(1.5)
+    # nested arrays too (embedding-typed cells)
+    assert norm_cell([0.0, 1.0]) != norm_cell([-0.0, 1.0])
