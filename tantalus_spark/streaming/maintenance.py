@@ -167,43 +167,30 @@ def load_ann_index(spark: SparkSession, index_dir: str):
     return _masked_union(spark, index_dir, m, "codes")
 
 
-def ann_refresh_batches(
+def _rowwise_refresh_batches(
     index_dir: str,
-    centroids: list[list[float]],
-    codebooks: list[list[list[float]]],
-    id_col: str = "vec_id",
-    vec_col: str = "embedding",
-    op_col: str | None = None,
-    max_segments: int = 8,
-    keep_versions: int = 2,
+    leaf: str,
+    delta_fn,
+    id_col: str,
+    op_col: str | None,
+    max_segments: int,
+    keep_versions: int,
 ):
-    """The foreachBatch maintainer for the IVFPQ ANN code table — the
-    third index family's :func:`index_refresh_batches` twin, on the
-    same segmented store: a micro-batch commit writes ONLY the batch's
-    delta code segment (:func:`~tantalus_spark.datapipe.similarity.
-    merge_ann_index`'s assign+encode over the delta, frozen quantizer +
-    codebooks) and/or a tombstone id set, plus a manifest — O(batch)
-    bytes per refresh; serving unions the manifest's segments and
-    masks deletes with the broadcast ``ts_seq > seg_seq`` rule (a
-    delete+re-add CDC batch keeps the NEW code). Compaction folds the
-    live view into one segment past ``max_segments``; GC bounds
-    storage. Per-vector independence means no stats sidecar and no
-    tombstone-intersection guard: a tombstone for a never-indexed id
-    masks nothing and corrupts nothing.
-
-    Replay-idempotent by batch-id-versioned commits like the BM25
-    maintainer. After any number of batches the CURRENT view is
-    bit-identical to a rebuild over the surviving vectors with the
-    same frozen artifacts (rebuild-equal test in
-    tests/test_similarity.py). Quantizer drift under maintenance is
-    :func:`~tantalus_spark.datapipe.similarity.ivf_index_health`'s
-    department — retraining is a rebuild decision, not a merge.
-
-    Wire it: ``vec_stream.writeStream.foreachBatch(
-    ann_refresh_batches("/path/ann", cents, books)).start()``.
-    """
-    from tantalus_spark.datapipe.similarity import ivf_assign, pq_encode
-
+    """Generic foreachBatch maintainer for PER-ROW-INDEPENDENT index
+    tables (IVFPQ codes, enriched dense features — anything where a
+    row's value depends only on its own source row plus frozen
+    artifacts) on the segmented store: a commit writes ONLY the batch's
+    ``delta_fn(adds)`` as a new ``leaf`` segment and/or a tombstone id
+    set, plus a manifest — O(batch) bytes per refresh. Serving unions
+    the manifest's segments and masks deletes with the broadcast
+    ``ts_seq > seg_seq`` rule (a delete+re-add CDC batch keeps the NEW
+    rows). Compaction folds the live view into one segment past
+    ``max_segments``; GC bounds storage. Per-row independence means no
+    stats sidecar and no tombstone-intersection guard: a tombstone for
+    a never-indexed id masks nothing and corrupts nothing.
+    Replay-idempotent by batch-id-versioned commits, like the BM25
+    maintainer (whose corpus stats need the richer
+    :func:`index_refresh_batches` machinery)."""
     os.makedirs(index_dir, exist_ok=True)
 
     def _on_batch(batch_df: DataFrame, batch_id: int) -> None:
@@ -236,16 +223,11 @@ def ann_refresh_batches(
             tombstones.append({"name": ts_name, "seq": seq})
             changed = True
         if adds.take(1):
-            delta = (ivf_assign(adds.filter(F.col(vec_col).isNotNull()),
-                                centroids, id_col=id_col,
-                                vec_col=vec_col)
-                     .select(F.col(id_col), F.col("ivf_list"))
-                     .join(pq_encode(adds, codebooks, id_col=id_col,
-                                     vec_col=vec_col), id_col))
+            delta = delta_fn(adds)
             if delta.take(1):
                 seg_name = f"seg-{seq:08d}"
                 delta.write.mode("overwrite").parquet(
-                    os.path.join(index_dir, seg_name, "codes"))
+                    os.path.join(index_dir, seg_name, leaf))
                 segments.append({"name": seg_name, "seq": seq})
                 changed = True
 
@@ -255,15 +237,103 @@ def ann_refresh_batches(
                         "id_col": id_col}
         if len(segments) > int(max_segments):
             comp = f"seg-{seq:08d}c"
-            (_masked_union(spark, index_dir, new_manifest, "codes")
+            (_masked_union(spark, index_dir, new_manifest, leaf)
              .write.mode("overwrite")
-             .parquet(os.path.join(index_dir, comp, "codes")))
+             .parquet(os.path.join(index_dir, comp, leaf)))
             new_manifest = {"segments": [{"name": comp, "seq": seq}],
                             "tombstones": [], "id_col": id_col}
         _commit_version(index_dir, f"v{seq:08d}", new_manifest)
         _gc_versions(index_dir, keep_versions)
 
     return _on_batch
+
+
+def ann_refresh_batches(
+    index_dir: str,
+    centroids: list[list[float]],
+    codebooks: list[list[list[float]]],
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    op_col: str | None = None,
+    max_segments: int = 8,
+    keep_versions: int = 2,
+):
+    """The foreachBatch maintainer for the IVFPQ ANN code table — the
+    third index family's :func:`index_refresh_batches` twin, on the
+    same segmented store via :func:`_rowwise_refresh_batches`: the
+    delta is :func:`~tantalus_spark.datapipe.similarity.merge_ann_index`'s
+    assign+encode over the batch alone (frozen quantizer + codebooks).
+    After any number of batches the CURRENT view is bit-identical to a
+    rebuild over the surviving vectors with the same frozen artifacts
+    (rebuild-equal CDC test in tests/test_similarity.py). Quantizer
+    drift under maintenance is
+    :func:`~tantalus_spark.datapipe.similarity.ivf_index_health`'s
+    department — retraining is a rebuild decision, not a merge.
+
+    Wire it: ``vec_stream.writeStream.foreachBatch(
+    ann_refresh_batches("/path/ann", cents, books)).start()``.
+    """
+    from tantalus_spark.datapipe.similarity import ivf_assign, pq_encode
+
+    def _delta(adds: DataFrame) -> DataFrame:
+        return (ivf_assign(adds.filter(F.col(vec_col).isNotNull()),
+                           centroids, id_col=id_col, vec_col=vec_col)
+                .select(F.col(id_col), F.col("ivf_list"))
+                .join(pq_encode(adds, codebooks, id_col=id_col,
+                                vec_col=vec_col), id_col))
+
+    return _rowwise_refresh_batches(index_dir, "codes", _delta, id_col,
+                                    op_col, max_segments, keep_versions)
+
+
+def load_feats_index(spark: SparkSession, index_dir: str):
+    """Read the CURRENT dense-feature version: the ENRICHED
+    (id, bucket, feat, norm) DataFrame (zero-norm-join serving
+    posture), or None when no version has been committed."""
+    version = _current_version(index_dir)
+    if version is None:
+        return None
+    m = _read_manifest(index_dir, version)
+    return _masked_union(spark, index_dir, m, "feats")
+
+
+def feats_refresh_batches(
+    index_dir: str,
+    dim: int = 64,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    op_col: str | None = None,
+    max_segments: int = 8,
+    keep_versions: int = 2,
+):
+    """The foreachBatch maintainer for the DENSE hashed-feature table —
+    the fourth serving family's streaming maintainer, closing the set
+    (BM25 postings, IVFPQ codes, LSH-band state in
+    streaming/neardup.py, and now the dense leg): the delta is the
+    batch's :func:`~tantalus_spark.datapipe.textstats.hashed_features`
+    ENRICHED with its own O(batch)
+    :func:`~tantalus_spark.datapipe.textstats.hashed_norms` (norms are
+    per-document, so enrichment needs no cross-corpus arithmetic) —
+    written as one segment on the segmented store via
+    :func:`_rowwise_refresh_batches`. Serving
+    (:func:`load_feats_index` →
+    :func:`~tantalus_spark.datapipe.textstats.hybrid_serve_topk_batch`
+    or ``_dense_leg_scored``) gets the zero-norm-join ENRICHED layout
+    directly. Rebuild-equal CDC test in tests/test_textstats.py.
+
+    Wire it: ``doc_stream.writeStream.foreachBatch(
+    feats_refresh_batches("/path/feats", dim=64)).start()``.
+    """
+    from tantalus_spark.datapipe.textstats import (hashed_features,
+                                                   hashed_norms)
+
+    def _delta(adds: DataFrame) -> DataFrame:
+        feats = hashed_features(adds, dim=dim, text_col=text_col,
+                                id_col=id_col)
+        return feats.join(hashed_norms(feats, id_col=id_col), id_col)
+
+    return _rowwise_refresh_batches(index_dir, "feats", _delta, id_col,
+                                    op_col, max_segments, keep_versions)
 
 
 def index_refresh_batches(

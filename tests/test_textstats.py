@@ -2120,3 +2120,59 @@ def test_merge_canonical_map_matches_rebuild_on_ascending_ids(spark):
           {r["norm_digest"]: (r["n_docs"], r["canonical_id"])
            for r in cmap.collect()}.items() if c == 1][0]
     assert kept[dg] == 1   # stability: first-seen canonical survives
+
+
+def test_feats_refresh_batches_rebuild_equal_and_serves(spark, tmp_path):
+    """Streaming dense-feature maintenance on the segmented store: CDC
+    adds/deletes/delete+re-add land an ENRICHED feats view bit-identical
+    to a rebuild over the survivors, a replayed batch id is a no-op,
+    and the maintained view serves the dense leg with zero norm joins
+    — identical ranks to serving from a fresh build."""
+    from pyspark.sql import functions as F
+
+    from tantalus_spark.catalog.loader import read_parquet
+    from tantalus_spark.datapipe.textstats import (
+        _dense_leg_scored, _query_hashed_features, hashed_features,
+        hashed_norms)
+    from tantalus_spark.streaming.maintenance import (
+        feats_refresh_batches, load_feats_index)
+
+    docs = read_parquet(spark, "/root/testdata/sf0.001/documents.parquet")
+    ix = str(tmp_path / "feats")
+    cb = feats_refresh_batches(ix, dim=32, op_col="op")
+    b0 = (docs.filter("doc_id < 200").select("doc_id", "text")
+              .withColumn("op", F.lit("add")))
+    readd = (docs.filter("doc_id = 300")
+                 .select(F.lit(10).cast("long").alias("doc_id"), "text")
+                 .withColumn("op", F.lit("add")))
+    dels = spark.createDataFrame(
+        [(3, None, "delete"), (10, None, "delete")],
+        "doc_id long, text string, op string")
+    b1 = (docs.filter("doc_id >= 200 and doc_id < 260")
+              .select("doc_id", "text")
+              .withColumn("op", F.lit("add"))
+              .unionByName(dels.select("doc_id", "text", "op"))
+              .unionByName(readd))
+    cb(b0.select("doc_id", "text", "op"), 0)
+    cb(b1.select("doc_id", "text", "op"), 1)
+    cb(b1.select("doc_id", "text", "op"), 1)  # replay: no-op
+
+    got = load_feats_index(spark, ix)
+    assert "norm" in got.columns  # ENRICHED layout
+    survivors = (docs.filter(
+        "doc_id < 260 and doc_id not in (3, 10)").select("doc_id", "text")
+        .unionByName(readd.drop("op")))
+    wf = hashed_features(survivors, dim=32)
+    want = wf.join(hashed_norms(wf), "doc_id")
+    norm = lambda df: sorted(map(tuple, df.select(
+        "doc_id", "bucket", "feat", "norm").collect()))
+    assert norm(got) == norm(want)
+
+    # the maintained view serves the dense leg identically to a build
+    qf = _query_hashed_features(["customer", "hash"], 32)
+    serve_got = _dense_leg_scored(got, qf, depth=10, id_col="doc_id",
+                                  norms=None)
+    serve_want = _dense_leg_scored(want, qf, depth=10, id_col="doc_id",
+                                   norms=None)
+    assert sorted(map(tuple, serve_got.collect())) == \
+        sorted(map(tuple, serve_want.collect()))
