@@ -1520,38 +1520,9 @@ def ivf_recall(
     bounded by n_queries); the IVF leg scans only probed lists. At
     production scale you run this on a sample, never the full corpus —
     the operator is sample-in, sample-out by construction."""
-    import math
-
-    from pyspark.sql import Window as W
-
-    head = (df.filter(F.col(vec_col).isNotNull())
-              .filter(F.col(id_col) < max(n_centroids, n_queries))
-              .orderBy(id_col).collect())
-    by_id = {r[id_col]: [float(x) for x in r[vec_col]] for r in head}
-    missing = [i for i in range(max(n_centroids, n_queries))
-               if i not in by_id]
-    if missing:
-        raise ValueError(
-            f"ivf_recall: ids {missing[:5]} absent (or null-vector) — "
-            f"centroids/queries are the first "
-            f"{max(n_centroids, n_queries)} ids by contract")
-    centroids = [by_id[i] for i in range(n_centroids)]
-    queries = [(i, by_id[i]) for i in range(n_queries)]
-
-    def cos(a: list[float], b: list[float]) -> float:
-        dot = sum(x * y for x, y in zip(a, b))
-        na = math.sqrt(sum(x * x for x in a))
-        nb = math.sqrt(sum(x * x for x in b))
-        return dot / (na * nb) if na and nb else 0.0
-
-    spark = df.sparkSession
-    qrows = []
-    for qid, qv in queries:
-        ranked = sorted(range(n_centroids),
-                        key=lambda i: -cos(centroids[i], qv))
-        qrows.append((qid, qv, ranked[:nprobe]))
-    qdf = spark.createDataFrame(
-        qrows, f"query_id long, qvec array<double>, probes array<int>")
+    centroids, qdf = _ivf_probe_setup(df, n_centroids, n_queries,
+                                      nprobe, id_col, vec_col,
+                                      caller="ivf_recall")
 
     # null embeddings carry nothing rankable (the DuckDB oracle excludes
     # them too), and a zero-norm vector's cosine is NaN — which Spark's
@@ -1566,6 +1537,49 @@ def ivf_recall(
                       .alias("recall"))
     from tantalus_spark.datapipe.dedup import _materialize_and_release
     return _materialize_and_release(out, [assigned])
+
+
+def _ivf_probe_setup(df: DataFrame, n_centroids: int, n_queries: int,
+                     nprobe: int, id_col: str, vec_col: str,
+                     caller: str):
+    """The deterministic centroid/query/probe-selection contract shared
+    by :func:`ivf_recall` and :func:`ivf_index_health` (one copy so a
+    convention fix can never diverge them): centroids = embeddings of
+    the first ``n_centroids`` ids, probe queries = the first
+    ``n_queries`` ids (bounded collects, loud ValueError on a missing
+    or null-vector head id); per query, probes = the ``nprobe``
+    centroids ranked by (cosine desc, cid asc). Returns
+    (centroids, qdf[query_id, qvec, probes])."""
+    import math
+
+    head = (df.filter(F.col(vec_col).isNotNull())
+              .filter(F.col(id_col) < max(n_centroids, n_queries))
+              .orderBy(id_col).collect())
+    by_id = {r[id_col]: [float(x) for x in r[vec_col]] for r in head}
+    missing = [i for i in range(max(n_centroids, n_queries))
+               if i not in by_id]
+    if missing:
+        raise ValueError(
+            f"{caller}: ids {missing[:5]} absent (or null-vector) — "
+            f"centroids/queries are the first "
+            f"{max(n_centroids, n_queries)} ids by contract")
+    centroids = [by_id[i] for i in range(n_centroids)]
+
+    def cos(a: list[float], b: list[float]) -> float:
+        dot = sum(x * y for x, y in zip(a, b))
+        na = math.sqrt(sum(x * x for x in a))
+        nb = math.sqrt(sum(x * x for x in b))
+        return dot / (na * nb) if na and nb else 0.0
+
+    qrows = []
+    for qid in range(n_queries):
+        qv = by_id[qid]
+        ranked = sorted(range(n_centroids),
+                        key=lambda i: -cos(centroids[i], qv))
+        qrows.append((qid, qv, ranked[:nprobe]))
+    qdf = df.sparkSession.createDataFrame(
+        qrows, "query_id long, qvec array<double>, probes array<int>")
+    return centroids, qdf
 
 
 def _ivf_recall_hits(assigned: DataFrame, qdf: DataFrame, k: int,
@@ -1680,36 +1694,10 @@ def ivf_index_health(
     recall leg is the bounded-query brute-force verifier —
     sample-in/sample-out at production scale, like :func:`ivf_recall`.
     """
-    import math
-
-    head = (df.filter(F.col(vec_col).isNotNull())
-              .filter(F.col(id_col) < max(n_centroids, n_queries))
-              .orderBy(id_col).collect())
-    by_id = {r[id_col]: [float(x) for x in r[vec_col]] for r in head}
-    missing = [i for i in range(max(n_centroids, n_queries))
-               if i not in by_id]
-    if missing:
-        raise ValueError(
-            f"ivf_index_health: ids {missing[:5]} absent (or "
-            f"null-vector) — centroids/queries are the first "
-            f"{max(n_centroids, n_queries)} ids by contract")
-    centroids = [by_id[i] for i in range(n_centroids)]
-
-    def cos(a: list[float], b: list[float]) -> float:
-        dot = sum(x * y for x, y in zip(a, b))
-        na = math.sqrt(sum(x * x for x in a))
-        nb = math.sqrt(sum(x * x for x in b))
-        return dot / (na * nb) if na and nb else 0.0
-
     spark = df.sparkSession
-    qrows = []
-    for qid in range(n_queries):
-        qv = by_id[qid]
-        ranked = sorted(range(n_centroids),
-                        key=lambda i: -cos(centroids[i], qv))
-        qrows.append((qid, qv, ranked[:nprobe]))
-    qdf = spark.createDataFrame(
-        qrows, "query_id long, qvec array<double>, probes array<int>")
+    centroids, qdf = _ivf_probe_setup(df, n_centroids, n_queries,
+                                      nprobe, id_col, vec_col,
+                                      caller="ivf_index_health")
 
     assigned = ivf_assign(df.filter(F.col(vec_col).isNotNull()),
                           centroids, id_col=id_col,

@@ -2115,6 +2115,13 @@ def hybrid_serve_topk_batch(
     spark = index.sparkSession
     norm_q = [(int(qid), sorted(set(t.lower() for t in ts)))
               for qid, ts in queries]
+    if len({qid for qid, _ in norm_q}) != len(norm_q):
+        # output rows are keyed by query_id: a duplicate would merge
+        # two requests into one garbled union query (duplicate qterms
+        # rows, fanned qnorm join, multiplied fusion rows). Loud
+        # contract beats silent corruption; callers with duplicate
+        # request ids re-key rows first (hybrid_serve_batches does).
+        raise ValueError("hybrid_serve_topk_batch: duplicate query ids")
     all_terms = sorted({t for _, ts in norm_q for t in ts})
     if n_docs is None or avgdl is None:
         docs = index.select(id_col, "dl").dropDuplicates([id_col])

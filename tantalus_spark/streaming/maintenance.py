@@ -134,10 +134,15 @@ def _gc_versions(index_dir: str, keep_versions: int) -> None:
     leaves one full swap window for serving sessions that pinned the
     previous version (an object-store deployment would add a TTL
     grace period on top)."""
+    # numeric sort, NOT lexicographic: past batch_id 10^8 the 08d pad
+    # overflows and "v100000000" sorts before "v99999999" — a
+    # lexicographic keep-list would GC the newest manifest out from
+    # under the CURRENT pointer
     versions = sorted(
-        d for d in os.listdir(index_dir)
-        if d.startswith("v") and
-        os.path.isdir(os.path.join(index_dir, d)))
+        (d for d in os.listdir(index_dir)
+         if d.startswith("v") and
+         os.path.isdir(os.path.join(index_dir, d))),
+        key=lambda d: int(d[1:].rstrip("c")))
     keep = versions[-int(keep_versions):]
     referenced: set[str] = set()
     for v in keep:
@@ -235,7 +240,11 @@ def _rowwise_refresh_batches(
             return
         new_manifest = {"segments": segments, "tombstones": tombstones,
                         "id_col": id_col}
-        if len(segments) > int(max_segments):
+        # compaction triggers on EITHER list: a delete-heavy stream
+        # grows tombstones without adding segments, and an unbounded
+        # tombstone list means an ever-wider broadcast mask per serve
+        if (len(segments) > int(max_segments)
+                or len(tombstones) > int(max_segments)):
             comp = f"seg-{seq:08d}c"
             (_masked_union(spark, index_dir, new_manifest, leaf)
              .write.mode("overwrite")
@@ -461,12 +470,22 @@ def index_refresh_batches(
         if adds.take(1):
             if live_lens is not None and dedup_against_current:
                 # broadcast-pruned semi over the DOCLENS view (per-doc
-                # rows); `already` is bounded by the batch size
+                # rows); `already` is bounded by the batch size.
+                # Deletes apply FIRST within a batch: an id the batch
+                # itself tombstoned is no longer "already indexed", so
+                # its re-add must survive this guard (drop the batch's
+                # deleted ids from `already` — without this a CDC
+                # delete+re-add under dedup mode silently loses the
+                # document: the delete downdates the stats but the
+                # re-add gets anti-joined away).
                 already = (live_lens.select(id_col)
                            .join(F.broadcast(adds.select(id_col)
                                              .distinct()),
                                  id_col, "left_semi")
                            .distinct())
+                if dels is not None:
+                    already = already.join(F.broadcast(dels), id_col,
+                                           "left_anti")
                 adds = adds.join(F.broadcast(already), id_col,
                                  "left_anti")
             lens = _doclens(adds)
@@ -493,11 +512,16 @@ def index_refresh_batches(
         new_manifest = {"segments": segments, "tombstones": tombstones,
                         "n_docs": n_docs, "dl_sum": dl_sum,
                         "id_col": id_col}
-        if len(segments) > int(max_segments):
+        if (len(segments) > int(max_segments)
+                or len(tombstones) > int(max_segments)):
             # compaction: fold tombstones in physically, collapse to
-            # ONE segment. O(index) write amortized over max_segments
-            # batches; the "c" suffix keeps the compacted segment's
-            # name distinct from this batch's delta segment.
+            # ONE segment. Triggers on EITHER list crossing the
+            # threshold — a delete-heavy stream grows tombstones
+            # without adding segments, and each tombstone set is one
+            # more broadcast-mask read per serve. O(index) write
+            # amortized over max_segments batches; the "c" suffix
+            # keeps the compacted segment's name distinct from this
+            # batch's delta segment.
             comp = f"seg-{seq:08d}c"
             cdir = os.path.join(index_dir, comp)
             (_masked_union(spark, index_dir, new_manifest, "postings")

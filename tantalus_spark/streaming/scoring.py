@@ -319,13 +319,25 @@ def hybrid_serve_batches(
         if not qrows:
             sink([])
             return
-        queries = [(int(q[qid_col]), list(q[terms_col])) for q in qrows]
+        # re-key on the ROW index, not the stream's query_id: each row
+        # is an independent request (two rows may legitimately share a
+        # query_id, and the id may be any type — a string request id,
+        # a UUID), while hybrid_serve_topk_batch keys its output on
+        # integer-unique ids by contract. The surrogate maps back to
+        # the original id in the sink rows, preserving the per-row
+        # serving semantics the r8 loop had.
+        queries = [(i, list(q[terms_col])) for i, q in enumerate(qrows)]
+        orig = {i: q[qid_col] for i, q in enumerate(qrows)}
         served = hybrid_serve_topk_batch(
             index, queries, feats, k=k, depth=depth, rrf_k=rrf_k,
             dim=dim, k1=k1, b=b, id_col=id_col, n_docs=n_docs,
             avgdl=avgdl, norms=norms)
-        sink([{"batch_id": int(batch_id), **r.asDict()}
-              for r in served.collect()])
+        out = []
+        for r in served.collect():
+            d = r.asDict()
+            d["query_id"] = orig[d.pop("query_id")]
+            out.append({"batch_id": int(batch_id), **d})
+        sink(out)
 
     return _on_batch
 

@@ -2176,3 +2176,111 @@ def test_feats_refresh_batches_rebuild_equal_and_serves(spark, tmp_path):
                                    norms=None)
     assert sorted(map(tuple, serve_got.collect())) == \
         sorted(map(tuple, serve_want.collect()))
+
+
+def test_index_refresh_cdc_readd_survives_dedup_guard(spark, tmp_path):
+    """Regression (r9 review): with dedup_against_current=True, a CDC
+    delete+re-add in ONE batch must land the document's NEW postings —
+    the 'already indexed' guard must exclude ids the batch itself
+    tombstoned, or the delete downdates the stats and the re-add gets
+    anti-joined away (document silently lost)."""
+    from tantalus_spark.datapipe.textstats import build_term_index
+    from tantalus_spark.streaming.maintenance import (
+        index_refresh_batches, load_term_index)
+
+    ix = str(tmp_path / "ix")
+    cb = index_refresh_batches(ix, op_col="op",
+                               dedup_against_current=True)
+    schema = "doc_id long, text string, op string"
+    cb(spark.createDataFrame(
+        [(1, "apple banana", "add"), (2, "banana cherry", "add")],
+        schema), 0)
+    cb(spark.createDataFrame(
+        [(2, None, "delete"), (2, "rewritten text entirely", "add"),
+         (1, "apple banana", "add")],  # true duplicate: must be dropped
+        schema), 1)
+    postings, (n, avgdl) = load_term_index(spark, ix)
+    survivors = spark.createDataFrame(
+        [(1, "apple banana"), (2, "rewritten text entirely")],
+        "doc_id long, text string")
+    want, (wn, wavg) = build_term_index(survivors, with_stats=True)
+    assert (n, avgdl) == (wn, wavg)
+    assert sorted(map(tuple, postings.collect())) == \
+        sorted(map(tuple, want.collect()))
+
+
+def test_hybrid_serve_topk_batch_rejects_duplicate_qids(spark):
+    """Output rows are keyed by query_id: duplicates must fail loudly,
+    not merge two requests into one garbled union query."""
+    import pytest
+
+    from tantalus_spark.datapipe.textstats import (
+        build_term_index, hashed_features, hybrid_serve_topk_batch)
+
+    docs = spark.createDataFrame([(1, "apple banana")],
+                                 "doc_id long, text string")
+    idx, (n, avg) = build_term_index(docs, with_stats=True)
+    feats = hashed_features(docs, dim=16)
+    with pytest.raises(ValueError, match="duplicate query ids"):
+        hybrid_serve_topk_batch(idx, [(7, ["apple"]), (7, ["banana"])],
+                                feats, dim=16, n_docs=n, avgdl=avg)
+
+
+def test_hybrid_serve_batches_duplicate_and_string_qids(spark, tmp_path):
+    """Regression (r9 review): the foreachBatch server re-keys rows on
+    a surrogate index, so a micro-batch with a REPEATED query_id and a
+    STRING-typed id column serves each row independently (the r8
+    per-query-loop semantics) — each row's results equal the scalar
+    server's for its own terms, tagged with the original id."""
+    import datetime as dt
+
+    from tantalus_spark.datapipe.textstats import (
+        build_term_index, hashed_features, hashed_norms,
+        hybrid_serve_indexed)
+    from tantalus_spark.streaming.scoring import hybrid_serve_batches
+
+    filler = " ".join(f"pad{i}" for i in range(20))
+    docs = spark.createDataFrame(
+        [(i, f"apple banana {filler} " + "cherry " * (i % 3))
+         for i in range(1, 9)],
+        "doc_id long, text string")
+    idx, (n_docs, avgdl) = build_term_index(docs, with_stats=True)
+    idx = idx.persist()
+    feats = hashed_features(docs, dim=16).persist()
+    norms = hashed_norms(feats).persist()
+    norms.count()
+
+    base = dt.datetime(2024, 1, 1, 12, 0)
+    qschema = "query_id string, terms array<string>, ts timestamp"
+    src = str(tmp_path / "dup_queries")
+    spark.createDataFrame(
+        [("req-A", ["apple", "cherry"], base),
+         ("req-A", ["banana"], base)],     # same id, different request
+        qschema).coalesce(1).write.parquet(src)
+
+    got: list[dict] = []
+    stream = (spark.readStream.format("parquet").schema(qschema)
+              .load(src))
+    cb = hybrid_serve_batches(idx, n_docs, avgdl, feats, norms,
+                              sink=got.extend, k=5, depth=8, dim=16)
+    q = (stream.writeStream.foreachBatch(cb)
+         .trigger(availableNow=True)
+         .option("checkpointLocation", str(tmp_path / "ck"))
+         .start())
+    q.awaitTermination(120)
+
+    assert all(r["query_id"] == "req-A" for r in got)
+    assert len(got) == 10  # two independent requests x k=5
+    per_terms = []
+    for terms in (["apple", "cherry"], ["banana"]):
+        per_terms.append(sorted(
+            (r["doc_id"], r["rank_bm25"], r["rank_dense"], r["rrf"])
+            for r in hybrid_serve_indexed(
+                idx, terms, feats, k=5, depth=8, dim=16,
+                n_docs=n_docs, avgdl=avgdl, norms=norms).collect()))
+    have = sorted((r["doc_id"], r["rank_bm25"], r["rank_dense"],
+                   r["rrf"]) for r in got)
+    want = sorted(per_terms[0] + per_terms[1])
+    assert have == want
+    for df in (idx, feats, norms):
+        df.unpersist()
