@@ -595,6 +595,87 @@ def ivf_pq_topk(
         codebooks, query_vec, k=k, id_col=id_col)
 
 
+def ivf_pq_topk_batch(
+    assigned_codes: DataFrame,
+    centroids: list[list[float]],
+    codebooks: list[list[list[float]]],
+    queries: list[tuple[int, list[float]]],
+    k: int = 10,
+    nprobe: int = 2,
+    id_col: str = "vec_id",
+) -> DataFrame:
+    """Batched IVFPQ serving: score a SET of queries against the
+    (id, ivf_list, pq_code) table in ONE distributed job — the ANN twin
+    of :func:`~tantalus_spark.datapipe.textstats.hybrid_serve_topk_batch`
+    (:func:`ivf_pq_topk` plans one job per query; a serving tier
+    batches). Per query, the coarse quantizer ranks driver-side and the
+    ``nprobe`` probed lists become rows of a broadcast
+    (query_id, ivf_list) table; the code scan is pruned ONCE to the
+    union of all probed lists (partition pruning on the
+    ``partitionBy("ivf_list")`` warehouse layout), each code row fans
+    only to the queries that probed its list, the ADC dot table is the
+    broadcast (query_id, j, c, dot) literal set, and one
+    (query_id, id) sum + per-query rank window yields every query's
+    top-k. No float vector is read anywhere.
+
+    Per query BIT-IDENTICAL to :func:`ivf_pq_topk` on the same
+    artifacts (differential test): same probe ranking (cosine desc,
+    cid asc), same ADC table, same (score desc, id asc) total order.
+    Exactness caveat shared with :func:`pq_topk_batch`: the scalar
+    path folds the m ADC terms left-to-right while the batch SUM is
+    order-free, so the guarantee is bit-exact when the indexed vectors
+    are integerized (the q74/q138 convention — every ADC term is then
+    an integer-valued double and addition is exact); raw-float corpora
+    agree up to last-ulp summation order. Duplicate query ids are
+    rejected loudly (output is keyed by query_id). Returns
+    (query_id, id, adc_dot)."""
+    import math
+
+    from pyspark.sql import Window as W
+
+    if len({qid for qid, _ in queries}) != len(queries):
+        raise ValueError("ivf_pq_topk_batch: duplicate query ids")
+
+    def cos(a: list[float], b: list[float]) -> float:
+        dot = sum(x * y for x, y in zip(a, b))
+        na = math.sqrt(sum(x * x for x in a))
+        nb = math.sqrt(sum(x * x for x in b))
+        return dot / (na * nb) if na and nb else 0.0
+
+    m = len(codebooks)
+    sub = len(codebooks[0][0])
+    spark = assigned_codes.sparkSession
+    probe_rows, adc_rows = [], []
+    for qid, qv in queries:
+        ranked = sorted(range(len(centroids)),
+                        key=lambda i: -cos(centroids[i], qv))
+        probe_rows.extend((int(qid), int(p)) for p in ranked[:nprobe])
+        adc_rows.extend(
+            (int(qid), j, c,
+             float(sum(qv[j * sub + i] * codebooks[j][c][i]
+                       for i in range(sub))))
+            for j in range(m)
+            for c in range(len(codebooks[j])))
+    probes = spark.createDataFrame(probe_rows,
+                                   "query_id long, ivf_list int")
+    adc = spark.createDataFrame(
+        adc_rows, "query_id long, j int, c int, dot double")
+    all_lists = sorted({p for _, p in probe_rows})
+    codes = (assigned_codes.filter(F.col("ivf_list").isin(all_lists))
+             .select(F.col(id_col), F.col("ivf_list"),
+                     F.posexplode("pq_code").alias("j", "c")))
+    scored = (codes.join(F.broadcast(probes), "ivf_list")
+                   .join(F.broadcast(adc), ["query_id", "j", "c"])
+                   .groupBy("query_id", id_col)
+                   .agg(F.sum("dot").alias("_adc")))
+    w = W.partitionBy("query_id").orderBy(F.col("_adc").desc(),
+                                          F.col(id_col).asc())
+    return (scored.withColumn("_rk", F.row_number().over(w))
+                  .filter(F.col("_rk") <= int(k))
+                  .select("query_id", id_col,
+                          F.round("_adc", 4).alias("adc_dot")))
+
+
 def merge_ann_index(
     codes: DataFrame,
     new_vectors: DataFrame,

@@ -2220,6 +2220,39 @@ def q150_maintained_novel_serve(spark, sf_dir):
         docs.filter(F.col("doc_id") % 4 == 3), idx, hash_family="md5")
 
 
+def q151_ann_serve_batch(spark, sf_dir):
+    """Batched IVFPQ serving (ivf_pq_topk_batch): THREE queries scored
+    against the maintained-style code table in ONE job — code scan
+    pruned once to the union of all probed lists, per-query broadcast
+    probe + ADC tables, per-query rank windows. The ANN twin of q147's
+    batched hybrid tier. Same deterministic q136/q138 contracts as
+    q149 (first-8-id centroids, id-slice codebooks, integerized
+    vectors so the ADC sums are exact)."""
+    from tantalus_spark.datapipe.similarity import (ivf_assign,
+                                                    ivf_pq_topk_batch,
+                                                    pq_encode)
+
+    emb = db_for(spark, sf_dir).table("embeddings")
+    iv = (emb.filter(F.col("embedding").isNotNull())
+             .select("vec_id",
+                     F.transform("embedding",
+                                 lambda x: F.floor(x.cast("double")
+                                                   * F.lit(32.0))
+                                 .cast("double")).alias("embedding")))
+    head = (iv.filter(F.col("vec_id") <= 16).orderBy("vec_id").collect())
+    by_id = {r["vec_id"]: [float(x) for x in r["embedding"]]
+             for r in head}
+    cents = [by_id[i] for i in range(8)]
+    books = [[by_id[c + 1][j * 8:(j + 1) * 8] for c in range(16)]
+             for j in range(8)]
+    codes = (ivf_assign(iv, cents).select("vec_id", "ivf_list")
+             .join(pq_encode(iv, books), "vec_id"))
+    return ivf_pq_topk_batch(
+        codes, cents, books,
+        [(0, by_id[0]), (5, by_id[5]), (9, by_id[9])],
+        k=10, nprobe=3)
+
+
 _ALL_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     name[1:]: fn
     for name, fn in list(globals().items())
@@ -2408,6 +2441,7 @@ _QUERY_ORDER = [
     # protocol.
     "147_hybrid_serve_batch", "148_ivf_index_health",
     "149_maintained_ann_serve", "150_maintained_novel_serve",
+    "151_ann_serve_batch",
 ]
 
 QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
@@ -4516,6 +4550,76 @@ ORACLES["144_merged_dense_serve"] = """
 
 # q146: the q136 assignment CTE (NaN-guarded cosine, first-max argmax)
 # reduced to per-list counts; every division is from exact integers.
+# q151: the q149 integerize/codebook/encode/ADC CTEs over the FULL
+# population, with a (query_id) dimension — per-query probe sets,
+# per-query ADC tables, per-query rank windows. Exact: integerized
+# vectors make every ADC term an integer-valued double.
+ORACLES["151_ann_serve_batch"] = """
+    WITH iv AS (
+      SELECT vec_id,
+             list_transform(embedding,
+                            x -> floor(CAST(x AS DOUBLE) * 32)) AS v
+      FROM embeddings WHERE embedding IS NOT NULL),
+    cent AS (SELECT vec_id AS cid, v FROM iv WHERE vec_id < 8),
+    js AS (SELECT unnest(range(0, 8)) AS j),
+    cb AS (
+      SELECT js.j, iv.vec_id - 1 AS c,
+             list_slice(iv.v, js.j*8 + 1, js.j*8 + 8) AS bv
+      FROM iv, js WHERE iv.vec_id BETWEEN 1 AND 16),
+    dist AS (
+      SELECT iv.vec_id, cb.j, cb.c,
+             list_sum(list_transform(range(1, 9), i ->
+               (iv.v[cb.j*8 + i] - cb.bv[i])
+               * (iv.v[cb.j*8 + i] - cb.bv[i]))) AS d2
+      FROM iv, cb),
+    code AS (
+      SELECT vec_id, j, c FROM (
+        SELECT vec_id, j, c,
+               ROW_NUMBER() OVER (PARTITION BY vec_id, j
+                                  ORDER BY d2, c) AS rn
+        FROM dist) t WHERE rn = 1),
+    sims AS (
+      SELECT iv.vec_id, c.cid,
+             CASE WHEN isnan(list_cosine_similarity(iv.v, c.v))
+                  THEN -2.0
+                  ELSE list_cosine_similarity(iv.v, c.v) END AS s
+      FROM iv CROSS JOIN cent c),
+    assign AS (
+      SELECT vec_id, cid AS ivf_list FROM (
+        SELECT vec_id, cid,
+               row_number() OVER (PARTITION BY vec_id
+                                  ORDER BY s DESC, cid ASC) AS rn
+        FROM sims) t WHERE rn = 1),
+    q AS (SELECT vec_id AS query_id, v AS qv FROM iv
+          WHERE vec_id IN (0, 5, 9)),
+    probes AS (
+      SELECT query_id, cid FROM (
+        SELECT q.query_id, c.cid,
+               row_number() OVER (PARTITION BY q.query_id
+                 ORDER BY list_cosine_similarity(q.qv, c.v) DESC,
+                          c.cid ASC) AS rn
+        FROM q CROSS JOIN cent c) t WHERE rn <= 3),
+    adc AS (
+      SELECT q.query_id, cb.j, cb.c,
+             list_sum(list_transform(range(1, 9), i ->
+               q.qv[cb.j*8 + i] * cb.bv[i])) AS dot
+      FROM cb, q),
+    ascore AS (
+      SELECT adc.query_id, code.vec_id, SUM(adc.dot) AS s
+      FROM code
+      JOIN assign a ON a.vec_id = code.vec_id
+      JOIN adc ON code.j = adc.j AND code.c = adc.c
+      JOIN probes p ON p.query_id = adc.query_id
+                   AND p.cid = a.ivf_list
+      GROUP BY adc.query_id, code.vec_id)
+    SELECT query_id, vec_id, round(s, 4) + 0.0 AS adc_dot
+    FROM (SELECT query_id, vec_id, s,
+                 ROW_NUMBER() OVER (PARTITION BY query_id
+                                    ORDER BY s DESC, vec_id ASC) AS rn
+          FROM ascore) t
+    WHERE rn <= 10
+"""
+
 # q150: the q86 band CTEs with the maintained index population — probe
 # = id % 4 == 3; index = (even minus %10 tombstones) union id % 4 == 1.
 # Band collision = signature-tuple equality (the xxhash64 band hash is

@@ -861,3 +861,49 @@ def test_ann_refresh_batches_rebuild_equal_cdc(spark, tmp_path):
         m = json.load(f)
     assert len(m["segments"]) == 1 and m["segments"][0]["name"].endswith("c")
     assert m["tombstones"] == []
+
+
+def test_ivf_pq_topk_batch_matches_per_query(spark):
+    """The batched ANN server (one job per query set) is per-query
+    identical to ivf_pq_topk on the same frozen artifacts — same probe
+    ranking, same ADC table, same total order; exact on integerized
+    vectors. Duplicate query ids are rejected loudly."""
+    import pytest
+    from pyspark.sql import functions as F
+
+    from tantalus_spark.catalog.loader import read_parquet
+    from tantalus_spark.datapipe.similarity import (
+        ivf_assign, ivf_pq_topk, ivf_pq_topk_batch, pq_encode)
+
+    emb = read_parquet(spark, "/root/testdata/sf0.001/embeddings.parquet")
+    iv = (emb.filter("embedding is not null")
+             .select("vec_id",
+                     F.transform("embedding",
+                                 lambda x: F.floor(x.cast("double")
+                                                   * F.lit(32.0))
+                                 .cast("double")).alias("embedding")))
+    head = iv.filter("vec_id <= 16").orderBy("vec_id").collect()
+    by_id = {r["vec_id"]: [float(x) for x in r["embedding"]]
+             for r in head}
+    cents = [by_id[i] for i in range(8)]
+    books = [[by_id[c + 1][j * 8:(j + 1) * 8] for c in range(16)]
+             for j in range(8)]
+    codes = (ivf_assign(iv, cents).select("vec_id", "ivf_list")
+             .join(pq_encode(iv, books), "vec_id")).persist()
+    codes.count()
+
+    queries = [(0, by_id[0]), (5, by_id[5]), (9, by_id[9])]
+    batched = ivf_pq_topk_batch(codes, cents, books, queries,
+                                k=7, nprobe=2)
+    got = [r.asDict() for r in batched.collect()]
+    for qid, qv in queries:
+        want = sorted((r["vec_id"], r["adc_dot"]) for r in
+                      ivf_pq_topk(codes, cents, books, qv, k=7,
+                                  nprobe=2).collect())
+        have = sorted((r["vec_id"], r["adc_dot"])
+                      for r in got if r["query_id"] == qid)
+        assert have == want and len(have) == 7, (qid, have, want)
+    with pytest.raises(ValueError, match="duplicate query ids"):
+        ivf_pq_topk_batch(codes, cents, books,
+                          [(1, by_id[0]), (1, by_id[5])])
+    codes.unpersist()
