@@ -79,9 +79,11 @@ HEADLINE = [
     # cluster-tier leakage-free split
     "141_hybrid_serve",
     "142_group_split_clustered",
-    # r9 addition: the batched serving tier — three queries through
-    # both index legs in ONE job (includes the one-time builds)
+    # r9 additions: the batched serving tier — three queries through
+    # both index legs in ONE job — and its ANN twin (both include
+    # their one-time index builds)
     "147_hybrid_serve_batch",
+    "151_ann_serve_batch",
 ]
 
 

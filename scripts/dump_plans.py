@@ -163,6 +163,10 @@ SHOW = [
      " (r9): prune = broadcast anti-join, merge = band-the-delta +"
      " union, novelty probe = two-column (band, hash) semi-join — raw"
      " text never leaves the map side"),
+    ("151_ann_serve_batch", "batched IVFPQ serving (r9): code scan"
+     " pruned once to the union of all queries' probed lists,"
+     " per-query broadcast probe + ADC tables, one (query, id) sum +"
+     " per-query rank windows; no float vector read anywhere"),
 ]
 
 
