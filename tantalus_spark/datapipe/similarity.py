@@ -358,6 +358,55 @@ def train_ivf_centroids(
     return [[float(x) for x in c] for c in model.clusterCenters()]
 
 
+def _cos_py(a: list[float], b: list[float]) -> float:
+    """Driver-side cosine for centroid/probe ranking — ONE copy of the
+    convention (zero-norm -> 0.0) shared by every IVF probe selector
+    (ivf_topk, ivf_pq_topk, ivf_pq_topk_batch, _ivf_probe_setup); the
+    r9 review found four drifting copies. Executor-side assignment uses
+    ivf_assign's nanvl(-2.0) convention instead — a zero-norm VECTOR
+    deterministically takes list 0 there; here a zero-norm CENTROID
+    ranks neutrally at 0.0 (the SQL oracles mirror this with
+    CASE WHEN isnan THEN 0.0 in their probe-ranking CTEs)."""
+    import math
+
+    dot = sum(x * y for x, y in zip(a, b))
+    na = math.sqrt(sum(x * x for x in a))
+    nb = math.sqrt(sum(x * x for x in b))
+    return dot / (na * nb) if na and nb else 0.0
+
+
+def _adc_dot_rows(codebooks, queries):
+    """Broadcastable (query_id, j, c, dot) ADC table rows — the
+    driver-side query-x-codebook dot products shared by pq_topk_batch
+    and ivf_pq_topk_batch (exact integers when vectors are
+    integerized)."""
+    m = len(codebooks)
+    sub = len(codebooks[0][0])
+    return [
+        (int(qid), j, c,
+         float(sum(qv[j * sub + i] * codebooks[j][c][i]
+                   for i in range(sub))))
+        for qid, qv in queries
+        for j in range(m)
+        for c in range(len(codebooks[j]))
+    ]
+
+
+def _per_query_adc_topk(scored: DataFrame, k: int,
+                        id_col: str) -> DataFrame:
+    """Shared (query_id, id, adc_dot) tail of the batch ADC servers:
+    per-query rank window over the summed dots, (score desc, id asc)
+    total order, round to 4."""
+    from pyspark.sql import Window as W
+
+    w = W.partitionBy("query_id").orderBy(F.col("_adc").desc(),
+                                          F.col(id_col).asc())
+    return (scored.withColumn("_rk", F.row_number().over(w))
+                  .filter(F.col("_rk") <= int(k))
+                  .select("query_id", id_col,
+                          F.round("_adc", 4).alias("adc_dot")))
+
+
 def ivf_assign(df: DataFrame, centroids: list[list[float]],
                id_col: str = "vec_id", vec_col: str = "embedding") -> DataFrame:
     """Assign each vector to its nearest centroid (IVF list). Centroids are a
@@ -401,16 +450,8 @@ def ivf_topk(
     """Approximate top-k: score centroids driver-side, scan only the nprobe
     best IVF lists. Partition-prune-friendly when the table is written
     partitioned by ``ivf_list``."""
-    import math
-
-    def cos(a: list[float], b: list[float]) -> float:
-        dot = sum(x * y for x, y in zip(a, b))
-        na = math.sqrt(sum(x * x for x in a))
-        nb = math.sqrt(sum(x * x for x in b))
-        return dot / (na * nb) if na and nb else 0.0
-
     ranked = sorted(range(len(centroids)),
-                    key=lambda i: -cos(centroids[i], query_vec))
+                    key=lambda i: -_cos_py(centroids[i], query_vec))
     probe = ranked[:nprobe]
     q = F.array(*[F.lit(float(v)) for v in query_vec])
     scored = (
@@ -579,16 +620,8 @@ def ivf_pq_topk(
     is ``ivf_assign(...)`` joined with ``pq_encode(...)``: one narrow
     (id, ivf_list, pq_code) table, no float vectors anywhere in the
     serving path."""
-    import math
-
-    def cos(a: list[float], b: list[float]) -> float:
-        dot = sum(x * y for x, y in zip(a, b))
-        na = math.sqrt(sum(x * x for x in a))
-        nb = math.sqrt(sum(x * x for x in b))
-        return dot / (na * nb) if na and nb else 0.0
-
     ranked = sorted(range(len(centroids)),
-                    key=lambda i: -cos(centroids[i], query_vec))
+                    key=lambda i: -_cos_py(centroids[i], query_vec))
     probe = ranked[:nprobe]
     return pq_topk(
         assigned_codes.filter(F.col("ivf_list").isin(probe)),
@@ -629,37 +662,22 @@ def ivf_pq_topk_batch(
     agree up to last-ulp summation order. Duplicate query ids are
     rejected loudly (output is keyed by query_id). Returns
     (query_id, id, adc_dot)."""
-    import math
-
-    from pyspark.sql import Window as W
-
     if len({qid for qid, _ in queries}) != len(queries):
         raise ValueError("ivf_pq_topk_batch: duplicate query ids")
 
-    def cos(a: list[float], b: list[float]) -> float:
-        dot = sum(x * y for x, y in zip(a, b))
-        na = math.sqrt(sum(x * x for x in a))
-        nb = math.sqrt(sum(x * x for x in b))
-        return dot / (na * nb) if na and nb else 0.0
-
-    m = len(codebooks)
-    sub = len(codebooks[0][0])
     spark = assigned_codes.sparkSession
-    probe_rows, adc_rows = [], []
-    for qid, qv in queries:
-        ranked = sorted(range(len(centroids)),
-                        key=lambda i: -cos(centroids[i], qv))
-        probe_rows.extend((int(qid), int(p)) for p in ranked[:nprobe])
-        adc_rows.extend(
-            (int(qid), j, c,
-             float(sum(qv[j * sub + i] * codebooks[j][c][i]
-                       for i in range(sub))))
-            for j in range(m)
-            for c in range(len(codebooks[j])))
+    probe_rows = [
+        (int(qid), int(p))
+        for qid, qv in queries
+        for p in sorted(range(len(centroids)),
+                        key=lambda i, q=qv: -_cos_py(centroids[i], q)
+                        )[:nprobe]
+    ]
     probes = spark.createDataFrame(probe_rows,
                                    "query_id long, ivf_list int")
     adc = spark.createDataFrame(
-        adc_rows, "query_id long, j int, c int, dot double")
+        _adc_dot_rows(codebooks, queries),
+        "query_id long, j int, c int, dot double")
     all_lists = sorted({p for _, p in probe_rows})
     codes = (assigned_codes.filter(F.col("ivf_list").isin(all_lists))
              .select(F.col(id_col), F.col("ivf_list"),
@@ -668,12 +686,7 @@ def ivf_pq_topk_batch(
                    .join(F.broadcast(adc), ["query_id", "j", "c"])
                    .groupBy("query_id", id_col)
                    .agg(F.sum("dot").alias("_adc")))
-    w = W.partitionBy("query_id").orderBy(F.col("_adc").desc(),
-                                          F.col(id_col).asc())
-    return (scored.withColumn("_rk", F.row_number().over(w))
-                  .filter(F.col("_rk") <= int(k))
-                  .select("query_id", id_col,
-                          F.round("_adc", 4).alias("adc_dot")))
+    return _per_query_adc_topk(scored, k, id_col)
 
 
 def merge_ann_index(
@@ -1631,8 +1644,6 @@ def _ivf_probe_setup(df: DataFrame, n_centroids: int, n_queries: int,
     or null-vector head id); per query, probes = the ``nprobe``
     centroids ranked by (cosine desc, cid asc). Returns
     (centroids, qdf[query_id, qvec, probes])."""
-    import math
-
     head = (df.filter(F.col(vec_col).isNotNull())
               .filter(F.col(id_col) < max(n_centroids, n_queries))
               .orderBy(id_col).collect())
@@ -1646,17 +1657,11 @@ def _ivf_probe_setup(df: DataFrame, n_centroids: int, n_queries: int,
             f"{max(n_centroids, n_queries)} ids by contract")
     centroids = [by_id[i] for i in range(n_centroids)]
 
-    def cos(a: list[float], b: list[float]) -> float:
-        dot = sum(x * y for x, y in zip(a, b))
-        na = math.sqrt(sum(x * x for x in a))
-        nb = math.sqrt(sum(x * x for x in b))
-        return dot / (na * nb) if na and nb else 0.0
-
     qrows = []
     for qid in range(n_queries):
         qv = by_id[qid]
         ranked = sorted(range(n_centroids),
-                        key=lambda i: -cos(centroids[i], qv))
+                        key=lambda i: -_cos_py(centroids[i], qv))
         qrows.append((qid, qv, ranked[:nprobe]))
     qdf = df.sparkSession.createDataFrame(
         qrows, "query_id long, qvec array<double>, probes array<int>")
@@ -1841,32 +1846,22 @@ def pq_topk_batch(
     window partitions by query (bounded depth after the candidate
     aggregate). Returns (query_id, id, adc_dot) — bit-identical to
     per-query :func:`pq_topk` (differential test)."""
-    from pyspark.sql import Window as W
-
-    m = len(codebooks)
-    sub = len(codebooks[0][0])
+    if len({qid for qid, _ in queries}) != len(queries):
+        # output is keyed by query_id: a duplicate would merge two
+        # requests' ADC tables into one garbled sum (the r9 review's
+        # shared-invariant finding — same guard as the other batch
+        # servers)
+        raise ValueError("pq_topk_batch: duplicate query ids")
     spark = encoded.sparkSession
-    rows = [
-        (int(qid), j, c,
-         float(sum(qv[j * sub + i] * codebooks[j][c][i]
-                   for i in range(sub))))
-        for qid, qv in queries
-        for j in range(m)
-        for c in range(len(codebooks[j]))
-    ]
     adc = spark.createDataFrame(
-        rows, "query_id long, j int, c int, dot double")
+        _adc_dot_rows(codebooks, queries),
+        "query_id long, j int, c int, dot double")
     codes = encoded.select(
         F.col(id_col), F.posexplode("pq_code").alias("j", "c"))
     scored = (codes.join(F.broadcast(adc), ["j", "c"])
                    .groupBy("query_id", id_col)
                    .agg(F.sum("dot").alias("_adc")))
-    w = W.partitionBy("query_id").orderBy(F.col("_adc").desc(),
-                                          F.col(id_col).asc())
-    return (scored.withColumn("_rk", F.row_number().over(w))
-                  .filter(F.col("_rk") <= int(k))
-                  .select("query_id", id_col,
-                          F.round("_adc", 4).alias("adc_dot")))
+    return _per_query_adc_topk(scored, k, id_col)
 
 
 def pq_recall(

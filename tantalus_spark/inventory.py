@@ -2792,7 +2792,10 @@ ORACLES: dict[str, str] = {
                   LIMIT 1) AS lst
           FROM e),
         probe AS (SELECT cid FROM cent, q
-                  ORDER BY list_cosine_similarity(cv, qv) DESC, cid ASC
+                  ORDER BY CASE WHEN isnan(list_cosine_similarity(cv, qv))
+                                THEN 0.0
+                                ELSE list_cosine_similarity(cv, qv) END
+                           DESC, cid ASC
                   LIMIT 2)
         SELECT a.vec_id, round(list_cosine_similarity(a.v, qv), 4) + 0.0 AS cosine
         FROM assign a, q WHERE a.lst IN (SELECT cid FROM probe)
@@ -4596,7 +4599,11 @@ ORACLES["151_ann_serve_batch"] = """
       SELECT query_id, cid FROM (
         SELECT q.query_id, c.cid,
                row_number() OVER (PARTITION BY q.query_id
-                 ORDER BY list_cosine_similarity(q.qv, c.v) DESC,
+                 ORDER BY CASE
+                            WHEN isnan(list_cosine_similarity(q.qv, c.v))
+                            THEN 0.0
+                            ELSE list_cosine_similarity(q.qv, c.v) END
+                          DESC,
                           c.cid ASC) AS rn
         FROM q CROSS JOIN cent c) t WHERE rn <= 3),
     adc AS (
@@ -4722,7 +4729,11 @@ ORACLES["149_maintained_ann_serve"] = """
       SELECT cid FROM (
         SELECT c.cid,
                row_number() OVER (
-                 ORDER BY list_cosine_similarity(q.qv, c.v) DESC,
+                 ORDER BY CASE
+                            WHEN isnan(list_cosine_similarity(q.qv, c.v))
+                            THEN 0.0
+                            ELSE list_cosine_similarity(q.qv, c.v) END
+                          DESC,
                           c.cid ASC) AS rn
         FROM cent c, q) t WHERE rn <= 3),
     adc AS (
@@ -4775,7 +4786,9 @@ ORACLES["148_ivf_index_health"] = """
             FROM d),
     qc AS (
       SELECT q.query_id, c.cid,
-             list_cosine_similarity(q.qv, c.v) AS s
+             CASE WHEN isnan(list_cosine_similarity(q.qv, c.v))
+                  THEN 0.0
+                  ELSE list_cosine_similarity(q.qv, c.v) END AS s
       FROM q CROSS JOIN cent c),
     probes AS (
       SELECT query_id, cid FROM (
@@ -5957,7 +5970,9 @@ ORACLES["136_ivf_recall"] = """
         FROM sims) t WHERE rn = 1),
     qc AS (
       SELECT q.query_id, c.cid,
-             list_cosine_similarity(q.qv, c.v) AS s
+             CASE WHEN isnan(list_cosine_similarity(q.qv, c.v))
+                  THEN 0.0
+                  ELSE list_cosine_similarity(q.qv, c.v) END AS s
       FROM q CROSS JOIN cent c),
     probes AS (
       SELECT query_id, cid FROM (
