@@ -2263,7 +2263,23 @@ _ALL_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
 # (CORRECTNESS_r01.json recorded exactly that prefix), so QUERIES is
 # explicitly ordered.
 #
-# r9 ROTATION (same protocol as r4-r8): the four r8 tail additions —
+# r10 ROTATION (same protocol as r4-r9): the five r9 tail additions —
+# 147 hybrid_serve_batch, 148 ivf_index_health, 149 maintained_ann_serve,
+# 150 maintained_novel_serve, 151 ann_serve_batch — had only local-gate
+# evidence (LOCALGATE_r09.md plus the r9 judge's independent 143-entry
+# re-run, 0 failures) and take their official driver rows. The 5
+# swapped OUT all carry green CORRECTNESS_r09 rows and stay
+# family-covered in-window: 133 jl_distortion -> 51 embedding_near_dup
+# (the projection family's consumer; the window test documents 51 as
+# covering 69 + 133); 136 ivf_recall -> 148 ivf_index_health (the
+# recall leg is composed off the same shared-assign pass) + 47/74 ANN
+# anchors; 137 lang_confusion -> 41 doc_profile (same marker-word
+# language-ID pass; the confusion matrix is a 1-groupBy composition);
+# 145 score_calibration -> 122 minhash_calibration (calibration-curve
+# family); 146 ivf_balance -> 148 ivf_index_health (the balance leg,
+# same imbalance-factor expression tree).
+#
+# r9 ROTATION (history, same protocol as r4-r8): the four r8 tail additions —
 # 143 pruned_index_serve, 144 merged_dense_serve, 145 score_calibration,
 # 146 ivf_balance — had only local-gate evidence (LOCALGATE_r08.md plus
 # the r8 judge's independent 138-entry re-run, 0 failures) and take
@@ -2388,20 +2404,22 @@ _QUERY_ORDER = [
     "90_packed_text", "102_bpe_encode", "104_bigram_lm",
     "117_gopher_rules",
     "122_minhash_calibration", "123_bm25_indexed",
-    # r8 rotation survivors (family anchors; 133 stays to earn its
-    # post-signed-zero-fix green row)
-    "132_source_divergence", "133_jl_distortion",
-    "134_dedup_funnel", "136_ivf_recall",
-    "137_lang_confusion", "138_pq_recall",
+    # r8/r9 rotation survivors (family anchors kept in-window; 132
+    # anchors the JS-sketch family for out-of-window 135)
+    "132_source_divergence", "134_dedup_funnel", "138_pq_recall",
     "141_hybrid_serve", "142_group_split_clustered",
-    # r9 rotation: the r8 tail additions take their official driver
-    # rows (serving lifecycle: delete-maintained serve, insert-merged
-    # serve, calibration reliability, IVF list-balance audit)
     "143_pruned_index_serve", "144_merged_dense_serve",
-    "145_score_calibration", "146_ivf_balance",
+    # r10 rotation: the r9 tail additions take their official driver
+    # rows (batched hybrid serving, one-pass IVF health, maintained
+    # ANN/LSH-band serves, batched IVFPQ serving)
+    "147_hybrid_serve_batch", "148_ivf_index_health",
+    "149_maintained_ann_serve", "150_maintained_novel_serve",
+    "151_ann_serve_batch",
     # ---- 50-entry line: families below are all gated above (see the
-    # rotation notes), carry green r2-r8 driver rows, and are
+    # rotation notes), carry green r2-r9 driver rows, and are
     # unit-tested
+    "133_jl_distortion", "136_ivf_recall", "137_lang_confusion",
+    "145_score_calibration", "146_ivf_balance",
     "131_hybrid_rrf", "135_js_drift", "139_bpe_compression",
     "140_group_split",
     "124_tfidf_cosine", "125_weighted_sample", "126_budget_select",
@@ -2435,13 +2453,6 @@ _QUERY_ORDER = [
     "92_vocab_coverage", "94_source_report", "95_paragraph_dedup",
     "99_corpus_shuffle", "100_bpe_merges",
     "103_temperature_mix", "105_gate_attribution",
-    # r9 additions beyond the window: the batched hybrid serving tier
-    # (one job per query SET) and the one-pass IVF health report —
-    # full-value-oracled; r10 ROTATION CANDIDATES under the standing
-    # protocol.
-    "147_hybrid_serve_batch", "148_ivf_index_health",
-    "149_maintained_ann_serve", "150_maintained_novel_serve",
-    "151_ann_serve_batch",
 ]
 
 QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {

@@ -120,19 +120,21 @@ def test_checked_window_covers_every_operator_family():
     ]
     missing = [n for n in must_be_checked if n not in window]
     assert not missing, f"outside the 50-entry checked window: {missing}"
-    # the r9 rotation gives the r8 tail additions (local-gate evidence
-    # only) their official driver rows; 133 stays in to earn its green
-    # row after the signed-zero oracle fix. The four rotated OUT
-    # (131/135/139/140) all carry green CORRECTNESS_r08 rows and their
-    # families stay anchored by in-window twins (141/132/102/142).
+    # the r10 rotation gives the r9 tail additions (local-gate evidence
+    # only) their official driver rows. The five rotated OUT
+    # (133/136/137/145/146) all carry green CORRECTNESS_r09 rows and
+    # their families stay anchored by in-window twins
+    # (51/148+47/41/122/148 respectively — see the inventory.py
+    # rotation notes).
     rotated_in = [
-        "143_pruned_index_serve", "144_merged_dense_serve",
-        "145_score_calibration", "146_ivf_balance",
-        # r8 survivors that must keep their window slots
-        "132_source_divergence", "133_jl_distortion",
-        "134_dedup_funnel", "136_ivf_recall",
-        "137_lang_confusion", "138_pq_recall",
+        "147_hybrid_serve_batch", "148_ivf_index_health",
+        "149_maintained_ann_serve", "150_maintained_novel_serve",
+        "151_ann_serve_batch",
+        # r8/r9 survivors that must keep their window slots
+        "132_source_divergence",
+        "134_dedup_funnel", "138_pq_recall",
         "141_hybrid_serve", "142_group_split_clustered",
+        "143_pruned_index_serve", "144_merged_dense_serve",
         # family anchors kept from the r5-r7 windows
         "90_packed_text", "102_bpe_encode", "104_bigram_lm",
         "117_gopher_rules", "122_minhash_calibration",
