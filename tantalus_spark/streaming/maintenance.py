@@ -117,7 +117,20 @@ def _commit_version(index_dir: str, version: str, manifest: dict) -> None:
     pointer (tmp + rename — the object-store commit-file primitive).
     The manifest is the WHOLE commit: segments/tombstones it references
     were already written; a crash before the rename leaves the old
-    version intact and the orphaned segment for GC."""
+    version intact and the orphaned segment for GC.
+
+    SINGLE WRITER per index_dir: the store assumes exactly one
+    maintainer stream commits here (Structured Streaming gives one
+    foreachBatch caller per query; two concurrent maintainers would
+    race the pointer). On an object store the rename below maps to a
+    conditional put (if-match on the pointer's etag), which turns this
+    assertion into an atomic compare-and-swap; locally we assert the
+    batch-id monotonicity the contract implies so a second writer
+    fails loudly instead of silently regressing the pointer."""
+    cur = _current_version(index_dir)
+    assert cur is None or int(version[1:]) > int(cur[1:].rstrip("c")), (
+        f"non-monotone commit {version} over CURRENT={cur}: a second "
+        f"concurrent maintainer is racing this index_dir")
     vdir = os.path.join(index_dir, version)
     os.makedirs(vdir, exist_ok=True)
     with open(os.path.join(vdir, "manifest.json"), "w") as f:
@@ -134,6 +147,14 @@ def _gc_versions(index_dir: str, keep_versions: int) -> None:
     leaves one full swap window for serving sessions that pinned the
     previous version (an object-store deployment would add a TTL
     grace period on top)."""
+    # enforce the docstring's floor: keep_versions=1 would rmtree the
+    # just-superseded version's segments right after the pointer swap,
+    # yanking files out from under a serving session that pinned the
+    # previous manifest; keep_versions<=0 would silently keep
+    # everything (versions[-0:] is the whole list). Clamp, don't raise:
+    # maintainers run inside foreachBatch where an exception kills the
+    # stream over a config nit.
+    keep_versions = max(2, int(keep_versions))
     # numeric sort, NOT lexicographic: past batch_id 10^8 the 08d pad
     # overflows and "v100000000" sorts before "v99999999" — a
     # lexicographic keep-list would GC the newest manifest out from
@@ -143,7 +164,7 @@ def _gc_versions(index_dir: str, keep_versions: int) -> None:
          if d.startswith("v") and
          os.path.isdir(os.path.join(index_dir, d))),
         key=lambda d: int(d[1:].rstrip("c")))
-    keep = versions[-int(keep_versions):]
+    keep = versions[-keep_versions:]
     referenced: set[str] = set()
     for v in keep:
         m = _read_manifest(index_dir, v)
@@ -200,6 +221,13 @@ def _rowwise_refresh_batches(
 
     def _on_batch(batch_df: DataFrame, batch_id: int) -> None:
         cur = _current_version(index_dir)
+        # GC before the replay check, not only after a commit: a crash
+        # between _commit_version and _gc_versions would otherwise defer
+        # that commit's GC forever on a quiet stream — the replay guard
+        # below returns early and superseded manifests/segments linger.
+        # GC is idempotent and metadata-only, so repairing here is free.
+        if cur is not None:
+            _gc_versions(index_dir, keep_versions)
         if cur is not None and int(cur[1:].rstrip("c")) >= int(batch_id):
             return  # replayed batch: already committed
         if not batch_df.take(1):
@@ -423,6 +451,11 @@ def index_refresh_batches(
 
     def _on_batch(batch_df: DataFrame, batch_id: int) -> None:
         cur = _current_version(index_dir)
+        # repair deferred GC from a crash between commit and GC (see
+        # _rowwise_refresh_batches for the rationale) before the replay
+        # guard can short-circuit it away
+        if cur is not None:
+            _gc_versions(index_dir, keep_versions)
         if cur is not None and int(cur[1:].rstrip("c")) >= int(batch_id):
             return  # replayed batch: already committed, idempotent skip
         if not batch_df.take(1):

@@ -332,9 +332,15 @@ def hybrid_serve_batches(
             index, queries, feats, k=k, depth=depth, rrf_k=rrf_k,
             dim=dim, k1=k1, b=b, id_col=id_col, n_docs=n_docs,
             avgdl=avgdl, norms=norms)
+        rows = [r.asDict() for r in served.collect()]
+        # restore the r8 loop's deterministic sink ordering — per-query
+        # blocks in request order, rank-ordered (rrf desc, id asc)
+        # within each block. The batched job's collect is otherwise
+        # shuffle-ordered, and a sink appending to an ordered log would
+        # silently change behavior vs the r8 per-query loop.
+        rows.sort(key=lambda d: (d["query_id"], -d["rrf"], d[id_col]))
         out = []
-        for r in served.collect():
-            d = r.asDict()
+        for d in rows:
             d["query_id"] = orig[d.pop("query_id")]
             out.append({"batch_id": int(batch_id), **d})
         sink(out)

@@ -2284,3 +2284,117 @@ def test_hybrid_serve_batches_duplicate_and_string_qids(spark, tmp_path):
     assert have == want
     for df in (idx, feats, norms):
         df.unpersist()
+
+
+def test_hybrid_serve_batches_sink_order_deterministic(spark, tmp_path):
+    """Regression (r9 advice): the batched server must hand ``sink``
+    rows in the r8 per-query-loop order — per-request blocks in
+    request order, (rrf desc, doc_id asc) within each block — not the
+    shuffle order of one unordered collect. Sinks appending to ordered
+    logs depend on it."""
+    import datetime as dt
+
+    from tantalus_spark.datapipe.textstats import (
+        build_term_index, hashed_features, hashed_norms)
+    from tantalus_spark.streaming.scoring import hybrid_serve_batches
+
+    filler = " ".join(f"pad{i}" for i in range(20))
+    docs = spark.createDataFrame(
+        [(i, f"apple banana {filler} " + "cherry " * (i % 3))
+         for i in range(1, 9)],
+        "doc_id long, text string")
+    idx, (n_docs, avgdl) = build_term_index(docs, with_stats=True)
+    idx = idx.persist()
+    feats = hashed_features(docs, dim=16).persist()
+    norms = hashed_norms(feats).persist()
+    norms.count()
+
+    base = dt.datetime(2024, 1, 1, 12, 0)
+    qschema = "query_id long, terms array<string>, ts timestamp"
+    src = str(tmp_path / "ordered_queries")
+    spark.createDataFrame(
+        [(7, ["apple", "cherry"], base), (3, ["banana"], base)],
+        qschema).coalesce(1).write.parquet(src)
+
+    got: list[dict] = []
+    stream = (spark.readStream.format("parquet").schema(qschema)
+              .load(src))
+    cb = hybrid_serve_batches(idx, n_docs, avgdl, feats, norms,
+                              sink=got.extend, k=5, depth=8, dim=16)
+    q = (stream.writeStream.foreachBatch(cb)
+         .trigger(availableNow=True)
+         .option("checkpointLocation", str(tmp_path / "ck"))
+         .start())
+    q.awaitTermination(120)
+
+    assert len(got) == 10
+    # request order (7 first — row order, not id order), contiguous
+    # blocks
+    assert [r["query_id"] for r in got] == [7] * 5 + [3] * 5
+    for block in (got[:5], got[5:]):
+        keys = [(-r["rrf"], r["doc_id"]) for r in block]
+        assert keys == sorted(keys), keys
+    for df in (idx, feats, norms):
+        df.unpersist()
+
+
+def test_gc_enforces_keep_versions_floor(spark, tmp_path):
+    """Regression (r9 advice): keep_versions=1 would rmtree the
+    just-superseded version right after the pointer swap (a pinned
+    serving session gets FileNotFound mid-query) and keep_versions=0
+    silently kept everything (versions[-0:]). _gc_versions clamps to
+    the documented >= 2 floor."""
+    import os
+
+    from tantalus_spark.streaming.maintenance import index_refresh_batches
+
+    for kv in (0, 1):
+        ix = str(tmp_path / f"ix_kv{kv}")
+        cb = index_refresh_batches(ix, keep_versions=kv)
+        for b in range(3):
+            cb(spark.createDataFrame(
+                [(100 * b + i, f"tok{b} alpha beta {i}")
+                 for i in range(3)], "doc_id long, text string"), b)
+        versions = sorted(d for d in os.listdir(ix)
+                          if d.startswith("v"))
+        assert versions == ["v00000001", "v00000002"], (kv, versions)
+
+
+def test_gc_repairs_deferred_cleanup_on_replay(spark, tmp_path):
+    """Regression (r9 advice): a crash between _commit_version and
+    _gc_versions used to defer that commit's GC forever — the replay
+    guard returned before GC, so superseded manifests/segments
+    lingered until the NEXT committed batch. GC now runs before the
+    replay check, so even a no-op replayed batch reclaims them."""
+    import os
+
+    from tantalus_spark.streaming.maintenance import (
+        index_refresh_batches, load_term_index)
+
+    ix = str(tmp_path / "ix")
+    cb = index_refresh_batches(ix, keep_versions=2)
+    for b in range(3):
+        cb(spark.createDataFrame(
+            [(100 * b + i, f"tok{b} alpha beta {i}") for i in range(3)],
+            "doc_id long, text string"), b)
+    # simulate the crash's leftovers: a superseded manifest dir and an
+    # orphaned segment that the (skipped) GC would have removed
+    os.makedirs(os.path.join(ix, "v00000000"), exist_ok=True)
+    with open(os.path.join(ix, "v00000000", "manifest.json"), "w") as f:
+        f.write('{"segments": [], "tombstones": [], "n_docs": 0, '
+                '"dl_sum": 0, "id_col": "doc_id"}')
+    orphan = os.path.join(ix, "seg-99999990")
+    os.makedirs(os.path.join(orphan, "postings"), exist_ok=True)
+    with open(os.path.join(orphan, "postings", "junk"), "w") as f:
+        f.write("x")
+
+    # replay the already-committed batch 2: the guard makes the commit
+    # a no-op, but GC must still run and reclaim the leftovers
+    cb(spark.createDataFrame([(999, "noop")],
+                             "doc_id long, text string"), 2)
+    dirs = set(os.listdir(ix))
+    assert "v00000000" not in dirs
+    assert "seg-99999990" not in dirs
+    # and the live view is untouched
+    _postings, (n, _avg) = load_term_index(spark, ix)
+    assert n == 9
