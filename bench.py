@@ -146,6 +146,14 @@ PRODUCTION_VARIANTS = {
 def main() -> None:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     sf = os.path.basename(sf_dir.rstrip("/")).replace("sf", "")
+    # capture load BEFORE this process's own warmup+runs contribute to
+    # it: the end-of-run loadavg is dominated by the bench itself on 32
+    # cpus and can't certify the box was idle when the run STARTED (the
+    # r9 artifact's open question). Both values land in the JSON.
+    try:
+        pre_load1, pre_load5, _ = os.getloadavg()
+    except OSError:
+        pre_load1 = pre_load5 = -1.0
     spark = get_spark("bench")
 
     # warm the JVM, parquet footers, and OS page cache once so timings
@@ -189,7 +197,8 @@ def main() -> None:
     # record box load so round-over-round artifacts are auditable: the
     # r8 artifact showed +40-50% on untouched queries that a re-run on
     # an idle box didn't reproduce — co-tenant load, not a regression.
-    # loadavg >> 32 at record time marks the numbers as inflated.
+    # pre_load_* (sampled before warmup) certifies idleness at start;
+    # the end-of-run value mostly measures the bench itself.
     try:
         load1, load5, _ = os.getloadavg()
     except OSError:
@@ -200,6 +209,8 @@ def main() -> None:
         "unit": "sec",
         "queries": timings,
         "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
+        "pre_load_1m": round(pre_load1, 2),
+        "pre_load_5m": round(pre_load5, 2),
         "load_1m": round(load1, 2),
         "load_5m": round(load5, 2),
     }))
