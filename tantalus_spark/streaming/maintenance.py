@@ -201,6 +201,7 @@ def _rowwise_refresh_batches(
     op_col: str | None,
     max_segments: int,
     keep_versions: int,
+    partition_cols: list[str] | None = None,
 ):
     """Generic foreachBatch maintainer for PER-ROW-INDEPENDENT index
     tables (IVFPQ codes, enriched dense features — anything where a
@@ -216,7 +217,16 @@ def _rowwise_refresh_batches(
     a never-indexed id masks nothing and corrupts nothing.
     Replay-idempotent by batch-id-versioned commits, like the BM25
     maintainer (whose corpus stats need the richer
-    :func:`index_refresh_batches` machinery)."""
+    :func:`index_refresh_batches` machinery).
+
+    ``partition_cols`` hive-partitions every segment write (delta AND
+    compacted) so a serve's static IN / dynamic pruning filter on that
+    column reads only the matching lists' FILES — the same
+    index-once/query-many posture the batch warehouse layout gets from
+    ``partitionBy`` (plan-contract test through :func:`load_ann_index`
+    → ``ivf_pq_topk_batch``). The small-files trade on tiny deltas is
+    bounded: compaction folds them into one partitioned segment every
+    ``max_segments`` batches."""
     os.makedirs(index_dir, exist_ok=True)
 
     def _on_batch(batch_df: DataFrame, batch_id: int) -> None:
@@ -259,8 +269,10 @@ def _rowwise_refresh_batches(
             delta = delta_fn(adds)
             if delta.take(1):
                 seg_name = f"seg-{seq:08d}"
-                delta.write.mode("overwrite").parquet(
-                    os.path.join(index_dir, seg_name, leaf))
+                w = delta.write.mode("overwrite")
+                if partition_cols:
+                    w = w.partitionBy(*partition_cols)
+                w.parquet(os.path.join(index_dir, seg_name, leaf))
                 segments.append({"name": seg_name, "seq": seq})
                 changed = True
 
@@ -274,9 +286,11 @@ def _rowwise_refresh_batches(
         if (len(segments) > int(max_segments)
                 or len(tombstones) > int(max_segments)):
             comp = f"seg-{seq:08d}c"
-            (_masked_union(spark, index_dir, new_manifest, leaf)
-             .write.mode("overwrite")
-             .parquet(os.path.join(index_dir, comp, leaf)))
+            w = (_masked_union(spark, index_dir, new_manifest, leaf)
+                 .write.mode("overwrite"))
+            if partition_cols:
+                w = w.partitionBy(*partition_cols)
+            w.parquet(os.path.join(index_dir, comp, leaf))
             new_manifest = {"segments": [{"name": comp, "seq": seq}],
                             "tombstones": [], "id_col": id_col}
         _commit_version(index_dir, f"v{seq:08d}", new_manifest)
@@ -319,8 +333,13 @@ def ann_refresh_batches(
                 .join(pq_encode(adds, codebooks, id_col=id_col,
                                 vec_col=vec_col), id_col))
 
+    # hive-partition every codes segment by ivf_list: a serve's probe
+    # filter then PARTITION-prunes each segment scan to the probed
+    # lists' files — the streamed store matches the batch warehouse
+    # layout (q138's plan contract) instead of reading whole segments
     return _rowwise_refresh_batches(index_dir, "codes", _delta, id_col,
-                                    op_col, max_segments, keep_versions)
+                                    op_col, max_segments, keep_versions,
+                                    partition_cols=["ivf_list"])
 
 
 def load_feats_index(spark: SparkSession, index_dir: str):
@@ -369,8 +388,13 @@ def feats_refresh_batches(
                                 id_col=id_col)
         return feats.join(hashed_norms(feats, id_col=id_col), id_col)
 
+    # partition by bucket for the same reason the ANN store partitions
+    # by ivf_list: the dense serving leg's `bucket IN (query buckets)`
+    # filter file-prunes each segment (dim buckets bounds the
+    # directory fan-out)
     return _rowwise_refresh_batches(index_dir, "feats", _delta, id_col,
-                                    op_col, max_segments, keep_versions)
+                                    op_col, max_segments, keep_versions,
+                                    partition_cols=["bucket"])
 
 
 def index_refresh_batches(

@@ -796,3 +796,61 @@ def test_segmented_store_serve_pushes_terms_into_every_segment(
     assert "BroadcastHashJoin" in plan and "LeftAnti" in plan
     rows = served.collect()
     assert 0 < len(rows) <= 10
+
+
+def test_maintained_ann_store_serve_partition_prunes(spark, tmp_path):
+    """The r9 perf gap closed: segments written by the STREAMING ANN
+    maintainer are hive-partitioned by ivf_list, so a maintained-store
+    serve (load_ann_index -> ivf_pq_topk_batch) partition-prunes every
+    segment scan to the probed lists' files — matching
+    test_ivfpq_serving_partition_prunes_written_index's batch
+    warehouse layout. Covers both segment kinds: the compacted fold
+    and a later delta."""
+    from pyspark.sql import functions as F
+
+    from tantalus_spark.datapipe.similarity import ivf_pq_topk_batch
+    from tantalus_spark.streaming.maintenance import (
+        ann_refresh_batches, load_ann_index)
+
+    emb = db_for(spark, SF).table("embeddings")
+    iv = (emb.filter("embedding is not null")
+             .select("vec_id",
+                     F.transform("embedding",
+                                 lambda x: F.floor(x.cast("double")
+                                                   * F.lit(32.0))
+                                 .cast("double")).alias("embedding")))
+    head = iv.filter("vec_id <= 16").orderBy("vec_id").collect()
+    by_id = {r["vec_id"]: [float(x) for x in r["embedding"]]
+             for r in head}
+    cents = [by_id[i] for i in range(8)]
+    books = [[by_id[c + 1][j * 8:(j + 1) * 8] for c in range(16)]
+             for j in range(8)]
+
+    ix = str(tmp_path / "ann")
+    cb = ann_refresh_batches(ix, cents, books, max_segments=2,
+                             keep_versions=2)
+    cb(iv.filter("vec_id < 60"), 0)
+    cb(iv.filter("vec_id >= 60 and vec_id < 120"), 1)
+    # crosses max_segments=2 -> compacted (partitioned) segment
+    cb(iv.filter("vec_id >= 120 and vec_id < 160"), 2)
+    # one more delta so the manifest is [compacted, delta]
+    cb(iv.filter("vec_id >= 160 and vec_id < 180"), 3)
+
+    idx = load_ann_index(spark, ix)
+    queries = [(1, by_id[3]), (2, by_id[9])]
+    served = ivf_pq_topk_batch(idx, cents, books, queries, k=5,
+                               nprobe=2)
+    plan = _plan(served)
+    # two segment scans, EACH partition-pruned on ivf_list
+    chunks = plan.split("PartitionFilters:")[1:]
+    pruned = [c.splitlines()[0] for c in chunks
+              if "ivf_list" in c.splitlines()[0]]
+    assert len(pruned) == 2, (len(pruned), plan[:3000])
+    # and the pruned partition count is the probed union, never all 8
+    import re
+    counts = [int(m) for m in re.findall(r"partitions read:\s*(\d+)",
+                                         plan)]
+    if counts:
+        assert all(n <= 4 for n in counts), counts
+    rows = served.collect()
+    assert 0 < len(rows) <= 10
