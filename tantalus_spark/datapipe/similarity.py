@@ -628,14 +628,105 @@ def ivf_pq_topk(
         codebooks, query_vec, k=k, id_col=id_col)
 
 
+def _probe_lists_df(queries: DataFrame, centroids: list[list[float]],
+                    nprobe: int, vec_col: str) -> DataFrame:
+    """(query_id, ivf_list) probe map as ONE expression over the
+    centroid literals — the DataFrame-input twin of the driver-side
+    ``sorted(..., key=-_cos_py)`` ranking, bit-identical by
+    construction: the cosine is the same left-to-right
+    zip_with/aggregate fold :func:`_cos_py` runs in Python (identical
+    IEEE op sequence, products/division commute bitwise), a zero-norm
+    side pins to 0.0 via nanvl (the `_cos_py` convention), and
+    sort_array's struct order (cos desc, -cid desc) reproduces Python
+    ``sorted``'s stable cid-ascending tie-break."""
+    structs = [
+        F.struct(
+            F.nanvl(cosine_similarity(
+                F.col(vec_col),
+                F.array(*[F.lit(float(v)) for v in c])), F.lit(0.0))
+            .alias("s"),
+            F.lit(-i).alias("nc"))
+        for i, c in enumerate(centroids)
+    ]
+    ranked = F.sort_array(F.array(*structs), asc=False)
+    lists = F.transform(F.slice(ranked, 1, int(nprobe)),
+                        lambda st: (-st["nc"]).cast("int"))
+    return queries.select("query_id",
+                          F.explode(lists).alias("ivf_list"))
+
+
+def _ivf_pq_topk_batch_df(
+    assigned_codes: DataFrame,
+    centroids: list[list[float]],
+    codebooks: list[list[list[float]]],
+    queries: DataFrame,
+    k: int,
+    nprobe: int,
+    id_col: str,
+    vec_col: str,
+) -> DataFrame:
+    """DataFrame-input leg of :func:`ivf_pq_topk_batch` — the offline
+    100k-query eval shape: queries never materialize on the driver.
+    Probe ranking is :func:`_probe_lists_df`'s expression over the
+    centroid literals; the ADC dot is computed INLINE after the
+    broadcast query join (no per-query ADC literal table — at large
+    |queries| that table is itself corpus-sized), folding the m
+    subspace terms LEFT-TO-RIGHT exactly like scalar
+    :func:`ivf_pq_topk`/:func:`pq_topk`, so this leg is bit-identical
+    to the scalar server even on raw-float corpora (the list-input
+    leg's order-free SUM matches only under the integerized-vector
+    convention — see the caller's docstring). Only the distinct probed
+    lists (≤ nlist ints) and the duplicate-id guard ever reach the
+    driver."""
+    spark = assigned_codes.sparkSession
+    qdf = queries.select(
+        F.col("query_id").cast("long").alias("query_id"),
+        F.col(vec_col).alias("_qv"))
+    if (qdf.groupBy("query_id").agg(F.count(F.lit(1)).alias("n"))
+            .filter(F.col("n") > 1).take(1)):
+        raise ValueError("ivf_pq_topk_batch: duplicate query ids")
+    probes = _probe_lists_df(qdf, centroids, nprobe, "_qv")
+    # tiny collect: ≤ nlist ints, never O(queries) — keeps the code
+    # scan's STATIC IN filter (partition pruning on the
+    # partitionBy("ivf_list") layouts, batch or streamed)
+    all_lists = sorted(r["ivf_list"] for r in
+                       probes.select("ivf_list").distinct().collect())
+    pruned = (assigned_codes.filter(F.col("ivf_list").isin(all_lists))
+              if all_lists else assigned_codes.filter(F.lit(False)))
+    sub = len(codebooks[0][0])
+    # literal nested array: constant-folded to ONE ArrayData, not a
+    # per-element expression tree (no Janino blowup)
+    cb_lit = F.array(*[
+        F.array(*[F.array(*[F.lit(float(x)) for x in cent])
+                  for cent in book])
+        for book in codebooks])
+    contrib = F.transform(
+        F.col("pq_code"),
+        lambda c, j: F.aggregate(
+            F.zip_with(
+                F.slice(F.col("_qv"), j * F.lit(sub) + F.lit(1),
+                        F.lit(sub)),
+                F.element_at(F.element_at(cb_lit, j + F.lit(1)),
+                             c + F.lit(1)),
+                lambda x, y: x.cast("double") * y),
+            F.lit(0.0), lambda a, x: a + x))
+    score = F.aggregate(contrib, F.lit(0.0), lambda a, x: a + x)
+    scored = (pruned.join(F.broadcast(probes), "ivf_list")
+                    .join(F.broadcast(qdf), "query_id")
+                    .select("query_id", F.col(id_col),
+                            score.alias("_adc")))
+    return _per_query_adc_topk(scored, k, id_col)
+
+
 def ivf_pq_topk_batch(
     assigned_codes: DataFrame,
     centroids: list[list[float]],
     codebooks: list[list[list[float]]],
-    queries: list[tuple[int, list[float]]],
+    queries: "list[tuple[int, list[float]]] | DataFrame",
     k: int = 10,
     nprobe: int = 2,
     id_col: str = "vec_id",
+    vec_col: str = "embedding",
 ) -> DataFrame:
     """Batched IVFPQ serving: score a SET of queries against the
     (id, ivf_list, pq_code) table in ONE distributed job — the ANN twin
@@ -661,7 +752,19 @@ def ivf_pq_topk_batch(
     an integer-valued double and addition is exact); raw-float corpora
     agree up to last-ulp summation order. Duplicate query ids are
     rejected loudly (output is keyed by query_id). Returns
-    (query_id, id, adc_dot)."""
+    (query_id, id, adc_dot).
+
+    ``queries`` may also be a DataFrame with (query_id, ``vec_col``)
+    columns — the offline-eval shape where a 100k-query batch must not
+    materialize on the driver: probe ranking becomes an expression
+    over the centroid literals and ADC dots are computed inline after
+    the broadcast query join (:func:`_ivf_pq_topk_batch_df`; per-query
+    bit-parity with this list path is differential-tested on
+    integerized vectors)."""
+    if isinstance(queries, DataFrame):
+        return _ivf_pq_topk_batch_df(assigned_codes, centroids,
+                                     codebooks, queries, k, nprobe,
+                                     id_col, vec_col)
     if len({qid for qid, _ in queries}) != len(queries):
         raise ValueError("ivf_pq_topk_batch: duplicate query ids")
 

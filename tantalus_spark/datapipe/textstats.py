@@ -2072,7 +2072,7 @@ def hybrid_serve_indexed(
 
 def hybrid_serve_topk_batch(
     index: DataFrame,
-    queries: list[tuple[int, list[str]]],
+    queries: "list[tuple[int, list[str]]] | DataFrame",
     feats: DataFrame,
     k: int = 20,
     depth: int = 50,
@@ -2084,6 +2084,7 @@ def hybrid_serve_topk_batch(
     n_docs: int | None = None,
     avgdl: float | None = None,
     norms: DataFrame | None = None,
+    terms_col: str = "terms",
 ) -> DataFrame:
     """Batched hybrid serving: run a SET of queries through both
     index-served legs in ONE distributed job — the throughput shape a
@@ -2111,18 +2112,82 @@ def hybrid_serve_topk_batch(
     set + O(|queries| · depth) fusion rows — the index is scanned once
     per BATCH, not once per query. Queries whose terms hash to an
     all-zero vector serve lexical-only, exactly like the scalar path.
-    ENRICHED feats (``norm`` column) serve with zero norm joins."""
+    ENRICHED feats (``norm`` column) serve with zero norm joins.
+
+    ``queries`` may also be a DataFrame with (query_id, ``terms_col``)
+    columns — the offline-eval shape where a 100k-query batch must not
+    materialize on the driver: term normalization and the query-side
+    hashed features become expressions (the F.md5 / hashlib.md5
+    byte-identity that makes :func:`_query_hashed_features` portable
+    works in reverse), and only the BATCH VOCABULARY (distinct terms /
+    buckets, shared across queries) is collected for the static IN
+    pruning filters — O(batch vocabulary), never O(queries · terms).
+    Per query bit-identical to the list path (differential test)."""
     spark = index.sparkSession
-    norm_q = [(int(qid), sorted(set(t.lower() for t in ts)))
-              for qid, ts in queries]
-    if len({qid for qid, _ in norm_q}) != len(norm_q):
-        # output rows are keyed by query_id: a duplicate would merge
-        # two requests into one garbled union query (duplicate qterms
-        # rows, fanned qnorm join, multiplied fusion rows). Loud
-        # contract beats silent corruption; callers with duplicate
-        # request ids re-key rows first (hybrid_serve_batches does).
-        raise ValueError("hybrid_serve_topk_batch: duplicate query ids")
-    all_terms = sorted({t for _, ts in norm_q for t in ts})
+    if isinstance(queries, DataFrame):
+        qq = queries.select(
+            F.col("query_id").cast("long").alias("query_id"),
+            F.array_sort(F.array_distinct(
+                F.transform(F.col(terms_col), F.lower))).alias("_t"))
+        if (qq.groupBy("query_id").agg(F.count(F.lit(1)).alias("n"))
+                .filter(F.col("n") > 1).take(1)):
+            raise ValueError(
+                "hybrid_serve_topk_batch: duplicate query ids")
+        qterms = qq.select("query_id", F.explode("_t").alias("term"))
+        all_terms = sorted(
+            r["term"] for r in
+            qterms.select("term").distinct().collect())
+        # query-side hashed features, expression twin of
+        # _query_hashed_features (same md5 bucket/sign derivation as
+        # hashed_features, over the DEDUPED term set)
+        h = lambda c: F.conv(F.substring(F.md5(c), 1, 15), 16, 10) \
+            .cast("long")  # noqa: E731
+        qdf = (qterms
+               .select("query_id",
+                       F.pmod(h(F.col("term")), F.lit(int(dim)))
+                        .cast("int").alias("bucket"),
+                       (F.lit(1) - F.lit(2) * F.pmod(
+                           h(F.concat(F.lit("s_"), F.col("term"))),
+                           F.lit(2))).cast("int").alias("sgn"))
+               .groupBy("query_id", "bucket")
+               .agg(F.sum("sgn").cast("long").alias("qfeat"))
+               .filter(F.col("qfeat") != 0))
+        qn = qdf.groupBy("query_id").agg(
+            (F.sum(F.col("qfeat") * F.col("qfeat")))
+            .cast("double").alias("qnorm"))
+        all_buckets = sorted(
+            r["bucket"] for r in
+            qdf.select("bucket").distinct().collect())
+    else:
+        norm_q = [(int(qid), sorted(set(t.lower() for t in ts)))
+                  for qid, ts in queries]
+        if len({qid for qid, _ in norm_q}) != len(norm_q):
+            # output rows are keyed by query_id: a duplicate would
+            # merge two requests into one garbled union query
+            # (duplicate qterms rows, fanned qnorm join, multiplied
+            # fusion rows). Loud contract beats silent corruption;
+            # callers with duplicate request ids re-key rows first
+            # (hybrid_serve_batches does).
+            raise ValueError(
+                "hybrid_serve_topk_batch: duplicate query ids")
+        all_terms = sorted({t for _, ts in norm_q for t in ts})
+        qterms = spark.createDataFrame(
+            [(qid, t) for qid, ts in norm_q for t in ts],
+            "query_id long, term string")
+        qfeat_rows: list[tuple[int, int, int]] = []
+        qnorms: list[tuple[int, float]] = []
+        for qid, ts in norm_q:
+            qf = _query_hashed_features(ts, dim)
+            if qf:
+                qnorms.append(
+                    (qid, float(sum(v * v for v in qf.values()))))
+                qfeat_rows.extend((qid, int(bk), int(v))
+                                  for bk, v in sorted(qf.items()))
+        qdf = spark.createDataFrame(
+            qfeat_rows, "query_id long, bucket int, qfeat long")
+        qn = spark.createDataFrame(qnorms,
+                                   "query_id long, qnorm double")
+        all_buckets = sorted({r[1] for r in qfeat_rows})
     if n_docs is None or avgdl is None:
         docs = index.select(id_col, "dl").dropDuplicates([id_col])
         tot = docs.agg(F.count(F.lit(1)).alias("n"),
@@ -2132,9 +2197,6 @@ def hybrid_serve_topk_batch(
     # --- lexical leg: one term-pruned postings scan for the whole set
     tf = index.filter(F.col("term").isin(all_terms))
     dfreq = tf.groupBy("term").agg(F.count(F.lit(1)).alias("df"))
-    qterms = spark.createDataFrame(
-        [(qid, t) for qid, ts in norm_q for t in ts],
-        "query_id long, term string")
     sparse = (tf.join(F.broadcast(dfreq), "term")
                 .join(F.broadcast(qterms), "term")
                 .select("query_id", F.col(id_col),
@@ -2149,25 +2211,12 @@ def hybrid_serve_topk_batch(
                    .select("query_id", id_col, "rank_bm25"))
 
     # --- dense leg: one bucket-pruned feats scan for the whole set
-    qfeat_rows: list[tuple[int, int, int]] = []
-    qnorms: list[tuple[int, float]] = []
-    for qid, ts in norm_q:
-        qf = _query_hashed_features(ts, dim)
-        if qf:
-            qnorms.append(
-                (qid, float(sum(v * v for v in qf.values()))))
-            qfeat_rows.extend((qid, int(bk), int(v))
-                              for bk, v in sorted(qf.items()))
     scored = None
-    if qfeat_rows:
-        qdf = spark.createDataFrame(
-            qfeat_rows, "query_id long, bucket int, qfeat long")
-        qn = spark.createDataFrame(qnorms, "query_id long, qnorm double")
+    if all_buckets:
         enriched = "norm" in feats.columns
         if norms is None and not enriched:
             norms = hashed_norms(feats, id_col=id_col)
-        pruned = feats.filter(
-            F.col("bucket").isin(sorted({r[1] for r in qfeat_rows})))
+        pruned = feats.filter(F.col("bucket").isin(all_buckets))
         aggs = [F.sum(F.col("feat") * F.col("qfeat")).alias("dot")]
         if enriched:
             aggs.append(F.first("norm").alias("norm"))

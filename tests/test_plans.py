@@ -854,3 +854,73 @@ def test_maintained_ann_store_serve_partition_prunes(spark, tmp_path):
         assert all(n <= 4 for n in counts), counts
     rows = served.collect()
     assert 0 < len(rows) <= 10
+
+
+def test_batch_servers_df_queries_keep_pruned_scans(spark, tmp_path):
+    """The DataFrame-query input (offline-eval shape) must keep the
+    list path's plan contract: hybrid serving still has exactly THREE
+    pruned artifact scans (tf + df postings, bucket-pruned feats) and
+    the IVFPQ code scan still partition-prunes to the probed union —
+    queries never materialize on the driver, only the batch
+    vocabulary / probed-list ints do."""
+    from pyspark.sql import functions as F
+
+    from tantalus_spark.datapipe.similarity import (
+        ivf_assign, ivf_pq_topk_batch, pq_encode)
+    from tantalus_spark.datapipe.textstats import (
+        build_term_index, hashed_features, hashed_norms,
+        hybrid_serve_topk_batch)
+
+    docs = db_for(spark, SF).table("documents")
+    idx_df, (n_docs, avgdl) = build_term_index(docs, with_stats=True)
+    idx_df.write.parquet(str(tmp_path / "ix"))
+    feats_df = hashed_features(docs, dim=64)
+    (feats_df.join(hashed_norms(feats_df), "doc_id")
+     .write.parquet(str(tmp_path / "enriched")))
+
+    qdf = spark.createDataFrame(
+        [(1, ["hash", "merge"]), (2, ["sort", "join"]),
+         (3, ["customer", "hash"])],
+        "query_id long, terms array<string>")
+    plan = _plan(hybrid_serve_topk_batch(
+        spark.read.parquet(str(tmp_path / "ix")), qdf,
+        spark.read.parquet(str(tmp_path / "enriched")),
+        k=5, depth=10, dim=64, n_docs=n_docs, avgdl=avgdl))
+    assert "documents.parquet" not in plan
+    chunks = [c.splitlines()[0]
+              for c in plan.split("PushedFilters:")[1:]]
+    assert sum("In(term" in c for c in chunks) == 2, chunks
+    assert sum("In(bucket" in c for c in chunks) == 1, chunks
+    assert len(chunks) == 3, chunks
+
+    # --- IVFPQ twin on the partitioned warehouse layout
+    emb = db_for(spark, SF).table("embeddings")
+    iv = (emb.filter("embedding is not null")
+             .select("vec_id",
+                     F.transform("embedding",
+                                 lambda x: F.floor(x.cast("double")
+                                                   * F.lit(32.0))
+                                 .cast("double")).alias("embedding")))
+    head = iv.filter("vec_id <= 16").orderBy("vec_id").collect()
+    by_id = {r["vec_id"]: [float(x) for x in r["embedding"]]
+             for r in head}
+    cents = [by_id[i] for i in range(8)]
+    books = [[by_id[c + 1][j * 8:(j + 1) * 8] for c in range(16)]
+             for j in range(8)]
+    codes = (ivf_assign(iv, cents).select("vec_id", "ivf_list")
+             .join(pq_encode(iv, books), "vec_id"))
+    codes.write.partitionBy("ivf_list").parquet(str(tmp_path / "ann"))
+    qvec = spark.createDataFrame(
+        [(1, by_id[3]), (2, by_id[9])],
+        "query_id long, embedding array<double>")
+    plan2 = _plan(ivf_pq_topk_batch(
+        spark.read.parquet(str(tmp_path / "ann")), cents, books, qvec,
+        k=5, nprobe=2))
+    assert "embeddings.parquet" not in plan2
+    assert "PartitionFilters:" in plan2
+    pf = plan2.split("PartitionFilters:")[1].splitlines()[0]
+    assert "ivf_list" in pf, pf
+    import re
+    m = re.search(r"partitions read:\s*(\d+)", plan2)
+    if m:
+        assert int(m.group(1)) <= 4, plan2[:2000]

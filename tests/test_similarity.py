@@ -907,3 +907,57 @@ def test_ivf_pq_topk_batch_matches_per_query(spark):
         ivf_pq_topk_batch(codes, cents, books,
                           [(1, by_id[0]), (1, by_id[5])])
     codes.unpersist()
+
+
+def test_ivf_pq_topk_batch_dataframe_queries_bit_parity(spark):
+    """The offline-eval input shape: ivf_pq_topk_batch with a
+    (query_id, embedding) DataFrame must be per-query bit-identical to
+    both the list input AND the scalar server on integerized vectors —
+    probe ranking moves to an expression over the centroid literals
+    (same IEEE fold as _cos_py, same cid-asc tie-break) and the ADC
+    dot is computed inline with the scalar path's left-to-right
+    subspace fold."""
+    from pyspark.sql import functions as F
+
+    from tantalus_spark.catalog.loader import read_parquet
+    from tantalus_spark.datapipe.similarity import (
+        ivf_assign, ivf_pq_topk, ivf_pq_topk_batch, pq_encode)
+
+    emb = read_parquet(spark,
+                       "/root/testdata/sf0.001/embeddings.parquet")
+    iv = (emb.filter("embedding is not null")
+             .select("vec_id",
+                     F.transform("embedding",
+                                 lambda x: F.floor(x.cast("double")
+                                                   * F.lit(32.0))
+                                 .cast("double")).alias("embedding")))
+    head = iv.filter("vec_id <= 16").orderBy("vec_id").collect()
+    by_id = {r["vec_id"]: [float(x) for x in r["embedding"]]
+             for r in head}
+    cents = [by_id[i] for i in range(8)]
+    books = [[by_id[c + 1][j * 8:(j + 1) * 8] for c in range(16)]
+             for j in range(8)]
+    codes = (ivf_assign(iv, cents).select("vec_id", "ivf_list")
+             .join(pq_encode(iv, books), "vec_id"))
+
+    queries = [(1, by_id[3]), (2, by_id[9]), (3, by_id[11])]
+    lst = ivf_pq_topk_batch(codes, cents, books, queries, k=5,
+                            nprobe=2)
+    qdf = spark.createDataFrame(queries,
+                                "query_id long, embedding array<double>")
+    dfp = ivf_pq_topk_batch(codes, cents, books, qdf, k=5, nprobe=2)
+    a = sorted(map(tuple, lst.collect()))
+    b = sorted(map(tuple, dfp.collect()))
+    assert a == b and len(a) == 15
+    for qid, qv in queries:
+        s = sorted(map(tuple,
+                       ivf_pq_topk(codes, cents, books, qv, k=5,
+                                   nprobe=2).collect()))
+        d = sorted((r[1], r[2]) for r in b if r[0] == qid)
+        assert s == d, qid
+    import pytest as _pytest
+
+    dup = spark.createDataFrame([(1, by_id[3]), (1, by_id[9])],
+                                "query_id long, embedding array<double>")
+    with _pytest.raises(ValueError, match="duplicate query ids"):
+        ivf_pq_topk_batch(codes, cents, books, dup, k=5, nprobe=2)

@@ -2398,3 +2398,44 @@ def test_gc_repairs_deferred_cleanup_on_replay(spark, tmp_path):
     # and the live view is untouched
     _postings, (n, _avg) = load_term_index(spark, ix)
     assert n == 9
+
+
+def test_hybrid_serve_topk_batch_dataframe_queries_bit_parity(spark):
+    """The offline-eval input shape: hybrid_serve_topk_batch with a
+    (query_id, terms) DataFrame must be per-query bit-identical to the
+    list input — term normalization and query hashing move into
+    expressions (F.md5 == hashlib.md5 byte-for-byte), only the batch
+    vocabulary is collected for the IN pruning. Includes a mixed-case
+    + duplicate-term query to exercise the expression-side
+    lower/distinct normalization."""
+    from tantalus_spark.catalog.loader import read_parquet
+    from tantalus_spark.datapipe.textstats import (
+        build_term_index, hashed_features, hashed_norms,
+        hybrid_serve_topk_batch)
+
+    docs = read_parquet(spark,
+                        "/root/testdata/sf0.001/documents.parquet")
+    idx, (n_docs, avgdl) = build_term_index(docs, with_stats=True)
+    feats = hashed_features(docs, dim=64)
+    enriched = feats.join(hashed_norms(feats), "doc_id")
+
+    queries = [(1, ["Hash", "merge", "hash"]), (2, ["sort", "join"]),
+               (3, ["customer"])]
+    lst = hybrid_serve_topk_batch(idx, queries, enriched, k=5,
+                                  depth=10, dim=64, n_docs=n_docs,
+                                  avgdl=avgdl)
+    qdf = spark.createDataFrame(queries,
+                                "query_id long, terms array<string>")
+    dfp = hybrid_serve_topk_batch(idx, qdf, enriched, k=5, depth=10,
+                                  dim=64, n_docs=n_docs, avgdl=avgdl)
+    a = sorted(map(tuple, lst.collect()))
+    b = sorted(map(tuple, dfp.collect()))
+    assert a == b and len(a) > 0
+    # duplicate ids still rejected loudly on the DataFrame path
+    import pytest as _pytest
+
+    dup = spark.createDataFrame([(1, ["a"]), (1, ["b"])],
+                                "query_id long, terms array<string>")
+    with _pytest.raises(ValueError, match="duplicate query ids"):
+        hybrid_serve_topk_batch(idx, dup, enriched, dim=64,
+                                n_docs=n_docs, avgdl=avgdl)
