@@ -84,6 +84,10 @@ HEADLINE = [
     # their one-time index builds)
     "147_hybrid_serve_batch",
     "151_ann_serve_batch",
+    # r10 addition: the LSM segmented-store lifecycle — three CDC
+    # commits (incl. the compaction fold) + the masked-view BM25 serve,
+    # the honest end-to-end cost of the maintained-index story
+    "152_segmented_store_serve",
 ]
 
 

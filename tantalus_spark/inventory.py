@@ -2253,6 +2253,45 @@ def q151_ann_serve_batch(spark, sf_dir):
         k=10, nprobe=3)
 
 
+def q152_segmented_store_serve(spark, sf_dir):
+    """The LSM segmented store's correctness, driver-visible: commit
+    THREE CDC micro-batches through index_refresh_batches — adds
+    (doc_id%3==0), then deletes (21|id) + a same-batch delete/re-add
+    (42|id) + more adds (%3==1), then the rest (%3==2), with
+    max_segments=2 so the last commit exercises the compaction fold
+    and GC — then serve BM25 straight off load_term_index's masked
+    view + manifest stats. Bit-identical to a full rebuild over the
+    survivors (NOT (21|id AND NOT 42|id)), which is exactly what the
+    oracle computes: delta segments, tombstone masking, the
+    ts_seq > seg_seq re-add rule, exact integer stats math, compaction
+    and the pointer swap all sit on the oracled path. The on-disk
+    store is a throwaway tempdir (unique per call; the serve plan
+    reads it lazily, so it must outlive the return)."""
+    import tempfile
+
+    from tantalus_spark.datapipe.textstats import bm25_rank_indexed
+    from tantalus_spark.streaming.maintenance import (
+        index_refresh_batches, load_term_index)
+
+    docs = db_for(spark, sf_dir).table("documents").select("doc_id",
+                                                           "text")
+    ix = tempfile.mkdtemp(prefix="tantalus_q152_")
+    cb = index_refresh_batches(ix, op_col="op", max_segments=2)
+    add = lambda df: df.withColumn("op", F.lit("add"))  # noqa: E731
+    cb(add(docs.filter(F.col("doc_id") % 3 == 0)), 0)
+    dels = (docs.filter(F.col("doc_id") % 21 == 0)
+                .select("doc_id",
+                        F.lit(None).cast("string").alias("text"))
+                .withColumn("op", F.lit("delete")))
+    cb(add(docs.filter(F.col("doc_id") % 3 == 1))
+       .unionByName(dels)
+       .unionByName(add(docs.filter(F.col("doc_id") % 42 == 0))), 1)
+    cb(add(docs.filter(F.col("doc_id") % 3 == 2)), 2)
+    postings, (n, avgdl) = load_term_index(spark, ix)
+    return bm25_rank_indexed(postings, ["customer", "merge", "sort"],
+                             k=15, n_docs=n, avgdl=avgdl)
+
+
 _ALL_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     name[1:]: fn
     for name, fn in list(globals().items())
@@ -2453,6 +2492,10 @@ _QUERY_ORDER = [
     "92_vocab_coverage", "94_source_report", "95_paragraph_dedup",
     "99_corpus_shuffle", "100_bpe_merges",
     "103_temperature_mix", "105_gate_attribution",
+    # r10 addition beyond the window: the segmented-store (LSM) serve
+    # — CDC commits + compaction + masked-view BM25 in one oracled
+    # entry; r11 ROTATION CANDIDATE under the standing protocol.
+    "152_segmented_store_serve",
 ]
 
 QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
@@ -4636,6 +4679,46 @@ ORACLES["151_ann_serve_batch"] = """
                                     ORDER BY s DESC, vec_id ASC) AS rn
           FROM ascore) t
     WHERE rn <= 10
+"""
+
+# q152: the q143 BM25-rebuild CTEs over the segmented store's survivor
+# set — every doc except those deleted in batch 1 and not re-added
+# (21|id AND NOT 42|id). The engine side serves off the LSM store's
+# masked segment union + manifest stats; rebuild-equality is the
+# store's contract, so the oracle IS a rebuild.
+ORACLES["152_segmented_store_serve"] = """
+    WITH base AS (
+      SELECT doc_id,
+             string_split_regex(trim(lower(text)), '\\s+') AS toks
+      FROM documents
+      WHERE text IS NOT NULL
+        AND NOT (doc_id % 21 = 0 AND doc_id % 42 <> 0)),
+    dl AS (SELECT doc_id, CAST(len(toks) AS BIGINT) AS dl FROM base),
+    tot AS (SELECT CAST(count(*) AS DOUBLE) AS n,
+                   CAST(sum(dl) AS DOUBLE) / CAST(count(*) AS DOUBLE)
+                     AS avgdl
+            FROM dl),
+    toks AS (SELECT doc_id, unnest(toks) AS term FROM base),
+    tf AS (SELECT doc_id, term, count(*) AS tf
+           FROM toks
+           WHERE term IN ('customer', 'merge', 'sort')
+           GROUP BY doc_id, term),
+    dfq AS (SELECT term, count(*) AS df FROM tf GROUP BY term),
+    sc AS (
+      SELECT tf.doc_id,
+             CAST(floor(
+               ln(1.0 + (tot.n - dfq.df + 0.5) / (dfq.df + 0.5))
+               * (tf.tf * 2.2)
+               / (tf.tf + 1.2 * (0.25 + 0.75 * dl.dl / tot.avgdl))
+               * 1e9 + 0.5) AS BIGINT) AS s_nano
+      FROM tf JOIN dfq USING (term) JOIN dl USING (doc_id)
+      CROSS JOIN tot),
+    g AS (SELECT doc_id, CAST(sum(s_nano) AS BIGINT) AS score_nano,
+                 CAST(count(*) AS INTEGER) AS n_terms_hit
+          FROM sc GROUP BY doc_id)
+    SELECT doc_id, score_nano, n_terms_hit,
+           round(CAST(score_nano AS DOUBLE) / 1e9, 4) + 0.0 AS bm25
+    FROM g ORDER BY score_nano DESC, doc_id ASC LIMIT 15
 """
 
 # q150: the q86 band CTEs with the maintained index population — probe
