@@ -9,9 +9,14 @@ current manifest. A refresh folds each arriving micro-batch in by
 writing ONLY that batch's delta segment and/or tombstone set plus a new
 manifest — O(batch) bytes per commit, never a copy of the index
 (byte-budget test in tests/test_textstats.py) — then atomically swaps
-the pointer. Compaction folds tombstones in physically and collapses
-the segment list when it crosses ``max_segments`` (amortized
-O(index / max_segments) extra write per batch); GC drops manifests
+the pointer. Compaction is SIZE-TIERED (:func:`_select_fold`): when
+the segment count crosses ``max_segments`` the commit folds only the
+smallest segments (tombstones applied physically to the folded part,
+retained for the kept older segments), so a byte is rewritten
+O(log(index/batch)) times over the stream's life — not the
+O(index/max_segments) amortized per batch a full fold costs; a
+tombstone-list overflow still forces a FULL fold, since only folding
+everything lets the broadcast mask list clear. GC drops manifests
 older than ``keep_versions`` and any segment no kept manifest
 references, bounding storage at O(index + keep·batch).
 
@@ -181,6 +186,44 @@ def _gc_versions(index_dir: str, keep_versions: int) -> None:
             shutil.rmtree(full)
 
 
+def _dir_bytes(path: str) -> int:
+    total = 0
+    for root, _dirs, files in os.walk(path):
+        for f in files:
+            total += os.path.getsize(os.path.join(root, f))
+    return total
+
+
+def _select_fold(segments: list[dict], max_segments: int):
+    """Size-tiered compaction selection (the Lucene/LSM merge policy,
+    applied to the manifest's recorded segment sizes): pick the
+    MINIMUM set of smallest segments that gets the count back under
+    ``max_segments``, then greedily extend it while the next-smallest
+    segment is no larger than the bytes already being rewritten —
+    folding a segment is free-ish exactly when the merge it joins is
+    at least its own size, which makes every byte's segment at least
+    DOUBLE per rewrite, so a byte is rewritten O(log(index/batch))
+    times over the stream's life instead of every-K-batches
+    (full-fold's amortized O(index/K) per commit). Ties break on
+    (bytes, seq, name) for determinism. Returns (fold, keep) in
+    manifest order; ``keep == []`` means the policy chose a full fold
+    (the caller then also clears tombstones, which a partial fold must
+    retain for the kept older segments)."""
+    if len(segments) <= int(max_segments):
+        return [], list(segments)
+    by_size = sorted(segments,
+                     key=lambda s: (int(s.get("bytes", 0)),
+                                    int(s["seq"]), s["name"]))
+    n = len(segments) - int(max_segments) + 1
+    while (n < len(by_size)
+           and int(by_size[n].get("bytes", 0))
+           <= sum(int(x.get("bytes", 0)) for x in by_size[:n])):
+        n += 1
+    fold = {x["name"] for x in by_size[:n]}
+    return ([x for x in segments if x["name"] in fold],
+            [x for x in segments if x["name"] not in fold])
+
+
 def load_ann_index(spark: SparkSession, index_dir: str):
     """Read the CURRENT ANN code-table version: the (id, ivf_list,
     pq_code) DataFrame, or None when no version has been committed.
@@ -273,26 +316,52 @@ def _rowwise_refresh_batches(
                 if partition_cols:
                     w = w.partitionBy(*partition_cols)
                 w.parquet(os.path.join(index_dir, seg_name, leaf))
-                segments.append({"name": seg_name, "seq": seq})
+                segments.append({
+                    "name": seg_name, "seq": seq,
+                    "bytes": _dir_bytes(
+                        os.path.join(index_dir, seg_name))})
                 changed = True
 
         if not changed:
             return
+        # compaction: tombstone overflow forces a FULL fold (an
+        # unbounded tombstone list is an ever-wider broadcast mask per
+        # serve, and only folding everything lets it clear — a partial
+        # fold must retain tombstones for the kept older segments);
+        # segment overflow folds the size-tiered minimum (_select_fold)
+        # so a byte is rewritten O(log(index/batch)) times, not every
+        # max_segments batches
+        if len(tombstones) > int(max_segments):
+            fold, keep = list(segments), []
+        else:
+            fold, keep = _select_fold(segments, max_segments)
+        if fold:
+            full = not keep
+            sub = {"segments": fold, "tombstones": tombstones,
+                   "id_col": id_col}
+            view = _masked_union(spark, index_dir, sub, leaf)
+            if view is not None and view.take(1):
+                comp = f"seg-{seq:08d}c"
+                w = view.write.mode("overwrite")
+                if partition_cols:
+                    w = w.partitionBy(*partition_cols)
+                w.parquet(os.path.join(index_dir, comp, leaf))
+                keep = keep + [{
+                    "name": comp, "seq": seq,
+                    "bytes": _dir_bytes(os.path.join(index_dir, comp))}]
+            # else: every folded row was tombstone-masked — drop the
+            # folded segments without writing an empty (unreadable
+            # when partitioned) parquet dir
+            segments = keep
+            if full:
+                # full fold: everything live is in the one new segment
+                # (folded rows carry this commit's seq, so no current
+                # tombstone can re-mask them) — the mask list clears.
+                # A PARTIAL fold keeps the tombstones: the kept older
+                # segments still need the mask.
+                tombstones = []
         new_manifest = {"segments": segments, "tombstones": tombstones,
                         "id_col": id_col}
-        # compaction triggers on EITHER list: a delete-heavy stream
-        # grows tombstones without adding segments, and an unbounded
-        # tombstone list means an ever-wider broadcast mask per serve
-        if (len(segments) > int(max_segments)
-                or len(tombstones) > int(max_segments)):
-            comp = f"seg-{seq:08d}c"
-            w = (_masked_union(spark, index_dir, new_manifest, leaf)
-                 .write.mode("overwrite"))
-            if partition_cols:
-                w = w.partitionBy(*partition_cols)
-            w.parquet(os.path.join(index_dir, comp, leaf))
-            new_manifest = {"segments": [{"name": comp, "seq": seq}],
-                            "tombstones": [], "id_col": id_col}
         _commit_version(index_dir, f"v{seq:08d}", new_manifest)
         _gc_versions(index_dir, keep_versions)
 
@@ -426,12 +495,16 @@ def index_refresh_batches(
     the surviving documents (rebuild-equal tests).
 
     Compaction: when the manifest exceeds ``max_segments`` segments the
-    commit also materializes the live view into ONE compacted segment
-    (tombstones fold in physically and clear), so a serve never unions
-    more than ``max_segments + 1`` scans and the amortized extra write
-    per batch is O(index / max_segments) — the standard LSM trade
-    (SCALING.md "segmented index maintenance" does the math). GC then
-    drops manifests beyond ``keep_versions`` and unreferenced segments,
+    commit folds the SIZE-TIERED minimum (:func:`_select_fold`) into
+    one new segment — tombstones apply physically to the folded part
+    and are retained for the kept older segments — so a serve never
+    unions more than ``max_segments`` post-commit scans and a byte is
+    rewritten O(log(index/batch)) times over the stream's life, not
+    O(index/max_segments) amortized per batch as the r9 full-fold
+    cost (SCALING.md "segmented index maintenance" does the math).
+    Tombstone-list overflow still forces a FULL fold, which is the
+    only fold that lets the broadcast mask list clear. GC then drops
+    manifests beyond ``keep_versions`` and unreferenced segments,
     bounding storage at O(index + keep·batch).
 
     ``merge``'s disjoint-ids contract applies: a doc id appearing in
@@ -558,7 +631,8 @@ def index_refresh_batches(
                     os.path.join(seg_dir, "postings"))
                 lens.write.mode("overwrite").parquet(
                     os.path.join(seg_dir, "doclens"))
-                segments.append({"name": seg_name, "seq": seq})
+                segments.append({"name": seg_name, "seq": seq,
+                                 "bytes": _dir_bytes(seg_dir)})
                 n_docs += n_new
                 dl_sum += int(added["s"] or 0)
                 changed = True
@@ -566,30 +640,46 @@ def index_refresh_batches(
         if not changed:
             return
 
+        # compaction: tombstone overflow forces a FULL fold (only
+        # folding everything lets the broadcast mask list clear — a
+        # delete-heavy stream grows tombstones without adding
+        # segments, and each tombstone set is one more mask read per
+        # serve); segment overflow folds the SIZE-TIERED minimum
+        # (_select_fold), so a byte is rewritten O(log(index/batch))
+        # times over the stream's life instead of every max_segments
+        # batches. The "c" suffix keeps the folded segment's name
+        # distinct from this batch's delta segment. Stats are global
+        # manifest integers — a fold moves rows, never changes them.
+        if len(tombstones) > int(max_segments):
+            fold, keep = list(segments), []
+        else:
+            fold, keep = _select_fold(segments, max_segments)
+        if fold:
+            full = not keep
+            sub = {"segments": fold, "tombstones": tombstones,
+                   "id_col": id_col}
+            lens_view = _masked_union(spark, index_dir, sub, "doclens")
+            if lens_view is not None and lens_view.take(1):
+                comp = f"seg-{seq:08d}c"
+                cdir = os.path.join(index_dir, comp)
+                (_masked_union(spark, index_dir, sub, "postings")
+                 .write.mode("overwrite")
+                 .parquet(os.path.join(cdir, "postings")))
+                lens_view.write.mode("overwrite").parquet(
+                    os.path.join(cdir, "doclens"))
+                keep = keep + [{"name": comp, "seq": seq,
+                                "bytes": _dir_bytes(cdir)}]
+            # else: every folded doc was tombstone-masked — drop the
+            # folded segments outright
+            segments = keep
+            if full:
+                # partial folds RETAIN tombstones (the kept older
+                # segments still need the mask; folded rows carry this
+                # commit's seq so no current tombstone re-masks them)
+                tombstones = []
         new_manifest = {"segments": segments, "tombstones": tombstones,
                         "n_docs": n_docs, "dl_sum": dl_sum,
                         "id_col": id_col}
-        if (len(segments) > int(max_segments)
-                or len(tombstones) > int(max_segments)):
-            # compaction: fold tombstones in physically, collapse to
-            # ONE segment. Triggers on EITHER list crossing the
-            # threshold — a delete-heavy stream grows tombstones
-            # without adding segments, and each tombstone set is one
-            # more broadcast-mask read per serve. O(index) write
-            # amortized over max_segments batches; the "c" suffix
-            # keeps the compacted segment's name distinct from this
-            # batch's delta segment.
-            comp = f"seg-{seq:08d}c"
-            cdir = os.path.join(index_dir, comp)
-            (_masked_union(spark, index_dir, new_manifest, "postings")
-             .write.mode("overwrite")
-             .parquet(os.path.join(cdir, "postings")))
-            (_masked_union(spark, index_dir, new_manifest, "doclens")
-             .write.mode("overwrite")
-             .parquet(os.path.join(cdir, "doclens")))
-            new_manifest = {"segments": [{"name": comp, "seq": seq}],
-                            "tombstones": [], "n_docs": n_docs,
-                            "dl_sum": dl_sum, "id_col": id_col}
         _commit_version(index_dir, f"v{seq:08d}", new_manifest)
         _gc_versions(index_dir, keep_versions)
 

@@ -2439,3 +2439,99 @@ def test_hybrid_serve_topk_batch_dataframe_queries_bit_parity(spark):
     with _pytest.raises(ValueError, match="duplicate query ids"):
         hybrid_serve_topk_batch(idx, dup, enriched, dim=64,
                                 n_docs=n_docs, avgdl=avgdl)
+
+
+def test_select_fold_policy_unit():
+    """Size-tiered selection invariants: minimum set to get back under
+    the cap, greedy extension only while the next segment is no larger
+    than the bytes already rewritten, full fold when everything is
+    same-sized, and the big segment left alone when it dominates."""
+    from tantalus_spark.streaming.maintenance import _select_fold
+
+    seg = lambda n, q, b: {"name": n, "seq": q, "bytes": b}
+    # under the cap: nothing to fold
+    fold, keep = _select_fold([seg("a", 0, 10), seg("b", 1, 10)], 2)
+    assert fold == [] and len(keep) == 2
+    # equal sizes: greedy extension folds EVERYTHING (a full fold)
+    segs = [seg(f"s{i}", i, 100) for i in range(4)]
+    fold, keep = _select_fold(segs, 3)
+    assert len(fold) == 4 and keep == []
+    # one dominating segment: folded set excludes it
+    segs = [seg("big", 0, 10_000), seg("m", 1, 120), seg("s1", 2, 100),
+            seg("s2", 3, 100)]
+    fold, keep = _select_fold(segs, 3)
+    assert {x["name"] for x in fold} == {"m", "s1", "s2"}
+    assert keep[0]["name"] == "big"
+    # manifest order preserved in both halves
+    segs = [seg("big", 0, 10_000), seg("s1", 1, 10), seg("mid", 2, 500),
+            seg("s2", 3, 10)]
+    fold, keep = _select_fold(segs, 3)
+    assert [x["name"] for x in fold] == ["s1", "s2"]
+    assert [x["name"] for x in keep] == ["big", "mid"]
+
+
+def test_tiered_compaction_never_rewrites_dominant_segment(
+        spark, tmp_path):
+    """The r10 LSM upgrade: compaction folds only the size-tiered
+    smallest segments — across a long batch sequence the dominant
+    segment's files are NEVER rewritten (full-fold rewrote the whole
+    index every max_segments batches), partial folds RETAIN the
+    tombstones the kept segments still need (a delete out of the big
+    segment stays masked), and the final view is rebuild-equal."""
+    import os
+
+    from tantalus_spark.datapipe.textstats import build_term_index
+    from tantalus_spark.streaming.maintenance import (
+        index_refresh_batches, load_term_index)
+
+    ix = str(tmp_path / "ix")
+    cb = index_refresh_batches(ix, op_col="op", max_segments=2,
+                               keep_versions=2)
+    schema = "doc_id long, text string, op string"
+    mk = lambda lo, hi: spark.createDataFrame(
+        [(i, f"alpha beta doc{i} " + " ".join(
+            f"tok{i}_{j}" for j in range(30)), "add")
+         for i in range(lo, hi)], schema)
+    cb(mk(0, 1500), 0)                      # the dominant segment
+    big_dir = os.path.join(ix, "seg-00000000")
+    big_files = {
+        os.path.join(r, f): os.path.getmtime(os.path.join(r, f))
+        for r, _d, fs in os.walk(big_dir) for f in fs}
+
+    # batch 1 deletes doc 3 out of the BIG segment and adds a sliver;
+    # batches 2..5 add slivers — several partial folds fire
+    dels = spark.createDataFrame([(3, None, "delete")], schema)
+    cb(mk(2000, 2010).unionByName(dels), 1)
+    for b in range(2, 6):
+        cb(mk(2000 + b * 10, 2010 + b * 10), b)
+
+    import json
+    cur = open(os.path.join(ix, "CURRENT")).read().strip()
+    m = json.load(open(os.path.join(ix, cur, "manifest.json")))
+    # the dominant segment survives untouched in the manifest...
+    assert any(s["name"] == "seg-00000000" for s in m["segments"]), m
+    assert len(m["segments"]) <= 2
+    # ...its files were never rewritten...
+    now_files = {
+        os.path.join(r, f): os.path.getmtime(os.path.join(r, f))
+        for r, _d, fs in os.walk(big_dir) for f in fs}
+    assert now_files == big_files
+    # ...and the doc-3 tombstone is still in the manifest (partial
+    # folds keep it for the big segment) and still masks at serve time
+    assert len(m["tombstones"]) == 1, m["tombstones"]
+    postings, (n, avgdl) = load_term_index(spark, ix)
+    assert postings.filter("doc_id = 3").count() == 0
+    survivors = spark.createDataFrame(
+        [(i, f"alpha beta doc{i} " + " ".join(
+            f"tok{i}_{j}" for j in range(30)))
+         for i in range(0, 1500) if i != 3] +
+        [(i, f"alpha beta doc{i} " + " ".join(
+            f"tok{i}_{j}" for j in range(30)))
+         for b in range(1, 6)
+         for i in range(2000 + b * 10 if b > 1 else 2000,
+                        2010 + b * 10 if b > 1 else 2010)],
+        "doc_id long, text string")
+    want, (wn, wavg) = build_term_index(survivors, with_stats=True)
+    assert (n, avgdl) == (wn, wavg)
+    assert sorted(map(tuple, postings.collect())) == \
+        sorted(map(tuple, want.collect()))
