@@ -2292,6 +2292,69 @@ def q152_segmented_store_serve(spark, sf_dir):
                              k=15, n_docs=n, avgdl=avgdl)
 
 
+def q153_hybrid_eval_tabular(spark, sf_dir):
+    """Offline hybrid evaluation with a TABULAR query set — the r10
+    DataFrame-input leg of hybrid_serve_topk_batch made
+    driver-visible: the queries are DERIVED FROM THE DATA (each probe
+    doc's first three tokens become its query), never materialized on
+    the driver — term normalization, query hashing, and per-query
+    norms are all expressions; only the batch vocabulary is collected
+    for the static IN pruning (plan-contract test holds the DataFrame
+    path to the list path's three-artifact-scan shape). Per query
+    bit-identical to the list/scalar servers (differential tests)."""
+    from tantalus_spark.datapipe.dedup import _materialize_and_release
+    from tantalus_spark.datapipe.textstats import (
+        build_term_index, hashed_features, hashed_norms,
+        hybrid_serve_topk_batch, tokens)
+
+    docs = db_for(spark, sf_dir).table("documents")
+    idx, (n_docs, avgdl) = build_term_index(docs, with_stats=True)
+    feats = hashed_features(docs, dim=64).persist()
+    enriched = feats.join(hashed_norms(feats), "doc_id")
+    qdf = (docs.filter(F.col("doc_id").isin(10, 20, 30))
+               .filter(F.col("text").isNotNull())
+               .select(F.col("doc_id").alias("query_id"),
+                       F.slice(tokens(F.lower(F.col("text"))), 1, 3)
+                        .alias("terms")))
+    out = hybrid_serve_topk_batch(idx, qdf, enriched, k=10, depth=40,
+                                  rrf_k=60, dim=64, n_docs=n_docs,
+                                  avgdl=avgdl)
+    return _materialize_and_release(out, [feats])
+
+
+def q154_ann_eval_tabular(spark, sf_dir):
+    """Offline ANN evaluation with a TABULAR query set — the r10
+    DataFrame-input leg of ivf_pq_topk_batch made driver-visible: the
+    q151 artifacts and query ids, but the query VECTORS are read from
+    the embeddings table (probe ranking is an expression over the
+    centroid literals with _cos_py's zero-norm/tie conventions; ADC
+    dots are computed inline with the scalar path's left-to-right
+    subspace fold). Same deterministic integerized contract as
+    q149/q151, so every value matches q151's oracle bit-for-bit."""
+    from tantalus_spark.datapipe.similarity import (ivf_assign,
+                                                    ivf_pq_topk_batch,
+                                                    pq_encode)
+
+    emb = db_for(spark, sf_dir).table("embeddings")
+    iv = (emb.filter(F.col("embedding").isNotNull())
+             .select("vec_id",
+                     F.transform("embedding",
+                                 lambda x: F.floor(x.cast("double")
+                                                   * F.lit(32.0))
+                                 .cast("double")).alias("embedding")))
+    head = (iv.filter(F.col("vec_id") <= 16).orderBy("vec_id").collect())
+    by_id = {r["vec_id"]: [float(x) for x in r["embedding"]]
+             for r in head}
+    cents = [by_id[i] for i in range(8)]
+    books = [[by_id[c + 1][j * 8:(j + 1) * 8] for c in range(16)]
+             for j in range(8)]
+    codes = (ivf_assign(iv, cents).select("vec_id", "ivf_list")
+             .join(pq_encode(iv, books), "vec_id"))
+    qdf = (iv.filter(F.col("vec_id").isin(0, 5, 9))
+             .select(F.col("vec_id").alias("query_id"), "embedding"))
+    return ivf_pq_topk_batch(codes, cents, books, qdf, k=10, nprobe=3)
+
+
 _ALL_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     name[1:]: fn
     for name, fn in list(globals().items())
@@ -2492,10 +2555,12 @@ _QUERY_ORDER = [
     "92_vocab_coverage", "94_source_report", "95_paragraph_dedup",
     "99_corpus_shuffle", "100_bpe_merges",
     "103_temperature_mix", "105_gate_attribution",
-    # r10 addition beyond the window: the segmented-store (LSM) serve
+    # r10 additions beyond the window: the segmented-store (LSM) serve
     # — CDC commits + compaction + masked-view BM25 in one oracled
-    # entry; r11 ROTATION CANDIDATE under the standing protocol.
+    # entry — and the TABULAR-query offline-eval legs of both batch
+    # servers; r11 ROTATION CANDIDATES under the standing protocol.
     "152_segmented_store_serve",
+    "153_hybrid_eval_tabular", "154_ann_eval_tabular",
 ]
 
 QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
@@ -4680,6 +4745,124 @@ ORACLES["151_ann_serve_batch"] = """
           FROM ascore) t
     WHERE rn <= 10
 """
+
+# q153: the q147 hybrid CTEs with the query table DERIVED from the
+# probe docs (first three tokens each) instead of a VALUES literal —
+# DISTINCT replays the server's per-query term dedup; everything
+# downstream is shared with q147's oracle.
+ORACLES["153_hybrid_eval_tabular"] = """
+    WITH q AS (
+      SELECT DISTINCT query_id, term FROM (
+        SELECT doc_id AS query_id,
+               unnest(list_slice(
+                 string_split_regex(trim(lower(text)), '\\s+'),
+                 1, 3)) AS term
+        FROM documents
+        WHERE doc_id IN (10, 20, 30) AND text IS NOT NULL) t),
+    base AS (
+      SELECT doc_id,
+             string_split_regex(trim(lower(text)), '\\s+') AS toks
+      FROM documents WHERE text IS NOT NULL),
+    dl AS (SELECT doc_id, CAST(len(toks) AS BIGINT) AS dl FROM base),
+    tot AS (SELECT CAST(count(*) AS DOUBLE) AS n,
+                   CAST(sum(dl) AS DOUBLE) / CAST(count(*) AS DOUBLE)
+                     AS avgdl
+            FROM dl),
+    toks AS (SELECT doc_id, unnest(toks) AS term FROM base),
+    tf AS (SELECT doc_id, term, count(*) AS tf
+           FROM toks
+           WHERE term IN (SELECT DISTINCT term FROM q)
+           GROUP BY doc_id, term),
+    dfq AS (SELECT term, count(*) AS df FROM tf GROUP BY term),
+    sc AS (
+      SELECT qq.query_id, tf.doc_id,
+             CAST(floor(
+               ln(1.0 + (tot.n - dfq.df + 0.5) / (dfq.df + 0.5))
+               * (tf.tf * 2.2)
+               / (tf.tf + 1.2 * (0.25 + 0.75 * dl.dl / tot.avgdl))
+               * 1e9 + 0.5) AS BIGINT) AS s_nano
+      FROM tf JOIN dfq USING (term) JOIN dl USING (doc_id)
+      JOIN q qq USING (term)
+      CROSS JOIN tot),
+    g AS (SELECT query_id, doc_id,
+                 CAST(sum(s_nano) AS BIGINT) AS score_nano
+          FROM sc GROUP BY query_id, doc_id),
+    leg_s AS (
+      SELECT query_id, doc_id, CAST(rk AS INTEGER) AS rank_bm25
+      FROM (SELECT query_id, doc_id,
+                   row_number() OVER (PARTITION BY query_id
+                                      ORDER BY score_nano DESC,
+                                      doc_id ASC) AS rk
+            FROM g)
+      WHERE rk <= 40),
+    sf AS (
+      SELECT doc_id,
+             CAST(('0x' || substr(md5(term), 1, 15))::BIGINT % 64
+                  AS INTEGER) AS bucket,
+             CAST(1 - 2 * (('0x' || substr(md5('s_' || term), 1, 15))
+                           ::BIGINT % 2) AS INTEGER) AS sgn
+      FROM toks),
+    feats AS (SELECT doc_id, bucket, CAST(sum(sgn) AS BIGINT) AS feat
+              FROM sf GROUP BY doc_id, bucket),
+    qf AS (
+      SELECT query_id, bucket, CAST(sum(sgn) AS BIGINT) AS qfeat
+      FROM (
+        SELECT query_id,
+               CAST(('0x' || substr(md5(term), 1, 15))::BIGINT % 64
+                    AS INTEGER) AS bucket,
+               CAST(1 - 2 * (('0x' || substr(md5('s_' || term), 1, 15))
+                             ::BIGINT % 2) AS INTEGER) AS sgn
+        FROM q) s
+      GROUP BY query_id, bucket HAVING sum(sgn) <> 0),
+    qn AS (SELECT query_id, CAST(sum(qfeat * qfeat) AS DOUBLE) AS qnorm
+           FROM qf GROUP BY query_id),
+    dots AS (SELECT qf.query_id, f.doc_id,
+                    CAST(sum(f.feat * qf.qfeat) AS BIGINT) AS dot
+             FROM feats f JOIN qf USING (bucket)
+             GROUP BY qf.query_id, f.doc_id),
+    norms AS (SELECT doc_id, CAST(sum(feat * feat) AS BIGINT) AS norm
+              FROM feats GROUP BY doc_id),
+    scored AS (
+      SELECT d.query_id, d.doc_id,
+             CAST(floor(CAST(d.dot AS DOUBLE)
+                        / sqrt(CAST(n.norm AS DOUBLE) * qn.qnorm)
+                        * 1e9 + 0.5) AS BIGINT) AS cos_nano
+      FROM dots d JOIN norms n USING (doc_id)
+      JOIN qn ON qn.query_id = d.query_id
+      WHERE n.norm > 0),
+    leg_d AS (
+      SELECT query_id, doc_id, CAST(rk AS INTEGER) AS rank_dense
+      FROM (SELECT query_id, doc_id,
+                   row_number() OVER (PARTITION BY query_id
+                                      ORDER BY cos_nano DESC,
+                                      doc_id ASC) AS rk
+            FROM scored)
+      WHERE rk <= 40),
+    fused AS (
+      SELECT COALESCE(s.query_id, d.query_id) AS query_id,
+             COALESCE(s.doc_id, d.doc_id) AS doc_id,
+             s.rank_bm25, d.rank_dense,
+             COALESCE(1.0 / (60.0 + s.rank_bm25), 0.0)
+               + COALESCE(1.0 / (60.0 + d.rank_dense), 0.0) AS rrf
+      FROM leg_s s FULL OUTER JOIN leg_d d
+        ON s.query_id = d.query_id AND s.doc_id = d.doc_id)
+    SELECT CAST(query_id AS BIGINT) AS query_id, doc_id,
+           CAST(COALESCE(rank_bm25, 0) AS INTEGER) AS rank_bm25,
+           CAST(COALESCE(rank_dense, 0) AS INTEGER) AS rank_dense,
+           round(rrf, 6) AS rrf
+    FROM (SELECT *, row_number() OVER (PARTITION BY query_id
+                                       ORDER BY rrf DESC, doc_id ASC)
+                    AS frk
+          FROM fused)
+    WHERE frk <= 10
+"""
+
+
+# q154: identical values to q151 (same artifacts, same query ids,
+# vectors read from the table instead of passed as literals), so the
+# oracle is q151's verbatim — the entry gates the DataFrame-input
+# serving leg, not new math.
+ORACLES["154_ann_eval_tabular"] = ORACLES["151_ann_serve_batch"]
 
 # q152: the q143 BM25-rebuild CTEs over the segmented store's survivor
 # set — every doc except those deleted in batch 1 and not re-added
