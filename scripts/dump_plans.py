@@ -167,6 +167,19 @@ SHOW = [
      " pruned once to the union of all queries' probed lists,"
      " per-query broadcast probe + ADC tables, one (query, id) sum +"
      " per-query rank windows; no float vector read anywhere"),
+    ("152_segmented_store_serve", "LSM segmented-store serve (r10):"
+     " the served view is the lazy union of the store's segments with"
+     " the query's term IN-filter pushed into every segment scan;"
+     " stats come off the manifest (no corpus aggregate); this dump"
+     " follows the compaction fold, so the union is one segment"),
+    ("153_hybrid_eval_tabular", "tabular-query hybrid eval (r10): the"
+     " DataFrame-input leg keeps the q147 contract — exactly three"
+     " artifact scans pruned to the batch vocabulary; queries, term"
+     " normalization, and query hashing never leave the cluster"),
+    ("154_ann_eval_tabular", "tabular-query IVFPQ eval (r10): probe"
+     " ranking as a sort_array expression over the centroid literals,"
+     " inline ADC fold after the broadcast query join, code scan"
+     " pruned to the probed union"),
 ]
 
 
