@@ -924,3 +924,40 @@ def test_batch_servers_df_queries_keep_pruned_scans(spark, tmp_path):
     m = re.search(r"partitions read:\s*(\d+)", plan2)
     if m:
         assert int(m.group(1)) <= 4, plan2[:2000]
+
+
+def test_maintained_feats_store_serve_partition_prunes(spark, tmp_path):
+    """The dense twin of the maintained-ANN pruning test: feats
+    segments written by the streaming maintainer are hive-partitioned
+    by bucket, so a hybrid serve off load_feats_index reads only the
+    query buckets' files in every segment scan."""
+    from pyspark.sql import functions as F
+
+    from tantalus_spark.datapipe.textstats import (
+        build_term_index, hybrid_serve_topk_batch)
+    from tantalus_spark.streaming.maintenance import (
+        feats_refresh_batches, load_feats_index)
+
+    docs = db_for(spark, SF).table("documents").select("doc_id", "text")
+    ix = str(tmp_path / "feats")
+    cb = feats_refresh_batches(ix, dim=64, max_segments=2)
+    # sf0.001 documents has ~600 rows; keep every batch non-empty
+    cb(docs.filter("doc_id < 150"), 0)
+    cb(docs.filter("doc_id >= 150 and doc_id < 300"), 1)
+    cb(docs.filter("doc_id >= 300 and doc_id < 450"), 2)  # compaction
+    cb(docs.filter("doc_id >= 450 and doc_id < 480"), 3)  # delta
+
+    feats = load_feats_index(spark, ix)
+    assert "norm" in feats.columns  # ENRICHED layout round-trips
+    idx, (n_docs, avgdl) = build_term_index(docs, with_stats=True)
+    served = hybrid_serve_topk_batch(
+        idx, [(1, ["customer", "hash"]), (2, ["merge"])], feats,
+        k=5, depth=10, dim=64, n_docs=n_docs, avgdl=avgdl)
+    plan = _plan(served)
+    chunks = plan.split("PartitionFilters:")[1:]
+    pruned = [c.splitlines()[0] for c in chunks
+              if "bucket" in c.splitlines()[0]]
+    # two feats segment scans (compacted + delta), both bucket-pruned
+    assert len(pruned) == 2, (len(pruned), plan[:3000])
+    rows = served.collect()
+    assert 0 < len(rows) <= 10
