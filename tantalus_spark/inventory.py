@@ -2266,7 +2266,10 @@ def q152_segmented_store_serve(spark, sf_dir):
     ts_seq > seg_seq re-add rule, exact integer stats math, compaction
     and the pointer swap all sit on the oracled path. The on-disk
     store is a throwaway tempdir (unique per call; the serve plan
-    reads it lazily, so it must outlive the return)."""
+    reads it lazily, so it must outlive the return — cleanup is
+    deferred to process exit via atexit, after every collect)."""
+    import atexit
+    import shutil
     import tempfile
 
     from tantalus_spark.datapipe.textstats import bm25_rank_indexed
@@ -2276,6 +2279,7 @@ def q152_segmented_store_serve(spark, sf_dir):
     docs = db_for(spark, sf_dir).table("documents").select("doc_id",
                                                            "text")
     ix = tempfile.mkdtemp(prefix="tantalus_q152_")
+    atexit.register(shutil.rmtree, ix, ignore_errors=True)
     cb = index_refresh_batches(ix, op_col="op", max_segments=2)
     add = lambda df: df.withColumn("op", F.lit("add"))  # noqa: E731
     cb(add(docs.filter(F.col("doc_id") % 3 == 0)), 0)

@@ -2535,3 +2535,28 @@ def test_tiered_compaction_never_rewrites_dominant_segment(
     assert (n, avgdl) == (wn, wavg)
     assert sorted(map(tuple, postings.collect())) == \
         sorted(map(tuple, want.collect()))
+
+
+def test_commit_version_rejects_non_monotone_pointer(spark, tmp_path):
+    """The single-writer contract made loud: committing a version at
+    or below CURRENT (what a second concurrent maintainer racing the
+    pointer would do) must assert, never silently regress the
+    pointer. The replay guard means a well-behaved maintainer never
+    reaches the commit with a stale id — only a racing writer does."""
+    import pytest as _pytest
+
+    from tantalus_spark.streaming.maintenance import (
+        _commit_version, index_refresh_batches)
+
+    ix = str(tmp_path / "ix")
+    cb = index_refresh_batches(ix)
+    cb(spark.createDataFrame([(1, "alpha beta")],
+                             "doc_id long, text string"), 5)
+    # same version and an older version both refuse
+    for bad in ("v00000005", "v00000003"):
+        with _pytest.raises(AssertionError, match="non-monotone"):
+            _commit_version(ix, bad, {"segments": [], "tombstones": [],
+                                      "id_col": "doc_id"})
+    # a newer version is fine
+    _commit_version(ix, "v00000006", {"segments": [], "tombstones": [],
+                                      "id_col": "doc_id"})
