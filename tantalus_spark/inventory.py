@@ -2359,6 +2359,60 @@ def q154_ann_eval_tabular(spark, sf_dir):
     return ivf_pq_topk_batch(codes, cents, books, qdf, k=10, nprobe=3)
 
 
+def q155_maintained_hybrid_serve(spark, sf_dir):
+    """The full production serving posture in one oracled entry: BOTH
+    index families maintained INCREMENTALLY on their segmented stores
+    — the BM25 postings store (index_refresh_batches: delta segments,
+    tombstones, exact manifest stats) and the ENRICHED dense-feature
+    store (feats_refresh_batches: bucket-partitioned segments) — fed
+    the same three CDC batches (q152's adds / deletes + same-batch
+    delete-re-add / adds, max_segments=2 so both stores compact), then
+    ONE hybrid_serve_topk_batch job off load_term_index +
+    load_feats_index: term- and bucket-pruned scans, manifest stats,
+    zero norm joins, zero raw-text scans. Bit-identical to a rebuild
+    over the survivors — exactly what the oracle computes (the q147
+    CTEs over the survivor predicate)."""
+    import atexit
+    import shutil
+    import tempfile
+
+    from tantalus_spark.datapipe.textstats import hybrid_serve_topk_batch
+    from tantalus_spark.streaming.maintenance import (
+        feats_refresh_batches, index_refresh_batches, load_feats_index,
+        load_term_index)
+
+    docs = db_for(spark, sf_dir).table("documents").select("doc_id",
+                                                           "text")
+    root = tempfile.mkdtemp(prefix="tantalus_q155_")
+    atexit.register(shutil.rmtree, root, ignore_errors=True)
+    cb_ix = index_refresh_batches(root + "/ix", op_col="op",
+                                  max_segments=2)
+    cb_ft = feats_refresh_batches(root + "/feats", dim=64, op_col="op",
+                                  max_segments=2)
+    add = lambda df: df.withColumn("op", F.lit("add"))  # noqa: E731
+    dels = (docs.filter(F.col("doc_id") % 21 == 0)
+                .select("doc_id",
+                        F.lit(None).cast("string").alias("text"))
+                .withColumn("op", F.lit("delete")))
+    batches = [
+        add(docs.filter(F.col("doc_id") % 3 == 0)),
+        (add(docs.filter(F.col("doc_id") % 3 == 1))
+         .unionByName(dels)
+         .unionByName(add(docs.filter(F.col("doc_id") % 42 == 0)))),
+        add(docs.filter(F.col("doc_id") % 3 == 2)),
+    ]
+    for i, b in enumerate(batches):
+        cb_ix(b, i)
+        cb_ft(b, i)
+    postings, (n, avgdl) = load_term_index(spark, root + "/ix")
+    feats = load_feats_index(spark, root + "/feats")
+    return hybrid_serve_topk_batch(
+        postings, [(1, ["customer", "sort", "hash"]),
+                   (2, ["merge", "join"]),
+                   (3, ["hash", "table"])],
+        feats, k=10, depth=40, rrf_k=60, dim=64, n_docs=n, avgdl=avgdl)
+
+
 _ALL_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     name[1:]: fn
     for name, fn in list(globals().items())
@@ -2565,6 +2619,7 @@ _QUERY_ORDER = [
     # servers; r11 ROTATION CANDIDATES under the standing protocol.
     "152_segmented_store_serve",
     "153_hybrid_eval_tabular", "154_ann_eval_tabular",
+    "155_maintained_hybrid_serve",
 ]
 
 QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
@@ -4867,6 +4922,116 @@ ORACLES["153_hybrid_eval_tabular"] = """
 # oracle is q151's verbatim — the entry gates the DataFrame-input
 # serving leg, not new math.
 ORACLES["154_ann_eval_tabular"] = ORACLES["151_ann_serve_batch"]
+
+
+# q155: the q147 hybrid CTEs over the q152 survivor set — both
+# maintained stores are rebuild-equal by contract, so the oracle for a
+# serve off them IS the q147 rebuild restricted to the survivors.
+ORACLES["155_maintained_hybrid_serve"] = """
+    WITH q AS (
+      SELECT * FROM (VALUES
+        (1, 'customer'), (1, 'sort'), (1, 'hash'),
+        (2, 'merge'), (2, 'join'),
+        (3, 'hash'), (3, 'table')) t(query_id, term)),
+    base AS (
+      SELECT doc_id,
+             string_split_regex(trim(lower(text)), '\\s+') AS toks
+      FROM documents
+      WHERE text IS NOT NULL
+        AND NOT (doc_id % 21 = 0 AND doc_id % 42 <> 0)),
+    dl AS (SELECT doc_id, CAST(len(toks) AS BIGINT) AS dl FROM base),
+    tot AS (SELECT CAST(count(*) AS DOUBLE) AS n,
+                   CAST(sum(dl) AS DOUBLE) / CAST(count(*) AS DOUBLE)
+                     AS avgdl
+            FROM dl),
+    toks AS (SELECT doc_id, unnest(toks) AS term FROM base),
+    tf AS (SELECT doc_id, term, count(*) AS tf
+           FROM toks
+           WHERE term IN (SELECT DISTINCT term FROM q)
+           GROUP BY doc_id, term),
+    dfq AS (SELECT term, count(*) AS df FROM tf GROUP BY term),
+    sc AS (
+      SELECT qq.query_id, tf.doc_id,
+             CAST(floor(
+               ln(1.0 + (tot.n - dfq.df + 0.5) / (dfq.df + 0.5))
+               * (tf.tf * 2.2)
+               / (tf.tf + 1.2 * (0.25 + 0.75 * dl.dl / tot.avgdl))
+               * 1e9 + 0.5) AS BIGINT) AS s_nano
+      FROM tf JOIN dfq USING (term) JOIN dl USING (doc_id)
+      JOIN q qq USING (term)
+      CROSS JOIN tot),
+    g AS (SELECT query_id, doc_id,
+                 CAST(sum(s_nano) AS BIGINT) AS score_nano
+          FROM sc GROUP BY query_id, doc_id),
+    leg_s AS (
+      SELECT query_id, doc_id, CAST(rk AS INTEGER) AS rank_bm25
+      FROM (SELECT query_id, doc_id,
+                   row_number() OVER (PARTITION BY query_id
+                                      ORDER BY score_nano DESC,
+                                      doc_id ASC) AS rk
+            FROM g)
+      WHERE rk <= 40),
+    sf AS (
+      SELECT doc_id,
+             CAST(('0x' || substr(md5(term), 1, 15))::BIGINT % 64
+                  AS INTEGER) AS bucket,
+             CAST(1 - 2 * (('0x' || substr(md5('s_' || term), 1, 15))
+                           ::BIGINT % 2) AS INTEGER) AS sgn
+      FROM toks),
+    feats AS (SELECT doc_id, bucket, CAST(sum(sgn) AS BIGINT) AS feat
+              FROM sf GROUP BY doc_id, bucket),
+    qf AS (
+      SELECT query_id, bucket, CAST(sum(sgn) AS BIGINT) AS qfeat
+      FROM (
+        SELECT query_id,
+               CAST(('0x' || substr(md5(term), 1, 15))::BIGINT % 64
+                    AS INTEGER) AS bucket,
+               CAST(1 - 2 * (('0x' || substr(md5('s_' || term), 1, 15))
+                             ::BIGINT % 2) AS INTEGER) AS sgn
+        FROM q) s
+      GROUP BY query_id, bucket HAVING sum(sgn) <> 0),
+    qn AS (SELECT query_id, CAST(sum(qfeat * qfeat) AS DOUBLE) AS qnorm
+           FROM qf GROUP BY query_id),
+    dots AS (SELECT qf.query_id, f.doc_id,
+                    CAST(sum(f.feat * qf.qfeat) AS BIGINT) AS dot
+             FROM feats f JOIN qf USING (bucket)
+             GROUP BY qf.query_id, f.doc_id),
+    norms AS (SELECT doc_id, CAST(sum(feat * feat) AS BIGINT) AS norm
+              FROM feats GROUP BY doc_id),
+    scored AS (
+      SELECT d.query_id, d.doc_id,
+             CAST(floor(CAST(d.dot AS DOUBLE)
+                        / sqrt(CAST(n.norm AS DOUBLE) * qn.qnorm)
+                        * 1e9 + 0.5) AS BIGINT) AS cos_nano
+      FROM dots d JOIN norms n USING (doc_id)
+      JOIN qn ON qn.query_id = d.query_id
+      WHERE n.norm > 0),
+    leg_d AS (
+      SELECT query_id, doc_id, CAST(rk AS INTEGER) AS rank_dense
+      FROM (SELECT query_id, doc_id,
+                   row_number() OVER (PARTITION BY query_id
+                                      ORDER BY cos_nano DESC,
+                                      doc_id ASC) AS rk
+            FROM scored)
+      WHERE rk <= 40),
+    fused AS (
+      SELECT COALESCE(s.query_id, d.query_id) AS query_id,
+             COALESCE(s.doc_id, d.doc_id) AS doc_id,
+             s.rank_bm25, d.rank_dense,
+             COALESCE(1.0 / (60.0 + s.rank_bm25), 0.0)
+               + COALESCE(1.0 / (60.0 + d.rank_dense), 0.0) AS rrf
+      FROM leg_s s FULL OUTER JOIN leg_d d
+        ON s.query_id = d.query_id AND s.doc_id = d.doc_id)
+    SELECT CAST(query_id AS BIGINT) AS query_id, doc_id,
+           CAST(COALESCE(rank_bm25, 0) AS INTEGER) AS rank_bm25,
+           CAST(COALESCE(rank_dense, 0) AS INTEGER) AS rank_dense,
+           round(rrf, 6) AS rrf
+    FROM (SELECT *, row_number() OVER (PARTITION BY query_id
+                                       ORDER BY rrf DESC, doc_id ASC)
+                    AS frk
+          FROM fused)
+    WHERE frk <= 10
+"""
 
 # q152: the q143 BM25-rebuild CTEs over the segmented store's survivor
 # set — every doc except those deleted in batch 1 and not re-added

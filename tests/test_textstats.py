@@ -2560,3 +2560,35 @@ def test_commit_version_rejects_non_monotone_pointer(spark, tmp_path):
     # a newer version is fine
     _commit_version(ix, "v00000006", {"segments": [], "tombstones": [],
                                       "id_col": "doc_id"})
+
+
+def test_select_fold_invariants_property():
+    """Property test over arbitrary size profiles: the fold plus keep
+    partition the manifest exactly; a fold happens iff the count is
+    over the cap; the post-fold count is back under the cap; and the
+    fold is downward-closed in size (nothing kept is smaller than a
+    folded segment under the deterministic (bytes, seq, name) order)."""
+    from hypothesis import given, strategies as st
+
+    from tantalus_spark.streaming.maintenance import _select_fold
+
+    @given(st.lists(st.integers(min_value=0, max_value=10**12),
+                    min_size=0, max_size=20),
+           st.integers(min_value=1, max_value=12))
+    def check(sizes, cap):
+        segs = [{"name": f"s{i}", "seq": i, "bytes": b}
+                for i, b in enumerate(sizes)]
+        fold, keep = _select_fold(segs, cap)
+        assert sorted(x["name"] for x in fold + keep) == \
+            sorted(x["name"] for x in segs)
+        if len(segs) <= cap:
+            assert fold == []
+        else:
+            assert len(fold) >= len(segs) - cap + 1
+            assert len(keep) + 1 <= cap  # post-fold count under cap
+            key = lambda s: (s["bytes"], s["seq"], s["name"])
+            if fold and keep:
+                assert max(key(x) for x in fold) <= \
+                    min(key(x) for x in keep)
+
+    check()
