@@ -180,6 +180,10 @@ SHOW = [
      " ranking as a sort_array expression over the centroid literals,"
      " inline ADC fold after the broadcast query join, code scan"
      " pruned to the probed union"),
+    ("155_maintained_hybrid_serve", "hybrid serve off BOTH maintained"
+     " stores (r10): postings union term-IN-pruned per segment,"
+     " bucket-partition-pruned ENRICHED feats segments, manifest"
+     " stats, zero norm joins, zero raw-text scans at serve time"),
 ]
 
 
