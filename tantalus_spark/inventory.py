@@ -2615,8 +2615,9 @@ _QUERY_ORDER = [
     "103_temperature_mix", "105_gate_attribution",
     # r10 additions beyond the window: the segmented-store (LSM) serve
     # — CDC commits + compaction + masked-view BM25 in one oracled
-    # entry — and the TABULAR-query offline-eval legs of both batch
-    # servers; r11 ROTATION CANDIDATES under the standing protocol.
+    # entry — the TABULAR-query offline-eval legs of both batch
+    # servers, and the both-stores-maintained hybrid serve; r11
+    # ROTATION CANDIDATES under the standing protocol.
     "152_segmented_store_serve",
     "153_hybrid_eval_tabular", "154_ann_eval_tabular",
     "155_maintained_hybrid_serve",
