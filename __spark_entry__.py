@@ -10,13 +10,12 @@ encode/compression (102/139, frozen merge list replayed as a
 replace() chain) use portable md5-/integer-exact constructions that
 replay bit-for-bit in DuckDB, so all 50 are full value oracles
 (production defaults stay xxhash64/float — bench.py times those).
-r9 rotated the four r8 tail additions (q143-q146, the serving
-lifecycle: pruned/merged serves, calibration, IVF balance) into the
-window under the standing protocol (r4-r8 ran the same rotation and
-every rotated-in entry went green); the 4 swapped out (131/135/139/140)
-all carry green CORRECTNESS_r08 rows and stay family-covered
-(rotation notes in inventory.py). q133 stays in-window to earn its
-green row after the r9 signed-zero oracle fix. The only rows-only
+r10 rotated the five r9 tail additions (q147-q151: the batched
+serving tier, IVF health, the maintained ANN/LSH-band serves) into
+the window under the standing protocol (r4-r9 ran the same rotation
+and every rotated-in entry went green); the 5 swapped out
+(133/136/137/145/146) all carry green CORRECTNESS_r09 rows and stay
+family-covered (rotation notes in inventory.py). The only rows-only
 entries are the tail's 75_ann_trained and 100_bpe_merges, whose
 iterative training loops (MLlib-KMeans IVF+PQ, BPE argmax+rewrite)
 are genuinely not SQL-expressible (exactness is unit-proven against
