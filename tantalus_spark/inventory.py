@@ -2413,6 +2413,105 @@ def q155_maintained_hybrid_serve(spark, sf_dir):
         feats, k=10, depth=40, rrf_k=60, dim=64, n_docs=n, avgdl=avgdl)
 
 
+def q156_index_time_travel(spark, sf_dir):
+    """Time-travel reads on the segmented store: q152's three CDC
+    commits (adds; deletes + same-batch delete/re-add + adds; adds,
+    max_segments=2 so the LAST commit compacts) with keep_versions=4
+    to retain the whole history — then BM25 served AS OF BATCH 1, a
+    snapshot that predates both batch 2's adds and the compaction
+    fold. The as-of manifest still references the PRE-fold delta
+    segments (GC keeps every segment a retained manifest names —
+    history costs deltas, never index copies), so the entry proves
+    compaction does not destroy reproducibility: the pinned view +
+    its manifest stats are bit-identical to a rebuild over exactly
+    the batch-0/1 survivors, which is what the oracle computes
+    (doc_id%3 IN (0,1), the delete/re-add rule applied)."""
+    import atexit
+    import shutil
+    import tempfile
+
+    from tantalus_spark.datapipe.textstats import bm25_rank_indexed
+    from tantalus_spark.streaming.maintenance import (
+        index_refresh_batches, load_term_index)
+
+    docs = db_for(spark, sf_dir).table("documents").select("doc_id",
+                                                           "text")
+    ix = tempfile.mkdtemp(prefix="tantalus_q156_")
+    atexit.register(shutil.rmtree, ix, ignore_errors=True)
+    cb = index_refresh_batches(ix, op_col="op", max_segments=2,
+                               keep_versions=4)
+    add = lambda df: df.withColumn("op", F.lit("add"))  # noqa: E731
+    cb(add(docs.filter(F.col("doc_id") % 3 == 0)), 0)
+    dels = (docs.filter(F.col("doc_id") % 21 == 0)
+                .select("doc_id",
+                        F.lit(None).cast("string").alias("text"))
+                .withColumn("op", F.lit("delete")))
+    cb(add(docs.filter(F.col("doc_id") % 3 == 1))
+       .unionByName(dels)
+       .unionByName(add(docs.filter(F.col("doc_id") % 42 == 0))), 1)
+    cb(add(docs.filter(F.col("doc_id") % 3 == 2)), 2)  # fold + GC
+    postings, (n, avgdl) = load_term_index(spark, ix, as_of=1)
+    return bm25_rank_indexed(postings, ["customer", "merge", "sort"],
+                             k=15, n_docs=n, avgdl=avgdl)
+
+
+def q157_consistent_asof_serve(spark, sf_dir):
+    """Cross-store snapshot isolation: the BM25 postings store and the
+    ENRICHED dense-feature store are maintained by the SAME CDC
+    batches through separate foreachBatch sinks — and the postings
+    store has committed batch 2 while the feats store stopped at
+    batch 1 (maintainer lag, or a crash between the two commits; the
+    at-least-once contract says feats batch 2 will replay later).
+    Serving both CURRENTs would fuse two different corpus states;
+    instead the serve pins every store to
+    ``as_of=common_batch_id(ix, feats)`` — the newest batch BOTH have
+    committed — so one hybrid job reads one consistent snapshot.
+    Bit-identical to the q147-shape rebuild over the batch-0/1
+    survivors, which is what the oracle computes."""
+    import atexit
+    import shutil
+    import tempfile
+
+    from tantalus_spark.datapipe.textstats import hybrid_serve_topk_batch
+    from tantalus_spark.streaming.maintenance import (
+        common_batch_id, feats_refresh_batches, index_refresh_batches,
+        load_feats_index, load_term_index)
+
+    docs = db_for(spark, sf_dir).table("documents").select("doc_id",
+                                                           "text")
+    root = tempfile.mkdtemp(prefix="tantalus_q157_")
+    atexit.register(shutil.rmtree, root, ignore_errors=True)
+    cb_ix = index_refresh_batches(root + "/ix", op_col="op",
+                                  max_segments=2, keep_versions=4)
+    cb_ft = feats_refresh_batches(root + "/feats", dim=64, op_col="op",
+                                  max_segments=2, keep_versions=4)
+    add = lambda df: df.withColumn("op", F.lit("add"))  # noqa: E731
+    dels = (docs.filter(F.col("doc_id") % 21 == 0)
+                .select("doc_id",
+                        F.lit(None).cast("string").alias("text"))
+                .withColumn("op", F.lit("delete")))
+    batches = [
+        add(docs.filter(F.col("doc_id") % 3 == 0)),
+        (add(docs.filter(F.col("doc_id") % 3 == 1))
+         .unionByName(dels)
+         .unionByName(add(docs.filter(F.col("doc_id") % 42 == 0)))),
+        add(docs.filter(F.col("doc_id") % 3 == 2)),
+    ]
+    for i, b in enumerate(batches):
+        cb_ix(b, i)
+        if i < 2:
+            cb_ft(b, i)  # feats maintainer is one batch behind
+    b = common_batch_id(root + "/ix", root + "/feats")
+    postings, (n, avgdl) = load_term_index(spark, root + "/ix",
+                                           as_of=b)
+    feats = load_feats_index(spark, root + "/feats", as_of=b)
+    return hybrid_serve_topk_batch(
+        postings, [(1, ["customer", "sort", "hash"]),
+                   (2, ["merge", "join"]),
+                   (3, ["hash", "table"])],
+        feats, k=10, depth=40, rrf_k=60, dim=64, n_docs=n, avgdl=avgdl)
+
+
 _ALL_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     name[1:]: fn
     for name, fn in list(globals().items())
@@ -2621,6 +2720,11 @@ _QUERY_ORDER = [
     "152_segmented_store_serve",
     "153_hybrid_eval_tabular", "154_ann_eval_tabular",
     "155_maintained_hybrid_serve",
+    # r10 late additions: TIME-TRAVEL reads on the segmented store —
+    # an as-of pin that survives a compaction fold — and the
+    # cross-store consistent serve at common_batch_id (one snapshot
+    # across both index families when their maintainers diverge)
+    "156_index_time_travel", "157_consistent_asof_serve",
 ]
 
 QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
@@ -6577,4 +6681,156 @@ ORACLES["133_jl_distortion"] = """
     JOIN n_p nap ON nap.vec_id = d.id_a
     JOIN n_p nbp ON nbp.vec_id = d.id_b
     WHERE nao.n > 0 AND nbo.n > 0 AND nap.n > 0 AND nbp.n > 0
+"""
+
+# q156: BM25 as of batch 1 — the batch-0/1 survivor set (doc_id%3 in
+# (0,1), the %21 deletes applied, the %42 same-batch re-adds kept);
+# q152's scorer CTEs over that predicate. The Spark side reads a
+# PINNED manifest that predates batch 2 AND the compaction fold, so a
+# value match proves folds don't rewrite history.
+ORACLES["156_index_time_travel"] = """
+    WITH base AS (
+      SELECT doc_id,
+             string_split_regex(trim(lower(text)), '\\s+') AS toks
+      FROM documents
+      WHERE text IS NOT NULL
+        AND doc_id % 3 IN (0, 1)
+        AND NOT (doc_id % 21 = 0 AND doc_id % 42 <> 0)),
+    dl AS (SELECT doc_id, CAST(len(toks) AS BIGINT) AS dl FROM base),
+    tot AS (SELECT CAST(count(*) AS DOUBLE) AS n,
+                   CAST(sum(dl) AS DOUBLE) / CAST(count(*) AS DOUBLE)
+                     AS avgdl
+            FROM dl),
+    toks AS (SELECT doc_id, unnest(toks) AS term FROM base),
+    tf AS (SELECT doc_id, term, count(*) AS tf
+           FROM toks
+           WHERE term IN ('customer', 'merge', 'sort')
+           GROUP BY doc_id, term),
+    dfq AS (SELECT term, count(*) AS df FROM tf GROUP BY term),
+    sc AS (
+      SELECT tf.doc_id,
+             CAST(floor(
+               ln(1.0 + (tot.n - dfq.df + 0.5) / (dfq.df + 0.5))
+               * (tf.tf * 2.2)
+               / (tf.tf + 1.2 * (0.25 + 0.75 * dl.dl / tot.avgdl))
+               * 1e9 + 0.5) AS BIGINT) AS s_nano
+      FROM tf JOIN dfq USING (term) JOIN dl USING (doc_id)
+      CROSS JOIN tot),
+    g AS (SELECT doc_id, CAST(sum(s_nano) AS BIGINT) AS score_nano,
+                 CAST(count(*) AS INTEGER) AS n_terms_hit
+          FROM sc GROUP BY doc_id)
+    SELECT doc_id, score_nano, n_terms_hit,
+           round(CAST(score_nano AS DOUBLE) / 1e9, 4) + 0.0 AS bm25
+    FROM g ORDER BY score_nano DESC, doc_id ASC LIMIT 15
+"""
+
+# q157: the q155 hybrid CTEs over the CONSISTENT snapshot's survivor
+# set — batches 0/1 only (doc_id%3 in (0,1) with the delete/re-add
+# rule), because common_batch_id pins both stores to batch 1 even
+# though the postings store's CURRENT already has batch 2.
+ORACLES["157_consistent_asof_serve"] = """
+    WITH q AS (
+      SELECT * FROM (VALUES
+        (1, 'customer'), (1, 'sort'), (1, 'hash'),
+        (2, 'merge'), (2, 'join'),
+        (3, 'hash'), (3, 'table')) t(query_id, term)),
+    base AS (
+      SELECT doc_id,
+             string_split_regex(trim(lower(text)), '\\s+') AS toks
+      FROM documents
+      WHERE text IS NOT NULL
+        AND doc_id % 3 IN (0, 1)
+        AND NOT (doc_id % 21 = 0 AND doc_id % 42 <> 0)),
+    dl AS (SELECT doc_id, CAST(len(toks) AS BIGINT) AS dl FROM base),
+    tot AS (SELECT CAST(count(*) AS DOUBLE) AS n,
+                   CAST(sum(dl) AS DOUBLE) / CAST(count(*) AS DOUBLE)
+                     AS avgdl
+            FROM dl),
+    toks AS (SELECT doc_id, unnest(toks) AS term FROM base),
+    tf AS (SELECT doc_id, term, count(*) AS tf
+           FROM toks
+           WHERE term IN (SELECT DISTINCT term FROM q)
+           GROUP BY doc_id, term),
+    dfq AS (SELECT term, count(*) AS df FROM tf GROUP BY term),
+    sc AS (
+      SELECT qq.query_id, tf.doc_id,
+             CAST(floor(
+               ln(1.0 + (tot.n - dfq.df + 0.5) / (dfq.df + 0.5))
+               * (tf.tf * 2.2)
+               / (tf.tf + 1.2 * (0.25 + 0.75 * dl.dl / tot.avgdl))
+               * 1e9 + 0.5) AS BIGINT) AS s_nano
+      FROM tf JOIN dfq USING (term) JOIN dl USING (doc_id)
+      JOIN q qq USING (term)
+      CROSS JOIN tot),
+    g AS (SELECT query_id, doc_id,
+                 CAST(sum(s_nano) AS BIGINT) AS score_nano
+          FROM sc GROUP BY query_id, doc_id),
+    leg_s AS (
+      SELECT query_id, doc_id, CAST(rk AS INTEGER) AS rank_bm25
+      FROM (SELECT query_id, doc_id,
+                   row_number() OVER (PARTITION BY query_id
+                                      ORDER BY score_nano DESC,
+                                      doc_id ASC) AS rk
+            FROM g)
+      WHERE rk <= 40),
+    sf AS (
+      SELECT doc_id,
+             CAST(('0x' || substr(md5(term), 1, 15))::BIGINT % 64
+                  AS INTEGER) AS bucket,
+             CAST(1 - 2 * (('0x' || substr(md5('s_' || term), 1, 15))
+                           ::BIGINT % 2) AS INTEGER) AS sgn
+      FROM toks),
+    feats AS (SELECT doc_id, bucket, CAST(sum(sgn) AS BIGINT) AS feat
+              FROM sf GROUP BY doc_id, bucket),
+    qf AS (
+      SELECT query_id, bucket, CAST(sum(sgn) AS BIGINT) AS qfeat
+      FROM (
+        SELECT query_id,
+               CAST(('0x' || substr(md5(term), 1, 15))::BIGINT % 64
+                    AS INTEGER) AS bucket,
+               CAST(1 - 2 * (('0x' || substr(md5('s_' || term), 1, 15))
+                             ::BIGINT % 2) AS INTEGER) AS sgn
+        FROM q) s
+      GROUP BY query_id, bucket HAVING sum(sgn) <> 0),
+    qn AS (SELECT query_id, CAST(sum(qfeat * qfeat) AS DOUBLE) AS qnorm
+           FROM qf GROUP BY query_id),
+    dots AS (SELECT qf.query_id, f.doc_id,
+                    CAST(sum(f.feat * qf.qfeat) AS BIGINT) AS dot
+             FROM feats f JOIN qf USING (bucket)
+             GROUP BY qf.query_id, f.doc_id),
+    norms AS (SELECT doc_id, CAST(sum(feat * feat) AS BIGINT) AS norm
+              FROM feats GROUP BY doc_id),
+    scored AS (
+      SELECT d.query_id, d.doc_id,
+             CAST(floor(CAST(d.dot AS DOUBLE)
+                        / sqrt(CAST(n.norm AS DOUBLE) * qn.qnorm)
+                        * 1e9 + 0.5) AS BIGINT) AS cos_nano
+      FROM dots d JOIN norms n USING (doc_id)
+      JOIN qn ON qn.query_id = d.query_id
+      WHERE n.norm > 0),
+    leg_d AS (
+      SELECT query_id, doc_id, CAST(rk AS INTEGER) AS rank_dense
+      FROM (SELECT query_id, doc_id,
+                   row_number() OVER (PARTITION BY query_id
+                                      ORDER BY cos_nano DESC,
+                                      doc_id ASC) AS rk
+            FROM scored)
+      WHERE rk <= 40),
+    fused AS (
+      SELECT COALESCE(s.query_id, d.query_id) AS query_id,
+             COALESCE(s.doc_id, d.doc_id) AS doc_id,
+             s.rank_bm25, d.rank_dense,
+             COALESCE(1.0 / (60.0 + s.rank_bm25), 0.0)
+               + COALESCE(1.0 / (60.0 + d.rank_dense), 0.0) AS rrf
+      FROM leg_s s FULL OUTER JOIN leg_d d
+        ON s.query_id = d.query_id AND s.doc_id = d.doc_id)
+    SELECT CAST(query_id AS BIGINT) AS query_id, doc_id,
+           CAST(COALESCE(rank_bm25, 0) AS INTEGER) AS rank_bm25,
+           CAST(COALESCE(rank_dense, 0) AS INTEGER) AS rank_dense,
+           round(rrf, 6) AS rrf
+    FROM (SELECT *, row_number() OVER (PARTITION BY query_id
+                                       ORDER BY rrf DESC, doc_id ASC)
+                    AS frk
+          FROM fused)
+    WHERE frk <= 10
 """

@@ -63,6 +63,75 @@ def _read_manifest(index_dir: str, version: str) -> dict:
         return json.load(f)
 
 
+def index_versions(index_dir: str) -> list[dict]:
+    """The store's retained version history, oldest → newest:
+    ``[{"version": "v00000002", "batch_id": 2, "current": bool}, ...]``
+    — every manifest GC has kept, i.e. the batch ids :func:`as-of
+    reads <load_term_index>` can still resolve. The window is the
+    maintainer's ``keep_versions``: the default 2 covers the serving
+    swap; a reproducibility deployment that wants N batches of
+    time travel sets ``keep_versions=N+1`` and pays O(N·batch)
+    extra storage (segments are shared across manifests, so history
+    costs deltas, never index copies)."""
+    if not os.path.isdir(index_dir):
+        return []
+    cur = _current_version(index_dir)
+    out = []
+    for d in sorted(
+            (d for d in os.listdir(index_dir)
+             if d.startswith("v")
+             and os.path.isdir(os.path.join(index_dir, d))
+             and os.path.exists(
+                 os.path.join(index_dir, d, "manifest.json"))),
+            key=lambda d: int(d[1:])):
+        out.append({"version": d, "batch_id": int(d[1:]),
+                    "current": d == cur})
+    return out
+
+
+def _resolve_version(index_dir: str, as_of: int | None) -> str | None:
+    """Map an ``as_of`` batch id to the manifest that was CURRENT
+    after that batch committed: the newest retained version with
+    ``batch_id <= as_of`` (floor semantics — a batch that committed
+    nothing writes no version, so the view as of batch 5 can live in
+    v00000003). ``None`` means the CURRENT pointer. Raises when the
+    requested point predates the retention window (GC'd) or the store
+    is empty — a silent fallback to CURRENT would hand a
+    reproducibility reader the wrong corpus."""
+    if as_of is None:
+        return _current_version(index_dir)
+    versions = index_versions(index_dir)
+    floor = [v for v in versions if v["batch_id"] <= int(as_of)]
+    if not floor:
+        raise ValueError(
+            f"as_of={as_of} predates the retained history of "
+            f"{index_dir} (oldest kept: "
+            f"{versions[0]['batch_id'] if versions else 'none'}); "
+            f"raise keep_versions on the maintainer to widen the "
+            f"time-travel window")
+    return floor[-1]["version"]
+
+
+def common_batch_id(*index_dirs: str) -> int:
+    """The newest batch id EVERY store has committed — the consistent
+    cross-store serve point. Stores maintained by the same CDC stream
+    through separate foreachBatch sinks commit independently, so one
+    can run a batch ahead (maintainer lag, or a crash between the two
+    commits); serving CURRENT from both would mix corpus states.
+    Serving every store ``as_of=common_batch_id(...)`` instead pins
+    one snapshot across families — each store resolves its floor
+    manifest, so they agree on exactly which batches are visible.
+    Raises on an empty store (there is no consistent point yet)."""
+    ids = []
+    for d in index_dirs:
+        cur = _current_version(d)
+        if cur is None:
+            raise ValueError(f"common_batch_id: {d} has no committed "
+                             f"version yet")
+        ids.append(int(cur[1:]))
+    return min(ids)
+
+
 def _masked_union(spark: SparkSession, index_dir: str, manifest: dict,
                   leaf: str) -> DataFrame | None:
     """Lazy live view over the manifest: union of each segment's
@@ -100,14 +169,23 @@ def _masked_union(spark: SparkSession, index_dir: str, manifest: dict,
                 .drop("_seg_seq"))
 
 
-def load_term_index(spark: SparkSession, index_dir: str):
-    """Read the CURRENT index version: (postings DataFrame,
-    (n_docs, avgdl)). Returns (None, (0, 0.0)) when no version has been
-    committed yet (empty deployment). The stats come straight off the
-    manifest's exact integer (n_docs, dl_sum) — avgdl is the same one
-    division a full rebuild performs, so it is bit-identical to
-    :func:`~tantalus_spark.datapipe.textstats.build_term_index`'s."""
-    version = _current_version(index_dir)
+def load_term_index(spark: SparkSession, index_dir: str,
+                    as_of: int | None = None):
+    """Read one index version: (postings DataFrame, (n_docs, avgdl)).
+    Returns (None, (0, 0.0)) when no version has been committed yet
+    (empty deployment). The stats come straight off the manifest's
+    exact integer (n_docs, dl_sum) — avgdl is the same one division a
+    full rebuild performs, so it is bit-identical to
+    :func:`~tantalus_spark.datapipe.textstats.build_term_index`'s.
+
+    ``as_of`` pins a TIME-TRAVEL read: the view as of that batch id
+    (floor resolution over the retained manifests — see
+    :func:`_resolve_version`), with that manifest's stats, not
+    CURRENT's. Reproducible training-data builds pin every reader of
+    a run to one ``as_of`` (and cross-store consumers to
+    :func:`common_batch_id`); the maintainer's ``keep_versions`` sets
+    how far back the window reaches."""
+    version = _resolve_version(index_dir, as_of)
     if version is None:
         return None, (0, 0.0)
     m = _read_manifest(index_dir, version)
@@ -224,12 +302,15 @@ def _select_fold(segments: list[dict], max_segments: int):
             [x for x in segments if x["name"] not in fold])
 
 
-def load_ann_index(spark: SparkSession, index_dir: str):
-    """Read the CURRENT ANN code-table version: the (id, ivf_list,
-    pq_code) DataFrame, or None when no version has been committed.
-    Same manifest/segment layout as the BM25 store (single "codes"
-    leaf per segment; per-row independence means no stats sidecar)."""
-    version = _current_version(index_dir)
+def load_ann_index(spark: SparkSession, index_dir: str,
+                   as_of: int | None = None):
+    """Read one ANN code-table version: the (id, ivf_list, pq_code)
+    DataFrame, or None when no version has been committed. Same
+    manifest/segment layout as the BM25 store (single "codes" leaf
+    per segment; per-row independence means no stats sidecar).
+    ``as_of`` time-travels to the view as of that batch id, like
+    :func:`load_term_index`."""
+    version = _resolve_version(index_dir, as_of)
     if version is None:
         return None
     m = _read_manifest(index_dir, version)
@@ -411,11 +492,14 @@ def ann_refresh_batches(
                                     partition_cols=["ivf_list"])
 
 
-def load_feats_index(spark: SparkSession, index_dir: str):
-    """Read the CURRENT dense-feature version: the ENRICHED
+def load_feats_index(spark: SparkSession, index_dir: str,
+                     as_of: int | None = None):
+    """Read one dense-feature version: the ENRICHED
     (id, bucket, feat, norm) DataFrame (zero-norm-join serving
-    posture), or None when no version has been committed."""
-    version = _current_version(index_dir)
+    posture), or None when no version has been committed. ``as_of``
+    time-travels to the view as of that batch id, like
+    :func:`load_term_index`."""
+    version = _resolve_version(index_dir, as_of)
     if version is None:
         return None
     m = _read_manifest(index_dir, version)

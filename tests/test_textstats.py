@@ -2592,3 +2592,144 @@ def test_select_fold_invariants_property():
                     min(key(x) for x in keep)
 
     check()
+
+
+def test_time_travel_reads_match_rebuild_as_of_each_batch(
+        spark, tmp_path):
+    """as_of reads reproduce the store's state after EACH retained
+    commit: the postings view AND the manifest stats at as_of=b equal
+    a clean rebuild over exactly the documents that survived batches
+    0..b — through adds, a delete, a same-batch delete/re-add, and a
+    compaction fold (keep_versions=4 retains the whole history;
+    segments are shared across manifests, so history costs deltas)."""
+    from tantalus_spark.datapipe.textstats import build_term_index
+    from tantalus_spark.streaming.maintenance import (
+        index_refresh_batches, index_versions, load_term_index)
+
+    ix = str(tmp_path / "ix")
+    cb = index_refresh_batches(ix, op_col="op", max_segments=2,
+                               keep_versions=4)
+    schema = "doc_id long, text string, op string"
+    cb(spark.createDataFrame(
+        [(1, "apple banana", "add"), (2, "banana cherry", "add")],
+        schema), 0)
+    cb(spark.createDataFrame(
+        [(2, None, "delete"), (3, "cherry date", "add"),
+         (1, None, "delete"), (1, "apple rewritten", "add")],
+        schema), 1)
+    cb(spark.createDataFrame(
+        [(4, "date elder apple", "add")], schema), 2)  # triggers fold
+
+    state = {
+        0: [(1, "apple banana"), (2, "banana cherry")],
+        1: [(1, "apple rewritten"), (3, "cherry date")],
+        2: [(1, "apple rewritten"), (3, "cherry date"),
+            (4, "date elder apple")],
+    }
+    for b, docs in state.items():
+        postings, stats = load_term_index(spark, ix, as_of=b)
+        want, wstats = build_term_index(
+            spark.createDataFrame(docs, "doc_id long, text string"),
+            with_stats=True)
+        assert stats == wstats, f"as_of={b}"
+        assert sorted(map(tuple, postings.collect())) == \
+            sorted(map(tuple, want.collect())), f"as_of={b}"
+    # CURRENT (as_of=None) is the newest state
+    cur, cur_stats = load_term_index(spark, ix)
+    want2, _ = load_term_index(spark, ix, as_of=2)
+    assert sorted(map(tuple, cur.collect())) == \
+        sorted(map(tuple, want2.collect()))
+    hist = index_versions(ix)
+    assert [v["batch_id"] for v in hist] == [0, 1, 2]
+    assert [v["current"] for v in hist] == [False, False, True]
+
+
+def test_as_of_floor_resolution_and_retention_errors(spark, tmp_path):
+    """as_of uses FLOOR resolution over the retained manifests (a
+    quiet batch commits no version, so the view 'as of batch 3' lives
+    in the batch-0 manifest), beyond-retention and pre-history reads
+    raise loudly instead of silently serving CURRENT, and GC keeps
+    exactly keep_versions manifests resolvable."""
+    import pytest
+
+    from tantalus_spark.streaming.maintenance import (
+        index_refresh_batches, index_versions, load_term_index)
+
+    ix = str(tmp_path / "ix")
+    with pytest.raises(ValueError, match="no committed version"):
+        from tantalus_spark.streaming.maintenance import common_batch_id
+        common_batch_id(ix)
+    cb = index_refresh_batches(ix, keep_versions=2)
+    sch = "doc_id long, text string"
+    cb(spark.createDataFrame([(1, "apple")], sch), 0)
+    cb(spark.createDataFrame([(2, "banana")], sch), 5)
+    # floor: as_of=3 resolves to the batch-0 manifest
+    p3, (n3, _a) = load_term_index(spark, ix, as_of=3)
+    assert n3 == 1
+    assert sorted(r["doc_id"] for r in
+                  p3.select("doc_id").distinct().collect()) == [1]
+    # as_of before any commit: loud error
+    with pytest.raises(ValueError, match="predates"):
+        load_term_index(spark, ix, as_of=-1)
+    # push batch 0 out of the keep_versions=2 window
+    cb(spark.createDataFrame([(3, "cherry")], sch), 7)
+    assert [v["batch_id"] for v in index_versions(ix)] == [5, 7]
+    with pytest.raises(ValueError, match="predates"):
+        load_term_index(spark, ix, as_of=0)
+    # retained points still resolve, with their own stats
+    _p, (n5, _a5) = load_term_index(spark, ix, as_of=5)
+    assert n5 == 2
+
+
+def test_common_batch_id_consistent_cross_store_serve(spark, tmp_path):
+    """Cross-store snapshot isolation: when the postings store runs a
+    batch AHEAD of the feats store (maintainer lag / crash between the
+    two commits), serving both at as_of=common_batch_id pins ONE
+    corpus state — the hybrid result equals a rebuild over exactly
+    the common prefix's survivors, and mixing CURRENTs would not."""
+    from tantalus_spark.datapipe.textstats import (
+        build_term_index, hashed_features, hashed_norms,
+        hybrid_serve_topk_batch)
+    from tantalus_spark.streaming.maintenance import (
+        common_batch_id, feats_refresh_batches, index_refresh_batches,
+        load_feats_index, load_term_index)
+
+    ix = str(tmp_path / "ix")
+    ft = str(tmp_path / "feats")
+    cb_ix = index_refresh_batches(ix, op_col="op", keep_versions=4)
+    cb_ft = feats_refresh_batches(ft, dim=16, op_col="op",
+                                  keep_versions=4)
+    schema = "doc_id long, text string, op string"
+    b0 = spark.createDataFrame(
+        [(1, "apple banana sort", "add"),
+         (2, "banana merge hash", "add")], schema)
+    b1 = spark.createDataFrame(
+        [(1, None, "delete"), (3, "sort hash apple", "add")], schema)
+    b2 = spark.createDataFrame([(4, "merge sort", "add")], schema)
+    cb_ix(b0, 0); cb_ft(b0, 0)
+    cb_ix(b1, 1); cb_ft(b1, 1)
+    cb_ix(b2, 2)  # postings store commits batch 2; feats store crashed
+    assert common_batch_id(ix, ft) == 1
+
+    b = common_batch_id(ix, ft)
+    postings, (n, avgdl) = load_term_index(spark, ix, as_of=b)
+    feats = load_feats_index(spark, ft, as_of=b)
+    queries = [(7, ["sort", "hash"]), (8, ["merge"])]
+    got = hybrid_serve_topk_batch(postings, queries, feats, k=5,
+                                  depth=5, dim=16, n_docs=n,
+                                  avgdl=avgdl)
+
+    survivors = spark.createDataFrame(
+        [(2, "banana merge hash"), (3, "sort hash apple")],
+        "doc_id long, text string")
+    widx, (wn, wavg) = build_term_index(survivors, with_stats=True)
+    wf = hashed_features(survivors, dim=16)
+    wfe = wf.join(hashed_norms(wf), "doc_id")
+    want = hybrid_serve_topk_batch(widx, queries, wfe, k=5, depth=5,
+                                   dim=16, n_docs=wn, avgdl=wavg)
+    assert sorted(map(tuple, got.collect())) == \
+        sorted(map(tuple, want.collect()))
+    # and the snapshot really differs from the mixed-CURRENT serve:
+    # doc 4 exists only in the postings store's CURRENT
+    cur_p, (cn, ca) = load_term_index(spark, ix)
+    assert cn == n + 1
