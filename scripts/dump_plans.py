@@ -184,6 +184,15 @@ SHOW = [
      " stores (r10): postings union term-IN-pruned per segment,"
      " bucket-partition-pruned ENRICHED feats segments, manifest"
      " stats, zero norm joins, zero raw-text scans at serve time"),
+    ("156_index_time_travel", "time-travel serve (r10): the as-of pin"
+     " resolves to a retained manifest, so the plan is exactly a"
+     " CURRENT serve over that manifest's (pre-fold) segments —"
+     " term IN-filters pushed into every pinned segment scan, stats"
+     " from the pinned manifest, no history scan, no version join"),
+    ("157_consistent_asof_serve", "cross-store consistent serve"
+     " (r10): both stores pinned to common_batch_id — the plan is the"
+     " q155 maintained hybrid serve over the common-prefix manifests;"
+     " consistency costs K pointer-file reads, nothing in the plan"),
 ]
 
 

@@ -11,14 +11,25 @@ manifest — O(batch) bytes per commit, never a copy of the index
 (byte-budget test in tests/test_textstats.py) — then atomically swaps
 the pointer. Compaction is SIZE-TIERED (:func:`_select_fold`): when
 the segment count crosses ``max_segments`` the commit folds only the
-smallest segments (tombstones applied physically to the folded part,
-retained for the kept older segments), so a byte is rewritten
-O(log(index/batch)) times over the stream's life — not the
-O(index/max_segments) amortized per batch a full fold costs; a
-tombstone-list overflow still forces a FULL fold, since only folding
-everything lets the broadcast mask list clear. GC drops manifests
-older than ``keep_versions`` and any segment no kept manifest
-references, bounding storage at O(index + keep·batch).
+smallest segments (tombstones applied physically to the folded part),
+so a byte is rewritten O(log(index/batch)) times over the stream's
+life — not the O(index/max_segments) amortized per batch a full fold
+costs; a tombstone-list overflow still forces a FULL fold. Every
+commit then PRUNES non-load-bearing tombstones — an entry survives
+only while some kept segment is older than it — so the serve-time
+broadcast mask list stays minimal without waiting for a full fold.
+GC drops manifests older than ``keep_versions`` and any
+segment/tombstone no kept manifest references, bounding storage at
+O(index + keep·batch).
+
+Versions double as TIME TRAVEL: every loader takes ``as_of=<batch
+id>`` (floor-resolved over the retained manifests —
+:func:`_resolve_version`), :func:`index_versions` lists the window,
+and :func:`common_batch_id` gives the newest batch EVERY store of a
+multi-family deployment has committed — the pin that serves one
+consistent snapshot across families when maintainers diverge. The
+window is ``keep_versions`` wide and costs O(keep·batch) extra bytes
+(manifests share segments; history is deltas, never index copies).
 
 Serving sessions (:func:`~tantalus_spark.datapipe.textstats.
 bm25_rank_indexed`, ``hybrid_serve_indexed``, ``bm25_serve_stream``)
@@ -364,8 +375,6 @@ def _rowwise_refresh_batches(
             _gc_versions(index_dir, keep_versions)
         if cur is not None and int(cur[1:].rstrip("c")) >= int(batch_id):
             return  # replayed batch: already committed
-        if not batch_df.take(1):
-            return
         spark = batch_df.sparkSession
         manifest = (_read_manifest(index_dir, cur) if cur is not None
                     else {"segments": [], "tombstones": [],
@@ -389,19 +398,27 @@ def _rowwise_refresh_batches(
              .parquet(os.path.join(index_dir, ts_name)))
             tombstones.append({"name": ts_name, "seq": seq})
             changed = True
-        if adds.take(1):
-            delta = delta_fn(adds)
-            if delta.take(1):
-                seg_name = f"seg-{seq:08d}"
-                w = delta.write.mode("overwrite")
-                if partition_cols:
-                    w = w.partitionBy(*partition_cols)
-                w.parquet(os.path.join(index_dir, seg_name, leaf))
-                segments.append({
-                    "name": seg_name, "seq": seq,
-                    "bytes": _dir_bytes(
-                        os.path.join(index_dir, seg_name))})
-                changed = True
+        # one emptiness gate on the DELTA (not a pre-check on adds too:
+        # an empty delta subsumes an empty batch, and every driver-side
+        # action here is a whole Spark job). The gate's take(1) does
+        # re-run delta_fn for the write — deliberately NOT cached: a
+        # persisted frame pins the write's input partitioning, and a
+        # hive-partitioned write from cached partitions sprays
+        # |cached partitions| × |partition values| small files into
+        # the segment, which every later serve/fold read pays for
+        # (measured +60% on the maintained-hybrid lifecycle).
+        delta = delta_fn(adds)
+        if delta.take(1):
+            seg_name = f"seg-{seq:08d}"
+            w = delta.write.mode("overwrite")
+            if partition_cols:
+                w = w.partitionBy(*partition_cols)
+            w.parquet(os.path.join(index_dir, seg_name, leaf))
+            segments.append({
+                "name": seg_name, "seq": seq,
+                "bytes": _dir_bytes(
+                    os.path.join(index_dir, seg_name))})
+            changed = True
 
         if not changed:
             return
@@ -417,7 +434,6 @@ def _rowwise_refresh_batches(
         else:
             fold, keep = _select_fold(segments, max_segments)
         if fold:
-            full = not keep
             sub = {"segments": fold, "tombstones": tombstones,
                    "id_col": id_col}
             view = _masked_union(spark, index_dir, sub, leaf)
@@ -434,13 +450,18 @@ def _rowwise_refresh_batches(
             # folded segments without writing an empty (unreadable
             # when partitioned) parquet dir
             segments = keep
-            if full:
-                # full fold: everything live is in the one new segment
-                # (folded rows carry this commit's seq, so no current
-                # tombstone can re-mask them) — the mask list clears.
-                # A PARTIAL fold keeps the tombstones: the kept older
-                # segments still need the mask.
-                tombstones = []
+        # prune non-load-bearing tombstones: a tombstone at seq T masks
+        # only rows in segments with seq < T (folded rows carry this
+        # commit's seq, so a fold un-masks them physically). Once no
+        # kept segment is older than T the tombstone masks nothing —
+        # dropping it keeps the serve-time broadcast mask list minimal
+        # and lets GC reclaim the file. A full fold clears the whole
+        # list; a partial fold clears exactly the entries only the
+        # folded-away segments needed.
+        min_seq = min((int(s["seq"]) for s in segments), default=None)
+        tombstones = ([] if min_seq is None else
+                      [t for t in tombstones
+                       if int(t["seq"]) > min_seq])
         new_manifest = {"segments": segments, "tombstones": tombstones,
                         "id_col": id_col}
         _commit_version(index_dir, f"v{seq:08d}", new_manifest)
@@ -639,8 +660,6 @@ def index_refresh_batches(
             _gc_versions(index_dir, keep_versions)
         if cur is not None and int(cur[1:].rstrip("c")) >= int(batch_id):
             return  # replayed batch: already committed, idempotent skip
-        if not batch_df.take(1):
-            return
         spark = batch_df.sparkSession
         manifest = (_read_manifest(index_dir, cur) if cur is not None
                     else {"segments": [], "tombstones": [],
@@ -660,49 +679,63 @@ def index_refresh_batches(
         n_docs, dl_sum = int(manifest["n_docs"]), int(manifest["dl_sum"])
         changed = False
 
-        if dels is not None and live_lens is not None and dels.take(1):
+        if dels is not None and live_lens is not None:
             # only tombstone ids that ARE live (stats guard): one
             # broadcast-pruned pass over the per-doc doclens sidecars —
-            # never the postings. Output is bounded by the batch.
+            # never the postings. Output is bounded by the batch. The
+            # `removed` aggregate doubles as the emptiness gate (no
+            # separate take(1) job: n_rm == 0 skips the write).
             present = (live_lens
                        .join(F.broadcast(dels), id_col, "left_semi")
                        .groupBy(id_col).agg(F.max("dl").alias("dl")))
-            removed = present.agg(
-                F.count(F.lit(1)).alias("n"),
-                F.sum("dl").alias("s")).first()
-            n_rm = int(removed["n"])
-            if n_rm > 0:
-                ts_name = f"ts-{seq:08d}"
-                (present.select(id_col).coalesce(1).write
-                 .mode("overwrite")
-                 .parquet(os.path.join(index_dir, ts_name)))
-                tombstones.append({"name": ts_name, "seq": seq})
-                n_docs -= n_rm
-                dl_sum -= int(removed["s"] or 0)
-                changed = True
+            present = present.persist()  # batch-bounded: agg + write
+            try:
+                removed = present.agg(
+                    F.count(F.lit(1)).alias("n"),
+                    F.sum("dl").alias("s")).first()
+                n_rm = int(removed["n"])
+                if n_rm > 0:
+                    ts_name = f"ts-{seq:08d}"
+                    (present.select(id_col).coalesce(1).write
+                     .mode("overwrite")
+                     .parquet(os.path.join(index_dir, ts_name)))
+                    tombstones.append({"name": ts_name, "seq": seq})
+                    n_docs -= n_rm
+                    dl_sum -= int(removed["s"] or 0)
+                    changed = True
+            finally:
+                present.unpersist()
 
-        if adds.take(1):
-            if live_lens is not None and dedup_against_current:
-                # broadcast-pruned semi over the DOCLENS view (per-doc
-                # rows); `already` is bounded by the batch size.
-                # Deletes apply FIRST within a batch: an id the batch
-                # itself tombstoned is no longer "already indexed", so
-                # its re-add must survive this guard (drop the batch's
-                # deleted ids from `already` — without this a CDC
-                # delete+re-add under dedup mode silently loses the
-                # document: the delete downdates the stats but the
-                # re-add gets anti-joined away).
-                already = (live_lens.select(id_col)
-                           .join(F.broadcast(adds.select(id_col)
-                                             .distinct()),
-                                 id_col, "left_semi")
-                           .distinct())
-                if dels is not None:
-                    already = already.join(F.broadcast(dels), id_col,
-                                           "left_anti")
-                adds = adds.join(F.broadcast(already), id_col,
-                                 "left_anti")
-            lens = _doclens(adds)
+        if live_lens is not None and dedup_against_current:
+            # broadcast-pruned semi over the DOCLENS view (per-doc
+            # rows); `already` is bounded by the batch size.
+            # Deletes apply FIRST within a batch: an id the batch
+            # itself tombstoned is no longer "already indexed", so
+            # its re-add must survive this guard (drop the batch's
+            # deleted ids from `already` — without this a CDC
+            # delete+re-add under dedup mode silently loses the
+            # document: the delete downdates the stats but the
+            # re-add gets anti-joined away).
+            already = (live_lens.select(id_col)
+                       .join(F.broadcast(adds.select(id_col)
+                                         .distinct()),
+                             id_col, "left_semi")
+                       .distinct())
+            if dels is not None:
+                already = already.join(F.broadcast(dels), id_col,
+                                       "left_anti")
+            adds = adds.join(F.broadcast(already), id_col,
+                             "left_anti")
+        # the `added` aggregate is the adds-side emptiness gate (no
+        # separate take(1) job); persist keeps the doclens write from
+        # re-tokenizing the batch the aggregate already scanned. The
+        # sidecar write is coalesce(1): cached plans keep their
+        # pre-AQE partitioning, and a per-doc (id, dl) sidecar written
+        # as ~shuffle.partitions tiny files taxes every later
+        # live_lens read — one file per segment is the right layout
+        # for O(batch) rows of two columns.
+        lens = _doclens(adds).persist()
+        try:
             added = lens.agg(F.count(F.lit(1)).alias("n"),
                              F.sum("dl").alias("s")).first()
             n_new = int(added["n"])
@@ -713,13 +746,15 @@ def index_refresh_batches(
                 seg_dir = os.path.join(index_dir, seg_name)
                 delta.write.mode("overwrite").parquet(
                     os.path.join(seg_dir, "postings"))
-                lens.write.mode("overwrite").parquet(
+                lens.coalesce(1).write.mode("overwrite").parquet(
                     os.path.join(seg_dir, "doclens"))
                 segments.append({"name": seg_name, "seq": seq,
                                  "bytes": _dir_bytes(seg_dir)})
                 n_docs += n_new
                 dl_sum += int(added["s"] or 0)
                 changed = True
+        finally:
+            lens.unpersist()
 
         if not changed:
             return
@@ -739,7 +774,6 @@ def index_refresh_batches(
         else:
             fold, keep = _select_fold(segments, max_segments)
         if fold:
-            full = not keep
             sub = {"segments": fold, "tombstones": tombstones,
                    "id_col": id_col}
             lens_view = _masked_union(spark, index_dir, sub, "doclens")
@@ -756,11 +790,17 @@ def index_refresh_batches(
             # else: every folded doc was tombstone-masked — drop the
             # folded segments outright
             segments = keep
-            if full:
-                # partial folds RETAIN tombstones (the kept older
-                # segments still need the mask; folded rows carry this
-                # commit's seq so no current tombstone re-masks them)
-                tombstones = []
+        # prune non-load-bearing tombstones: a tombstone at seq T masks
+        # only rows in segments with seq < T (folded rows carry this
+        # commit's seq, so a fold un-masks them physically). Once no
+        # kept segment is older than T the tombstone masks nothing —
+        # a full fold clears the whole list, a partial fold exactly
+        # the entries only the folded-away segments needed; the serve
+        # mask stays minimal and GC reclaims the files.
+        min_seq = min((int(s["seq"]) for s in segments), default=None)
+        tombstones = ([] if min_seq is None else
+                      [t for t in tombstones
+                       if int(t["seq"]) > min_seq])
         new_manifest = {"segments": segments, "tombstones": tombstones,
                         "n_docs": n_docs, "dl_sum": dl_sum,
                         "id_col": id_col}

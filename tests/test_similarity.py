@@ -853,14 +853,22 @@ def test_ann_refresh_batches_rebuild_equal_cdc(spark, tmp_path):
         (r["vec_id"], r["ivf_list"], tuple(r["pq_code"]))
         for r in df.collect())
     assert norm(got) == norm(want)
-    # compaction happened: single compacted segment, tombstones gone
+    # compaction happened. WHICH segments folded is the size-tiered
+    # policy's call (parquet byte sizes decide full vs partial fold),
+    # so assert the policy-independent invariants: the count is back
+    # under the cap, a compacted segment exists, and every retained
+    # tombstone is LOAD-BEARING (some kept segment is older than it —
+    # commit-time pruning drops the rest, so the serve-time broadcast
+    # mask never carries dead entries).
     import json
     import os
     cur = open(os.path.join(ix, "CURRENT")).read().strip()
     with open(os.path.join(ix, cur, "manifest.json")) as f:
         m = json.load(f)
-    assert len(m["segments"]) == 1 and m["segments"][0]["name"].endswith("c")
-    assert m["tombstones"] == []
+    assert len(m["segments"]) <= 2, m
+    assert any(s["name"].endswith("c") for s in m["segments"]), m
+    min_seq = min(int(s["seq"]) for s in m["segments"])
+    assert all(int(t["seq"]) > min_seq for t in m["tombstones"]), m
 
 
 def test_ivf_pq_topk_batch_matches_per_query(spark):

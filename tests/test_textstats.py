@@ -2733,3 +2733,55 @@ def test_common_batch_id_consistent_cross_store_serve(spark, tmp_path):
     # doc 4 exists only in the postings store's CURRENT
     cur_p, (cn, ca) = load_term_index(spark, ix)
     assert cn == n + 1
+
+
+def test_partial_fold_prunes_dead_tombstones(spark, tmp_path):
+    """Commit-time tombstone pruning: when a partial fold rewrites
+    every segment OLDER than a tombstone (here: the tiny seg-0 the
+    delete targeted folds away, the big seg-1 stays), the tombstone
+    masks nothing anymore and must leave the manifest — the deletion
+    stays applied physically in the compacted segment, and the serve
+    plan carries no dead broadcast mask."""
+    import json
+    import os
+
+    from tantalus_spark.datapipe.textstats import build_term_index
+    from tantalus_spark.streaming.maintenance import (
+        index_refresh_batches, load_term_index)
+
+    ix = str(tmp_path / "ix")
+    cb = index_refresh_batches(ix, op_col="op", max_segments=2,
+                               keep_versions=2)
+    schema = "doc_id long, text string, op string"
+    cb(spark.createDataFrame(
+        [(1, "apple banana", "add"), (2, "banana cherry", "add")],
+        schema), 0)                        # tiny seg-0
+    big = spark.createDataFrame(
+        [(100 + i, "bulk " + " ".join(f"tok{i}_{j}" for j in range(40)),
+          "add") for i in range(300)]
+        + [(2, None, "delete")], schema)   # big seg-1 + doc-2 tombstone
+    cb(big, 1)
+    cb(spark.createDataFrame(
+        [(3, "cherry date", "add")], schema), 2)  # tiny seg-2 -> fold
+
+    cur = open(os.path.join(ix, "CURRENT")).read().strip()
+    m = json.load(open(os.path.join(ix, cur, "manifest.json")))
+    # size-tiered fold took the two tiny segments, kept the big one
+    names = {s["name"] for s in m["segments"]}
+    assert "seg-00000001" in names and any(n.endswith("c")
+                                           for n in names), m
+    # the doc-2 tombstone (seq 1) has no kept segment older than it
+    # left to mask — pruned at commit
+    assert m["tombstones"] == [], m
+    # and the delete is still applied, rebuild-equal
+    postings, (n, avgdl) = load_term_index(spark, ix)
+    assert postings.filter("doc_id = 2").count() == 0
+    survivors = spark.createDataFrame(
+        [(1, "apple banana"), (3, "cherry date")]
+        + [(100 + i, "bulk " + " ".join(f"tok{i}_{j}"
+                                        for j in range(40)))
+           for i in range(300)], "doc_id long, text string")
+    want, wstats = build_term_index(survivors, with_stats=True)
+    assert (n, avgdl) == wstats
+    assert sorted(map(tuple, postings.collect())) == \
+        sorted(map(tuple, want.collect()))
