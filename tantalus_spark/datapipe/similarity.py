@@ -668,29 +668,42 @@ def _ivf_pq_topk_batch_df(
     """DataFrame-input leg of :func:`ivf_pq_topk_batch` — the offline
     100k-query eval shape: queries never materialize on the driver.
     Probe ranking is :func:`_probe_lists_df`'s expression over the
-    centroid literals; the ADC dot is computed INLINE after the
-    broadcast query join (no per-query ADC literal table — at large
-    |queries| that table is itself corpus-sized), folding the m
-    subspace terms LEFT-TO-RIGHT exactly like scalar
+    centroid literals; the ADC dot is computed INLINE after the query
+    join (no per-query ADC literal table — at large |queries| that
+    table is itself corpus-sized), folding the m subspace terms
+    LEFT-TO-RIGHT exactly like scalar
     :func:`ivf_pq_topk`/:func:`pq_topk`, so this leg is bit-identical
     to the scalar server even on raw-float corpora (the list-input
     leg's order-free SUM matches only under the integerized-vector
     convention — see the caller's docstring). Only the distinct probed
     lists (≤ nlist ints) and the duplicate-id guard ever reach the
-    driver."""
-    spark = assigned_codes.sparkSession
+    driver — collected together in ONE job. The (query_id, ivf_list)
+    probe map is broadcast (≤ |queries|·nprobe ints); the VECTOR
+    table joins without a hint, so Catalyst/AQE broadcasts it when it
+    fits and falls back to a shuffle join when a 100k×high-dim eval
+    batch would OOM the driver as a forced broadcast."""
     qdf = queries.select(
         F.col("query_id").cast("long").alias("query_id"),
         F.col(vec_col).alias("_qv"))
-    if (qdf.groupBy("query_id").agg(F.count(F.lit(1)).alias("n"))
-            .filter(F.col("n") > 1).take(1)):
-        raise ValueError("ivf_pq_topk_batch: duplicate query ids")
     probes = _probe_lists_df(qdf, centroids, nprobe, "_qv")
-    # tiny collect: ≤ nlist ints, never O(queries) — keeps the code
-    # scan's STATIC IN filter (partition pruning on the
-    # partitionBy("ivf_list") layouts, batch or streamed)
-    all_lists = sorted(r["ivf_list"] for r in
-                       probes.select("ivf_list").distinct().collect())
+    # ONE driver job for both driver-side facts: the distinct probed
+    # lists (≤ nlist ints — the code scan's STATIC IN filter, partition
+    # pruning on the partitionBy("ivf_list") layouts, batch or
+    # streamed) and the duplicate-query-id guard, tag-unioned so the
+    # micro-batch serving path pays one scheduling round trip
+    meta = (probes.select(F.col("ivf_list").cast("long").alias("x"),
+                          F.lit("list").alias("what")).distinct()
+            .unionByName(
+                qdf.groupBy("query_id")
+                   .agg(F.count(F.lit(1)).alias("n"))
+                   .filter(F.col("n") > 1).limit(1)
+                   .select(F.lit(-1).cast("long").alias("x"),
+                           F.lit("dup").alias("what"))))
+    rows = meta.collect()
+    if any(r["what"] == "dup" for r in rows):
+        raise ValueError("ivf_pq_topk_batch: duplicate query ids")
+    all_lists = sorted(int(r["x"]) for r in rows
+                       if r["what"] == "list")
     pruned = (assigned_codes.filter(F.col("ivf_list").isin(all_lists))
               if all_lists else assigned_codes.filter(F.lit(False)))
     sub = len(codebooks[0][0])
@@ -711,8 +724,11 @@ def _ivf_pq_topk_batch_df(
                 lambda x, y: x.cast("double") * y),
             F.lit(0.0), lambda a, x: a + x))
     score = F.aggregate(contrib, F.lit(0.0), lambda a, x: a + x)
+    # probes: int pairs, always broadcastable. qdf carries the query
+    # VECTORS — no hint: AQE broadcasts a small eval batch and shuffle-
+    # joins a 100k×high-dim one instead of OOMing the driver.
     scored = (pruned.join(F.broadcast(probes), "ivf_list")
-                    .join(F.broadcast(qdf), "query_id")
+                    .join(qdf, "query_id")
                     .select("query_id", F.col(id_col),
                             score.alias("_adc")))
     return _per_query_adc_topk(scored, k, id_col)
@@ -758,9 +774,10 @@ def ivf_pq_topk_batch(
     columns — the offline-eval shape where a 100k-query batch must not
     materialize on the driver: probe ranking becomes an expression
     over the centroid literals and ADC dots are computed inline after
-    the broadcast query join (:func:`_ivf_pq_topk_batch_df`; per-query
-    bit-parity with this list path is differential-tested on
-    integerized vectors)."""
+    the query join, which carries no broadcast hint so AQE can
+    shuffle-join an eval batch too big to broadcast
+    (:func:`_ivf_pq_topk_batch_df`; per-query bit-parity with this
+    list path is differential-tested on integerized vectors)."""
     if isinstance(queries, DataFrame):
         return _ivf_pq_topk_batch_df(assigned_codes, centroids,
                                      codebooks, queries, k, nprobe,

@@ -2129,14 +2129,7 @@ def hybrid_serve_topk_batch(
             F.col("query_id").cast("long").alias("query_id"),
             F.array_sort(F.array_distinct(
                 F.transform(F.col(terms_col), F.lower))).alias("_t"))
-        if (qq.groupBy("query_id").agg(F.count(F.lit(1)).alias("n"))
-                .filter(F.col("n") > 1).take(1)):
-            raise ValueError(
-                "hybrid_serve_topk_batch: duplicate query ids")
         qterms = qq.select("query_id", F.explode("_t").alias("term"))
-        all_terms = sorted(
-            r["term"] for r in
-            qterms.select("term").distinct().collect())
         # query-side hashed features, expression twin of
         # _query_hashed_features (same md5 bucket/sign derivation as
         # hashed_features, over the DEDUPED term set)
@@ -2155,9 +2148,40 @@ def hybrid_serve_topk_batch(
         qn = qdf.groupBy("query_id").agg(
             (F.sum(F.col("qfeat") * F.col("qfeat")))
             .cast("double").alias("qnorm"))
-        all_buckets = sorted(
-            r["bucket"] for r in
-            qdf.select("bucket").distinct().collect())
+        # ONE driver job for all three driver-side facts — the term
+        # vocabulary (the postings scan's IN filter), the bucket
+        # vocabulary (the feats scan's IN filter), and the
+        # duplicate-query-id guard — tag-unioned so a micro-batch
+        # serving path pays one scheduling round trip, O(batch
+        # vocabulary) rows, never O(queries · terms)
+        meta = (qterms.select(F.col("term").alias("x"),
+                              F.lit("term").alias("what")).distinct()
+                .unionByName(
+                    qdf.select(F.col("bucket").cast("string")
+                                .alias("x"),
+                               F.lit("bucket").alias("what"))
+                       .distinct())
+                .unionByName(
+                    qq.groupBy("query_id")
+                      .agg(F.count(F.lit(1)).alias("n"))
+                      .filter(F.col("n") > 1).limit(1)
+                      .select(F.lit("dup").alias("x"),
+                              F.lit("dup").alias("what"))))
+        rows = meta.collect()
+        if any(r["what"] == "dup" for r in rows):
+            raise ValueError(
+                "hybrid_serve_topk_batch: duplicate query ids")
+        all_terms = sorted(r["x"] for r in rows
+                           if r["what"] == "term")
+        all_buckets = sorted(int(r["x"]) for r in rows
+                             if r["what"] == "bucket")
+        # no broadcast HINT on the query-side frames in this leg: a
+        # serving-tier batch broadcasts fine and AQE will pick that at
+        # runtime, but a 100k-query offline eval's qterms/qdf should
+        # be allowed to shuffle-join instead of being forced through
+        # the driver. The list leg keeps the hint (driver-built
+        # literal frames are tiny by construction).
+        q_hint = lambda df: df  # noqa: E731
     else:
         norm_q = [(int(qid), sorted(set(t.lower() for t in ts)))
                   for qid, ts in queries]
@@ -2188,6 +2212,7 @@ def hybrid_serve_topk_batch(
         qn = spark.createDataFrame(qnorms,
                                    "query_id long, qnorm double")
         all_buckets = sorted({r[1] for r in qfeat_rows})
+        q_hint = F.broadcast  # driver-built literal frames: tiny
     if n_docs is None or avgdl is None:
         docs = index.select(id_col, "dl").dropDuplicates([id_col])
         tot = docs.agg(F.count(F.lit(1)).alias("n"),
@@ -2198,7 +2223,7 @@ def hybrid_serve_topk_batch(
     tf = index.filter(F.col("term").isin(all_terms))
     dfreq = tf.groupBy("term").agg(F.count(F.lit(1)).alias("df"))
     sparse = (tf.join(F.broadcast(dfreq), "term")
-                .join(F.broadcast(qterms), "term")
+                .join(q_hint(qterms), "term")
                 .select("query_id", F.col(id_col),
                         _bm25_score_nano_expr(n_docs, avgdl, k1, b)
                         .alias("s_nano"))
@@ -2220,10 +2245,10 @@ def hybrid_serve_topk_batch(
         aggs = [F.sum(F.col("feat") * F.col("qfeat")).alias("dot")]
         if enriched:
             aggs.append(F.first("norm").alias("norm"))
-        dots = (pruned.join(F.broadcast(qdf), "bucket")
+        dots = (pruned.join(q_hint(qdf), "bucket")
                       .groupBy("query_id", id_col).agg(*aggs))
         sc = dots if enriched else dots.join(norms, id_col)
-        sc = sc.join(F.broadcast(qn), "query_id")
+        sc = sc.join(q_hint(qn), "query_id")
         cos = (F.col("dot").cast("double")
                / F.sqrt(F.col("norm").cast("double") * F.col("qnorm")))
         w_d = W.partitionBy("query_id").orderBy(

@@ -87,6 +87,16 @@ def index_versions(index_dir: str) -> list[dict]:
     if not os.path.isdir(index_dir):
         return []
     cur = _current_version(index_dir)
+    if cur is None:
+        return []
+    # trust the POINTER, not the directory listing: a crash between
+    # the manifest write and the pointer rename leaves an orphaned
+    # (possibly truncated) v-dir AHEAD of CURRENT — it was never
+    # committed, so it is not history; listing it would let an as-of
+    # read serve a corpus state the commit protocol says never
+    # happened (or die on the torn JSON). Replay re-commits that
+    # batch; GC treats the orphan as garbage.
+    cur_id = int(cur[1:])
     out = []
     for d in sorted(
             (d for d in os.listdir(index_dir)
@@ -95,6 +105,8 @@ def index_versions(index_dir: str) -> list[dict]:
              and os.path.exists(
                  os.path.join(index_dir, d, "manifest.json"))),
             key=lambda d: int(d[1:])):
+        if int(d[1:]) > cur_id:
+            continue  # orphan of a torn commit — not history
         out.append({"version": d, "batch_id": int(d[1:]),
                     "current": d == cur})
     return out
@@ -222,9 +234,13 @@ def _commit_version(index_dir: str, version: str, manifest: dict) -> None:
     batch-id monotonicity the contract implies so a second writer
     fails loudly instead of silently regressing the pointer."""
     cur = _current_version(index_dir)
-    assert cur is None or int(version[1:]) > int(cur[1:].rstrip("c")), (
-        f"non-monotone commit {version} over CURRENT={cur}: a second "
-        f"concurrent maintainer is racing this index_dir")
+    if cur is not None and int(version[1:]) <= int(cur[1:]):
+        # a real exception, not assert: asserts vanish under python -O,
+        # and this is the guard that keeps a second concurrent
+        # maintainer from silently regressing the pointer
+        raise RuntimeError(
+            f"non-monotone commit {version} over CURRENT={cur}: a "
+            f"second concurrent maintainer is racing this index_dir")
     vdir = os.path.join(index_dir, version)
     os.makedirs(vdir, exist_ok=True)
     with open(os.path.join(vdir, "manifest.json"), "w") as f:
@@ -249,16 +265,28 @@ def _gc_versions(index_dir: str, keep_versions: int) -> None:
     # maintainers run inside foreachBatch where an exception kills the
     # stream over a config nit.
     keep_versions = max(2, int(keep_versions))
+    cur = _current_version(index_dir)
+    if cur is None:
+        return  # nothing committed yet — nothing is garbage yet
+    cur_id = int(cur[1:])
     # numeric sort, NOT lexicographic: past batch_id 10^8 the 08d pad
     # overflows and "v100000000" sorts before "v99999999" — a
     # lexicographic keep-list would GC the newest manifest out from
-    # under the CURRENT pointer
+    # under the CURRENT pointer. And only versions AT OR BELOW the
+    # pointer count as history: a crash between the manifest write
+    # and the pointer rename leaves an orphaned — possibly
+    # TRUNCATED — v-dir ahead of CURRENT, and putting it in the keep
+    # set would make this GC (which now runs on every callback, before
+    # the replay guard) die on the torn JSON forever, wedging the
+    # maintainer on exactly the crash it exists to repair. The orphan
+    # is garbage (replay re-commits that batch from scratch).
     versions = sorted(
         (d for d in os.listdir(index_dir)
-         if d.startswith("v") and
-         os.path.isdir(os.path.join(index_dir, d))),
-        key=lambda d: int(d[1:].rstrip("c")))
-    keep = versions[-keep_versions:]
+         if d.startswith("v")
+         and os.path.isdir(os.path.join(index_dir, d))
+         and int(d[1:]) <= cur_id),
+        key=lambda d: int(d[1:]))
+    keep = set(versions[-keep_versions:])
     referenced: set[str] = set()
     for v in keep:
         m = _read_manifest(index_dir, v)

@@ -2785,3 +2785,61 @@ def test_partial_fold_prunes_dead_tombstones(spark, tmp_path):
     assert (n, avgdl) == wstats
     assert sorted(map(tuple, postings.collect())) == \
         sorted(map(tuple, want.collect()))
+
+
+def test_torn_commit_orphan_is_not_history_and_replay_recovers(
+        spark, tmp_path):
+    """Crash window between the manifest write and the pointer rename:
+    the orphaned (here: TRUNCATED) v-dir ahead of CURRENT is not
+    history — index_versions skips it, as_of floor-resolves past it
+    instead of dying on the torn JSON, the every-callback GC survives
+    it (no crash-loop on the exact crash it exists to repair), and the
+    replayed batch re-commits cleanly over the wreckage."""
+    import json
+    import os
+
+    from tantalus_spark.datapipe.textstats import build_term_index
+    from tantalus_spark.streaming.maintenance import (
+        index_refresh_batches, index_versions, load_term_index)
+
+    ix = str(tmp_path / "ix")
+    cb = index_refresh_batches(ix, keep_versions=3)
+    sch = "doc_id long, text string"
+    cb(spark.createDataFrame([(1, "apple banana")], sch), 0)
+    b1 = spark.createDataFrame([(2, "banana cherry")], sch)
+    cb(b1, 1)
+    # simulate the torn batch-2 commit: segment + truncated manifest
+    # written, pointer NOT swapped (still v00000001)
+    os.makedirs(os.path.join(ix, "seg-00000002"))
+    os.makedirs(os.path.join(ix, "v00000002"))
+    with open(os.path.join(ix, "v00000002", "manifest.json"), "w") as f:
+        f.write('{"segments": [{"name": "seg-')  # torn mid-write
+    assert open(os.path.join(ix, "CURRENT")).read().strip() == \
+        "v00000001"
+
+    # the orphan is invisible to history readers
+    assert [v["batch_id"] for v in index_versions(ix)] == [0, 1]
+    p2, (n2, _a) = load_term_index(spark, ix, as_of=2)  # floor -> v1
+    assert n2 == 2
+    # CURRENT read unaffected
+    _p, (n_cur, _ac) = load_term_index(spark, ix)
+    assert n_cur == 2
+
+    # replaying batch 2 must not crash-loop in the pre-guard GC, and
+    # must commit over the orphan
+    b2 = spark.createDataFrame([(3, "cherry date")], sch)
+    cb(b2, 2)
+    assert open(os.path.join(ix, "CURRENT")).read().strip() == \
+        "v00000002"
+    m = json.load(open(os.path.join(ix, "v00000002",
+                                    "manifest.json")))
+    assert m["n_docs"] == 3
+    postings, (n, avgdl) = load_term_index(spark, ix)
+    want, wstats = build_term_index(
+        spark.createDataFrame([(1, "apple banana"),
+                               (2, "banana cherry"),
+                               (3, "cherry date")], sch),
+        with_stats=True)
+    assert (n, avgdl) == wstats
+    assert sorted(map(tuple, postings.collect())) == \
+        sorted(map(tuple, want.collect()))
