@@ -2512,6 +2512,43 @@ def q157_consistent_asof_serve(spark, sf_dir):
         feats, k=10, depth=40, rrf_k=60, dim=64, n_docs=n, avgdl=avgdl)
 
 
+def q158_store_stats_audit(spark, sf_dir):
+    """Snapshot promotion audit: after q152's three CDC commits
+    (adds; deletes + same-batch delete/re-add + adds; adds, with a
+    compaction fold), audit_term_index recomputes the corpus stats
+    from the LIVE doclens view (masked union, per-doc rows — the
+    postings are never read) and compares them to the manifest's
+    exact integers, which the maintainer carried by
+    increment/decrement arithmetic through every add, delete,
+    delete/re-add, and the fold. The oracle recomputes both sides
+    from the survivor set and asserts consistency — a driver-visible
+    proof that the O(1)-per-commit stats bookkeeping equals the data
+    after the full CDC lifecycle."""
+    import atexit
+    import shutil
+    import tempfile
+
+    from tantalus_spark.streaming.maintenance import (
+        audit_term_index, index_refresh_batches)
+
+    docs = db_for(spark, sf_dir).table("documents").select("doc_id",
+                                                           "text")
+    ix = tempfile.mkdtemp(prefix="tantalus_q158_")
+    atexit.register(shutil.rmtree, ix, ignore_errors=True)
+    cb = index_refresh_batches(ix, op_col="op", max_segments=2)
+    add = lambda df: df.withColumn("op", F.lit("add"))  # noqa: E731
+    cb(add(docs.filter(F.col("doc_id") % 3 == 0)), 0)
+    dels = (docs.filter(F.col("doc_id") % 21 == 0)
+                .select("doc_id",
+                        F.lit(None).cast("string").alias("text"))
+                .withColumn("op", F.lit("delete")))
+    cb(add(docs.filter(F.col("doc_id") % 3 == 1))
+       .unionByName(dels)
+       .unionByName(add(docs.filter(F.col("doc_id") % 42 == 0))), 1)
+    cb(add(docs.filter(F.col("doc_id") % 3 == 2)), 2)
+    return audit_term_index(spark, ix)
+
+
 _ALL_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     name[1:]: fn
     for name, fn in list(globals().items())
@@ -2725,6 +2762,8 @@ _QUERY_ORDER = [
     # cross-store consistent serve at common_batch_id (one snapshot
     # across both index families when their maintainers diverge)
     "156_index_time_travel", "157_consistent_asof_serve",
+    # snapshot promotion audit: manifest stats vs live doclens recount
+    "158_store_stats_audit",
 ]
 
 QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
@@ -6833,4 +6872,23 @@ ORACLES["157_consistent_asof_serve"] = """
                     AS frk
           FROM fused)
     WHERE frk <= 10
+"""
+
+# q158: both audit sides recomputed from the q152 survivor set — the
+# manifest integers (carried by increment/decrement through the CDC
+# lifecycle) and the live doclens recount must both equal this, and
+# therefore each other (stats_consistent = TRUE).
+ORACLES["158_store_stats_audit"] = """
+    WITH dl AS (
+      SELECT CAST(len(string_split_regex(trim(lower(text)), '\\s+'))
+                  AS BIGINT) AS dl
+      FROM documents
+      WHERE text IS NOT NULL
+        AND NOT (doc_id % 21 = 0 AND doc_id % 42 <> 0))
+    SELECT CAST(count(*) AS BIGINT) AS n_docs,
+           CAST(sum(dl) AS BIGINT) AS dl_sum,
+           CAST(count(*) AS BIGINT) AS live_n_docs,
+           CAST(sum(dl) AS BIGINT) AS live_dl_sum,
+           TRUE AS stats_consistent
+    FROM dl
 """

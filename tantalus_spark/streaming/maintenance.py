@@ -218,6 +218,45 @@ def load_term_index(spark: SparkSession, index_dir: str,
     return postings, (n, avgdl)
 
 
+def audit_term_index(spark: SparkSession, index_dir: str,
+                     as_of: int | None = None) -> DataFrame:
+    """Consistency audit for one BM25 store version — the check an
+    operator runs before promoting a snapshot to serving or pinning
+    it for a training run: recompute the corpus stats from the LIVE
+    doclens view (masked union — per-doc rows, never the postings)
+    and compare them to the manifest's exact integers, which the
+    maintainer keeps by increment/decrement arithmetic across
+    adds/deletes/folds. One row: (n_docs, dl_sum, live_n_docs,
+    live_dl_sum, stats_consistent). A False here means the
+    increment/decrement bookkeeping diverged from the data — the
+    snapshot should not serve. O(live docs) rows scanned, one
+    aggregate; the postings (the store's bulk) are never read.
+    ``as_of`` audits a pinned history version, like the loaders."""
+    version = _resolve_version(index_dir, as_of)
+    if version is None:
+        raise ValueError(f"audit_term_index: {index_dir} has no "
+                         f"committed version")
+    m = _read_manifest(index_dir, version)
+    n, dl_sum = int(m["n_docs"]), int(m["dl_sum"])
+    lens = _masked_union(spark, index_dir, m, "doclens")
+    if lens is None:
+        live = spark.range(1).select(
+            F.lit(0).cast("long").alias("live_n_docs"),
+            F.lit(0).cast("long").alias("live_dl_sum"))
+    else:
+        live = lens.agg(
+            F.count(F.lit(1)).cast("long").alias("live_n_docs"),
+            F.coalesce(F.sum("dl"), F.lit(0)).cast("long")
+             .alias("live_dl_sum"))
+    return live.select(
+        F.lit(n).cast("long").alias("n_docs"),
+        F.lit(dl_sum).cast("long").alias("dl_sum"),
+        F.col("live_n_docs"), F.col("live_dl_sum"),
+        ((F.col("live_n_docs") == F.lit(n))
+         & (F.col("live_dl_sum") == F.lit(dl_sum)))
+        .alias("stats_consistent"))
+
+
 def _commit_version(index_dir: str, version: str, manifest: dict) -> None:
     """Write an immutable manifest directory, then atomically swap the
     pointer (tmp + rename — the object-store commit-file primitive).

@@ -2540,9 +2540,11 @@ def test_tiered_compaction_never_rewrites_dominant_segment(
 def test_commit_version_rejects_non_monotone_pointer(spark, tmp_path):
     """The single-writer contract made loud: committing a version at
     or below CURRENT (what a second concurrent maintainer racing the
-    pointer would do) must assert, never silently regress the
-    pointer. The replay guard means a well-behaved maintainer never
-    reaches the commit with a stale id — only a racing writer does."""
+    pointer would do) must raise a REAL exception — RuntimeError, not
+    assert, which vanishes under python -O — never silently regress
+    the pointer. The replay guard means a well-behaved maintainer
+    never reaches the commit with a stale id — only a racing writer
+    does."""
     import pytest as _pytest
 
     from tantalus_spark.streaming.maintenance import (
@@ -2554,7 +2556,7 @@ def test_commit_version_rejects_non_monotone_pointer(spark, tmp_path):
                              "doc_id long, text string"), 5)
     # same version and an older version both refuse
     for bad in ("v00000005", "v00000003"):
-        with _pytest.raises(AssertionError, match="non-monotone"):
+        with _pytest.raises(RuntimeError, match="non-monotone"):
             _commit_version(ix, bad, {"segments": [], "tombstones": [],
                                       "id_col": "doc_id"})
     # a newer version is fine
@@ -2843,3 +2845,50 @@ def test_torn_commit_orphan_is_not_history_and_replay_recovers(
     assert (n, avgdl) == wstats
     assert sorted(map(tuple, postings.collect())) == \
         sorted(map(tuple, want.collect()))
+
+
+def test_audit_term_index_detects_stat_divergence(spark, tmp_path):
+    """audit_term_index passes a healthy store (manifest integers ==
+    live doclens recount, through CDC adds/deletes and a fold), audits
+    pinned history versions via as_of, and flags a manifest whose
+    stats were corrupted — without ever reading the postings."""
+    import json
+    import os
+
+    import pytest
+
+    from tantalus_spark.streaming.maintenance import (
+        audit_term_index, index_refresh_batches)
+
+    ix = str(tmp_path / "ix")
+    with pytest.raises(ValueError, match="no committed version"):
+        audit_term_index(spark, ix)
+    cb = index_refresh_batches(ix, op_col="op", max_segments=2,
+                               keep_versions=4)
+    schema = "doc_id long, text string, op string"
+    cb(spark.createDataFrame(
+        [(1, "apple banana", "add"), (2, "banana cherry", "add")],
+        schema), 0)
+    cb(spark.createDataFrame(
+        [(2, None, "delete"), (3, "cherry date", "add")], schema), 1)
+    cb(spark.createDataFrame(
+        [(4, "elder fig", "add")], schema), 2)  # fold
+
+    row = audit_term_index(spark, ix).first()
+    assert row["stats_consistent"] is True
+    assert row["n_docs"] == row["live_n_docs"] == 3
+    assert row["dl_sum"] == row["live_dl_sum"] == 6
+    # pinned history audits too
+    row1 = audit_term_index(spark, ix, as_of=1).first()
+    assert row1["stats_consistent"] is True and row1["n_docs"] == 2
+
+    # corrupt the CURRENT manifest's integers: audit must flag it
+    cur = open(os.path.join(ix, "CURRENT")).read().strip()
+    mpath = os.path.join(ix, cur, "manifest.json")
+    m = json.load(open(mpath))
+    m["n_docs"] += 1
+    with open(mpath, "w") as f:
+        json.dump(m, f)
+    bad = audit_term_index(spark, ix).first()
+    assert bad["stats_consistent"] is False
+    assert bad["n_docs"] == 4 and bad["live_n_docs"] == 3
