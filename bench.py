@@ -88,6 +88,11 @@ HEADLINE = [
     # commits (incl. the compaction fold) + the masked-view BM25 serve,
     # the honest end-to-end cost of the maintained-index story
     "152_segmented_store_serve",
+    # r10 second-half addition: snapshot PROMOTION — the q152
+    # lifecycle plus the audit-gated export of the masked view into
+    # one immutable term-sorted artifact and the zero-mask-join serve
+    # off it (LSM-for-writes / snapshot-for-reads)
+    "159_snapshot_promote_serve",
 ]
 
 

@@ -2549,6 +2549,54 @@ def q158_store_stats_audit(spark, sf_dir):
     return audit_term_index(spark, ix)
 
 
+def q159_snapshot_promote_serve(spark, sf_dir):
+    """Snapshot PROMOTION end to end, driver-visible: q152's three
+    CDC commits (adds; deletes + same-batch delete/re-add + adds;
+    adds, max_segments=2 so the fold fires), then
+    export_term_snapshot promotes CURRENT — the audit gate verifies
+    the manifest's integers against a live doclens recount, the
+    masked multi-segment view is folded into ONE immutable
+    term-sorted artifact, and snapshot.json commits last — and the
+    serve runs off load_term_snapshot: one postings scan per BM25
+    leg, zero tombstone joins (plan-contract test in
+    tests/test_plans.py). Bit-identical to q152's live-store serve
+    and to a full rebuild over the survivors, which is what the
+    oracle computes. This is the LSM-for-writes /
+    snapshot-for-reads production split: the store keeps absorbing
+    CDC while training runs and serving fleets read promoted,
+    pinned, audited artifacts."""
+    import atexit
+    import shutil
+    import tempfile
+
+    from tantalus_spark.datapipe.textstats import bm25_rank_indexed
+    from tantalus_spark.streaming.maintenance import (
+        export_term_snapshot, index_refresh_batches,
+        load_term_snapshot)
+
+    docs = db_for(spark, sf_dir).table("documents").select("doc_id",
+                                                           "text")
+    root = tempfile.mkdtemp(prefix="tantalus_q159_")
+    atexit.register(shutil.rmtree, root, ignore_errors=True)
+    cb = index_refresh_batches(root + "/ix", op_col="op",
+                               max_segments=2)
+    add = lambda df: df.withColumn("op", F.lit("add"))  # noqa: E731
+    cb(add(docs.filter(F.col("doc_id") % 3 == 0)), 0)
+    dels = (docs.filter(F.col("doc_id") % 21 == 0)
+                .select("doc_id",
+                        F.lit(None).cast("string").alias("text"))
+                .withColumn("op", F.lit("delete")))
+    cb(add(docs.filter(F.col("doc_id") % 3 == 1))
+       .unionByName(dels)
+       .unionByName(add(docs.filter(F.col("doc_id") % 42 == 0))), 1)
+    cb(add(docs.filter(F.col("doc_id") % 3 == 2)), 2)
+    export_term_snapshot(spark, root + "/ix", root + "/snap",
+                         partitions=8)
+    postings, (n, avgdl) = load_term_snapshot(spark, root + "/snap")
+    return bm25_rank_indexed(postings, ["customer", "merge", "sort"],
+                             k=15, n_docs=n, avgdl=avgdl)
+
+
 _ALL_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     name[1:]: fn
     for name, fn in list(globals().items())
@@ -2764,6 +2812,10 @@ _QUERY_ORDER = [
     "156_index_time_travel", "157_consistent_asof_serve",
     # snapshot promotion audit: manifest stats vs live doclens recount
     "158_store_stats_audit",
+    # snapshot PROMOTION: audit-gated export of the masked LSM view
+    # into one immutable term-sorted artifact, served with zero
+    # tombstone joins — the LSM-for-writes / snapshot-for-reads split
+    "159_snapshot_promote_serve",
 ]
 
 QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
@@ -6892,3 +6944,9 @@ ORACLES["158_store_stats_audit"] = """
            TRUE AS stats_consistent
     FROM dl
 """
+
+# q159: identical survivor-set BM25 rebuild to q152 — the snapshot
+# promotion changes the serving ARTIFACT (one folded term-sorted
+# parquet, zero tombstone joins), never the values.
+ORACLES["159_snapshot_promote_serve"] = ORACLES[
+    "152_segmented_store_serve"]

@@ -257,6 +257,122 @@ def audit_term_index(spark: SparkSession, index_dir: str,
         .alias("stats_consistent"))
 
 
+_SNAPSHOT_STATS = "snapshot.json"
+
+
+def export_term_snapshot(spark: SparkSession, index_dir: str,
+                         dest: str, as_of: int | None = None,
+                         verify: bool = True,
+                         partitions: int | None = None) -> dict:
+    """Promote one BM25 store version to an immutable WAREHOUSE
+    SNAPSHOT: materialize the masked live view (tombstones applied
+    physically, the multi-segment union folded to one artifact) into
+    ``dest`` in the serving-optimized layout — postings repartitioned
+    by ``term`` and SORTED within partitions so a serve's term
+    IN-filter prunes parquet row groups by min/max stats, plus the
+    doclens sidecar and a ``snapshot.json`` carrying the manifest's
+    exact integer corpus stats. A snapshot serve
+    (:func:`load_term_snapshot` → :func:`~tantalus_spark.datapipe.
+    textstats.bm25_rank_indexed`) reads ONE plain artifact: no
+    per-segment unions, no broadcast tombstone mask in the plan at
+    all — the shape a 100 TB deployment ships to its serving fleet /
+    training runs while the LSM store keeps absorbing writes
+    (LSM-for-writes, snapshot-for-reads; the same promotion step a
+    table format's "compact + clone" performs). ``as_of`` promotes a
+    pinned history version — the reproducibility artifact for a
+    training run. ``partitions`` sizes the output files (default:
+    ``spark.sql.shuffle.partitions``).
+
+    ``verify=True`` runs the :func:`audit_term_index` check on the
+    SAME resolved manifest first — the manifest's
+    increment/decrement-carried integers against a live doclens
+    recount — and raises ``RuntimeError`` instead of promoting a
+    store whose bookkeeping diverged from its data (q158's audit,
+    operationalized as the promotion gate).
+
+    The export commits like the store does: data first,
+    ``snapshot.json`` LAST via tmp+rename — a torn export has no
+    stats file and :func:`load_term_snapshot` refuses it. A non-empty
+    ``dest`` is refused (snapshots are immutable; promote to a fresh
+    path and swap your own pointer). Returns the stats dict.
+
+    Reference capability upgraded: the reference serves every search
+    from live Postgres (search_util/search_helper.py:27-49) — there
+    is no maintained index to promote, version, or pin."""
+    version = _resolve_version(index_dir, as_of)
+    if version is None:
+        raise ValueError(f"export_term_snapshot: {index_dir} has no "
+                         f"committed version to promote")
+    if os.path.isdir(dest) and os.listdir(dest):
+        raise ValueError(
+            f"export_term_snapshot: dest {dest} is not empty — "
+            f"snapshots are immutable; promote to a fresh path")
+    m = _read_manifest(index_dir, version)
+    n, dl_sum = int(m["n_docs"]), int(m["dl_sum"])
+    lens = _masked_union(spark, index_dir, m, "doclens")
+    if verify:
+        if lens is None:
+            live_n, live_s = 0, 0
+        else:
+            tot = lens.agg(
+                F.count(F.lit(1)).cast("long").alias("n"),
+                F.coalesce(F.sum("dl"), F.lit(0)).cast("long")
+                 .alias("s")).first()
+            live_n, live_s = int(tot["n"]), int(tot["s"])
+        if (live_n, live_s) != (n, dl_sum):
+            raise RuntimeError(
+                f"export_term_snapshot: refusing to promote "
+                f"{index_dir}@{version}: manifest stats "
+                f"(n_docs={n}, dl_sum={dl_sum}) != live doclens "
+                f"recount (n_docs={live_n}, dl_sum={live_s}) — the "
+                f"increment/decrement bookkeeping diverged from the "
+                f"data (see audit_term_index)")
+    os.makedirs(dest, exist_ok=True)
+    postings = _masked_union(spark, index_dir, m, "postings")
+    if postings is not None:
+        shaped = (postings.repartition(int(partitions), F.col("term"))
+                  if partitions is not None
+                  else postings.repartition(F.col("term")))
+        (shaped.sortWithinPartitions("term")
+               .write.mode("overwrite")
+               .parquet(os.path.join(dest, "postings")))
+        if lens is not None:
+            (lens.coalesce(1).write.mode("overwrite")
+                 .parquet(os.path.join(dest, "doclens")))
+    stats = {"n_docs": n, "dl_sum": dl_sum, "id_col": m["id_col"],
+             "source_version": version,
+             "source_batch_id": int(version[1:]),
+             "empty": postings is None}
+    tmp = os.path.join(dest, _SNAPSHOT_STATS + ".tmp")
+    with open(tmp, "w") as f:
+        json.dump(stats, f)
+    os.replace(tmp, os.path.join(dest, _SNAPSHOT_STATS))
+    return stats
+
+
+def load_term_snapshot(spark: SparkSession, dest: str):
+    """Read a promoted snapshot: (postings DataFrame, (n_docs,
+    avgdl)) — the same contract as :func:`load_term_index`, off the
+    single folded artifact :func:`export_term_snapshot` wrote. The
+    stats come from ``snapshot.json``'s exact integers (avgdl is the
+    one division a rebuild performs — bit-identical). A directory
+    without a committed ``snapshot.json`` (torn export, or not a
+    snapshot at all) is refused rather than served stale."""
+    p = os.path.join(dest, _SNAPSHOT_STATS)
+    if not os.path.exists(p):
+        raise ValueError(
+            f"load_term_snapshot: {dest} has no {_SNAPSHOT_STATS} — "
+            f"torn or foreign export; re-run export_term_snapshot "
+            f"into a fresh dest")
+    with open(p) as f:
+        s = json.load(f)
+    n, dl_sum = int(s["n_docs"]), int(s["dl_sum"])
+    avgdl = float(dl_sum) / float(n) if n > 0 else 0.0
+    if s.get("empty"):
+        return None, (0, 0.0)
+    return spark.read.parquet(os.path.join(dest, "postings")), (n, avgdl)
+
+
 def _commit_version(index_dir: str, version: str, manifest: dict) -> None:
     """Write an immutable manifest directory, then atomically swap the
     pointer (tmp + rename — the object-store commit-file primitive).

@@ -961,3 +961,44 @@ def test_maintained_feats_store_serve_partition_prunes(spark, tmp_path):
     assert len(pruned) == 2, (len(pruned), plan[:3000])
     rows = served.collect()
     assert 0 < len(rows) <= 10
+
+
+def test_snapshot_serve_scans_one_artifact_no_mask_join(spark, tmp_path):
+    """The promotion payoff, plan-verified: a serve off a PROMOTED
+    snapshot (export_term_snapshot -> load_term_snapshot) reads ONE
+    folded artifact — exactly one postings scan per BM25 leg (tf + df
+    = two pushdown-pruned chunks, vs two PER SEGMENT on the live
+    store) and NO tombstone anti-join anywhere in the plan: the
+    export applied the mask physically, so the serving fleet never
+    pays it."""
+    from pyspark.sql import functions as F
+
+    from tantalus_spark.datapipe.textstats import bm25_rank_indexed
+    from tantalus_spark.streaming.maintenance import (
+        export_term_snapshot, index_refresh_batches,
+        load_term_snapshot)
+
+    docs = db_for(spark, SF).table("documents").select("doc_id", "text")
+    ix = str(tmp_path / "ix")
+    cb = index_refresh_batches(ix, op_col="op")
+    cb(docs.filter("doc_id < 150").withColumn("op", F.lit("add")), 0)
+    cb(docs.filter("doc_id >= 150 and doc_id < 300")
+           .withColumn("op", F.lit("add"))
+           .unionByName(spark.createDataFrame(
+               [(3, None, "delete")],
+               "doc_id long, text string, op string")), 1)
+    cb(docs.filter("doc_id >= 300 and doc_id < 450")
+           .withColumn("op", F.lit("add")), 2)
+
+    snap = str(tmp_path / "snap")
+    export_term_snapshot(spark, ix, snap, partitions=4)
+    postings, (n, avgdl) = load_term_snapshot(spark, snap)
+    served = bm25_rank_indexed(postings, ["customer", "hash"], k=10,
+                               n_docs=n, avgdl=avgdl)
+    plan = _plan(served)
+    chunks = [c.splitlines()[0] for c in plan.split("PushedFilters:")[1:]]
+    postings_chunks = [c for c in chunks if "In(term" in c]
+    assert len(postings_chunks) == 2, (len(postings_chunks), chunks)
+    assert "LeftAnti" not in plan  # mask applied at export, not serve
+    rows = served.collect()
+    assert 0 < len(rows) <= 10

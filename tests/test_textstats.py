@@ -2892,3 +2892,86 @@ def test_audit_term_index_detects_stat_divergence(spark, tmp_path):
     bad = audit_term_index(spark, ix).first()
     assert bad["stats_consistent"] is False
     assert bad["n_docs"] == 4 and bad["live_n_docs"] == 3
+
+
+def test_export_term_snapshot_promotes_pins_and_guards(spark, tmp_path):
+    """Snapshot promotion end to end: export of CURRENT folds the
+    multi-segment masked view (tombstones applied physically) into one
+    immutable artifact whose postings multiset, exact stats, and
+    served BM25 scores are bit-identical to the live store's view; an
+    as_of export promotes the pinned HISTORY version (pre-delete,
+    pre-fold); and the guards hold — a tampered manifest blocks
+    promotion (the audit gate), a non-empty dest is refused, and a
+    torn export (no snapshot.json) is refused by the loader."""
+    import json
+    import os
+
+    import pytest
+
+    from tantalus_spark.datapipe.textstats import bm25_rank_indexed
+    from tantalus_spark.streaming.maintenance import (
+        export_term_snapshot, index_refresh_batches, load_term_index,
+        load_term_snapshot)
+
+    ix = str(tmp_path / "ix")
+    cb = index_refresh_batches(ix, op_col="op", max_segments=2,
+                               keep_versions=4)
+    schema = "doc_id long, text string, op string"
+    cb(spark.createDataFrame(
+        [(1, "apple banana", "add"), (2, "banana cherry", "add"),
+         (3, "cherry cherry apple", "add")], schema), 0)
+    cb(spark.createDataFrame(
+        [(2, None, "delete"),
+         (3, None, "delete"), (3, "apple apple rewritten", "add"),
+         (4, "banana date", "add")], schema), 1)
+    cb(spark.createDataFrame(
+        [(5, "elder apple fig", "add")], schema), 2)  # fold fires
+
+    snap = str(tmp_path / "snap")
+    stats = export_term_snapshot(spark, ix, snap)
+    assert stats["source_batch_id"] == 2 and not stats["empty"]
+    sp, (sn, savg) = load_term_snapshot(spark, snap)
+    lp, (ln, lavg) = load_term_index(spark, ix)
+    assert (sn, savg) == (ln, lavg)
+    assert sorted(map(tuple, sp.collect())) == \
+        sorted(map(tuple, lp.collect()))
+    served = [tuple(r) for r in bm25_rank_indexed(
+        sp, ["apple", "banana"], k=10, n_docs=sn, avgdl=savg).collect()]
+    want = [tuple(r) for r in bm25_rank_indexed(
+        lp, ["apple", "banana"], k=10, n_docs=ln, avgdl=lavg).collect()]
+    assert served == want
+    # doclens sidecar rides along for downstream audits
+    assert sorted(
+        tuple(r) for r in
+        spark.read.parquet(os.path.join(snap, "doclens")).collect()
+    ) == [(1, 2), (3, 3), (4, 2), (5, 3)]
+
+    # as_of export promotes the pinned pre-delete / pre-fold view
+    snap1 = str(tmp_path / "snap1")
+    export_term_snapshot(spark, ix, snap1, as_of=1)
+    p1, (n1, a1) = load_term_snapshot(spark, snap1)
+    h1, (hn, ha) = load_term_index(spark, ix, as_of=1)
+    assert (n1, a1) == (hn, ha)
+    assert sorted(map(tuple, p1.collect())) == \
+        sorted(map(tuple, h1.collect()))
+
+    # immutability: a non-empty dest is refused
+    with pytest.raises(ValueError, match="not empty"):
+        export_term_snapshot(spark, ix, snap)
+    # torn export: data without the committed stats file is refused
+    os.remove(os.path.join(snap1, "snapshot.json"))
+    with pytest.raises(ValueError, match="snapshot.json"):
+        load_term_snapshot(spark, snap1)
+
+    # audit gate: a manifest whose bookkeeping diverged must not ship
+    cur = open(os.path.join(ix, "CURRENT")).read().strip()
+    mpath = os.path.join(ix, cur, "manifest.json")
+    m = json.load(open(mpath))
+    m["dl_sum"] += 7
+    with open(mpath, "w") as f:
+        json.dump(m, f)
+    with pytest.raises(RuntimeError, match="refusing to promote"):
+        export_term_snapshot(spark, ix, str(tmp_path / "snap2"))
+    # verify=False is the explicit override (forensics / salvage)
+    export_term_snapshot(spark, ix, str(tmp_path / "snap3"),
+                         verify=False)
