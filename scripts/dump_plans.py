@@ -193,6 +193,12 @@ SHOW = [
      " (r10): both stores pinned to common_batch_id — the plan is the"
      " q155 maintained hybrid serve over the common-prefix manifests;"
      " consistency costs K pointer-file reads, nothing in the plan"),
+    ("159_snapshot_promote_serve", "snapshot promotion (r10): the"
+     " serve reads the ONE promoted term-sorted artifact — a single"
+     " pushdown-pruned postings scan per BM25 leg, stats from"
+     " snapshot.json, and NO tombstone anti-join anywhere (the export"
+     " applied the mask physically); compare q152's per-segment"
+     " unions + broadcast mask"),
 ]
 
 
