@@ -2732,7 +2732,7 @@ _QUERY_ORDER = [
     # §2 core: scans, filters, joins, aggregates, windows, set ops
     "01_pricing_summary", "04_range_in_filter", "07_region_revenue",
     "10_exists_same_child", "12_exclude_not_exists", "13_count_distinct",
-    "15_cross_agg_eq", "18_topk_per_group", "20_set_ops",
+    "15_cross_agg_eq", "18_topk_per_group",
     "22_scalar_functions", "26_search_union", "29_rollup",
     "30_window_frames", "31_asof_join", "32_range_join",
     "37_explode_tokens", "39_dashboard_counts", "55_regex_lookup",
@@ -2741,27 +2741,48 @@ _QUERY_ORDER = [
     "45_minhash_lsh", "47_ann_cosine",
     "50_sessionization", "51_embedding_near_dup",
     "56_funnel", "58_clean_corpus",
-    "70_decontaminate", "71_weighted_mix",
+    "70_decontaminate",
     "74_pq_ann",
     # r5/r6 rotation survivors (family anchors kept in-window)
     "106_dsir_select", "108_build_corpus",
-    "90_packed_text", "102_bpe_encode", "104_bigram_lm",
     "117_gopher_rules",
-    "122_minhash_calibration", "123_bm25_indexed",
+    "123_bm25_indexed",
     # r8/r9 rotation survivors (family anchors kept in-window; 132
     # anchors the JS-sketch family for out-of-window 135)
-    "132_source_divergence", "134_dedup_funnel", "138_pq_recall",
+    "132_source_divergence", "134_dedup_funnel",
     "141_hybrid_serve", "142_group_split_clustered",
-    "143_pruned_index_serve", "144_merged_dense_serve",
-    # r10 rotation: the r9 tail additions take their official driver
-    # rows (batched hybrid serving, one-pass IVF health, maintained
-    # ANN/LSH-band serves, batched IVFPQ serving)
+    "143_pruned_index_serve",
+    # r10 rotation survivors (batched hybrid serving, one-pass IVF
+    # health, maintained ANN/LSH-band serves, batched IVFPQ serving)
     "147_hybrid_serve_batch", "148_ivf_index_health",
     "149_maintained_ann_serve", "150_maintained_novel_serve",
     "151_ann_serve_batch",
+    # r11 ROTATION: the full store-lifecycle family takes its official
+    # driver rows — segmented (LSM) store serve, tabular offline-eval
+    # legs of both batch servers, both-stores-maintained hybrid serve,
+    # index time travel, consistent cross-store as-of, stats audit,
+    # and audit-gated snapshot promotion.
+    "152_segmented_store_serve",
+    "153_hybrid_eval_tabular", "154_ann_eval_tabular",
+    "155_maintained_hybrid_serve",
+    "156_index_time_travel", "157_consistent_asof_serve",
+    "158_store_stats_audit", "159_snapshot_promote_serve",
     # ---- 50-entry line: families below are all gated above (see the
-    # rotation notes), carry green r2-r9 driver rows, and are
-    # unit-tested
+    # rotation notes), carry green r2-r10 driver rows, and are
+    # unit-tested.
+    # r11 ROTATED OUT (all green driver rows, in-window family anchors):
+    # 20 set-ops -> 19(green r2)/26 search-union; 71 weighted-mix ->
+    # 61 hash-split(green)/103 temperature-mix family + green r4 row;
+    # 90 packed-text -> 84 pack-sequences(green r5 family)/41 profile;
+    # 102 bpe-encode -> 104's twin, both green r6, tokenizer unit-tested;
+    # 104 bigram-lm -> 102/97 lm-score family greens; 122 minhash
+    # calibration -> 45 minhash-LSH anchor; 138 pq-recall ->
+    # 148 ivf-health + 151 batched IVFPQ serve; 144 merged-dense-serve
+    # -> 149 maintained-ANN serve + incoming 155/157 maintained-dense
+    # family.
+    "20_set_ops", "71_weighted_mix", "90_packed_text",
+    "102_bpe_encode", "104_bigram_lm", "122_minhash_calibration",
+    "138_pq_recall", "144_merged_dense_serve",
     "133_jl_distortion", "136_ivf_recall", "137_lang_confusion",
     "145_score_calibration", "146_ivf_balance",
     "131_hybrid_rrf", "135_js_drift", "139_bpe_compression",
@@ -2797,25 +2818,6 @@ _QUERY_ORDER = [
     "92_vocab_coverage", "94_source_report", "95_paragraph_dedup",
     "99_corpus_shuffle", "100_bpe_merges",
     "103_temperature_mix", "105_gate_attribution",
-    # r10 additions beyond the window: the segmented-store (LSM) serve
-    # — CDC commits + compaction + masked-view BM25 in one oracled
-    # entry — the TABULAR-query offline-eval legs of both batch
-    # servers, and the both-stores-maintained hybrid serve; r11
-    # ROTATION CANDIDATES under the standing protocol.
-    "152_segmented_store_serve",
-    "153_hybrid_eval_tabular", "154_ann_eval_tabular",
-    "155_maintained_hybrid_serve",
-    # r10 late additions: TIME-TRAVEL reads on the segmented store —
-    # an as-of pin that survives a compaction fold — and the
-    # cross-store consistent serve at common_batch_id (one snapshot
-    # across both index families when their maintainers diverge)
-    "156_index_time_travel", "157_consistent_asof_serve",
-    # snapshot promotion audit: manifest stats vs live doclens recount
-    "158_store_stats_audit",
-    # snapshot PROMOTION: audit-gated export of the masked LSM view
-    # into one immutable term-sorted artifact, served with zero
-    # tombstone joins — the LSM-for-writes / snapshot-for-reads split
-    "159_snapshot_promote_serve",
 ]
 
 QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {

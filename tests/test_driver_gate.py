@@ -106,7 +106,7 @@ def test_checked_window_covers_every_operator_family():
         "15_cross_agg_eq",       # annotate preagg
         "18_topk_per_group",     # ordered limit (covers 16 pagination)
         "30_window_frames",      # window family (covers 17/36)
-        "20_set_ops", "26_search_union",
+        "26_search_union",       # set-op family (covers 19/20 greens)
         "29_rollup",             # grouping sets (covers 28/38)
         "31_asof_join", "32_range_join",
         "37_explode_tokens", "55_regex_lookup",
@@ -116,33 +116,37 @@ def test_checked_window_covers_every_operator_family():
         "51_embedding_near_dup",  # embedding near-dup (covers 69 + 133)
         "50_sessionization",   # event windows (covers 49 tumbling, green r5)
         "56_funnel", "58_clean_corpus",
-        "70_decontaminate", "71_weighted_mix",  # 71: post-oracle-fix row
+        "70_decontaminate",  # 71 weighted-mix rotated out on its green row
     ]
     missing = [n for n in must_be_checked if n not in window]
     assert not missing, f"outside the 50-entry checked window: {missing}"
-    # the r10 rotation gives the r9 tail additions (local-gate evidence
-    # only) their official driver rows. The five rotated OUT
-    # (133/136/137/145/146) all carry green CORRECTNESS_r09 rows and
-    # their families stay anchored by in-window twins
-    # (51/148+47/41/122/148 respectively — see the inventory.py
-    # rotation notes).
+    # the r11 rotation gives the store-lifecycle family (local-gate
+    # evidence only until now) its official driver rows. The eight
+    # rotated OUT (20/71/90/102/104/122/138/144) all carry green
+    # driver rows from r2-r10 and their families stay anchored by
+    # in-window twins (26 / 61+103 family / 41+84 / 104-twin / 102 /
+    # 45 / 148+151 / 149+155+157 — see the inventory.py rotation notes).
     rotated_in = [
+        # r11: the full LSM-store lifecycle
+        "152_segmented_store_serve",
+        "153_hybrid_eval_tabular", "154_ann_eval_tabular",
+        "155_maintained_hybrid_serve",
+        "156_index_time_travel", "157_consistent_asof_serve",
+        "158_store_stats_audit", "159_snapshot_promote_serve",
+        # r10 survivors that must keep their window slots
         "147_hybrid_serve_batch", "148_ivf_index_health",
         "149_maintained_ann_serve", "150_maintained_novel_serve",
         "151_ann_serve_batch",
-        # r8/r9 survivors that must keep their window slots
-        "132_source_divergence",
-        "134_dedup_funnel", "138_pq_recall",
+        # r8/r9 survivors
+        "132_source_divergence", "134_dedup_funnel",
         "141_hybrid_serve", "142_group_split_clustered",
-        "143_pruned_index_serve", "144_merged_dense_serve",
+        "143_pruned_index_serve",
         # family anchors kept from the r5-r7 windows
-        "90_packed_text", "102_bpe_encode", "104_bigram_lm",
-        "117_gopher_rules", "122_minhash_calibration",
-        "123_bm25_indexed",
+        "117_gopher_rules", "123_bm25_indexed",
         "106_dsir_select", "108_build_corpus",
     ]
     out = [n for n in rotated_in if n not in window]
-    assert not out, f"r9-rotated entries fell back out of the window: {out}"
+    assert not out, f"rotated entries fell back out of the window: {out}"
 
 
 def test_comparator_is_sign_of_zero_strict():
