@@ -292,9 +292,20 @@ def export_term_snapshot(spark: SparkSession, index_dir: str,
 
     The export commits like the store does: data first,
     ``snapshot.json`` LAST via tmp+rename — a torn export has no
-    stats file and :func:`load_term_snapshot` refuses it. A non-empty
-    ``dest`` is refused (snapshots are immutable; promote to a fresh
-    path and swap your own pointer). Returns the stats dict.
+    stats file and :func:`load_term_snapshot` refuses it; on a write
+    failure the partial data is removed so ``dest`` stays reusable. A
+    non-empty ``dest`` (or a non-directory in its place) is refused
+    (snapshots are immutable; promote to a fresh path and swap your
+    own pointer). Returns the stats dict.
+
+    RETENTION HAZARD: the verify recount and the postings/doclens
+    writes are separate Spark jobs over the same pinned manifest. A
+    CONCURRENT maintainer commit plus GC can delete that version's
+    segment files mid-export when the pinned version sits at the edge
+    of the retention window — the export then fails loudly (and
+    cleans ``dest``), never silently serves a torn artifact. Promote
+    recent versions, raise ``keep_versions`` to cover the export
+    duration, or quiesce the maintainer during promotion.
 
     Reference capability upgraded: the reference serves every search
     from live Postgres (search_util/search_helper.py:27-49) — there
@@ -303,10 +314,15 @@ def export_term_snapshot(spark: SparkSession, index_dir: str,
     if version is None:
         raise ValueError(f"export_term_snapshot: {index_dir} has no "
                          f"committed version to promote")
-    if os.path.isdir(dest) and os.listdir(dest):
+    # refuse a FILE at dest too, not just a non-empty dir — otherwise
+    # the guard falls through and os.makedirs dies with a raw
+    # FileExistsError instead of this message
+    if os.path.exists(dest) and (not os.path.isdir(dest)
+                                 or os.listdir(dest)):
         raise ValueError(
-            f"export_term_snapshot: dest {dest} is not empty — "
-            f"snapshots are immutable; promote to a fresh path")
+            f"export_term_snapshot: dest {dest} is not an empty "
+            f"directory — snapshots are immutable; promote to a "
+            f"fresh path")
     m = _read_manifest(index_dir, version)
     n, dl_sum = int(m["n_docs"]), int(m["dl_sum"])
     lens = _masked_union(spark, index_dir, m, "doclens")
@@ -327,18 +343,50 @@ def export_term_snapshot(spark: SparkSession, index_dir: str,
                 f"recount (n_docs={live_n}, dl_sum={live_s}) — the "
                 f"increment/decrement bookkeeping diverged from the "
                 f"data (see audit_term_index)")
-    os.makedirs(dest, exist_ok=True)
     postings = _masked_union(spark, index_dir, m, "postings")
-    if postings is not None:
-        shaped = (postings.repartition(int(partitions), F.col("term"))
-                  if partitions is not None
-                  else postings.repartition(F.col("term")))
-        (shaped.sortWithinPartitions("term")
-               .write.mode("overwrite")
-               .parquet(os.path.join(dest, "postings")))
-        if lens is not None:
-            (lens.coalesce(1).write.mode("overwrite")
-                 .parquet(os.path.join(dest, "doclens")))
+    # metadata-only divergence guard that holds even under
+    # verify=False: a store with zero segments but non-zero manifest
+    # stats must not export an empty=true snapshot whose recorded
+    # n_docs contradicts the (0, 0.0) a load would serve
+    if postings is None and (n, dl_sum) != (0, 0):
+        raise RuntimeError(
+            f"export_term_snapshot: refusing to promote "
+            f"{index_dir}@{version}: the manifest records "
+            f"n_docs={n}, dl_sum={dl_sum} but lists no segments — "
+            f"the store diverged (see audit_term_index)")
+    os.makedirs(dest, exist_ok=True)
+    try:
+        if postings is not None:
+            shaped = (postings.repartition(int(partitions),
+                                           F.col("term"))
+                      if partitions is not None
+                      else postings.repartition(F.col("term")))
+            (shaped.sortWithinPartitions("term")
+                   .write.mode("overwrite")
+                   .parquet(os.path.join(dest, "postings")))
+            if lens is not None:
+                # doclens is one row PER SURVIVING DOCUMENT — corpus-
+                # sized, so it gets the same distributed shaping as
+                # postings, never a single-task coalesce(1) funnel
+                # (the per-batch store sidecars stay coalesce(1):
+                # those are O(batch) rows). The serve path never
+                # reads this (load_term_snapshot reads snapshot.json
+                # + postings only); it exists so audits can recount
+                # the promoted artifact without the source store.
+                id_col = m["id_col"]
+                lshaped = (lens.repartition(int(partitions),
+                                            F.col(id_col))
+                           if partitions is not None
+                           else lens.repartition(F.col(id_col)))
+                (lshaped.write.mode("overwrite")
+                        .parquet(os.path.join(dest, "doclens")))
+    except BaseException:
+        # keep dest reusable: a failed write would otherwise leave a
+        # torn NON-EMPTY dest that the immutability guard refuses
+        # forever (manual cleanup). No snapshot.json was committed,
+        # so removing the partial data loses nothing.
+        shutil.rmtree(dest, ignore_errors=True)
+        raise
     stats = {"n_docs": n, "dl_sum": dl_sum, "id_col": m["id_col"],
              "source_version": version,
              "source_batch_id": int(version[1:]),
@@ -369,8 +417,159 @@ def load_term_snapshot(spark: SparkSession, dest: str):
     n, dl_sum = int(s["n_docs"]), int(s["dl_sum"])
     avgdl = float(dl_sum) / float(n) if n > 0 else 0.0
     if s.get("empty"):
-        return None, (0, 0.0)
+        # the recorded integers, not hard-coded zeros: the export
+        # refuses an empty store with non-zero manifest stats, so for
+        # any artifact it commits these agree — serving them keeps
+        # the loader honest about what the snapshot actually recorded
+        return None, (n, avgdl)
     return spark.read.parquet(os.path.join(dest, "postings")), (n, avgdl)
+
+
+def _export_rowwise_snapshot(spark: SparkSession, index_dir: str,
+                             dest: str, leaf: str, fn_name: str,
+                             partition_col: str, unique_cols: list[str],
+                             as_of: int | None, verify: bool) -> dict:
+    """Shared promotion path for the PER-ROW-INDEPENDENT stores (IVFPQ
+    codes, enriched dense feats): fold the masked live view of one
+    pinned version into an immutable hive-partitioned artifact at
+    ``dest`` + a last-committed ``snapshot.json``. Same commit
+    protocol, immutability guard, failure cleanup, and GC-race caveat
+    as :func:`export_term_snapshot`. The audit gate here is the
+    store's own invariant — these manifests carry no corpus stats, but
+    the disjoint-ids merge contract says ``unique_cols`` is a key of
+    the live view, so ``verify=True`` recounts rows vs distinct keys
+    and refuses a store where an upstream double-add slipped through
+    (a duplicated code/feature row silently double-scores a document
+    at serve time — worth one O(rows) aggregate before shipping the
+    artifact to a serving fleet)."""
+    version = _resolve_version(index_dir, as_of)
+    if version is None:
+        raise ValueError(f"{fn_name}: {index_dir} has no committed "
+                         f"version to promote")
+    if os.path.exists(dest) and (not os.path.isdir(dest)
+                                 or os.listdir(dest)):
+        raise ValueError(
+            f"{fn_name}: dest {dest} is not an empty directory — "
+            f"snapshots are immutable; promote to a fresh path")
+    m = _read_manifest(index_dir, version)
+    view = _masked_union(spark, index_dir, m, leaf)
+    n_rows = 0
+    if view is not None and verify:
+        tot = view.agg(
+            F.count(F.lit(1)).cast("long").alias("n"),
+            F.count_distinct(*[F.col(c) for c in unique_cols])
+             .cast("long").alias("d")).first()
+        n_rows = int(tot["n"])
+        if n_rows != int(tot["d"]):
+            raise RuntimeError(
+                f"{fn_name}: refusing to promote {index_dir}@"
+                f"{version}: {n_rows} live rows but only "
+                f"{int(tot['d'])} distinct ({', '.join(unique_cols)}) "
+                f"keys — an upstream double-add broke the disjoint-ids "
+                f"contract; a promoted duplicate would double-score "
+                f"its document at serve time")
+    os.makedirs(dest, exist_ok=True)
+    try:
+        if view is not None:
+            # one shuffle shapes the artifact: repartition on the
+            # serve-pruning column, then hive-partition the write so a
+            # probe's IN-filter reads only the matching FILES — the
+            # same layout the streamed segments carry, folded to one
+            # artifact with the tombstone mask applied physically
+            (view.repartition(F.col(partition_col))
+                 .write.mode("overwrite").partitionBy(partition_col)
+                 .parquet(os.path.join(dest, leaf)))
+    except BaseException:
+        shutil.rmtree(dest, ignore_errors=True)
+        raise
+    stats = {"id_col": m["id_col"], "leaf": leaf,
+             "source_version": version,
+             "source_batch_id": int(version[1:]),
+             "empty": view is None, "n_rows": n_rows if verify else None}
+    tmp = os.path.join(dest, _SNAPSHOT_STATS + ".tmp")
+    with open(tmp, "w") as f:
+        json.dump(stats, f)
+    os.replace(tmp, os.path.join(dest, _SNAPSHOT_STATS))
+    return stats
+
+
+def export_ann_snapshot(spark: SparkSession, index_dir: str, dest: str,
+                        as_of: int | None = None,
+                        verify: bool = True) -> dict:
+    """Promote one IVFPQ code-table version (a store maintained by
+    :func:`ann_refresh_batches`) to an immutable snapshot: the masked
+    live view folded into ONE ``ivf_list``-hive-partitioned codes
+    artifact — a snapshot serve (:func:`load_ann_snapshot` →
+    :func:`~tantalus_spark.datapipe.similarity.ivf_pq_topk_batch`)
+    partition-prunes to the probed lists' files and carries zero
+    segment unions and zero tombstone joins in the plan.
+    ``verify=True`` gates on the per-row store's invariant (vec_id is
+    a key of the live view); commit protocol and guards match
+    :func:`export_term_snapshot`."""
+    return _export_rowwise_snapshot(
+        spark, index_dir, dest, "codes", "export_ann_snapshot",
+        "ivf_list", [_read_or_id(index_dir, as_of)], as_of, verify)
+
+
+def export_feats_snapshot(spark: SparkSession, index_dir: str,
+                          dest: str, as_of: int | None = None,
+                          verify: bool = True) -> dict:
+    """Promote one ENRICHED dense-feature version (a store maintained
+    by :func:`feats_refresh_batches`) to an immutable snapshot: the
+    masked live view folded into ONE ``bucket``-hive-partitioned
+    feats artifact — a snapshot serve (:func:`load_feats_snapshot` →
+    ``hybrid_serve_topk_batch``'s dense leg) file-prunes to the query
+    buckets with zero segment unions and zero tombstone joins.
+    ``verify=True`` gates on (id, bucket) being a key of the live
+    view; commit protocol and guards match
+    :func:`export_term_snapshot`."""
+    return _export_rowwise_snapshot(
+        spark, index_dir, dest, "feats", "export_feats_snapshot",
+        "bucket", [_read_or_id(index_dir, as_of), "bucket"], as_of,
+        verify)
+
+
+def _read_or_id(index_dir: str, as_of: int | None) -> str:
+    """The store's id column name off the resolved manifest (empty
+    stores have no manifest to read — the caller's resolve raises
+    first, so a bare default never serves)."""
+    version = _resolve_version(index_dir, as_of)
+    if version is None:
+        return "id"
+    return _read_manifest(index_dir, version)["id_col"]
+
+
+def _load_rowwise_snapshot(spark: SparkSession, dest: str,
+                           fn_name: str) -> DataFrame | None:
+    p = os.path.join(dest, _SNAPSHOT_STATS)
+    if not os.path.exists(p):
+        raise ValueError(
+            f"{fn_name}: {dest} has no {_SNAPSHOT_STATS} — torn or "
+            f"foreign export; re-run the export into a fresh dest")
+    with open(p) as f:
+        s = json.load(f)
+    if s.get("empty"):
+        return None
+    return spark.read.parquet(os.path.join(dest, s["leaf"]))
+
+
+def load_ann_snapshot(spark: SparkSession, dest: str) -> DataFrame | None:
+    """Read a promoted IVFPQ snapshot: the (id, pq_code, ivf_list)
+    codes DataFrame off the single folded artifact — the same
+    contract as :func:`load_ann_index`, with no segment union and no
+    tombstone mask in the plan. Refuses a dest without a committed
+    ``snapshot.json`` (torn export)."""
+    return _load_rowwise_snapshot(spark, dest, "load_ann_snapshot")
+
+
+def load_feats_snapshot(spark: SparkSession,
+                        dest: str) -> DataFrame | None:
+    """Read a promoted dense-feature snapshot: the ENRICHED
+    (id, bucket, feat, norm) DataFrame off the single folded artifact
+    — the same contract as :func:`load_feats_index`, with no segment
+    union and no tombstone mask in the plan. Refuses a dest without a
+    committed ``snapshot.json`` (torn export)."""
+    return _load_rowwise_snapshot(spark, dest, "load_feats_snapshot")
 
 
 def _commit_version(index_dir: str, version: str, manifest: dict) -> None:
@@ -963,7 +1162,18 @@ def index_refresh_batches(
             if lens_view is not None and lens_view.take(1):
                 comp = f"seg-{seq:08d}c"
                 cdir = os.path.join(index_dir, comp)
+                # fold in SNAPSHOT layout: repartition+sort by term
+                # (the exact shaping export_term_snapshot uses) so a
+                # maintained-store serve's term IN-filter prunes
+                # parquet ROW GROUPS by min/max stats on the folded
+                # bulk, not just rows post-decode — delta segments
+                # stay O(batch) and unsorted (a sort there buys
+                # little and costs a shuffle per commit). The fold
+                # already rewrites these bytes; the sort rides the
+                # same shuffle.
                 (_masked_union(spark, index_dir, sub, "postings")
+                 .repartition(F.col("term"))
+                 .sortWithinPartitions("term")
                  .write.mode("overwrite")
                  .parquet(os.path.join(cdir, "postings")))
                 lens_view.write.mode("overwrite").parquet(

@@ -2955,9 +2955,16 @@ def test_export_term_snapshot_promotes_pins_and_guards(spark, tmp_path):
     assert sorted(map(tuple, p1.collect())) == \
         sorted(map(tuple, h1.collect()))
 
-    # immutability: a non-empty dest is refused
-    with pytest.raises(ValueError, match="not empty"):
+    # immutability: a non-empty dest is refused — and a regular FILE
+    # at dest gets the same friendly refusal, not a raw
+    # FileExistsError out of os.makedirs
+    with pytest.raises(ValueError, match="not an empty directory"):
         export_term_snapshot(spark, ix, snap)
+    fdest = str(tmp_path / "snap_as_file")
+    with open(fdest, "w") as f:
+        f.write("occupied")
+    with pytest.raises(ValueError, match="not an empty directory"):
+        export_term_snapshot(spark, ix, fdest)
     # torn export: data without the committed stats file is refused
     os.remove(os.path.join(snap1, "snapshot.json"))
     with pytest.raises(ValueError, match="snapshot.json"):
@@ -2975,3 +2982,111 @@ def test_export_term_snapshot_promotes_pins_and_guards(spark, tmp_path):
     # verify=False is the explicit override (forensics / salvage)
     export_term_snapshot(spark, ix, str(tmp_path / "snap3"),
                          verify=False)
+
+
+def test_export_term_snapshot_failure_cleanup_and_empty_guard(
+        spark, tmp_path):
+    """Two r11 export hardenings: (1) a failed export removes its
+    partial data so dest stays reusable — no snapshot.json was
+    committed, so nothing real is lost and the immutability guard
+    does not wedge the path forever; (2) a diverged store (zero
+    segments, non-zero manifest stats) is refused even under
+    verify=False — that metadata-only check costs no Spark job and
+    stops an empty=true snapshot from recording stats a load would
+    contradict."""
+    import json
+    import os
+
+    import pytest
+
+    from tantalus_spark.streaming.maintenance import (
+        export_term_snapshot, index_refresh_batches,
+        load_term_snapshot)
+
+    ix = str(tmp_path / "ix")
+    cb = index_refresh_batches(ix, op_col="op")
+    schema = "doc_id long, text string, op string"
+    cb(spark.createDataFrame(
+        [(1, "apple banana", "add"), (2, "banana cherry", "add")],
+        schema), 0)
+
+    # (1) simulate a mid-export write failure: yank a referenced
+    # segment's postings out from under the export (the GC-race shape
+    # the docstring warns about — near-retention-edge version whose
+    # files a concurrent maintainer GC'd). The export must fail
+    # loudly AND leave dest reusable.
+    cur = open(os.path.join(ix, "CURRENT")).read().strip()
+    m = json.load(open(os.path.join(ix, cur, "manifest.json")))
+    seg = m["segments"][0]["name"]
+    post_dir = os.path.join(ix, seg, "postings")
+    saved = str(tmp_path / "saved_postings")
+    os.rename(post_dir, saved)
+    dest = str(tmp_path / "snap")
+    with pytest.raises(Exception):
+        export_term_snapshot(spark, ix, dest, verify=False)
+    assert (not os.path.exists(dest)) or os.listdir(dest) == []
+    # restore and re-export into the SAME dest: must succeed now
+    os.rename(saved, post_dir)
+    stats = export_term_snapshot(spark, ix, dest)
+    assert stats["n_docs"] == 2
+    _, (n, avgdl) = load_term_snapshot(spark, dest)
+    assert n == 2
+
+    # (2) diverged store: manifest stats non-zero but no segments
+    mpath = os.path.join(ix, cur, "manifest.json")
+    m["segments"] = []
+    with open(mpath, "w") as f:
+        json.dump(m, f)
+    with pytest.raises(RuntimeError, match="lists no segments"):
+        export_term_snapshot(spark, ix, str(tmp_path / "snap_div"),
+                             verify=False)
+
+
+def test_compaction_fold_writes_term_sorted_rowgroup_layout(
+        spark, tmp_path):
+    """r11: the compaction fold writes postings in SNAPSHOT layout —
+    repartition(term) + sortWithinPartitions(term) — so a maintained-
+    store serve's term IN-filter prunes parquet ROW GROUPS by min/max
+    stats on the folded bulk (the layout export_term_snapshot always
+    had). Asserts the enabling property directly off the files: every
+    parquet file in the folded segment carries its term column in
+    non-decreasing order (sorted file => consecutive, prunable
+    row-group min/max ranges), and the fold still serves the exact
+    rebuild-equal view."""
+    import os
+
+    import pyarrow.parquet as pq
+
+    from tantalus_spark.streaming.maintenance import (
+        index_refresh_batches, load_term_index)
+
+    ix = str(tmp_path / "ix")
+    cb = index_refresh_batches(ix, max_segments=2)
+    schema = "doc_id long, text string"
+    docs = [
+        (1, "apple banana cherry"), (2, "banana cherry date"),
+        (3, "cherry date elder"), (4, "date elder fig"),
+        (5, "elder fig grape"), (6, "fig grape apple"),
+    ]
+    for b in range(3):  # 3 commits at max_segments=2 -> fold fires
+        cb(spark.createDataFrame(docs[2 * b:2 * b + 2], schema), b)
+
+    folded = [d for d in os.listdir(ix) if d.endswith("c")]
+    assert folded, "expected a compacted segment"
+    for seg in folded:
+        pdir = os.path.join(ix, seg, "postings")
+        files = [os.path.join(pdir, f) for f in os.listdir(pdir)
+                 if f.endswith(".parquet")]
+        assert files
+        for fp in files:
+            terms = pq.ParquetFile(fp).read(columns=["term"]) \
+                      .column("term").to_pylist()
+            assert terms == sorted(terms), f"unsorted fold file {fp}"
+
+    # the sorted fold changed layout only: the served view still has
+    # every surviving posting exactly once
+    postings, (n, _) = load_term_index(spark, ix)
+    assert n == 6
+    got = sorted((r["term"], r["doc_id"]) for r in postings.collect())
+    want = sorted((t, d) for d, txt in docs for t in set(txt.split()))
+    assert got == want
