@@ -93,6 +93,11 @@ HEADLINE = [
     # one immutable term-sorted artifact and the zero-mask-join serve
     # off it (LSM-for-writes / snapshot-for-reads)
     "159_snapshot_promote_serve",
+    # r11 addition: promotion completed for the IVFPQ family — the
+    # CDC-maintained code-table store, the audit-gated ivf_list-
+    # partitioned export, and the batched partition-pruned serve off
+    # the promoted artifact, all in one honest lifecycle job
+    "161_snapshot_ann_serve",
 ]
 
 

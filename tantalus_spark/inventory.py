@@ -2597,6 +2597,122 @@ def q159_snapshot_promote_serve(spark, sf_dir):
                              k=15, n_docs=n, avgdl=avgdl)
 
 
+def q160_snapshot_hybrid_serve(spark, sf_dir):
+    """r11: snapshot promotion completed for the HYBRID pair — q155's
+    both-stores-maintained lifecycle (BM25 postings store + ENRICHED
+    dense-feature store fed the same three CDC batches, both
+    compacting), then BOTH stores promoted: export_term_snapshot
+    (audit-gated, term-sorted) and export_feats_snapshot (duplicate-
+    key-gated, bucket-partitioned) fold each masked LSM view into one
+    immutable artifact, and ONE hybrid_serve_topk_batch job runs off
+    load_term_snapshot + load_feats_snapshot — zero segment unions,
+    zero tombstone joins (plan-contract test in tests/test_plans.py),
+    the LSM-for-writes / snapshot-for-reads split now covering both
+    serving families of the hybrid tier. Bit-identical to q155's
+    live-store serve, so the oracle is q155's rebuild verbatim."""
+    import atexit
+    import shutil
+    import tempfile
+
+    from tantalus_spark.datapipe.textstats import hybrid_serve_topk_batch
+    from tantalus_spark.streaming.maintenance import (
+        export_feats_snapshot, export_term_snapshot,
+        feats_refresh_batches, index_refresh_batches,
+        load_feats_snapshot, load_term_snapshot)
+
+    docs = db_for(spark, sf_dir).table("documents").select("doc_id",
+                                                           "text")
+    root = tempfile.mkdtemp(prefix="tantalus_q160_")
+    atexit.register(shutil.rmtree, root, ignore_errors=True)
+    cb_ix = index_refresh_batches(root + "/ix", op_col="op",
+                                  max_segments=2)
+    cb_ft = feats_refresh_batches(root + "/feats", dim=64, op_col="op",
+                                  max_segments=2)
+    add = lambda df: df.withColumn("op", F.lit("add"))  # noqa: E731
+    dels = (docs.filter(F.col("doc_id") % 21 == 0)
+                .select("doc_id",
+                        F.lit(None).cast("string").alias("text"))
+                .withColumn("op", F.lit("delete")))
+    batches = [
+        add(docs.filter(F.col("doc_id") % 3 == 0)),
+        (add(docs.filter(F.col("doc_id") % 3 == 1))
+         .unionByName(dels)
+         .unionByName(add(docs.filter(F.col("doc_id") % 42 == 0)))),
+        add(docs.filter(F.col("doc_id") % 3 == 2)),
+    ]
+    for i, b in enumerate(batches):
+        cb_ix(b, i)
+        cb_ft(b, i)
+    export_term_snapshot(spark, root + "/ix", root + "/snap_ix",
+                         partitions=8)
+    export_feats_snapshot(spark, root + "/feats", root + "/snap_ft")
+    postings, (n, avgdl) = load_term_snapshot(spark, root + "/snap_ix")
+    feats = load_feats_snapshot(spark, root + "/snap_ft")
+    return hybrid_serve_topk_batch(
+        postings, [(1, ["customer", "sort", "hash"]),
+                   (2, ["merge", "join"]),
+                   (3, ["hash", "table"])],
+        feats, k=10, depth=40, rrf_k=60, dim=64, n_docs=n, avgdl=avgdl)
+
+
+def q161_snapshot_ann_serve(spark, sf_dir):
+    """r11: snapshot promotion for the IVFPQ family, driver-visible —
+    the ANN code-table store maintained through three CDC batches
+    (adds %3==0; deletes 21|id + same-batch delete/re-add 42|id +
+    adds %3==1; adds %3==2, max_segments=2 so the fold fires) with
+    the frozen q151 quantizer/codebooks, then export_ann_snapshot
+    promotes CURRENT (duplicate-vec_id audit gate, tombstones applied
+    physically, one ivf_list-partitioned artifact, snapshot.json
+    last) and ivf_pq_topk_batch serves THREE queries off
+    load_ann_snapshot in one job — one partition-pruned code scan,
+    zero segment unions, zero tombstone joins (plan-contract test in
+    tests/test_plans.py). Bit-identical to a rebuild over the
+    survivors with the same artifacts, which is what the oracle
+    computes (q151's CTEs over the survivor population)."""
+    import atexit
+    import shutil
+    import tempfile
+
+    from tantalus_spark.datapipe.similarity import ivf_pq_topk_batch
+    from tantalus_spark.streaming.maintenance import (
+        ann_refresh_batches, export_ann_snapshot, load_ann_snapshot)
+
+    emb = db_for(spark, sf_dir).table("embeddings")
+    iv = (emb.filter(F.col("embedding").isNotNull())
+             .select("vec_id",
+                     F.transform("embedding",
+                                 lambda x: F.floor(x.cast("double")
+                                                   * F.lit(32.0))
+                                 .cast("double")).alias("embedding")))
+    head = (iv.filter(F.col("vec_id") <= 16).orderBy("vec_id").collect())
+    by_id = {r["vec_id"]: [float(x) for x in r["embedding"]]
+             for r in head}
+    cents = [by_id[i] for i in range(8)]
+    books = [[by_id[c + 1][j * 8:(j + 1) * 8] for c in range(16)]
+             for j in range(8)]
+    root = tempfile.mkdtemp(prefix="tantalus_q161_")
+    atexit.register(shutil.rmtree, root, ignore_errors=True)
+    cb = ann_refresh_batches(root + "/ann", cents, books, op_col="op",
+                             max_segments=2)
+    add = lambda df: df.withColumn("op", F.lit("add"))  # noqa: E731
+    dels = (iv.filter(F.col("vec_id") % 21 == 0)
+              .select("vec_id",
+                      F.lit(None).cast("array<double>")
+                       .alias("embedding"))
+              .withColumn("op", F.lit("delete")))
+    cb(add(iv.filter(F.col("vec_id") % 3 == 0)), 0)
+    cb(add(iv.filter(F.col("vec_id") % 3 == 1))
+       .unionByName(dels)
+       .unionByName(add(iv.filter(F.col("vec_id") % 42 == 0))), 1)
+    cb(add(iv.filter(F.col("vec_id") % 3 == 2)), 2)  # fold fires
+    export_ann_snapshot(spark, root + "/ann", root + "/snap")
+    codes = load_ann_snapshot(spark, root + "/snap")
+    return ivf_pq_topk_batch(
+        codes, cents, books,
+        [(0, by_id[0]), (5, by_id[5]), (9, by_id[9])],
+        k=10, nprobe=3)
+
+
 _ALL_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     name[1:]: fn
     for name, fn in list(globals().items())
@@ -2818,6 +2934,13 @@ _QUERY_ORDER = [
     "92_vocab_coverage", "94_source_report", "95_paragraph_dedup",
     "99_corpus_shuffle", "100_bpe_merges",
     "103_temperature_mix", "105_gate_attribution",
+    # r11 additions beyond the window: snapshot promotion for the
+    # remaining serving families — the hybrid pair (term + feats
+    # snapshots, both stores maintained then promoted, one serve off
+    # the two folded artifacts) and the IVFPQ code table (CDC
+    # lifecycle + audit-gated export + partition-pruned batch serve).
+    # r12 ROTATION CANDIDATES under the standing protocol.
+    "160_snapshot_hybrid_serve", "161_snapshot_ann_serve",
 ]
 
 QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
@@ -6952,3 +7075,91 @@ ORACLES["158_store_stats_audit"] = """
 # parquet, zero tombstone joins), never the values.
 ORACLES["159_snapshot_promote_serve"] = ORACLES[
     "152_segmented_store_serve"]
+
+
+# q160: identical values to q155 — promotion changes the serving
+# ARTIFACTS (one folded term-sorted postings parquet + one folded
+# bucket-partitioned feats parquet, zero segment unions, zero
+# tombstone joins), never the values, so the oracle is q155's
+# survivor-set hybrid rebuild verbatim.
+ORACLES["160_snapshot_hybrid_serve"] = ORACLES[
+    "155_maintained_hybrid_serve"]
+
+
+# q161: q151's IVFPQ CTEs with the INDEX population restricted to the
+# CDC survivor set (NOT (21|id AND NOT 42|id), the q152 predicate —
+# the re-add carries the same original vector, so survivors keep
+# their batch-0 encodings). Centroids/codebooks/queries still come
+# from the full iv head, exactly like the engine's frozen artifacts.
+ORACLES["161_snapshot_ann_serve"] = """
+    WITH iv AS (
+      SELECT vec_id,
+             list_transform(embedding,
+                            x -> floor(CAST(x AS DOUBLE) * 32)) AS v
+      FROM embeddings WHERE embedding IS NOT NULL),
+    pop AS (
+      SELECT * FROM iv
+      WHERE NOT (vec_id % 21 = 0 AND vec_id % 42 <> 0)),
+    cent AS (SELECT vec_id AS cid, v FROM iv WHERE vec_id < 8),
+    js AS (SELECT unnest(range(0, 8)) AS j),
+    cb AS (
+      SELECT js.j, iv.vec_id - 1 AS c,
+             list_slice(iv.v, js.j*8 + 1, js.j*8 + 8) AS bv
+      FROM iv, js WHERE iv.vec_id BETWEEN 1 AND 16),
+    dist AS (
+      SELECT pop.vec_id, cb.j, cb.c,
+             list_sum(list_transform(range(1, 9), i ->
+               (pop.v[cb.j*8 + i] - cb.bv[i])
+               * (pop.v[cb.j*8 + i] - cb.bv[i]))) AS d2
+      FROM pop, cb),
+    code AS (
+      SELECT vec_id, j, c FROM (
+        SELECT vec_id, j, c,
+               ROW_NUMBER() OVER (PARTITION BY vec_id, j
+                                  ORDER BY d2, c) AS rn
+        FROM dist) t WHERE rn = 1),
+    sims AS (
+      SELECT pop.vec_id, c.cid,
+             CASE WHEN isnan(list_cosine_similarity(pop.v, c.v))
+                  THEN -2.0
+                  ELSE list_cosine_similarity(pop.v, c.v) END AS s
+      FROM pop CROSS JOIN cent c),
+    assign AS (
+      SELECT vec_id, cid AS ivf_list FROM (
+        SELECT vec_id, cid,
+               row_number() OVER (PARTITION BY vec_id
+                                  ORDER BY s DESC, cid ASC) AS rn
+        FROM sims) t WHERE rn = 1),
+    q AS (SELECT vec_id AS query_id, v AS qv FROM iv
+          WHERE vec_id IN (0, 5, 9)),
+    probes AS (
+      SELECT query_id, cid FROM (
+        SELECT q.query_id, c.cid,
+               row_number() OVER (PARTITION BY q.query_id
+                 ORDER BY CASE
+                            WHEN isnan(list_cosine_similarity(q.qv, c.v))
+                            THEN 0.0
+                            ELSE list_cosine_similarity(q.qv, c.v) END
+                          DESC,
+                          c.cid ASC) AS rn
+        FROM q CROSS JOIN cent c) t WHERE rn <= 3),
+    adc AS (
+      SELECT q.query_id, cb.j, cb.c,
+             list_sum(list_transform(range(1, 9), i ->
+               q.qv[cb.j*8 + i] * cb.bv[i])) AS dot
+      FROM cb, q),
+    ascore AS (
+      SELECT adc.query_id, code.vec_id, SUM(adc.dot) AS s
+      FROM code
+      JOIN assign a ON a.vec_id = code.vec_id
+      JOIN adc ON code.j = adc.j AND code.c = adc.c
+      JOIN probes p ON p.query_id = adc.query_id
+                   AND p.cid = a.ivf_list
+      GROUP BY adc.query_id, code.vec_id)
+    SELECT query_id, vec_id, round(s, 4) + 0.0 AS adc_dot
+    FROM (SELECT query_id, vec_id, s,
+                 ROW_NUMBER() OVER (PARTITION BY query_id
+                                    ORDER BY s DESC, vec_id ASC) AS rn
+          FROM ascore) t
+    WHERE rn <= 10
+"""

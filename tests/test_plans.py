@@ -1002,3 +1002,95 @@ def test_snapshot_serve_scans_one_artifact_no_mask_join(spark, tmp_path):
     assert "LeftAnti" not in plan  # mask applied at export, not serve
     rows = served.collect()
     assert 0 < len(rows) <= 10
+
+
+def test_rowwise_snapshot_serves_scan_one_artifact_no_mask_join(
+        spark, tmp_path):
+    """The r11 promotion payoff for the rowwise families,
+    plan-verified: serves off PROMOTED ANN / feats snapshots read ONE
+    folded hive-partitioned artifact — exactly one ivf_list-pruned
+    scan (vs one per segment on the live store) for the IVFPQ serve,
+    exactly one bucket-pruned scan for the hybrid dense leg — and NO
+    tombstone anti-join anywhere: the export applied the mask
+    physically."""
+    from pyspark.sql import functions as F
+
+    from tantalus_spark.datapipe.similarity import ivf_pq_topk_batch
+    from tantalus_spark.datapipe.textstats import (
+        build_term_index, hybrid_serve_topk_batch)
+    from tantalus_spark.streaming.maintenance import (
+        ann_refresh_batches, export_ann_snapshot,
+        export_feats_snapshot, export_term_snapshot,
+        feats_refresh_batches, index_refresh_batches,
+        load_ann_snapshot, load_feats_snapshot, load_term_snapshot)
+
+    # --- ANN: maintained store (with a delete -> live serve would
+    # carry a mask join), promoted, served
+    emb = db_for(spark, SF).table("embeddings")
+    iv = (emb.filter("embedding is not null")
+             .select("vec_id",
+                     F.transform("embedding",
+                                 lambda x: F.floor(x.cast("double")
+                                                   * F.lit(32.0))
+                                 .cast("double")).alias("embedding")))
+    head = iv.filter("vec_id <= 16").orderBy("vec_id").collect()
+    by_id = {r["vec_id"]: [float(x) for x in r["embedding"]]
+             for r in head}
+    cents = [by_id[i] for i in range(8)]
+    books = [[by_id[c + 1][j * 8:(j + 1) * 8] for c in range(16)]
+             for j in range(8)]
+    ann_ix = str(tmp_path / "ann")
+    cb = ann_refresh_batches(ann_ix, cents, books, op_col="op",
+                             max_segments=8)
+    cb(iv.filter("vec_id < 120").withColumn("op", F.lit("add")), 0)
+    cb(iv.filter("vec_id >= 120 and vec_id < 160")
+         .withColumn("op", F.lit("add"))
+         .unionByName(spark.createDataFrame(
+             [(7, None, "delete")],
+             "vec_id long, embedding array<double>, op string")), 1)
+    ann_snap = str(tmp_path / "ann_snap")
+    export_ann_snapshot(spark, ann_ix, ann_snap)
+    served = ivf_pq_topk_batch(load_ann_snapshot(spark, ann_snap),
+                               cents, books,
+                               [(1, by_id[3]), (2, by_id[9])],
+                               k=5, nprobe=2)
+    plan = _plan(served)
+    assert "LeftAnti" not in plan
+    chunks = plan.split("PartitionFilters:")[1:]
+    pruned = [c.splitlines()[0] for c in chunks
+              if "ivf_list" in c.splitlines()[0]]
+    assert len(pruned) == 1, (len(pruned), plan[:3000])
+    assert 0 < len(served.collect()) <= 10
+
+    # --- feats + term: both stores promoted, hybrid served off the
+    # two snapshots — three pruned artifact scans, zero mask joins
+    docs = db_for(spark, SF).table("documents").select("doc_id", "text")
+    ft_ix, tm_ix = str(tmp_path / "feats"), str(tmp_path / "ix")
+    cb_ft = feats_refresh_batches(ft_ix, dim=64, op_col="op",
+                                  max_segments=8)
+    cb_tm = index_refresh_batches(tm_ix, op_col="op", max_segments=8)
+    dels = spark.createDataFrame([(3, None, "delete")],
+                                 "doc_id long, text string, op string")
+    for cb2 in (cb_ft, cb_tm):
+        cb2(docs.filter("doc_id < 200")
+                .withColumn("op", F.lit("add")), 0)
+        cb2(docs.filter("doc_id >= 200 and doc_id < 400")
+                .withColumn("op", F.lit("add")).unionByName(dels), 1)
+    ft_snap, tm_snap = str(tmp_path / "ft_snap"), str(tmp_path / "tm_snap")
+    export_feats_snapshot(spark, ft_ix, ft_snap)
+    export_term_snapshot(spark, tm_ix, tm_snap, partitions=4)
+    postings, (n, avgdl) = load_term_snapshot(spark, tm_snap)
+    hybrid = hybrid_serve_topk_batch(
+        postings, [(1, ["customer", "hash"]), (2, ["merge"])],
+        load_feats_snapshot(spark, ft_snap),
+        k=5, depth=10, dim=64, n_docs=n, avgdl=avgdl)
+    plan2 = _plan(hybrid)
+    assert "LeftAnti" not in plan2
+    tchunks = [c.splitlines()[0]
+               for c in plan2.split("PushedFilters:")[1:]]
+    assert sum("In(term" in c for c in tchunks) == 2, tchunks
+    bchunks = plan2.split("PartitionFilters:")[1:]
+    bpruned = [c.splitlines()[0] for c in bchunks
+               if "bucket" in c.splitlines()[0]]
+    assert len(bpruned) == 1, (len(bpruned), plan2[:3000])
+    assert 0 < len(hybrid.collect()) <= 10

@@ -969,3 +969,83 @@ def test_ivf_pq_topk_batch_dataframe_queries_bit_parity(spark):
                                 "query_id long, embedding array<double>")
     with _pytest.raises(ValueError, match="duplicate query ids"):
         ivf_pq_topk_batch(codes, cents, books, dup, k=5, nprobe=2)
+
+
+def test_export_ann_snapshot_promotes_and_guards(spark, tmp_path):
+    """r11 snapshot promotion for the IVFPQ family: export of the
+    maintained store's CURRENT folds the masked multi-segment view
+    into one immutable ivf_list-partitioned artifact whose codes and
+    served top-k are bit-identical to the live store's; the guards
+    hold — a duplicate vec_id (broken disjoint-ids contract) blocks
+    promotion, a non-empty dest is refused, a torn export is refused
+    by the loader, and a failed write leaves dest reusable."""
+    import os
+
+    import pytest
+    from pyspark.sql import functions as F
+
+    from tantalus_spark.catalog.loader import read_parquet
+    from tantalus_spark.datapipe.similarity import ivf_pq_topk_batch
+    from tantalus_spark.streaming.maintenance import (
+        ann_refresh_batches, export_ann_snapshot, load_ann_index,
+        load_ann_snapshot)
+
+    emb = read_parquet(spark, "/root/testdata/sf0.001/embeddings.parquet")
+    iv = (emb.filter("embedding is not null")
+             .select("vec_id",
+                     F.transform("embedding",
+                                 lambda x: F.floor(x.cast("double")
+                                                   * F.lit(32.0))
+                                 .cast("double")).alias("embedding")))
+    head = iv.filter("vec_id <= 16").orderBy("vec_id").collect()
+    by_id = {r["vec_id"]: [float(x) for x in r["embedding"]]
+             for r in head}
+    cents = [by_id[i] for i in range(8)]
+    books = [[by_id[c + 1][j * 8:(j + 1) * 8] for c in range(16)]
+             for j in range(8)]
+
+    ix = str(tmp_path / "ann")
+    cb = ann_refresh_batches(ix, cents, books, op_col="op",
+                             max_segments=2, keep_versions=2)
+    dels = spark.createDataFrame(
+        [(7, None, "delete"), (50, None, "delete")],
+        "vec_id long, embedding array<double>, op string")
+    cb(iv.filter("vec_id < 100").withColumn("op", F.lit("add")), 0)
+    cb(iv.filter("vec_id >= 100 and vec_id < 140")
+         .withColumn("op", F.lit("add")).unionByName(dels), 1)
+    cb(iv.filter("vec_id >= 140 and vec_id < 160")
+         .withColumn("op", F.lit("add")), 2)  # fold fires
+
+    snap = str(tmp_path / "snap")
+    stats = export_ann_snapshot(spark, ix, snap)
+    assert stats["source_batch_id"] == 2 and not stats["empty"]
+    norm = lambda df: sorted(  # noqa: E731
+        (r["vec_id"], r["ivf_list"], tuple(r["pq_code"]))
+        for r in df.collect())
+    live = load_ann_index(spark, ix)
+    promoted = load_ann_snapshot(spark, snap)
+    assert norm(promoted) == norm(live)
+    queries = [(1, by_id[3]), (2, by_id[9])]
+    served = [tuple(r) for r in ivf_pq_topk_batch(
+        promoted, cents, books, queries, k=5, nprobe=2).collect()]
+    want = [tuple(r) for r in ivf_pq_topk_batch(
+        live, cents, books, queries, k=5, nprobe=2).collect()]
+    assert served == want
+
+    # immutability + torn-export guards (shared rowwise path)
+    with pytest.raises(ValueError, match="not an empty directory"):
+        export_ann_snapshot(spark, ix, snap)
+    os.remove(os.path.join(snap, "snapshot.json"))
+    with pytest.raises(ValueError, match="snapshot.json"):
+        load_ann_snapshot(spark, snap)
+
+    # duplicate-key audit gate: a double-add (same vec_id in two add
+    # batches, never deleted) breaks the disjoint-ids contract; the
+    # promotion must refuse rather than ship rows that double-score
+    cb(iv.filter("vec_id >= 10 and vec_id < 20")
+         .withColumn("op", F.lit("add")), 3)
+    with pytest.raises(RuntimeError, match="disjoint-ids"):
+        export_ann_snapshot(spark, ix, str(tmp_path / "snap_dup"))
+    # verify=False is the explicit salvage override
+    export_ann_snapshot(spark, ix, str(tmp_path / "snap_dup"),
+                        verify=False)

@@ -3090,3 +3090,69 @@ def test_compaction_fold_writes_term_sorted_rowgroup_layout(
     got = sorted((r["term"], r["doc_id"]) for r in postings.collect())
     want = sorted((t, d) for d, txt in docs for t in set(txt.split()))
     assert got == want
+
+
+def test_export_feats_snapshot_promotes_and_guards(spark, tmp_path):
+    """r11 snapshot promotion for the dense-feature family: export of
+    the maintained store's CURRENT folds the masked multi-segment view
+    into one immutable bucket-partitioned ENRICHED artifact whose rows
+    and served hybrid top-k are bit-identical to the live store's; the
+    duplicate-(id,bucket) audit gate, immutability guard, and
+    torn-export refusal hold."""
+    import os
+
+    import pytest
+    from pyspark.sql import functions as F
+
+    from tantalus_spark.catalog.loader import read_parquet
+    from tantalus_spark.datapipe.textstats import (
+        build_term_index, hybrid_serve_topk_batch)
+    from tantalus_spark.streaming.maintenance import (
+        export_feats_snapshot, feats_refresh_batches,
+        load_feats_index, load_feats_snapshot)
+
+    docs = (read_parquet(spark, "/root/testdata/sf0.001/documents.parquet")
+            .select("doc_id", "text"))
+    ix = str(tmp_path / "feats")
+    cb = feats_refresh_batches(ix, dim=64, op_col="op",
+                               max_segments=2)
+    add = lambda df: df.withColumn("op", F.lit("add"))  # noqa: E731
+    dels = spark.createDataFrame(
+        [(7, None, "delete"), (50, None, "delete")],
+        "doc_id long, text string, op string")
+    cb(add(docs.filter("doc_id < 150")), 0)
+    cb(add(docs.filter("doc_id >= 150 and doc_id < 300"))
+       .unionByName(dels), 1)
+    cb(add(docs.filter("doc_id >= 300 and doc_id < 450")), 2)  # fold
+
+    snap = str(tmp_path / "snap")
+    stats = export_feats_snapshot(spark, ix, snap)
+    assert stats["source_batch_id"] == 2 and not stats["empty"]
+    norm = lambda df: sorted(map(tuple, df.select(  # noqa: E731
+        "doc_id", "bucket", "feat", "norm").collect()))
+    live = load_feats_index(spark, ix)
+    promoted = load_feats_snapshot(spark, snap)
+    assert norm(promoted) == norm(live)
+    idx, (n_docs, avgdl) = build_term_index(
+        docs.filter("doc_id < 450 and doc_id not in (7, 50)"),
+        with_stats=True)
+    qs = [(1, ["customer", "hash"]), (2, ["merge"])]
+    served = [tuple(r) for r in hybrid_serve_topk_batch(
+        idx, qs, promoted, k=5, depth=10, dim=64, n_docs=n_docs,
+        avgdl=avgdl).collect()]
+    want = [tuple(r) for r in hybrid_serve_topk_batch(
+        idx, qs, live, k=5, depth=10, dim=64, n_docs=n_docs,
+        avgdl=avgdl).collect()]
+    assert served == want
+
+    with pytest.raises(ValueError, match="not an empty directory"):
+        export_feats_snapshot(spark, ix, snap)
+    os.remove(os.path.join(snap, "snapshot.json"))
+    with pytest.raises(ValueError, match="snapshot.json"):
+        load_feats_snapshot(spark, snap)
+
+    # duplicate-(id,bucket) audit gate: a double-add breaks the
+    # disjoint-ids contract -> promotion refused
+    cb(add(docs.filter("doc_id >= 100 and doc_id < 120")), 3)
+    with pytest.raises(RuntimeError, match="disjoint-ids"):
+        export_feats_snapshot(spark, ix, str(tmp_path / "snap_dup"))
