@@ -49,9 +49,14 @@ class SearchSessionStore:
 
     def ids(self, handle: str, *, now: float | None = None) -> DataFrame:
         now = time.time() if now is None else now
+        # sweep on EVERY interaction, not only on save/miss: an
+        # expired long-idle session would otherwise pin executor
+        # storage memory until someone happens to miss — one expired
+        # entry surviving N successful lookups is N requests of wasted
+        # cache pressure
+        self._evict(now)
         entry = self._entries.get(handle)
-        if entry is None or entry.expires_at <= now:
-            self._evict(now)
+        if entry is None:
             raise KeyError(f"unknown or expired search handle {handle!r}")
         return entry.ids
 
@@ -65,7 +70,8 @@ class SearchSessionStore:
             ids.withColumnRenamed(id_col, pk).hint("broadcast"), pk,
             "left_semi")
 
-    def release(self, handle: str) -> None:
+    def release(self, handle: str, *, now: float | None = None) -> None:
+        self._evict(time.time() if now is None else now)
         entry = self._entries.pop(handle, None)
         if entry is not None:
             entry.ids.unpersist()

@@ -605,12 +605,30 @@ def _commit_version(index_dir: str, version: str, manifest: dict) -> None:
     os.replace(tmp, os.path.join(index_dir, _POINTER))
 
 
-def _gc_versions(index_dir: str, keep_versions: int) -> None:
+def vacuum_index(index_dir: str, keep_versions: int = 2) -> list[str]:
+    """Operator-facing orphan sweep: reclaim every directory under
+    ``index_dir`` the commit protocol no longer references — manifests
+    older than ``keep_versions``, segments/tombstones no kept manifest
+    names, and the debris of TORN COMMITS (a crash between a segment/
+    tombstone write and the manifest commit, or between the manifest
+    write and the pointer rename, leaves directories nothing
+    references). Returns the removed directory names. The maintainers
+    run this sweep on every callback, so a healthy stream needs no
+    manual vacuum — this entry point exists for a store whose
+    maintainer is stopped (decommission, forensics, a crash with no
+    restart scheduled) where orphaned bytes would otherwise sit until
+    the stream resumes. A store with no committed version is left
+    untouched: batch-0's pre-commit segment writes look exactly like
+    orphans, and replay will either commit or rewrite them."""
+    return _gc_versions(index_dir, keep_versions)
+
+
+def _gc_versions(index_dir: str, keep_versions: int) -> list[str]:
     """Drop manifests older than the last ``keep_versions`` and every
-    segment/tombstone no kept manifest references. keep_versions >= 2
-    leaves one full swap window for serving sessions that pinned the
-    previous version (an object-store deployment would add a TTL
-    grace period on top)."""
+    segment/tombstone no kept manifest references (returning the
+    removed names). keep_versions >= 2 leaves one full swap window
+    for serving sessions that pinned the previous version (an
+    object-store deployment would add a TTL grace period on top)."""
     # enforce the docstring's floor: keep_versions=1 would rmtree the
     # just-superseded version's segments right after the pointer swap,
     # yanking files out from under a serving session that pinned the
@@ -621,7 +639,7 @@ def _gc_versions(index_dir: str, keep_versions: int) -> None:
     keep_versions = max(2, int(keep_versions))
     cur = _current_version(index_dir)
     if cur is None:
-        return  # nothing committed yet — nothing is garbage yet
+        return []  # nothing committed yet — nothing is garbage yet
     cur_id = int(cur[1:])
     # numeric sort, NOT lexicographic: past batch_id 10^8 the 08d pad
     # overflows and "v100000000" sorts before "v99999999" — a
@@ -646,15 +664,19 @@ def _gc_versions(index_dir: str, keep_versions: int) -> None:
         m = _read_manifest(index_dir, v)
         referenced |= {s["name"] for s in m["segments"]}
         referenced |= {t["name"] for t in m["tombstones"]}
+    removed: list[str] = []
     for d in os.listdir(index_dir):
         full = os.path.join(index_dir, d)
         if not os.path.isdir(full):
             continue
         if d.startswith("v") and d not in keep:
             shutil.rmtree(full)
+            removed.append(d)
         elif ((d.startswith("seg-") or d.startswith("ts-"))
               and d not in referenced):
             shutil.rmtree(full)
+            removed.append(d)
+    return removed
 
 
 def _dir_bytes(path: str) -> int:

@@ -181,3 +181,29 @@ def test_search_session_release(tdb):
     import pytest as _pytest
     with _pytest.raises(KeyError):
         store.ids(h)
+
+
+def test_search_session_eager_eviction_unpins_cache(tdb):
+    """r11: an expired entry must not survive ONE store interaction of
+    any kind — a successful lookup of a DIFFERENT handle sweeps it and
+    unpersists its frame (previously only save/miss swept, so a
+    long-idle session pinned executor storage memory until the next
+    miss)."""
+    from tantalus_spark.operators.sessions import SearchSessionStore
+
+    store = SearchSessionStore(ttl_seconds=100)
+    h_old = store.save(tdb.query("tag"), now=1000.0)
+    old_frame = store.ids(h_old, now=1001.0)
+    assert old_frame.storageLevel.useMemory
+    h_live = store.save(tdb.query("sequence_dataset"), now=1050.0)
+    # old expires at 1100; a HIT on the live handle after that must
+    # evict and unpersist the expired frame in the same call
+    assert store.ids(h_live, now=1120.0) is not None
+    assert len(store) == 1
+    assert not old_frame.storageLevel.useMemory
+    # release() sweeps too
+    h2 = store.save(tdb.query("tag"), now=1130.0)
+    f2 = store.ids(h2, now=1131.0)
+    store.release(h_live, now=5000.0)
+    assert len(store) == 0
+    assert not f2.storageLevel.useMemory

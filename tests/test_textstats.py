@@ -3156,3 +3156,98 @@ def test_export_feats_snapshot_promotes_and_guards(spark, tmp_path):
     cb(add(docs.filter("doc_id >= 100 and doc_id < 120")), 3)
     with pytest.raises(RuntimeError, match="disjoint-ids"):
         export_feats_snapshot(spark, ix, str(tmp_path / "snap_dup"))
+
+
+def test_promote_pinned_version_after_later_folds(spark, tmp_path):
+    """r11 (VERDICT #6): the q156 pin composed with the q159 export —
+    commit FOUR batches (keep_versions=5 retains the whole window)
+    with max_segments=2 so later commits FOLD the early delta
+    segments away from CURRENT, then promote as_of batch 1 and serve
+    off the snapshot: bit-identical to the batch-1 live serve (stats
+    and ranked scores). Proves compaction does not destroy the
+    promotability of retained history — the as-of manifest still
+    names the pre-fold segments, GC keeps them, and the export folds
+    THAT view, not CURRENT's."""
+    from pyspark.sql import functions as F
+
+    from tantalus_spark.catalog.loader import read_parquet
+    from tantalus_spark.datapipe.textstats import bm25_rank_indexed
+    from tantalus_spark.streaming.maintenance import (
+        export_term_snapshot, index_refresh_batches, load_term_index,
+        load_term_snapshot)
+
+    docs = (read_parquet(spark, "/root/testdata/sf0.001/documents.parquet")
+            .select("doc_id", "text"))
+    ix = str(tmp_path / "ix")
+    cb = index_refresh_batches(ix, op_col="op", max_segments=2,
+                               keep_versions=5)
+    add = lambda df: df.withColumn("op", F.lit("add"))  # noqa: E731
+    cb(add(docs.filter("doc_id % 4 = 0")), 0)
+    cb(add(docs.filter("doc_id % 4 = 1"))
+       .unionByName(spark.createDataFrame(
+           [(8, None, "delete")],
+           "doc_id long, text string, op string")), 1)
+    cb(add(docs.filter("doc_id % 4 = 2")), 2)  # fold fires
+    cb(add(docs.filter("doc_id % 4 = 3")), 3)  # and may fold again
+
+    snap = str(tmp_path / "snap")
+    stats = export_term_snapshot(spark, ix, snap, as_of=1)
+    assert stats["source_batch_id"] == 1
+    sp, (sn, savg) = load_term_snapshot(spark, snap)
+    lp, (ln, lavg) = load_term_index(spark, ix, as_of=1)
+    assert (sn, savg) == (ln, lavg)
+    assert sorted(map(tuple, sp.collect())) == \
+        sorted(map(tuple, lp.collect()))
+    qterms = ["customer", "hash", "merge"]
+    got = [tuple(r) for r in bm25_rank_indexed(
+        sp, qterms, k=10, n_docs=sn, avgdl=savg).collect()]
+    want = [tuple(r) for r in bm25_rank_indexed(
+        lp, qterms, k=10, n_docs=ln, avgdl=lavg).collect()]
+    assert got == want and got
+
+
+def test_vacuum_reclaims_torn_commit_debris(spark, tmp_path):
+    """r11 (VERDICT #8): a crash can tear a commit at two points —
+    after a segment/tombstone write but before the manifest commit,
+    or after the manifest write but before the pointer rename. Both
+    leave directories nothing references. vacuum_index (the same
+    sweep the maintainers run every callback) reclaims all of it,
+    keeps every directory the retained manifests name, and the store
+    serves identically afterwards."""
+    import os
+
+    from pyspark.sql import functions as F
+
+    from tantalus_spark.catalog.loader import read_parquet
+    from tantalus_spark.streaming.maintenance import (
+        index_refresh_batches, load_term_index, vacuum_index)
+
+    docs = (read_parquet(spark, "/root/testdata/sf0.001/documents.parquet")
+            .select("doc_id", "text"))
+    ix = str(tmp_path / "ix")
+    cb = index_refresh_batches(ix, op_col="op", keep_versions=2)
+    add = lambda df: df.withColumn("op", F.lit("add"))  # noqa: E731
+    cb(add(docs.filter("doc_id < 200")), 0)
+    cb(add(docs.filter("doc_id >= 200 and doc_id < 400")), 1)
+    before = sorted(map(tuple, load_term_index(spark, ix)[0].collect()))
+
+    # torn commit #1: segment + tombstone written, no manifest
+    os.makedirs(os.path.join(ix, "seg-00000099", "postings"))
+    with open(os.path.join(ix, "seg-00000099", "postings", "junk"),
+              "w") as f:
+        f.write("torn")
+    os.makedirs(os.path.join(ix, "ts-00000099"))
+    # torn commit #2: manifest written, pointer never swapped
+    os.makedirs(os.path.join(ix, "v00000099"))
+    with open(os.path.join(ix, "v00000099", "manifest.json"), "w") as f:
+        f.write('{"truncat')  # even torn JSON must not wedge the sweep
+
+    removed = vacuum_index(ix, keep_versions=2)
+    assert sorted(removed) == ["seg-00000099", "ts-00000099",
+                               "v00000099"]
+    for d in removed:
+        assert not os.path.exists(os.path.join(ix, d))
+    postings, (n, _) = load_term_index(spark, ix)
+    assert sorted(map(tuple, postings.collect())) == before
+    # idempotent: a second sweep finds nothing
+    assert vacuum_index(ix, keep_versions=2) == []
