@@ -2713,6 +2713,53 @@ def q161_snapshot_ann_serve(spark, sf_dir):
         k=10, nprobe=3)
 
 
+def q162_band_store_novel_serve(spark, sf_dir):
+    """r11: the LSH band index joins the segmented store — the FOURTH
+    serving family gets the full lifecycle q152/q159 gave the BM25
+    postings (and q160/q161 gave feats/IVFPQ): three CDC batches
+    through band_refresh_batches (adds %4==0; deletes 20|id + a
+    same-batch delete/re-add 40|id + adds %4==1; adds %4==2, with
+    max_segments=2 so the fold fires), then export_band_snapshot
+    promotes CURRENT (duplicate-id audit gate, tombstones applied
+    physically, one id-distributed artifact, snapshot.json last) and
+    novel_documents serves the %4==3 probe batch off
+    load_band_snapshot — zero segment unions, zero tombstone joins.
+    Bit-identical to q150-style novelty against minhash_bands over
+    the survivors, which is what the oracle computes (md5 hash family
+    so DuckDB can replay the banding exactly). Upgrades the
+    reference's per-request dedup scan
+    (search_util/search_helper.py:27-49 re-queries per search) into a
+    maintained, versioned, promotable dedup state."""
+    import atexit
+    import shutil
+    import tempfile
+
+    from tantalus_spark.datapipe.dedup import novel_documents
+    from tantalus_spark.streaming.maintenance import (
+        band_refresh_batches, export_band_snapshot, load_band_snapshot)
+
+    docs = db_for(spark, sf_dir).table("documents").select("doc_id",
+                                                           "text")
+    root = tempfile.mkdtemp(prefix="tantalus_q162_")
+    atexit.register(shutil.rmtree, root, ignore_errors=True)
+    cb = band_refresh_batches(root + "/bands", hash_family="md5",
+                              op_col="op", max_segments=2)
+    add = lambda df: df.withColumn("op", F.lit("add"))  # noqa: E731
+    dels = (docs.filter(F.col("doc_id") % 20 == 0)
+                .select("doc_id",
+                        F.lit(None).cast("string").alias("text"))
+                .withColumn("op", F.lit("delete")))
+    cb(add(docs.filter(F.col("doc_id") % 4 == 0)), 0)
+    cb(add(docs.filter(F.col("doc_id") % 4 == 1))
+       .unionByName(dels)
+       .unionByName(add(docs.filter(F.col("doc_id") % 40 == 0))), 1)
+    cb(add(docs.filter(F.col("doc_id") % 4 == 2)), 2)  # fold fires
+    export_band_snapshot(spark, root + "/bands", root + "/snap")
+    bands = load_band_snapshot(spark, root + "/snap")
+    return novel_documents(docs.filter(F.col("doc_id") % 4 == 3),
+                           bands, hash_family="md5")
+
+
 _ALL_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     name[1:]: fn
     for name, fn in list(globals().items())
@@ -2941,6 +2988,10 @@ _QUERY_ORDER = [
     # lifecycle + audit-gated export + partition-pruned batch serve).
     # r12 ROTATION CANDIDATES under the standing protocol.
     "160_snapshot_hybrid_serve", "161_snapshot_ann_serve",
+    # r11 late addition: the LSH band index joins the segmented store
+    # (fourth serving family) — CDC lifecycle + audit-gated promotion
+    # + novelty serve off the snapshot. r12 ROTATION CANDIDATE.
+    "162_band_store_novel_serve",
 ]
 
 QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
@@ -7162,4 +7213,58 @@ ORACLES["161_snapshot_ann_serve"] = """
                                     ORDER BY s DESC, vec_id ASC) AS rn
           FROM ascore) t
     WHERE rn <= 10
+"""
+
+
+# q162: q150's md5 band CTEs with the INDEX population restricted to
+# the band store's CDC survivors — %4 in (0,1,2) minus (20|id AND NOT
+# 40|id); the re-add carries the same text, so survivor bandings are
+# the batch-0 ones. Probe batch is %4==3, exactly q150's serve shape.
+ORACLES["162_band_store_novel_serve"] = """
+    WITH tok AS (
+      SELECT doc_id, string_split_regex(trim(lower(text)), '\\s+') AS t
+      FROM documents),
+    sh0 AS (
+      SELECT DISTINCT doc_id, t[i] || ' ' || t[i+1] || ' ' || t[i+2] AS g
+      FROM tok, UNNEST(range(1, greatest(len(t)-1, 1))) AS u(i)),
+    sh AS (
+      SELECT doc_id, ('0x'||substr(md5(g),1,15))::BIGINT AS hv FROM sh0),
+    sig AS (
+      SELECT doc_id,
+             min(((hv % 1000000007) * 3  + 1)     % 1000000007) AS h0,
+             min(((hv % 1000000007) * 5  + 2)     % 1000000007) AS h1,
+             min(((hv % 1000000007) * 7  + 4)     % 1000000007) AS h2,
+             min(((hv % 1000000007) * 11 + 8)     % 1000000007) AS h3,
+             min(((hv % 1000000007) * 13 + 16)    % 1000000007) AS h4,
+             min(((hv % 1000000007) * 17 + 32)    % 1000000007) AS h5,
+             min(((hv % 1000000007) * 19 + 64)    % 1000000007) AS h6,
+             min(((hv % 1000000007) * 23 + 128)   % 1000000007) AS h7,
+             min(((hv % 1000000007) * 29 + 256)   % 1000000007) AS h8,
+             min(((hv % 1000000007) * 31 + 512)   % 1000000007) AS h9,
+             min(((hv % 1000000007) * 37 + 1024)  % 1000000007) AS h10,
+             min(((hv % 1000000007) * 41 + 2048)  % 1000000007) AS h11,
+             min(((hv % 1000000007) * 43 + 4096)  % 1000000007) AS h12,
+             min(((hv % 1000000007) * 47 + 8192)  % 1000000007) AS h13,
+             min(((hv % 1000000007) * 53 + 16384) % 1000000007) AS h14,
+             min(((hv % 1000000007) * 59 + 32768) % 1000000007) AS h15
+      FROM sh GROUP BY doc_id),
+    bands AS (
+      SELECT doc_id, 0 AS band, h0 AS x0, h1 AS x1, h2 AS x2, h3 AS x3 FROM sig
+      UNION ALL
+      SELECT doc_id, 1, h4, h5, h6, h7 FROM sig
+      UNION ALL
+      SELECT doc_id, 2, h8, h9, h10, h11 FROM sig
+      UNION ALL
+      SELECT doc_id, 3, h12, h13, h14, h15 FROM sig),
+    hit AS (
+      SELECT DISTINCT a.doc_id
+      FROM bands a JOIN bands b
+        ON a.band = b.band AND a.x0 = b.x0 AND a.x1 = b.x1
+       AND a.x2 = b.x2 AND a.x3 = b.x3
+       AND a.doc_id % 4 = 3
+       AND b.doc_id % 4 IN (0, 1, 2)
+       AND NOT (b.doc_id % 20 = 0 AND b.doc_id % 40 <> 0))
+    SELECT n.doc_id, (h.doc_id IS NULL) AS is_novel
+    FROM (SELECT doc_id FROM documents WHERE doc_id % 4 = 3) n
+    LEFT JOIN hit h USING (doc_id)
 """

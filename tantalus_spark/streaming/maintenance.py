@@ -427,7 +427,8 @@ def load_term_snapshot(spark: SparkSession, dest: str):
 
 def _export_rowwise_snapshot(spark: SparkSession, index_dir: str,
                              dest: str, leaf: str, fn_name: str,
-                             partition_col: str, unique_cols: list[str],
+                             partition_col: str | None,
+                             unique_cols: list[str],
                              as_of: int | None, verify: bool) -> dict:
     """Shared promotion path for the PER-ROW-INDEPENDENT stores (IVFPQ
     codes, enriched dense feats): fold the masked live view of one
@@ -471,14 +472,24 @@ def _export_rowwise_snapshot(spark: SparkSession, index_dir: str,
     os.makedirs(dest, exist_ok=True)
     try:
         if view is not None:
-            # one shuffle shapes the artifact: repartition on the
-            # serve-pruning column, then hive-partition the write so a
-            # probe's IN-filter reads only the matching FILES — the
-            # same layout the streamed segments carry, folded to one
-            # artifact with the tombstone mask applied physically
-            (view.repartition(F.col(partition_col))
-                 .write.mode("overwrite").partitionBy(partition_col)
-                 .parquet(os.path.join(dest, leaf)))
+            if partition_col is not None:
+                # one shuffle shapes the artifact: repartition on the
+                # serve-pruning column, then hive-partition the write
+                # so a probe's IN-filter reads only the matching FILES
+                # — the same layout the streamed segments carry, folded
+                # to one artifact with the tombstone mask applied
+                # physically
+                (view.repartition(F.col(partition_col))
+                     .write.mode("overwrite").partitionBy(partition_col)
+                     .parquet(os.path.join(dest, leaf)))
+            else:
+                # no point-probe column to prune on (band tables are
+                # probed by a semi-join over an exploded array) —
+                # distribute by id so the artifact has no single-task
+                # funnel and file sizes stay uniform
+                (view.repartition(F.col(unique_cols[0]))
+                     .write.mode("overwrite")
+                     .parquet(os.path.join(dest, leaf)))
     except BaseException:
         shutil.rmtree(dest, ignore_errors=True)
         raise
@@ -973,6 +984,90 @@ def feats_refresh_batches(
     return _rowwise_refresh_batches(index_dir, "feats", _delta, id_col,
                                     op_col, max_segments, keep_versions,
                                     partition_cols=["bucket"])
+
+
+def load_band_index(spark: SparkSession, index_dir: str,
+                    as_of: int | None = None):
+    """Read one LSH band-table version: the (id, bands array<long>)
+    DataFrame :func:`~tantalus_spark.datapipe.dedup.novel_documents`
+    probes, or None when no version has been committed. ``as_of``
+    time-travels like :func:`load_term_index` — a reproducibility
+    pin for "was this document novel as of batch N"."""
+    version = _resolve_version(index_dir, as_of)
+    if version is None:
+        return None
+    m = _read_manifest(index_dir, version)
+    return _masked_union(spark, index_dir, m, "bands")
+
+
+def band_refresh_batches(
+    index_dir: str,
+    n_perm: int = 16,
+    bands: int = 4,
+    shingle_n: int = 3,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    hash_family: str = "xxhash64",
+    op_col: str | None = None,
+    max_segments: int = 8,
+    keep_versions: int = 2,
+):
+    """The foreachBatch maintainer for the LSH BAND index — the
+    fourth serving family joins the segmented store (BM25 postings,
+    IVFPQ codes, and dense feats have theirs), upgrading
+    :func:`~tantalus_spark.datapipe.dedup.merge_band_index` /
+    ``prune_band_index``'s caller-managed frames into a versioned,
+    GC'd, time-travelable store: the delta is
+    :func:`~tantalus_spark.datapipe.dedup.minhash_bands` over the
+    batch alone (band rows are per-document expressions — no corpus
+    state), deletes tombstone a document's band row so its near-twins
+    become novel again immediately (right-to-be-forgotten for dedup
+    state), and a delete+re-add batch keeps the NEW banding.
+    Band parameters must match across the store's life (the band hash
+    folds them in, so a mismatch makes probes miss rather than
+    silently corrupt). Rebuild-equal + replay-idempotent via
+    :func:`_rowwise_refresh_batches`. No hive partition column: the
+    serve probes by semi-join over the exploded band array, not by a
+    prunable point filter.
+
+    Wire it: ``doc_stream.writeStream.foreachBatch(
+    band_refresh_batches("/path/bands")).start()``.
+    """
+    from tantalus_spark.datapipe.dedup import minhash_bands
+
+    def _delta(adds: DataFrame) -> DataFrame:
+        return minhash_bands(adds, n_perm=n_perm, bands=bands,
+                             shingle_n=shingle_n, text_col=text_col,
+                             id_col=id_col, hash_family=hash_family)
+
+    return _rowwise_refresh_batches(index_dir, "bands", _delta, id_col,
+                                    op_col, max_segments, keep_versions)
+
+
+def export_band_snapshot(spark: SparkSession, index_dir: str,
+                         dest: str, as_of: int | None = None,
+                         verify: bool = True) -> dict:
+    """Promote one LSH band-table version (a store maintained by
+    :func:`band_refresh_batches`) to an immutable snapshot: the masked
+    live view folded into ONE id-distributed bands artifact — a
+    snapshot serve (:func:`load_band_snapshot` → ``novel_documents``)
+    carries zero segment unions and zero tombstone joins.
+    ``verify=True`` gates on id being a key of the live view (a
+    double-banded document would shadow extra band buckets forever);
+    commit protocol and guards match :func:`export_term_snapshot`."""
+    return _export_rowwise_snapshot(
+        spark, index_dir, dest, "bands", "export_band_snapshot",
+        None, [_read_or_id(index_dir, as_of)], as_of, verify)
+
+
+def load_band_snapshot(spark: SparkSession,
+                       dest: str) -> DataFrame | None:
+    """Read a promoted band snapshot: the (id, bands array<long>)
+    DataFrame off the single folded artifact — the same contract as
+    :func:`load_band_index`, with no segment union and no tombstone
+    mask in the plan. Refuses a dest without a committed
+    ``snapshot.json`` (torn export)."""
+    return _load_rowwise_snapshot(spark, dest, "load_band_snapshot")
 
 
 def index_refresh_batches(

@@ -62,3 +62,73 @@ def test_band_index_maintenance_rebuild_equal(spark):
         idx2, spark.createDataFrame([(2,)], "doc_id long"))
     after = novel_documents(twin_src, idx3, hash_family="md5").collect()
     assert after[0]["is_novel"] is True
+
+
+def test_band_refresh_batches_rebuild_equal_and_snapshot(spark, tmp_path):
+    """r11: the LSH band index joins the segmented store (the fourth
+    serving family). CDC batches drive adds, deletes, and a
+    delete+re-add with CHANGED text (the re-banding must win); after
+    a replayed batch and a compaction fold the CURRENT view is
+    bit-identical to minhash_bands over the survivors, the novelty
+    serve off the store matches the rebuild's, and snapshot promotion
+    round-trips with the duplicate-id audit gate."""
+    import os
+
+    import pytest
+    from pyspark.sql import functions as F
+
+    from tantalus_spark.catalog.loader import read_parquet
+    from tantalus_spark.datapipe.dedup import (minhash_bands,
+                                               novel_documents)
+    from tantalus_spark.streaming.maintenance import (
+        band_refresh_batches, export_band_snapshot, load_band_index,
+        load_band_snapshot)
+
+    docs = (read_parquet(spark, "/root/testdata/sf0.001/documents.parquet")
+            .select("doc_id", "text"))
+    ix = str(tmp_path / "bands")
+    cb = band_refresh_batches(ix, op_col="op", max_segments=2)
+    add = lambda df: df.withColumn("op", F.lit("add"))  # noqa: E731
+    # re-add doc 8 with doc 401's text: the NEW banding must win
+    readd = (docs.filter("doc_id = 401")
+                 .select(F.lit(8).cast("long").alias("doc_id"), "text"))
+    dels = spark.createDataFrame(
+        [(8, None, "delete"), (16, None, "delete"),
+         (999999, None, "delete")],
+        "doc_id long, text string, op string")
+    cb(add(docs.filter("doc_id % 4 = 0")), 0)
+    b1 = (add(docs.filter("doc_id % 4 = 1"))
+          .unionByName(dels).unionByName(add(readd)))
+    cb(b1, 1)
+    cb(b1, 1)  # replay: no-op
+    cb(add(docs.filter("doc_id % 4 = 2")), 2)  # fold fires
+
+    survivors = (docs.filter(
+        "doc_id % 4 in (0, 1, 2) and doc_id not in (8, 16)")
+        .unionByName(readd))
+    want_bands = minhash_bands(survivors)
+    live = load_band_index(spark, ix)
+    norm = lambda df: sorted(  # noqa: E731
+        (r["doc_id"], tuple(r["bands"])) for r in df.collect())
+    assert norm(live) == norm(want_bands)
+
+    probe = docs.filter("doc_id % 4 = 3")
+    got = sorted(map(tuple, novel_documents(probe, live).collect()))
+    want = sorted(map(tuple,
+                      novel_documents(probe, want_bands).collect()))
+    assert got == want and got
+
+    snap = str(tmp_path / "snap")
+    stats = export_band_snapshot(spark, ix, snap)
+    assert stats["source_batch_id"] == 2 and not stats["empty"]
+    promoted = load_band_snapshot(spark, snap)
+    assert norm(promoted) == norm(live)
+    with pytest.raises(ValueError, match="not an empty directory"):
+        export_band_snapshot(spark, ix, snap)
+    os.remove(os.path.join(snap, "snapshot.json"))
+    with pytest.raises(ValueError, match="snapshot.json"):
+        load_band_snapshot(spark, snap)
+    # duplicate-id audit gate: double-add breaks disjoint-ids
+    cb(add(docs.filter("doc_id % 4 = 2 and doc_id < 100")), 3)
+    with pytest.raises(RuntimeError, match="disjoint-ids"):
+        export_band_snapshot(spark, ix, str(tmp_path / "snap_dup"))
