@@ -2760,6 +2760,66 @@ def q162_band_store_novel_serve(spark, sf_dir):
                            bands, hash_family="md5")
 
 
+def q163_release_serve(spark, sf_dir):
+    """r11 capstone: export_release cuts ONE consistent serving
+    RELEASE across independently-maintained stores — q157's diverged
+    maintainers (the postings store committed batch 2, the feats
+    store stopped at batch 1), but instead of serving the live LSM
+    views at an as-of pin, one export_release call pins
+    common_batch_id, promotes BOTH stores at that batch with their
+    audit gates, commits release.json, and swaps the release pointer;
+    the serve then runs off load_release's folded artifacts — zero
+    segment unions, zero tombstone joins, and cross-family
+    consistency by construction (the deploy artifact a training run
+    or serving fleet actually ships). Bit-identical to q157's
+    live-store as-of serve, so the oracle is q157's rebuild over the
+    common-prefix survivors verbatim."""
+    import atexit
+    import shutil
+    import tempfile
+
+    from tantalus_spark.datapipe.textstats import hybrid_serve_topk_batch
+    from tantalus_spark.streaming.maintenance import (
+        export_release, feats_refresh_batches, index_refresh_batches,
+        load_release)
+
+    docs = db_for(spark, sf_dir).table("documents").select("doc_id",
+                                                           "text")
+    root = tempfile.mkdtemp(prefix="tantalus_q163_")
+    atexit.register(shutil.rmtree, root, ignore_errors=True)
+    cb_ix = index_refresh_batches(root + "/ix", op_col="op",
+                                  max_segments=2, keep_versions=4)
+    cb_ft = feats_refresh_batches(root + "/feats", dim=64, op_col="op",
+                                  max_segments=2, keep_versions=4)
+    add = lambda df: df.withColumn("op", F.lit("add"))  # noqa: E731
+    dels = (docs.filter(F.col("doc_id") % 21 == 0)
+                .select("doc_id",
+                        F.lit(None).cast("string").alias("text"))
+                .withColumn("op", F.lit("delete")))
+    batches = [
+        add(docs.filter(F.col("doc_id") % 3 == 0)),
+        (add(docs.filter(F.col("doc_id") % 3 == 1))
+         .unionByName(dels)
+         .unionByName(add(docs.filter(F.col("doc_id") % 42 == 0)))),
+        add(docs.filter(F.col("doc_id") % 3 == 2)),
+    ]
+    for i, b in enumerate(batches):
+        cb_ix(b, i)
+        if i < 2:
+            cb_ft(b, i)  # feats maintainer is one batch behind
+    export_release(spark, {"postings": ("term", root + "/ix"),
+                           "dense": ("feats", root + "/feats")},
+                   root + "/releases")
+    rel = load_release(spark, root + "/releases")
+    postings, (n, avgdl) = rel["stores"]["postings"]
+    feats = rel["stores"]["dense"]
+    return hybrid_serve_topk_batch(
+        postings, [(1, ["customer", "sort", "hash"]),
+                   (2, ["merge", "join"]),
+                   (3, ["hash", "table"])],
+        feats, k=10, depth=40, rrf_k=60, dim=64, n_docs=n, avgdl=avgdl)
+
+
 _ALL_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     name[1:]: fn
     for name, fn in list(globals().items())
@@ -2992,6 +3052,10 @@ _QUERY_ORDER = [
     # (fourth serving family) — CDC lifecycle + audit-gated promotion
     # + novelty serve off the snapshot. r12 ROTATION CANDIDATE.
     "162_band_store_novel_serve",
+    # r11 capstone: export_release — one consistent, audited,
+    # pointer-swapped serving release across diverged maintainers,
+    # served off load_release. r12 ROTATION CANDIDATE.
+    "163_release_serve",
 ]
 
 QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
@@ -7268,3 +7332,10 @@ ORACLES["162_band_store_novel_serve"] = """
     FROM (SELECT doc_id FROM documents WHERE doc_id % 4 = 3) n
     LEFT JOIN hit h USING (doc_id)
 """
+
+
+# q163: identical values to q157 — the release changes the serving
+# ARTIFACTS (two folded audited snapshots pinned at common_batch_id,
+# one release pointer), never the values, so the oracle is q157's
+# common-prefix-survivor hybrid rebuild verbatim.
+ORACLES["163_release_serve"] = ORACLES["157_consistent_asof_serve"]

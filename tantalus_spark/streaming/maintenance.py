@@ -583,6 +583,134 @@ def load_feats_snapshot(spark: SparkSession,
     return _load_rowwise_snapshot(spark, dest, "load_feats_snapshot")
 
 
+_RELEASE_META = "release.json"
+
+_SNAPSHOT_EXPORTERS = {
+    "term": export_term_snapshot,
+    "ann": export_ann_snapshot,
+    "feats": export_feats_snapshot,
+}
+
+
+def export_release(spark: SparkSession, stores: dict[str, tuple[str, str]],
+                   dest_root: str, verify: bool = True) -> dict:
+    """Promote a CONSISTENT cross-family serving release: pin
+    ``batch = common_batch_id(all stores)``, export every store
+    ``as_of=batch`` into ``dest_root/v{batch}/{name}`` with its
+    family's audit-gated exporter, commit ``release.json`` last, then
+    atomically swap ``dest_root/CURRENT`` — one call turns N
+    independently-maintained LSM stores into one immutable, audited,
+    mutually-consistent artifact set (the q157 consistency pin
+    composed with the q159–q162 promotions; the "cut a release of the
+    serving stack" operation a training run or serving fleet deploys
+    from while the maintainers keep absorbing CDC).
+
+    ``stores`` maps a name to ``(family, index_dir)`` with family in
+    ``{"term", "ann", "feats", "bands"}``. Commit-protocol properties
+    carried over from the per-store exporters: per-store data commits
+    before release.json, release.json before the pointer swap; a torn
+    release (crash mid-export) leaves no release.json and is swept
+    and re-exported by the next call; re-promoting an
+    already-released batch is idempotent (returns the committed
+    release, repairing a missing pointer swap); the pointer never
+    regresses. Old releases are the caller's to retire — they are
+    immutable directories, so retiring one is an rmtree after its
+    readers drain (the keep_versions analog at the release tier)."""
+    if not stores:
+        raise ValueError("export_release: no stores given")
+    # export_band_snapshot is defined later in the module; resolved at
+    # call time like the other globals
+    exporters = dict(_SNAPSHOT_EXPORTERS, bands=export_band_snapshot)
+    for name, (family, _ix) in stores.items():
+        if family not in exporters:
+            raise ValueError(
+                f"export_release: store {name!r} has unknown family "
+                f"{family!r} (expected one of {sorted(exporters)})")
+    batch = common_batch_id(*[ix for _f, ix in stores.values()])
+    vname = f"v{batch:08d}"
+    vdir = os.path.join(dest_root, vname)
+    meta_path = os.path.join(vdir, _RELEASE_META)
+    cur = _current_version(dest_root)
+    if os.path.exists(meta_path):
+        # already committed (maybe before a crash that lost the swap):
+        # repair the pointer if needed and return the release —
+        # idempotent under the maintainers' at-least-once posture
+        with open(meta_path) as f:
+            release = json.load(f)
+        if cur is None or int(cur[1:]) < batch:
+            _swap_pointer(dest_root, vname)
+        return release
+    if cur is not None and int(cur[1:]) >= batch:
+        raise RuntimeError(
+            f"export_release: CURRENT={cur} already at or past "
+            f"batch {batch} — the stores' common batch has not "
+            f"advanced since the last release")
+    if os.path.isdir(vdir):
+        # torn release: exports ran, release.json never committed —
+        # the per-store immutability guards would refuse the re-export,
+        # so sweep the never-committed debris first
+        shutil.rmtree(vdir)
+    for name in sorted(stores):
+        family, ix = stores[name]
+        exporters[family](spark, ix, os.path.join(vdir, name),
+                          as_of=batch, verify=verify)
+    release = {"batch_id": batch, "version": vname,
+               "stores": {name: stores[name][0] for name in stores}}
+    tmp = meta_path + ".tmp"
+    with open(tmp, "w") as f:
+        json.dump(release, f)
+    os.replace(tmp, meta_path)
+    _swap_pointer(dest_root, vname)
+    return release
+
+
+def _swap_pointer(root: str, version: str) -> None:
+    tmp = os.path.join(root, _POINTER + ".tmp")
+    with open(tmp, "w") as f:
+        f.write(version)
+    os.replace(tmp, os.path.join(root, _POINTER))
+
+
+def load_release(spark: SparkSession, dest_root: str,
+                 as_of: int | None = None) -> dict:
+    """Read one serving release: ``{"batch_id": N, "stores": {name:
+    loaded artifact}}`` where a ``term`` store loads as the
+    ``(postings, (n_docs, avgdl))`` tuple and the rowwise families
+    load as their DataFrames — each off its single folded snapshot
+    (zero segment unions, zero tombstone joins). ``None`` resolves
+    the CURRENT pointer; ``as_of`` floor-resolves over the retained
+    release directories like the store loaders do. Refuses an empty
+    root or a pre-retention pin."""
+    loaders = {"term": load_term_snapshot, "ann": load_ann_snapshot,
+               "feats": load_feats_snapshot,
+               "bands": load_band_snapshot}
+    if as_of is None:
+        version = _current_version(dest_root)
+        if version is None:
+            raise ValueError(f"load_release: {dest_root} has no "
+                             f"committed release")
+    else:
+        committed = sorted(
+            (d for d in os.listdir(dest_root)
+             if d.startswith("v")
+             and os.path.exists(os.path.join(dest_root, d,
+                                             _RELEASE_META))
+             and int(d[1:]) <= int(as_of)),
+            key=lambda d: int(d[1:])) if os.path.isdir(dest_root) else []
+        if not committed:
+            raise ValueError(
+                f"load_release: no committed release at or before "
+                f"batch {as_of} under {dest_root}")
+        version = committed[-1]
+    vdir = os.path.join(dest_root, version)
+    with open(os.path.join(vdir, _RELEASE_META)) as f:
+        release = json.load(f)
+    return {"batch_id": release["batch_id"],
+            "stores": {name: loaders[family](
+                spark, os.path.join(vdir, name))
+                for name, family in release["stores"].items()}}
+
+
 def _commit_version(index_dir: str, version: str, manifest: dict) -> None:
     """Write an immutable manifest directory, then atomically swap the
     pointer (tmp + rename — the object-store commit-file primitive).

@@ -3251,3 +3251,95 @@ def test_vacuum_reclaims_torn_commit_debris(spark, tmp_path):
     assert sorted(map(tuple, postings.collect())) == before
     # idempotent: a second sweep finds nothing
     assert vacuum_index(ix, keep_versions=2) == []
+
+
+def test_export_release_consistent_idempotent_and_torn(spark, tmp_path):
+    """r11 capstone: export_release cuts ONE consistent, audited,
+    immutable serving release across independently-maintained stores —
+    pinned at common_batch_id (the lagging maintainer decides), each
+    family exported with its own audit gate, release.json committed
+    before the pointer swap. Covers: the consistency pin under
+    maintainer lag, serve parity with the live as-of views, idempotent
+    re-promotion, pointer monotonicity, torn-release sweep-and-retry,
+    and as_of release loading after a newer release lands."""
+    import json
+    import os
+
+    import pytest
+    from pyspark.sql import functions as F
+
+    from tantalus_spark.catalog.loader import read_parquet
+    from tantalus_spark.datapipe.textstats import (
+        build_term_index, hybrid_serve_topk_batch)
+    from tantalus_spark.streaming.maintenance import (
+        export_release, feats_refresh_batches, index_refresh_batches,
+        load_feats_index, load_release, load_term_index)
+
+    docs = (read_parquet(spark, "/root/testdata/sf0.001/documents.parquet")
+            .select("doc_id", "text"))
+    root = str(tmp_path)
+    cb_ix = index_refresh_batches(root + "/ix", op_col="op",
+                                  keep_versions=4)
+    cb_ft = feats_refresh_batches(root + "/feats", dim=64, op_col="op",
+                                  keep_versions=4)
+    add = lambda df: df.withColumn("op", F.lit("add"))  # noqa: E731
+    b0 = add(docs.filter("doc_id < 200"))
+    b1 = add(docs.filter("doc_id >= 200 and doc_id < 400"))
+    b2 = add(docs.filter("doc_id >= 400 and doc_id < 450"))
+    cb_ix(b0, 0); cb_ft(b0, 0)  # noqa: E702
+    cb_ix(b1, 1); cb_ft(b1, 1)  # noqa: E702
+    cb_ix(b2, 2)  # term store runs a batch AHEAD (maintainer lag)
+
+    stores = {"postings": ("term", root + "/ix"),
+              "dense": ("feats", root + "/feats")}
+    rel_root = root + "/releases"
+    rel = export_release(spark, stores, rel_root)
+    assert rel["batch_id"] == 1  # the lagging maintainer pins it
+    assert open(os.path.join(rel_root, "CURRENT")).read() == "v00000001"
+
+    loaded = load_release(spark, rel_root)
+    postings, (n, avgdl) = loaded["stores"]["postings"]
+    feats = loaded["stores"]["dense"]
+    qs = [(1, ["customer", "hash"]), (2, ["merge"])]
+    got = [tuple(r) for r in hybrid_serve_topk_batch(
+        postings, qs, feats, k=5, depth=10, dim=64, n_docs=n,
+        avgdl=avgdl).collect()]
+    lp, (ln, lavg) = load_term_index(spark, root + "/ix", as_of=1)
+    lf = load_feats_index(spark, root + "/feats", as_of=1)
+    want = [tuple(r) for r in hybrid_serve_topk_batch(
+        lp, qs, lf, k=5, depth=10, dim=64, n_docs=ln,
+        avgdl=lavg).collect()]
+    assert got == want and got
+
+    # re-promoting an already-released batch is IDEMPOTENT: the
+    # committed release comes back, nothing is re-exported
+    again = export_release(spark, stores, rel_root)
+    assert again["batch_id"] == 1
+
+    # feats catches up -> next release pins batch 2
+    cb_ft(b2, 2)
+    rel2 = export_release(spark, stores, rel_root)
+    assert rel2["batch_id"] == 2
+    assert open(os.path.join(rel_root, "CURRENT")).read() == "v00000002"
+    # as_of floor still loads the retained v1 release
+    old = load_release(spark, rel_root, as_of=1)
+    assert old["batch_id"] == 1
+
+    # torn release: strip v2's release.json + regress the pointer ->
+    # the next export sweeps the debris and recommits cleanly
+    os.remove(os.path.join(rel_root, "v00000002", "release.json"))
+    with open(os.path.join(rel_root, "CURRENT"), "w") as f:
+        f.write("v00000001")
+    rel2b = export_release(spark, stores, rel_root)
+    assert rel2b["batch_id"] == 2
+    assert json.load(open(os.path.join(
+        rel_root, "v00000002", "release.json")))["batch_id"] == 2
+    assert open(os.path.join(rel_root, "CURRENT")).read() == "v00000002"
+
+    # pointer monotonicity: with the committed release REMOVED (not a
+    # torn export — a deleted one) and CURRENT already at its batch,
+    # re-exporting must refuse rather than regress the pointer
+    import shutil as _shutil
+    _shutil.rmtree(os.path.join(rel_root, "v00000002"))
+    with pytest.raises(RuntimeError, match="common batch"):
+        export_release(spark, stores, rel_root)
