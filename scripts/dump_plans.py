@@ -199,6 +199,15 @@ SHOW = [
      " snapshot.json, and NO tombstone anti-join anywhere (the export"
      " applied the mask physically); compare q152's per-segment"
      " unions + broadcast mask"),
+    ("161_snapshot_ann_serve", "IVFPQ snapshot serve (r11): ONE"
+     " ivf_list-partition-pruned code scan off the promoted folded"
+     " artifact (vs one per segment on the live store), per-query"
+     " broadcast probe/ADC tables, no tombstone anti-join"),
+    ("163_release_serve", "cross-family RELEASE serve (r11): q157's"
+     " diverged maintainers pinned at common_batch_id by one"
+     " export_release call — both legs read folded audited snapshots"
+     " (pushdown-pruned postings + bucket-partition-pruned feats),"
+     " zero segment unions, zero mask joins"),
 ]
 
 
