@@ -3343,3 +3343,75 @@ def test_export_release_consistent_idempotent_and_torn(spark, tmp_path):
     _shutil.rmtree(os.path.join(rel_root, "v00000002"))
     with pytest.raises(RuntimeError, match="common batch"):
         export_release(spark, stores, rel_root)
+
+
+def test_export_release_all_four_families(spark, tmp_path):
+    """export_release dispatches every serving family: term postings,
+    dense feats, IVFPQ codes, and LSH bands maintained to the same
+    batch, released in one call, loaded back with each family's
+    loader shape (term -> (postings, stats), rowwise -> DataFrame),
+    each bit-identical to its live view."""
+    from pyspark.sql import functions as F
+
+    from tantalus_spark.catalog.loader import read_parquet
+    from tantalus_spark.streaming.maintenance import (
+        ann_refresh_batches, band_refresh_batches, export_release,
+        feats_refresh_batches, index_refresh_batches, load_ann_index,
+        load_band_index, load_feats_index, load_release,
+        load_term_index)
+
+    docs = (read_parquet(spark, "/root/testdata/sf0.001/documents.parquet")
+            .select("doc_id", "text"))
+    emb = read_parquet(spark, "/root/testdata/sf0.001/embeddings.parquet")
+    iv = (emb.filter("embedding is not null")
+             .select("vec_id",
+                     F.transform("embedding",
+                                 lambda x: F.floor(x.cast("double")
+                                                   * F.lit(32.0))
+                                 .cast("double")).alias("embedding")))
+    head = iv.filter("vec_id <= 16").orderBy("vec_id").collect()
+    by_id = {r["vec_id"]: [float(x) for x in r["embedding"]]
+             for r in head}
+    cents = [by_id[i] for i in range(8)]
+    books = [[by_id[c + 1][j * 8:(j + 1) * 8] for c in range(16)]
+             for j in range(8)]
+
+    root = str(tmp_path)
+    cbs = {
+        "postings": index_refresh_batches(root + "/ix"),
+        "dense": feats_refresh_batches(root + "/feats", dim=64),
+        "codes": ann_refresh_batches(root + "/ann", cents, books),
+        "bands": band_refresh_batches(root + "/bands"),
+    }
+    doc_batches = [docs.filter("doc_id < 200"),
+                   docs.filter("doc_id >= 200 and doc_id < 400")]
+    vec_batches = [iv.filter("vec_id < 150"),
+                   iv.filter("vec_id >= 150 and vec_id < 300")]
+    for i in range(2):
+        for name, cb in cbs.items():
+            cb(vec_batches[i] if name == "codes" else doc_batches[i], i)
+
+    stores = {"postings": ("term", root + "/ix"),
+              "dense": ("feats", root + "/feats"),
+              "codes": ("ann", root + "/ann"),
+              "bands": ("bands", root + "/bands")}
+    rel = export_release(spark, stores, root + "/releases")
+    assert rel["batch_id"] == 1
+    loaded = load_release(spark, root + "/releases")["stores"]
+
+    sp, (sn, savg) = loaded["postings"]
+    lp, (ln, lavg) = load_term_index(spark, root + "/ix")
+    assert (sn, savg) == (ln, lavg)
+    assert sorted(map(tuple, sp.collect())) == \
+        sorted(map(tuple, lp.collect()))
+    for name, live in (
+            ("dense", load_feats_index(spark, root + "/feats")),
+            ("codes", load_ann_index(spark, root + "/ann")),
+            ("bands", load_band_index(spark, root + "/bands"))):
+        got = sorted(tuple(x if not isinstance(x, list) else tuple(x)
+                           for x in r) for r in loaded[name].collect())
+        want = sorted(tuple(x if not isinstance(x, list) else tuple(x)
+                            for x in r)
+                      for r in live.select(*loaded[name].columns)
+                      .collect())
+        assert got == want, name
