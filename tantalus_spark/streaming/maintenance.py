@@ -613,9 +613,9 @@ def export_release(spark: SparkSession, stores: dict[str, tuple[str, str]],
     and re-exported by the next call; re-promoting an
     already-released batch is idempotent (returns the committed
     release, repairing a missing pointer swap); the pointer never
-    regresses. Old releases are the caller's to retire — they are
-    immutable directories, so retiring one is an rmtree after its
-    readers drain (the keep_versions analog at the release tier)."""
+    regresses. Retire old releases with :func:`gc_releases` (the
+    keep_versions analog at the release tier) after their readers
+    drain."""
     if not stores:
         raise ValueError("export_release: no stores given")
     # export_band_snapshot is defined later in the module; resolved at
@@ -662,6 +662,39 @@ def export_release(spark: SparkSession, stores: dict[str, tuple[str, str]],
     os.replace(tmp, meta_path)
     _swap_pointer(dest_root, vname)
     return release
+
+
+def gc_releases(dest_root: str, keep_releases: int = 2) -> list[str]:
+    """Retire releases older than the newest ``keep_releases``
+    committed ones (floor 2 — the swap window for readers that pinned
+    the previous release, like the store GC), plus any torn release
+    directory at or below CURRENT (never-committed debris a crash
+    left behind; a torn directory AHEAD of CURRENT is the next
+    export's to sweep-and-retry, so it is left alone). Returns the
+    removed directory names. Releases are immutable and independent
+    — an rmtree of a retired one cannot affect a kept one (snapshots
+    never share files the way store manifests share segments)."""
+    keep_releases = max(2, int(keep_releases))
+    cur = _current_version(dest_root)
+    if cur is None:
+        return []
+    cur_id = int(cur[1:])
+    committed = sorted(
+        (d for d in os.listdir(dest_root)
+         if d.startswith("v")
+         and os.path.isdir(os.path.join(dest_root, d))
+         and os.path.exists(os.path.join(dest_root, d, _RELEASE_META))
+         and int(d[1:]) <= cur_id),
+        key=lambda d: int(d[1:]))
+    keep = set(committed[-keep_releases:])
+    removed: list[str] = []
+    for d in os.listdir(dest_root):
+        full = os.path.join(dest_root, d)
+        if (d.startswith("v") and os.path.isdir(full) and d not in keep
+                and int(d[1:]) <= cur_id):
+            shutil.rmtree(full)
+            removed.append(d)
+    return removed
 
 
 def _swap_pointer(root: str, version: str) -> None:

@@ -3415,3 +3415,51 @@ def test_export_release_all_four_families(spark, tmp_path):
                       for r in live.select(*loaded[name].columns)
                       .collect())
         assert got == want, name
+
+
+def test_gc_releases_retires_old_keeps_window_and_torn_rules(
+        spark, tmp_path):
+    """gc_releases: keeps the newest keep_releases committed releases
+    (floor 2), reclaims older ones and torn debris at/below CURRENT,
+    leaves a torn directory AHEAD of CURRENT for the next export's
+    sweep-and-retry, and the kept releases still load."""
+    import os
+
+    from pyspark.sql import functions as F
+
+    from tantalus_spark.catalog.loader import read_parquet
+    from tantalus_spark.streaming.maintenance import (
+        export_release, gc_releases, index_refresh_batches,
+        load_release)
+
+    docs = (read_parquet(spark, "/root/testdata/sf0.001/documents.parquet")
+            .select("doc_id", "text"))
+    root = str(tmp_path)
+    cb = index_refresh_batches(root + "/ix", op_col="op",
+                               keep_versions=8)
+    add = lambda df: df.withColumn("op", F.lit("add"))  # noqa: E731
+    stores = {"postings": ("term", root + "/ix")}
+    rel_root = root + "/releases"
+    for i, lo in enumerate((0, 150, 300, 450)):
+        cb(add(docs.filter(f"doc_id >= {lo} and doc_id < {lo + 150}")),
+           i)
+        export_release(spark, stores, rel_root)
+    assert open(os.path.join(rel_root, "CURRENT")).read() == "v00000003"
+
+    # torn debris: below CURRENT (reclaim) and ahead of it (leave)
+    os.makedirs(os.path.join(rel_root, "v00000002", "half"),
+                exist_ok=True)
+    os.remove(os.path.join(rel_root, "v00000002", "release.json"))
+    os.makedirs(os.path.join(rel_root, "v00000099"))
+
+    removed = gc_releases(rel_root, keep_releases=2)
+    # the keep window counts COMMITTED releases: v2 is torn (never
+    # committed), so the newest two committed are {v1, v3} — readers
+    # may legitimately have pinned v1. v0 retires, the torn v2
+    # reclaims, v99 (ahead of CURRENT) is the next export's business.
+    assert sorted(removed) == ["v00000000", "v00000002"]
+    assert os.path.isdir(os.path.join(rel_root, "v00000099"))  # ahead
+    assert load_release(spark, rel_root)["batch_id"] == 3
+    assert load_release(spark, rel_root, as_of=1)["batch_id"] == 1
+    assert load_release(spark, rel_root, as_of=99)["batch_id"] == 3
+    assert gc_releases(rel_root, keep_releases=2) == []  # idempotent
