@@ -768,9 +768,16 @@ def novel_documents(
         F.col(id_col),
         F.posexplode("bands").alias("band", "h"),
     )
-    postings = index_df.select(
-        F.posexplode("bands").alias("band", "h")
-    ).dropDuplicates()
+    if {"band", "h"}.issubset(set(index_df.columns)):
+        # pre-exploded DISTINCT (band, h) postings — the layout a
+        # promoted band snapshot ships (export_band_snapshot's
+        # "postings" leaf). The corpus-scale explode+dedup shuffle
+        # below is paid ONCE at export instead of per serve.
+        postings = index_df.select("band", "h")
+    else:
+        postings = index_df.select(
+            F.posexplode("bands").alias("band", "h")
+        ).dropDuplicates()
     hits = (
         probe.join(postings, ["band", "h"], "left_semi")
         .select(id_col).distinct()

@@ -2755,9 +2755,12 @@ def q162_band_store_novel_serve(spark, sf_dir):
        .unionByName(add(docs.filter(F.col("doc_id") % 40 == 0))), 1)
     cb(add(docs.filter(F.col("doc_id") % 4 == 2)), 2)  # fold fires
     export_band_snapshot(spark, root + "/bands", root + "/snap")
-    bands = load_band_snapshot(spark, root + "/snap")
+    # serve off the PRE-EXPLODED distinct postings layout: the
+    # index-side explode+dedup shuffle was paid once at export
+    postings = load_band_snapshot(spark, root + "/snap",
+                                  layout="postings")
     return novel_documents(docs.filter(F.col("doc_id") % 4 == 3),
-                           bands, hash_family="md5")
+                           postings, hash_family="md5")
 
 
 def q163_release_serve(spark, sf_dir):

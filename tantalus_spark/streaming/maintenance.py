@@ -429,7 +429,8 @@ def _export_rowwise_snapshot(spark: SparkSession, index_dir: str,
                              dest: str, leaf: str, fn_name: str,
                              partition_col: str | None,
                              unique_cols: list[str],
-                             as_of: int | None, verify: bool) -> dict:
+                             as_of: int | None, verify: bool,
+                             extra_writes=None) -> dict:
     """Shared promotion path for the PER-ROW-INDEPENDENT stores (IVFPQ
     codes, enriched dense feats): fold the masked live view of one
     pinned version into an immutable hive-partitioned artifact at
@@ -490,6 +491,11 @@ def _export_rowwise_snapshot(spark: SparkSession, index_dir: str,
                 (view.repartition(F.col(unique_cols[0]))
                      .write.mode("overwrite")
                      .parquet(os.path.join(dest, leaf)))
+            if extra_writes is not None:
+                # family-specific derived artifacts (e.g. the band
+                # store's pre-exploded postings) — written before the
+                # snapshot.json commit so a torn export stays torn
+                extra_writes(view, dest)
     except BaseException:
         shutil.rmtree(dest, ignore_errors=True)
         raise
@@ -1209,26 +1215,48 @@ def export_band_snapshot(spark: SparkSession, index_dir: str,
                          dest: str, as_of: int | None = None,
                          verify: bool = True) -> dict:
     """Promote one LSH band-table version (a store maintained by
-    :func:`band_refresh_batches`) to an immutable snapshot: the masked
-    live view folded into ONE id-distributed bands artifact — a
-    snapshot serve (:func:`load_band_snapshot` → ``novel_documents``)
-    carries zero segment unions and zero tombstone joins.
+    :func:`band_refresh_batches`) to an immutable snapshot with TWO
+    layouts of the same state: the id-distributed ``bands`` table
+    (the audit/re-band artifact, same shape as the live view) and a
+    pre-exploded DISTINCT ``postings`` (band, h) table — the serve
+    artifact. ``novel_documents`` re-explodes and re-dedups the whole
+    band table on EVERY serve against a live view (a corpus-scale
+    shuffle); the snapshot pays that shuffle once at export, so a
+    snapshot novelty serve is probe-explode + one semi-join, zero
+    index-side shuffles (plan test in tests/test_plans.py).
     ``verify=True`` gates on id being a key of the live view (a
     double-banded document would shadow extra band buckets forever);
     commit protocol and guards match :func:`export_term_snapshot`."""
+    def _postings(view: DataFrame, d: str) -> None:
+        (view.select(F.posexplode("bands").alias("band", "h"))
+             .dropDuplicates()
+             .repartition(F.col("h"))
+             .write.mode("overwrite")
+             .parquet(os.path.join(d, "postings")))
+
     return _export_rowwise_snapshot(
         spark, index_dir, dest, "bands", "export_band_snapshot",
-        None, [_read_or_id(index_dir, as_of)], as_of, verify)
+        None, [_read_or_id(index_dir, as_of)], as_of, verify,
+        extra_writes=_postings)
 
 
-def load_band_snapshot(spark: SparkSession,
-                       dest: str) -> DataFrame | None:
-    """Read a promoted band snapshot: the (id, bands array<long>)
-    DataFrame off the single folded artifact — the same contract as
-    :func:`load_band_index`, with no segment union and no tombstone
-    mask in the plan. Refuses a dest without a committed
+def load_band_snapshot(spark: SparkSession, dest: str,
+                       layout: str = "bands") -> DataFrame | None:
+    """Read a promoted band snapshot. ``layout="bands"`` returns the
+    (id, bands array<long>) table — the same contract as
+    :func:`load_band_index`; ``layout="postings"`` returns the
+    pre-exploded DISTINCT (band, h) table that ``novel_documents``
+    consumes without any index-side explode/dedup shuffle. Both come
+    off single folded artifacts with no segment union and no
+    tombstone mask. Refuses a dest without a committed
     ``snapshot.json`` (torn export)."""
-    return _load_rowwise_snapshot(spark, dest, "load_band_snapshot")
+    if layout not in ("bands", "postings"):
+        raise ValueError(f"load_band_snapshot: unknown layout "
+                         f"{layout!r} (expected 'bands' or 'postings')")
+    out = _load_rowwise_snapshot(spark, dest, "load_band_snapshot")
+    if out is None or layout == "bands":
+        return out
+    return spark.read.parquet(os.path.join(dest, "postings"))
 
 
 def index_refresh_batches(

@@ -132,3 +132,44 @@ def test_band_refresh_batches_rebuild_equal_and_snapshot(spark, tmp_path):
     cb(add(docs.filter("doc_id % 4 = 2 and doc_id < 100")), 3)
     with pytest.raises(RuntimeError, match="disjoint-ids"):
         export_band_snapshot(spark, ix, str(tmp_path / "snap_dup"))
+
+
+def test_band_snapshot_postings_layout_serve_parity(spark, tmp_path):
+    """r11: the band snapshot's pre-exploded DISTINCT (band, h)
+    postings layout serves novelty bit-identically to the bands-array
+    layout (and to the live store) — the corpus-scale explode+dedup
+    shuffle moves from every serve to the one export."""
+    from pyspark.sql import functions as F
+
+    from tantalus_spark.catalog.loader import read_parquet
+    from tantalus_spark.datapipe.dedup import novel_documents
+    from tantalus_spark.streaming.maintenance import (
+        band_refresh_batches, export_band_snapshot, load_band_index,
+        load_band_snapshot)
+
+    docs = (read_parquet(spark, "/root/testdata/sf0.001/documents.parquet")
+            .select("doc_id", "text"))
+    ix = str(tmp_path / "bands")
+    cb = band_refresh_batches(ix, op_col="op")
+    add = lambda df: df.withColumn("op", F.lit("add"))  # noqa: E731
+    cb(add(docs.filter("doc_id % 4 = 0")), 0)
+    cb(add(docs.filter("doc_id % 4 = 1"))
+       .unionByName(spark.createDataFrame(
+           [(8, None, "delete")],
+           "doc_id long, text string, op string")), 1)
+    snap = str(tmp_path / "snap")
+    export_band_snapshot(spark, ix, snap)
+
+    probe = docs.filter("doc_id % 4 = 3")
+    by_bands = sorted(map(tuple, novel_documents(
+        probe, load_band_snapshot(spark, snap)).collect()))
+    by_postings = sorted(map(tuple, novel_documents(
+        probe, load_band_snapshot(spark, snap,
+                                  layout="postings")).collect()))
+    by_live = sorted(map(tuple, novel_documents(
+        probe, load_band_index(spark, ix)).collect()))
+    assert by_postings == by_bands == by_live and by_live
+
+    import pytest
+    with pytest.raises(ValueError, match="unknown layout"):
+        load_band_snapshot(spark, snap, layout="wat")

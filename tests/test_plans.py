@@ -1094,3 +1094,37 @@ def test_rowwise_snapshot_serves_scan_one_artifact_no_mask_join(
                if "bucket" in c.splitlines()[0]]
     assert len(bpruned) == 1, (len(bpruned), plan2[:3000])
     assert 0 < len(hybrid.collect()) <= 10
+
+
+def test_band_snapshot_postings_serve_has_no_index_side_shuffle(
+        spark, tmp_path):
+    """r11: novelty served off the band snapshot's pre-exploded
+    DISTINCT postings leaf keeps the index side shuffle-free — exactly
+    ONE Generate (the probe batch's posexplode; the index side is a
+    plain scan) and no index-side dedup aggregate feeding the semi
+    join, vs the live-store serve whose plan re-explodes and re-dedups
+    the whole band table per query."""
+    from pyspark.sql import functions as F
+
+    from tantalus_spark.datapipe.dedup import novel_documents
+    from tantalus_spark.streaming.maintenance import (
+        band_refresh_batches, export_band_snapshot, load_band_index,
+        load_band_snapshot)
+
+    docs = db_for(spark, SF).table("documents").select("doc_id", "text")
+    ix = str(tmp_path / "bands")
+    cb = band_refresh_batches(ix)
+    cb(docs.filter("doc_id % 2 = 0"), 0)
+    snap = str(tmp_path / "snap")
+    export_band_snapshot(spark, ix, snap)
+    probe = docs.filter("doc_id % 4 = 3")
+
+    served = novel_documents(
+        probe, load_band_snapshot(spark, snap, layout="postings"))
+    plan = _plan(served)
+    assert plan.count("Generate") == 1, plan[:2500]  # probe side only
+    live_plan = _plan(novel_documents(probe,
+                                      load_band_index(spark, ix)))
+    assert live_plan.count("Generate") == 2  # live pays both explodes
+    rows = served.collect()
+    assert rows and all(r["is_novel"] is not None for r in rows)
