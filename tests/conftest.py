@@ -173,4 +173,18 @@ def tdb(spark) -> Database:
         (1, "prod", None, 1, _ts(2018, 5, 5), "+", 1),
         (2, "qc", None, 2, _ts(2018, 6, 6), "+", 1),
     ])
-    return db
+    # Guard against in-place StructType mutation by any test: df.schema
+    # returns the DataFrame's cached StructType object, so a test chaining
+    # .add() on it corrupts the shared fixture for every later test in the
+    # same session (declared columns diverge from the JVM plan). Snapshot
+    # the declared schemas now and assert them unchanged at teardown.
+    schema_snapshot = {n: df.schema.jsonValue()
+                      for n, df in db._tables.items()}
+    yield db
+    mutated = [n for n, df in db._tables.items()
+               if n in schema_snapshot
+               and df.schema.jsonValue() != schema_snapshot[n]]
+    assert not mutated, (
+        f"session fixture schemas mutated in place by a test: {mutated} — "
+        "build derived schemas with StructType(fields + [...]), never "
+        "df.schema.add(...)")

@@ -5,6 +5,7 @@ from __future__ import annotations
 import datetime as dt
 
 from pyspark.sql import functions as F
+from pyspark.sql import types as T
 
 from tantalus_spark.functions.paths import file_locations
 from tantalus_spark.operators import ids as idops
@@ -320,9 +321,17 @@ def test_history_capture_asof_roundtrip(tdb, spark):
     from tantalus_spark.operators.history import append_history, table_as_of
 
     tag = tdb.table("tag")
-    hist_schema = spark.createDataFrame(
-        [], tag.schema.add("history_id", "long").add("history_date", "timestamp")
-        .add("history_type", "string").add("history_user_id", "long"))
+    # Build the history schema non-destructively: StructType.add mutates in
+    # place and df.schema returns the DataFrame's cached StructType, so
+    # chaining .add() on tag.schema would corrupt the shared tdb fixture
+    # (7 declared columns vs 3 in the JVM plan) for every later test.
+    hist_fields = list(tag.schema.fields) + [
+        T.StructField("history_id", T.LongType()),
+        T.StructField("history_date", T.TimestampType()),
+        T.StructField("history_type", T.StringType()),
+        T.StructField("history_user_id", T.LongType()),
+    ]
+    hist_schema = spark.createDataFrame([], T.StructType(hist_fields))
     t1, t2, t3 = dt.datetime(2020, 1, 1), dt.datetime(2020, 2, 1), \
         dt.datetime(2020, 3, 1)
     # t1: initial snapshot (+) of all 3 tags
