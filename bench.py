@@ -98,6 +98,12 @@ HEADLINE = [
     # partitioned export, and the batched partition-pruned serve off
     # the promoted artifact, all in one honest lifecycle job
     "161_snapshot_ann_serve",
+    # r12 addition: the LIVE band-store novelty serve off the
+    # incrementally maintained postings leaf — three CDC commits
+    # (incl. the fold, each also deriving its O(batch) postings) plus
+    # the shuffle-free-index-side serve; the freshness-read twin of
+    # the snapshot path
+    "164_band_store_live_serve",
 ]
 
 
@@ -189,14 +195,16 @@ def main() -> None:
     # box moved whole-run totals by +-20% at n=3, which swamped real
     # round-over-round deltas; min-of-5 keeps the steady-state number
     timings: dict[str, float] = {}
+    spreads: list[float] = []
     for name in HEADLINE:
         fn = PRODUCTION_VARIANTS.get(name, QUERIES[name])
-        best = float("inf")
+        best, worst = float("inf"), 0.0
         for _ in range(5):
             t0 = time.perf_counter()
             df = fn(spark, sf_dir)
             df.count()
-            best = min(best, time.perf_counter() - t0)
+            dt = time.perf_counter() - t0
+            best, worst = min(best, dt), max(worst, dt)
             # persist-lifecycle contract: a query may RETURN a cached
             # frame the caller owns releasing. Without this release,
             # iterations 2-5 of such a query re-persist the identical
@@ -206,8 +214,18 @@ def main() -> None:
             # harness itself). No-op for unpersisted results.
             df.unpersist()
         timings[name] = round(best, 3)
+        if best > 0.2:  # sub-noise queries would dominate the ratio
+            spreads.append(worst / best)
 
     total = round(sum(timings.values()), 3)
+    # honesty flag (the r10/r11 verdicts both caught loaded-box
+    # artifacts by hand): pre-existing load when the run STARTED, or
+    # heavy mid-run drift (median worst/best across the non-trivial
+    # queries — co-tenant interference inflates the slow reps of MANY
+    # queries at once; steady-state GC jitter doesn't move the median)
+    spreads.sort()
+    drift = spreads[len(spreads) // 2] if spreads else 1.0
+    degraded = bool(pre_load1 > 1.0 or drift > 2.0)
     # record box load so round-over-round artifacts are auditable: the
     # r8 artifact showed +40-50% on untouched queries that a re-run on
     # an idle box didn't reproduce — co-tenant load, not a regression.
@@ -227,6 +245,8 @@ def main() -> None:
         "pre_load_5m": round(pre_load5, 2),
         "load_1m": round(load1, 2),
         "load_5m": round(load5, 2),
+        "degraded": degraded,
+        "mid_run_drift": round(drift, 2),
     }))
 
 

@@ -741,6 +741,7 @@ def novel_documents(
     text_col: str = "text",
     id_col: str = "doc_id",
     hash_family: str = "xxhash64",
+    index_layout: str = "auto",
 ) -> DataFrame:
     """Incremental corpus dedup: which NEW documents are novel versus an
     already-indexed corpus, without re-deduplicating the corpus.
@@ -768,11 +769,30 @@ def novel_documents(
         F.col(id_col),
         F.posexplode("bands").alias("band", "h"),
     )
-    if {"band", "h"}.issubset(set(index_df.columns)):
-        # pre-exploded DISTINCT (band, h) postings — the layout a
-        # promoted band snapshot ships (export_band_snapshot's
-        # "postings" leaf). The corpus-scale explode+dedup shuffle
-        # below is paid ONCE at export instead of per serve.
+    # index_layout: 'bands' = one row per doc with a "bands" array
+    # (minhash_bands output / a live band-table view); 'postings' =
+    # pre-exploded DISTINCT (band, h) rows (export_band_snapshot's
+    # postings leaf, or load_band_index(..., layout="postings")) —
+    # the corpus-scale explode+dedup shuffle is paid once at
+    # export/commit instead of per serve. 'auto' keeps the old
+    # sniffing for callers that pass raw frames, but only engages
+    # the postings path when the frame is EXACTLY (band, h) — a
+    # joined/enriched band table that happens to carry those names
+    # must not silently skip the explode and probe the wrong data.
+    if index_layout not in ("auto", "bands", "postings"):
+        raise ValueError(
+            f"novel_documents: index_layout={index_layout!r} "
+            f"(expected 'auto', 'bands' or 'postings')")
+    if index_layout == "auto":
+        index_layout = ("postings"
+                        if set(index_df.columns) == {"band", "h"}
+                        else "bands")
+    if index_layout == "postings":
+        missing = {"band", "h"} - set(index_df.columns)
+        if missing:
+            raise ValueError(
+                f"novel_documents: index_layout='postings' but the "
+                f"index frame lacks column(s) {sorted(missing)}")
         postings = index_df.select("band", "h")
     else:
         postings = index_df.select(

@@ -52,6 +52,7 @@ from __future__ import annotations
 
 import json
 import os
+import re
 import shutil
 from functools import reduce
 
@@ -59,6 +60,17 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 _POINTER = "CURRENT"
+
+# committed version directories are exactly v{batch:08d}; everything
+# that parses or SWEEPS v-prefixed names must match this, not a bare
+# startswith("v") — a foreign directory an operator drops next to the
+# store (version_backup/, v2-notes/) must be skipped, never int()-
+# crashed on and NEVER rmtree'd
+_VNAME_RE = re.compile(r"^v\d+$")
+
+
+def _is_vname(d: str) -> bool:
+    return bool(_VNAME_RE.match(d))
 
 
 def _current_version(index_dir: str) -> str | None:
@@ -100,7 +112,7 @@ def index_versions(index_dir: str) -> list[dict]:
     out = []
     for d in sorted(
             (d for d in os.listdir(index_dir)
-             if d.startswith("v")
+             if _is_vname(d)
              and os.path.isdir(os.path.join(index_dir, d))
              and os.path.exists(
                  os.path.join(index_dir, d, "manifest.json"))),
@@ -380,21 +392,23 @@ def export_term_snapshot(spark: SparkSession, index_dir: str,
                            else lens.repartition(F.col(id_col)))
                 (lshaped.write.mode("overwrite")
                         .parquet(os.path.join(dest, "doclens")))
+        stats = {"n_docs": n, "dl_sum": dl_sum, "id_col": m["id_col"],
+                 "source_version": version,
+                 "source_batch_id": int(version[1:]),
+                 "empty": postings is None}
+        tmp = os.path.join(dest, _SNAPSHOT_STATS + ".tmp")
+        with open(tmp, "w") as f:
+            json.dump(stats, f)
+        os.replace(tmp, os.path.join(dest, _SNAPSHOT_STATS))
     except BaseException:
-        # keep dest reusable: a failed write would otherwise leave a
-        # torn NON-EMPTY dest that the immutability guard refuses
-        # forever (manual cleanup). No snapshot.json was committed,
-        # so removing the partial data loses nothing.
+        # keep dest reusable: a failure anywhere before snapshot.json
+        # is committed — parquet writes, the stats tmp-write, or the
+        # rename itself (e.g. ENOSPC) — would otherwise leave a torn
+        # NON-EMPTY dest that the immutability guard refuses forever
+        # (manual cleanup). Nothing durable exists until os.replace
+        # returns, so removing the partial data loses nothing.
         shutil.rmtree(dest, ignore_errors=True)
         raise
-    stats = {"n_docs": n, "dl_sum": dl_sum, "id_col": m["id_col"],
-             "source_version": version,
-             "source_batch_id": int(version[1:]),
-             "empty": postings is None}
-    tmp = os.path.join(dest, _SNAPSHOT_STATS + ".tmp")
-    with open(tmp, "w") as f:
-        json.dump(stats, f)
-    os.replace(tmp, os.path.join(dest, _SNAPSHOT_STATS))
     return stats
 
 
@@ -457,11 +471,28 @@ def _export_rowwise_snapshot(spark: SparkSession, index_dir: str,
     view = _masked_union(spark, index_dir, m, leaf)
     n_rows = 0
     if view is not None and verify:
+        # one aggregate carries the whole gate: rows, distinct keys,
+        # AND null keys. count_distinct silently drops rows where any
+        # key column is NULL, so duplicate rows with a NULL id/bucket
+        # would otherwise evade the disjoint-ids check and
+        # double-score at serve time — a NULL key is itself a
+        # contract violation, refused explicitly.
+        null_key = reduce(lambda a, b: a | b,
+                          [F.col(c).isNull() for c in unique_cols])
         tot = view.agg(
             F.count(F.lit(1)).cast("long").alias("n"),
             F.count_distinct(*[F.col(c) for c in unique_cols])
-             .cast("long").alias("d")).first()
+             .cast("long").alias("d"),
+            F.coalesce(F.sum(F.when(null_key, 1)), F.lit(0))
+             .cast("long").alias("nulls")).first()
         n_rows = int(tot["n"])
+        if int(tot["nulls"]) != 0:
+            raise RuntimeError(
+                f"{fn_name}: refusing to promote {index_dir}@"
+                f"{version}: {int(tot['nulls'])} live rows have a "
+                f"NULL ({', '.join(unique_cols)}) key — NULL keys "
+                f"evade the distinct-key audit and cannot be "
+                f"deduplicated or tombstoned at serve time")
         if n_rows != int(tot["d"]):
             raise RuntimeError(
                 f"{fn_name}: refusing to promote {index_dir}@"
@@ -496,17 +527,21 @@ def _export_rowwise_snapshot(spark: SparkSession, index_dir: str,
                 # store's pre-exploded postings) — written before the
                 # snapshot.json commit so a torn export stays torn
                 extra_writes(view, dest)
+        stats = {"id_col": m["id_col"], "leaf": leaf,
+                 "source_version": version,
+                 "source_batch_id": int(version[1:]),
+                 "empty": view is None,
+                 "n_rows": n_rows if verify else None}
+        tmp = os.path.join(dest, _SNAPSHOT_STATS + ".tmp")
+        with open(tmp, "w") as f:
+            json.dump(stats, f)
+        os.replace(tmp, os.path.join(dest, _SNAPSHOT_STATS))
     except BaseException:
+        # cleanup covers the stats write and rename too — a failure
+        # anywhere before os.replace returns (e.g. ENOSPC) must leave
+        # dest reusable, not torn-and-refused-forever
         shutil.rmtree(dest, ignore_errors=True)
         raise
-    stats = {"id_col": m["id_col"], "leaf": leaf,
-             "source_version": version,
-             "source_batch_id": int(version[1:]),
-             "empty": view is None, "n_rows": n_rows if verify else None}
-    tmp = os.path.join(dest, _SNAPSHOT_STATS + ".tmp")
-    with open(tmp, "w") as f:
-        json.dump(stats, f)
-    os.replace(tmp, os.path.join(dest, _SNAPSHOT_STATS))
     return stats
 
 
@@ -640,9 +675,23 @@ def export_release(spark: SparkSession, stores: dict[str, tuple[str, str]],
     if os.path.exists(meta_path):
         # already committed (maybe before a crash that lost the swap):
         # repair the pointer if needed and return the release —
-        # idempotent under the maintainers' at-least-once posture
+        # idempotent under the maintainers' at-least-once posture.
+        # But only if it covers THIS request: re-releasing the same
+        # batch after adding a store (or remapping a family) must not
+        # silently return a release missing that store — load_release
+        # would then serve a partial artifact set. Releases are
+        # immutable, so a mismatch is an operator error to surface.
         with open(meta_path) as f:
             release = json.load(f)
+        requested = {name: family for name, (family, _ix)
+                     in stores.items()}
+        if release.get("stores") != requested:
+            raise RuntimeError(
+                f"export_release: batch {batch} is already released "
+                f"with stores {release.get('stores')} but this call "
+                f"requested {requested} — releases are immutable; "
+                f"advance the stores' common batch and cut a new "
+                f"release to change the store set")
         if cur is None or int(cur[1:]) < batch:
             _swap_pointer(dest_root, vname)
         return release
@@ -687,7 +736,7 @@ def gc_releases(dest_root: str, keep_releases: int = 2) -> list[str]:
     cur_id = int(cur[1:])
     committed = sorted(
         (d for d in os.listdir(dest_root)
-         if d.startswith("v")
+         if _is_vname(d)
          and os.path.isdir(os.path.join(dest_root, d))
          and os.path.exists(os.path.join(dest_root, d, _RELEASE_META))
          and int(d[1:]) <= cur_id),
@@ -696,7 +745,7 @@ def gc_releases(dest_root: str, keep_releases: int = 2) -> list[str]:
     removed: list[str] = []
     for d in os.listdir(dest_root):
         full = os.path.join(dest_root, d)
-        if (d.startswith("v") and os.path.isdir(full) and d not in keep
+        if (_is_vname(d) and os.path.isdir(full) and d not in keep
                 and int(d[1:]) <= cur_id):
             shutil.rmtree(full)
             removed.append(d)
@@ -731,7 +780,7 @@ def load_release(spark: SparkSession, dest_root: str,
     else:
         committed = sorted(
             (d for d in os.listdir(dest_root)
-             if d.startswith("v")
+             if _is_vname(d)
              and os.path.exists(os.path.join(dest_root, d,
                                              _RELEASE_META))
              and int(d[1:]) <= int(as_of)),
@@ -783,7 +832,7 @@ def _commit_version(index_dir: str, version: str, manifest: dict) -> None:
     os.replace(tmp, os.path.join(index_dir, _POINTER))
 
 
-def vacuum_index(index_dir: str, keep_versions: int = 2) -> list[str]:
+def vacuum_index(index_dir: str, keep_versions: int) -> list[str]:
     """Operator-facing orphan sweep: reclaim every directory under
     ``index_dir`` the commit protocol no longer references — manifests
     older than ``keep_versions``, segments/tombstones no kept manifest
@@ -797,7 +846,14 @@ def vacuum_index(index_dir: str, keep_versions: int = 2) -> list[str]:
     restart scheduled) where orphaned bytes would otherwise sit until
     the stream resumes. A store with no committed version is left
     untouched: batch-0's pre-commit segment writes look exactly like
-    orphans, and replay will either commit or rewrite them."""
+    orphans, and replay will either commit or rewrite them.
+
+    ``keep_versions`` is REQUIRED — it must state the store's real
+    retention (the maintainer's own ``keep_versions``). A blanket
+    default here would permanently GC time-travel manifests/segments
+    that pinned as-of readers of a longer-retention store still
+    resolve; an operator who doesn't know the store's retention
+    shouldn't be vacuuming it."""
     return _gc_versions(index_dir, keep_versions)
 
 
@@ -832,7 +888,7 @@ def _gc_versions(index_dir: str, keep_versions: int) -> list[str]:
     # is garbage (replay re-commits that batch from scratch).
     versions = sorted(
         (d for d in os.listdir(index_dir)
-         if d.startswith("v")
+         if _is_vname(d)
          and os.path.isdir(os.path.join(index_dir, d))
          and int(d[1:]) <= cur_id),
         key=lambda d: int(d[1:]))
@@ -847,7 +903,7 @@ def _gc_versions(index_dir: str, keep_versions: int) -> list[str]:
         full = os.path.join(index_dir, d)
         if not os.path.isdir(full):
             continue
-        if d.startswith("v") and d not in keep:
+        if _is_vname(d) and d not in keep:
             shutil.rmtree(full)
             removed.append(d)
         elif ((d.startswith("seg-") or d.startswith("ts-"))
@@ -919,6 +975,7 @@ def _rowwise_refresh_batches(
     max_segments: int,
     keep_versions: int,
     partition_cols: list[str] | None = None,
+    extra_leaves: dict | None = None,
 ):
     """Generic foreachBatch maintainer for PER-ROW-INDEPENDENT index
     tables (IVFPQ codes, enriched dense features — anything where a
@@ -943,7 +1000,20 @@ def _rowwise_refresh_batches(
     ``partitionBy`` (plan-contract test through :func:`load_ann_index`
     → ``ivf_pq_topk_batch``). The small-files trade on tiny deltas is
     bounded: compaction folds them into one partitioned segment every
-    ``max_segments`` batches."""
+    ``max_segments`` batches.
+
+    ``extra_leaves`` maps a leaf name to a derive-from-the-delta
+    function: each segment then carries that DERIVED table alongside
+    the main leaf, maintained at the same O(batch) cost per commit —
+    the derived rows must carry ``id_col`` so the same broadcast
+    tombstone mask governs them, and must be PER-ROW derived from the
+    delta (one source row → its derived rows, no cross-corpus state),
+    so a serve can read the derived layout directly instead of
+    re-deriving it from the corpus-scale main leaf on every query
+    (the band store's pre-exploded (id, band, h) postings — the live
+    twin of the shuffle the snapshot exporter pays once). Compaction
+    folds each extra leaf by masked-union of the STORED leaf (never
+    re-deriving), so fold cost stays one read+write per leaf."""
     os.makedirs(index_dir, exist_ok=True)
 
     def _on_batch(batch_df: DataFrame, batch_id: int) -> None:
@@ -996,6 +1066,17 @@ def _rowwise_refresh_batches(
             if partition_cols:
                 w = w.partitionBy(*partition_cols)
             w.parquet(os.path.join(index_dir, seg_name, leaf))
+            if extra_leaves:
+                # derive each extra leaf from the JUST-WRITTEN main
+                # leaf, not the live delta expression: re-running
+                # delta_fn would recompute the batch transform per
+                # leaf, and reading back the parquet guarantees the
+                # derived rows match the stored main rows bit-for-bit
+                stored = spark.read.parquet(
+                    os.path.join(index_dir, seg_name, leaf))
+                for lname, derive in extra_leaves.items():
+                    (derive(stored).write.mode("overwrite")
+                     .parquet(os.path.join(index_dir, seg_name, lname)))
             segments.append({
                 "name": seg_name, "seq": seq,
                 "bytes": _dir_bytes(
@@ -1025,6 +1106,17 @@ def _rowwise_refresh_batches(
                 if partition_cols:
                     w = w.partitionBy(*partition_cols)
                 w.parquet(os.path.join(index_dir, comp, leaf))
+                if extra_leaves:
+                    # fold the STORED derived leaf under the same
+                    # mask — the derived rows carry id_col, so the
+                    # tombstone rule that masked the main leaf masks
+                    # them identically; no re-derivation job
+                    for lname in extra_leaves:
+                        xview = _masked_union(spark, index_dir, sub,
+                                              lname)
+                        (xview.write.mode("overwrite")
+                         .parquet(os.path.join(index_dir, comp,
+                                               lname)))
                 keep = keep + [{
                     "name": comp, "seq": seq,
                     "bytes": _dir_bytes(os.path.join(index_dir, comp))}]
@@ -1154,17 +1246,36 @@ def feats_refresh_batches(
 
 
 def load_band_index(spark: SparkSession, index_dir: str,
-                    as_of: int | None = None):
-    """Read one LSH band-table version: the (id, bands array<long>)
-    DataFrame :func:`~tantalus_spark.datapipe.dedup.novel_documents`
-    probes, or None when no version has been committed. ``as_of``
-    time-travels like :func:`load_term_index` — a reproducibility
-    pin for "was this document novel as of batch N"."""
+                    as_of: int | None = None,
+                    layout: str = "bands"):
+    """Read one LSH band-table version, or None when no version has
+    been committed. ``layout="bands"`` returns the (id, bands
+    array<long>) DataFrame — the audit/re-band shape.
+    ``layout="postings"`` returns the maintained pre-exploded
+    (band, h) postings view — the serve shape
+    :func:`~tantalus_spark.datapipe.dedup.novel_documents` consumes
+    with ``index_layout="postings"``: the same tombstone mask as the
+    band view, but ZERO per-serve Generate/DISTINCT on the index side
+    (the explode was paid O(batch) at each commit, not per query).
+    Postings layout requires a store whose segments were all written
+    by this version of :func:`band_refresh_batches`; a store with
+    pre-postings segments fails the read — fold it (compaction
+    rewrites every segment) or re-ingest. ``as_of`` time-travels like
+    :func:`load_term_index` — a reproducibility pin for "was this
+    document novel as of batch N"."""
+    if layout not in ("bands", "postings"):
+        raise ValueError(f"load_band_index: unknown layout "
+                         f"{layout!r} (expected 'bands' or 'postings')")
     version = _resolve_version(index_dir, as_of)
     if version is None:
         return None
     m = _read_manifest(index_dir, version)
-    return _masked_union(spark, index_dir, m, "bands")
+    if layout == "bands":
+        return _masked_union(spark, index_dir, m, "bands")
+    view = _masked_union(spark, index_dir, m, "postings")
+    # mask first (needs id_col), then prune to the exact (band, h)
+    # shape novel_documents' postings path expects
+    return view.select("band", "h") if view is not None else None
 
 
 def band_refresh_batches(
@@ -1207,8 +1318,20 @@ def band_refresh_batches(
                              shingle_n=shingle_n, text_col=text_col,
                              id_col=id_col, hash_family=hash_family)
 
+    def _postings(stored: DataFrame) -> DataFrame:
+        # pre-exploded (id, band, h) postings, derived per-row from
+        # the batch's band rows — O(batch) per commit. Keeping id_col
+        # lets the broadcast tombstone mask govern this leaf too; a
+        # live novelty serve then reads the postings view directly
+        # (load_band_index(layout="postings")) with ZERO index-side
+        # Generate/DISTINCT shuffles — the live twin of the corpus-
+        # scale explode export_band_snapshot pays once per promotion.
+        return stored.select(
+            F.col(id_col), F.posexplode("bands").alias("band", "h"))
+
     return _rowwise_refresh_batches(index_dir, "bands", _delta, id_col,
-                                    op_col, max_segments, keep_versions)
+                                    op_col, max_segments, keep_versions,
+                                    extra_leaves={"postings": _postings})
 
 
 def export_band_snapshot(spark: SparkSession, index_dir: str,

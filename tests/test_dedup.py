@@ -118,6 +118,23 @@ def test_band_refresh_batches_rebuild_equal_and_snapshot(spark, tmp_path):
                       novel_documents(probe, want_bands).collect()))
     assert got == want and got
 
+    # r12: the postings leaf is maintained INCREMENTALLY (derived
+    # per-commit from the batch's band rows, folded and tombstone-
+    # masked like the bands leaf) — rebuild-equal: the masked postings
+    # view dedups to exactly the explode of the rebuilt band table,
+    # through the delete, the changed-text re-add, and the fold
+    live_post = load_band_index(spark, ix, layout="postings")
+    assert live_post.columns == ["band", "h"]
+    want_post = sorted(map(tuple, want_bands.select(
+        F.posexplode("bands").alias("band", "h"))
+        .dropDuplicates().collect()))
+    assert sorted(map(tuple,
+                      live_post.dropDuplicates().collect())) == want_post
+    # and the live postings-layout novelty serve is bit-identical
+    got_post = sorted(map(tuple, novel_documents(
+        probe, live_post, index_layout="postings").collect()))
+    assert got_post == want
+
     snap = str(tmp_path / "snap")
     stats = export_band_snapshot(spark, ix, snap)
     assert stats["source_batch_id"] == 2 and not stats["empty"]
@@ -168,8 +185,35 @@ def test_band_snapshot_postings_layout_serve_parity(spark, tmp_path):
                                   layout="postings")).collect()))
     by_live = sorted(map(tuple, novel_documents(
         probe, load_band_index(spark, ix)).collect()))
-    assert by_postings == by_bands == by_live and by_live
+    by_live_postings = sorted(map(tuple, novel_documents(
+        probe, load_band_index(spark, ix, layout="postings"),
+        index_layout="postings").collect()))
+    assert (by_postings == by_bands == by_live == by_live_postings
+            and by_live)
 
     import pytest
     with pytest.raises(ValueError, match="unknown layout"):
         load_band_snapshot(spark, snap, layout="wat")
+    with pytest.raises(ValueError, match="unknown layout"):
+        load_band_index(spark, ix, layout="wat")
+    with pytest.raises(ValueError, match="index_layout"):
+        novel_documents(probe, load_band_index(spark, ix),
+                        index_layout="wat")
+    # 'postings' demanded of a bands-array frame is refused, and a
+    # frame that merely CARRIES band/h among other columns no longer
+    # auto-sniffs into the postings path (exact-two-column rule)
+    with pytest.raises(ValueError, match="lacks column"):
+        novel_documents(probe, load_band_index(spark, ix),
+                        index_layout="postings")
+    enriched = (load_band_index(spark, ix, layout="postings")
+                .withColumn("extra", F.lit(1)))
+    with pytest.raises(Exception):
+        # auto must NOT sniff an enriched (band, h, extra) frame into
+        # the postings path — it falls to the bands path and fails
+        # loudly on the missing array column instead of silently
+        # probing the wrong data
+        novel_documents(probe, enriched).collect()
+    # but declaring the layout explicitly serves the enriched frame
+    by_enriched = sorted(map(tuple, novel_documents(
+        probe, enriched, index_layout="postings").collect()))
+    assert by_enriched == by_live

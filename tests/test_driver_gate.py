@@ -120,29 +120,31 @@ def test_checked_window_covers_every_operator_family():
     ]
     missing = [n for n in must_be_checked if n not in window]
     assert not missing, f"outside the 50-entry checked window: {missing}"
-    # the r11 rotation gives the store-lifecycle family (local-gate
-    # evidence only until now) its official driver rows. The eight
-    # rotated OUT (20/71/90/102/104/122/138/144) all carry green
-    # driver rows from r2-r10 and their families stay anchored by
-    # in-window twins (26 / 61+103 family / 41+84 / 104-twin / 102 /
-    # 45 / 148+151 / 149+155+157 — see the inventory.py rotation notes).
+    # the r12 rotation gives the promotion/release tier (q160-q163)
+    # its official driver rows and drains six never-driver-checked
+    # tail entries (76/77/78/80/83/91). The ten rotated OUT
+    # (117/141/143/148/149/150/153/154/156/158) all carry green r11
+    # driver rows and their families stay anchored by in-window twins
+    # (58+78 / 147+155 / 152+123 / 151+74+161 / 161+151 / 162+45 /
+    # 147+151 / 157 / 159 — see the inventory.py rotation notes).
     rotated_in = [
-        # r11: the full LSM-store lifecycle
-        "152_segmented_store_serve",
-        "153_hybrid_eval_tabular", "154_ann_eval_tabular",
-        "155_maintained_hybrid_serve",
-        "156_index_time_travel", "157_consistent_asof_serve",
-        "158_store_stats_audit", "159_snapshot_promote_serve",
-        # r10 survivors that must keep their window slots
-        "147_hybrid_serve_batch", "148_ivf_index_health",
-        "149_maintained_ann_serve", "150_maintained_novel_serve",
-        "151_ann_serve_batch",
+        # r12: the promotion/release tier
+        "160_snapshot_hybrid_serve", "161_snapshot_ann_serve",
+        "162_band_store_novel_serve", "163_release_serve",
+        # r12: tail drain (never driver-checked before)
+        "76_line_dedup", "77_contamination_frac",
+        "78_quality_classifier", "80_knn_graph",
+        "83_corpus_report", "91_containment",
+        # r11 lifecycle survivors that must keep their window slots
+        "152_segmented_store_serve", "155_maintained_hybrid_serve",
+        "157_consistent_asof_serve", "159_snapshot_promote_serve",
+        # r10 survivors
+        "147_hybrid_serve_batch", "151_ann_serve_batch",
         # r8/r9 survivors
         "132_source_divergence", "134_dedup_funnel",
-        "141_hybrid_serve", "142_group_split_clustered",
-        "143_pruned_index_serve",
+        "142_group_split_clustered",
         # family anchors kept from the r5-r7 windows
-        "117_gopher_rules", "123_bm25_indexed",
+        "123_bm25_indexed",
         "106_dsir_select", "108_build_corpus",
     ]
     out = [n for n in rotated_in if n not in window]

@@ -1123,8 +1123,20 @@ def test_band_snapshot_postings_serve_has_no_index_side_shuffle(
         probe, load_band_snapshot(spark, snap, layout="postings"))
     plan = _plan(served)
     assert plan.count("Generate") == 1, plan[:2500]  # probe side only
-    live_plan = _plan(novel_documents(probe,
-                                      load_band_index(spark, ix)))
-    assert live_plan.count("Generate") == 2  # live pays both explodes
+    live_bands_plan = _plan(novel_documents(probe,
+                                            load_band_index(spark, ix)))
+    # bands-layout live serve pays both explodes (probe + index)
+    assert live_bands_plan.count("Generate") == 2
+    # r12: the LIVE store now maintains the postings leaf incrementally
+    # (O(batch) per commit), so a live postings-layout serve is as
+    # shuffle-free on the index side as the snapshot serve — exactly
+    # ONE Generate, no index-side dedup aggregate, between promotions
+    live_served = novel_documents(
+        probe, load_band_index(spark, ix, layout="postings"),
+        index_layout="postings")
+    live_plan = _plan(live_served)
+    assert live_plan.count("Generate") == 1, live_plan[:2500]
     rows = served.collect()
     assert rows and all(r["is_novel"] is not None for r in rows)
+    assert sorted(map(tuple, live_served.collect())) == sorted(
+        map(tuple, rows))
