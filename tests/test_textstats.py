@@ -3463,3 +3463,161 @@ def test_gc_releases_retires_old_keeps_window_and_torn_rules(
     assert load_release(spark, rel_root, as_of=1)["batch_id"] == 1
     assert load_release(spark, rel_root, as_of=99)["batch_id"] == 3
     assert gc_releases(rel_root, keep_releases=2) == []  # idempotent
+
+
+def test_release_and_store_gc_skip_foreign_dirs(spark, tmp_path):
+    """r12 hardening: only ^v\\d+$ names are version directories. A
+    foreign directory an operator drops next to the store or release
+    root (version_backup/) must be SKIPPED by every sweep — gc_releases
+    used to ValueError on int('ersion_backup'), and store GC would
+    have rmtree'd it."""
+    import os
+
+    from pyspark.sql import functions as F
+
+    from tantalus_spark.catalog.loader import read_parquet
+    from tantalus_spark.streaming.maintenance import (
+        export_release, gc_releases, index_refresh_batches,
+        vacuum_index)
+
+    docs = (read_parquet(spark, "/root/testdata/sf0.001/documents.parquet")
+            .select("doc_id", "text"))
+    root = str(tmp_path)
+    cb = index_refresh_batches(root + "/ix", op_col="op",
+                               keep_versions=2)
+    add = lambda df: df.withColumn("op", F.lit("add"))  # noqa: E731
+    stores = {"postings": ("term", root + "/ix")}
+    rel_root = root + "/releases"
+    # foreign dirs planted BEFORE the first commit: the maintainer's
+    # per-callback GC and the release sweeps must all step around them
+    os.makedirs(os.path.join(root, "ix", "version_backup", "keep"))
+    os.makedirs(rel_root)
+    os.makedirs(os.path.join(rel_root, "version_backup", "keep"))
+    for i, lo in enumerate((0, 150, 300, 450)):
+        cb(add(docs.filter(f"doc_id >= {lo} and doc_id < {lo + 150}")),
+           i)
+        export_release(spark, stores, rel_root)
+    removed = gc_releases(rel_root, keep_releases=2)
+    assert sorted(removed) == ["v00000000", "v00000001"]
+    assert os.path.isdir(os.path.join(rel_root, "version_backup",
+                                      "keep"))
+    # store-side sweeps too (per-callback GC already ran 4x above and
+    # left it alone; the manual vacuum must as well)
+    vacuum_index(root + "/ix", keep_versions=2)
+    assert os.path.isdir(os.path.join(root, "ix", "version_backup",
+                                      "keep"))
+
+
+def test_export_release_refuses_mismatched_store_set(spark, tmp_path):
+    """r12 (ADVICE): re-releasing an already-released batch with a
+    DIFFERENT store set (store added, or family remapped) must raise,
+    not silently return the committed release missing that store —
+    load_release would serve a partial artifact set."""
+    import pytest
+    from pyspark.sql import functions as F
+
+    from tantalus_spark.catalog.loader import read_parquet
+    from tantalus_spark.streaming.maintenance import (
+        export_release, feats_refresh_batches, index_refresh_batches)
+
+    docs = (read_parquet(spark, "/root/testdata/sf0.001/documents.parquet")
+            .select("doc_id", "text").filter("doc_id < 200"))
+    root = str(tmp_path)
+    cb_ix = index_refresh_batches(root + "/ix", op_col="op")
+    cb_ft = feats_refresh_batches(root + "/feats", dim=64, op_col="op")
+    b0 = docs.withColumn("op", F.lit("add"))
+    cb_ix(b0, 0)
+    cb_ft(b0, 0)
+    rel_root = root + "/releases"
+    stores = {"postings": ("term", root + "/ix")}
+    rel = export_release(spark, stores, rel_root)
+    assert rel["stores"] == {"postings": "term"}
+    # same store set: idempotent return
+    assert export_release(spark, stores, rel_root)["batch_id"] == 0
+    # added store at the same batch: refuse (immutable release)
+    with pytest.raises(RuntimeError, match="already released"):
+        export_release(
+            spark,
+            {"postings": ("term", root + "/ix"),
+             "dense": ("feats", root + "/feats")},
+            rel_root)
+    # remapped family for an existing name: refuse too
+    with pytest.raises(RuntimeError, match="already released"):
+        export_release(spark, {"postings": ("feats", root + "/feats")},
+                       rel_root)
+
+
+def test_rowwise_snapshot_audit_refuses_null_keys(spark, tmp_path):
+    """r12 (ADVICE): count_distinct drops NULL keys, so duplicate rows
+    with a NULL id would evade the disjoint-ids promotion gate and
+    double-score at serve time. The audit now refuses NULL keys
+    outright (same single aggregate)."""
+    import pytest
+    from pyspark.sql import functions as F
+
+    from tantalus_spark.catalog.loader import read_parquet
+    from tantalus_spark.streaming.maintenance import (
+        band_refresh_batches, export_band_snapshot)
+
+    docs = (read_parquet(spark, "/root/testdata/sf0.001/documents.parquet")
+            .select("doc_id", "text").filter("doc_id < 100"))
+    root = str(tmp_path)
+    cb = band_refresh_batches(root + "/bands")
+    # two NULL-id rows with distinct texts: disjoint-ids held under
+    # count_distinct (2 rows, "1" distinct non-null key... actually 0)
+    # only because NULLs vanished from the distinct count
+    poisoned = docs.unionByName(
+        docs.filter("doc_id in (2, 3)")
+            .select(F.lit(None).cast("long").alias("doc_id"), "text"))
+    cb(poisoned, 0)
+    with pytest.raises(RuntimeError, match="NULL"):
+        export_band_snapshot(spark, root + "/bands",
+                             root + "/snap")
+    # verify=False still exports (operator's explicit bypass)
+    stats = export_band_snapshot(spark, root + "/bands",
+                                 root + "/snap", verify=False)
+    assert stats["empty"] is False
+
+
+def test_snapshot_export_cleanup_covers_stats_commit(spark, tmp_path,
+                                                     monkeypatch):
+    """r12 (ADVICE): a failure in the snapshot.json tmp-write/rename
+    (e.g. ENOSPC) must leave dest REUSABLE — previously the cleanup
+    handler covered only the parquet writes, so a crash there left a
+    torn non-empty dest the immutability guard refused forever."""
+    import os
+
+    import pytest
+    from pyspark.sql import functions as F
+
+    from tantalus_spark.catalog.loader import read_parquet
+    from tantalus_spark.streaming import maintenance as M
+
+    docs = (read_parquet(spark, "/root/testdata/sf0.001/documents.parquet")
+            .select("doc_id", "text").filter("doc_id < 100"))
+    root = str(tmp_path)
+    cb_ix = M.index_refresh_batches(root + "/ix")
+    cb_bd = M.band_refresh_batches(root + "/bands")
+    cb_ix(docs, 0)
+    cb_bd(docs, 0)
+
+    real_replace = os.replace
+
+    def boom(src, dst):
+        if dst.endswith("snapshot.json"):
+            raise OSError(28, "No space left on device")
+        return real_replace(src, dst)
+
+    monkeypatch.setattr(M.os, "replace", boom)
+    with pytest.raises(OSError):
+        M.export_term_snapshot(spark, root + "/ix", root + "/snap_t")
+    with pytest.raises(OSError):
+        M.export_band_snapshot(spark, root + "/bands", root + "/snap_b")
+    monkeypatch.setattr(M.os, "replace", real_replace)
+    # dest was cleaned: the immutability guard accepts a retry
+    assert not os.path.exists(root + "/snap_t")
+    assert not os.path.exists(root + "/snap_b")
+    assert M.export_term_snapshot(
+        spark, root + "/ix", root + "/snap_t")["n_docs"] > 0
+    assert M.export_band_snapshot(
+        spark, root + "/bands", root + "/snap_b")["empty"] is False
