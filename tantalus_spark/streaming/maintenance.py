@@ -799,6 +799,68 @@ def load_release(spark: SparkSession, dest_root: str,
                 for name, family in release["stores"].items()}}
 
 
+def follow_releases(dest_root: str, on_batch):
+    """The serving fleet's read side of :func:`export_release`: a
+    ``foreachBatch`` callback that re-resolves ``dest_root/CURRENT``
+    between micro-batches and RELOADS the release artifacts only when
+    the pointer actually moved — wire a query stream as
+    ``query_stream.writeStream.foreachBatch(
+    follow_releases(root, serve_fn)).start()`` and every micro-batch
+    is served off whichever release was CURRENT when it began, with
+    zero per-batch load cost while the pointer is stable (one driver-
+    side file read). ``on_batch(release, batch_df, batch_id)`` gets
+    the same ``{"batch_id": N, "stores": {...}}`` dict
+    :func:`load_release` returns, the micro-batch of queries, and the
+    stream's batch id; it serves and writes results however the
+    deployment sinks them.
+
+    Swap-race safety: the reload pins ``as_of`` to the batch id READ
+    from the pointer, so a release landing between the pointer read
+    and the artifact load cannot tear the view — the batch serves the
+    observed release and the NEXT batch picks up the new pointer.
+    Loaded artifacts are immutable snapshot reads (single folded
+    parquet per store), so holding one across batches never sees
+    in-place change; retire old releases with :func:`gc_releases`
+    only after followers drain past them (the keep_releases window is
+    exactly this grace period). A stream started before the first
+    release refuses loudly rather than serving nothing.
+
+    The callback exposes ``state`` (current version, reload count)
+    for monitoring/tests. Reference anchor: the reference's serve
+    side is always-current by construction (live Postgres per request,
+    search_util/search_helper.py:27-49); the engine's answer is
+    pointer-swap reload with per-batch freshness.
+
+    Reload granularity is the micro-batch interval by design — a
+    tighter bound would re-read artifacts mid-batch and lose the
+    batch's internal consistency."""
+    state = {"version": None, "batch_id": None, "reloads": 0,
+             "release": None}
+
+    def _cb(batch_df: DataFrame, batch_id: int) -> None:
+        cur = _current_version(dest_root)
+        if cur is None:
+            raise ValueError(
+                f"follow_releases: {dest_root} has no committed "
+                f"release — cut one with export_release before "
+                f"starting the serving stream")
+        if cur != state["version"]:
+            spark = batch_df.sparkSession
+            # pin to the OBSERVED pointer (floor-resolve on its batch
+            # id), not CURRENT-at-load-time: a concurrent
+            # export_release between the two reads must not hand this
+            # batch a release newer than the pointer it decided on
+            state["release"] = load_release(spark, dest_root,
+                                            as_of=int(cur[1:]))
+            state["version"] = cur
+            state["batch_id"] = state["release"]["batch_id"]
+            state["reloads"] += 1
+        on_batch(state["release"], batch_df, batch_id)
+
+    _cb.state = state
+    return _cb
+
+
 def _commit_version(index_dir: str, version: str, manifest: dict) -> None:
     """Write an immutable manifest directory, then atomically swap the
     pointer (tmp + rename — the object-store commit-file primitive).

@@ -3621,3 +3621,103 @@ def test_snapshot_export_cleanup_covers_stats_commit(spark, tmp_path,
         spark, root + "/ix", root + "/snap_t")["n_docs"] > 0
     assert M.export_band_snapshot(
         spark, root + "/bands", root + "/snap_b")["empty"] is False
+
+
+def test_follow_releases_reloads_only_on_pointer_swap(spark, tmp_path):
+    """r12: the serving fleet's read side of export_release. A
+    follow_releases callback re-resolves CURRENT per micro-batch,
+    reloads ONLY when the pointer moved (zero per-batch load cost on
+    a stable pointer), serves each batch bit-identically to
+    load_release + the same batch serve, and picks up a release
+    swapped mid-stream on the next batch. Driven both directly (the
+    maintainer-test pattern, deterministic mid-stream swap) and
+    through a real foreachBatch stream."""
+    import pytest
+    from pyspark.sql import functions as F
+
+    from tantalus_spark.catalog.loader import read_parquet
+    from tantalus_spark.datapipe.textstats import bm25_rank_indexed
+    from tantalus_spark.streaming.maintenance import (
+        export_release, follow_releases, index_refresh_batches,
+        load_release)
+
+    docs = (read_parquet(spark, "/root/testdata/sf0.001/documents.parquet")
+            .select("doc_id", "text"))
+    root = str(tmp_path)
+    cb_ix = index_refresh_batches(root + "/ix", op_col="op",
+                                  keep_versions=4)
+    add = lambda df: df.withColumn("op", F.lit("add"))  # noqa: E731
+    stores = {"postings": ("term", root + "/ix")}
+    rel_root = root + "/releases"
+    cb_ix(add(docs.filter("doc_id < 250")), 0)
+    export_release(spark, stores, rel_root)
+
+    terms = ["customer", "hash", "merge"]
+    served = []
+
+    def serve(release, batch_df, batch_id):
+        postings, (n, avgdl) = release["stores"]["postings"]
+        out = bm25_rank_indexed(postings, terms, k=5, n_docs=n,
+                                avgdl=avgdl)
+        served.append((batch_id, release["batch_id"],
+                       [tuple(r) for r in out.collect()]))
+
+    fol = follow_releases(rel_root, serve)
+    qb = spark.createDataFrame([(t,) for t in terms], "term string")
+    fol(qb, 0)
+    fol(qb, 1)  # pointer unchanged: NO reload
+    assert fol.state["reloads"] == 1 and fol.state["batch_id"] == 0
+
+    # release swapped mid-stream: the next batch serves the new one
+    cb_ix(add(docs.filter("doc_id >= 250 and doc_id < 400")), 1)
+    export_release(spark, stores, rel_root)
+    fol(qb, 2)
+    assert fol.state["reloads"] == 2 and fol.state["batch_id"] == 1
+
+    # every served batch is bit-identical to load_release + the same
+    # batch serve at that release
+    for _bid, rel_bid, rows in served:
+        rel = load_release(spark, rel_root, as_of=rel_bid)
+        postings, (n, avgdl) = rel["stores"]["postings"]
+        want = [tuple(r) for r in bm25_rank_indexed(
+            postings, terms, k=5, n_docs=n, avgdl=avgdl).collect()]
+        assert rows == want
+    assert served[0][1] == served[1][1] == 0 and served[2][1] == 1
+    # the swap actually changed what serves (bigger corpus)
+    assert served[0][2] != served[2][2]
+
+    # a follower started before any release refuses loudly
+    with pytest.raises(ValueError, match="no committed release"):
+        follow_releases(root + "/nowhere", serve)(qb, 0)
+
+    # real foreachBatch wiring: one file per trigger, same follower
+    # object across two stream runs with a release swap in between
+    src = root + "/qsrc"
+    ckpt = root + "/ckpt"
+    qb.coalesce(1).write.mode("append").parquet(src)
+    served.clear()
+    fol2 = follow_releases(rel_root, serve)
+
+    def _run():
+        stream = (spark.readStream.format("parquet")
+                  .schema("term string")
+                  .option("maxFilesPerTrigger", 1).load(src))
+        q = (stream.writeStream.foreachBatch(fol2)
+             .option("checkpointLocation", ckpt)
+             .trigger(availableNow=True).start())
+        q.awaitTermination(120)
+        assert not q.isActive
+
+    _run()
+    assert fol2.state["reloads"] == 1 and fol2.state["batch_id"] == 1
+    cb_ix(add(docs.filter("doc_id >= 400")), 2)
+    export_release(spark, stores, rel_root)
+    qb.coalesce(1).write.mode("append").parquet(src)
+    _run()  # restart from the checkpoint: only the new file serves
+    assert fol2.state["reloads"] == 2 and fol2.state["batch_id"] == 2
+    assert [s[1] for s in served] == [1, 2]
+    rel2 = load_release(spark, rel_root, as_of=2)
+    postings, (n, avgdl) = rel2["stores"]["postings"]
+    want2 = [tuple(r) for r in bm25_rank_indexed(
+        postings, terms, k=5, n_docs=n, avgdl=avgdl).collect()]
+    assert served[-1][2] == want2
