@@ -1452,6 +1452,7 @@ def index_refresh_batches(
     op_col: str | None = None,
     max_segments: int = 8,
     keep_versions: int = 2,
+    sort_folds: bool = True,
 ):
     """The foreachBatch index maintainer: returns the (batch_df,
     batch_id) callback that folds every arriving document micro-batch
@@ -1661,11 +1662,16 @@ def index_refresh_batches(
                 # stay O(batch) and unsorted (a sort there buys
                 # little and costs a shuffle per commit). The fold
                 # already rewrites these bytes; the sort rides the
-                # same shuffle.
-                (_masked_union(spark, index_dir, sub, "postings")
-                 .repartition(F.col("term"))
-                 .sortWithinPartitions("term")
-                 .write.mode("overwrite")
+                # same shuffle, trading fold CPU for per-serve IO
+                # (measured in SCALING.md "sorted folds"); set
+                # sort_folds=False for write-heavy/serve-light stores
+                # where the fold CPU never pays back.
+                shaped = (_masked_union(spark, index_dir, sub,
+                                        "postings")
+                          .repartition(F.col("term")))
+                if sort_folds:
+                    shaped = shaped.sortWithinPartitions("term")
+                (shaped.write.mode("overwrite")
                  .parquet(os.path.join(cdir, "postings")))
                 lens_view.write.mode("overwrite").parquet(
                     os.path.join(cdir, "doclens"))

@@ -3721,3 +3721,76 @@ def test_follow_releases_reloads_only_on_pointer_swap(spark, tmp_path):
     want2 = [tuple(r) for r in bm25_rank_indexed(
         postings, terms, k=5, n_docs=n, avgdl=avgdl).collect()]
     assert served[-1][2] == want2
+
+
+def test_sorted_folds_prune_row_groups(spark, tmp_path):
+    """r12 (re-measure the sorted-fold trade): term-sorting the
+    compaction fold buys parquet ROW-GROUP pruning on every
+    maintained-store serve. Small-SF single-row-group files hide the
+    effect, so this pins parquet.block.size tiny to get the
+    many-row-groups-per-file layout a corpus-scale store has
+    naturally, then checks the folded segment's term min/max stats:
+    the sorted store's probe-overlapping fraction must be strictly
+    smaller (measured at sf1/sf3: 57%/27% of row groups decoded vs
+    100% unsorted, serve -14/-16%, fold cost in noise — SCALING.md
+    'sorted folds'). Results are bit-identical either way; sort_folds
+    exists for write-heavy/serve-light stores."""
+    import glob
+    import os
+
+    import pyarrow.parquet as pq
+    from pyspark.sql import functions as F
+
+    from tantalus_spark.catalog.loader import read_parquet
+    from tantalus_spark.datapipe.textstats import bm25_rank_indexed
+    from tantalus_spark.streaming.maintenance import (
+        index_refresh_batches, load_term_index)
+
+    docs = (read_parquet(spark, "/root/testdata/sf0.001/documents.parquet")
+            .select("doc_id", "text"))
+    terms = ["customer", "merge", "sort"]
+    hc = spark.sparkContext._jsc.hadoopConfiguration()
+    old_block = hc.get("parquet.block.size")
+    old_page = hc.get("parquet.page.size")
+    hc.setInt("parquet.block.size", 4 << 10)
+    hc.setInt("parquet.page.size", 1 << 10)
+    try:
+        frac, served = {}, {}
+        for label, flag in (("sorted", True), ("unsorted", False)):
+            ix = str(tmp_path / label)
+            cb = index_refresh_batches(ix, op_col="op",
+                                       max_segments=2,
+                                       sort_folds=flag)
+            add = lambda df: df.withColumn("op", F.lit("add"))  # noqa: E731,E501
+            cb(add(docs.filter("doc_id % 3 = 0")), 0)
+            cb(add(docs.filter("doc_id % 3 = 1")), 1)
+            cb(add(docs.filter("doc_id % 3 = 2")), 2)  # fold fires
+            hit = total = 0
+            for f in glob.glob(os.path.join(ix, "seg-*c", "postings",
+                                            "*.parquet")):
+                md = pq.ParquetFile(f).metadata
+                names = md.schema.to_arrow_schema().names
+                ci = names.index("term")
+                for rg in range(md.num_row_groups):
+                    st = md.row_group(rg).column(ci).statistics
+                    total += 1
+                    if (st is None or not st.has_min_max
+                            or any(st.min <= t <= st.max
+                                   for t in terms)):
+                        hit += 1
+            assert total > 10, (label, total)  # layout engaged
+            frac[label] = hit / total
+            postings, (n, avgdl) = load_term_index(spark, ix)
+            served[label] = sorted(map(tuple, bm25_rank_indexed(
+                postings, terms, k=15, n_docs=n,
+                avgdl=avgdl).collect()))
+        assert served["sorted"] == served["unsorted"]  # layout only
+        assert frac["sorted"] < frac["unsorted"], frac
+        assert frac["sorted"] < 0.8, frac  # real pruning, not a tie
+    finally:
+        for key, old in (("parquet.block.size", old_block),
+                         ("parquet.page.size", old_page)):
+            if old is None:
+                hc.unset(key)
+            else:
+                hc.set(key, old)
