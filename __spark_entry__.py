@@ -10,16 +10,17 @@ encode/compression (102/139, frozen merge list replayed as a
 replace() chain) use portable md5-/integer-exact constructions that
 replay bit-for-bit in DuckDB, so all 50 are full value oracles
 (production defaults stay xxhash64/float — bench.py times those).
-r10 rotated the five r9 tail additions (q147-q151: the batched
-serving tier, IVF health, the maintained ANN/LSH-band serves) into
-the window under the standing protocol (r4-r9 ran the same rotation
-and every rotated-in entry went green); the 5 swapped out
-(133/136/137/145/146) all carry green CORRECTNESS_r09 rows and stay
-family-covered (rotation notes in inventory.py). The only rows-only
-entries are the tail's 75_ann_trained and 100_bpe_merges, whose
-iterative training loops (MLlib-KMeans IVF+PQ, BPE argmax+rewrite)
-are genuinely not SQL-expressible (exactness is unit-proven against
-pure-Python references instead).
+r12 rotated the promotion/release tier (q160-q163) and six
+never-driver-checked tail entries (76/77/78/80/83/91) into the window
+under the standing protocol (r4-r11 ran the same rotation and every
+rotated-in entry went green); the 10 swapped out
+(117/141/143/148/149/150/153/154/156/158) all carry green
+CORRECTNESS_r11 rows and stay family-covered (rotation notes in
+inventory.py). The only rows-only entries are the tail's
+75_ann_trained and 100_bpe_merges, whose iterative training loops
+(MLlib-KMeans IVF+PQ, BPE argmax+rewrite) are genuinely not
+SQL-expressible (exactness is unit-proven against pure-Python
+references instead).
 """
 
 from __future__ import annotations
