@@ -208,6 +208,12 @@ SHOW = [
      " export_release call — both legs read folded audited snapshots"
      " (pushdown-pruned postings + bucket-partition-pruned feats),"
      " zero segment unions, zero mask joins"),
+    ("164_band_store_live_serve", "LIVE band-store novelty serve"
+     " (r12): the index side is a plain scan of the incrementally"
+     " maintained (id, band, h) postings leaf — ONE Generate total"
+     " (the probe batch's posexplode), no index-side explode and no"
+     " DISTINCT aggregate feeding the semi join; compare the"
+     " bands-layout live serve's per-query corpus explode+dedup"),
 ]
 
 

@@ -178,12 +178,19 @@ def tdb(spark) -> Database:
     # .add() on it corrupts the shared fixture for every later test in the
     # same session (declared columns diverge from the JVM plan). Snapshot
     # the declared schemas now and assert them unchanged at teardown.
-    schema_snapshot = {n: df.schema.jsonValue()
-                      for n, df in db._tables.items()}
+    def _shape(df):
+        # names + types only: tests may legitimately REPLACE a table
+        # with a same-shaped frame (test_api's finally-restores), and
+        # expression rewrites can flip nullability metadata without
+        # changing the contract this guard protects
+        return [(f.name, f.dataType.simpleString())
+                for f in df.schema.fields]
+
+    schema_snapshot = {n: _shape(df) for n, df in db._tables.items()}
     yield db
     mutated = [n for n, df in db._tables.items()
                if n in schema_snapshot
-               and df.schema.jsonValue() != schema_snapshot[n]]
+               and _shape(df) != schema_snapshot[n]]
     assert not mutated, (
         f"session fixture schemas mutated in place by a test: {mutated} — "
         "build derived schemas with StructType(fields + [...]), never "
