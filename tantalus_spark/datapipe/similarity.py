@@ -1017,7 +1017,7 @@ def semantic_dup_clusters(
     n_blocks: int = 4,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
-    method: str = "exact",
+    method: str | None = None,
     n_tables: int = 4,
     n_hyperplanes: int = 8,
 ) -> DataFrame:
@@ -1036,15 +1036,27 @@ def semantic_dup_clusters(
     groups are small and dense, so tiny k suffices while the candidate
     volume stays O(n x k).
 
-    ``method="exact"`` builds edges from the exact graph (the gated
-    verifier); ``method="lsh"`` swaps in :func:`knn_graph_lsh` — the
+    ``method`` is REQUIRED — the caller must state which cost regime
+    it wants (the same explicit-choice pattern as ``vacuum_index``'s
+    ``keep_versions`` and ``novel_documents``' ``index_layout``):
+    ``method="exact"`` builds edges from the exact graph — O(n²) BLAS
+    flops inside the block-GEMM (shuffle stays O(n·k·blocks) rows, but
+    the FLOP bill is quadratic) — the gated verifier for bounded
+    populations; ``method="lsh"`` swaps in :func:`knn_graph_lsh` — the
     sub-quadratic corpus-scale path, losing only edges LSH retrieval
     misses (recall-tested; at dup-grade thresholds collisions are near
     certain since near-identical vectors agree on almost every
-    hyperplane sign).
+    hyperplane sign). A silent default here would hand a corpus-scale
+    caller the quadratic verifier leg.
     """
     from tantalus_spark.datapipe.dedup import connected_components
 
+    if method is None:
+        raise ValueError(
+            "semantic_dup_clusters: method is required — pass "
+            "method='exact' (the O(n^2)-FLOP verifier, for bounded "
+            "populations) or method='lsh' (the sub-quadratic "
+            "corpus-scale path)")
     if method == "lsh":
         graph = knn_graph_lsh(df, k=k, n_tables=n_tables,
                               n_hyperplanes=n_hyperplanes,

@@ -1167,7 +1167,7 @@ def q81_semantic_dedup(spark, sf_dir):
         ).alias("embedding"),
     )
     return similarity.semantic_dup_clusters(iv, threshold=0.45, k=5,
-                                            n_blocks=4)
+                                            n_blocks=4, method="exact")
 
 
 

@@ -204,6 +204,57 @@ def _masked_union(spark: SparkSession, index_dir: str, manifest: dict,
                 .drop("_seg_seq"))
 
 
+def _segments_missing_leaf(index_dir: str, manifest: dict,
+                           leaf: str) -> list[dict]:
+    """Manifest segments that do not carry ``leaf`` on disk — segments
+    a pre-derived-leaf maintainer wrote (e.g. pre-postings
+    band_refresh_batches). Pure metadata: one isdir per segment."""
+    return [s for s in manifest["segments"]
+            if not os.path.isdir(os.path.join(index_dir, s["name"],
+                                              leaf))]
+
+
+def _masked_union_or_derive(spark: SparkSession, index_dir: str,
+                            manifest: dict, leaf: str, main_leaf: str,
+                            derive) -> DataFrame | None:
+    """Masked view of a DERIVED leaf across the manifest's segments,
+    RE-DERIVING it from ``main_leaf`` for any segment written before
+    the derived leaf existed (a store upgraded mid-life: pre-r12 band
+    segments carry only "bands", no "postings"). Segments that have
+    the stored leaf are read directly (never re-derived — bit-identity
+    with the commit-time derivation is the stored leaf's contract);
+    the missing ones get ``derive(masked main rows)``, which is exact
+    because extra leaves are PER-ROW derived — one main row → its
+    derived rows, no cross-corpus state — so deriving from the masked
+    main view equals masking the would-have-been-stored leaf. Without
+    this fallback, folding or exporting an upgraded store dies on the
+    missing path AFTER earlier writes, wedging the maintainer on every
+    replay of that batch (the r12 advice's failure mode)."""
+    missing = _segments_missing_leaf(index_dir, manifest, leaf)
+    if not missing:
+        return _masked_union(spark, index_dir, manifest, leaf)
+    miss_names = {s["name"] for s in missing}
+    have = [s for s in manifest["segments"]
+            if s["name"] not in miss_names]
+    parts = []
+    if have:
+        v = _masked_union(spark, index_dir,
+                          dict(manifest, segments=have), leaf)
+        if v is not None:
+            parts.append(v)
+    main = _masked_union(spark, index_dir,
+                         dict(manifest, segments=missing), main_leaf)
+    if main is not None:
+        derived = derive(main)
+        # align to the stored leaf's column order so the union (and a
+        # lone-derived write) matches the stored layout exactly
+        parts.append(derived.select(parts[0].columns) if parts
+                     else derived)
+    if not parts:
+        return None
+    return reduce(DataFrame.unionByName, parts)
+
+
 def load_term_index(spark: SparkSession, index_dir: str,
                     as_of: int | None = None):
     """Read one index version: (postings DataFrame, (n_docs, avgdl)).
@@ -894,7 +945,8 @@ def _commit_version(index_dir: str, version: str, manifest: dict) -> None:
     os.replace(tmp, os.path.join(index_dir, _POINTER))
 
 
-def vacuum_index(index_dir: str, keep_versions: int) -> list[str]:
+def vacuum_index(index_dir: str,
+                 keep_versions: int | None = None) -> list[str]:
     """Operator-facing orphan sweep: reclaim every directory under
     ``index_dir`` the commit protocol no longer references — manifests
     older than ``keep_versions``, segments/tombstones no kept manifest
@@ -915,7 +967,17 @@ def vacuum_index(index_dir: str, keep_versions: int) -> list[str]:
     default here would permanently GC time-travel manifests/segments
     that pinned as-of readers of a longer-retention store still
     resolve; an operator who doesn't know the store's retention
-    shouldn't be vacuuming it."""
+    shouldn't be vacuuming it. ``None`` (or omitting it) raises a
+    ``ValueError`` naming the requirement rather than a bare
+    ``TypeError``, so a pre-r12 cron/runbook call fails with the
+    retention explanation instead of a signature error."""
+    if keep_versions is None:
+        raise ValueError(
+            "vacuum_index: keep_versions is required and must state "
+            "the store's real retention (the maintainer's own "
+            "keep_versions) — a blanket default would GC time-travel "
+            "manifests that pinned as-of readers of a "
+            "longer-retention store still resolve")
     return _gc_versions(index_dir, keep_versions)
 
 
@@ -1172,10 +1234,17 @@ def _rowwise_refresh_batches(
                     # fold the STORED derived leaf under the same
                     # mask — the derived rows carry id_col, so the
                     # tombstone rule that masked the main leaf masks
-                    # them identically; no re-derivation job
-                    for lname in extra_leaves:
-                        xview = _masked_union(spark, index_dir, sub,
-                                              lname)
+                    # them identically; no re-derivation job for
+                    # segments that carry the leaf. Segments written
+                    # BEFORE the leaf existed (an upgraded store) fall
+                    # back to deriving from their masked main rows —
+                    # per-row derivation makes that exact, and the
+                    # fold is precisely how such a store migrates
+                    # (each fold backfills the leaf for the segments
+                    # it touches) instead of wedging on a missing path
+                    for lname, derive in extra_leaves.items():
+                        xview = _masked_union_or_derive(
+                            spark, index_dir, sub, lname, leaf, derive)
                         (xview.write.mode("overwrite")
                          .parquet(os.path.join(index_dir, comp,
                                                lname)))
@@ -1319,10 +1388,16 @@ def load_band_index(spark: SparkSession, index_dir: str,
     with ``index_layout="postings"``: the same tombstone mask as the
     band view, but ZERO per-serve Generate/DISTINCT on the index side
     (the explode was paid O(batch) at each commit, not per query).
-    Postings layout requires a store whose segments were all written
-    by this version of :func:`band_refresh_batches`; a store with
-    pre-postings segments fails the read — fold it (compaction
-    rewrites every segment) or re-ingest. ``as_of`` time-travels like
+    Postings layout requires every manifest segment to carry the
+    postings leaf; a store with pre-postings segments (written by a
+    pre-r12 :func:`band_refresh_batches`) fails the read with the
+    missing segments named. Migration: compaction BACKFILLS the leaf
+    for the segments it folds (re-deriving from their masked band
+    rows — :func:`_masked_union_or_derive`), so the store migrates as
+    folds touch old segments; partial size-tiered folds do NOT rewrite
+    every segment, so a store that must serve postings immediately
+    should re-ingest (or keep serving ``layout="bands"`` until folds
+    drain the old segments). ``as_of`` time-travels like
     :func:`load_term_index` — a reproducibility pin for "was this
     document novel as of batch N"."""
     if layout not in ("bands", "postings"):
@@ -1334,6 +1409,15 @@ def load_band_index(spark: SparkSession, index_dir: str,
     m = _read_manifest(index_dir, version)
     if layout == "bands":
         return _masked_union(spark, index_dir, m, "bands")
+    missing = _segments_missing_leaf(index_dir, m, "postings")
+    if missing:
+        raise ValueError(
+            f"load_band_index: segments "
+            f"{sorted(s['name'] for s in missing)} of {index_dir}@"
+            f"{version} carry no postings leaf (written by a "
+            f"pre-postings maintainer) — serve layout='bands' until "
+            f"compaction folds them (folds backfill the leaf), or "
+            f"re-ingest the store")
     view = _masked_union(spark, index_dir, m, "postings")
     # mask first (needs id_col), then prune to the exact (band, h)
     # shape novel_documents' postings path expects
@@ -1404,25 +1488,59 @@ def export_band_snapshot(spark: SparkSession, index_dir: str,
     layouts of the same state: the id-distributed ``bands`` table
     (the audit/re-band artifact, same shape as the live view) and a
     pre-exploded DISTINCT ``postings`` (band, h) table — the serve
-    artifact. ``novel_documents`` re-explodes and re-dedups the whole
-    band table on EVERY serve against a live view (a corpus-scale
-    shuffle); the snapshot pays that shuffle once at export, so a
-    snapshot novelty serve is probe-explode + one semi-join, zero
-    index-side shuffles (plan test in tests/test_plans.py).
+    artifact a snapshot novelty serve probes with zero index-side
+    shuffles (probe-explode + one semi-join; plan test in
+    tests/test_plans.py).
+
+    The postings artifact is FOLDED from the store's maintained
+    per-segment postings leaf (masked union, exactly as compaction
+    folds it — the explode was already paid O(batch) at each commit),
+    never re-derived from the corpus-scale bands table; only the
+    cross-segment DISTINCT + layout shuffle happens at export, so the
+    export plan carries no Generate on the index side (plan test).
+    Segments written by a pre-postings maintainer fall back to
+    deriving from their masked band rows (:func:
+    `_masked_union_or_derive` — exact, since postings are per-row).
     ``verify=True`` gates on id being a key of the live view (a
     double-banded document would shadow extra band buckets forever);
     commit protocol and guards match :func:`export_term_snapshot`."""
+    version = _resolve_version(index_dir, as_of)
+    if version is not None and as_of is None:
+        # pin the whole export to ONE version: the bands artifact and
+        # the postings fold resolve the manifest independently, and a
+        # concurrent maintainer commit between the two reads must not
+        # hand them different corpus states
+        as_of = int(version[1:])
+    m = (_read_manifest(index_dir, version)
+         if version is not None else None)
+
     def _postings(view: DataFrame, d: str) -> None:
-        (view.select(F.posexplode("bands").alias("band", "h"))
-             .dropDuplicates()
-             .repartition(F.col("h"))
-             .write.mode("overwrite")
-             .parquet(os.path.join(d, "postings")))
+        (_snapshot_postings_view(spark, index_dir, m)
+         .repartition(F.col("h"))
+         .write.mode("overwrite")
+         .parquet(os.path.join(d, "postings")))
 
     return _export_rowwise_snapshot(
         spark, index_dir, dest, "bands", "export_band_snapshot",
         None, [_read_or_id(index_dir, as_of)], as_of, verify,
         extra_writes=_postings)
+
+
+def _snapshot_postings_view(spark: SparkSession, index_dir: str,
+                            m: dict) -> DataFrame:
+    """The DISTINCT (band, h) frame a band-snapshot export writes:
+    the STORED per-segment postings leaf masked-unioned exactly as
+    compaction folds it, deduplicated across segments — no Generate
+    over the corpus-scale bands table in the plan (plan-contract test
+    in tests/test_plans.py); pre-postings segments fall back to the
+    per-row derive."""
+    id_col = m["id_col"]
+    stored = _masked_union_or_derive(
+        spark, index_dir, m, "postings", "bands",
+        lambda bands: bands.select(
+            F.col(id_col),
+            F.posexplode("bands").alias("band", "h")))
+    return stored.select("band", "h").dropDuplicates()
 
 
 def load_band_snapshot(spark: SparkSession, dest: str,

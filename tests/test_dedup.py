@@ -140,6 +140,12 @@ def test_band_refresh_batches_rebuild_equal_and_snapshot(spark, tmp_path):
     assert stats["source_batch_id"] == 2 and not stats["empty"]
     promoted = load_band_snapshot(spark, snap)
     assert norm(promoted) == norm(live)
+    # r13: the export now FOLDS the maintained postings leaf (masked
+    # union, like compaction) instead of re-exploding bands — the
+    # promoted postings artifact must stay bit-identical to the live
+    # leaf's distinct view (and hence to the rebuild's explode)
+    snap_post = load_band_snapshot(spark, snap, layout="postings")
+    assert sorted(map(tuple, snap_post.collect())) == want_post
     with pytest.raises(ValueError, match="not an empty directory"):
         export_band_snapshot(spark, ix, snap)
     os.remove(os.path.join(snap, "snapshot.json"))
@@ -217,3 +223,76 @@ def test_band_snapshot_postings_layout_serve_parity(spark, tmp_path):
     by_enriched = sorted(map(tuple, novel_documents(
         probe, enriched, index_layout="postings").collect()))
     assert by_enriched == by_live
+
+
+def test_band_store_pre_postings_segment_migration(spark, tmp_path):
+    """r13 (r12 advice item): a band store UPGRADED mid-life — a
+    segment written by a pre-postings maintainer carries only the
+    bands leaf. The postings read refuses loudly with the missing
+    segment named (never an AnalysisException on a raw path), the
+    snapshot export's stored-leaf fold falls back to deriving that
+    segment's postings from its masked band rows, and COMPACTION
+    backfills the leaf for the segments it folds instead of crashing
+    after the main-leaf write and wedging the maintainer on every
+    replay. After the fold the migrated live postings serve is
+    bit-identical to the rebuild."""
+    import shutil as _sh
+
+    import pytest
+    from pyspark.sql import functions as F
+
+    from tantalus_spark.catalog.loader import read_parquet
+    from tantalus_spark.datapipe.dedup import (minhash_bands,
+                                               novel_documents)
+    from tantalus_spark.streaming.maintenance import (
+        band_refresh_batches, export_band_snapshot, load_band_index,
+        load_band_snapshot)
+
+    docs = (read_parquet(spark, "/root/testdata/sf0.001/documents.parquet")
+            .select("doc_id", "text"))
+    ix = str(tmp_path / "bands")
+    # max_segments=1: the SECOND commit must fold everything, so the
+    # compaction fallback runs deterministically over the stripped
+    # segment (size-tiered selection can't leave it out)
+    cb = band_refresh_batches(ix, op_col="op", max_segments=1)
+    add = lambda df: df.withColumn("op", F.lit("add"))  # noqa: E731
+    cb(add(docs.filter("doc_id % 4 = 0")), 0)
+    # simulate the pre-r12 maintainer: strip the derived leaf
+    _sh.rmtree(str(tmp_path / "bands" / "seg-00000000" / "postings"))
+
+    # 1) the postings read names the unmigrated segment
+    with pytest.raises(ValueError, match="seg-00000000.*no postings"):
+        load_band_index(spark, ix, layout="postings")
+    # ...while the bands layout keeps serving
+    assert load_band_index(spark, ix).count() > 0
+
+    # 2) snapshot export falls back to the per-row derive for the
+    # stripped segment: bit-identical to the explode of the band table
+    snap0 = str(tmp_path / "snap0")
+    export_band_snapshot(spark, ix, snap0)
+    want0 = sorted(map(tuple, minhash_bands(
+        docs.filter("doc_id % 4 = 0"))
+        .select(F.posexplode("bands").alias("band", "h"))
+        .dropDuplicates().collect()))
+    got0 = sorted(map(tuple, load_band_snapshot(
+        spark, snap0, layout="postings").collect()))
+    assert got0 == want0 and got0
+
+    # 3) the next commit's FULL fold backfills the leaf (no crash,
+    # no wedged replay) — with a delete masking a batch-0 document
+    # THROUGH the derive fallback
+    dels = spark.createDataFrame([(8, None, "delete")],
+                                 "doc_id long, text string, op string")
+    cb(add(docs.filter("doc_id % 4 = 1")).unionByName(dels), 1)
+    survivors = docs.filter("doc_id % 4 in (0, 1) and doc_id <> 8")
+    want = sorted(map(tuple, minhash_bands(survivors)
+                      .select(F.posexplode("bands").alias("band", "h"))
+                      .dropDuplicates().collect()))
+    live_post = load_band_index(spark, ix, layout="postings")
+    assert sorted(map(tuple,
+                      live_post.dropDuplicates().collect())) == want
+    probe = docs.filter("doc_id % 4 = 3")
+    assert sorted(map(tuple, novel_documents(
+        probe, live_post, index_layout="postings").collect())) == \
+        sorted(map(tuple, novel_documents(
+            probe, minhash_bands(survivors)).collect()))

@@ -1136,6 +1136,16 @@ def test_band_snapshot_postings_serve_has_no_index_side_shuffle(
         index_layout="postings")
     live_plan = _plan(live_served)
     assert live_plan.count("Generate") == 1, live_plan[:2500]
+    # r13: the EXPORT folds the stored postings leaf too (masked
+    # union, like compaction) instead of re-exploding the bands table
+    # — zero Generate in the export-side postings plan; the only
+    # export-time shuffle left is the cross-segment DISTINCT
+    from tantalus_spark.streaming.maintenance import (
+        _current_version, _read_manifest, _snapshot_postings_view)
+    export_view = _snapshot_postings_view(
+        spark, ix, _read_manifest(ix, _current_version(ix)))
+    export_plan = _plan(export_view)
+    assert "Generate" not in export_plan, export_plan[:2500]
     rows = served.collect()
     assert rows and all(r["is_novel"] is not None for r in rows)
     assert sorted(map(tuple, live_served.collect())) == sorted(

@@ -281,8 +281,12 @@ def test_semantic_dup_clusters_known_groups(spark):
     df = spark.createDataFrame(rows, ["vec_id", "embedding"])
     got = {r.vec_id: r.cluster_id
            for r in sim.semantic_dup_clusters(
-               df, threshold=0.99, k=3, n_blocks=3).collect()}
+               df, threshold=0.99, k=3, n_blocks=3,
+               method="exact").collect()}
     assert got == {1: 1, 2: 1, 3: 1, 10: 10, 11: 10}
+    # method is an explicit cost-regime choice — no silent quadratic
+    with pytest.raises(ValueError, match="method is required"):
+        sim.semantic_dup_clusters(df, threshold=0.99, k=3)
 
 
 def test_knn_graph_lsh_recall_and_exactness_of_scores(spark):

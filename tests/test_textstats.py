@@ -3251,6 +3251,13 @@ def test_vacuum_reclaims_torn_commit_debris(spark, tmp_path):
     assert sorted(map(tuple, postings.collect())) == before
     # idempotent: a second sweep finds nothing
     assert vacuum_index(ix, keep_versions=2) == []
+    # keep_versions is an explicit retention statement: omitting it
+    # names the requirement (ValueError, not a bare TypeError) and
+    # sweeps nothing
+    with pytest.raises(ValueError, match="keep_versions is required"):
+        vacuum_index(ix)
+    assert sorted(map(tuple,
+                      load_term_index(spark, ix)[0].collect())) == before
 
 
 def test_export_release_consistent_idempotent_and_torn(spark, tmp_path):
