@@ -120,22 +120,25 @@ def test_checked_window_covers_every_operator_family():
     ]
     missing = [n for n in must_be_checked if n not in window]
     assert not missing, f"outside the 50-entry checked window: {missing}"
-    # the r12 rotation gives the promotion/release tier (q160-q163)
-    # its official driver rows and drains six never-driver-checked
-    # tail entries (76/77/78/80/83/91). The ten rotated OUT
-    # (117/141/143/148/149/150/153/154/156/158) all carry green r11
-    # driver rows and their families stay anchored by in-window twins
-    # (58+78 / 147+155 / 152+123 / 151+74+161 / 161+151 / 162+45 /
-    # 147+151 / 157 / 159 — see the inventory.py rotation notes).
+    # the r13 rotation gives q164 (live postings-leaf band serve) and
+    # the NEW q165 deploy-loop composition their official driver rows
+    # and drains six more never-driver-checked tail entries
+    # (81/82/87/88/89/92). The eight rotated OUT
+    # (160/161/76/77/78/80/83/91) all carry green r12 driver rows and
+    # their families stay anchored by in-window twins (155+163+159 /
+    # 151+74+159 / 40+134 / 70 / 58+41 / 47+51+81 / 39+41 / 70+44 —
+    # see the inventory.py rotation notes).
     rotated_in = [
-        # r12: the promotion/release tier
-        "160_snapshot_hybrid_serve", "161_snapshot_ann_serve",
+        # r13: the deploy-loop pair + tail drain
+        "164_band_store_live_serve", "165_release_follow_serve",
+        "81_semantic_dedup", "82_strip_markup", "87_rare_tokens",
+        "88_domain_stats", "89_dup_spans", "92_vocab_coverage",
+        # r12 lifecycle survivors that must keep their window slots
+        # (162's snapshot EXPORT changed in r13 — the postings
+        # artifact now folds the maintained leaf — so it stays
+        # driver-checked; 163 is the release q165 composes with)
         "162_band_store_novel_serve", "163_release_serve",
-        # r12: tail drain (never driver-checked before)
-        "76_line_dedup", "77_contamination_frac",
-        "78_quality_classifier", "80_knn_graph",
-        "83_corpus_report", "91_containment",
-        # r11 lifecycle survivors that must keep their window slots
+        # r11 lifecycle survivors
         "152_segmented_store_serve", "155_maintained_hybrid_serve",
         "157_consistent_asof_serve", "159_snapshot_promote_serve",
         # r10 survivors
