@@ -104,6 +104,12 @@ HEADLINE = [
     # the shuffle-free-index-side serve; the freshness-read twin of
     # the snapshot path
     "164_band_store_live_serve",
+    # r13 addition: the deploy loop end to end — two cut releases
+    # (each: audit-gated exports of both stores + release.json +
+    # pointer swap), a follower that reloads exactly once on the
+    # mid-stream swap, and two served+sunk query batches; the honest
+    # cost of shipping a new serving release under traffic
+    "165_release_follow_serve",
 ]
 
 
