@@ -238,6 +238,41 @@ def main() -> None:
                 f"\n... [truncated {len(lines) - 400} lines of nested"
                 " cached-subplan expansion]")
         out.write(f"\n## {name} — {why}\n\n```\n{plan}\n```\n")
+
+    # r13: export-side evidence — export_band_snapshot is a WRITE job,
+    # not a QUERIES entry, so dump the exact frame it writes: the
+    # snapshot's DISTINCT (band, h) postings folded from the store's
+    # MAINTAINED per-segment leaf (masked union, like compaction) —
+    # zero Generate anywhere (the explode was paid O(batch) at each
+    # commit); the only shuffle is the cross-segment DISTINCT.
+    import tempfile
+
+    from pyspark.sql import functions as F
+
+    from tantalus_spark.inventory import db_for
+    from tantalus_spark.streaming.maintenance import (
+        _current_version, _read_manifest, _snapshot_postings_view,
+        band_refresh_batches)
+
+    root = tempfile.mkdtemp(prefix="tantalus_plans_band_")
+    try:
+        docs = db_for(spark, sf).table("documents").select("doc_id",
+                                                           "text")
+        cb = band_refresh_batches(root, op_col="op", max_segments=4)
+        add = lambda df: df.withColumn("op", F.lit("add"))  # noqa: E731
+        cb(add(docs.filter(F.col("doc_id") % 4 == 0)), 0)
+        cb(add(docs.filter(F.col("doc_id") % 4 == 1)), 1)
+        view = _snapshot_postings_view(
+            spark, root, _read_manifest(root, _current_version(root)))
+        plan = view._jdf.queryExecution().executedPlan().toString()
+        out.write(
+            "\n## export_band_snapshot postings fold (r13) — the frame"
+            " the export writes: stored per-segment postings leaf,"
+            " masked-unioned and DISTINCTed — zero Generate (no bands"
+            " re-explode at export time)\n\n```\n" + plan + "\n```\n")
+    finally:
+        import shutil
+        shutil.rmtree(root, ignore_errors=True)
     with open(os.path.join(os.path.dirname(os.path.dirname(
             os.path.abspath(__file__))), "PLANS.md"), "w") as f:
         f.write(out.getvalue())
