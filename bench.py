@@ -182,6 +182,29 @@ def main() -> None:
         pre_load1 = pre_load5 = -1.0
     spark = get_spark("bench")
 
+    # CPU calibration probes (r13): fixed deterministic workloads whose
+    # wall time depends only on the box's EFFECTIVE speed, recorded so
+    # round-over-round artifacts can be compared when co-tenancy is
+    # invisible to loadavg — the r13 lesson: identical code ran ~30%
+    # slower than the previous day with near-zero loadavg at start and
+    # degraded=false; only a same-code control run caught it. JVM side:
+    # a codegen'd 2e8-row aggregate (parallel throughput, what the
+    # queries see); Python side: a fixed-iteration single-thread loop
+    # (catches frequency scaling / steal). Compare calib ratios before
+    # reading per-query deltas across artifacts.
+    # one throwaway first: the probe's own codegen/JIT is a one-off
+    # ~8 s that would otherwise swamp the steady-state number being
+    # calibrated (measured: 9.5 s cold vs 1.5 s warmed on this box)
+    spark.range(200_000_000).selectExpr("sum(id * 2 + 1)").collect()
+    t0 = time.perf_counter()
+    spark.range(200_000_000).selectExpr("sum(id * 2 + 1)").collect()
+    calib_jvm = round(time.perf_counter() - t0, 3)
+    t0 = time.perf_counter()
+    acc = 0
+    for i in range(10_000_000):
+        acc += i
+    calib_py = round(time.perf_counter() - t0, 3)
+
     # warm the JVM, parquet footers, and OS page cache once so timings
     # measure query execution, not first-touch IO / JIT
     spark.range(1).count()
@@ -260,6 +283,8 @@ def main() -> None:
         "load_1m": round(load1, 2),
         "load_5m": round(load5, 2),
         "n_cores": n_cores,
+        "calib_jvm_s": calib_jvm,
+        "calib_py_s": calib_py,
         "degraded": degraded,
         "mid_run_drift": round(drift, 2),
     }))

@@ -3218,6 +3218,17 @@ _QUERY_ORDER = [
     "60_minhash_signatures", "61_hash_split", "62_dup_clusters",
     "64_full_outer", "66_ntile", "67_latest_per_key", "68_range_join",
     "75_ann_trained",
+    # r14 ROTATION CANDIDATES: 94/95/99/103/105 are the LAST
+    # never-driver-checked full-value entries (all four-SF gate-green
+    # in LOCALGATE_r13 and green in the r12 judge's independent
+    # re-run). Rotating them in drains the backlog to the two
+    # rows-only entries {75, 100} (iterative trainers, not
+    # SQL-expressible by design). Suggested swap-outs on green r13
+    # rows with in-window anchors: 82 strip-markup -> 58 clean-corpus
+    # (rule family) + 41 profile; 87 rare-tokens -> 97-family term
+    # stats via 123 bm25-indexed + 41; 88 domain-stats -> 39
+    # dashboard-counts + 83-family rollups; 89 dup-spans -> 40 exact
+    # dedup + 44 ngram; 92 vocab-coverage -> 37 explode-tokens + 41.
     "94_source_report", "95_paragraph_dedup",
     "99_corpus_shuffle", "100_bpe_merges",
     "103_temperature_mix", "105_gate_attribution",
