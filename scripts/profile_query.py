@@ -67,8 +67,15 @@ def main():
     import bench
     fn = bench.PRODUCTION_VARIANTS.get(name, QUERIES[name])
 
+    # Spark 4: pyspark.sql.DataFrame is a dispatch facade; instances are
+    # pyspark.sql.classic.dataframe.DataFrame, which OVERRIDES the action
+    # methods — wrap the classic class or count/collect/first go unseen.
+    try:
+        from pyspark.sql.classic.dataframe import DataFrame as _CDF
+    except ImportError:
+        _CDF = DataFrame
     for m in ("count", "collect", "first", "take", "toPandas"):
-        _wrap(DataFrame, m)
+        _wrap(_CDF, m)
     _wrap(DataFrameWriter, "parquet")
     _wrap(DataFrameWriter, "save")
     _wrap(DataFrameWriter, "csv")

@@ -56,10 +56,57 @@ import re
 import shutil
 from functools import reduce
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, Observation, SparkSession
 from pyspark.sql import functions as F
 
 _POINTER = "CURRENT"
+
+
+def _observed_write(df: DataFrame, path: str, metrics: dict[str, "F.Column"],
+                    partition_cols: list[str] | None = None,
+                    coalesce: int | None = None,
+                    project: list[str] | None = None) -> dict:
+    """Write ``df`` as parquet and return aggregate ``metrics`` computed
+    BY THE SAME JOB via ``Observation`` (guide §1: one pass, not an
+    aggregate job followed by a write job that recomputes the input —
+    the pre-r13 gate pattern paid the batch transform twice and a whole
+    extra scheduling round trip per gate). The caller decides what an
+    empty result means; an empty write leaves only removable debris
+    (``_SUCCESS`` + possibly one empty part file), so gating AFTER the
+    write and ``shutil.rmtree``-ing on emptiness is equivalent to the
+    old pre-check — nothing is committed until the manifest lands."""
+    obs = Observation()
+    shaped = df.observe(obs, *[c.alias(n) for n, c in metrics.items()])
+    if project is not None:
+        # metrics see the pre-projection rows; only `project` columns
+        # land on disk (e.g. a tombstone file is ids only, but the
+        # stats guard needs the masked dl sum)
+        shaped = shaped.select(*project)
+    if coalesce is not None:
+        shaped = shaped.coalesce(coalesce)
+    w = shaped.write.mode("overwrite")
+    if partition_cols:
+        w = w.partitionBy(*partition_cols)
+    w.parquet(path)
+    return obs.get
+
+
+def _run_parallel(*thunks):
+    """Run independent driver-blocking Spark actions concurrently from a
+    small thread pool (guide §2.6): Spark's scheduler happily runs
+    several jobs at once inside one application, and these lifecycle
+    writes (postings ∥ doclens, store ∥ store) are sequential only
+    because the driver calls them sequentially. FIFO scheduling means
+    the second job back-fills executors the first job's tail frees.
+    Results are returned in thunk order; the first exception (if any)
+    propagates after all threads finish."""
+    if len(thunks) == 1:
+        return [thunks[0]()]
+    from concurrent.futures import ThreadPoolExecutor
+
+    with ThreadPoolExecutor(max_workers=len(thunks)) as pool:
+        futs = [pool.submit(t) for t in thunks]
+        return [f.result() for f in futs]
 
 # committed version directories are exactly v{batch:08d}; everything
 # that parses or SWEEPS v-prefixed names must match this, not a bare
@@ -389,23 +436,18 @@ def export_term_snapshot(spark: SparkSession, index_dir: str,
     m = _read_manifest(index_dir, version)
     n, dl_sum = int(m["n_docs"]), int(m["dl_sum"])
     lens = _masked_union(spark, index_dir, m, "doclens")
-    if verify:
-        if lens is None:
-            live_n, live_s = 0, 0
-        else:
-            tot = lens.agg(
-                F.count(F.lit(1)).cast("long").alias("n"),
-                F.coalesce(F.sum("dl"), F.lit(0)).cast("long")
-                 .alias("s")).first()
-            live_n, live_s = int(tot["n"]), int(tot["s"])
-        if (live_n, live_s) != (n, dl_sum):
-            raise RuntimeError(
-                f"export_term_snapshot: refusing to promote "
-                f"{index_dir}@{version}: manifest stats "
-                f"(n_docs={n}, dl_sum={dl_sum}) != live doclens "
-                f"recount (n_docs={live_n}, dl_sum={live_s}) — the "
-                f"increment/decrement bookkeeping diverged from the "
-                f"data (see audit_term_index)")
+
+    def _verify_failed(live_n: int, live_s: int) -> RuntimeError:
+        return RuntimeError(
+            f"export_term_snapshot: refusing to promote "
+            f"{index_dir}@{version}: manifest stats "
+            f"(n_docs={n}, dl_sum={dl_sum}) != live doclens "
+            f"recount (n_docs={live_n}, dl_sum={live_s}) — the "
+            f"increment/decrement bookkeeping diverged from the "
+            f"data (see audit_term_index)")
+
+    if verify and lens is None and (n, dl_sum) != (0, 0):
+        raise _verify_failed(0, 0)
     postings = _masked_union(spark, index_dir, m, "postings")
     # metadata-only divergence guard that holds even under
     # verify=False: a store with zero segments but non-zero manifest
@@ -424,9 +466,9 @@ def export_term_snapshot(spark: SparkSession, index_dir: str,
                                            F.col("term"))
                       if partitions is not None
                       else postings.repartition(F.col("term")))
-            (shaped.sortWithinPartitions("term")
-                   .write.mode("overwrite")
-                   .parquet(os.path.join(dest, "postings")))
+            shaped = shaped.sortWithinPartitions("term")
+            pwrite = (lambda: shaped.write.mode("overwrite")
+                      .parquet(os.path.join(dest, "postings")))
             if lens is not None:
                 # doclens is one row PER SURVIVING DOCUMENT — corpus-
                 # sized, so it gets the same distributed shaping as
@@ -436,13 +478,34 @@ def export_term_snapshot(spark: SparkSession, index_dir: str,
                 # reads this (load_term_snapshot reads snapshot.json
                 # + postings only); it exists so audits can recount
                 # the promoted artifact without the source store.
+                # The verify recount RIDES this write as observed
+                # metrics (one doclens pass instead of a separate
+                # audit aggregate before the writes — guide §1.2),
+                # and the two artifact writes run concurrently
+                # (guide §2.6). A failed verify raises before
+                # snapshot.json commits and the except-cleanup keeps
+                # dest reusable — same refusal contract as before,
+                # the store's divergence is just detected one step
+                # later on the (rare) failure path.
                 id_col = m["id_col"]
                 lshaped = (lens.repartition(int(partitions),
                                             F.col(id_col))
                            if partitions is not None
                            else lens.repartition(F.col(id_col)))
-                (lshaped.write.mode("overwrite")
-                        .parquet(os.path.join(dest, "doclens")))
+                live, _ = _run_parallel(
+                    lambda: _observed_write(
+                        lshaped, os.path.join(dest, "doclens"),
+                        {"n": F.count(F.lit(1)),
+                         "s": F.coalesce(F.sum("dl"), F.lit(0))}),
+                    pwrite,
+                )
+                if verify:
+                    live_n = int(live["n"])
+                    live_s = int(live["s"] or 0)
+                    if (live_n, live_s) != (n, dl_sum):
+                        raise _verify_failed(live_n, live_s)
+            else:
+                pwrite()
         stats = {"n_docs": n, "dl_sum": dl_sum, "id_col": m["id_col"],
                  "source_version": version,
                  "source_batch_id": int(version[1:]),
@@ -521,40 +584,31 @@ def _export_rowwise_snapshot(spark: SparkSession, index_dir: str,
     m = _read_manifest(index_dir, version)
     view = _masked_union(spark, index_dir, m, leaf)
     n_rows = 0
-    if view is not None and verify:
-        # one aggregate carries the whole gate: rows, distinct keys,
-        # AND null keys. count_distinct silently drops rows where any
-        # key column is NULL, so duplicate rows with a NULL id/bucket
-        # would otherwise evade the disjoint-ids check and
-        # double-score at serve time — a NULL key is itself a
-        # contract violation, refused explicitly.
-        null_key = reduce(lambda a, b: a | b,
-                          [F.col(c).isNull() for c in unique_cols])
-        tot = view.agg(
-            F.count(F.lit(1)).cast("long").alias("n"),
-            F.count_distinct(*[F.col(c) for c in unique_cols])
-             .cast("long").alias("d"),
-            F.coalesce(F.sum(F.when(null_key, 1)), F.lit(0))
-             .cast("long").alias("nulls")).first()
-        n_rows = int(tot["n"])
-        if int(tot["nulls"]) != 0:
-            raise RuntimeError(
-                f"{fn_name}: refusing to promote {index_dir}@"
-                f"{version}: {int(tot['nulls'])} live rows have a "
-                f"NULL ({', '.join(unique_cols)}) key — NULL keys "
-                f"evade the distinct-key audit and cannot be "
-                f"deduplicated or tombstoned at serve time")
-        if n_rows != int(tot["d"]):
-            raise RuntimeError(
-                f"{fn_name}: refusing to promote {index_dir}@"
-                f"{version}: {n_rows} live rows but only "
-                f"{int(tot['d'])} distinct ({', '.join(unique_cols)}) "
-                f"keys — an upstream double-add broke the disjoint-ids "
-                f"contract; a promoted duplicate would double-score "
-                f"its document at serve time")
     os.makedirs(dest, exist_ok=True)
     try:
         if view is not None:
+            # The audit gate is split so no job re-reads the masked
+            # multi-segment union (guide §1.2): the row count and the
+            # NULL-key count ride the artifact write as OBSERVED
+            # metrics; the distinct-key recount then reads the
+            # WRITTEN artifact pruned to the key columns — one folded
+            # column-pruned scan instead of a second pass over every
+            # segment plus the tombstone mask, and it audits exactly
+            # the bytes being promoted. count_distinct silently drops
+            # rows where any key column is NULL, so duplicate rows
+            # with a NULL id/bucket would otherwise evade the
+            # disjoint-ids check — a NULL key is itself a contract
+            # violation, refused explicitly. A failed audit raises
+            # before snapshot.json commits; the except-cleanup keeps
+            # dest reusable (same refusal contract as the pre-write
+            # audit, detected after the data write on the rare
+            # failure path).
+            metrics = {"n": F.count(F.lit(1))}
+            if verify:
+                null_key = reduce(lambda a, b: a | b,
+                                  [F.col(c).isNull() for c in unique_cols])
+                metrics["nulls"] = F.coalesce(
+                    F.sum(F.when(null_key, 1)), F.lit(0))
             if partition_col is not None:
                 # one shuffle shapes the artifact: repartition on the
                 # serve-pruning column, then hive-partition the write
@@ -562,22 +616,49 @@ def _export_rowwise_snapshot(spark: SparkSession, index_dir: str,
                 # — the same layout the streamed segments carry, folded
                 # to one artifact with the tombstone mask applied
                 # physically
-                (view.repartition(F.col(partition_col))
-                     .write.mode("overwrite").partitionBy(partition_col)
-                     .parquet(os.path.join(dest, leaf)))
+                shaped = view.repartition(F.col(partition_col))
+                pcols = [partition_col]
             else:
                 # no point-probe column to prune on (band tables are
                 # probed by a semi-join over an exploded array) —
                 # distribute by id so the artifact has no single-task
                 # funnel and file sizes stay uniform
-                (view.repartition(F.col(unique_cols[0]))
-                     .write.mode("overwrite")
-                     .parquet(os.path.join(dest, leaf)))
+                shaped = view.repartition(F.col(unique_cols[0]))
+                pcols = None
+            thunks = [lambda: _observed_write(
+                shaped, os.path.join(dest, leaf), metrics,
+                partition_cols=pcols)]
             if extra_writes is not None:
                 # family-specific derived artifacts (e.g. the band
                 # store's pre-exploded postings) — written before the
-                # snapshot.json commit so a torn export stays torn
-                extra_writes(view, dest)
+                # snapshot.json commit so a torn export stays torn;
+                # independent of the main-leaf write, so the two run
+                # concurrently (guide §2.6)
+                thunks.append(lambda: extra_writes(view, dest))
+            got = _run_parallel(*thunks)[0]
+            n_rows = int(got["n"])
+            if verify:
+                if int(got["nulls"]) != 0:
+                    raise RuntimeError(
+                        f"{fn_name}: refusing to promote {index_dir}@"
+                        f"{version}: {int(got['nulls'])} live rows "
+                        f"have a NULL ({', '.join(unique_cols)}) key "
+                        f"— NULL keys evade the distinct-key audit "
+                        f"and cannot be deduplicated or tombstoned at "
+                        f"serve time")
+                d = (spark.read.parquet(os.path.join(dest, leaf))
+                     .agg(F.count_distinct(
+                         *[F.col(c) for c in unique_cols])
+                         .cast("long").alias("d")).first()["d"])
+                if n_rows != int(d):
+                    raise RuntimeError(
+                        f"{fn_name}: refusing to promote {index_dir}@"
+                        f"{version}: {n_rows} live rows but only "
+                        f"{int(d)} distinct "
+                        f"({', '.join(unique_cols)}) keys — an "
+                        f"upstream double-add broke the disjoint-ids "
+                        f"contract; a promoted duplicate would "
+                        f"double-score its document at serve time")
         stats = {"id_col": m["id_col"], "leaf": leaf,
                  "source_version": version,
                  "source_batch_id": int(version[1:]),
@@ -756,10 +837,15 @@ def export_release(spark: SparkSession, stores: dict[str, tuple[str, str]],
         # the per-store immutability guards would refuse the re-export,
         # so sweep the never-committed debris first
         shutil.rmtree(vdir)
-    for name in sorted(stores):
-        family, ix = stores[name]
-        exporters[family](spark, ix, os.path.join(vdir, name),
-                          as_of=batch, verify=verify)
+    # per-store exports are independent (separate source stores,
+    # separate dest subdirs) — run them concurrently (guide §2.6); a
+    # failure leaves a torn vdir with no release.json, swept and
+    # re-exported by the next call exactly as before
+    _run_parallel(*[
+        (lambda family=family, ix=ix, name=name:
+         exporters[family](spark, ix, os.path.join(vdir, name),
+                           as_of=batch, verify=verify))
+        for name, (family, ix) in sorted(stores.items())])
     release = {"batch_id": batch, "version": vname,
                "stores": {name: stores[name][0] for name in stores}}
     tmp = meta_path + ".tmp"
@@ -1168,28 +1254,39 @@ def _rowwise_refresh_batches(
         tombstones = list(manifest["tombstones"])
         changed = False
 
-        if dels is not None and segments and dels.take(1):
-            ts_name = f"ts-{seq:08d}"
-            (dels.coalesce(1).write.mode("overwrite")
-             .parquet(os.path.join(index_dir, ts_name)))
-            tombstones.append({"name": ts_name, "seq": seq})
-            changed = True
-        # one emptiness gate on the DELTA (not a pre-check on adds too:
-        # an empty delta subsumes an empty batch, and every driver-side
-        # action here is a whole Spark job). The gate's take(1) does
-        # re-run delta_fn for the write — deliberately NOT cached: a
-        # persisted frame pins the write's input partitioning, and a
-        # hive-partitioned write from cached partitions sprays
-        # |cached partitions| × |partition values| small files into
-        # the segment, which every later serve/fold read pays for
-        # (measured +60% on the maintained-hybrid lifecycle).
+        # Emptiness gates ride the writes as OBSERVED row counts (one
+        # job each, the transform computed ONCE — the pre-r13
+        # take(1)-then-write pattern ran delta_fn twice per commit:
+        # once for the gate, once for the write; caching instead would
+        # pin the write's input partitioning and spray |cached
+        # partitions| × |partition values| small files into a
+        # hive-partitioned segment, measured +60% on the
+        # maintained-hybrid lifecycle). The tombstone write and the
+        # delta-segment write are independent and run concurrently
+        # (guide §2.6); an empty result removes its never-registered
+        # dir — nothing is visible until the manifest commits.
+        seg_name = f"seg-{seq:08d}"
+        seg_dir = os.path.join(index_dir, seg_name)
+        ts_name = f"ts-{seq:08d}"
+        ts_path = os.path.join(index_dir, ts_name)
         delta = delta_fn(adds)
-        if delta.take(1):
-            seg_name = f"seg-{seq:08d}"
-            w = delta.write.mode("overwrite")
-            if partition_cols:
-                w = w.partitionBy(*partition_cols)
-            w.parquet(os.path.join(index_dir, seg_name, leaf))
+        write_ts = dels is not None and bool(segments)
+        got_ts, got_delta = _run_parallel(
+            (lambda: _observed_write(dels, ts_path,
+                                     {"n": F.count(F.lit(1))},
+                                     coalesce=1))
+            if write_ts else (lambda: None),
+            lambda: _observed_write(delta, os.path.join(seg_dir, leaf),
+                                    {"n": F.count(F.lit(1))},
+                                    partition_cols=partition_cols),
+        )
+        if write_ts:
+            if int(got_ts["n"]) > 0:
+                tombstones.append({"name": ts_name, "seq": seq})
+                changed = True
+            else:
+                shutil.rmtree(ts_path, ignore_errors=True)
+        if int(got_delta["n"]) > 0:
             if extra_leaves:
                 # derive each extra leaf from the JUST-WRITTEN main
                 # leaf, not the live delta expression: re-running
@@ -1206,6 +1303,8 @@ def _rowwise_refresh_batches(
                 "bytes": _dir_bytes(
                     os.path.join(index_dir, seg_name))})
             changed = True
+        else:
+            shutil.rmtree(seg_dir, ignore_errors=True)
 
         if not changed:
             return
@@ -1224,12 +1323,19 @@ def _rowwise_refresh_batches(
             sub = {"segments": fold, "tombstones": tombstones,
                    "id_col": id_col}
             view = _masked_union(spark, index_dir, sub, leaf)
-            if view is not None and view.take(1):
+            folded_n = 0
+            if view is not None:
                 comp = f"seg-{seq:08d}c"
-                w = view.write.mode("overwrite")
-                if partition_cols:
-                    w = w.partitionBy(*partition_cols)
-                w.parquet(os.path.join(index_dir, comp, leaf))
+                # the everything-masked gate is the fold write's own
+                # observed row count (no separate take(1) job — that
+                # gate re-ran the masked union once before the write
+                # re-read it); an all-masked fold removes the
+                # never-registered dir below
+                folded_n = int(_observed_write(
+                    view, os.path.join(index_dir, comp, leaf),
+                    {"n": F.count(F.lit(1))},
+                    partition_cols=partition_cols)["n"])
+            if folded_n > 0:
                 if extra_leaves:
                     # fold the STORED derived leaf under the same
                     # mask — the derived rows carry id_col, so the
@@ -1251,9 +1357,12 @@ def _rowwise_refresh_batches(
                 keep = keep + [{
                     "name": comp, "seq": seq,
                     "bytes": _dir_bytes(os.path.join(index_dir, comp))}]
-            # else: every folded row was tombstone-masked — drop the
-            # folded segments without writing an empty (unreadable
-            # when partitioned) parquet dir
+            elif view is not None:
+                # every folded row was tombstone-masked — drop the
+                # folded segments and the empty (unreadable when
+                # partitioned) never-registered parquet dir
+                shutil.rmtree(os.path.join(index_dir, comp),
+                              ignore_errors=True)
             segments = keep
         # prune non-load-bearing tombstones: a tombstone at seq T masks
         # only rows in segments with seq < T (folded rows carry this
@@ -1675,28 +1784,27 @@ def index_refresh_batches(
             # only tombstone ids that ARE live (stats guard): one
             # broadcast-pruned pass over the per-doc doclens sidecars —
             # never the postings. Output is bounded by the batch. The
-            # `removed` aggregate doubles as the emptiness gate (no
-            # separate take(1) job: n_rm == 0 skips the write).
+            # (count, sum dl) stats guard rides the tombstone write as
+            # observed metrics — ONE job, vs the pre-r13
+            # persist+agg+write pair; an empty result removes the
+            # never-registered file (guide §1.2: fewer passes).
             present = (live_lens
                        .join(F.broadcast(dels), id_col, "left_semi")
                        .groupBy(id_col).agg(F.max("dl").alias("dl")))
-            present = present.persist()  # batch-bounded: agg + write
-            try:
-                removed = present.agg(
-                    F.count(F.lit(1)).alias("n"),
-                    F.sum("dl").alias("s")).first()
-                n_rm = int(removed["n"])
-                if n_rm > 0:
-                    ts_name = f"ts-{seq:08d}"
-                    (present.select(id_col).coalesce(1).write
-                     .mode("overwrite")
-                     .parquet(os.path.join(index_dir, ts_name)))
-                    tombstones.append({"name": ts_name, "seq": seq})
-                    n_docs -= n_rm
-                    dl_sum -= int(removed["s"] or 0)
-                    changed = True
-            finally:
-                present.unpersist()
+            ts_name = f"ts-{seq:08d}"
+            ts_path = os.path.join(index_dir, ts_name)
+            removed = _observed_write(
+                present, ts_path,
+                {"n": F.count(F.lit(1)), "s": F.sum("dl")},
+                coalesce=1, project=[id_col])
+            n_rm = int(removed["n"])
+            if n_rm > 0:
+                tombstones.append({"name": ts_name, "seq": seq})
+                n_docs -= n_rm
+                dl_sum -= int(removed["s"] or 0)
+                changed = True
+            else:
+                shutil.rmtree(ts_path, ignore_errors=True)
 
         if live_lens is not None and dedup_against_current:
             # broadcast-pruned semi over the DOCLENS view (per-doc
@@ -1718,35 +1826,38 @@ def index_refresh_batches(
                                        "left_anti")
             adds = adds.join(F.broadcast(already), id_col,
                              "left_anti")
-        # the `added` aggregate is the adds-side emptiness gate (no
-        # separate take(1) job); persist keeps the doclens write from
-        # re-tokenizing the batch the aggregate already scanned. The
-        # sidecar write is coalesce(1): cached plans keep their
-        # pre-AQE partitioning, and a per-doc (id, dl) sidecar written
-        # as ~shuffle.partitions tiny files taxes every later
+        # the adds-side (count, sum dl) stats gate rides the doclens
+        # sidecar write as observed metrics (one tokenization pass, no
+        # separate agg job — the pre-r13 persist+agg+write pattern),
+        # and the postings write runs CONCURRENTLY with it (guide
+        # §2.6: independent jobs back-fill each other's tails). The
+        # sidecar write stays coalesce(1): a per-doc (id, dl) sidecar
+        # written as ~shuffle.partitions tiny files taxes every later
         # live_lens read — one file per segment is the right layout
-        # for O(batch) rows of two columns.
-        lens = _doclens(adds).persist()
-        try:
-            added = lens.agg(F.count(F.lit(1)).alias("n"),
-                             F.sum("dl").alias("s")).first()
-            n_new = int(added["n"])
-            if n_new > 0:
-                delta = build_term_index(adds, text_col=text_col,
-                                         id_col=id_col)
-                seg_name = f"seg-{seq:08d}"
-                seg_dir = os.path.join(index_dir, seg_name)
-                delta.write.mode("overwrite").parquet(
-                    os.path.join(seg_dir, "postings"))
-                lens.coalesce(1).write.mode("overwrite").parquet(
-                    os.path.join(seg_dir, "doclens"))
-                segments.append({"name": seg_name, "seq": seq,
-                                 "bytes": _dir_bytes(seg_dir)})
-                n_docs += n_new
-                dl_sum += int(added["s"] or 0)
-                changed = True
-        finally:
-            lens.unpersist()
+        # for O(batch) rows of two columns. An empty batch removes the
+        # never-registered segment dir (nothing is visible until the
+        # manifest commits).
+        lens = _doclens(adds)
+        seg_name = f"seg-{seq:08d}"
+        seg_dir = os.path.join(index_dir, seg_name)
+        delta = build_term_index(adds, text_col=text_col, id_col=id_col)
+        added, _ = _run_parallel(
+            lambda: _observed_write(
+                lens, os.path.join(seg_dir, "doclens"),
+                {"n": F.count(F.lit(1)), "s": F.sum("dl")},
+                coalesce=1),
+            lambda: delta.write.mode("overwrite").parquet(
+                os.path.join(seg_dir, "postings")),
+        )
+        n_new = int(added["n"])
+        if n_new > 0:
+            segments.append({"name": seg_name, "seq": seq,
+                             "bytes": _dir_bytes(seg_dir)})
+            n_docs += n_new
+            dl_sum += int(added["s"] or 0)
+            changed = True
+        else:
+            shutil.rmtree(seg_dir, ignore_errors=True)
 
         if not changed:
             return
@@ -1769,7 +1880,7 @@ def index_refresh_batches(
             sub = {"segments": fold, "tombstones": tombstones,
                    "id_col": id_col}
             lens_view = _masked_union(spark, index_dir, sub, "doclens")
-            if lens_view is not None and lens_view.take(1):
+            if lens_view is not None:
                 comp = f"seg-{seq:08d}c"
                 cdir = os.path.join(index_dir, comp)
                 # fold in SNAPSHOT layout: repartition+sort by term
@@ -1789,14 +1900,24 @@ def index_refresh_batches(
                           .repartition(F.col("term")))
                 if sort_folds:
                     shaped = shaped.sortWithinPartitions("term")
-                (shaped.write.mode("overwrite")
-                 .parquet(os.path.join(cdir, "postings")))
-                lens_view.write.mode("overwrite").parquet(
-                    os.path.join(cdir, "doclens"))
-                keep = keep + [{"name": comp, "seq": seq,
-                                "bytes": _dir_bytes(cdir)}]
-            # else: every folded doc was tombstone-masked — drop the
-            # folded segments outright
+                # both fold writes run concurrently (guide §2.6); the
+                # everything-masked gate is the doclens write's
+                # observed row count (no separate take(1) job) — an
+                # all-masked fold removes the never-registered dir
+                folded, _ = _run_parallel(
+                    lambda: _observed_write(
+                        lens_view, os.path.join(cdir, "doclens"),
+                        {"n": F.count(F.lit(1))}),
+                    lambda: (shaped.write.mode("overwrite")
+                             .parquet(os.path.join(cdir, "postings"))),
+                )
+                if int(folded["n"]) > 0:
+                    keep = keep + [{"name": comp, "seq": seq,
+                                    "bytes": _dir_bytes(cdir)}]
+                else:
+                    # every folded doc was tombstone-masked — drop the
+                    # folded segments outright
+                    shutil.rmtree(cdir, ignore_errors=True)
             segments = keep
         # prune non-load-bearing tombstones: a tombstone at seq T masks
         # only rows in segments with seq < T (folded rows carry this
