@@ -1742,7 +1742,7 @@ def index_refresh_batches(
     Wire it: ``doc_stream.writeStream.foreachBatch(
     index_refresh_batches("/path/ix")).start()``.
     """
-    from tantalus_spark.datapipe.textstats import build_term_index, tokens
+    from tantalus_spark.datapipe.textstats import term_tf, tokens
 
     os.makedirs(index_dir, exist_ok=True)
 
@@ -1840,7 +1840,15 @@ def index_refresh_batches(
         lens = _doclens(adds)
         seg_name = f"seg-{seq:08d}"
         seg_dir = os.path.join(index_dir, seg_name)
-        delta = build_term_index(adds, text_col=text_col, id_col=id_col)
+        # delta postings via the SHUFFLE-FREE per-doc run-length build
+        # (term_tf): every delta row is written, nothing downstream
+        # filters it in this job, so the explode → groupBy exchange the
+        # scan-shaped build keeps for filter pushdown buys nothing here
+        # and the commit's only corpus-wide shuffle disappears (guide
+        # §2.4; bit-identical by term_tf's A/B, and rebuild-equal /
+        # replay tests cover the maintained store end to end)
+        delta = term_tf(adds, text_col=text_col,
+                        id_col=id_col).select("term", id_col, "tf", "dl")
         added, _ = _run_parallel(
             lambda: _observed_write(
                 lens, os.path.join(seg_dir, "doclens"),
