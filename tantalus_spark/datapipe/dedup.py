@@ -489,20 +489,28 @@ def simhash_signatures(df: DataFrame, text_col: str = "text",
             .select(F.col(id_col),
                     F.explode(tokens(F.lower(F.col(text_col))))
                     .alias("term")))
-    bit = lambda k: F.shiftrightunsigned(F.col("_h"), k).bitwiseAND(F.lit(1))  # noqa: E731
+    # The 64 bit-sum aggregates and the 63-term reassembly chain are
+    # built as parsed SQL strings (one F.expr each) instead of nested
+    # Column objects: object-by-object construction made ~1.5k py4j
+    # round trips of pure driver time per call (the q46 bench tail);
+    # the rendered text is the identical expression tree — explicit
+    # parens pin the same precedence Python's operator overloads gave
+    # (& binds LOOSER than * in SQL) — A/B'd bit-identical.
     sums = (toks.withColumn("_h", h)
             .groupBy(id_col)
-            .agg(*[F.sum(2 * bit(k) - 1).alias(f"s{k}")
+            .agg(*[F.expr(f"sum((2 * (shiftrightunsigned(_h, {k}) & 1))"
+                          f" - 1)").alias(f"s{k}")
                    for k in range(64)]))
-    sig = F.lit(0).cast("long")
+    sig_sql = "CAST(0 AS BIGINT)"
     for k in range(63):
-        sig = sig + F.when(F.col(f"s{k}") > 0, F.lit(1 << k)
-                           .cast("long")).otherwise(F.lit(0).cast("long"))
+        sig_sql = (f"({sig_sql} + (CASE WHEN s{k} > 0 THEN "
+                   f"CAST({1 << k} AS BIGINT) ELSE CAST(0 AS BIGINT) "
+                   f"END))")
     # bit 63 is the sign bit: adding long-min IS the two's-complement fold
-    sig = sig + F.when(F.col("s63") > 0,
-                       F.lit(-(1 << 63)).cast("long")).otherwise(
-                           F.lit(0).cast("long"))
-    return sums.select(F.col(id_col), sig.alias("simhash"))
+    sig_sql = (f"({sig_sql} + (CASE WHEN s63 > 0 THEN "
+               f"CAST({-(1 << 63)} AS BIGINT) ELSE CAST(0 AS BIGINT) "
+               f"END))")
+    return sums.select(F.col(id_col), F.expr(sig_sql).alias("simhash"))
 
 
 def simhash_near_pairs(df: DataFrame, max_hamming: int = 3,
