@@ -1780,6 +1780,9 @@ def index_refresh_batches(
         n_docs, dl_sum = int(manifest["n_docs"]), int(manifest["dl_sum"])
         changed = False
 
+        ts_thunk = None
+        ts_name = f"ts-{seq:08d}"
+        ts_path = os.path.join(index_dir, ts_name)
         if dels is not None and live_lens is not None:
             # only tombstone ids that ARE live (stats guard): one
             # broadcast-pruned pass over the per-doc doclens sidecars —
@@ -1787,24 +1790,19 @@ def index_refresh_batches(
             # (count, sum dl) stats guard rides the tombstone write as
             # observed metrics — ONE job, vs the pre-r13
             # persist+agg+write pair; an empty result removes the
-            # never-registered file (guide §1.2: fewer passes).
+            # never-registered file (guide §1.2: fewer passes). The
+            # write itself is DEFERRED into the adds-side _run_parallel
+            # below (guide §2.6): the tombstone, doclens and postings
+            # jobs touch disjoint dirs and nothing is visible until the
+            # manifest commits, so the rowwise maintainer's ts ∥ delta
+            # overlap applies here too.
             present = (live_lens
                        .join(F.broadcast(dels), id_col, "left_semi")
                        .groupBy(id_col).agg(F.max("dl").alias("dl")))
-            ts_name = f"ts-{seq:08d}"
-            ts_path = os.path.join(index_dir, ts_name)
-            removed = _observed_write(
+            ts_thunk = lambda: _observed_write(  # noqa: E731
                 present, ts_path,
                 {"n": F.count(F.lit(1)), "s": F.sum("dl")},
                 coalesce=1, project=[id_col])
-            n_rm = int(removed["n"])
-            if n_rm > 0:
-                tombstones.append({"name": ts_name, "seq": seq})
-                n_docs -= n_rm
-                dl_sum -= int(removed["s"] or 0)
-                changed = True
-            else:
-                shutil.rmtree(ts_path, ignore_errors=True)
 
         if live_lens is not None and dedup_against_current:
             # broadcast-pruned semi over the DOCLENS view (per-doc
@@ -1849,14 +1847,26 @@ def index_refresh_batches(
         # replay tests cover the maintained store end to end)
         delta = term_tf(adds, text_col=text_col,
                         id_col=id_col).select("term", id_col, "tf", "dl")
-        added, _ = _run_parallel(
+        got = _run_parallel(
             lambda: _observed_write(
                 lens, os.path.join(seg_dir, "doclens"),
                 {"n": F.count(F.lit(1)), "s": F.sum("dl")},
                 coalesce=1),
             lambda: delta.write.mode("overwrite").parquet(
                 os.path.join(seg_dir, "postings")),
+            *([ts_thunk] if ts_thunk is not None else []),
         )
+        added = got[0]
+        if ts_thunk is not None:
+            removed = got[2]
+            n_rm = int(removed["n"])
+            if n_rm > 0:
+                tombstones.append({"name": ts_name, "seq": seq})
+                n_docs -= n_rm
+                dl_sum -= int(removed["s"] or 0)
+                changed = True
+            else:
+                shutil.rmtree(ts_path, ignore_errors=True)
         n_new = int(added["n"])
         if n_new > 0:
             segments.append({"name": seg_name, "seq": seq,
