@@ -1330,30 +1330,42 @@ def _rowwise_refresh_batches(
                 # observed row count (no separate take(1) job — that
                 # gate re-ran the masked union once before the write
                 # re-read it); an all-masked fold removes the
-                # never-registered dir below
-                folded_n = int(_observed_write(
-                    view, os.path.join(index_dir, comp, leaf),
-                    {"n": F.count(F.lit(1))},
-                    partition_cols=partition_cols)["n"])
+                # never-registered dir below.
+                #
+                # Extra-leaf folds run CONCURRENTLY with the main fold
+                # write (guide §2.6): the STORED derived leaf is
+                # masked-unioned from the SOURCE segments — never the
+                # new comp dir — so the two jobs share no data
+                # dependency. The derived rows carry id_col, so the
+                # tombstone rule that masked the main leaf masks them
+                # identically; no re-derivation job for segments that
+                # carry the leaf. Segments written BEFORE the leaf
+                # existed (an upgraded store) fall back to deriving
+                # from their masked main rows — per-row derivation
+                # makes that exact, and the fold is precisely how such
+                # a store migrates (each fold backfills the leaf for
+                # the segments it touches) instead of wedging on a
+                # missing path. An all-masked fold writes (at most) an
+                # empty extra leaf into the never-registered dir the
+                # rmtree below removes — same debris class as before.
+                xthunks = []
+                for lname, derive in (extra_leaves or {}).items():
+                    xview = _masked_union_or_derive(
+                        spark, index_dir, sub, lname, leaf, derive)
+                    if xview is not None:
+                        xthunks.append(
+                            lambda xview=xview, lname=lname:
+                            (xview.write.mode("overwrite")
+                             .parquet(os.path.join(index_dir, comp,
+                                                   lname))))
+                got = _run_parallel(
+                    lambda: _observed_write(
+                        view, os.path.join(index_dir, comp, leaf),
+                        {"n": F.count(F.lit(1))},
+                        partition_cols=partition_cols),
+                    *xthunks)
+                folded_n = int(got[0]["n"])
             if folded_n > 0:
-                if extra_leaves:
-                    # fold the STORED derived leaf under the same
-                    # mask — the derived rows carry id_col, so the
-                    # tombstone rule that masked the main leaf masks
-                    # them identically; no re-derivation job for
-                    # segments that carry the leaf. Segments written
-                    # BEFORE the leaf existed (an upgraded store) fall
-                    # back to deriving from their masked main rows —
-                    # per-row derivation makes that exact, and the
-                    # fold is precisely how such a store migrates
-                    # (each fold backfills the leaf for the segments
-                    # it touches) instead of wedging on a missing path
-                    for lname, derive in extra_leaves.items():
-                        xview = _masked_union_or_derive(
-                            spark, index_dir, sub, lname, leaf, derive)
-                        (xview.write.mode("overwrite")
-                         .parquet(os.path.join(index_dir, comp,
-                                               lname)))
                 keep = keep + [{
                     "name": comp, "seq": seq,
                     "bytes": _dir_bytes(os.path.join(index_dir, comp))}]
