@@ -2378,8 +2378,8 @@ def q155_maintained_hybrid_serve(spark, sf_dir):
 
     from tantalus_spark.datapipe.textstats import hybrid_serve_topk_batch
     from tantalus_spark.streaming.maintenance import (
-        feats_refresh_batches, index_refresh_batches, load_feats_index,
-        load_term_index)
+        _run_parallel, feats_refresh_batches, index_refresh_batches,
+        load_feats_index, load_term_index)
 
     docs = db_for(spark, sf_dir).table("documents").select("doc_id",
                                                            "text")
@@ -2401,9 +2401,12 @@ def q155_maintained_hybrid_serve(spark, sf_dir):
          .unionByName(add(docs.filter(F.col("doc_id") % 42 == 0)))),
         add(docs.filter(F.col("doc_id") % 3 == 2)),
     ]
-    for i, b in enumerate(batches):
-        cb_ix(b, i)
-        cb_ft(b, i)
+    # the two stores are fed by SEPARATE foreachBatch sinks — their
+    # commit chains are independent (disjoint dirs, own manifests), so
+    # run the chains concurrently (guide §2.6); commit order WITHIN
+    # each store stays strict.
+    _run_parallel(lambda: [cb_ix(b, i) for i, b in enumerate(batches)],
+                  lambda: [cb_ft(b, i) for i, b in enumerate(batches)])
     postings, (n, avgdl) = load_term_index(spark, root + "/ix")
     feats = load_feats_index(spark, root + "/feats")
     return hybrid_serve_topk_batch(
@@ -2474,8 +2477,8 @@ def q157_consistent_asof_serve(spark, sf_dir):
 
     from tantalus_spark.datapipe.textstats import hybrid_serve_topk_batch
     from tantalus_spark.streaming.maintenance import (
-        common_batch_id, feats_refresh_batches, index_refresh_batches,
-        load_feats_index, load_term_index)
+        _run_parallel, common_batch_id, feats_refresh_batches,
+        index_refresh_batches, load_feats_index, load_term_index)
 
     docs = db_for(spark, sf_dir).table("documents").select("doc_id",
                                                            "text")
@@ -2497,10 +2500,13 @@ def q157_consistent_asof_serve(spark, sf_dir):
          .unionByName(add(docs.filter(F.col("doc_id") % 42 == 0)))),
         add(docs.filter(F.col("doc_id") % 3 == 2)),
     ]
-    for i, b in enumerate(batches):
-        cb_ix(b, i)
-        if i < 2:
-            cb_ft(b, i)  # feats maintainer is one batch behind
+    # separate foreachBatch sinks: the two commit chains are
+    # independent (disjoint dirs, own manifests) — run them
+    # concurrently (guide §2.6); order WITHIN each store stays strict,
+    # and the feats maintainer still stops one batch behind.
+    _run_parallel(
+        lambda: [cb_ix(b, i) for i, b in enumerate(batches)],
+        lambda: [cb_ft(b, i) for i, b in enumerate(batches[:2])])
     b = common_batch_id(root + "/ix", root + "/feats")
     postings, (n, avgdl) = load_term_index(spark, root + "/ix",
                                            as_of=b)
@@ -2616,7 +2622,7 @@ def q160_snapshot_hybrid_serve(spark, sf_dir):
 
     from tantalus_spark.datapipe.textstats import hybrid_serve_topk_batch
     from tantalus_spark.streaming.maintenance import (
-        export_feats_snapshot, export_term_snapshot,
+        _run_parallel, export_feats_snapshot, export_term_snapshot,
         feats_refresh_batches, index_refresh_batches,
         load_feats_snapshot, load_term_snapshot)
 
@@ -2640,12 +2646,18 @@ def q160_snapshot_hybrid_serve(spark, sf_dir):
          .unionByName(add(docs.filter(F.col("doc_id") % 42 == 0)))),
         add(docs.filter(F.col("doc_id") % 3 == 2)),
     ]
-    for i, b in enumerate(batches):
-        cb_ix(b, i)
-        cb_ft(b, i)
-    export_term_snapshot(spark, root + "/ix", root + "/snap_ix",
-                         partitions=8)
-    export_feats_snapshot(spark, root + "/feats", root + "/snap_ft")
+    # separate foreachBatch sinks: the two commit chains are
+    # independent (disjoint dirs, own manifests) — run them
+    # concurrently (guide §2.6); order WITHIN each store stays strict.
+    # The two promotions are independent too (each reads its own store,
+    # writes its own snapshot dir), so they overlap the same way.
+    _run_parallel(lambda: [cb_ix(b, i) for i, b in enumerate(batches)],
+                  lambda: [cb_ft(b, i) for i, b in enumerate(batches)])
+    _run_parallel(
+        lambda: export_term_snapshot(spark, root + "/ix",
+                                     root + "/snap_ix", partitions=8),
+        lambda: export_feats_snapshot(spark, root + "/feats",
+                                      root + "/snap_ft"))
     postings, (n, avgdl) = load_term_snapshot(spark, root + "/snap_ix")
     feats = load_feats_snapshot(spark, root + "/snap_ft")
     return hybrid_serve_topk_batch(
@@ -2783,8 +2795,8 @@ def q163_release_serve(spark, sf_dir):
 
     from tantalus_spark.datapipe.textstats import hybrid_serve_topk_batch
     from tantalus_spark.streaming.maintenance import (
-        export_release, feats_refresh_batches, index_refresh_batches,
-        load_release)
+        _run_parallel, export_release, feats_refresh_batches,
+        index_refresh_batches, load_release)
 
     docs = db_for(spark, sf_dir).table("documents").select("doc_id",
                                                            "text")
@@ -2806,10 +2818,13 @@ def q163_release_serve(spark, sf_dir):
          .unionByName(add(docs.filter(F.col("doc_id") % 42 == 0)))),
         add(docs.filter(F.col("doc_id") % 3 == 2)),
     ]
-    for i, b in enumerate(batches):
-        cb_ix(b, i)
-        if i < 2:
-            cb_ft(b, i)  # feats maintainer is one batch behind
+    # separate foreachBatch sinks: the two commit chains are
+    # independent (disjoint dirs, own manifests) — run them
+    # concurrently (guide §2.6); order WITHIN each store stays strict,
+    # and the feats maintainer still stops one batch behind.
+    _run_parallel(
+        lambda: [cb_ix(b, i) for i, b in enumerate(batches)],
+        lambda: [cb_ft(b, i) for i, b in enumerate(batches[:2])])
     export_release(spark, {"postings": ("term", root + "/ix"),
                            "dense": ("feats", root + "/feats")},
                    root + "/releases")
@@ -2899,8 +2914,8 @@ def q165_release_follow_serve(spark, sf_dir):
 
     from tantalus_spark.datapipe.textstats import hybrid_serve_topk_batch
     from tantalus_spark.streaming.maintenance import (
-        export_release, feats_refresh_batches, follow_releases,
-        index_refresh_batches)
+        _run_parallel, export_release, feats_refresh_batches,
+        follow_releases, index_refresh_batches)
 
     docs = db_for(spark, sf_dir).table("documents").select("doc_id",
                                                            "text")
@@ -2924,9 +2939,13 @@ def q165_release_follow_serve(spark, sf_dir):
     ]
     stores = {"postings": ("term", root + "/ix"),
               "dense": ("feats", root + "/feats")}
-    # release v0: both maintainers have committed batch 0
-    cb_ix(batches[0], 0)
-    cb_ft(batches[0], 0)
+    # release v0: both maintainers have committed batch 0. The two
+    # stores are independent (disjoint dirs, own manifests), so their
+    # commits are sequential only because the driver would call them
+    # sequentially — overlap them (guide §2.6); the release export
+    # still happens only after BOTH have landed.
+    _run_parallel(lambda: cb_ix(batches[0], 0),
+                  lambda: cb_ft(batches[0], 0))
     export_release(spark, stores, root + "/releases")
 
     qdf = spark.createDataFrame(
@@ -2949,12 +2968,21 @@ def q165_release_follow_serve(spark, sf_dir):
          .parquet(root + f"/served/batch-{batch_id}"))
 
     fol = follow_releases(root + "/releases", _serve)
-    fol(qdf, 0)  # served off v0; pointer stable so far
-    # CDC keeps flowing mid-stream; a new release is cut at
-    # common_batch_id=1 and the pointer swaps under the follower
-    cb_ix(batches[1], 1)
-    cb_ix(batches[2], 2)
-    cb_ft(batches[1], 1)
+    # micro-batch 0 is served UNDER live CDC traffic — the serve reads
+    # release v0's immutable artifacts and the pointer cannot move
+    # until export_release below, while the two maintainers' commit
+    # chains write only their own stores' new segments; all three are
+    # independent driver-blocking chains, so overlap them (guide §2.6).
+    # Within each store commits stay strictly ordered (batch 1 then 2).
+    def _ix_chain():
+        cb_ix(batches[1], 1)
+        cb_ix(batches[2], 2)
+
+    _run_parallel(lambda: fol(qdf, 0),  # served off v0; pointer stable
+                  _ix_chain,
+                  lambda: cb_ft(batches[1], 1))
+    # a new release is cut at common_batch_id=1 and the pointer swaps
+    # under the follower
     export_release(spark, stores, root + "/releases")
     fol(qdf, 1)  # pointer moved -> one pinned reload -> re-serve
     return spark.read.parquet(root + "/served/batch-1")
