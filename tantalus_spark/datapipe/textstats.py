@@ -2059,12 +2059,8 @@ def hybrid_rank_rrf(
     fully index-served deployment — the lexical leg off a prebuilt
     postings index too — use :func:`hybrid_serve_indexed`."""
     terms = sorted(set(t.lower() for t in query_terms))
-    # --- lexical leg: exact BM25 top-depth, dense rank 1..depth
-    sparse_top = bm25_rank(df, terms, k=depth, k1=k1, b=b,
-                           text_col=text_col, id_col=id_col)
-    # --- dense leg: hashed-feature cosine against the query vector
     qfeats = _query_hashed_features(terms, dim)
-    released = [sparse_top]
+    released = []
     scored = None
     if qfeats:
         if feats is None:
@@ -2072,7 +2068,28 @@ def hybrid_rank_rrf(
                                     id_col=id_col).persist()
             released.append(feats)
             norms = None  # derive from the one-shot build just made
-        scored = _dense_leg_scored(feats, qfeats, depth, id_col, norms)
+        # the two legs are independent until fusion, and each ends in
+        # a bounded top-depth — materialize them CONCURRENTLY (guide
+        # §2.6) instead of serializing the lexical leg's two actions
+        # before the dense leg's corpus pass; the fused job then reads
+        # two <= depth-row caches. scored is persisted so the fusion
+        # consumes the rows this thread computed, not a recompute.
+        scored = _dense_leg_scored(feats, qfeats, depth, id_col,
+                                   norms).persist()
+        released.append(scored)
+        from concurrent.futures import ThreadPoolExecutor
+
+        with ThreadPoolExecutor(max_workers=2) as pool:
+            f_sparse = pool.submit(bm25_rank, df, terms, depth, k1, b,
+                                   text_col, id_col)
+            f_dense = pool.submit(scored.count)
+            sparse_top = f_sparse.result()
+            f_dense.result()
+    else:
+        # all-zero query vector: lexical-only, nothing to overlap
+        sparse_top = bm25_rank(df, terms, k=depth, k1=k1, b=b,
+                               text_col=text_col, id_col=id_col)
+    released.insert(0, sparse_top)
     out = _rrf_fuse(sparse_top, scored, k, rrf_k, id_col)
     from tantalus_spark.datapipe.dedup import _materialize_and_release
     return _materialize_and_release(out, released)

@@ -1377,6 +1377,32 @@ def test_tfidf_cosine_zero_norm_docs_never_pair(spark):
     assert not any(3 in p or 4 in p for p in got), got
 
 
+def test_hybrid_rrf_overlapped_legs_release_their_caches(spark):
+    """The scan path materializes its two legs concurrently; its
+    internal caches (the one-shot feats build, the persisted dense
+    top-depth, the lexical top-depth) must all be released on return —
+    only the returned frame may stay cached, or a long-lived session
+    accumulates corpus-sized storage per call."""
+    from tantalus_spark.datapipe.textstats import hybrid_rank_rrf
+
+    filler = " ".join(f"pad{i}" for i in range(30))
+    docs = spark.createDataFrame(
+        [(i, f"apple banana {filler}") for i in range(6)],
+        "doc_id long, text string")
+    # order-robustness: the assertions below reason about the WHOLE
+    # CacheManager, so start from a known-empty one (recomputation is
+    # correct for any frame another test left cached — caches are a
+    # performance artifact, never a correctness dependency here)
+    spark.catalog.clearCache()
+    out = hybrid_rank_rrf(docs, ["apple", "banana"], k=3, depth=4,
+                          dim=16)
+    cm = spark._jsparkSession.sharedState().cacheManager()
+    assert not cm.isEmpty(), "the returned frame stays cached"
+    out.unpersist()
+    assert cm.isEmpty(), \
+        "hybrid_rank_rrf leaked an internal cache (feats/scored/sparse)"
+
+
 def test_hybrid_rrf_fuses_both_legs(spark):
     """A doc ranked well by BOTH legs must outscore a doc seen by only
     one leg at the same per-leg rank, the rank sentinel for a missing
