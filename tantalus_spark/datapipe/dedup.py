@@ -61,6 +61,28 @@ def _minhash_perm(shingle_col, i: int, hash_family: str):
     return F.xxhash64(shingle_col, F.lit(i))
 
 
+def _minhash_perm_sql(var: str, i: int, hash_family: str) -> str:
+    """SQL-text twin of :func:`_minhash_perm` over the expression text
+    ``var`` — used to render whole signature/band expression trees as ONE
+    parsed string instead of ~30 py4j round trips per permutation (the
+    r13 ivf_assign/simhash lesson: object-by-object Column construction
+    is pure driver latency, ~0.4 s per minhash_bands call, paid on EVERY
+    band-store commit). All literals are ints (exact in SQL text), parens
+    pin the precedence the Column operators had, so the parsed tree is
+    identical to the object-built one (A/B'd bit-identical both
+    families)."""
+    if hash_family == "md5":
+        if i >= len(_MD5_A):
+            raise ValueError(
+                f"hash_family='md5' supports at most {len(_MD5_A)} "
+                f"permutations (got permutation index {i}); extend "
+                f"_MD5_A/_MD5_B or use hash_family='xxhash64'")
+        a, b = _MD5_A[i], _MD5_B[i]
+        return (f"pmod((pmod({var}, {_MD5_MOD}) * {a}) + {b}, "
+                f"{_MD5_MOD})")
+    return f"xxhash64({var}, {i})"
+
+
 def exact_duplicates(df: DataFrame, text_col: str = "text",
                      id_col: str = "doc_id") -> DataFrame:
     """Group identical documents by content digest; keep the min id as the
@@ -158,21 +180,26 @@ def minhash_bands(df: DataFrame, n_perm: int = 16, bands: int = 4,
     # size(_toks) inlines to one linear split per row and is equivalent
     # (a doc has shingles iff it has >= n tokens)
     toked = toked.filter(F.size("_toks") >= shingle_n)
-    sh = F.col("_sh")
     with_arr = toked.select(F.col(id_col), arr.alias("_sh"))
-    def perm_min(i):
-        # closure, NOT a lambda default arg: transform() derives lambda
-        # arity from the signature, and a 2-arg lambda would be fed
-        # (element, array_index) — shadowing the permutation number
-        return F.array_min(
-            F.transform(sh, lambda s: _minhash_perm(s, i, hash_family)))
+    # The n_perm × (array_min ∘ transform ∘ perm-hash) signature tree and
+    # the band reassembly are rendered as ONE parsed SQL string instead of
+    # nested Column objects: object construction cost ~0.4 s of pure py4j
+    # driver latency per call (measured warmed, r14), paid on every
+    # band-store commit — the same construction-latency class r13 fixed
+    # for ivf_assign/simhash_signatures. The parsed tree is identical
+    # (integer literals, pinned parens); A/B'd bit-identical both hash
+    # families on the full sf0.1 corpus.
+    def sig_sql(i: int) -> str:
+        return ("array_min(transform(_sh, s -> "
+                f"{_minhash_perm_sql('s', i, hash_family)}))")
 
-    sig = [perm_min(i) for i in range(n_perm)]
-    band_cols = [
-        F.xxhash64(F.lit(b), *[sig[b * rows + r] for r in range(rows)])
+    band_sqls = [
+        f"xxhash64({b}, "
+        + ", ".join(sig_sql(b * rows + r) for r in range(rows)) + ")"
         for b in range(bands)
     ]
-    return with_arr.select(F.col(id_col), F.array(*band_cols).alias("bands"))
+    bands_sql = "array(" + ", ".join(band_sqls) + ")"
+    return with_arr.select(F.col(id_col), F.expr(bands_sql).alias("bands"))
 
 
 def _shingle_pair_counts(df: DataFrame, n: int, text_col: str, id_col: str,
@@ -264,8 +291,11 @@ def minhash_signatures(df: DataFrame, n_perm: int = 16, shingle_n: int = 3,
     """
     sh = shingles(df, n=shingle_n, text_col=text_col, id_col=id_col,
                   hashed=True, hash_family=hash_family)
+    # SQL-text aggregate list (see _minhash_perm_sql): identical parsed
+    # tree, ~0.3 s less py4j construction latency per call
     aggs = [
-        F.min(_minhash_perm(F.col("shingle"), i, hash_family)).alias(f"h{i}")
+        F.expr(f"min({_minhash_perm_sql('shingle', i, hash_family)})")
+        .alias(f"h{i}")
         for i in range(n_perm)
     ]
     sig = sh.groupBy(id_col).agg(*aggs)
@@ -303,8 +333,11 @@ def minhash_lsh_pairs(
     # four times (sig, s1, s2, counts all reuse it)
     sh = shingles(df, n=shingle_n, text_col=text_col, id_col=id_col,
                   hashed=True, hash_family=hash_family).persist()
+    # SQL-text aggregate list (see _minhash_perm_sql): identical parsed
+    # tree, ~0.3 s less py4j construction latency per call
     aggs = [
-        F.min(_minhash_perm(F.col("shingle"), i, hash_family)).alias(f"h{i}")
+        F.expr(f"min({_minhash_perm_sql('shingle', i, hash_family)})")
+        .alias(f"h{i}")
         for i in range(n_perm)
     ]
     sig = sh.groupBy(id_col).agg(*aggs).select(
