@@ -1270,8 +1270,24 @@ def _rowwise_refresh_batches(
         ts_name = f"ts-{seq:08d}"
         ts_path = os.path.join(index_dir, ts_name)
         delta = delta_fn(adds)
+        if extra_leaves:
+            # Derived-leaf writes join the SAME _run_parallel as the
+            # main-leaf write (guide §2.6) instead of a serialized
+            # read-back job per leaf after it (~0.4 s of extra commit
+            # wall at sf0.1). The delta is persisted so the batch
+            # transform runs ONCE and every leaf write reads the same
+            # cached rows — the bit-identity the read-back provided,
+            # without the extra scheduling round trip (delta_fn is
+            # per-row deterministic by the extra-leaves contract, so
+            # even a cache-evicted recompute yields identical rows).
+            # No hive partitioning on extra-leaf stores (band store:
+            # partition_cols=None), so the r13 cached-write
+            # small-file-spray measurement does not apply here. An
+            # empty delta writes empty leaf dirs into the
+            # never-registered seg dir the rmtree below removes.
+            delta = delta.persist()
         write_ts = dels is not None and bool(segments)
-        got_ts, got_delta = _run_parallel(
+        got = _run_parallel(
             (lambda: _observed_write(dels, ts_path,
                                      {"n": F.count(F.lit(1))},
                                      coalesce=1))
@@ -1279,7 +1295,16 @@ def _rowwise_refresh_batches(
             lambda: _observed_write(delta, os.path.join(seg_dir, leaf),
                                     {"n": F.count(F.lit(1))},
                                     partition_cols=partition_cols),
+            *[
+                (lambda lname=lname, derive=derive:
+                 (derive(delta).write.mode("overwrite")
+                  .parquet(os.path.join(seg_dir, lname))))
+                for lname, derive in (extra_leaves or {}).items()
+            ],
         )
+        got_ts, got_delta = got[0], got[1]
+        if extra_leaves:
+            delta.unpersist()
         if write_ts:
             if int(got_ts["n"]) > 0:
                 tombstones.append({"name": ts_name, "seq": seq})
@@ -1287,17 +1312,6 @@ def _rowwise_refresh_batches(
             else:
                 shutil.rmtree(ts_path, ignore_errors=True)
         if int(got_delta["n"]) > 0:
-            if extra_leaves:
-                # derive each extra leaf from the JUST-WRITTEN main
-                # leaf, not the live delta expression: re-running
-                # delta_fn would recompute the batch transform per
-                # leaf, and reading back the parquet guarantees the
-                # derived rows match the stored main rows bit-for-bit
-                stored = spark.read.parquet(
-                    os.path.join(index_dir, seg_name, leaf))
-                for lname, derive in extra_leaves.items():
-                    (derive(stored).write.mode("overwrite")
-                     .parquet(os.path.join(index_dir, seg_name, lname)))
             segments.append({
                 "name": seg_name, "seq": seq,
                 "bytes": _dir_bytes(
