@@ -352,9 +352,19 @@ def build_corpus(
     scores = (unigram_lm_score(surv_docs, text_col=text_col,
                                id_col=id_col).persist())
     try:
+        # the tercile threshold rides the plan as a broadcast 1-row
+        # aggregate over the SAME persisted scores instead of a
+        # separate driver action: the broadcast subtree materializes
+        # the cache, the kept-filter probe reads it, and the whole
+        # build is ONE job (the percentile value is computed by the
+        # identical expression over the identical input, so the kept
+        # set is unchanged; a `<= NULL` comparison on an empty corpus
+        # drops every row exactly like the old `<= lit(None)`)
         t2 = scores.agg(
-            F.percentile("mean_cost_millibits", F.lit(2.0 / 3))).first()[0]
-        kept = scores.filter(F.col("mean_cost_millibits") <= F.lit(t2))
+            F.percentile("mean_cost_millibits", F.lit(2.0 / 3))
+            .alias("_t2"))
+        kept = (scores.crossJoin(F.broadcast(t2))
+                .filter(F.col("mean_cost_millibits") <= F.col("_t2")))
         out = (
             kept.join(corpus.select(id_col, source_col), id_col)
             .groupBy(source_col)

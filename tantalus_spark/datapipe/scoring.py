@@ -85,6 +85,39 @@ def lm_cost_table(
     return cost, oov_cost_mb
 
 
+def _lm_cost_table_lazy(
+    df: DataFrame,
+    text_col: str = "text",
+    alpha: int = 1,
+) -> DataFrame:
+    """:func:`lm_cost_table`'s cost frame with ZERO driver actions: the
+    (N, V) scalars ride the plan as a broadcast 1-row aggregate instead
+    of a separate single-row action whose literals the driver folds in —
+    a consumer's one action then computes the whole thing as ONE job
+    (the count aggregate's exchange is shared between the scalar subtree
+    and the cost projection, so the corpus explode still runs once).
+    Bit-identical to the literal path: ``denom`` is the exact long
+    ``N + alpha·V`` cast to double, which equals Python
+    ``float(n_total + alpha * vocab)`` (both round-to-nearest), and the
+    division/log2/millibit chain is unchanged. Used where the OOV scalar
+    is not needed (in-corpus scoring); frozen-table consumers that need
+    ``oov_cost_mb`` on the driver keep :func:`lm_cost_table`."""
+    df = spread_small_scan(df)
+    toks = df.select(
+        F.explode(tokens(F.lower(F.col(text_col)))).alias("term"))
+    counts = toks.groupBy("term").agg(F.count(F.lit(1)).alias("c"))
+    scalars = counts.agg(
+        (F.coalesce(F.sum("c"), F.lit(0))
+         + F.lit(alpha) * F.count(F.lit(1)))
+        .cast("double").alias("_denom"))
+    return (counts.crossJoin(F.broadcast(scalars))
+            .select(
+                "term",
+                _millibits(-F.log2((F.col("c") + F.lit(alpha))
+                                   / F.col("_denom"))).alias("cost_mb"),
+            ))
+
+
 def score_with_cost_table(
     df: DataFrame,
     cost: DataFrame,
@@ -150,11 +183,14 @@ def unigram_lm_score(
     (``streaming/scoring.py lm_score_stream``) reuses the SAME
     :func:`lm_cost_table` + per-doc reduction against a frozen table.
     """
-    cost, _ = lm_cost_table(df, text_col=text_col, alpha=alpha)
-    # LAZY and cache-free: lm_cost_table's plan is cache-free, so the
-    # whole scored frame is one fused DAG per consuming action —
-    # consumers that read it repeatedly (quota_select's histogram +
-    # join + ties) persist it themselves.
+    # LAZY end to end: the cost table's (N, V) scalars ride the plan as
+    # a broadcast aggregate (_lm_cost_table_lazy) instead of a separate
+    # full-corpus action — one consuming action runs ONE fused job
+    # (q108's profile showed the scalar job alone at ~1.1 s of serial
+    # wall at sf0.1). Cache-free: consumers that read the scored frame
+    # repeatedly (quota_select's histogram + join + ties) persist it
+    # themselves.
+    cost = _lm_cost_table_lazy(df, text_col=text_col, alpha=alpha)
     return score_with_cost_table(
         df, cost, oov_cost_mb=None, text_col=text_col, id_col=id_col)
 

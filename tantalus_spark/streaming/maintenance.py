@@ -91,21 +91,45 @@ def _observed_write(df: DataFrame, path: str, metrics: dict[str, "F.Column"],
     return obs.get
 
 
-def _run_parallel(*thunks):
+def _run_parallel(*thunks, pool: str | None = None):
     """Run independent driver-blocking Spark actions concurrently from a
     small thread pool (guide §2.6): Spark's scheduler happily runs
     several jobs at once inside one application, and these lifecycle
     writes (postings ∥ doclens, store ∥ store) are sequential only
-    because the driver calls them sequentially. FIFO scheduling means
-    the second job back-fills executors the first job's tail frees.
-    Results are returned in thunk order; the first exception (if any)
-    propagates after all threads finish."""
+    because the driver calls them sequentially. Under FIFO the second
+    job back-fills executors the first job's tail frees; ``pool`` tags
+    each worker thread's jobs with ``spark.scheduler.pool`` so that —
+    with ``spark.scheduler.mode=FAIR`` (the session default) — a burst
+    of maintainer commit jobs shares the cluster fairly with serve
+    traffic in other pools instead of queueing ahead of or behind it.
+    Local properties are per-thread (pinned-thread mode), and the
+    worker threads are fresh per call, so the tag never leaks to the
+    caller's thread. Results are returned in thunk order; the first
+    exception (if any) propagates after all threads finish."""
+    def _tagged(t):
+        if pool is None:
+            return t
+
+        def run():
+            # the SparkContext singleton, not getActiveSession():
+            # active sessions are thread-local and a fresh worker
+            # thread has none yet
+            from pyspark import SparkContext
+            sc = SparkContext._active_spark_context
+            if sc is not None:
+                sc.setLocalProperty("spark.scheduler.pool", pool)
+            return t()
+
+        return run
+
     if len(thunks) == 1:
+        # single action: run on the caller's thread (no pool tag — a
+        # local-property change here would leak past this call)
         return [thunks[0]()]
     from concurrent.futures import ThreadPoolExecutor
 
-    with ThreadPoolExecutor(max_workers=len(thunks)) as pool:
-        futs = [pool.submit(t) for t in thunks]
+    with ThreadPoolExecutor(max_workers=len(thunks)) as tp:
+        futs = [tp.submit(_tagged(t)) for t in thunks]
         return [f.result() for f in futs]
 
 # committed version directories are exactly v{batch:08d}; everything
@@ -498,6 +522,7 @@ def export_term_snapshot(spark: SparkSession, index_dir: str,
                         {"n": F.count(F.lit(1)),
                          "s": F.coalesce(F.sum("dl"), F.lit(0))}),
                     pwrite,
+                    pool="maintenance",
                 )
                 if verify:
                     live_n = int(live["n"])
@@ -587,22 +612,25 @@ def _export_rowwise_snapshot(spark: SparkSession, index_dir: str,
     os.makedirs(dest, exist_ok=True)
     try:
         if view is not None:
-            # The audit gate is split so no job re-reads the masked
-            # multi-segment union (guide §1.2): the row count and the
+            # The audit gate is split so nothing serializes behind the
+            # artifact write (guide §1.2/§2.6): the row count and the
             # NULL-key count ride the artifact write as OBSERVED
-            # metrics; the distinct-key recount then reads the
-            # WRITTEN artifact pruned to the key columns — one folded
-            # column-pruned scan instead of a second pass over every
-            # segment plus the tombstone mask, and it audits exactly
-            # the bytes being promoted. count_distinct silently drops
-            # rows where any key column is NULL, so duplicate rows
-            # with a NULL id/bucket would otherwise evade the
-            # disjoint-ids check — a NULL key is itself a contract
-            # violation, refused explicitly. A failed audit raises
-            # before snapshot.json commits; the except-cleanup keeps
-            # dest reusable (same refusal contract as the pre-write
-            # audit, detected after the data write on the rare
-            # failure path).
+            # metrics; the distinct-key recount runs CONCURRENTLY with
+            # the write, over the same masked view pruned to the key
+            # columns — the export's critical path is max(write,
+            # recount) instead of write + a serialized read-back job
+            # (r13's shape; ~0.45 s of per-export wall at sf0.1, paid
+            # twice per release in the deploy loop). The recount
+            # audits the identical rows the write is landing (the
+            # write's input IS this view), so the refusal condition
+            # is unchanged. count_distinct silently drops rows where
+            # any key column is NULL, so duplicate rows with a NULL
+            # id/bucket would otherwise evade the disjoint-ids check
+            # — a NULL key is itself a contract violation, refused
+            # explicitly. A failed audit raises before snapshot.json
+            # commits; the except-cleanup keeps dest reusable (same
+            # refusal contract as the pre-write audit, detected after
+            # the data write on the rare failure path).
             metrics = {"n": F.count(F.lit(1))}
             if verify:
                 null_key = reduce(lambda a, b: a | b,
@@ -635,7 +663,14 @@ def _export_rowwise_snapshot(spark: SparkSession, index_dir: str,
                 # independent of the main-leaf write, so the two run
                 # concurrently (guide §2.6)
                 thunks.append(lambda: extra_writes(view, dest))
-            got = _run_parallel(*thunks)[0]
+            if verify:
+                thunks.append(
+                    lambda: view.select(*unique_cols).agg(
+                        F.count_distinct(
+                            *[F.col(c) for c in unique_cols])
+                        .cast("long").alias("d")).first()["d"])
+            got_all = _run_parallel(*thunks, pool="maintenance")
+            got = got_all[0]
             n_rows = int(got["n"])
             if verify:
                 if int(got["nulls"]) != 0:
@@ -646,10 +681,7 @@ def _export_rowwise_snapshot(spark: SparkSession, index_dir: str,
                         f"— NULL keys evade the distinct-key audit "
                         f"and cannot be deduplicated or tombstoned at "
                         f"serve time")
-                d = (spark.read.parquet(os.path.join(dest, leaf))
-                     .agg(F.count_distinct(
-                         *[F.col(c) for c in unique_cols])
-                         .cast("long").alias("d")).first()["d"])
+                d = got_all[-1]
                 if n_rows != int(d):
                     raise RuntimeError(
                         f"{fn_name}: refusing to promote {index_dir}@"
@@ -845,7 +877,8 @@ def export_release(spark: SparkSession, stores: dict[str, tuple[str, str]],
         (lambda family=family, ix=ix, name=name:
          exporters[family](spark, ix, os.path.join(vdir, name),
                            as_of=batch, verify=verify))
-        for name, (family, ix) in sorted(stores.items())])
+        for name, (family, ix) in sorted(stores.items())],
+        pool="maintenance")
     release = {"batch_id": batch, "version": vname,
                "stores": {name: stores[name][0] for name in stores}}
     tmp = meta_path + ".tmp"
@@ -1301,6 +1334,7 @@ def _rowwise_refresh_batches(
                   .parquet(os.path.join(seg_dir, lname))))
                 for lname, derive in (extra_leaves or {}).items()
             ],
+            pool="maintenance",
         )
         got_ts, got_delta = got[0], got[1]
         if extra_leaves:
@@ -1377,7 +1411,7 @@ def _rowwise_refresh_batches(
                         view, os.path.join(index_dir, comp, leaf),
                         {"n": F.count(F.lit(1))},
                         partition_cols=partition_cols),
-                    *xthunks)
+                    *xthunks, pool="maintenance")
                 folded_n = int(got[0]["n"])
             if folded_n > 0:
                 keep = keep + [{
@@ -1881,6 +1915,7 @@ def index_refresh_batches(
             lambda: delta.write.mode("overwrite").parquet(
                 os.path.join(seg_dir, "postings")),
             *([ts_thunk] if ts_thunk is not None else []),
+            pool="maintenance",
         )
         added = got[0]
         if ts_thunk is not None:
@@ -1954,6 +1989,7 @@ def index_refresh_batches(
                         {"n": F.count(F.lit(1))}),
                     lambda: (shaped.write.mode("overwrite")
                              .parquet(os.path.join(cdir, "postings"))),
+                    pool="maintenance",
                 )
                 if int(folded["n"]) > 0:
                     keep = keep + [{"name": comp, "seq": seq,
