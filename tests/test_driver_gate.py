@@ -129,10 +129,15 @@ def test_checked_window_covers_every_operator_family():
     # 151+74+159 / 40+134 / 70 / 58+41 / 47+51+81 / 39+41 / 70+44 —
     # see the inventory.py rotation notes).
     rotated_in = [
-        # r13: the deploy-loop pair + tail drain
+        # r14: the final backlog drain — the last five
+        # never-driver-checked full-value entries take their rows
+        # (82/87/88/89/92 rotate out on green r13 rows; anchors in
+        # the inventory.py rotation notes)
+        "94_source_report", "95_paragraph_dedup", "99_corpus_shuffle",
+        "103_temperature_mix", "105_gate_attribution",
+        # r13: the deploy-loop pair + tail drain survivors
         "164_band_store_live_serve", "165_release_follow_serve",
-        "81_semantic_dedup", "82_strip_markup", "87_rare_tokens",
-        "88_domain_stats", "89_dup_spans", "92_vocab_coverage",
+        "81_semantic_dedup",
         # r12 lifecycle survivors that must keep their window slots
         # (162's snapshot EXPORT changed in r13 — the postings
         # artifact now folds the maintained leaf — so it stays
