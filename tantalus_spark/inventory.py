@@ -2050,8 +2050,11 @@ def q146_ivf_balance(spark, sf_dir):
     from tantalus_spark.datapipe.similarity import ivf_list_balance
 
     emb = db_for(spark, sf_dir).table("embeddings")
-    head = (emb.filter(F.col("embedding").isNotNull())
-               .filter(F.col("vec_id") < 8).orderBy("vec_id").collect())
+    # unordered collect + driver-side sort: an orderBy on the 8-row
+    # head plans a range-exchange job the query does not need (r14)
+    head = sorted(emb.filter(F.col("embedding").isNotNull())
+                     .filter(F.col("vec_id") < 8).collect(),
+                  key=lambda r: r["vec_id"])
     cents = [[float(x) for x in r["embedding"]] for r in head]
     return ivf_list_balance(emb, cents)
 
@@ -2182,7 +2185,9 @@ def q149_maintained_ann_serve(spark, sf_dir):
                                  lambda x: F.floor(x.cast("double")
                                                    * F.lit(32.0))
                                  .cast("double")).alias("embedding")))
-    head = (iv.filter(F.col("vec_id") <= 16).orderBy("vec_id").collect())
+    # unordered collect (by_id is a dict — row order is immaterial);
+    # the old orderBy planned a range-exchange job per call (r14)
+    head = iv.filter(F.col("vec_id") <= 16).collect()
     by_id = {r["vec_id"]: [float(x) for x in r["embedding"]]
              for r in head}
     cents = [by_id[i] for i in range(8)]
@@ -2239,7 +2244,9 @@ def q151_ann_serve_batch(spark, sf_dir):
                                  lambda x: F.floor(x.cast("double")
                                                    * F.lit(32.0))
                                  .cast("double")).alias("embedding")))
-    head = (iv.filter(F.col("vec_id") <= 16).orderBy("vec_id").collect())
+    # unordered collect (by_id is a dict — row order is immaterial);
+    # the old orderBy planned a range-exchange job per call (r14)
+    head = iv.filter(F.col("vec_id") <= 16).collect()
     by_id = {r["vec_id"]: [float(x) for x in r["embedding"]]
              for r in head}
     cents = [by_id[i] for i in range(8)]
@@ -2346,7 +2353,9 @@ def q154_ann_eval_tabular(spark, sf_dir):
                                  lambda x: F.floor(x.cast("double")
                                                    * F.lit(32.0))
                                  .cast("double")).alias("embedding")))
-    head = (iv.filter(F.col("vec_id") <= 16).orderBy("vec_id").collect())
+    # unordered collect (by_id is a dict — row order is immaterial);
+    # the old orderBy planned a range-exchange job per call (r14)
+    head = iv.filter(F.col("vec_id") <= 16).collect()
     by_id = {r["vec_id"]: [float(x) for x in r["embedding"]]
              for r in head}
     cents = [by_id[i] for i in range(8)]
@@ -2696,7 +2705,9 @@ def q161_snapshot_ann_serve(spark, sf_dir):
                                  lambda x: F.floor(x.cast("double")
                                                    * F.lit(32.0))
                                  .cast("double")).alias("embedding")))
-    head = (iv.filter(F.col("vec_id") <= 16).orderBy("vec_id").collect())
+    # unordered collect (by_id is a dict — row order is immaterial);
+    # the old orderBy planned a range-exchange job per call (r14)
+    head = iv.filter(F.col("vec_id") <= 16).collect()
     by_id = {r["vec_id"]: [float(x) for x in r["embedding"]]
              for r in head}
     cents = [by_id[i] for i in range(8)]
