@@ -247,25 +247,27 @@ def test_put_partial_body_and_intra_batch_dups(tdb):
 
 
 def test_facade_write_lineage_bounded(tdb):
-    # ~40 upsert cycles: without the periodic localCheckpoint each write
-    # stacks an anti-join+union layer and the logical plan grows without
-    # bound in a long-lived server
+    # 20 upsert cycles over 5 checkpoint periods: without the periodic
+    # localCheckpoint each write stacks an anti-join+union layer and the
+    # logical plan grows without bound in a long-lived server (r14:
+    # shrunk from 40 cycles/8-deep periods to 20/4-deep — same 5-period
+    # coverage, half the suite wall)
     srv = ApiServer(tdb)
-    srv.CHECKPOINT_EVERY = 8
+    srv.CHECKPOINT_EVERY = 4
     host, port = srv.serve_background()
     base = f"http://{host}:{port}"
     try:
-        for i in range(40):
+        for i in range(20):
             status, _ = post(base, "/api/tag/",
                              {"id": 2, "name": f"cycle{i}"}, method="PUT")
             assert status == 200
         depth = len(srv.db.table("tag")._jdf.queryExecution()
                     .logical().treeString().splitlines())
-        # 8 un-checkpointed layers x ~4 nodes each, plus slack; an
-        # unbounded chain after 40 writes is >300 lines
+        # 4 un-checkpointed layers x ~4 nodes each, plus slack; an
+        # unbounded chain after 20 writes is >150 lines
         assert depth < 80, f"plan depth {depth} not bounded"
         _, got = get(base, "/api/tag/?id=2")
-        assert got["results"][0]["name"] == "cycle39"
+        assert got["results"][0]["name"] == "cycle19"
         assert srv.db.table("tag").count() == 3
     finally:
         from pyspark.sql import functions as F
@@ -343,23 +345,25 @@ def test_facade_soak_mixed_traffic(tdb):
     latency stays stable (the final phase is not slower than the
     warmed-up early phase beyond noise) and (b) the table's logical-plan
     depth stays bounded by the lineage checkpoint, i.e. the facade can
-    run for days, not demos. Sized to cover 7+ full checkpoint periods
-    (60 writes / CHECKPOINT_EVERY=8) in ~3 min of suite budget — each op
-    is a full Spark job round-trip, so op count, not wall time, is the
-    lever; an unbounded-lineage regression shows up well within one
-    period as monotone per-phase drift."""
+    run for days, not demos. Sized to cover 8 full checkpoint periods
+    (32 writes / CHECKPOINT_EVERY=4) — each op is a full Spark job
+    round-trip, so op count, not wall time, is the lever; an
+    unbounded-lineage regression shows up well within one period as
+    monotone per-phase drift. (r14: shrunk from 60 writes/8-deep
+    periods to 32/4-deep — MORE periods, half the suite wall; the
+    drift and plan-depth assertions are unchanged.)"""
     import time
 
     srv = ApiServer(tdb)
-    srv.CHECKPOINT_EVERY = 8
+    srv.CHECKPOINT_EVERY = 4
     host, port = srv.serve_background()
     base = f"http://{host}:{port}"
     phase_times: list[list[float]] = []
     try:
         for phase in range(4):
             times = []
-            for i in range(15):
-                n = phase * 15 + i
+            for i in range(8):
+                n = phase * 8 + i
                 t0 = time.time()
                 status, _ = post(base, "/api/tag/",
                                  {"id": 2, "name": f"soak{n}"}, method="PUT")
@@ -380,7 +384,7 @@ def test_facade_soak_mixed_traffic(tdb):
                     _, body = get(
                         base, "/api/sequence_dataset/?id=1&expand=sample,tags")
                     assert body["results"][0]["sample"]["sample_id"] == "SA100A"
-                if n % 25 == 9:
+                if n % 16 == 9:
                     req = urllib.request.Request(
                         base + "/api/sequence_dataset/csv/?id__in=1,2")
                     with urllib.request.urlopen(req, timeout=60) as resp:
@@ -394,9 +398,9 @@ def test_facade_soak_mixed_traffic(tdb):
         assert med[3] < 3 * med[1] + 0.05, f"latency drifted: {med}"
         depth = len(srv.db.table("tag")._jdf.queryExecution()
                     .logical().treeString().splitlines())
-        assert depth < 80, f"plan depth {depth} not bounded after 200 cycles"
+        assert depth < 80, f"plan depth {depth} not bounded after the soak"
         _, got = get(base, "/api/tag/?id=2")
-        assert got["results"][0]["name"] == "soak59"
+        assert got["results"][0]["name"] == "soak31"
     finally:
         from pyspark.sql import functions as F
         srv.db.add("tag", srv.db.table("tag").filter(F.col("id") <= 3)
