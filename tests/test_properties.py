@@ -41,7 +41,7 @@ _FILTERS = [
 ]
 
 
-@settings(max_examples=10, deadline=None)
+@settings(max_examples=6, deadline=None)
 @given(
     idx=st.lists(st.integers(min_value=0, max_value=len(_FILTERS) - 1),
                  min_size=2, max_size=3, unique=True),
