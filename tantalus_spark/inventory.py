@@ -2957,7 +2957,16 @@ def q165_release_follow_serve(spark, sf_dir):
     # still happens only after BOTH have landed.
     _run_parallel(lambda: cb_ix(batches[0], 0),
                   lambda: cb_ft(batches[0], 0))
-    export_release(spark, stores, root + "/releases")
+    # the v0 export pins as_of=0 over immutable, retained manifests
+    # (keep_versions=4), so the batch-1 commits — which only write NEW
+    # segment/tombstone dirs and a v1 manifest — can run concurrently
+    # with it (guide §2.6); the exported bytes are identical either
+    # way and the follower below still observes the pointer only after
+    # this export lands.
+    _run_parallel(lambda: export_release(spark, stores,
+                                         root + "/releases"),
+                  lambda: cb_ix(batches[1], 1),
+                  lambda: cb_ft(batches[1], 1))
 
     qdf = spark.createDataFrame(
         [(1, ["customer", "sort", "hash"]), (2, ["merge", "join"]),
@@ -2976,28 +2985,30 @@ def q165_release_follow_serve(spark, sf_dir):
                     for r in batch_df.collect())
         postings, (n, avgdl) = release["stores"]["postings"]
         feats = release["stores"]["dense"]
+        # one output file: the served page is <= |queries|·k rows, and
+        # the sink's reader (and the downstream re-read here) should
+        # not pay per-file open cost for a page-sized result (guide §6)
         (hybrid_serve_topk_batch(postings, qs, feats, k=10, depth=40,
                                  rrf_k=60, dim=64, n_docs=n,
                                  avgdl=avgdl)
+         .coalesce(1)
          .write.mode("overwrite")
          .parquet(root + f"/served/batch-{batch_id}"))
 
     fol = follow_releases(root + "/releases", _serve)
     # micro-batch 0 is served UNDER live CDC traffic — the serve reads
     # release v0's immutable artifacts and the pointer cannot move
-    # until export_release below, while the two maintainers' commit
-    # chains write only their own stores' new segments; all three are
-    # independent driver-blocking chains, so overlap them (guide §2.6).
-    # Within each store commits stay strictly ordered (batch 1 then 2).
-    def _ix_chain():
-        cb_ix(batches[1], 1)
-        cb_ix(batches[2], 2)
-
+    # until export_release below (both batch-1 commits already landed,
+    # so the pointer stays at v0 for exactly this window), while the
+    # ix maintainer's batch-2 commit writes only its own store's new
+    # segments; the two are independent driver-blocking chains, so
+    # overlap them (guide §2.6). Commit order within the store stays
+    # strict (batch 1 landed above, batch 2 here).
     _run_parallel(lambda: fol(qdf, 0),  # served off v0; pointer stable
-                  _ix_chain,
-                  lambda: cb_ft(batches[1], 1))
-    # a new release is cut at common_batch_id=1 and the pointer swaps
-    # under the follower
+                  lambda: cb_ix(batches[2], 2))
+    # a new release is cut at common_batch_id=1 (the feats store is
+    # one batch behind — q163's maintainer divergence) and the pointer
+    # swaps under the follower
     export_release(spark, stores, root + "/releases")
     fol(qdf, 1)  # pointer moved -> one pinned reload -> re-serve
     return spark.read.parquet(root + "/served/batch-1")
