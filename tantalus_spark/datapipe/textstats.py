@@ -1425,25 +1425,29 @@ def term_tf(df: DataFrame, text_col: str = "text",
     if with_dl:
         cols.append(F.size(F.col("_toks")).cast("long").alias("dl"))
     t = toked.select(*cols, s.alias("_s"))
-    sn = F.col("_s")
     # 1-based positions where a new run starts: first element, or any
-    # element differing from its predecessor in the sorted array
-    starts = F.filter(
-        F.sequence(F.lit(1), F.size(sn)),
-        lambda i: (i == F.lit(1))
-        | (F.element_at(sn, i) != F.element_at(sn, i - 1)))
+    # element differing from its predecessor in the sorted array.
+    # The run-length expressions are rendered as parsed SQL text (the
+    # r13/r14 construction-latency class: object-by-object Column
+    # building cost ~0.2 s of py4j driver time per call, paid on every
+    # store commit); the parsed trees are identical and the function's
+    # standing bit-identity A/B vs explode → groupBy covers them.
+    starts = F.expr(
+        "filter(sequence(1, size(_s)), i -> (i = 1) OR "
+        "(element_at(_s, i) != element_at(_s, i - 1)))")
     keep = [F.col(id_col)] + ([F.col("dl")] if with_dl else [])
-    t = t.select(*keep, sn, starts.alias("_st"))
+    t = t.select(*keep, F.col("_s"), starts.alias("_st"))
     # each run spans [start, next_start): zip starts with their
-    # successors (the last run ends at size+1)
-    ends = F.concat(F.slice(F.col("_st"), 2, F.size(F.col("_st")) - 1),
-                    F.array(F.size(F.col("_s")) + F.lit(1)))
+    # successors (the last run ends at size+1); the aliased arrays_zip
+    # pins the i/j field names the final projection reads
+    ends = F.expr("concat(slice(_st, 2, size(_st) - 1), "
+                  "array(size(_s) + 1))")
     pairs = F.arrays_zip(F.col("_st").alias("i"), ends.alias("j"))
     t = t.select(*keep, F.col("_s"), F.explode(pairs).alias("_p"))
     return t.select(
         *keep,
-        F.element_at(F.col("_s"), F.col("_p.i")).alias("term"),
-        (F.col("_p.j") - F.col("_p.i")).cast("long").alias("tf"))
+        F.expr("element_at(_s, _p.i)").alias("term"),
+        F.expr("CAST(_p.j - _p.i AS BIGINT)").alias("tf"))
 
 
 def build_term_index(df: DataFrame, text_col: str = "text",
