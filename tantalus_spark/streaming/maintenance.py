@@ -99,9 +99,11 @@ def _run_parallel(*thunks, pool: str | None = None):
     because the driver calls them sequentially. Under FIFO the second
     job back-fills executors the first job's tail frees; ``pool`` tags
     each worker thread's jobs with ``spark.scheduler.pool`` so that —
-    with ``spark.scheduler.mode=FAIR`` (the session default) — a burst
-    of maintainer commit jobs shares the cluster fairly with serve
+    under ``spark.scheduler.mode=FAIR`` (env-parameterized in the
+    session factory; the multi-tenant production posture) — a burst of
+    maintainer commit jobs shares the cluster fairly with serve
     traffic in other pools instead of queueing ahead of or behind it.
+    Under the local FIFO default the tag is inert metadata.
     Local properties are per-thread (pinned-thread mode), and the
     worker threads are fresh per call, so the tag never leaks to the
     caller's thread. Results are returned in thunk order; the first
